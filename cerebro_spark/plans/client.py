@@ -1,0 +1,115 @@
+"""Query layer — CerebroClient parity (SURVEY §2.4, §3.2).
+
+The reference client compiles (bucket, measurement, field, start, end) into a
+Flux string executed by InfluxDB (``/root/reference/cerebro/client.py:57-91``):
+scan → range → measurement filter → optional field filter → pivot.  Here the
+same parameters build a DataFrame expression chain over our stored point
+tables, and Catalyst is the planner the reference never had — the time/
+measurement predicates push into the parquet scan (partition pruning when the
+store is date/bucket-partitioned).
+
+Relative times: the reference accepts Flux-style ``-15m``/``-1h`` bounds
+(`client.py:70-78`); ``_resolve_time`` reproduces that (T23).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cerebro_spark.operators.pivot import explode_fields, pivot_fields
+
+_REL_RE = re.compile(r"^-(\d+(?:\.\d+)?)(s|m|h|d|w)$")
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def _resolve_time(
+    value: str | float | dt.datetime | None,
+    now: dt.datetime,
+) -> dt.datetime | None:
+    """Flux-style bound → absolute UTC datetime.
+
+    Accepts ISO strings, datetimes, negative floats (seconds before now —
+    reference `tools.py:70-86`), and Flux relative strings like ``-15m``
+    (reference `client.py:111-114`).
+    """
+    if value is None:
+        return None
+    if isinstance(value, dt.datetime):
+        return value
+    if isinstance(value, (int, float)):
+        if value < 0:
+            return now + dt.timedelta(seconds=float(value))
+        return dt.datetime.fromtimestamp(float(value), tz=dt.timezone.utc).replace(
+            tzinfo=None
+        )
+    m = _REL_RE.match(value.strip())
+    if m:
+        qty, unit = float(m.group(1)), m.group(2)
+        return now - dt.timedelta(seconds=qty * _UNIT_SECONDS[unit])
+    return dt.datetime.fromisoformat(value.replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+class CerebroClient:
+    """Query interface over stored point tables.
+
+    ``store`` maps bucket name → a function or path yielding the canonical
+    point DataFrame (POINT_SCHEMA).  ``query`` mirrors the reference signature
+    (`client.py:93-129`) and returns the pivoted wide DataFrame.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: dict[str, str] | None = None,
+        now: dt.datetime | None = None,
+    ):
+        self.spark = spark
+        self.store = store or {}
+        self._now = now  # pinned clock for deterministic tests
+
+    def register_bucket(self, bucket: str, path_or_df: str | DataFrame) -> None:
+        self.store[bucket] = path_or_df
+
+    def _scan(self, bucket: str) -> DataFrame:
+        """Q1 — bucket scan (`client.py:68`)."""
+        src = self.store[bucket]
+        return src if isinstance(src, DataFrame) else self.spark.read.parquet(src)
+
+    def query(
+        self,
+        bucket: str,
+        measurement: str,
+        field: str | None = None,
+        start: str | float | dt.datetime = "-1d",
+        end: str | float | dt.datetime | None = None,
+        pivot: bool = True,
+    ) -> DataFrame:
+        """Q1-Q6 — scan → range → measurement filter → field filter → pivot."""
+        now = self._now or dt.datetime.utcnow()
+        df = self._scan(bucket)
+
+        # Q2 — time-range predicate (`client.py:70-78`); closed-open [start, stop)
+        # matching Flux range() semantics.
+        t0, t1 = _resolve_time(start, now), _resolve_time(end, now)
+        if t0 is not None:
+            df = df.filter(F.col("time") >= F.lit(t0))
+        if t1 is not None:
+            df = df.filter(F.col("time") < F.lit(t1))
+
+        # Q3 — measurement filter (`client.py:80`).
+        df = df.filter(F.col("measurement") == measurement)
+
+        # Q4 — field filter on the unpivoted field name (`client.py:82-83`).
+        long = explode_fields(df).select("time", "measurement", "field", "value")
+        if field is not None:
+            long = long.filter(F.col("field") == field)
+        if not pivot:
+            return long
+
+        # Q5 — long→wide pivot (`client.py:85-90`).
+        values = [field] if field is not None else None
+        return pivot_fields(long, "field", "value", row_keys=["time"], values=values)
