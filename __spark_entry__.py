@@ -1,38 +1,539 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one (or one family of) SURVEY §2 operators
+through the ``cerebro_spark`` package; ``oracle_sql()`` holds the equivalent
+DuckDB SQL.  Column names are aliased identically on both sides (driver hashes
+sort columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from cerebro_spark.functions.conversions import (
+    dew_point,
+    fahrenheit_to_celsius,
+    volts_to_torr,
+)
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.pivot import pivot_fields, unpivot_to_points
+from cerebro_spark.operators.timeops import (
+    dedup_by_time,
+    filter_time_range,
+    relative_range,
+    rolling_by_time,
+)
+from cerebro_spark.operators.weather import lco_weather_pipeline
+from cerebro_spark.plans.client import CerebroClient
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------------------
+# flagship: the LCO weather chain (SURVEY §3.3 / §7 step 2) on a weather-shaped
+# projection of `events` (deterministic synthesis so the DuckDB oracle can
+# reproduce it exactly).
+# ---------------------------------------------------------------------------
+
+def _weather_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    allnull = F.col("event_id") % 97 == 0
+
+    def nn(extra_null, col):
+        cond = allnull | extra_null if extra_null is not None else allnull
+        return F.when(cond, F.lit(None).cast("double")).otherwise(col)
+
+    return ev.select(
+        F.date_trunc("second", F.col("ts")).alias("ts"),
+        F.col("event_id"),
+        nn(None, F.col("value")).alias("temperature"),
+        nn(None, F.lit(990.0) + (F.col("event_id") % 50)).alias("air_pressure"),
+        nn(F.col("event_id") % 31 == 0, ((F.col("event_id") * 7) % 360).cast("double")).alias("wind_dir_avg"),
+        nn(F.col("event_id") % 23 == 0, F.col("value") % F.lit(30.0)).alias("wind_speed_avg"),
+        nn(F.col("event_id") % 29 == 0, (F.col("value") % F.lit(40.0)) + F.lit(5.0)).alias("wind_speed_max"),
+        nn(None, (F.col("event_id") % 101).cast("double")).alias("relative_humidity"),
+    )
+
+
+_WEATHER_SYNTH_SQL = """
+    SELECT date_trunc('second', ts) AS ts, event_id,
+      CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS temperature,
+      CASE WHEN event_id % 97 = 0 THEN NULL ELSE 990.0 + (event_id % 50) END AS air_pressure,
+      CASE WHEN event_id % 97 = 0 OR event_id % 31 = 0 THEN NULL
+           ELSE CAST((event_id * 7) % 360 AS DOUBLE) END AS wind_dir_avg,
+      CASE WHEN event_id % 97 = 0 OR event_id % 23 = 0 THEN NULL
+           ELSE fmod(value, 30.0) END AS wind_speed_avg,
+      CASE WHEN event_id % 97 = 0 OR event_id % 29 = 0 THEN NULL
+           ELSE fmod(value, 40.0) + 5.0 END AS wind_speed_max,
+      CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST(event_id % 101 AS DOUBLE) END AS relative_humidity
+    FROM events
+"""
+
+
+def q_weather_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _weather_synth(spark, sf_dir)
+    out = lco_weather_pipeline(
+        df, source="dupont", ts_is_string=False, dedup_tiebreak="event_id"
+    )
+    return out.drop("event_id")
+
+
+_WEATHER_CHAIN_SQL = f"""
+WITH synth AS ({_WEATHER_SYNTH_SQL}),
+conv AS (
+  SELECT ts, event_id, (temperature - 32.0) * 5.0 / 9.0 AS temperature,
+         air_pressure, wind_dir_avg, wind_speed_avg, wind_speed_max, relative_humidity
+  FROM synth
+  WHERE NOT (temperature IS NULL AND air_pressure IS NULL AND wind_dir_avg IS NULL
+             AND wind_speed_avg IS NULL AND wind_speed_max IS NULL
+             AND relative_humidity IS NULL)
+),
+dedup AS (
+  SELECT ts, event_id, temperature, air_pressure, wind_dir_avg, wind_speed_avg,
+         wind_speed_max, relative_humidity
+  FROM (SELECT *, row_number() OVER (PARTITION BY ts ORDER BY event_id) AS rn FROM conv)
+  WHERE rn = 1
+),
+clean AS (
+  SELECT * FROM dedup
+  WHERE wind_speed_avg IS NOT NULL AND wind_speed_max IS NOT NULL
+        AND wind_dir_avg IS NOT NULL
+),
+win AS (
+  SELECT ts, temperature, air_pressure, wind_dir_avg, wind_speed_avg, wind_speed_max,
+         relative_humidity,
+    avg(wind_speed_avg) OVER w5 AS wind_speed_avg_5m,
+    avg(wind_speed_avg) OVER w10 AS wind_speed_avg_10m,
+    avg(wind_speed_avg) OVER w30 AS wind_speed_avg_30m,
+    max(wind_speed_max) OVER w5 AS wind_gust_5m,
+    max(wind_speed_max) OVER w10 AS wind_gust_10m,
+    max(wind_speed_max) OVER w30 AS wind_gust_30m,
+    avg(wind_dir_avg) OVER w5 AS wind_dir_avg_5m,
+    avg(wind_dir_avg) OVER w10 AS wind_dir_avg_10m,
+    avg(wind_dir_avg) OVER w30 AS wind_dir_avg_30m
+  FROM clean
+  WINDOW
+    w5 AS (ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 299 PRECEDING AND CURRENT ROW),
+    w10 AS (ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 599 PRECEDING AND CURRENT ROW),
+    w30 AS (ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
+)
+SELECT ts,
+  CAST(temperature AS REAL) AS temperature,
+  CAST(air_pressure AS REAL) AS air_pressure,
+  CAST(wind_dir_avg AS REAL) AS wind_dir_avg,
+  CAST(wind_speed_avg AS REAL) AS wind_speed_avg,
+  CAST(wind_speed_max AS REAL) AS wind_speed_max,
+  CAST(relative_humidity AS REAL) AS relative_humidity,
+  'dupont' AS source,
+  CAST(wind_speed_avg_5m AS REAL) AS wind_speed_avg_5m,
+  CAST(wind_gust_5m AS REAL) AS wind_gust_5m,
+  CAST(wind_dir_avg_5m AS REAL) AS wind_dir_avg_5m,
+  CAST(wind_speed_avg_10m AS REAL) AS wind_speed_avg_10m,
+  CAST(wind_gust_10m AS REAL) AS wind_gust_10m,
+  CAST(wind_dir_avg_10m AS REAL) AS wind_dir_avg_10m,
+  CAST(wind_speed_avg_30m AS REAL) AS wind_speed_avg_30m,
+  CAST(wind_gust_30m AS REAL) AS wind_gust_30m,
+  CAST(wind_dir_avg_30m AS REAL) AS wind_dir_avg_30m,
+  CAST(temperature - round((100.0 - relative_humidity) / 5.0, 2) AS REAL) AS dew_point
+FROM win
+"""
+
+
+# ---------------------------------------------------------------------------
+# individual operator queries (SURVEY §2.3 / §2.4)
+# ---------------------------------------------------------------------------
+
+def q_dedup_by_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — dedup on second-truncated ts, deterministic min-event_id survivor."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts_sec", F.date_trunc("second", F.col("ts"))
+    )
+    out = dedup_by_time(ev, "ts_sec", tiebreak="event_id")
+    return out.select("event_id", "ts_sec", "user_id", "event_type", "value")
+
+
+_DEDUP_SQL = """
+SELECT event_id, ts_sec, user_id, event_type, value
+FROM (
+  SELECT event_id, date_trunc('second', ts) AS ts_sec, user_id, event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('second', ts) ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — inclusive time-range filter (pushed into the parquet scan)."""
+    ev = load_table(spark, "events", sf_dir)
+    out = filter_time_range(ev, "2024-01-10 00:00:00", "2024-01-20 00:00:00", "ts")
+    return out.select("event_id", "ts", "event_type", "value")
+
+
+_TIME_RANGE_SQL = """
+SELECT event_id, ts, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def q_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — time-range rolling aggregates over the irregular events series."""
+    ev = load_table(spark, "events", sf_dir)
+    out = rolling_by_time(
+        ev,
+        {
+            "value_avg_5m": ("avg", "value", 300),
+            "value_max_30m": ("max", "value", 1800),
+            "value_sum_1h": ("sum", "value", 3600),
+        },
+        "ts",
+    )
+    return out.select("event_id", "ts", "value", "value_avg_5m", "value_max_30m", "value_sum_1h")
+
+
+_ROLLING_SQL = """
+SELECT event_id, ts, value,
+  avg(value) OVER w5 AS value_avg_5m,
+  max(value) OVER w30 AS value_max_30m,
+  sum(value) OVER w60 AS value_sum_1h
+FROM events
+WINDOW
+  w5 AS (ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 299 PRECEDING AND CURRENT ROW),
+  w30 AS (ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW),
+  w60 AS (ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_relative_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23/T7 — relative time window: last 5 days before the data's max ts."""
+    ev = load_table(spark, "events", sf_dir)
+    out = relative_range(ev, 5 * 86400, "ts")
+    return out.select("event_id", "ts", "value")
+
+
+_RELATIVE_RANGE_SQL = """
+SELECT event_id, ts, value FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL '432000 seconds' FROM events)
+"""
+
+
+def q_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — long→wide pivot: avg value per user per event_type."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.avg("value"))
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+  avg(value) FILTER (event_type = 'click') AS click,
+  avg(value) FILTER (event_type = 'error') AS error,
+  avg(value) FILTER (event_type = 'purchase') AS purchase,
+  avg(value) FILTER (event_type = 'signup') AS signup,
+  avg(value) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_bitmask_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — 16-bit bitmask → 16 per-channel rows (reference `lvm.py:396-418`)."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "mask", F.col("event_id") % 65536
+    )
+    out = ev.select(
+        "event_id",
+        "mask",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("channel"),
+    ).select(
+        "event_id",
+        "channel",
+        F.concat(F.lit("ch"), F.col("channel")).alias("channel_name"),
+        F.expr("shiftright(mask, CAST(channel AS INT)) % 2").alias("bit"),
+    )
+    return out
+
+
+_BITMASK_SQL = """
+SELECT event_id, ch AS channel, 'ch' || CAST(ch AS VARCHAR) AS channel_name,
+       (CAST(event_id % 65536 AS BIGINT) >> ch) % 2 AS bit
+FROM events, generate_series(0, 15) AS g(ch)
+"""
+
+
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2-analog — extract nested JSON props into a flat typed column."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k FROM events
+"""
+
+
+def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13/T18 — °F→°C, dew point, volts→Torr as columnar expressions."""
+    ev = load_table(spark, "events", sf_dir)
+    temp_c = fahrenheit_to_celsius(F.col("value"))
+    rh = (F.col("event_id") % 101).cast("double")
+    return ev.select(
+        "event_id",
+        temp_c.alias("temp_c"),
+        dew_point(temp_c, rh).alias("dew_point"),
+        volts_to_torr(F.col("value") / F.lit(100.0)).alias("pressure_torr"),
+    )
+
+
+_UNIT_SQL = """
+SELECT event_id,
+  (value - 32.0) * 5.0 / 9.0 AS temp_c,
+  (value - 32.0) * 5.0 / 9.0 - round((100.0 - CAST(event_id % 101 AS DOUBLE)) / 5.0, 2) AS dew_point,
+  power(10.0, (value / 100.0) * 2.0 + -10.0) * 0.00750062 AS pressure_torr
+FROM events
+"""
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 — wide→long unpivot (value columns → field/value rows)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        "ts",
+        F.expr(
+            "stack(2, 'value', value, 'user_id', CAST(user_id AS DOUBLE)) AS (field, value)"
+        ),
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT event_id, ts, 'value' AS field, value FROM events
+UNION ALL
+SELECT event_id, ts, 'user_id' AS field, CAST(user_id AS DOUBLE) AS value FROM events
+"""
+
+
+def q_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 — high-water-mark: max ts truncated to seconds (`lco.py:116-122`)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(F.date_trunc("second", F.max("ts")).alias("hwm"))
+
+
+_HWM_SQL = "SELECT date_trunc('second', max(ts)) AS hwm FROM events"
+
+
+def q_client_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q6 — CerebroClient parity: points store → range → measurement →
+    field filter → pivot (reference `client.py:57-129`)."""
+    ev = load_table(spark, "events", sf_dir)
+    points = unpivot_to_points(
+        ev,
+        measurement="events",
+        time_col="ts",
+        tags={"source": "driver"},
+        value_cols=["value", "user_id"],
+        bucket="telemetry",
+    )
+    client = CerebroClient(spark, {"telemetry": points})
+    return client.query(
+        "telemetry",
+        measurement="events",
+        field="value",
+        start="2024-01-05 00:00:00",
+        end="2024-01-25 00:00:00",
+    )
+
+
+_CLIENT_SQL = """
+SELECT ts AS time, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytic volume queries (engine breadth; shuffle/broadcast design surface)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: map-side partial agg, one shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(l_extendedprice) AS sum_base_price,
+  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+  avg(l_quantity) AS avg_qty,
+  avg(l_extendedprice) AS avg_price,
+  avg(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline: fact × broadcast dims (customer→nation→region)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_REVENUE_SQL = """
+SELECT n_name,
+  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective join + agg + deterministic top-N."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    agg = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rank")
+    )
+
+
+_TOP_UNSHIPPED_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue, rank FROM (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue,
+         row_number() OVER (ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey ASC) AS rank
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+) WHERE rank <= 10
+"""
+
+
+def q_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window downsample (the agg the reference left to InfluxDB)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.avg("value").alias("value_avg"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_DOWNSAMPLE_SQL = """
+SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+  avg(value) AS value_avg, min(value) AS value_min, max(value) AS value_max,
+  count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_weather_chain(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "weather_chain": q_weather_chain,
+        "dedup_by_second": q_dedup_by_second,
+        "time_range": q_time_range,
+        "rolling_value": q_rolling_value,
+        "relative_range": q_relative_range,
+        "pivot_event_type": q_pivot_event_type,
+        "bitmask_unpack": q_bitmask_unpack,
+        "json_flatten": q_json_flatten,
+        "unit_conversions": q_unit_conversions,
+        "unpivot_long": q_unpivot_long,
+        "hwm": q_hwm,
+        "client_query": q_client_query,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_unshipped": q_top_unshipped,
+        "downsample_1h": q_downsample_1h,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "weather_chain": _WEATHER_CHAIN_SQL,
+        "dedup_by_second": _DEDUP_SQL,
+        "time_range": _TIME_RANGE_SQL,
+        "rolling_value": _ROLLING_SQL,
+        "relative_range": _RELATIVE_RANGE_SQL,
+        "pivot_event_type": _PIVOT_SQL,
+        "bitmask_unpack": _BITMASK_SQL,
+        "json_flatten": _JSON_SQL,
+        "unit_conversions": _UNIT_SQL,
+        "unpivot_long": _UNPIVOT_SQL,
+        "hwm": _HWM_SQL,
+        "client_query": _CLIENT_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "revenue_by_nation": _REVENUE_SQL,
+        "top_unshipped": _TOP_UNSHIPPED_SQL,
+        "downsample_1h": _DOWNSAMPLE_SQL,
+    }

@@ -52,6 +52,7 @@ def lco_weather_pipeline(
     end: str | dt.datetime | None = None,
     ts_is_string: bool = True,
     partition_by: list[str] | None = None,
+    dedup_tiebreak: str | None = None,
 ) -> DataFrame:
     """Run the full weather chain on a weather-shaped DataFrame.
 
@@ -73,10 +74,10 @@ def lco_weather_pipeline(
     # T15 — drop rows where every value column is null (`tools.py:239`).
     df = df.na.drop(how="all", subset=value_cols)
 
-    # T8 — sort+unique by ts (`tools.py:241-243`); deterministic survivor via
-    # min of all value columns is unnecessary — dedup here keys on ts alone and
-    # upstream fixtures only duplicate identical rows.
-    df = dedup_by_time(df, "ts")
+    # T8 — sort+unique by ts (`tools.py:241-243`).  Pass ``dedup_tiebreak`` for
+    # a deterministic survivor (required for oracle comparison); the reference's
+    # `.unique("ts")` keeps an arbitrary row.
+    df = dedup_by_time(df, "ts", tiebreak=dedup_tiebreak)
 
     # T16 — drop rows null in the wind columns used by the rolling ops
     # (`tools.py:244-245`).

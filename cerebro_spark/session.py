@@ -45,6 +45,10 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long, loader converts to µs (documented ns→µs
+        # delta, SURVEY §1.4).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Keep partition sizes bounded so a 100 TB scan fans out instead of
         # producing multi-GB tasks.
