@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is materialized JVM-side via the noop sink (no Python collect
+overhead in the measurement) — the measured cost is scan + transform + shuffle,
+i.e. what a cluster run would pay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: queries included in the headline number (a representative slice: flagship
+#: chain, window family, dedup, pivot, joins, agg, extensions).
+HEADLINE = [
+    "weather_chain",
+    "rolling_value",
+    "dedup_by_second",
+    "pivot_event_type",
+    "downsample_1h",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_unshipped",
+    "client_query",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from cerebro_spark.session import get_spark
+
+    spark = get_spark("cerebro-spark-bench")
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE and n in os.environ.get("BENCH_EXTRA", "")
+    ]
+
+    # warm up the JVM + parquet footer caches with a trivial job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
