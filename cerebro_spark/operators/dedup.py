@@ -1,0 +1,298 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Driver-mandated extensions (BASELINE.json north star) — no reference file:line;
+designed shuffle-aware for 100 TB:
+
+- exact dedup: hash-groupBy on content digest — one shuffle, map-side partial
+  agg, no window over the full table;
+- n-gram Jaccard: shingle explode → inverted-index self-join on shingle →
+  pair-count agg.  The join key is the shingle hash, so hot shingles are the
+  skew risk — ``max_shingle_freq`` drops stop-shingles (standard optimization,
+  bounds the quadratic blowup);
+- MinHash/LSH: per-doc signatures via deterministic permutation hashes, banded
+  into LSH buckets; candidate pairs only join within a bucket.  Scales as
+  O(docs × bands), never O(docs²);
+- SimHash: 64-bit fingerprints; near-dup when Hamming distance ≤ k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus for minhash permutations.  Multipliers are
+# in [1, p-1], token hashes reduced mod p first, so a·x < 2^62 stays in a
+# signed long AND wraps the modulus many times (the wrap is what scrambles the
+# ordering — a modulus near the product ceiling would leave (a·x+b) monotonic
+# in x and every permutation would pick the same minimum).
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients via an LCG — identical
+    constants are regenerated in the DuckDB oracle SQL."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = 1 + state % (_MINHASH_P - 1)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % _MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup by content digest: keep the lowest id per md5(content).
+
+    groupBy on the digest → single shuffle with partial aggregation; at 100 TB
+    the digest groupBy distributes uniformly by construction (hash keys).
+    """
+    return (
+        df.withColumn("__digest", F.md5(F.col(content_col)))
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__digest")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (digest, ids, count) — the audit view."""
+    return (
+        df.withColumn("digest", F.md5(F.col(content_col)))
+        .groupBy("digest")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingles(content_col: str, n: int):
+    """Word n-gram shingle array (distinct) from a text column — JVM-side:
+    split → sliding windows via transform over index sequence."""
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
+
+    Inverted-index join: explode shingles, self-join per shingle (docs sharing
+    no shingle never meet), count shared shingles per pair, Jaccard =
+    |∩| / (|A|+|B|-|∩|).  ``max_shingle_freq`` removes degenerate shingles
+    shared by more than N docs — the skew/blowup guard at scale.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _shingles(content_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        ex = ex.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "s")
+    a = ex.select(
+        F.col("s"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b = ex.select(
+        F.col("s"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+    return pairs
+
+
+def _portable_token_hash(col):
+    """Deterministic 32-bit-ish token hash computable identically in DuckDB:
+    first 8 hex chars of md5 → long.  Used instead of Spark's murmur ``hash``
+    so oracle SQL can reproduce signatures."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures over word n-gram shingles.
+
+    For permutation i: h_i(x) = (a_i·x + b_i) mod p (p = 2^61-1); signature
+    element = min over shingles.  Expressed as explode → groupBy(id) with
+    ``min`` aggregates — one shuffle, combiner-friendly, no UDFs.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(content_col, n)).alias("s")
+    ).withColumn("x", _portable_token_hash(F.col("s")) % _MINHASH_P)
+    aggs = [
+        F.min((F.col("x") * a + b) % _MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    return base.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by estimated
+    Jaccard (fraction of matching signature components).
+
+    Bucket join: docs collide only when an entire band matches; band key =
+    concatenated band signature.  Self-join runs per bucket → no O(n²).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, n, num_hashes)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"h{bi * rows + r}") for r in range(rows)]
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", *[F.col(f"h{i}") for i in range(num_hashes)], *band_cols)
+    bands_long = banded.select(
+        "id",
+        *[F.col(f"h{i}") for i in range(num_hashes)],
+        F.explode(F.array(*[F.col(f"band{bi}") for bi in range(bands)])).alias("bucket"),
+    )
+    a = bands_long.select(
+        F.col("bucket"),
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    b = bands_long.select(
+        F.col("bucket"),
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (matches / num_hashes).alias("est_jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+) -> DataFrame:
+    """SimHash fingerprint (default 48-bit — keeps every shift/sum in signed
+    long range) per document over distinct word tokens.
+
+    Per-bit majority vote expressed as explode → per-bit sum of ±1 → sign.
+    All JVM-side; one shuffle (groupBy id).  Token hash is the portable
+    md5-prefix hash (15 hex chars = 60 bits ≥ ``bits``) so oracle SQL can
+    reproduce fingerprints.
+    """
+    assert bits <= 60
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(content_col)), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("x", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when((F.expr(f"shiftright(x, {i})") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fingerprint = sum(
+        F.when(
+            F.col(f"v{i}") > 0,
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    )
+    return agg.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 48,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via the pigeonhole block trick:
+    split the fingerprint into ``blocks`` segments — any pair within distance
+    k < blocks must agree on ≥1 block, so the join key is (block_idx, segment).
+    Avoids the O(n²) all-pairs comparison."""
+    width = bits // blocks
+    sh = simhash(df, content_col, id_col, bits)
+    seg = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        (
+                            F.expr(f"shiftright(simhash, {bi * width})")
+                            % F.lit(2 ** width).cast("long")
+                        ).alias("seg"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.seg").alias("seg"))
+    a = seg.select("blk", "seg", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = seg.select("blk", "seg", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        a.join(b, ["blk", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

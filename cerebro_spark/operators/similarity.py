@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (driver-mandated extension).
+
+Embeddings are ``array<float>`` columns.  Dot products / norms are JVM-side
+(``aggregate``/``zip_with``) — no Python in the hot path.
+
+Scale design:
+- brute-force top-k is the correctness baseline: broadcast the (small) query
+  set against the corpus → per-corpus-partition local scoring, then a single
+  top-k-per-query shuffle (window).  At 100 TB the corpus side stays
+  partitioned; only queries broadcast.
+- the LSH/IVF variant buckets vectors by random hyperplane signs (cosine LSH):
+  candidate set = same-bucket vectors, so the join is bucket-local.  Probing
+  multiple band tables trades recall for cost, mirroring MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus vectors
+    (excluding itself).  Queries are broadcast; ranking is deterministic
+    (cosine desc, corpus id asc)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (LCG; no RNG calls so
+    plans are reproducible across runs/executors)."""
+    out = []
+    state = seed * 2654435761 % (2**32)
+    for _ in range(dim):
+        state = (state * 1103515245 + 12345) % (2**31)
+        out.append((state / 2**30) - 1.0)
+    return out
+
+
+def cosine_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    num_tables: int = 1,
+) -> DataFrame:
+    """Sign-of-projection LSH bucket ids (random hyperplane cosine LSH).
+
+    With ``num_tables`` > 1 each vector lands in one bucket per independent
+    hash table (bucket ids are table-prefixed) and the output has one row per
+    (vector, table) — candidates = any shared bucket.  More tables → higher
+    recall at linear candidate cost; this is the recall knob at scale.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for t in range(num_tables):
+        bucket = F.lit(t).cast("long")
+        for p in range(num_planes):
+            plane = F.array(
+                *[F.lit(x) for x in _hyperplane(dim, seed + t * num_planes + p)]
+            )
+            bit = (_dot(v, plane) > 0).cast("long")
+            bucket = bucket * 2 + bit
+        buckets.append(bucket)
+    return df.select(
+        F.col(id_col),
+        v.alias(vec_col),
+        F.explode(F.array(*buckets)).alias("bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket in any
+    of ``num_tables`` hash tables.  The bucket join replaces the full cross
+    product — at scale the corpus is repartitioned by bucket once and reused
+    across query batches."""
+    cb = cosine_lsh_bucket(
+        corpus, dim, num_planes, id_col, vec_col, num_tables=num_tables
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    qb = cosine_lsh_bucket(
+        queries, dim, num_planes, id_col, vec_col, num_tables=num_tables
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold among LSH-bucket
+    candidates (the embedding-based member of the dedup family)."""
+    b = cosine_lsh_bucket(df, dim, num_planes, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def norm_stats_by_label(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label embedding norm statistics — sanity/monitoring aggregate."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(label_col), _norm(v).alias("nrm"))
+        .groupBy(label_col)
+        .agg(
+            F.avg("nrm").alias("norm_avg"),
+            F.min("nrm").alias("norm_min"),
+            F.max("nrm").alias("norm_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Text analysis operators for training-data pipelines (driver-mandated).
+
+All JVM-side column expressions (split / filter / aggregate / regexp) — the
+tokenizer, quality scorer, language heuristic, and fingerprinter run inside
+whole-stage codegen with no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small English stopword profile for the quality score / language heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this",
+)
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count of alternating letter/digit/punct runs —
+    ``regexp_count`` over a token-run pattern (a cheap, deterministic stand-in
+    for a real BPE vocab; scale-path identical)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    total = F.length(col)
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = _tokens(F.lower(col))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = _tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    low punctuation.  Deterministic, fully columnar."""
+    n_tok = token_count(col).cast("double")
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 5000), 1.0).otherwise(0.0)
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
+    return (length_ok + sw_ok + punct_ok) / F.lit(3.0)
+
+
+def lang_id_heuristic(col: Column) -> Column:
+    """Tiny character/stopword language heuristic: CJK chars → zh, accented
+    latin → fr/es/de by marker letters, else stopword-density English check.
+    A real system plugs an n-gram profile model here; the columnar shape
+    (nested CASE over cheap regexp counts) is the scale path either way."""
+    cjk = F.regexp_count(col, F.lit(r"[一-鿿]"))
+    has_fr = F.regexp_count(F.lower(col), F.lit(r"[àâçéèêëîïôùûœ]"))
+    has_es = F.regexp_count(F.lower(col), F.lit(r"[áéíóúñ¿¡]"))
+    has_de = F.regexp_count(F.lower(col), F.lit(r"[äöüß]"))
+    sw = stopword_ratio(col)
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(has_de > has_fr + has_es, F.lit("de"))
+        .when(has_es > has_fr, F.lit("es"))
+        .when(has_fr > 0, F.lit("fr"))
+        .when(sw >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(col: Column, modulus: int = 2147483647, base: int = 31) -> Column:
+    """Polynomial rolling-hash document fingerprint over characters:
+    ``h = fold(h*base + ascii(c)) mod m`` — an ``aggregate`` over the split
+    char array, JVM-side, identical result in any engine."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % modulus,
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text metrics as added columns (the one-pass profiling operator)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subtokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        mean_word_length(c).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_id_heuristic(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,143 @@
+"""Tests for the driver-mandated extension operators (dedup / similarity /
+text / multimodal) — the non-oracle paths; oracle-checked paths live in
+__spark_entry__ and are verified by tools/check.py."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cerebro_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_image,
+    extract_features,
+    fake_image_features,
+    frame_sample_plan,
+)
+from cerebro_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_cosine_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def test_exact_dedup_counts(spark, docs):
+    total = docs.count()
+    uniq = exact_dedup(docs).count()
+    distinct_texts = docs.select("text").distinct().count()
+    assert uniq == distinct_texts <= total
+
+
+def test_near_dup_operators_agree(spark):
+    """Planted near-dups: minhash-LSH and ngram-jaccard both find them."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base.replace("today", "tomorrow")),  # near-dup of 1
+        Row(doc_id=3, text="completely different words about spark engines"),
+        Row(doc_id=4, text=base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows)
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert (1, 4) in exact_pairs and (1, 2) in exact_pairs
+    assert not any(3 in p for p in exact_pairs)
+
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert (1, 4) in lsh_pairs
+    assert not any(3 in p for p in lsh_pairs)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement approximates true Jaccard on controlled docs."""
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"v{i}" for i in range(20)
+    )
+    df = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    sig = minhash_signatures(df, n=1, num_hashes=64).collect()
+    s = {r["id"]: [r[f"h{i}"] for i in range(64)] for r in sig}
+    est = sum(x == y for x, y in zip(s[1], s[2])) / 64
+    # true token Jaccard = 20/60 ≈ 0.33
+    assert 0.15 < est < 0.55
+
+
+def test_simhash_pairs_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base.replace("tok59", "changed")),
+        Row(doc_id=3, text=" ".join(f"other{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_lsh_recall(spark, emb):
+    """LSH top-k finds most of the exact top-k (recall sanity on real data)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = cosine_topk_lsh(emb, queries, dim=64, k=5, num_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 25
+    # 4 hyperplanes → 16 buckets over 500 vecs; recall is approximate
+    assert len(e & a) / len(e) > 0.2
+
+
+def test_embedding_dedup_self_similarity(spark, emb):
+    """A duplicated vector must be caught at threshold ~1."""
+    dup = emb.limit(1).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    df = emb.unionByName(dup)
+    pairs = embedding_cosine_dedup(df, threshold=0.9999).collect()
+    assert any(
+        r["id_b"] == r["id_a"] + 1_000_000 and r["cosine"] > 0.9999 for r in pairs
+    )
+
+
+def test_multimodal_plumbing(spark):
+    rows = [Row(doc_id=i, payload=bytes([i % 256] * (10 + i))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    with_meta = attach_media_meta(df, media_type="image", fmt="fake")
+    m = with_meta.select("media_meta.*").first()
+    assert m["media_type"] == "image" and m["width"] == 10
+
+    feats = extract_features(df, dim=8).collect()
+    assert len(feats) == 50
+    byid = {r["doc_id"]: r for r in feats}
+    assert byid[0]["features"] == fake_image_features(bytes([0] * 10), 8)
+    assert byid[3]["n_bytes"] == 13
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-9 for r in feats)
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
+
+    vids = attach_media_meta(df, media_type="video", fmt="fake")
+    plan = frame_sample_plan(vids, every_ms=100)
+    first = plan.filter(F.col("doc_id") == 0).select("frame_ts_ms").collect()
+    # duration = 10 bytes * 10 ms = 100ms → exactly 1 frame at default floor
+    assert [r["frame_ts_ms"] for r in first] == [0]
