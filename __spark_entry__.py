@@ -28,6 +28,7 @@ from cerebro_spark.operators.timeops import (
 )
 from cerebro_spark.operators.weather import lco_weather_pipeline
 from cerebro_spark.plans.client import CerebroClient
+from cerebro_spark.queries import extensions as _ext
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -515,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_unshipped": q_top_unshipped,
         "downsample_1h": q_downsample_1h,
+        **_ext.QUERIES,
     }
 
 
@@ -536,4 +538,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _REVENUE_SQL,
         "top_unshipped": _TOP_UNSHIPPED_SQL,
         "downsample_1h": _DOWNSAMPLE_SQL,
+        **_ext.ORACLES,
     }

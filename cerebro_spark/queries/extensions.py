@@ -1,0 +1,443 @@
+"""Oracle-checked queries for the extension operators (dedup / similarity /
+text / multimodal / sessionization) over the driver's documents / embeddings /
+events tables.
+
+Exposes ``QUERIES`` (name → callable(spark, sf_dir) → DataFrame) and
+``ORACLES`` (name → DuckDB SQL).  Entries without oracle SQL are rows-only
+checks (genuinely non-SQL-expressible or prohibitively verbose in SQL —
+LSH banding internals); their operators are additionally pytest-covered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.dedup import (
+    _minhash_coeffs,
+    duplicate_groups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from cerebro_spark.operators.multimodal import attach_media_meta, extract_features
+from cerebro_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_cosine_dedup,
+    norm_stats_by_label,
+)
+from cerebro_spark.operators.text import EN_STOPWORDS, text_profile
+
+
+def _hex2long_sql(hexexpr: str, n: int) -> str:
+    """SQL expression converting the first ``n`` lowercase-hex chars of
+    ``hexexpr`` to BIGINT (DuckDB has no base-16 string→int conversion)."""
+    terms = [
+        f"CAST((strpos('0123456789abcdef', substr({hexexpr}, {j + 1}, 1)) - 1) AS BIGINT) * {16 ** (n - 1 - j)}"
+        for j in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_groups(load_table(spark, "documents", sf_dir))
+
+
+_DEDUP_GROUPS_SQL = """
+SELECT md5(text) AS digest, list(doc_id ORDER BY doc_id) AS ids, count(*) AS n_copies
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir),
+        n=3,
+        threshold=0.1,
+        max_shingle_freq=None,
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 2
+),
+cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT id_a, id_b, inter,
+         1.0 * inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+  FROM pairs JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+) WHERE jaccard >= 0.1
+"""
+
+
+_MINHASH_N = 8
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(
+        load_table(spark, "documents", sf_dir), n=3, num_hashes=_MINHASH_N
+    )
+
+
+def _minhash_sql() -> str:
+    x = _hex2long_sql("md5(s)", 8)
+    cols = ",\n  ".join(
+        f"min(((x * {a}) + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(_MINHASH_N))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 2
+),
+hx AS (SELECT id, {x} % 2147483647 AS x FROM sh)
+SELECT id,
+  {cols}
+FROM hx GROUP BY id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: LSH banding internals are pytest-covered; candidate pairs at
+    # threshold 0.5 over random-vocab documents ≈ the exact-dup pairs.
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), n=3, num_hashes=32, bands=8,
+        threshold=0.5,
+    )
+
+
+_SIMHASH_BITS = 24
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, "documents", sf_dir), bits=_SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    x = _hex2long_sql("md5(tok)", 15)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+),
+hx AS (SELECT id, {x} AS x FROM toks),
+bits AS (
+  SELECT id, i, sum(CASE WHEN (x >> i) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hx, generate_series(0, {_SIMHASH_BITS - 1}) AS g(i) GROUP BY id, i
+)
+SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM bits GROUP BY id
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: block-join internals pytest-covered.  max_hamming tight (4/48
+    # bits) because the synthetic docs share one small vocabulary and loose
+    # thresholds degenerate to all-pairs.
+    return simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_ANN_SQL = """
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id ASC
+    ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 5
+"""
+
+
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: approximate by construction (no SQL-expressible ground truth
+    # beyond re-stating the same plane constants); recall pytest-covered.
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, num_planes=4,
+        num_tables=4,
+    )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (LSH-bucketed); threshold high → expect few/no pairs on
+    # random embeddings, pytest covers the planted-dup case.
+    return embedding_cosine_dedup(
+        load_table(spark, "embeddings", sf_dir), threshold=0.95, dim=64
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return norm_stats_by_label(load_table(spark, "embeddings", sf_dir))
+
+
+_NORMS_SQL = """
+SELECT label,
+  avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS norm_avg,
+  min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS norm_min,
+  max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS norm_max,
+  count(*) AS n
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(load_table(spark, "documents", sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "n_subtokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def _text_profile_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(text), '\\s+') AS toks,
+    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
+    CASE WHEN length(text) > 0
+         THEN 1.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(ltoks) > 0
+         THEN 1.0 * len(list_filter(ltoks, t -> list_contains([{sw}], t))) / len(ltoks)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0
+         THEN 1.0 * list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks)
+         ELSE 0.0 END AS mean_word_len,
+    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+    len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]')) AS n_fr,
+    len(regexp_extract_all(lower(text), '[áéíóúñ¿¡]')) AS n_es,
+    len(regexp_extract_all(lower(text), '[äöüß]')) AS n_de,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % 2147483647
+    ) AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_tokens, n_subtokens, punct_ratio, stopword_ratio, mean_word_len,
+  ((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 1.0 ELSE 0.0 END)
+   + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+   + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality,
+  CASE WHEN cjk > 0 THEN 'zh'
+       WHEN n_de > n_fr + n_es THEN 'de'
+       WHEN n_es > n_fr THEN 'es'
+       WHEN n_fr > 0 THEN 'fr'
+       WHEN stopword_ratio >= 0.05 THEN 'en'
+       ELSE 'unknown' END AS lang_pred,
+  fingerprint
+FROM m
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    prof = text_profile(docs).select("lang", "lang_pred")
+    return prof.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _lang_confusion_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+SELECT lang,
+  CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+       WHEN len(regexp_extract_all(lower(text), '[äöüß]')) >
+            len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]'))
+            + len(regexp_extract_all(lower(text), '[áéíóúñ¿¡]')) THEN 'de'
+       WHEN len(regexp_extract_all(lower(text), '[áéíóúñ¿¡]')) >
+            len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]')) THEN 'es'
+       WHEN len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]')) > 0 THEN 'fr'
+       WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> list_contains([{sw}], t)))
+            >= 0.05 * len(string_split_regex(trim(lower(text)), '\\s+')) THEN 'en'
+       ELSE 'unknown' END AS lang_pred,
+  count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (events)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("__new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events, sum(value) AS value_sum
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return attach_media_meta(docs, media_type="image", fmt="fake").select(
+        "doc_id", "media_meta.*"
+    )
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+  'image' AS media_type, 'fake' AS format,
+  CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS width,
+  CAST(octet_length(encode(text)) % 1080 AS INTEGER) AS height,
+  CAST(octet_length(encode(text)) * 10 AS BIGINT) AS duration_ms,
+  16000 AS sample_rate
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_features(docs, dim=4)
+
+
+#: documents are pure ASCII (verified) so utf-8 bytes == characters; the SQL
+#: reproduces the byte-bucket histogram the Arrow-batched UDF computes.
+_MULTIMODAL_FEATURES_SQL = """
+WITH chars AS (
+  SELECT doc_id, string_split(text, '') AS cs, length(text) AS n FROM documents
+)
+SELECT doc_id,
+  list_transform([0, 1, 2, 3],
+                 b -> 1.0 * len(list_filter(cs, c -> ord(c) // 64 = b)) / n) AS features,
+  CAST(n AS BIGINT) AS n_bytes
+FROM chars
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_groups": q_dedup_groups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_lsh": q_ann_cosine_lsh,
+    "embedding_dedup": q_embedding_dedup,
+    "embedding_norms": q_embedding_norms,
+    "text_profile": q_text_profile,
+    "lang_confusion": q_lang_confusion,
+    "sessionize": q_sessionize,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_groups": _DEDUP_GROUPS_SQL,
+    "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "minhash_signatures": _minhash_sql(),
+    "simhash": _simhash_sql(),
+    "ann_cosine_topk": _ANN_SQL,
+    "embedding_norms": _NORMS_SQL,
+    "text_profile": _text_profile_sql(),
+    "lang_confusion": _lang_confusion_sql(),
+    "sessionize": _SESSIONIZE_SQL,
+    "multimodal_meta": _MULTIMODAL_META_SQL,
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+}
