@@ -29,6 +29,7 @@ from cerebro_spark.operators.timeops import (
 from cerebro_spark.operators.weather import lco_weather_pipeline
 from cerebro_spark.plans.client import CerebroClient
 from cerebro_spark.queries import extensions as _ext
+from cerebro_spark.queries import parsers_q as _pq
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -517,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped": q_top_unshipped,
         "downsample_1h": q_downsample_1h,
         **_ext.QUERIES,
+        **_pq.QUERIES,
     }
 
 
@@ -539,4 +541,5 @@ def oracle_sql() -> dict[str, str]:
         "top_unshipped": _TOP_UNSHIPPED_SQL,
         "downsample_1h": _DOWNSAMPLE_SQL,
         **_ext.ORACLES,
+        **_pq.ORACLES,
     }
