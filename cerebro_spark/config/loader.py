@@ -1,0 +1,202 @@
+"""Control plane: YAML config + profiles loader and the query runner
+(SURVEY §2.5 C1-C4 parity).
+
+Reference semantics reproduced:
+- C2 `Cerebellum` config parsing (`/root/reference/cerebro/cerebro.py:137-219`):
+  ``sources``/``observers`` maps keyed by name with a ``type`` selecting the
+  implementation; **profiles** name subsets of sources
+  (`cerebro.py:167-205`); env-var interpolation in the YAML
+  (``${VAR}`` — reference `read_yaml_file`); source filter by name
+  (`cerebro.py:208-211`).
+- C1 `SourceList` start/stop/restart → `IngestRunner` over Spark's
+  `StreamingQueryManager` (per-query start with timeout supervision).
+- C3 status surface (`cerebro.py:430-460`) → `IngestRunner.status()`.
+
+The registry maps source ``type`` strings to builder callables
+(S18 parity — `source.py:232-244`), where a builder returns a streaming
+DataFrame of canonical points.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _interp(value: Any) -> Any:
+    """Recursive ${ENV_VAR} interpolation (C2)."""
+    if isinstance(value, str):
+        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), value)
+    if isinstance(value, dict):
+        return {k: _interp(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_interp(v) for v in value]
+    return value
+
+
+def load_config(path_or_dict: str | dict) -> dict:
+    """Load YAML (or accept a dict) with env interpolation.
+
+    YAML parsing is dependency-gated: PyYAML if present, else a JSON fallback
+    (configs in tests are dicts/JSON; a production deploy has PyYAML)."""
+    if isinstance(path_or_dict, dict):
+        return _interp(path_or_dict)
+    with open(path_or_dict) as fh:
+        text = fh.read()
+    try:
+        import yaml  # type: ignore
+
+        data = yaml.safe_load(text)
+    except ImportError:
+        import json
+
+        data = json.loads(text)
+    return _interp(data)
+
+
+def resolve_profile(
+    config: dict,
+    profile: str | None = None,
+    sources: list[str] | None = None,
+) -> dict:
+    """Resolve a profile/source-filter into concrete source configs
+    (C2 — `cerebro.py:167-211`).
+
+    Returns ``{source_name: params}`` for the selected sources.  ``sources``
+    (explicit name list) takes precedence over ``profile``; a missing name
+    raises (matching the reference's KeyError behavior).
+    """
+    all_sources: dict = config.get("sources", {})
+    if sources:
+        return {n: all_sources[n] for n in sources}
+    if profile:
+        names = config.get("profiles", {})[profile]
+        return {n: all_sources[n] for n in names}
+    return dict(all_sources)
+
+
+#: source-type registry (S18): type string → builder(spark, name, **params)
+SOURCE_REGISTRY: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_source(type_name: str):
+    def deco(fn: Callable[..., DataFrame]):
+        SOURCE_REGISTRY[type_name] = fn
+        return fn
+
+    return deco
+
+
+@register_source("file_replay")
+def _file_replay(spark: SparkSession, name: str, **params) -> DataFrame:
+    from cerebro_spark.streaming.ingest import replay_file_stream
+
+    return replay_file_stream(
+        spark,
+        params["path"],
+        fmt=params.get("format", "parquet"),
+        max_files_per_trigger=params.get("max_files_per_trigger"),
+    )
+
+
+@register_source("rate")
+def _rate(spark: SparkSession, name: str, **params) -> DataFrame:
+    """Rate source mapped into canonical points — the poll-cadence stand-in
+    (`trigger`-driven synthetic telemetry for soak tests)."""
+    from pyspark.sql import functions as F
+
+    rows = params.get("rows_per_second", 1)
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows)
+        .load()
+    )
+    return df.select(
+        F.lit(params.get("measurement", name)).alias("measurement"),
+        F.create_map(F.lit("source"), F.lit(name)).alias("tags"),
+        F.create_map(F.lit("value"), F.col("value").cast("double")).alias("fields"),
+        F.lit(None).cast("map<string,string>").alias("fields_str"),
+        F.lit(None).cast("map<string,boolean>").alias("fields_bool"),
+        F.col("timestamp").alias("time"),
+        F.lit(params.get("bucket")).alias("bucket"),
+    )
+
+
+class IngestRunner:
+    """C1/C3 parity: named streaming queries with status / stop / restart.
+
+    One runner per engine instance; each configured source becomes one
+    streaming query writing to the point store (per-source trigger cadence =
+    the reference's per-source poll delay).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: dict,
+        store_path: str,
+        checkpoint_root: str,
+        profile: str | None = None,
+        sources: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.config = load_config(config)
+        self.store_path = store_path
+        self.checkpoint_root = checkpoint_root
+        self.selected = resolve_profile(self.config, profile, sources)
+        self._queries: dict[str, Any] = {}
+
+    def _build(self, name: str):
+        from cerebro_spark.streaming.ingest import run_ingest
+
+        params = dict(self.selected[name])
+        type_name = params.pop("type")
+        builder = SOURCE_REGISTRY[type_name]
+        tags = params.pop("tags", {})
+        bucket = params.pop("bucket", None) or self.config.get(
+            "default_bucket", "default"
+        )
+        delay = params.pop("delay", None)
+        source_df = builder(self.spark, name, **params)
+        tags = {"source": type_name, **self.config.get("tags", {}), **tags}
+        return run_ingest(
+            self.spark,
+            source_df,
+            sink_path=self.store_path,
+            checkpoint=os.path.join(self.checkpoint_root, name),
+            instance_tags=tags,
+            default_bucket=bucket,
+            processing_time=f"{delay} seconds" if delay else None,
+            available_now=delay is None,
+            query_name=f"cerebro-{name}",
+        )
+
+    def start(self, names: list[str] | None = None) -> None:
+        for name in names or list(self.selected):
+            if name not in self._queries:
+                self._queries[name] = self._build(name)
+
+    def status(self) -> dict[str, bool]:
+        """Per-source running flag (C3 — `cerebro.py:430-460`)."""
+        return {n: q.isActive for n, q in self._queries.items()}
+
+    def stop(self, name: str | None = None) -> None:
+        for n, q in list(self._queries.items()):
+            if name is None or n == name:
+                q.stop()
+                del self._queries[n]
+
+    def restart(self, name: str) -> None:
+        """C3 ``restart <source>``."""
+        self.stop(name)
+        self._queries[name] = self._build(name)
+
+    def await_all(self, timeout: float | None = None) -> None:
+        for q in self._queries.values():
+            q.awaitTermination(timeout)

