@@ -191,6 +191,7 @@ def q_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum_1h": ("sum", "value", 3600),
         },
         "ts",
+        scale_bucket_seconds=86400,
     )
     return out.select("event_id", "ts", "value", "value_avg_5m", "value_max_30m", "value_sum_1h")
 

@@ -42,19 +42,20 @@ def dedup_by_time(
     required for oracle comparison; without it this is ``dropDuplicates``
     (reference semantics: arbitrary survivor).
 
-    Implemented as a window row_number filter; the window partitions by the
-    dedup key so it hash-shuffles on ``time_col`` — co-partitioned, skew-free
-    (timestamps are near-unique), scales linearly.
+    Implemented as ``groupBy(key).agg(min_by(struct(others), tiebreak))``
+    rather than a row_number window: the aggregate is map-side combinable, so
+    the shuffle moves one row per key instead of every row followed by a
+    per-key sort — strictly less data movement at 100 TB.  (Requires a unique
+    ``tiebreak`` per key group, e.g. an event id, for determinism.)
     """
     part = (keys or []) + [time_col]
     if tiebreak is None:
         return df.dropDuplicates(part)
-    w = Window.partitionBy(*part).orderBy(F.col(tiebreak).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    others = [c for c in df.columns if c not in part]
+    out = df.groupBy(*part).agg(
+        F.min_by(F.struct(*[F.col(c) for c in others]), F.col(tiebreak)).alias("__s")
     )
+    return out.select(*part, "__s.*").select(*df.columns)
 
 
 def filter_time_range(
@@ -115,11 +116,15 @@ def stale_filter(
     )
 
 
+_ROLL_AGGS = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}
+
+
 def rolling_by_time(
     df: DataFrame,
     specs: dict[str, tuple[str, str, int]],
     time_col: str = "ts",
     partition_by: list[str] | None = None,
+    scale_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """T17 — time-based rolling windows over an irregular series (reference
     `tools.py:248-272`: rolling mean of wind speed/dir + rolling max of gusts
@@ -132,21 +137,68 @@ def rolling_by_time(
     ``rolling_mean_by(..., window_size="5m")`` (left-open (t-5m, t] at 1-second
     resolution).
 
-    At scale: pass ``partition_by`` (station / device) so each series windows
-    independently with no global sort.
+    Physical-plan shape: the order key is materialized once and every window
+    expression is emitted in a single ``select`` — Catalyst's CollapseWindow
+    then merges same-frame aggregates, giving one Window operator per distinct
+    frame over ONE sort (vs. one sort per aggregate if chained via
+    ``withColumn`` with per-call order expressions).
+
+    Scale paths:
+    - ``partition_by`` (station / device / series id): each series windows
+      independently — the natural key for multi-series data.
+    - ``scale_bucket_seconds`` (single global series): EXACT parallel rolling
+      windows via overlap buckets.  Rows are hashed into time buckets of this
+      width (must be ≥ the largest window); rows within max-window of a bucket
+      end are also copied into the next bucket as context-only rows, windows
+      are computed per bucket in parallel, and context rows are dropped from
+      the output.  Turns the all-rows-to-one-task global sort into
+      #buckets-way parallelism at the cost of duplicating a boundary fraction
+      (≤ max_window/bucket_width) of rows.
     """
-    order = F.col(time_col).cast("long")
+    order_col = "__roll_ord"
+    out = df.withColumn(order_col, F.col(time_col).cast("long"))
+
+    if scale_bucket_seconds is not None and not partition_by:
+        max_w = max(s for _, _, s in specs.values())
+        assert scale_bucket_seconds >= max_w, (
+            "bucket width must cover the largest window"
+        )
+        bucket = F.floor(F.col(order_col) / scale_bucket_seconds)
+        own = out.withColumn("__bkt", bucket).withColumn("__ctx", F.lit(False))
+        context = (
+            out.withColumn("__bkt", bucket + 1)
+            .withColumn("__ctx", F.lit(True))
+            .filter(
+                F.col(order_col) % scale_bucket_seconds
+                >= scale_bucket_seconds - max_w
+            )
+        )
+        unioned = own.unionByName(context)
+        base = Window.partitionBy("__bkt").orderBy(F.col(order_col))
+        cols = [
+            _ROLL_AGGS[agg](F.col(src))
+            .over(base.rangeBetween(-(seconds - 1), 0))
+            .alias(out_col)
+            for out_col, (agg, src, seconds) in specs.items()
+        ]
+        return (
+            unioned.select("*", *cols)
+            .filter(~F.col("__ctx"))
+            .drop("__bkt", "__ctx", order_col)
+        )
+
     base = (
-        Window.partitionBy(*partition_by).orderBy(order)
+        Window.partitionBy(*partition_by).orderBy(F.col(order_col))
         if partition_by
-        else Window.orderBy(order)
+        else Window.orderBy(F.col(order_col))
     )
-    out = df
-    aggs = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}
-    for out_col, (agg, src, seconds) in specs.items():
-        w = base.rangeBetween(-(seconds - 1), 0)
-        out = out.withColumn(out_col, aggs[agg](F.col(src)).over(w))
-    return out
+    cols = [
+        _ROLL_AGGS[agg](F.col(src))
+        .over(base.rangeBetween(-(seconds - 1), 0))
+        .alias(out_col)
+        for out_col, (agg, src, seconds) in specs.items()
+    ]
+    return out.select("*", *cols).drop(order_col)
 
 
 def hwm_advance(df: DataFrame, time_col: str = "ts") -> dt.datetime | None:

@@ -6,10 +6,11 @@ pipeline: literal source col (T14) → °F→°C (T13) → all-null-row drop (T1
 dedup by ts (T8) → wind null-drop (T16) → 5m/10m/30m time-range rolling
 windows (T17) → dew point (T18) → float32 down-cast (T19).
 
-Plan shape at scale: one shuffle (the dedup groupBy/window on ts, which also
-provides the sort the range windows need), then the nine window aggregates run
-in a single Window physical operator chain over the same sort order — no extra
-exchange.  Filters sit below the shuffle so they push into the scan.
+Plan shape at scale: filters sit below the shuffles so they push into the
+scan; the dedup hash-shuffles on ts; the nine rolling aggregates collapse to
+three Window operators (one per frame width) over ONE sort, parallelized by
+exact overlap-bucketing (``rolling_by_time(scale_bucket_seconds=86400)``) so a
+year of data windows as ~365-way parallel work instead of one global sort.
 """
 
 from __future__ import annotations
@@ -53,6 +54,7 @@ def lco_weather_pipeline(
     ts_is_string: bool = True,
     partition_by: list[str] | None = None,
     dedup_tiebreak: str | None = None,
+    scale_bucket_seconds: int | None = 86400,
 ) -> DataFrame:
     """Run the full weather chain on a weather-shaped DataFrame.
 
@@ -89,7 +91,13 @@ def lco_weather_pipeline(
         specs[f"wind_speed_avg_{label}"] = ("avg", "wind_speed_avg", seconds)
         specs[f"wind_gust_{label}"] = ("max", "wind_speed_max", seconds)
         specs[f"wind_dir_avg_{label}"] = ("avg", "wind_dir_avg", seconds)
-    df = rolling_by_time(df, specs, "ts", partition_by=partition_by)
+    df = rolling_by_time(
+        df,
+        specs,
+        "ts",
+        partition_by=partition_by,
+        scale_bucket_seconds=None if partition_by else scale_bucket_seconds,
+    )
 
     # T18 — dew point (`tools.py:274-278`).
     df = df.withColumn(
