@@ -28,6 +28,7 @@ from cerebro_spark.operators.timeops import (
 )
 from cerebro_spark.operators.weather import lco_weather_pipeline
 from cerebro_spark.plans.client import CerebroClient
+from cerebro_spark.queries import batch_q as _bq
 from cerebro_spark.queries import extensions as _ext
 from cerebro_spark.queries import parsers_q as _pq
 
@@ -520,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_1h": q_downsample_1h,
         **_ext.QUERIES,
         **_pq.QUERIES,
+        **_bq.QUERIES,
     }
 
 
@@ -543,4 +545,5 @@ def oracle_sql() -> dict[str, str]:
         "downsample_1h": _DOWNSAMPLE_SQL,
         **_ext.ORACLES,
         **_pq.ORACLES,
+        **_bq.ORACLES,
     }

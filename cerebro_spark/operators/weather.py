@@ -28,6 +28,8 @@ from cerebro_spark.operators.timeops import (
     rolling_by_time,
 )
 
+from functools import reduce
+
 WINDOW_SIZES = {"5m": 300, "10m": 600, "30m": 1800}
 
 #: value columns considered by the all-null row drop (everything except
@@ -113,3 +115,50 @@ def lco_weather_pipeline(
     for c in floats:
         df = df.withColumn(c, F.col(c).cast("float"))
     return df
+
+
+def lco_seeing_pipeline(
+    df: DataFrame,
+    source: str = "dimm",
+    start: str | dt.datetime | None = None,
+    end: str | dt.datetime | None = None,
+    ts_is_string: bool = True,
+    dedup_tiebreak: str | None = None,
+) -> DataFrame:
+    """The seeing chain (reference ``get_lco_seeing_data`` `tools.py:286-343`
+    + source-level post-processing `lco.py:93-100`):
+
+    lit source (T14) → drop counts/air_temp (T20) → all-null row drop (T15) →
+    float32 cast (T19) → dedup by ts (T8) → drop the source column and rename
+    ``elevation``→``altitude`` for dimm (T20, `lco.py:93-95`).
+    """
+    if ts_is_string:
+        df = cast_ts(df, "ts")
+    df = filter_time_range(df, start, end, "ts")
+    df = df.withColumn("source", F.lit(source))
+    df = df.drop("counts", "air_temp")  # T20 (`tools.py:334`, strict=False)
+    value_cols = [
+        c for c in df.columns if c not in ("ts", "source", dedup_tiebreak)
+    ]
+    df = df.na.drop(how="all", subset=value_cols)  # T15 (`tools.py:337`)
+    for c, f in [(f.name, f) for f in df.schema.fields]:
+        if f.dataType.typeName() in ("double", "float"):
+            df = df.withColumn(c, F.col(c).cast("float"))  # T19 (`tools.py:340`)
+    df = dedup_by_time(df, "ts", tiebreak=dedup_tiebreak)  # T8 (`lco.py:93`)
+    df = df.drop("source")  # `lco.py:93`
+    if source == "dimm" and "elevation" in df.columns:
+        df = df.withColumnRenamed("elevation", "altitude")  # `lco.py:94-95`
+    return df
+
+
+def paginated_concat(
+    chunks: list[DataFrame],
+    time_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """T11 — chunked-fetch concat with overlap removal (reference
+    `tools.py:117-169`: 15-day chunks overlapping 0.1 day, ``polars.concat``
+    then sort+unique on ts).  Union is shuffle-free; the overlap duplicates
+    are removed by the same map-side-combinable dedup as T8."""
+    unioned = reduce(lambda a, b: a.unionByName(b), chunks)
+    return dedup_by_time(unioned, time_col, tiebreak=tiebreak)
