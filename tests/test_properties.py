@@ -1,0 +1,150 @@
+"""Property-based tests (SURVEY §5 tier 4): parser round-trips and
+permutation invariance of dedup / rolling windows.
+
+Each Hypothesis example set is batched into one DataFrame so the number of
+Spark jobs stays small.
+"""
+
+import datetime as dt
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cerebro_spark.functions.parsers import flatten_json_dynamic, parse_thermistor
+from cerebro_spark.operators.timeops import dedup_by_time, rolling_by_time
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# -- nested JSON flatten: arbitrary nesting, lists dropped at any depth ------
+
+scalars = st.one_of(
+    st.integers(-1000, 1000),
+    st.floats(-1e6, 1e6, allow_nan=False),
+    st.text("abcxyz", min_size=0, max_size=6),
+    st.booleans(),
+)
+keys = st.text("abcdefgh", min_size=1, max_size=5)
+nested = st.recursive(
+    st.dictionaries(keys, st.one_of(scalars, st.lists(scalars, max_size=3)), max_size=4),
+    lambda children: st.dictionaries(keys, st.one_of(scalars, children), max_size=4),
+    max_leaves=12,
+)
+
+
+def _expected_flat(d, parent=""):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, list):
+            continue
+        key = f"{parent}.{k}" if parent else k
+        if isinstance(v, dict):
+            out.update(_expected_flat(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(nested, min_size=1, max_size=8))
+def test_flatten_property(spark, cases):
+    df = spark.createDataFrame(
+        [(i, json.dumps(c)) for i, c in enumerate(cases)], ["i", "body"]
+    )
+    rows = {r["i"]: r for r in flatten_json_dynamic(df, "body").collect()}
+    for i, c in enumerate(cases):
+        got = dict(rows[i]["fields"] or {})
+        got.update(rows[i]["fields_str"] or {})
+        got.update(rows[i]["fields_bool"] or {})
+        exp = {
+            k: (float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else v)
+            for k, v in _expected_flat(c).items()
+        }
+        exp = {k: (str(v) if not isinstance(v, (float, bool)) else v) for k, v in exp.items()}
+        got = {k: (str(v) if not isinstance(v, (float, bool)) else v) for k, v in got.items()}
+        assert got == exp
+
+
+# -- thermistor: mask → reply line → parse == bits of mask -------------------
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 0xFFFF), min_size=1, max_size=16))
+def test_thermistor_roundtrip(spark, masks):
+    df = spark.createDataFrame(
+        [(m, f"!01{m:04X}\r") for m in masks], ["mask", "reply"]
+    )
+    out = parse_thermistor(df).collect()
+    assert len(out) == 16 * len(masks)
+    # multiset of produced bits per channel must match the masks' bits
+    from collections import Counter
+
+    got = Counter(
+        (list(r["fields"].keys())[0], list(r["fields"].values())[0]) for r in out
+    )
+    exp = Counter()
+    for m in masks:
+        for ch in range(16):
+            exp[(f"channel{ch}", float((m >> ch) & 1))] += 1
+    assert got == exp
+
+
+# -- dedup: permutation invariance with deterministic tiebreak ---------------
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 1_000_000), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    st.randoms(),
+)
+def test_dedup_permutation_invariant(spark, rows, rnd):
+    base = dt.datetime(2024, 1, 1)
+    data = [(base + dt.timedelta(seconds=k), i, v) for k, i, v in rows]
+    shuffled = list(data)
+    rnd.shuffle(shuffled)
+    a = dedup_by_time(
+        spark.createDataFrame(data, ["ts", "id", "v"]), "ts", tiebreak="id"
+    ).collect()
+    b = dedup_by_time(
+        spark.createDataFrame(shuffled, ["ts", "id", "v"]), "ts", tiebreak="id"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # survivor is min-id per ts
+    expect = {}
+    for ts, i, v in data:
+        if ts not in expect or i < expect[ts][1]:
+            expect[ts] = (ts, i, v)
+    assert sorted(map(tuple, a)) == sorted(expect.values())
+
+
+# -- rolling windows: input order must not matter ----------------------------
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7200), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.randoms(),
+)
+def test_rolling_permutation_invariant(spark, rows, rnd):
+    base = dt.datetime(2024, 1, 1)
+    data = [(base + dt.timedelta(seconds=s), v) for s, v in rows]
+    shuffled = list(data)
+    rnd.shuffle(shuffled)
+    specs = {"a": ("avg", "v", 300), "m": ("max", "v", 600)}
+    a = rolling_by_time(spark.createDataFrame(data, ["ts", "v"]), specs, "ts")
+    b = rolling_by_time(spark.createDataFrame(shuffled, ["ts", "v"]), specs, "ts")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
