@@ -38,8 +38,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         # integer DIV keeps ns-epoch exact (ns > 2^53 would lose precision as
-        # a double); floor division matches DuckDB's ns→µs truncation.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # a double); floor division matches DuckDB's ns→µs truncation.  The
+        # raw long column stays as ``{c}__ns`` so time predicates can still be
+        # pushed into the parquet scan (filter_time_range adds the equivalent
+        # raw-column predicate — a filter on the *converted* column is a
+        # derived expression Catalyst cannot push to row-group pruning).
+        df = df.withColumnRenamed(c, f"{c}__ns").withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}__ns` div 1000"))
+        )
     return df
 
 

@@ -68,11 +68,29 @@ def filter_time_range(
     Inclusive bounds, matching the reference's closed interval.
 
     Declarative filter → Catalyst pushes it into the parquet scan (partition
-    pruning + row-group min/max skipping at scale)."""
+    pruning + row-group min/max skipping at scale).  When the loader kept a
+    raw nanosecond twin column (``{time_col}__ns``), an equivalent predicate
+    on it is added as well — the raw-column comparison is what actually
+    reaches ``PushedFilters`` (the converted column is a derived expression
+    Catalyst cannot push)."""
+    raw = f"{time_col}__ns"
+    has_raw = raw in df.columns
+
+    def _ns(bound) -> int:
+        if isinstance(bound, str):
+            bound = dt.datetime.fromisoformat(bound)
+        return int(bound.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+
     if start is not None:
         df = df.filter(F.col(time_col) >= F.lit(start).cast("timestamp"))
+        if has_raw:
+            df = df.filter(F.col(raw) >= F.lit(_ns(start)))
     if end is not None:
         df = df.filter(F.col(time_col) <= F.lit(end).cast("timestamp"))
+        if has_raw:
+            # converted time truncates ns→µs, so the raw bound must cover the
+            # truncated tail: end µs + 999 ns still truncates inside the bound
+            df = df.filter(F.col(raw) <= F.lit(_ns(end) + 999))
     return df
 
 
