@@ -1,0 +1,121 @@
+"""TSDB-style query operators beyond the reference's Flux delegation.
+
+The reference pushes every aggregation beyond §2.4's scan/filter/pivot into
+InfluxDB (SURVEY §2.4: "everything heavier is left to InfluxDB/Flux").  Our
+engine exposes them natively — the standard TSDB verb set:
+
+- ``derivative`` / ``rate``: per-series value change per second;
+- ``increase``: monotonic counter delta over a window;
+- ``downsample``: tumbling-bucket aggregates (see also `downsample_1h` query);
+- ``gapfill`` + ``ffill``: dense time axis with optional last-value carry.
+
+All are window/groupBy compositions — one shuffle each, partitioned by series
+keys so they scale horizontally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def derivative(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    partition_by: list[str] | None = None,
+    out_col: str = "derivative",
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """dv/dt per series: (value - lag(value)) / (epoch_seconds - lag(...)).
+
+    Null on the first row of each series and on zero/negative dt (duplicate
+    timestamps), matching InfluxDB ``derivative(nonNegative: false)``.
+    """
+    order = [F.col(time_col)] + [F.col(c) for c in (order_extra or [])]
+    w = (
+        Window.partitionBy(*partition_by).orderBy(*order)
+        if partition_by
+        else Window.orderBy(*order)
+    )
+    secs = F.col(time_col).cast("long")
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    dts = secs - F.lag(secs).over(w)
+    return df.withColumn(
+        out_col, F.when(dts > 0, dv / dts).otherwise(F.lit(None).cast("double"))
+    )
+
+
+def increase(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    partition_by: list[str] | None = None,
+    out_col: str = "increase",
+) -> DataFrame:
+    """Counter increase vs previous sample, clamped at 0 on resets
+    (InfluxDB/PromQL ``increase`` semantics per adjacent pair)."""
+    w = (
+        Window.partitionBy(*partition_by).orderBy(time_col)
+        if partition_by
+        else Window.orderBy(time_col)
+    )
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    return df.withColumn(out_col, F.greatest(dv, F.lit(0.0)))
+
+
+def downsample(
+    df: DataFrame,
+    bucket_seconds: int,
+    aggs: dict[str, Column],
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-bucket aggregation: bucket = floor(epoch / width) * width."""
+    bucket = F.timestamp_seconds(
+        F.floor(F.col(time_col).cast("long") / bucket_seconds) * bucket_seconds
+    ).alias("bucket_ts")
+    cols = [bucket] + [F.col(k) for k in (keys or [])]
+    return df.groupBy(*cols).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def gapfill(
+    df: DataFrame,
+    bucket_seconds: int,
+    time_col: str = "bucket_ts",
+    keys: list[str] | None = None,
+    fill_cols: list[str] | None = None,
+    ffill: bool = False,
+) -> DataFrame:
+    """Densify a downsampled frame: emit one row per (key, bucket) over each
+    key's [min, max] bucket range; missing buckets get null values, optionally
+    carried forward (``ffill``) with ``last(ignorenulls)``.
+
+    The dense axis is built per key group with ``sequence`` + ``explode`` —
+    distributed, no driver-side calendar.  State is bounded by each key's own
+    span, so skewed spans don't serialize the job.
+    """
+    keys = keys or []
+    fill_cols = fill_cols or [
+        c for c in df.columns if c != time_col and c not in keys
+    ]
+    secs = F.col(time_col).cast("long")
+    spans = df.groupBy(*[F.col(k) for k in keys] if keys else []).agg(
+        F.min(secs).alias("__lo"), F.max(secs).alias("__hi")
+    )
+    axis = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(bucket_seconds))
+        ).alias("__sec"),
+    ).select(*keys, F.timestamp_seconds(F.col("__sec")).alias(time_col))
+    dense = axis.join(df, on=keys + [time_col], how="left")
+    if ffill:
+        w = (
+            Window.partitionBy(*keys).orderBy(time_col)
+            if keys
+            else Window.orderBy(time_col)
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        for c in fill_cols:
+            dense = dense.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return dense

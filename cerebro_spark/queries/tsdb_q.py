@@ -1,0 +1,166 @@
+"""Oracle-checked queries for the TSDB verb set (derivative / increase /
+gap-filled downsampling / distinct-user counts) and remaining join shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.multimodal import attach_media_meta, frame_sample_plan
+from cerebro_spark.operators.tsdb import derivative, downsample, gapfill, increase
+
+
+def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = derivative(
+        ev, "value", "ts", partition_by=["user_id"], order_extra=["event_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "value", "derivative")
+
+
+_DERIVATIVE_SQL = """
+SELECT event_id, user_id, ts, value,
+  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 0
+       THEN (value - lag(value) OVER w)
+            / (CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w)
+       ELSE NULL END AS derivative
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = increase(ev, "value", "ts", partition_by=["user_id"])
+    return out.select("event_id", "user_id", "ts", "increase")
+
+
+_INCREASE_SQL = """
+SELECT event_id, user_id, ts,
+  greatest(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 0.0) AS increase
+FROM events
+"""
+
+
+_BUCKET = 21600  # 6 h
+
+
+def q_downsample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ds = downsample(
+        ev,
+        _BUCKET,
+        {"value_avg": F.avg("value"), "n": F.count(F.lit(1))},
+        "ts",
+        keys=["event_type"],
+    )
+    return gapfill(
+        ds, _BUCKET, "bucket_ts", keys=["event_type"], ffill=True
+    )
+
+
+_GAPFILL_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+    make_timestamp(CAST(floor(epoch(ts) / {_BUCKET}) * {_BUCKET} AS BIGINT) * 1000000) AS bucket_ts,
+    avg(value) AS value_avg, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(epoch(bucket_ts)) AS lo, max(epoch(bucket_ts)) AS hi
+  FROM agg GROUP BY 1
+),
+axis AS (
+  SELECT event_type, make_timestamp(CAST(lo + {_BUCKET} * i AS BIGINT) * 1000000) AS bucket_ts
+  FROM span, generate_series(0, 2000) AS g(i)
+  WHERE lo + {_BUCKET} * i <= hi
+),
+dense AS (
+  SELECT a.event_type, a.bucket_ts, agg.value_avg, agg.n
+  FROM axis a LEFT JOIN agg USING (event_type, bucket_ts)
+)
+SELECT event_type, bucket_ts,
+  last_value(value_avg IGNORE NULLS) OVER w AS value_avg,
+  last_value(n IGNORE NULLS) OVER w AS n
+FROM dense
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counts — rows-only (approximate results differ
+    across engines by construction; the exact twin above is the oracle)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+def q_orders_no_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape: orders with no high-quantity lineitem."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 45)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_totalprice")
+
+
+_ANTI_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    vids = attach_media_meta(docs, media_type="video", fmt="fake")
+    return frame_sample_plan(vids, every_ms=500).select("doc_id", "frame_ts_ms")
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id, 500 * i AS frame_ts_ms
+FROM (SELECT doc_id, length(text) * 10 AS duration_ms FROM documents),
+     generate_series(0, 100) AS g(i)
+WHERE i <= greatest(CAST(floor(duration_ms / 500.0) AS INTEGER) - 1, 0)
+"""
+
+
+QUERIES = {
+    "derivative": q_derivative,
+    "counter_increase": q_increase,
+    "downsample_gapfill": q_downsample_gapfill,
+    "distinct_users_daily": q_distinct_users_daily,
+    "approx_users_daily": q_approx_users_daily,
+    "orders_no_big_items": q_orders_no_big_items,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "derivative": _DERIVATIVE_SQL,
+    "counter_increase": _INCREASE_SQL,
+    "downsample_gapfill": _GAPFILL_SQL,
+    "distinct_users_daily": _DISTINCT_USERS_SQL,
+    "orders_no_big_items": _ANTI_SQL,
+    "frame_sample": _FRAME_SAMPLE_SQL,
+}
