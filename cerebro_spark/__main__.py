@@ -1,0 +1,57 @@
+"""CLI daemon (C4 parity — reference `cerebro/__main__.py:30-98`:
+``cerebro [--sources a,b | --profile p] start``).
+
+    python -m cerebro_spark start --config cfg.yaml --store /data/points \
+        [--profile apo | --sources s1,s2] [--checkpoint /data/ckpt]
+    python -m cerebro_spark status --config cfg.yaml ...
+
+No pidfile daemonization — on a cluster the scheduler (YARN/k8s) owns the
+process lifecycle; ``start`` blocks on the streaming queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cerebro-spark")
+    p.add_argument("command", choices=["start", "status"])
+    p.add_argument("--config", required=True, help="YAML/JSON config path")
+    p.add_argument("--store", required=True, help="point-store output path")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--profile", default=None)
+    p.add_argument("--sources", default=None, help="comma-separated source names")
+    p.add_argument("--timeout", type=float, default=None, help="stop after N seconds")
+    args = p.parse_args(argv)
+
+    from cerebro_spark.config.loader import IngestRunner
+    from cerebro_spark.session import get_spark
+
+    spark = get_spark("cerebro-spark-daemon")
+    runner = IngestRunner(
+        spark,
+        args.config,
+        store_path=args.store,
+        checkpoint_root=args.checkpoint or f"{args.store}/_checkpoints",
+        profile=args.profile,
+        sources=args.sources.split(",") if args.sources else None,
+    )
+    if args.command == "status":
+        runner.start()
+        for name, active in runner.status().items():
+            print(f"{name}: {'running' if active else 'stopped'}")
+        runner.stop()
+        return 0
+
+    runner.start()
+    try:
+        runner.await_all(args.timeout)
+    finally:
+        runner.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

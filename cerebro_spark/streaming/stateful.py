@@ -1,0 +1,138 @@
+"""Custom stateful streaming operators.
+
+- ``streaming_downsample``: watermarked tumbling-window aggregation (the
+  continuous version of the batch downsample; late data handled by the
+  watermark, state bounded per window).
+- ``streaming_sessionize``: session windows with a custom gap rule via
+  ``applyInPandasWithState`` — the operator class Spark's built-ins don't
+  cover directly (per-key session accumulation with custom emit semantics).
+
+State discipline at scale: both operators key their state by a high-cardinality
+column (user / measurement+tags) so state shards across executors; watermarks /
+state timeouts bound memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_downsample(
+    points: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Continuous tumbling-window rollup of the canonical point stream:
+    per (window, measurement) count + per-field aggregate of the ``value``
+    field.  Append-mode compatible (watermark closes windows)."""
+    return (
+        points.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), "measurement")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.avg(F.element_at(F.col("fields"), "value")).alias("value_avg"),
+            F.min(F.element_at(F.col("fields"), "value")).alias("value_min"),
+            F.max(F.element_at(F.col("fields"), "value")).alias("value_max"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "measurement",
+            "n_points",
+            "value_avg",
+            "value_min",
+            "value_max",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = "start long, last long, n long, vsum double"
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+
+        rows = pd.concat(list(batches))
+        secs = (rows["ts"].astype("int64") // 1_000_000_000).sort_values()
+        vals = rows.set_index(rows.index)["value"]
+        closed = []
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start, last, n, vsum = None, None, 0, 0.0
+        for sec, v in zip(secs, rows.loc[secs.index, "value"]):
+            if last is not None and sec - last > gap_seconds:
+                closed.append((start, last, n, vsum))
+                start, n, vsum = sec, 0, 0.0
+            if start is None:
+                start = sec
+            last = sec
+            n += 1
+            vsum += float(v)
+        state.update((int(start), int(last), int(n), float(vsum)))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in closed],
+                    "n_events": [n for _, _, n, _ in closed],
+                    "value_sum": [v for _, _, _, v in closed],
+                }
+            )
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Arbitrary-gap session windows over a streaming (or batch) events frame
+    with ``applyInPandasWithState``: per-user state = open session
+    (start/last/n/sum); a session closes when a gap exceeds ``gap_seconds``
+    (emitted immediately) or on state timeout (emitted at expiry).
+
+    Input needs ``user_id``, ``ts``, ``value``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
