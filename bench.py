@@ -21,6 +21,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: queries included in the headline number (a representative slice: flagship
 #: chain, window family, dedup, pivot, joins, agg, extensions).
 HEADLINE = [
+    # reference-parity chains
     "weather_chain",
     "rolling_value",
     "dedup_by_second",
@@ -30,6 +31,17 @@ HEADLINE = [
     "revenue_by_nation",
     "top_unshipped",
     "client_query",
+    # TSDB verbs
+    "derivative",
+    "downsample_gapfill",
+    "sessionize",
+    # LLM-pipeline extensions
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_signatures",
+    "ann_cosine_topk",
+    "text_profile",
+    "multimodal_features",
 ]
 
 

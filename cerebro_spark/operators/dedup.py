@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cerebro_spark.operators.util import ensure_parallelism
+
 # Mersenne prime 2^31-1: modulus for minhash permutations.  Multipliers are
 # in [1, p-1], token hashes reduced mod p first, so a·x < 2^62 stays in a
 # signed long AND wraps the modulus many times (the wrap is what scrambles the
@@ -106,6 +108,7 @@ def ngram_jaccard_pairs(
     |∩| / (|A|+|B|-|∩|).  ``max_shingle_freq`` removes degenerate shingles
     shared by more than N docs — the skew/blowup guard at scale.
     """
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("id"), _shingles(content_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
@@ -155,6 +158,7 @@ def minhash_signatures(
     element = min over shingles.  Expressed as explode → groupBy(id) with
     ``min`` aggregates — one shuffle, combiner-friendly, no UDFs.
     """
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("id"), F.explode(_shingles(content_col, n)).alias("s")
     ).withColumn("x", _portable_token_hash(F.col("s")) % _MINHASH_P)
@@ -231,6 +235,7 @@ def simhash(
     reproduce fingerprints.
     """
     assert bits <= 60
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(

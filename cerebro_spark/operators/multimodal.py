@@ -91,6 +91,9 @@ def extract_features(
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` bound a 100 TB run sets so
     a partition of large payloads can't blow executor memory.
     """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     schema = f"`{id_col}` long, features array<double>, n_bytes long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

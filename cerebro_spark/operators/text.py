@@ -100,6 +100,9 @@ def fingerprint(col: Column, modulus: int = 2147483647, base: int = 31) -> Colum
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text metrics as added columns (the one-pass profiling operator)."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     return df.select(
         "*",

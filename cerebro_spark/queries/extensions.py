@@ -69,9 +69,12 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word 5-grams: on a small-vocabulary corpus 3-grams collide massively and
+    # the pairwise join degenerates toward O(n²) — 5-grams are discriminative
+    # (the same reason real near-dup pipelines shingle at 5-13 grams).
     return ngram_jaccard_pairs(
         load_table(spark, "documents", sf_dir),
-        n=3,
+        n=5,
         threshold=0.1,
         max_shingle_freq=None,
     )
@@ -82,8 +85,8 @@ WITH toks AS (
   SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 sh AS (
-  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS s
-  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 2
+  SELECT DISTINCT id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 4
 ),
 cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 pairs AS (
