@@ -57,3 +57,26 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every testdata table as a temp view for spark.sql() use."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join/agg key.
+
+    Two tables bucketed on the same key with the same bucket count join with
+    NO exchange on either side — the shuffle is paid once at write time and
+    amortized over every subsequent join/aggregation.  This is the co-located
+    join strategy for the 100 TB fact tables (verified exchange-free in
+    tests/test_bucketing.py).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if sort_col:
+        writer = writer.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
+    else:
+        writer = writer.bucketBy(num_buckets, bucket_col)
+    writer.saveAsTable(table)

@@ -87,8 +87,14 @@ class CerebroClient:
         start: str | float | dt.datetime = "-1d",
         end: str | float | dt.datetime | None = None,
         pivot: bool = True,
+        aggregate_window: tuple[int, str] | None = None,
     ) -> DataFrame:
-        """Q1-Q6 — scan → range → measurement filter → field filter → pivot."""
+        """Q1-Q6 — scan → range → measurement filter → field filter → pivot.
+
+        ``aggregate_window=(every_seconds, fn)`` adds the Flux
+        ``aggregateWindow(every: …, fn: …)`` downsampling step (fn ∈
+        avg/min/max/sum/count) applied per field over tumbling buckets —
+        the aggregation surface the reference delegated to InfluxDB."""
         now = self._now or dt.datetime.utcnow()
         df = self._scan(bucket)
 
@@ -107,6 +113,24 @@ class CerebroClient:
         long = explode_fields(df).select("time", "measurement", "field", "value")
         if field is not None:
             long = long.filter(F.col("field") == field)
+
+        if aggregate_window is not None:
+            every, fn = aggregate_window
+            aggs = {
+                "avg": F.avg, "mean": F.avg, "min": F.min, "max": F.max,
+                "sum": F.sum, "count": F.count,
+            }
+            long = (
+                long.groupBy(
+                    F.timestamp_seconds(
+                        F.floor(F.col("time").cast("long") / every) * every
+                    ).alias("time"),
+                    "measurement",
+                    "field",
+                )
+                .agg(aggs[fn]("value").alias("value"))
+            )
+
         if not pivot:
             return long
 

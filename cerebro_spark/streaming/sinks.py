@@ -116,3 +116,59 @@ def influxdb_writer(
         batch_df.foreachPartition(write_partition)
 
     return write
+
+
+def to_line_protocol(df: DataFrame, precision: str = "us") -> DataFrame:
+    """Serialize canonical points to InfluxDB line protocol strings
+    (``measurement,tag=v field=v ts`` — the text form of the reference's
+    write payload).  Pure column expressions; escaping per the line-protocol
+    spec (commas/spaces/equals in measurement/tags, quotes in string fields).
+
+    Returns a single-column ``line`` DataFrame suitable for any text sink.
+    """
+    esc_m = lambda c: F.regexp_replace(F.regexp_replace(c, r"([,\s])", r"\\$1"), "", "")
+    esc_kv = lambda c: F.regexp_replace(c, r"([,=\s])", r"\\$1")
+
+    tag_part = F.concat_ws(
+        ",",
+        F.transform(
+            F.map_entries(F.coalesce(F.col("tags"), F.create_map())),
+            lambda e: F.concat(esc_kv(e.key), F.lit("="), esc_kv(e.value)),
+        ),
+    )
+    num_fields = F.transform(
+        F.map_entries(F.coalesce(F.col("fields"), F.create_map())),
+        lambda e: F.concat(esc_kv(e.key), F.lit("="), e.value.cast("string")),
+    )
+    str_fields = F.transform(
+        F.map_entries(F.coalesce(F.col("fields_str"), F.create_map())),
+        lambda e: F.concat(
+            esc_kv(e.key),
+            F.lit('="'),
+            F.regexp_replace(e.value, '"', '\\\\"'),
+            F.lit('"'),
+        ),
+    )
+    bool_fields = F.transform(
+        F.map_entries(F.coalesce(F.col("fields_bool"), F.create_map())),
+        lambda e: F.concat(
+            esc_kv(e.key), F.lit("="), F.when(e.value, "true").otherwise("false")
+        ),
+    )
+    field_part = F.concat_ws(
+        ",", F.flatten(F.array(num_fields, str_fields, bool_fields))
+    )
+    assert precision in ("us", "ns")
+    ts = F.unix_micros(F.col("time"))
+    if precision == "ns":
+        ts = ts * 1000
+    line = F.concat(
+        esc_m(F.col("measurement")),
+        F.when(tag_part != "", F.concat(F.lit(","), tag_part)).otherwise(F.lit("")),
+        F.lit(" "),
+        field_part,
+        F.when(
+            F.col("time").isNotNull(), F.concat(F.lit(" "), ts.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return df.filter(field_part != "").select(line.alias("line"))

@@ -149,3 +149,26 @@ def test_ingest_runner_lifecycle(spark, tmp_path):
     # point-level bucket wins over the source default (observer.py:122-124:
     # batch bucket or default — the fixture points carry 'sensors')
     assert stored.filter(F.col("bucket") == "sensors").count() == 6
+
+
+def test_client_aggregate_window(spark):
+    """Flux aggregateWindow analog: tumbling-bucket downsample in the client."""
+    import datetime as dt
+
+    from cerebro_spark.schema import POINT_SCHEMA
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("m", {}, {"value": float(i)}, None, None,
+         base + dt.timedelta(seconds=30 * i), "b")
+        for i in range(8)
+    ]
+    pts = spark.createDataFrame(rows, POINT_SCHEMA)
+    client = CerebroClient(spark, {"b": pts})
+    out = client.query(
+        "b", "m", field="value",
+        start=base, end=base + dt.timedelta(hours=1),
+        aggregate_window=(60, "avg"),
+    ).orderBy("time").collect()
+    # 8 points at 30s cadence → 4 one-minute buckets averaging pairs
+    assert [r["value"] for r in out] == [0.5, 2.5, 4.5, 6.5]
