@@ -112,7 +112,12 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("id"), _shingles(content_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    # join on a 64-bit hash of the shingle, not the (long) shingle string:
+    # an 8-byte shuffle key instead of ~n·8 bytes of text.  A 64-bit collision
+    # (~n²/2⁶⁵) would merge two shingles; negligible and caught by the oracle.
+    ex = base.select(
+        "id", "n_sh", F.explode("sh").alias("__s")
+    ).select("id", "n_sh", F.xxhash64(F.col("__s")).alias("s"))
 
     if max_shingle_freq is not None:
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("f"))

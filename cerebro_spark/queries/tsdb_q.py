@@ -146,6 +146,56 @@ WHERE i <= greatest(CAST(floor(duration_ms / 500.0) AS INTEGER) - 1, 0)
 """
 
 
+def q_client_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q6 + aggregateWindow: the client-side Flux downsampling analog."""
+    from cerebro_spark.operators.pivot import unpivot_to_points
+    from cerebro_spark.plans.client import CerebroClient
+
+    ev = load_table(spark, "events", sf_dir)
+    points = unpivot_to_points(
+        ev, measurement="events", time_col="ts", value_cols=["value"],
+        bucket="telemetry",
+    )
+    client = CerebroClient(spark, {"telemetry": points})
+    return client.query(
+        "telemetry", "events", field="value",
+        start="2024-01-01 00:00:00", end="2024-02-01 00:00:00",
+        aggregate_window=(3600, "avg"),
+    )
+
+
+_CLIENT_AGG_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS time,
+       avg(value) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_client_query_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 multi-field pivot: no field filter → one column per field."""
+    from cerebro_spark.operators.pivot import unpivot_to_points
+    from cerebro_spark.plans.client import CerebroClient
+
+    ev = load_table(spark, "events", sf_dir)
+    points = unpivot_to_points(
+        ev, measurement="events", time_col="ts",
+        value_cols=["value", "user_id"], bucket="telemetry",
+    )
+    client = CerebroClient(spark, {"telemetry": points})
+    return client.query(
+        "telemetry", "events",
+        start="2024-01-10 00:00:00", end="2024-01-12 00:00:00",
+    )
+
+
+_CLIENT_WIDE_SQL = """
+SELECT ts AS time, value, CAST(user_id AS DOUBLE) AS user_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+
 QUERIES = {
     "derivative": q_derivative,
     "counter_increase": q_increase,
@@ -154,6 +204,8 @@ QUERIES = {
     "approx_users_daily": q_approx_users_daily,
     "orders_no_big_items": q_orders_no_big_items,
     "frame_sample": q_frame_sample,
+    "client_agg_window": q_client_agg_window,
+    "client_query_wide": q_client_query_wide,
 }
 
 ORACLES = {
@@ -163,4 +215,6 @@ ORACLES = {
     "distinct_users_daily": _DISTINCT_USERS_SQL,
     "orders_no_big_items": _ANTI_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
+    "client_agg_window": _CLIENT_AGG_SQL,
+    "client_query_wide": _CLIENT_WIDE_SQL,
 }

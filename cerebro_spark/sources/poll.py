@@ -147,3 +147,23 @@ except ImportError:  # pragma: no cover — pre-4.0 PySpark
     class PollDataSource:  # type: ignore[no-redef]
         def __init__(self, *a, **k):
             raise RuntimeError("PySpark>=4 Python DataSource API required")
+
+
+@register_poll_fn("file_exists")
+def _file_exists_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
+    """S11 — CheckFileExistsSource (`/root/reference/cerebro/sources/lvm.py:243-309`):
+    emits ``file_exists {basename: 0|1}`` per poll."""
+    import os.path
+
+    path = options["file"]
+    base = os.path.basename(path)
+    row = (
+        "file_exists",
+        {"source": "file_exists"},
+        {base: 1.0 if os.path.exists(path) else 0.0},
+        None,
+        None,
+        None,
+        options.get("bucket", "sensors"),
+    )
+    return [row], offset + 1

@@ -104,3 +104,15 @@ def test_poll_source_streaming(spark, tmp_path):
     # HWM advanced without gaps or duplicates
     assert seqs == [float(i) for i in range(len(seqs))]
     assert out.filter(F.col("time").isNull()).count() == 0  # T5 stamped
+
+
+def test_file_exists_poll(tmp_path):
+    from cerebro_spark.sources.poll import POLL_REGISTRY
+
+    f = tmp_path / "probe.txt"
+    rows, off = POLL_REGISTRY["file_exists"](0, {"file": str(f)})
+    assert rows[0][2] == {"probe.txt": 0.0} and off == 1
+    f.write_text("x")
+    rows, _ = POLL_REGISTRY["file_exists"](1, {"file": str(f)})
+    assert rows[0][2] == {"probe.txt": 1.0}
+    assert rows[0][0] == "file_exists"
