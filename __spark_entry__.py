@@ -31,6 +31,7 @@ from cerebro_spark.plans.client import CerebroClient
 from cerebro_spark.queries import batch_q as _bq
 from cerebro_spark.queries import extensions as _ext
 from cerebro_spark.queries import parsers_q as _pq
+from cerebro_spark.queries import text_q as _txq
 from cerebro_spark.queries import tsdb_q as _tq
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -524,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_pq.QUERIES,
         **_bq.QUERIES,
         **_tq.QUERIES,
+        **_txq.QUERIES,
     }
 
 
@@ -549,4 +551,5 @@ def oracle_sql() -> dict[str, str]:
         **_pq.ORACLES,
         **_bq.ORACLES,
         **_tq.ORACLES,
+        **_txq.ORACLES,
     }

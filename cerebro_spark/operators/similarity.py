@@ -201,3 +201,37 @@ def norm_stats_by_label(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding (the E-step shape of distributed k-means).
+
+    Element-wise mean via posexplode → groupBy (label, dim) → re-assemble
+    sorted by dimension.  Two shuffles, both combiner-friendly; dimension
+    count is constant so state per group is bounded.
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    per_dim = ex.groupBy(label_col, "dim").agg(
+        F.avg("x").alias("mean_x"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_x")))
+            ).alias("__pairs"),
+            F.first("n").alias("n_vectors"),
+        )
+        .select(
+            label_col,
+            F.transform(F.col("__pairs"), lambda p: p.mean_x).alias("centroid"),
+            "n_vectors",
+        )
+    )

@@ -115,3 +115,70 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_heuristic(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-doc term count; idf = ln(N / df_t); rank by (tfidf desc, term asc)
+    for determinism.  Two shuffles: (doc,term) counts and the doc-frequency
+    aggregate (broadcast back — vocabulary is small relative to the corpus).
+    """
+    from pyspark.sql import Window
+
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams (deterministic ties by ngram)."""
+    from pyspark.sql import Window
+
+    from cerebro_spark.operators.dedup import _shingles
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    # non-distinct shingles: every occurrence counts
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array())
+    counts = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

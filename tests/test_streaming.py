@@ -172,3 +172,29 @@ def test_client_aggregate_window(spark):
     ).orderBy("time").collect()
     # 8 points at 30s cadence → 4 one-minute buckets averaging pairs
     assert [r["value"] for r in out] == [0.5, 2.5, 4.5, 6.5]
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicates keyed on (measurement, time) with
+    a watermark bounding state — duplicate points across micro-batches are
+    emitted once."""
+    src = str(tmp_path / "dd_in")
+    pts = _mkpoints(spark, 10)
+    dup = pts.unionByName(pts)  # every point twice
+    dup.write.mode("overwrite").parquet(src)
+    stream = replay_file_stream(spark, src)
+    deduped = stream.withWatermark("time", "1 hour").dropDuplicates(
+        ["measurement", "time"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dd").collect()
+    times = [r["time"] for r in out if r["time"] is not None]
+    assert len(times) == len(set(times))  # no dup (measurement,time) pairs
+    assert len(times) >= 10
