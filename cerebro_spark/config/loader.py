@@ -73,11 +73,25 @@ def resolve_profile(
     raises (matching the reference's KeyError behavior).
     """
     all_sources: dict = config.get("sources", {})
+
+    def pick(name: str):
+        if name not in all_sources:
+            raise KeyError(
+                f"unknown source {name!r}; configured sources: "
+                f"{sorted(all_sources)}"
+            )
+        return all_sources[name]
+
     if sources:
-        return {n: all_sources[n] for n in sources}
+        return {n: pick(n) for n in sources}
     if profile:
-        names = config.get("profiles", {})[profile]
-        return {n: all_sources[n] for n in names}
+        profiles = config.get("profiles", {})
+        if profile not in profiles:
+            raise KeyError(
+                f"unknown profile {profile!r}; configured profiles: "
+                f"{sorted(profiles)}"
+            )
+        return {n: pick(n) for n in profiles[profile]}
     return dict(all_sources)
 
 
