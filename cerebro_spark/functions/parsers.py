@@ -475,3 +475,68 @@ def process_keywords(
         F.col("fv.value_str").alias("value_str"),
         "idx",
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 — actor reply line parser (reference `tron.py:390-454`)
+# ---------------------------------------------------------------------------
+
+#: tron reply header: "<commanderId> <commandId> <flag> <keywords>"
+_ACTOR_HEADER_RE = r"^(\d+)\s+(\d+)\s+([:iwef>dI])\s*(.*)$"
+
+#: split keyword values on commas not inside double quotes (Java regex
+#: lookahead — JVM-side only; the oracle restricts itself to unquoted values)
+_VALUE_SPLIT_RE = r',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
+def parse_actor_replies(
+    df: DataFrame,
+    line_col: str = "line",
+    store_broadcasts: bool = False,
+) -> DataFrame:
+    """Parse tron actor reply lines into (command_id, flag, keyword, values).
+
+    Reference behavior (`tron.py:390-454`):
+    - unparseable lines are dropped with a warning → row drop here;
+    - broadcast replies (``commandId == 0``) are dropped unless
+      ``store_broadcasts`` (`tron.py:434-435`);
+    - each reply carries ``;``-separated keywords, each ``name=v1,v2`` (values
+      optional); values are strings at this stage — typing happens in
+      `process_keywords` (T1).
+
+    Line reassembly from the TCP byte stream (the reference's ``self.buffer``
+    splitlines logic) is connector-side: a Spark source hands whole lines.
+    """
+    parsed = df.select(
+        F.regexp_extract(F.col(line_col), _ACTOR_HEADER_RE, 1)
+        .alias("__commander"),
+        F.regexp_extract(F.col(line_col), _ACTOR_HEADER_RE, 2).alias("__cmd"),
+        F.regexp_extract(F.col(line_col), _ACTOR_HEADER_RE, 3).alias("flag"),
+        F.regexp_extract(F.col(line_col), _ACTOR_HEADER_RE, 4).alias("__kws"),
+    ).filter(F.col("flag") != "")
+    if not store_broadcasts:
+        parsed = parsed.filter(F.col("__cmd").cast("long") != 0)
+    kw = parsed.select(
+        F.col("__cmd").cast("long").alias("command_id"),
+        "flag",
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col("__kws"), ";"), lambda s: F.trim(s)),
+                lambda s: s != "",
+            )
+        ).alias("__kw"),
+    )
+    name = F.trim(F.regexp_extract(F.col("__kw"), r"^([^=]+?)\s*(?:=|$)", 1))
+    values = F.when(
+        F.col("__kw").contains("="),
+        F.transform(
+            F.split(
+                F.regexp_replace(F.col("__kw"), r"^[^=]+=\s*", ""),
+                _VALUE_SPLIT_RE,
+            ),
+            lambda v: F.trim(v),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return kw.select(
+        "command_id", "flag", name.alias("keyword"), values.alias("values")
+    ).filter(F.col("keyword") != "")

@@ -109,10 +109,21 @@ class CerebroClient:
         # Q3 — measurement filter (`client.py:80`).
         df = df.filter(F.col("measurement") == measurement)
 
-        # Q4 — field filter on the unpivoted field name (`client.py:82-83`).
-        long = explode_fields(df).select("time", "measurement", "field", "value")
+        # Q4 — field filter (`client.py:82-83`).  With a concrete field the
+        # long view is a direct map extraction — no explode of every entry,
+        # so only the requested key is materialized per row; the explode path
+        # is reserved for field=None (all fields).
         if field is not None:
-            long = long.filter(F.col("field") == field)
+            long = df.select(
+                "time",
+                "measurement",
+                F.lit(field).alias("field"),
+                F.element_at(F.col("fields"), field).alias("value"),
+            ).filter(F.col("value").isNotNull())
+        else:
+            long = explode_fields(df).select(
+                "time", "measurement", "field", "value"
+            )
 
         if aggregate_window is not None:
             every, fn = aggregate_window

@@ -214,3 +214,27 @@ def test_process_keywords(spark):
     # tag promotion onto all sibling points of msg 6
     for r in by_msg[6]:
         assert r["tags"].get("camera") == "r1"
+
+
+def test_actor_reply_parser(spark):
+    from cerebro_spark.functions.parsers import parse_actor_replies
+
+    lines = [
+        '5 12 i airtemp=12.5; humid=40,41; text="a, quoted"; ping',
+        "5 0 i broadcast=1",  # commandId 0 → dropped by default
+        "garbage line without header",
+        "5 13 : done",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    out = parse_actor_replies(df).collect()
+    by_kw = {r["keyword"]: r for r in out}
+    assert set(by_kw) == {"airtemp", "humid", "text", "ping", "done"}
+    assert by_kw["airtemp"]["values"] == ["12.5"]
+    assert by_kw["humid"]["values"] == ["40", "41"]
+    # quote-aware comma split keeps the quoted value whole
+    assert by_kw["text"]["values"] == ['"a, quoted"']
+    assert by_kw["ping"]["values"] == []
+    assert by_kw["done"]["flag"] == ":"
+    # broadcasts kept when requested (tron.py:434-435)
+    kept = parse_actor_replies(df, store_broadcasts=True).collect()
+    assert any(r["keyword"] == "broadcast" for r in kept)
