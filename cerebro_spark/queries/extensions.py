@@ -132,12 +132,49 @@ FROM hx GROUP BY id
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: LSH banding internals are pytest-covered; candidate pairs at
-    # threshold 0.5 over random-vocab documents ≈ the exact-dup pairs.
     return minhash_lsh_pairs(
-        load_table(spark, "documents", sf_dir), n=3, num_hashes=32, bands=8,
-        threshold=0.5,
+        load_table(spark, "documents", sf_dir), n=3, num_hashes=_MINHASH_N,
+        bands=4, threshold=0.5,
     )
+
+
+def _minhash_lsh_sql() -> str:
+    """Banded-LSH candidate pairs in SQL, from the same signature CTE +
+    band layout as the Spark operator (4 bands × 2 rows over 8 hashes)."""
+    x = _hex2long_sql("md5(s)", 8)
+    sig_cols = ",\n    ".join(
+        f"min(((x * {a}) + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(_MINHASH_N))
+    )
+    rows = _MINHASH_N // 4
+    band_cases = " ".join(
+        f"WHEN {bi} THEN concat('{bi}', '_', "
+        + ", '_', ".join(f"CAST(h{bi * rows + r} AS STRING)" for r in range(rows))
+        + ")"
+        for bi in range(4)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_MINHASH_N)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 2
+),
+hx AS (SELECT id, {x} % 2147483647 AS x FROM sh),
+sig AS (SELECT id, {sig_cols} FROM hx GROUP BY id),
+banded AS (
+  SELECT *, CASE bi {band_cases} END AS bucket
+  FROM sig, generate_series(0, 3) AS g(bi)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+  ({matches}) / {float(_MINHASH_N)} AS est_jaccard
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+WHERE ({matches}) / {float(_MINHASH_N)} >= 0.5
+"""
 
 
 _SIMHASH_BITS = 24
@@ -167,10 +204,41 @@ FROM bits GROUP BY id
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: block-join internals pytest-covered.  max_hamming tight (4/48
-    # bits) because the synthetic docs share one small vocabulary and loose
-    # thresholds degenerate to all-pairs.
+    # max_hamming tight (4/48 bits) because the synthetic docs share one small
+    # vocabulary and loose thresholds degenerate to all-pairs.
     return simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=4)
+
+
+def _simhash_pairs_sql() -> str:
+    """Pigeonhole block-join pairs in SQL from the simhash CTE (48 bits,
+    4 blocks of 12)."""
+    x = _hex2long_sql("md5(tok)", 15)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+),
+hx AS (SELECT id, {x} AS x FROM toks),
+bits AS (
+  SELECT id, i, sum(CASE WHEN (x >> i) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hx, generate_series(0, 47) AS g(i) GROUP BY id, i
+),
+fp AS (
+  SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                      ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM bits GROUP BY id
+),
+seg AS (
+  SELECT id, simhash, bi, (simhash >> (bi * 12)) % 4096 AS segment
+  FROM fp, generate_series(0, 3) AS g(bi)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM seg a JOIN seg b ON a.bi = b.bi AND a.segment = b.segment AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -198,21 +266,73 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: approximate by construction (no SQL-expressible ground truth
-    # beyond re-stating the same plane constants); recall pytest-covered.
     emb = load_table(spark, "embeddings", sf_dir)
     return cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, num_planes=4,
-        num_tables=4,
+        num_tables=2,
     )
+
+
+def _plane_sql(dim: int, seed: int) -> str:
+    from cerebro_spark.operators.similarity import _hyperplane
+
+    return "[" + ", ".join(repr(x) for x in _hyperplane(dim, seed)) + "]"
+
+
+def _bucket_expr(table: int, num_planes: int, vec: str = "e") -> str:
+    """Nested bucket expression matching cosine_lsh_bucket: start at the table
+    id, shift in one sign bit per plane (seed layout seed + t*planes + p)."""
+    expr = f"CAST({table} AS BIGINT)"
+    for p in range(num_planes):
+        plane = _plane_sql(64, 42 + table * num_planes + p)
+        bit = f"(CASE WHEN list_dot_product({vec}, {plane}) > 0 THEN 1 ELSE 0 END)"
+        expr = f"({expr} * 2 + {bit})"
+    return expr
+
+
+def _ann_lsh_sql() -> str:
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, e, {_bucket_expr(t, 4)} AS bucket FROM v"
+        for t in range(2)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS ({buckets}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.e AS qe, c.e AS ce
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id,
+    list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cosine,
+    row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) DESC,
+               neighbor_id ASC
+    ) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (LSH-bucketed); threshold high → expect few/no pairs on
-    # random embeddings, pytest covers the planted-dup case.
     return embedding_cosine_dedup(
-        load_table(spark, "embeddings", sf_dir), threshold=0.95, dim=64
+        load_table(spark, "embeddings", sf_dir), threshold=0.95, dim=64,
+        num_planes=8,
     )
+
+
+def _embedding_dedup_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_bucket_expr(0, 8)} AS bucket FROM v)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+  list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) >= 0.95
+"""
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,8 +555,12 @@ ORACLES = {
     "dedup_groups": _DEDUP_GROUPS_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "minhash_signatures": _minhash_sql(),
+    "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash": _simhash_sql(),
+    "simhash_pairs": _simhash_pairs_sql(),
     "ann_cosine_topk": _ANN_SQL,
+    "ann_cosine_lsh": _ann_lsh_sql(),
+    "embedding_dedup": _embedding_dedup_sql(),
     "embedding_norms": _NORMS_SQL,
     "text_profile": _text_profile_sql(),
     "lang_confusion": _lang_confusion_sql(),
