@@ -146,6 +146,64 @@ WHERE i <= greatest(CAST(floor(duration_ms / 500.0) AS INTEGER) - 1, 0)
 """
 
 
+def q_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per day (p50/p95) + approx twin is the
+    HLL-style sketch path (not oracled, see approx_users_daily)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.95) AS p95
+FROM events GROUP BY 1
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of value per event_type (width 50 over [0,500))."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.floor(F.col("value") / 50).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT event_type, CAST(floor(value / 50) AS INTEGER) AS bucket, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2) — windowed standardization."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+_ZSCORE_SQL = """
+SELECT event_id, event_type, value, z FROM (
+  SELECT event_id, event_type, value,
+    (value - avg(value) OVER (PARTITION BY event_type))
+      / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+  FROM events
+) WHERE abs(z) > 2
+"""
+
+
 def q_client_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-Q6 + aggregateWindow: the client-side Flux downsampling analog."""
     from cerebro_spark.operators.pivot import unpivot_to_points
@@ -206,6 +264,9 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "client_agg_window": q_client_agg_window,
     "client_query_wide": q_client_query_wide,
+    "percentiles_daily": q_percentiles_daily,
+    "value_histogram": q_value_histogram,
+    "zscore_outliers": q_zscore_outliers,
 }
 
 ORACLES = {
@@ -217,4 +278,7 @@ ORACLES = {
     "frame_sample": _FRAME_SAMPLE_SQL,
     "client_agg_window": _CLIENT_AGG_SQL,
     "client_query_wide": _CLIENT_WIDE_SQL,
+    "percentiles_daily": _PERCENTILES_SQL,
+    "value_histogram": _HISTOGRAM_SQL,
+    "zscore_outliers": _ZSCORE_SQL,
 }
