@@ -119,3 +119,42 @@ def gapfill(
         for c in fill_cols:
             dense = dense.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return dense
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    partition_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of null values between the nearest non-null
+    neighbors (InfluxDB ``fill(linear)``): v = prev + (next-prev)·(t-t₀)/(t₁-t₀).
+    Leading/trailing nulls stay null.
+
+    Pure window composition — JVM-side, one sort per series partition:
+    ``last(ignorenulls)`` looking back and ``first(ignorenulls)`` looking
+    forward carry the bracketing values and their timestamps.
+    """
+    out_col = out_col or f"{value_col}_interp"
+    base = (
+        Window.partitionBy(*partition_by).orderBy(time_col)
+        if partition_by
+        else Window.orderBy(time_col)
+    )
+    back = base.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    secs = F.col(time_col).cast("double")
+    v = F.col(value_col)
+    t_at_v = F.when(v.isNotNull(), secs)
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(t_at_v, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(t_at_v, ignorenulls=True).over(fwd)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t),
+            prev_v + (next_v - prev_v) * (secs - prev_t) / (next_t - prev_t),
+        )
+    )
+    return df.withColumn(out_col, interp)

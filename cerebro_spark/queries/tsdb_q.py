@@ -282,3 +282,50 @@ ORACLES = {
     "value_histogram": _HISTOGRAM_SQL,
     "zscore_outliers": _ZSCORE_SQL,
 }
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fill(linear): null out ~1/7 of values deterministically, interpolate
+    per event_type series."""
+    from cerebro_spark.operators.tsdb import interpolate_linear
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = interpolate_linear(ev, "v", "ts", partition_by=["event_type"])
+    return out.select("event_id", "event_type", "ts", "v", "v_interp")
+
+
+_INTERPOLATE_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, ts,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+    epoch(ts) AS sec
+  FROM events
+),
+ctx AS (
+  SELECT event_id, event_type, ts, v, sec,
+    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN sec END IGNORE NULLS) OVER wb AS prev_t,
+    first_value(v IGNORE NULLS) OVER wf AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN sec END IGNORE NULLS) OVER wf AS next_t
+  FROM base
+  WINDOW
+    wb AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, event_type, ts, v,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t > prev_t
+       THEN prev_v + (next_v - prev_v) * (sec - prev_t) / (next_t - prev_t)
+       ELSE NULL END AS v_interp
+FROM ctx
+"""
+
+QUERIES["interpolate_linear"] = q_interpolate
+ORACLES["interpolate_linear"] = _INTERPOLATE_SQL

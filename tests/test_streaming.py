@@ -198,3 +198,31 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     times = [r["time"] for r in out if r["time"] is not None]
     assert len(times) == len(set(times))  # no dup (measurement,time) pairs
     assert len(times) >= 10
+
+
+def test_checkpoint_replay_no_duplicates(spark, tmp_path):
+    """Exactly-once across restarts: re-running from the same checkpoint with
+    no new input produces no new rows; new input produces only the delta."""
+    src = str(tmp_path / "ck_in")
+    sink = str(tmp_path / "ck_store")
+    ckpt = str(tmp_path / "ck_ckpt")
+    _mkpoints(spark, 5).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = run_ingest(
+            spark, replay_file_stream(spark, src), sink_path=sink,
+            checkpoint=ckpt, available_now=True, query_name="ck-test",
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    run_once()  # restart, no new files
+    assert spark.read.parquet(sink).count() == n1
+
+    # late-arriving file → only the delta is appended
+    _mkpoints(spark, 3, measurement="late").write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == n1 + 4  # 3 + stamped-null-time row (empty dropped)
+    assert out.filter(F.col("measurement") == "late").count() == 4
