@@ -93,3 +93,47 @@ def test_streaming_sessionize_batchwise(spark, tmp_path):
     s = out[key]
     assert s["n_events"] == 5 and s["value_sum"] == 5.0
     assert str(s["session_end"]) == "2024-01-01 00:20:00"
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Rows older than the advanced watermark are excluded from new windows:
+    run the windowed rollup twice on one checkpoint; the second batch's
+    late rows (hours behind the first batch) must not produce output."""
+    src = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    base = dt.datetime(2024, 1, 2, 12, 0, 0)
+
+    def write_batch(offset_hours, n, mode):
+        rows = [
+            (
+                "m", {"s": "t"}, {"value": 1.0}, None, None,
+                base + dt.timedelta(hours=offset_hours, minutes=2 * i), "b",
+            )
+            for i in range(n)
+        ]
+        spark.createDataFrame(rows, POINT_SCHEMA).write.mode(mode).parquet(src)
+
+    def run_once(qname):
+        stream = spark.readStream.schema(POINT_SCHEMA).parquet(src)
+        agg = streaming_downsample(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(0, 60, "overwrite")  # 2h of on-time data
+    run_once("late1")
+    n1 = spark.sql("SELECT count(*) n FROM late1").first()["n"]
+
+    # batch 2: rows 10 hours EARLIER than the advanced watermark
+    write_batch(-10, 5, "append")
+    run_once("late2")
+    late_rows = spark.sql(
+        "SELECT * FROM late2 WHERE window_start < TIMESTAMP '2024-01-02 12:00:00'"
+    ).collect()
+    assert late_rows == []  # late windows never emitted
