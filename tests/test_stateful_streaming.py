@@ -113,27 +113,29 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         ]
         spark.createDataFrame(rows, POINT_SCHEMA).write.mode(mode).parquet(src)
 
-    def run_once(qname):
+    sink = str(tmp_path / "late_out")
+
+    def run_once():
         stream = spark.readStream.schema(POINT_SCHEMA).parquet(src)
         agg = streaming_downsample(stream, window="1 hour", watermark="30 minutes")
         q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
+            agg.writeStream.format("parquet")
+            .option("path", sink)
             .option("checkpointLocation", ckpt)
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(120)
 
     write_batch(0, 60, "overwrite")  # 2h of on-time data
-    run_once("late1")
-    n1 = spark.sql("SELECT count(*) n FROM late1").first()["n"]
+    run_once()
 
     # batch 2: rows 10 hours EARLIER than the advanced watermark
     write_batch(-10, 5, "append")
-    run_once("late2")
-    late_rows = spark.sql(
-        "SELECT * FROM late2 WHERE window_start < TIMESTAMP '2024-01-02 12:00:00'"
+    run_once()
+    out = spark.read.parquet(sink)
+    late_rows = out.filter(
+        F.col("window_start") < F.lit("2024-01-02 12:00:00").cast("timestamp")
     ).collect()
     assert late_rows == []  # late windows never emitted
