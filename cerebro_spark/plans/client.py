@@ -95,7 +95,7 @@ class CerebroClient:
         ``aggregateWindow(every: …, fn: …)`` downsampling step (fn ∈
         avg/min/max/sum/count) applied per field over tumbling buckets —
         the aggregation surface the reference delegated to InfluxDB."""
-        now = self._now or dt.datetime.utcnow()
+        now = self._now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         df = self._scan(bucket)
 
         # Q2 — time-range predicate (`client.py:70-78`); closed-open [start, stop)

@@ -2,9 +2,6 @@
 sessionization, driven through real micro-batches (file stream, availableNow)."""
 
 import datetime as dt
-import glob
-import os
-
 from pyspark.sql import functions as F
 
 from cerebro_spark.schema import POINT_SCHEMA
