@@ -112,25 +112,41 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("id"), _shingles(content_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    # join on a 64-bit hash of the shingle, not the (long) shingle string:
-    # an 8-byte shuffle key instead of ~n·8 bytes of text.  A 64-bit collision
+    # shuffle key = 64-bit hash of the shingle, not the (long) shingle string:
+    # 8-byte keys instead of ~n·8 bytes of text.  A 64-bit collision
     # (~n²/2⁶⁵) would merge two shingles; negligible and caught by the oracle.
     ex = base.select(
         "id", "n_sh", F.explode("sh").alias("__s")
     ).select("id", "n_sh", F.xxhash64(F.col("__s")).alias("s"))
 
-    if max_shingle_freq is not None:
-        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-        ex = ex.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "s")
-    a = ex.select(
-        F.col("s"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+    # Inverted-index pair generation WITHOUT a self-join (a self-join would
+    # recompute the shingle explosion for both branches — no exchange reuse):
+    # one groupBy(shingle) collects the posting list, pairs explode in-array.
+    # ``max_shingle_freq`` caps posting-list length — both the skew guard and
+    # the pair-blowup bound (pairs per shingle ≤ f²/2).
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("n_sh")))
     )
-    b = ex.select(
-        F.col("s"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+    posting = ex.groupBy("s").agg(members.alias("m"))
+    if max_shingle_freq is not None:
+        posting = posting.filter(F.size("m") <= max_shingle_freq)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
