@@ -33,7 +33,17 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
         return ()
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make loads work on ANY SparkSession (e.g. a driver-created one that
+    didn't go through ``cerebro_spark.session.get_spark``): the nanos-parquet
+    legacy read and UTC timestamp semantics are required for correctness and
+    both are runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
