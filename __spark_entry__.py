@@ -31,6 +31,7 @@ from cerebro_spark.plans.client import CerebroClient
 from cerebro_spark.queries import batch_q as _bq
 from cerebro_spark.queries import extensions as _ext
 from cerebro_spark.queries import parsers_q as _pq
+from cerebro_spark.queries import pipeline_q as _plq
 from cerebro_spark.queries import text_q as _txq
 from cerebro_spark.queries import tsdb_q as _tq
 
@@ -530,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_bq.QUERIES,
         **_tq.QUERIES,
         **_txq.QUERIES,
+        **_plq.QUERIES,
     }
 
 
@@ -556,4 +558,5 @@ def oracle_sql() -> dict[str, str]:
         **_bq.ORACLES,
         **_tq.ORACLES,
         **_txq.ORACLES,
+        **_plq.ORACLES,
     }

@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting / chunking / redaction for
+training-data pipelines (driver-mandated extension family).
+
+Everything is hash-deterministic (portable md5-prefix hash), never RNG-based:
+at 100 TB a resumable pipeline must produce the same sample on retry, across
+executors, and across engines — `rand()`-based sampling gives none of that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _portable_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) assignment from the md5 of the value —
+    reproducible in any engine (same construction as the minhash token
+    hash)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction_pct: int,
+    key_col: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep ~fraction_pct% of rows, chosen by key hash — stable under
+    retries, re-ordering, and re-partitioning (unlike ``df.sample``)."""
+    return df.filter(_portable_bucket(F.col(key_col), buckets) < fraction_pct)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by key hash: same key always lands in the same
+    split (the leakage-safe way to split grouped data — hash the group key)."""
+    b = _portable_bucket(F.col(key_col), 100)
+    return df.withColumn(
+        out_col,
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the LLM-training
+    segmentation step): stride = chunk_tokens - overlap; the final partial
+    chunk is kept.  Pure explode — row fan-out, no shuffle."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+#: default redaction patterns (RE2/Java-compatible; applied in order).
+REDACTION_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = REDACTION_PATTERNS,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Regex PII redaction over a text column — chained ``regexp_replace``
+    (JVM, whole-stage codegen).  Pattern set is the standard email/phone/
+    SSN/card starter; extend per deployment."""
+    out_col = out_col or text_col
+    col = F.col(text_col)
+    for pat, repl in patterns:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)

@@ -1,0 +1,115 @@
+"""Oracle-checked queries for the pipeline utilities: deterministic sampling,
+train/val/test split, document chunking, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.sampling import (
+    chunk_documents,
+    deterministic_sample,
+    redact_pii,
+    train_val_test_split,
+)
+from cerebro_spark.queries.extensions import _hex2long_sql
+
+_BUCKET_SQL = _hex2long_sql("md5(CAST({key} AS STRING))", 8) + " % 100"
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return deterministic_sample(ev, 20, "event_id").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT event_id, ts, event_type, value FROM events
+WHERE {_BUCKET_SQL.format(key="event_id")} < 20
+"""
+
+
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = train_val_test_split(docs, "doc_id", val_pct=10, test_pct=10)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n
+FROM (SELECT {_BUCKET_SQL.format(key="doc_id")} AS b FROM documents)
+GROUP BY 1
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
+_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, t,
+    greatest(CAST(ceil((len(t) - 8) / 24.0) AS INTEGER), 1) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, i AS chunk_id,
+  array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM spans, generate_series(0, 100) AS g(i)
+WHERE i < n_chunks
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject synthetic PII deterministically, then redact — the oracle
+    re-derives the expected redacted text from the injection rule."""
+    docs = load_table(spark, "documents", sf_dir)
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(with_pii).select("doc_id", "text")
+
+
+_REDACT_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact <EMAIL> now' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' call <PHONE>' ELSE '' END AS text
+FROM documents
+"""
+
+
+QUERIES = {
+    "deterministic_sample": q_deterministic_sample,
+    "train_val_test": q_train_val_test,
+    "chunk_documents": q_chunk_documents,
+    "redact_pii": q_redact_pii,
+}
+
+ORACLES = {
+    "deterministic_sample": _SAMPLE_SQL,
+    "train_val_test": _SPLIT_SQL,
+    "chunk_documents": _CHUNK_SQL,
+    "redact_pii": _REDACT_SQL,
+}
