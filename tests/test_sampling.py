@@ -1,0 +1,55 @@
+"""Edge cases for the pipeline utilities (oracle queries cover the bulk)."""
+
+from pyspark.sql import Row
+
+from cerebro_spark.operators.sampling import (
+    chunk_documents,
+    deterministic_sample,
+    redact_pii,
+    train_val_test_split,
+)
+
+
+def test_chunking_edges(spark):
+    rows = [
+        Row(doc_id=1, text="one two"),                       # shorter than chunk
+        Row(doc_id=2, text=" ".join(f"t{i}" for i in range(32))),   # exactly one
+        Row(doc_id=3, text=" ".join(f"t{i}" for i in range(33))),   # one + tail
+    ]
+    out = chunk_documents(spark.createDataFrame(rows), chunk_tokens=32, overlap=8)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "one two"
+    assert len(by_doc[2]) == 1
+    chunks3 = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert len(chunks3) == 2
+    # overlap: chunk 1 starts at token 24, so tokens 24-31 appear in both
+    assert chunks3[1]["chunk_text"].startswith("t24")
+
+
+def test_split_stability_and_disjointness(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = train_val_test_split(df, "k").groupBy("split").count().collect()
+    b = train_val_test_split(df, "k").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # sample ⊂ split-train consistency: same hash → same bucket
+    s20 = deterministic_sample(df, 20, "k").count()
+    assert 120 < s20 < 280  # ~20% of 1000, hash-uniform
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        Row(doc_id=1, text="mail me at a.b+c@x-mail.co.uk today"),
+        Row(doc_id=2, text="ssn 123-45-6789 and phone 555.123.4567"),
+        Row(doc_id=3, text="card 4111 1111 1111 1111 thanks"),
+        Row(doc_id=4, text="clean text"),
+    ]
+    out = {r["doc_id"]: r["text"] for r in redact_pii(spark.createDataFrame(rows)).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert "<SSN>" in out[2] and "<PHONE>" in out[2]
+    assert "<CARD>" in out[3] and "4111" not in out[3]
+    assert out[4] == "clean text"
