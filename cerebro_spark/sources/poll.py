@@ -167,3 +167,38 @@ def _file_exists_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
         options.get("bucket", "sensors"),
     )
     return [row], offset + 1
+
+
+@register_poll_fn("tpm_snapshot")
+def _tpm_snapshot_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
+    """S14 — TPMSource (`/root/reference/cerebro/sources/tpm.py:24-93`): read
+    the shared telemetry snapshot (here: a JSON file standing in for the TPM
+    multicast client's dict) once per poll; the whole flattened dict becomes
+    one point's fields."""
+    import json
+
+    from cerebro_spark.functions.parsers import _flatten
+
+    try:
+        with open(options["file"]) as fh:
+            snapshot = json.load(fh)
+    except (OSError, ValueError):
+        return [], offset + 1
+    flat, _ = _flatten(snapshot)
+    fields = {
+        k: float(v)
+        for k, v in flat.items()
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
+    }
+    fields_str = {k: str(v) for k, v in flat.items() if isinstance(v, str)}
+    fields_bool = {k: v for k, v in flat.items() if isinstance(v, bool)}
+    row = (
+        options.get("measurement", "tpm"),
+        {"source": "tpm"},
+        fields or None,
+        fields_str or None,
+        fields_bool or None,
+        None,
+        options.get("bucket"),
+    )
+    return [row], offset + 1

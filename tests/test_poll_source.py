@@ -116,3 +116,23 @@ def test_file_exists_poll(tmp_path):
     rows, _ = POLL_REGISTRY["file_exists"](1, {"file": str(f)})
     assert rows[0][2] == {"probe.txt": 1.0}
     assert rows[0][0] == "file_exists"
+
+
+def test_tpm_snapshot_poll(tmp_path):
+    import json
+
+    from cerebro_spark.sources.poll import POLL_REGISTRY
+
+    snap = tmp_path / "tpm.json"
+    snap.write_text(json.dumps(
+        {"alt": {"pos": 45.2, "moving": True}, "state": "TRACKING", "arr": [1, 2]}
+    ))
+    rows, off = POLL_REGISTRY["tpm_snapshot"](0, {"file": str(snap)})
+    assert off == 1 and len(rows) == 1
+    m, tags, fields, fstr, fbool, t, bucket = rows[0]
+    assert fields == {"alt.pos": 45.2}
+    assert fstr == {"state": "TRACKING"}
+    assert fbool == {"alt.moving": True}  # list dropped, nested flattened
+    # missing file → empty batch, offset still advances (poll loop continues)
+    rows2, off2 = POLL_REGISTRY["tpm_snapshot"](1, {"file": str(tmp_path / "nope")})
+    assert rows2 == [] and off2 == 2

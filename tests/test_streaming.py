@@ -226,3 +226,16 @@ def test_checkpoint_replay_no_duplicates(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == n1 + 4  # 3 + stamped-null-time row (empty dropped)
     assert out.filter(F.col("measurement") == "late").count() == 4
+
+
+def test_idempotent_sink_replaces_batch(spark, tmp_path):
+    """Re-writing the same batch_id replaces output instead of duplicating."""
+    from cerebro_spark.streaming.sinks import idempotent_parquet_sink
+
+    sink = idempotent_parquet_sink(str(tmp_path / "idem"))
+    batch = _mkpoints(spark, 4).filter(F.col("time").isNotNull())
+    sink(batch, 7)
+    sink(batch, 7)  # simulated retry of the same micro-batch
+    out = spark.read.parquet(str(tmp_path / "idem"))
+    assert out.count() == batch.count()  # no duplicates
+    assert out.select("batch_id").distinct().collect()[0][0] == 7
