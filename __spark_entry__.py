@@ -34,6 +34,7 @@ from cerebro_spark.queries import parsers_q as _pq
 from cerebro_spark.queries import pipeline_q as _plq
 from cerebro_spark.queries import text_q as _txq
 from cerebro_spark.queries import tsdb_q as _tq
+from cerebro_spark.queries import volume_q as _vq
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -532,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_tq.QUERIES,
         **_txq.QUERIES,
         **_plq.QUERIES,
+        **_vq.QUERIES,
     }
 
 
@@ -559,4 +561,5 @@ def oracle_sql() -> dict[str, str]:
         **_tq.ORACLES,
         **_txq.ORACLES,
         **_plq.ORACLES,
+        **_vq.ORACLES,
     }

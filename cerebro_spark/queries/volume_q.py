@@ -1,0 +1,159 @@
+"""Volume/join queries over the remaining star-schema tables (part, supplier)
+— broadcast-dimension joins, conditional aggregation, and a correlated
+min-per-group shape (TPC-H Q14/Q15/Q2 flavors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share of a part-type family (conditional agg
+    over a broadcast part join)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev)
+            ).alias("standard_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PROMO_SQL = """
+SELECT
+  100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        / sum(l_extendedprice * (1 - l_discount)) AS standard_share_pct,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier, deterministic top-10."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "revenue")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+_TOP_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name, n_name, revenue, rank FROM (
+  SELECT s_suppkey, s_name, n_name, revenue,
+    row_number() OVER (ORDER BY revenue DESC, s_suppkey ASC) AS rank
+  FROM (
+    SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+  ) r
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+) WHERE rank <= 10
+"""
+
+
+def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group with the row that achieves it
+    (min_by / correlated-min semantics)."""
+    part = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .groupBy("p_brand", "p_retailprice")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+        .select("p_brand", "p_partkey", F.col("p_retailprice").alias("price"))
+    )
+
+
+_CHEAPEST_SQL = """
+SELECT p_brand, min(p_partkey) AS p_partkey, p_retailprice AS price
+FROM part
+WHERE p_retailprice = (
+  SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand
+)
+GROUP BY p_brand, p_retailprice
+"""
+
+
+def q_part_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets flavor: per-(brand, size) and per-brand totals via rollup."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.rollup("p_brand", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("p_retailprice").alias("avg_price"),
+        )
+        .filter(F.col("p_brand").isNotNull())  # keep brand-level + leaf rows
+    )
+
+
+_PART_SIZE_SQL = """
+SELECT p_brand, p_size, count(*) AS n, avg(p_retailprice) AS avg_price
+FROM part GROUP BY ROLLUP (p_brand, p_size)
+HAVING p_brand IS NOT NULL
+"""
+
+
+def q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dimension chain region←nation←customer (TPC-H Q5 dimension side):
+    broadcast snowflake join + aggregation."""
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.avg("c_acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+_CUSTOMERS_REGION_SQL = """
+SELECT r_name, count(*) AS n_customers, avg(c_acctbal) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+QUERIES = {
+    "customers_per_region": q_customers_per_region,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_suppliers": q_top_suppliers,
+    "cheapest_part_per_brand": q_cheapest_part_per_brand,
+    "part_size_stats": q_part_size_stats,
+}
+
+ORACLES = {
+    "customers_per_region": _CUSTOMERS_REGION_SQL,
+    "promo_revenue_share": _PROMO_SQL,
+    "top_suppliers": _TOP_SUPPLIERS_SQL,
+    "cheapest_part_per_brand": _CHEAPEST_SQL,
+    "part_size_stats": _PART_SIZE_SQL,
+}
