@@ -75,6 +75,40 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    # streaming ingest throughput: replay the events table as canonical
+    # points through the full enrich→partitioned-sink pipeline (availableNow)
+    import shutil
+    import tempfile
+
+    from cerebro_spark.io import load_table
+    from cerebro_spark.operators.pivot import unpivot_to_points
+    from cerebro_spark.streaming.ingest import run_ingest
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        pts = unpivot_to_points(
+            load_table(spark, "events", SF_DIR),
+            measurement="events",
+            time_col="ts",
+            value_cols=["value", "user_id"],
+            bucket="bench",
+        )
+        pts.write.mode("overwrite").parquet(f"{tmp}/in")
+        t0 = time.perf_counter()
+        q = run_ingest(
+            spark,
+            spark.readStream.schema(pts.schema).parquet(f"{tmp}/in"),
+            sink_path=f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            instance_tags={"bench": "1"},
+            available_now=True,
+            query_name="bench-ingest",
+        )
+        q.awaitTermination(300)
+        timings["streaming_ingest"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
     print(

@@ -146,4 +146,19 @@ timed(
     "ann_lsh_10q_x_50k",
     cosine_topk_lsh(vecs, queries, dim=64, k=5, num_planes=8, num_tables=4),
 )
+
+# ---- skew demonstration: one hot key vs salted join -------------------------
+hot = spark.range(2_000_000).select(
+    F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+    F.col("id").alias("v"),
+)  # 90% of rows share key 0
+dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+spark.conf.set("spark.sql.adaptive.enabled", "false")  # isolate the effect
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+from cerebro_spark.operators.util import salted_join
+
+timed("skewed_join_plain", hot.join(dim, "k").groupBy().agg(F.sum("w")))
+timed("skewed_join_salted", salted_join(hot, dim, "k", salt_buckets=32).groupBy().agg(F.sum("w")))
+spark.conf.set("spark.sql.adaptive.enabled", "true")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 print("done")
