@@ -157,3 +157,49 @@ ORACLES = {
     "cheapest_part_per_brand": _CHEAPEST_SQL,
     "part_size_stats": _PART_SIZE_SQL,
 }
+
+
+def q_users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op shape: users who purchased but had no error in the final week —
+    EXCEPT expressed as a distinct + anti join."""
+    ev = load_table(spark, "events", sf_dir)
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp"))
+    ).select("user_id")
+    return (
+        purchasers.distinct()
+        .join(erroring.distinct(), "user_id", "left_anti")
+        .select("user_id")
+    )
+
+
+_USERS_SETOP_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+"""
+
+
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape (EXISTS): orders having at least one returned lineitem."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_ORDERS_RETURNS_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+"""
+
+QUERIES["users_purchase_no_error"] = q_users_purchase_no_error
+QUERIES["orders_with_returns"] = q_orders_with_returns
+ORACLES["users_purchase_no_error"] = _USERS_SETOP_SQL
+ORACLES["orders_with_returns"] = _ORDERS_RETURNS_SQL

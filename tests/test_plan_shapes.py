@@ -1,0 +1,53 @@
+"""Physical-plan shape guards: regressions in partitioning/broadcast/window
+strategy show up here before they show up as slow bench numbers.
+
+These assert on executed-plan text — the same properties `.explain` review
+verified manually (ARCHITECTURE.md scale notes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weather_chain_windows_are_partitioned(spark, sf_dir):
+    plan = _plan(entry.q_weather_chain(spark, sf_dir))
+    # the overlap-bucket path partitions every Window by __bkt — a global
+    # (unpartitioned) RANGE window would serialize onto one task
+    assert "Window" in plan
+    assert "__bkt" in plan
+    # 9 aggregates collapse into one Window operator per frame (3), not 9
+    assert plan.count("Window ") <= 4
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(entry.q_revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_range_pushdown(spark, sf_dir):
+    plan = _plan(entry.q_time_range(spark, sf_dir))
+    assert "PushedFilters" in plan
+    # the raw ns-column range predicate reaches the scan
+    assert "GreaterThanOrEqual(ts," in plan
+
+
+def test_ngram_no_cartesian(spark, sf_dir):
+    from cerebro_spark.queries.extensions import q_ngram_jaccard
+
+    plan = _plan(q_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_semi_join_strategies(spark, sf_dir):
+    from cerebro_spark.queries.tsdb_q import q_orders_no_big_items
+    from cerebro_spark.queries.volume_q import q_orders_with_returns
+
+    assert "LeftAnti" in _plan(q_orders_no_big_items(spark, sf_dir))
+    assert "LeftSemi" in _plan(q_orders_with_returns(spark, sf_dir))
