@@ -182,16 +182,23 @@ def rolling_by_time(
             "bucket width must cover the largest window"
         )
         bucket = F.floor(F.col(order_col) / scale_bucket_seconds)
-        own = out.withColumn("__bkt", bucket).withColumn("__ctx", F.lit(False))
-        context = (
-            out.withColumn("__bkt", bucket + 1)
-            .withColumn("__ctx", F.lit(True))
-            .filter(
-                F.col(order_col) % scale_bucket_seconds
-                >= scale_bucket_seconds - max_w
-            )
+        in_ctx_zone = (
+            F.col(order_col) % scale_bucket_seconds
+            >= scale_bucket_seconds - max_w
         )
-        unioned = own.unionByName(context)
+        # Single-pass bucket assignment: each row explodes into its own bucket
+        # plus (when within max_w of the bucket end) a context-only copy in
+        # the next bucket.  A union of two branches would compute the entire
+        # upstream twice — at 100 TB that is two full scans.
+        own = F.struct(bucket.alias("b"), F.lit(False).alias("c"))
+        ctx = F.struct((bucket + 1).alias("b"), F.lit(True).alias("c"))
+        assign = F.when(in_ctx_zone, F.array(own, ctx)).otherwise(F.array(own))
+        exploded = (
+            out.select("*", F.explode(assign).alias("__a"))
+            .withColumn("__bkt", F.col("__a.b"))
+            .withColumn("__ctx", F.col("__a.c"))
+            .drop("__a")
+        )
         base = Window.partitionBy("__bkt").orderBy(F.col(order_col))
         cols = [
             _ROLL_AGGS[agg](F.col(src))
@@ -200,7 +207,7 @@ def rolling_by_time(
             for out_col, (agg, src, seconds) in specs.items()
         ]
         return (
-            unioned.select("*", *cols)
+            exploded.select("*", *cols)
             .filter(~F.col("__ctx"))
             .drop("__bkt", "__ctx", order_col)
         )
