@@ -540,3 +540,125 @@ def parse_actor_replies(
     return kw.select(
         "command_id", "flag", name.alias("keyword"), values.alias("values")
     ).filter(F.col("keyword") != "")
+
+
+# ---------------------------------------------------------------------------
+# InfluxDB line-protocol parser (inverse of sinks.to_line_protocol)
+# ---------------------------------------------------------------------------
+
+def parse_line_protocol(
+    df: DataFrame,
+    line_col: str = "line",
+    precision: str = "us",
+) -> DataFrame:
+    """Parse InfluxDB line-protocol text into canonical point rows.
+
+    ``measurement[,tag=v...] field=v[,field=v...] [timestamp]`` with the
+    spec's escaping (``\\,`` ``\\=`` ``\\ `` in identifiers, quoted string
+    fields).  Value typing: ``"..."``→string, true/false→bool, trailing
+    ``i``→int(→double field map), else double.  Malformed lines are dropped.
+
+    Implementation: split on UNESCAPED separators via zero-width Java-regex
+    lookbehind ``(?<!\\\\)`` — fully JVM-side.
+    """
+    unesc = lambda c: F.regexp_replace(c, r"\\([,=\s])", "$1")
+    # sections: measurement+tags = up to the first UNESCAPED space (quoted
+    # string values may contain spaces, so a naive space split breaks);
+    # timestamp = trailing " <digits>"; fields = what remains between.
+    head = F.regexp_extract(F.col(line_col), r"^((?:[^ \\]|\\.)+) ", 1)
+    rest = F.regexp_replace(F.col(line_col), r"^(?:[^ \\]|\\.)+ ", "")
+    ts_str = F.regexp_extract(rest, r" (\d+)$", 1)
+    tspart = F.when(ts_str != "", ts_str)
+    fieldpart = F.regexp_replace(rest, r" \d+$", "")
+
+    headbits = F.split(head, r"(?<!\\),")
+    measurement = unesc(F.element_at(headbits, 1))
+    tag_entries = F.filter(
+        F.transform(
+            F.slice(headbits, 2, F.greatest(F.size(headbits) - 1, F.lit(0))),
+            lambda kv: F.struct(
+                unesc(F.element_at(F.split(kv, r"(?<!\\)="), 1)).alias("k"),
+                unesc(F.element_at(F.split(kv, r"(?<!\\)="), 2)).alias("v"),
+            ),
+        ),
+        lambda e: e["k"].isNotNull() & e["v"].isNotNull(),
+    )
+    tags = F.map_from_entries(tag_entries)
+
+    # tokenize key=value pairs: value is a quoted string (escaped quotes
+    # allowed) or an unquoted non-comma run — regex token extraction instead
+    # of a comma split, so escaped/quoted commas never confuse the parser
+    kv_tokens = F.regexp_extract_all(
+        fieldpart,
+        F.lit(r'(?:[^,=\\]|\\.)+=(?:"(?:[^"\\]|\\.)*"|[^,]*)'),
+        0,
+    )
+    fbits = F.transform(
+        kv_tokens,
+        lambda kv: F.struct(
+            unesc(F.regexp_extract(kv, r"^((?:[^=\\]|\\.)+)=", 1)).alias("k"),
+            F.regexp_replace(kv, r"^(?:[^=\\]|\\.)+=", "").alias("raw"),
+        ),
+    )
+    is_str = lambda r: r.startswith('"')
+    is_bool = lambda r: F.lower(r).isin("true", "false", "t", "f")
+    is_int = lambda r: r.rlike(r"^-?\d+i$")
+    num_entries = F.filter(
+        fbits,
+        lambda e: ~is_str(e["raw"]) & ~is_bool(e["raw"]) & e["raw"].isNotNull(),
+    )
+    fields = F.map_from_entries(
+        F.transform(
+            num_entries,
+            lambda e: F.struct(
+                e["k"].alias("k"),
+                F.when(
+                    is_int(e["raw"]),
+                    F.regexp_replace(e["raw"], "i$", "").try_cast("double"),
+                ).otherwise(e["raw"].try_cast("double")).alias("v"),
+            ),
+        )
+    )
+    str_entries = F.filter(fbits, lambda e: is_str(e["raw"]))
+    fields_str = F.map_from_entries(
+        F.transform(
+            str_entries,
+            lambda e: F.struct(
+                e["k"].alias("k"),
+                F.regexp_replace(
+                    F.regexp_replace(e["raw"], r'^"|"$', ""), r'\\"', '"'
+                ).alias("v"),
+            ),
+        )
+    )
+    bool_entries = F.filter(fbits, lambda e: is_bool(e["raw"]))
+    fields_bool = F.map_from_entries(
+        F.transform(
+            bool_entries,
+            lambda e: F.struct(
+                e["k"].alias("k"),
+                F.lower(e["raw"]).isin("true", "t").alias("v"),
+            ),
+        )
+    )
+    assert precision in ("us", "ns")
+    ts_long = tspart.cast("long")
+    micros = ts_long if precision == "us" else (ts_long - ts_long % 1000) / 1000
+    micros = micros.cast("long")
+    out = df.select(
+        measurement.alias("measurement"),
+        tags.alias("tags"),
+        fields.alias("fields"),
+        fields_str.alias("fields_str"),
+        fields_bool.alias("fields_bool"),
+        F.when(ts_long.isNotNull(), F.timestamp_micros(micros)).alias("time"),
+        F.lit(None).cast("string").alias("bucket"),
+    )
+    return out.filter(
+        F.col("measurement").isNotNull()
+        & (
+            (F.size(F.coalesce(F.col("fields"), F.create_map())) > 0)
+            | (F.size(F.coalesce(F.col("fields_str"), F.create_map())) > 0)
+            | (F.size(F.coalesce(F.col("fields_bool"), F.create_map())) > 0)
+        )
+    )

@@ -90,3 +90,33 @@ def write_bucketed(
     else:
         writer = writer.bucketBy(num_buckets, bucket_col)
     writer.saveAsTable(table)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = ("bucket", "date"),
+    target_files_per_partition: int = 1,
+) -> None:
+    """Compact a partitioned point store in place: streaming micro-batches
+    leave many small files per (bucket, date) partition; rewrite each
+    partition into ``target_files_per_partition`` files.
+
+    The ops companion to the streaming sink — at 100 TB this runs as a
+    periodic maintenance job over *closed* date partitions only (open
+    partitions are still receiving appends).  Uses dynamic partition
+    overwrite so untouched partitions are left alone by a filtered rewrite.
+    """
+    df = spark.read.parquet(path)
+    with_conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(target_files_per_partition, *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        if with_conf is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_conf)

@@ -239,3 +239,30 @@ def test_idempotent_sink_replaces_batch(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "idem"))
     assert out.count() == batch.count()  # no duplicates
     assert out.select("batch_id").distinct().collect()[0][0] == 7
+
+
+def test_compact_store(spark, tmp_path):
+    """Many small files per partition → one file per partition, same rows."""
+    import glob
+
+    from cerebro_spark.io import compact_store
+
+    store = str(tmp_path / "cstore")
+    pts = _mkpoints(spark, 12).filter(F.col("time").isNotNull())
+    # simulate micro-batch appends: 4 small writes
+    for i in range(4):
+        (
+            pts.filter(F.col("fields")["value"] % 4 == i)
+            .withColumn("date", F.to_date("time"))
+            .write.mode("append")
+            .partitionBy("bucket", "date")
+            .parquet(store)
+        )
+    before_rows = spark.read.parquet(store).count()
+    before_files = len(glob.glob(f"{store}/bucket=*/date=*/*.parquet"))
+    compact_store(spark, store)
+    after = spark.read.parquet(store)
+    assert after.count() == before_rows
+    after_files = len(glob.glob(f"{store}/bucket=*/date=*/*.parquet"))
+    assert after_files < before_files
+    assert after_files == after.select("bucket", "date").distinct().count()
