@@ -35,6 +35,7 @@ HEADLINE = [
     "derivative",
     "downsample_gapfill",
     "sessionize",
+    "interpolate_linear",
     # LLM-pipeline extensions
     "dedup_exact",
     "ngram_jaccard",
@@ -42,6 +43,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_profile",
     "multimodal_features",
+    "tfidf_top_terms",
+    "chunk_documents",
+    # volume joins
+    "top_suppliers",
 ]
 
 

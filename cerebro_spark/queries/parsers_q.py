@@ -274,3 +274,44 @@ ORACLES = {
     "tron_keywords": _TRON_SQL,
     "flatten_amqp": _FLATTEN_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# line-protocol ingest parse (inverse-serializer path in the gate)
+# ---------------------------------------------------------------------------
+
+def q_parse_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerebro_spark.functions.parsers import parse_line_protocol
+
+    ev = load_table(spark, "events", sf_dir)
+    line = F.concat(
+        F.lit("events,src=driver value="),
+        F.col("value").cast("string"),
+        F.lit(",uid="),
+        F.col("user_id").cast("string"),
+        F.lit('i,ts="'),
+        F.col("event_type"),
+        F.lit('"'),
+        F.lit(" "),
+        F.unix_micros(F.col("ts")).cast("string"),
+    )
+    raw = ev.select(line.alias("line"))
+    out = parse_line_protocol(raw)
+    return out.select(
+        "measurement",
+        F.col("tags")["src"].alias("src"),
+        F.col("fields")["value"].alias("value"),
+        F.col("fields")["uid"].alias("uid"),
+        F.col("fields_str")["ts"].alias("event_type"),
+        "time",
+    )
+
+
+_PARSE_LP_SQL = """
+SELECT 'events' AS measurement, 'driver' AS src, value,
+  CAST(user_id AS DOUBLE) AS uid, event_type, ts AS time
+FROM events
+"""
+
+QUERIES["parse_line_protocol"] = q_parse_line_protocol
+ORACLES["parse_line_protocol"] = _PARSE_LP_SQL

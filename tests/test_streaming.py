@@ -266,3 +266,20 @@ def test_compact_store(spark, tmp_path):
     after_files = len(glob.glob(f"{store}/bucket=*/date=*/*.parquet"))
     assert after_files < before_files
     assert after_files == after.select("bucket", "date").distinct().count()
+
+
+def test_resolve_time_forms():
+    """T23/Q2 — Flux-style relative bounds, floats, ISO strings."""
+    import datetime as dt
+
+    from cerebro_spark.plans.client import _resolve_time
+
+    now = dt.datetime(2024, 1, 31, 12, 0, 0)
+    assert _resolve_time("-15m", now) == now - dt.timedelta(minutes=15)
+    assert _resolve_time("-1.5h", now) == now - dt.timedelta(hours=1.5)
+    assert _resolve_time("-2d", now) == now - dt.timedelta(days=2)
+    assert _resolve_time(-300, now) == now - dt.timedelta(seconds=300)
+    assert _resolve_time(1704067200.0, now) == dt.datetime(2024, 1, 1)
+    assert _resolve_time("2024-01-05T06:07:08", now) == dt.datetime(2024, 1, 5, 6, 7, 8)
+    assert _resolve_time("2024-01-05T06:07:08Z", now) == dt.datetime(2024, 1, 5, 6, 7, 8)
+    assert _resolve_time(None, now) is None
