@@ -283,3 +283,20 @@ def test_resolve_time_forms():
     assert _resolve_time("2024-01-05T06:07:08", now) == dt.datetime(2024, 1, 5, 6, 7, 8)
     assert _resolve_time("2024-01-05T06:07:08Z", now) == dt.datetime(2024, 1, 5, 6, 7, 8)
     assert _resolve_time(None, now) is None
+
+
+def test_example_yaml_config_loads(spark, monkeypatch, tmp_path):
+    """The shipped etc/cerebro-spark.yaml parses, interpolates env vars, and
+    resolves its profiles against the source registry."""
+    monkeypatch.setenv("OBSERVATORY", "lco")
+    monkeypatch.setenv("LANDED_DIR", str(tmp_path))
+    cfg = load_config("etc/cerebro-spark.yaml")
+    assert cfg["tags"]["observatory"] == "lco"
+    assert cfg["sources"]["landed_points"]["path"] == str(tmp_path)
+    from cerebro_spark.config.loader import SOURCE_REGISTRY
+
+    for name, params in resolve_profile(cfg, profile="soak").items():
+        assert params["type"] in SOURCE_REGISTRY, name
+    assert set(resolve_profile(cfg, profile="lab")) == {
+        "landed_points", "heartbeat"
+    }
