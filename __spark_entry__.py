@@ -8,7 +8,13 @@ sort columns by name).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this module by file path from any cwd — make the
+# sibling cerebro_spark package importable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

@@ -214,3 +214,17 @@ class IngestRunner:
     def await_all(self, timeout: float | None = None) -> None:
         for q in self._queries.values():
             q.awaitTermination(timeout)
+
+
+@register_source("poll")
+def _poll(spark: SparkSession, name: str, **params) -> DataFrame:
+    """Custom polling connector (S2) as a config-declared source: registers
+    the `cerebro_poll` Python DataSource and passes params through as reader
+    options (``poll_fn`` selects the registered poll function)."""
+    from cerebro_spark.sources.poll import PollDataSource
+
+    spark.dataSource.register(PollDataSource)
+    reader = spark.readStream.format("cerebro_poll")
+    for k, v in params.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

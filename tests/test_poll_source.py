@@ -136,3 +136,42 @@ def test_tpm_snapshot_poll(tmp_path):
     # missing file → empty batch, offset still advances (poll loop continues)
     rows2, off2 = POLL_REGISTRY["tpm_snapshot"](1, {"file": str(tmp_path / "nope")})
     assert rows2 == [] and off2 == 2
+
+
+def test_poll_source_via_config_runner(spark, tmp_path):
+    """config-declared `type: poll` source runs through IngestRunner."""
+    from cerebro_spark.config.loader import IngestRunner
+
+    runner = IngestRunner(
+        spark,
+        {
+            "sources": {
+                "dev1": {
+                    "type": "poll",
+                    "poll_fn": "synthetic",
+                    "rows_per_poll": "3",
+                    "measurement": "pressure",
+                    "delay": 1,
+                }
+            }
+        },
+        store_path=str(tmp_path / "store"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    runner.start()
+    import time
+
+    deadline = time.time() + 60
+    n = 0
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(str(tmp_path / "store")).count()
+        except Exception:
+            n = 0
+        if n >= 6:
+            break
+        time.sleep(1)
+    runner.stop()
+    assert n >= 6
+    out = spark.read.parquet(str(tmp_path / "store"))
+    assert out.filter(F.col("measurement") == "pressure").count() == out.count()
