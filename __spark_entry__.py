@@ -36,6 +36,7 @@ from cerebro_spark.operators.weather import lco_weather_pipeline
 from cerebro_spark.plans.client import CerebroClient
 from cerebro_spark.queries import batch_q as _bq
 from cerebro_spark.queries import extensions as _ext
+from cerebro_spark.queries import joins_q as _jq
 from cerebro_spark.queries import parsers_q as _pq
 from cerebro_spark.queries import pipeline_q as _plq
 from cerebro_spark.queries import text_q as _txq
@@ -540,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_txq.QUERIES,
         **_plq.QUERIES,
         **_vq.QUERIES,
+        **_jq.QUERIES,
     }
 
 
@@ -568,4 +570,5 @@ def oracle_sql() -> dict[str, str]:
         **_txq.ORACLES,
         **_plq.ORACLES,
         **_vq.ORACLES,
+        **_jq.ORACLES,
     }

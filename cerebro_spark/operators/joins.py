@@ -1,0 +1,118 @@
+"""Time-series join operators Spark lacks natively: as-of join and range
+(interval-containment) join — composed from built-ins so Catalyst still owns
+the physical plan (no Python in the path).
+
+- ``asof_join``: each left row picks the most recent right row with
+  ``right.time <= left.time`` (per key, optional tolerance).  Implemented as
+  the union-merge trick: union both sides tagged, sort per key by time, carry
+  the last right values forward with a running window — O(n log n) per key,
+  ONE shuffle, no range-condition join (a naive inequality join degenerates
+  to broadcast-nested-loop).
+- ``range_join``: match points to intervals containing them.  Implemented by
+  bucketing the time axis: intervals explode into the buckets they overlap,
+  points equi-join on their bucket, exact containment filters after — turns
+  an inequality join into an equi-join + filter, the standard scale pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: the latest right row at-or-before its timestamp
+    (within ``tolerance_seconds`` when given), matched per ``by`` keys.
+
+    Ties at identical timestamps: the right row is considered visible to a
+    left row with the same timestamp (``<=`` semantics, like DuckDB
+    ``ASOF JOIN ... ON l.t >= r.t``).
+    """
+    by = by or []
+    right_cols = right_cols or [
+        c for c in right.columns if c != time_col and c not in by
+    ]
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        *by,
+        time_col,
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("__side", F.lit(0))
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+
+    # per key, ordered by (time, side): side=0 (right) sorts before side=1
+    # (left) at equal timestamps, so <= visibility holds
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        "__rt",
+        F.last(
+            F.when(F.col("__side") == 0, F.col(time_col)), ignorenulls=True
+        ).over(w),
+    )
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        expired = (
+            F.col("__rt").isNull()
+            | (
+                F.col(time_col).cast("long") - F.col("__rt").cast("long")
+                > tolerance_seconds
+            )
+        )
+        for c in right_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(expired, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
+            )
+    return out.drop("__rt")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    time_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Join points to the intervals containing them
+    (``start <= t <= end``), optionally also matching ``by`` keys.
+
+    Intervals explode into every ``bucket_seconds`` bucket they overlap;
+    points compute their single bucket; the join is an equi-join on
+    (by…, bucket) with the exact containment predicate applied after — no
+    inequality join, so no nested-loop fallback.  Long intervals cost
+    length/bucket_seconds replicas: pick the bucket width near the typical
+    interval length.
+    """
+    by = by or []
+    b0 = F.floor(F.col(start_col).cast("long") / bucket_seconds)
+    b1 = F.floor(F.col(end_col).cast("long") / bucket_seconds)
+    iv = intervals.select(
+        "*", F.explode(F.sequence(b0, b1)).alias("__bkt")
+    )
+    pt = points.withColumn(
+        "__bkt", F.floor(F.col(time_col).cast("long") / bucket_seconds)
+    )
+    cond = (
+        (F.col(time_col) >= F.col(start_col))
+        & (F.col(time_col) <= F.col(end_col))
+    )
+    return pt.join(iv, on=by + ["__bkt"], how="inner").filter(cond).drop("__bkt")
