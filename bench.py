@@ -45,8 +45,10 @@ HEADLINE = [
     "multimodal_features",
     "tfidf_top_terms",
     "chunk_documents",
-    # volume joins
+    # volume + time-series joins
     "top_suppliers",
+    "asof_join",
+    "range_join",
 ]
 
 

@@ -1,0 +1,54 @@
+"""As-of / range join unit tests (tie semantics, tolerance, bucket edges)."""
+
+import datetime as dt
+
+from cerebro_spark.operators.joins import asof_join, range_join
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_tie_and_ordering(spark):
+    left = spark.createDataFrame(
+        [(1, _t(10)), (2, _t(20)), (3, _t(5))], ["id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(_t(10), 100.0), (_t(15), 150.0)], ["ts", "price"]
+    )
+    out = {r["id"]: r["price_right"] for r in asof_join(left, right, "ts").collect()}
+    assert out[1] == 100.0   # equal timestamp is visible (<= semantics)
+    assert out[2] == 150.0   # latest at-or-before
+    assert out[3] is None    # nothing before
+
+
+def test_asof_tolerance_and_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _t(30)), (2, "b", _t(30))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("a", _t(29), 1.0), ("b", _t(0), 2.0)], ["k", "ts", "v"]
+    )
+    out = {
+        r["id"]: r["v_right"]
+        for r in asof_join(
+            left, right, "ts", by=["k"], tolerance_seconds=600
+        ).collect()
+    }
+    assert out[1] == 1.0     # 1 min old: within tolerance
+    assert out[2] is None    # 30 min old: expired
+
+
+def test_range_join_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, _t(0)), (2, _t(30)), (3, _t(31)), (4, _t(59))], ["id", "ts"]
+    )
+    iv = spark.createDataFrame(
+        [(10, _t(0), _t(30)), (11, _t(45), _t(59))], ["iid", "start", "end"]
+    )
+    # bucket width much smaller than intervals → multi-bucket explode path
+    out = {
+        (r["id"], r["iid"])
+        for r in range_join(pts, iv, "ts", bucket_seconds=60).collect()
+    }
+    assert out == {(1, 10), (2, 10), (4, 11)}  # inclusive bounds, 3 matches
