@@ -203,3 +203,24 @@ QUERIES["users_purchase_no_error"] = q_users_purchase_no_error
 QUERIES["orders_with_returns"] = q_orders_with_returns
 ORACLES["users_purchase_no_error"] = _USERS_SETOP_SQL
 ORACLES["orders_with_returns"] = _ORDERS_RETURNS_SQL
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: (type × weekday), type-only, weekday-only, grand
+    total — completes the grouping-sets family next to ROLLUP."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn("weekday", F.dayofweek("ts"))
+        .cube("event_type", "weekday")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("value_avg"))
+    )
+
+
+_EVENTS_CUBE_SQL = """
+SELECT event_type, weekday, count(*) AS n, avg(value) AS value_avg
+FROM (SELECT event_type, dayofweek(ts) + 1 AS weekday, value FROM events)
+GROUP BY CUBE (event_type, weekday)
+"""
+
+QUERIES["events_cube"] = q_events_cube
+ORACLES["events_cube"] = _EVENTS_CUBE_SQL

@@ -1,0 +1,62 @@
+"""Edge cases for the TSDB verb operators (the oracle covers the bulk)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cerebro_spark.operators.tsdb import (
+    derivative,
+    downsample,
+    gapfill,
+    increase,
+    interpolate_linear,
+)
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def test_derivative_dup_second_null(spark):
+    df = spark.createDataFrame(
+        [(1, _t(0), 10.0), (2, _t(0), 20.0), (3, _t(10), 30.0)],
+        ["id", "ts", "v"],
+    )
+    out = {r["id"]: r["derivative"] for r in
+           derivative(df, "v", "ts", order_extra=["id"]).collect()}
+    assert out[1] is None            # first row
+    assert out[2] is None            # dt == 0 (same truncated second)
+    assert out[3] == (30.0 - 20.0) / 10
+
+
+def test_increase_clamps_resets(spark):
+    df = spark.createDataFrame(
+        [(_t(0), 10.0), (_t(10), 15.0), (_t(20), 2.0)], ["ts", "v"]
+    )
+    vals = [r["increase"] for r in
+            increase(df, "v", "ts").orderBy("ts").collect()]
+    assert vals == [None, 5.0, 0.0]  # counter reset clamped to 0
+
+
+def test_gapfill_single_and_missing_buckets(spark):
+    df = spark.createDataFrame(
+        [(_t(0), 1.0), (_t(0) + dt.timedelta(hours=3), 4.0)], ["ts", "v"]
+    )
+    ds = downsample(df, 3600, {"v": F.avg("v")}, "ts")
+    dense = gapfill(ds, 3600, "bucket_ts", ffill=True).orderBy("bucket_ts")
+    vals = [r["v"] for r in dense.collect()]
+    assert vals == [1.0, 1.0, 1.0, 4.0]  # 2 missing hours carried forward
+
+
+def test_interpolate_leading_trailing_nulls(spark):
+    df = spark.createDataFrame(
+        [(_t(0), None), (_t(10), 10.0), (_t(20), None), (_t(30), 40.0),
+         (_t(40), None)],
+        "ts timestamp, v double",
+    )
+    out = [r["v_interp"] for r in
+           interpolate_linear(df, "v", "ts").orderBy("ts").collect()]
+    assert out[0] is None            # leading null stays
+    assert out[1] == 10.0
+    assert out[2] == 25.0            # midpoint of 10..40 over 10..30
+    assert out[4] is None            # trailing null stays
