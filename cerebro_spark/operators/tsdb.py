@@ -53,15 +53,20 @@ def increase(
     partition_by: list[str] | None = None,
     out_col: str = "increase",
 ) -> DataFrame:
-    """Counter increase vs previous sample, clamped at 0 on resets
-    (InfluxDB/PromQL ``increase`` semantics per adjacent pair)."""
+    """Counter increase vs previous sample, clamped at 0 on resets; null on
+    each series' first sample (InfluxDB/PromQL ``increase`` semantics —
+    note Spark's ``greatest`` ignores nulls, so the first-row case must be
+    guarded explicitly or it would read as a 0.0 increase)."""
     w = (
         Window.partitionBy(*partition_by).orderBy(time_col)
         if partition_by
         else Window.orderBy(time_col)
     )
-    dv = F.col(value_col) - F.lag(value_col).over(w)
-    return df.withColumn(out_col, F.greatest(dv, F.lit(0.0)))
+    prev = F.lag(value_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(prev.isNotNull(), F.greatest(F.col(value_col) - prev, F.lit(0.0))),
+    )
 
 
 def downsample(

@@ -38,8 +38,10 @@ def q_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCREASE_SQL = """
 SELECT event_id, user_id, ts,
-  greatest(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 0.0) AS increase
+  CASE WHEN lag(value) OVER w IS NULL THEN NULL
+       ELSE greatest(value - lag(value) OVER w, 0.0) END AS increase
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """
 
 
