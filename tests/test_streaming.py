@@ -300,3 +300,43 @@ def test_example_yaml_config_loads(spark, monkeypatch, tmp_path):
     assert set(resolve_profile(cfg, profile="lab")) == {
         "landed_points", "heartbeat"
     }
+
+
+def test_runner_restart_resumes_from_checkpoint(spark, tmp_path):
+    """C3 `restart <source>`: the rebuilt query resumes from the checkpoint —
+    no duplicates, new files picked up after restart."""
+    src = str(tmp_path / "rs_in")
+    _mkpoints(spark, 4).write.mode("overwrite").parquet(src)
+    runner = IngestRunner(
+        spark,
+        {"sources": {"s1": {"type": "file_replay", "path": src}}},
+        store_path=str(tmp_path / "rs_store"),
+        checkpoint_root=str(tmp_path / "rs_ckpt"),
+    )
+    runner.start()
+    runner.await_all(120)
+    n1 = spark.read.parquet(str(tmp_path / "rs_store")).count()
+
+    _mkpoints(spark, 2, measurement="late").write.mode("append").parquet(src)
+    runner.restart("s1")
+    runner.await_all(120)
+    runner.stop()
+    out = spark.read.parquet(str(tmp_path / "rs_store"))
+    # restart processed only the delta: 2 + stamped-null-time (empty dropped)
+    assert out.count() == n1 + 3
+    assert out.filter(F.col("measurement") == "late").count() == 3
+
+
+def test_client_path_store(spark, tmp_path):
+    """CerebroClient with a parquet *path* registered as the bucket store."""
+    import datetime as dt
+
+    pts = _mkpoints(spark, 6).filter(F.col("time").isNotNull())
+    path = str(tmp_path / "cstore2")
+    pts.write.mode("overwrite").parquet(path)
+    client = CerebroClient(spark, {"sensors": path})
+    out = client.query(
+        "sensors", "temperature", field="value",
+        start=dt.datetime(2024, 1, 1), end=dt.datetime(2024, 1, 2),
+    )
+    assert out.count() == 6
