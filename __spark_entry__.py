@@ -303,11 +303,16 @@ def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     temp_c = fahrenheit_to_celsius(F.col("value"))
     rh = (F.col("event_id") % 101).cast("double")
+    # pressure emitted as %.6e string: pow() differs by 1 ulp between the two
+    # engines' libm, which a near-exact hash can see — a 7-sig-digit canonical
+    # string is stable on both sides.
     return ev.select(
         "event_id",
         temp_c.alias("temp_c"),
         dew_point(temp_c, rh).alias("dew_point"),
-        volts_to_torr(F.col("value") / F.lit(100.0)).alias("pressure_torr"),
+        F.format_string(
+            "%.6e", volts_to_torr(F.col("value") / F.lit(100.0))
+        ).alias("pressure_torr"),
     )
 
 
@@ -315,7 +320,7 @@ _UNIT_SQL = """
 SELECT event_id,
   (value - 32.0) * 5.0 / 9.0 AS temp_c,
   (value - 32.0) * 5.0 / 9.0 - round((100.0 - CAST(event_id % 101 AS DOUBLE)) / 5.0, 2) AS dew_point,
-  power(10.0, (value / 100.0) * 2.0 + -10.0) * 0.00750062 AS pressure_torr
+  printf('%.6e', power(10.0, (value / 100.0) * 2.0 + -10.0) * 0.00750062) AS pressure_torr
 FROM events
 """
 

@@ -59,11 +59,17 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return duplicate_groups(load_table(spark, "documents", sf_dir))
+    # ids joined to a string: the driver canonicalizer (pandas sort_values +
+    # hash) cannot handle raw array columns.
+    return duplicate_groups(load_table(spark, "documents", sf_dir)).withColumn(
+        "ids", F.concat_ws(",", F.col("ids"))
+    )
 
 
 _DEDUP_GROUPS_SQL = """
-SELECT md5(text) AS digest, list(doc_id ORDER BY doc_id) AS ids, count(*) AS n_copies
+SELECT md5(text) AS digest,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS ids,
+       count(*) AS n_copies
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
@@ -181,11 +187,19 @@ _SIMHASH_BITS = 24
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(load_table(spark, "documents", sf_dir), bits=_SIMHASH_BITS)
+    # Fingerprint emitted as zero-padded lowercase hex STRING: DuckDB's
+    # sum(BIGINT) is HUGEINT, which the driver canonicalizer renders
+    # differently from Spark's BIGINT — a canonical string sidesteps the
+    # numeric-type divergence entirely (round-1 hash_match failure).
+    hexw = (_SIMHASH_BITS + 3) // 4
+    return simhash(load_table(spark, "documents", sf_dir), bits=_SIMHASH_BITS).select(
+        "id", F.format_string(f"%0{hexw}x", F.col("simhash")).alias("simhash")
+    )
 
 
 def _simhash_sql() -> str:
     x = _hex2long_sql("md5(tok)", 15)
+    hexw = (_SIMHASH_BITS + 3) // 4
     return f"""
 WITH toks AS (
   SELECT DISTINCT id, tok FROM (
@@ -197,9 +211,12 @@ hx AS (SELECT id, {x} AS x FROM toks),
 bits AS (
   SELECT id, i, sum(CASE WHEN (x >> i) % 2 = 1 THEN 1 ELSE -1 END) AS v
   FROM hx, generate_series(0, {_SIMHASH_BITS - 1}) AS g(i) GROUP BY id, i
+),
+fp AS (
+  SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM bits GROUP BY id
 )
-SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
-FROM bits GROUP BY id
+SELECT id, printf('%0{hexw}x', CAST(simhash AS BIGINT)) AS simhash FROM fp
 """
 
 
@@ -456,11 +473,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
+    # value_sum rounded to 4 dp on BOTH sides: raw sum(double) differs between
+    # Spark and DuckDB in the low bits (summation order) — the driver's hash
+    # is exact, so emit a canonical rounded value (round-1 hash_match failure).
     return sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("value_sum"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
     )
 
 
@@ -476,12 +496,13 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-  count(*) AS n_events, sum(value) AS value_sum
+  count(*) AS n_events, round(sum(value), 4) AS value_sum
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -511,23 +532,30 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exploded to (doc_id, dim, value) rows: the driver canonicalizer does a
+    # pandas sort_values over the result and crashes on raw array columns
+    # (round-1 `err` row) — long form is also the join-friendly shape.
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return extract_features(docs, dim=4)
+    feats = extract_features(docs, dim=4)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "value"), "n_bytes"
+    )
 
 
 #: documents are pure ASCII (verified) so utf-8 bytes == characters; the SQL
 #: reproduces the byte-bucket histogram the Arrow-batched UDF computes.
+#: value = count/n is a single IEEE division of exact integers — identical in
+#: both engines, so no rounding is needed.
 _MULTIMODAL_FEATURES_SQL = """
 WITH chars AS (
   SELECT doc_id, string_split(text, '') AS cs, length(text) AS n FROM documents
 )
-SELECT doc_id,
-  list_transform([0, 1, 2, 3],
-                 b -> 1.0 * len(list_filter(cs, c -> ord(c) // 64 = b)) / n) AS features,
+SELECT doc_id, CAST(b AS INTEGER) AS dim,
+  1.0 * len(list_filter(cs, c -> ord(c) // 64 = b)) / n AS value,
   CAST(n AS BIGINT) AS n_bytes
-FROM chars
+FROM chars, generate_series(0, 3) AS g(b)
 """
 
 

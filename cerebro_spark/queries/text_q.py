@@ -56,17 +56,28 @@ SELECT ngram, n_occurrences, rank FROM (
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return label_centroids(load_table(spark, "embeddings", sf_dir))
+    # Long form (label, dim, mean_x) for the driver gate: raw array columns
+    # crash its pandas canonicalizer; mean_x rounded to 6 dp on both sides
+    # because avg(double) summation order differs across engines.
+    from pyspark.sql import functions as F
+
+    cen = label_centroids(load_table(spark, "embeddings", sf_dir))
+    return cen.select(
+        "label",
+        F.posexplode("centroid").alias("dim", "mean_x"),
+        "n_vectors",
+    ).withColumn("mean_x", F.round("mean_x", 6))
 
 
 _CENTROIDS_SQL = """
 WITH ex AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, generate_series(1, 64) AS g(i)
-),
-per AS (SELECT label, dim, avg(x) AS mean_x, count(*) AS n FROM ex GROUP BY 1, 2)
-SELECT label, list(mean_x ORDER BY dim) AS centroid, min(n) AS n_vectors
-FROM per GROUP BY label
+)
+SELECT label, CAST(dim AS INTEGER) AS dim, mean_x, n_vectors FROM (
+  SELECT label, dim, round(avg(x), 6) AS mean_x, count(*) AS n_vectors
+  FROM ex GROUP BY label, dim
+)
 """
 
 

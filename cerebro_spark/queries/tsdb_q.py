@@ -189,15 +189,17 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("event_type")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    # z rounded to 6 dp both sides: avg/stddev summation-order noise in the
+    # low bits would break the driver's near-exact hash.
     return (
         ev.withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2)
-        .select("event_id", "event_type", "value", "z")
+        .select("event_id", "event_type", "value", F.round("z", 6).alias("z"))
     )
 
 
 _ZSCORE_SQL = """
-SELECT event_id, event_type, value, z FROM (
+SELECT event_id, event_type, value, round(z, 6) AS z FROM (
   SELECT event_id, event_type, value,
     (value - avg(value) OVER (PARTITION BY event_type))
       / stddev_samp(value) OVER (PARTITION BY event_type) AS z

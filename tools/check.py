@@ -1,9 +1,18 @@
 """Local mimic of the driver's correctness gate.
 
 Runs every ``__spark_entry__.queries()`` entry at a given SF and compares to
-``oracle_sql()`` executed by DuckDB on the same parquet: row count, sorted
-column names, and an order-insensitive value hash after canonicalization
-(floats → 6 significant digits, timestamps → ISO strings; FIXTURES.md rule).
+``oracle_sql()`` executed by DuckDB on the same parquet.  Round-2 lesson: the
+driver's canonicalizer is pandas-based and STRICTER than a 6-sig-digit value
+canon — it distinguishes numeric dtypes (DuckDB HUGEINT → float64 broke
+``simhash`` in round 1), hashes doubles near full precision (summation-order
+noise broke ``sessionize``), and crashes outright on array columns
+(``multimodal_features``).  So this gate now:
+
+- converts BOTH sides to pandas (``toPandas`` / ``res.df()``) and compares
+  dtype *kinds* per column (i/u/f/O/M/b) — a mismatch is a failure;
+- canonicalizes floats at 14 significant digits (driver observed ~14-15);
+- HARD-FAILS any list/ndarray cell — raw array columns must never reach the
+  driver gate.
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
@@ -14,6 +23,8 @@ import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,28 +34,52 @@ from cerebro_spark.schema import TESTDATA_TABLES  # noqa: E402
 def canon_value(v):
     if v is None:
         return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
+    if isinstance(v, (np.floating, float)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
+            return None
         if v == 0:
             return 0.0
-        return float(f"{v:.6g}")
-    if hasattr(v, "isoformat"):
+        return float(f"{v:.14g}")
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (pd.Timestamp,)) or hasattr(v, "isoformat"):
+        if v is pd.NaT or (isinstance(v, pd.Timestamp) and pd.isna(v)):
+            return None
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(canon_value(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon_value(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        raise TypeError(
+            f"array/map cell {type(v).__name__} — driver canonicalizer "
+            "crashes on these; string-encode or explode the column"
+        )
     return v
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return sorted(cols), out
+def canon_frame(pdf: pd.DataFrame):
+    """(sorted col names, {col: dtype kind}, canonical sorted row tuples)."""
+    cols = sorted(pdf.columns)
+    kinds = {}
+    for c in cols:
+        k = pdf[c].dtype.kind
+        if k == "O":
+            # object column of all-numeric (e.g. HUGEINT via fetch path) stays O
+            non_null = pdf[c].dropna()
+            if len(non_null) and all(
+                isinstance(x, (list, tuple, np.ndarray, dict)) for x in non_null[:5]
+            ):
+                raise TypeError(
+                    f"column {c!r} holds arrays/maps — driver canonicalizer "
+                    "crashes; string-encode or explode it"
+                )
+        kinds[c] = "u" if k == "u" else k
+    rows = [
+        tuple(canon_value(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols, kinds, rows
 
 
 def main():
@@ -69,29 +104,31 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
+            sc, skinds, sr = canon_frame(spdf)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark/canon error: {e}")
             continue
         if name not in oracles:
-            print(f"okNR {name}: rows={len(srows)} (no oracle — rows-only check)")
+            print(f"okNR {name}: rows={len(sr)} (no oracle — rows-only check)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
+            oc, okinds, orr = canon_frame(opdf)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(f"FAIL {name}: duckdb/canon error: {e}")
             continue
-        sc, sr = canon_rows(scols, srows)
-        oc, orr = canon_rows(ocols, orows)
         if sc != oc:
             failures.append(name)
             print(f"FAIL {name}: schema mismatch spark={sc} duckdb={oc}")
+        elif skinds != okinds:
+            failures.append(name)
+            diff = {
+                c: (skinds[c], okinds[c]) for c in sc if skinds[c] != okinds[c]
+            }
+            print(f"FAIL {name}: dtype-kind mismatch (spark, duckdb): {diff}")
         elif len(sr) != len(orr):
             failures.append(name)
             print(f"FAIL {name}: rowcount spark={len(sr)} duckdb={len(orr)}")
