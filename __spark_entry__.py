@@ -465,11 +465,15 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rank")
+    # TakeOrderedAndProject top-k + bounded rank: a global row_number window
+    # serializes the whole post-agg set through one task at scale (round-1
+    # single-partition WindowExec warning).
+    from cerebro_spark.operators.util import top_k_ranked
+
+    return top_k_ranked(
+        agg.select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue"),
+        [("revenue", "desc"), ("o_orderkey", "asc")],
+        k=10,
     )
 
 

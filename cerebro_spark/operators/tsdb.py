@@ -116,14 +116,66 @@ def gapfill(
     ).select(*keys, F.timestamp_seconds(F.col("__sec")).alias(time_col))
     dense = axis.join(df, on=keys + [time_col], how="left")
     if ffill:
-        w = (
-            Window.partitionBy(*keys).orderBy(time_col)
-            if keys
-            else Window.orderBy(time_col)
-        ).rowsBetween(Window.unboundedPreceding, 0)
-        for c in fill_cols:
-            dense = dense.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(time_col).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            for c in fill_cols:
+                dense = dense.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        else:
+            # Keyless ffill is a GLOBAL prefix scan — an unpartitioned running
+            # window would serialize every row through one task (round-1 scale
+            # flag).  Two-level scan instead: parallel within-bucket carry +
+            # a per-bucket summary (one row per bucket) whose own scan is the
+            # only single-task stage.
+            dense = _global_ffill(dense, time_col, fill_cols)
     return dense
+
+
+def _global_ffill(
+    df: DataFrame,
+    time_col: str,
+    fill_cols: list[str],
+    scale_bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Forward-fill with no series key, parallelized as a two-level prefix
+    scan: (1) within time buckets, the running ``last(ignorenulls)`` runs in
+    parallel across bucket partitions; (2) each bucket's final non-null value
+    per column is aggregated to ONE summary row per bucket, and the carry-in
+    for bucket k = running last over summaries of buckets < k.  The summary
+    scan is the only unpartitioned window and sees #buckets rows (days, not
+    samples), so the single task is bounded by calendar span, not data volume.
+    """
+    b = F.floor(F.col(time_col).cast("long") / scale_bucket_seconds)
+    df_b = df.withColumn("__b", b)
+    wb = Window.partitionBy("__b").orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = df_b
+    for c in fill_cols:
+        local = local.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+    summary = df_b.groupBy("__b").agg(
+        *[
+            F.max_by(
+                c, F.when(F.col(c).isNotNull(), F.col(time_col))
+            ).alias(f"__last_{c}")
+            for c in fill_cols
+        ]
+    )
+    ws = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = summary.select(
+        "__b",
+        *[
+            F.last(f"__last_{c}", ignorenulls=True).over(ws).alias(f"__carry_{c}")
+            for c in fill_cols
+        ],
+    )
+    out = local.join(F.broadcast(carry), "__b", "left")
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
+    return out.drop("__b", *[f"__carry_{c}" for c in fill_cols])
 
 
 def interpolate_linear(

@@ -21,6 +21,42 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def top_k_ranked(df: DataFrame, order_cols, k: int) -> DataFrame:
+    """Deterministic global top-k WITH a rank column, scale-safely.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps its own top-k, then the driver merges k·P rows — so no
+    stage ever moves the full data through one task.  The rank is then
+    assigned over the ≤k survivors by packing them into ONE sorted array
+    (``collect_list`` of ≤k structs + ``array_sort`` + ``posexplode``) instead
+    of a global ``row_number`` window: ``Window.orderBy`` with no partition
+    serializes its whole input through a single WindowExec task and was the
+    round-1 scale red flag on the top-N queries.
+
+    ``order_cols`` are (column, 'asc'|'desc') pairs; ties must be broken by
+    the trailing columns for determinism.
+    """
+    from pyspark.sql import functions as F
+
+    ordering = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_cols
+    ]
+    top = df.orderBy(*ordering).limit(k)
+    # Sort key: negate desc numeric columns so one ascending array_sort gives
+    # the requested order over the bounded k-row set.
+    key_fields = [
+        ((-F.col(c)) if d == "desc" else F.col(c)).alias(f"__o{i}")
+        for i, (c, d) in enumerate(order_cols)
+    ]
+    packed = top.select(
+        F.struct(*key_fields, F.struct(*df.columns).alias("__row")).alias("__s")
+    )
+    arr = packed.agg(F.array_sort(F.collect_list("__s")).alias("__a"))
+    return arr.select(
+        F.posexplode("__a").alias("__pos", "__s")
+    ).select("__s.__row.*", (F.col("__pos") + 1).alias("rank"))
+
+
 def salted_join(
     left: "DataFrame",
     right: "DataFrame",

@@ -48,13 +48,17 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
-    return (
+    # TakeOrderedAndProject top-k + bounded rank instead of a global
+    # row_number window (round-1 single-partition WindowExec warning).
+    from cerebro_spark.operators.util import top_k_ranked
+
+    joined = (
         rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "revenue")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    )
+    return top_k_ranked(
+        joined, [("revenue", "desc"), ("s_suppkey", "asc")], k=10
     )
 
 

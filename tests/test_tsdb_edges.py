@@ -48,6 +48,33 @@ def test_gapfill_single_and_missing_buckets(spark):
     assert vals == [1.0, 1.0, 1.0, 4.0]  # 2 missing hours carried forward
 
 
+def test_global_ffill_equals_naive_window(spark):
+    """Two-level bucketed prefix scan == unpartitioned running window,
+    including carries across empty buckets and leading nulls."""
+    from pyspark.sql import Window
+
+    from cerebro_spark.operators.tsdb import _global_ffill
+
+    rows = [
+        (_t(0), None, None),
+        (_t(5), 1.0, None),
+        (_t(12), None, "a"),
+        (_t(31), None, None),   # bucket with no non-null values at width 10
+        (_t(47), 4.0, None),
+        (_t(55), None, "b"),
+        (_t(68), None, None),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double, s string")
+    got = _global_ffill(df, "ts", ["v", "s"], scale_bucket_seconds=10)
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("v", F.last("v", ignorenulls=True).over(w)).withColumn(
+        "s", F.last("s", ignorenulls=True).over(w)
+    )
+    assert sorted(got.collect(), key=lambda r: r["ts"]) == sorted(
+        want.collect(), key=lambda r: r["ts"]
+    )
+
+
 def test_interpolate_leading_trailing_nulls(spark):
     df = spark.createDataFrame(
         [(_t(0), None), (_t(10), 10.0), (_t(20), None), (_t(30), 40.0),
