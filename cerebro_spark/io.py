@@ -108,7 +108,12 @@ def compact_store(
     overwrite so untouched partitions are left alone by a filtered rewrite.
     """
     df = spark.read.parquet(path)
-    with_conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    # Restore with the engine default ('static') when the conf was never set:
+    # a None sentinel would skip the restore and leave the whole session in
+    # dynamic overwrite mode permanently.
+    with_conf = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
@@ -118,5 +123,4 @@ def compact_store(
             .parquet(path)
         )
     finally:
-        if with_conf is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_conf)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_conf)

@@ -40,47 +40,44 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c != time_col and c not in by
     ]
+    # All right columns ride in ONE struct so every carried value comes from
+    # the SAME (latest) right row — carrying each column independently with
+    # last(ignorenulls) would resurrect stale values for columns that are null
+    # in the matched row, diverging from DuckDB ASOF JOIN semantics.
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
         *by,
         time_col,
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(time_col).alias("__rt"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("__rvals"),
     ).withColumn("__side", F.lit(0))
     merged = lt.unionByName(rt, allowMissingColumns=True)
 
     # per key, ordered by (time, side): side=0 (right) sorts before side=1
-    # (left) at equal timestamps, so <= visibility holds
+    # (left) at equal timestamps, so <= visibility holds.  The struct is
+    # non-null for every right row (even one whose fields are all null), so
+    # last(ignorenulls) selects whole rows, never mixes them.
     w = (
         Window.partitionBy(*by)
         .orderBy(F.col(time_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = merged
-    for c in right_cols:
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn(
-        "__rt",
-        F.last(
-            F.when(F.col("__side") == 0, F.col(time_col)), ignorenulls=True
-        ).over(w),
+    carried = merged.withColumn(
+        "__c", F.last("__rvals", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1).drop("__side", "__rvals")
+    matched = F.col("__c")
     if tolerance_seconds is not None:
-        expired = (
-            F.col("__rt").isNull()
-            | (
-                F.col(time_col).cast("long") - F.col("__rt").cast("long")
-                > tolerance_seconds
-            )
+        matched = F.when(
+            F.col(time_col).cast("long") - F.col("__c").getField("__rt").cast("long")
+            <= tolerance_seconds,
+            F.col("__c"),
         )
-        for c in right_cols:
-            out = out.withColumn(
-                f"{c}{suffix}",
-                F.when(expired, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
-            )
-    return out.drop("__rt")
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", matched.getField(c))
+    return out.drop("__c")
 
 
 def range_join(

@@ -77,9 +77,20 @@ def filter_time_range(
     has_raw = raw in df.columns
 
     def _ns(bound) -> int:
+        # Integer arithmetic throughout: float timestamp()*1e6 can land 1 µs
+        # low (double resolution ~0.24 µs at current epochs), which would
+        # silently drop rows lying exactly on a closed-interval bound.  Aware
+        # non-UTC datetimes are CONVERTED (astimezone), not reinterpreted.
         if isinstance(bound, str):
             bound = dt.datetime.fromisoformat(bound)
-        return int(bound.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+        if bound.tzinfo is None:
+            bound = bound.replace(tzinfo=dt.timezone.utc)
+        else:
+            bound = bound.astimezone(dt.timezone.utc)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        delta = bound - epoch
+        secs = delta.days * 86400 + delta.seconds
+        return (secs * 1_000_000 + delta.microseconds) * 1000
 
     if start is not None:
         df = df.filter(F.col(time_col) >= F.lit(start).cast("timestamp"))

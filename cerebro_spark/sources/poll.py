@@ -119,8 +119,18 @@ try:  # PySpark 4 Python DataSource API
             raise last_exc  # type: ignore[misc]
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            # replay: deterministic poll fns regenerate the same rows
+            # Replay contract: registered poll fns must be deterministic in
+            # offset.  The replayed batch is additionally SLICED to the
+            # committed offset span, so a changed option (e.g. rows_per_poll
+            # across a restart) cannot replay more rows than the original
+            # batch committed.  Fns that over-advance hwm on empty reads
+            # (snapshot polls hitting a transient error) can still under-fill
+            # a replay — inherent for non-deterministic state, documented.
             rows, _ = self.fn(int(start["hwm"]), self.options)
+            rows = list(rows)
+            delta = int(end["hwm"]) - int(start["hwm"])
+            if 0 <= delta < len(rows):
+                rows = rows[:delta]
             return iter(rows)
 
     class PollDataSource(DataSource):

@@ -80,15 +80,18 @@ def _session_fn(gap_seconds: int):
             )
             return
 
-        rows = pd.concat(list(batches))
-        secs = (rows["ts"].astype("int64") // 1_000_000_000).sort_values()
-        vals = rows.set_index(rows.index)["value"]
+        # ignore_index: a key spanning multiple Arrow chunks would otherwise
+        # concat with duplicate index labels, and any label-based alignment
+        # silently mispairs timestamps with values.  Sort whole rows by ts and
+        # iterate positionally — no index round-trip at all.
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+        secs = rows["ts"].astype("int64") // 1_000_000_000
         closed = []
         if state.exists:
             start, last, n, vsum = state.get
         else:
             start, last, n, vsum = None, None, 0, 0.0
-        for sec, v in zip(secs, rows.loc[secs.index, "value"]):
+        for sec, v in zip(secs, rows["value"]):
             if last is not None and sec - last > gap_seconds:
                 closed.append((start, last, n, vsum))
                 start, n, vsum = sec, 0, 0.0

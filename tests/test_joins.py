@@ -39,6 +39,20 @@ def test_asof_tolerance_and_keys(spark):
     assert out[2] is None    # 30 min old: expired
 
 
+def test_asof_matched_row_nulls_not_resurrected(spark):
+    """A null inside the MATCHED right row must come through as null — not be
+    replaced by a stale value from an older right row — and all carried
+    columns must come from the same right row (DuckDB ASOF JOIN semantics)."""
+    left = spark.createDataFrame([(1, _t(20))], ["id", "ts"])
+    right = spark.createDataFrame(
+        [(_t(5), 100.0, "old"), (_t(15), None, None)],
+        "ts timestamp, price double, tag string",
+    )
+    row = asof_join(left, right, "ts").collect()[0]
+    assert row["price_right"] is None   # matched row's null, not stale 100.0
+    assert row["tag_right"] is None
+
+
 def test_range_join_boundaries(spark):
     pts = spark.createDataFrame(
         [(1, _t(0)), (2, _t(30)), (3, _t(31)), (4, _t(59))], ["id", "ts"]

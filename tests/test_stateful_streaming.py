@@ -92,6 +92,46 @@ def test_streaming_sessionize_batchwise(spark, tmp_path):
     assert str(s["session_end"]) == "2024-01-01 00:20:00"
 
 
+def test_sessionize_key_spanning_multiple_arrow_chunks(spark, tmp_path):
+    """One key's rows arriving in several Arrow batches must aggregate
+    correctly: with maxRecordsPerBatch forced low, the per-key pandas input
+    comes as multiple chunks whose concat previously misaligned ts/value."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # 40 rows in one session, written UNSORTED so chunk order matters,
+        # then a 2h-later row that closes the session within the batch.
+        for i in reversed(range(40)):
+            rows.append((1, base + dt.timedelta(minutes=i), float(i)))
+        rows.append((1, base + dt.timedelta(hours=3), 0.0))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        src = str(tmp_path / "chunk_in")
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("chunk_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM chunk_sessions").collect()
+        assert len(out) == 1
+        s = out[0]
+        assert s["n_events"] == 40
+        assert s["value_sum"] == float(sum(range(40)))
+        assert str(s["session_start"]) == "2024-01-01 00:00:00"
+        assert str(s["session_end"]) == "2024-01-01 00:39:00"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """Rows older than the advanced watermark are excluded from new windows:
     run the windowed rollup twice on one checkpoint; the second batch's
