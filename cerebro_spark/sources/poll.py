@@ -179,6 +179,86 @@ def _file_exists_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
     return [row], offset + 1
 
 
+def _decode_escapes(s: str) -> str:
+    """Spark options are plain strings; let callers write ``\\n`` / ``\\r``."""
+    return s.encode().decode("unicode_escape")
+
+
+@register_poll_fn("tcp_request")
+def _tcp_request_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
+    """S2/S7/S8/S10 transport — request/reply over a real TCP socket, one
+    reply per poll (the reference's ``TCPSource._read_internal`` shape:
+    `/root/reference/cerebro/sources/source.py:213-229`, Govee/Sens4/LN2
+    `lvm.py:57-109,139-174,212-240`).
+
+    Options: ``host``, ``port``, optional ``request`` (escapes allowed),
+    ``terminator`` (default ``\\n``), ``timeout_s``.  The raw reply rides in
+    ``fields_str.raw`` — protocol semantics stay in the declarative parse
+    stage (``parse_govee`` / ``parse_sens4`` / ``parse_ln2``), keeping the
+    transport generic.  Socket errors raise → the reader's C5 backoff retries.
+    Live sockets are not offset-deterministic; checkpoint replay is bounded
+    by the committed span slice in ``readBetweenOffsets``.
+    """
+    import socket
+
+    host = options.get("host", "127.0.0.1")
+    port = int(options["port"])
+    timeout = float(options.get("timeout_s", "5"))
+    request = options.get("request")
+    term = _decode_escapes(options.get("terminator", "\n")).encode()
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.settimeout(timeout)
+        if request:
+            sock.sendall(_decode_escapes(request).encode())
+        buf = b""
+        while not buf.endswith(term):
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+    row = (
+        options.get("measurement", "tcp_raw"),
+        {"source": options.get("source_name", "tcp"), "host": host},
+        None,
+        {"raw": buf.decode(errors="replace")},
+        None,
+        None,  # stamped centrally (T5)
+        options.get("bucket"),
+    )
+    return [row], offset + 1
+
+
+@register_poll_fn("udp_request")
+def _udp_request_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
+    """S12 transport — datagram request/reply (the ADAM thermistor read:
+    `/root/reference/cerebro/sources/lvm.py:380-426`).  Sends ``request``,
+    returns the raw reply datagram in ``fields_str.raw`` for the
+    ``parse_thermistor`` stage."""
+    import socket
+
+    host = options.get("host", "127.0.0.1")
+    port = int(options["port"])
+    timeout = float(options.get("timeout_s", "5"))
+    request = _decode_escapes(options.get("request", "$016\r\n")).encode()
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        sock.settimeout(timeout)
+        sock.sendto(request, (host, port))
+        data, _ = sock.recvfrom(int(options.get("bufsize", "4096")))
+    finally:
+        sock.close()
+    row = (
+        options.get("measurement", "udp_raw"),
+        {"source": options.get("source_name", "udp"), "host": host},
+        None,
+        {"raw": data.decode(errors="replace")},
+        None,
+        None,
+        options.get("bucket"),
+    )
+    return [row], offset + 1
+
+
 @register_poll_fn("tpm_snapshot")
 def _tpm_snapshot_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
     """S14 — TPMSource (`/root/reference/cerebro/sources/tpm.py:24-93`): read
