@@ -56,7 +56,10 @@ def main() -> None:
     import __spark_entry__ as entry
     from cerebro_spark.session import get_spark
 
-    spark = get_spark("cerebro-spark-bench")
+    # shuffle partitions pinned explicitly: AQE still coalesces, but the
+    # starting fan-out no longer depends on ambient config — keeps
+    # round-over-round numbers comparable.
+    spark = get_spark("cerebro-spark-bench", shuffle_partitions=32)
     qs = entry.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n not in HEADLINE and n in os.environ.get("BENCH_EXTRA", "")
@@ -71,16 +74,20 @@ def main() -> None:
     except Exception:
         pass
 
-    # two passes, keep the per-query minimum: steady-state throughput (what a
-    # long-running cluster job sees), not first-run JIT compilation.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # three passes, keep the per-query minimum: steady-state throughput (what
+    # a long-running cluster job sees), not first-run JIT compilation.  All
+    # runs are recorded so round-over-round diffs can tell regression from
+    # local ±30% variance.
+    runs: dict[str, list[float]] = {}
+    for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
-            elapsed = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            runs.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 4)
+            )
+    timings: dict[str, float] = {n: min(r) for n, r in runs.items()}
 
     # streaming ingest throughput: replay the events table as canonical
     # points through the full enrich→partitioned-sink pipeline (availableNow)
@@ -125,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf),
             }
         )

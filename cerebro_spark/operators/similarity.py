@@ -43,11 +43,14 @@ def cosine_topk_bruteforce(
     """Exact cosine top-k: for each query vector, the k nearest corpus vectors
     (excluding itself).  Queries are broadcast; ranking is deterministic
     (cosine desc, corpus id asc)."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    c = corpus.select(
+    # single-split local scans would score queries × corpus in one task
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -97,6 +100,13 @@ def cosine_lsh_bucket(
     (vector, table) — candidates = any shared bucket.  More tables → higher
     recall at linear candidate cost; this is the recall knob at scale.
     """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # A raw local parquet corpus can arrive as ONE input split (≤
+    # maxPartitionBytes) and serialize the planes×tables dot products through
+    # a single task — measured 5× of the whole job at 1M vectors.  On a real
+    # multi-split scan this is a no-op passthrough.
+    df = ensure_parallelism(df)
     v = F.col(vec_col).cast("array<double>")
     buckets = []
     for t in range(num_tables):

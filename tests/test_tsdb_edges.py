@@ -75,6 +75,28 @@ def test_global_ffill_equals_naive_window(spark):
     )
 
 
+def test_approx_users_daily_within_hll_bound(spark):
+    """The one non-oracled aggregate gets a tolerance oracle here: per day,
+    |approx − exact| / exact ≤ 3·rsd (rsd=0.02 → 6%), the standard HLL
+    error bound (documented in QUERIES.md)."""
+    from cerebro_spark.queries.tsdb_q import (
+        q_approx_users_daily,
+        q_distinct_users_daily,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["day"]: r["n_users"] for r in q_distinct_users_daily(spark, sf).collect()
+    }
+    approx = {
+        r["day"]: r["n_users_approx"]
+        for r in q_approx_users_daily(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) / n <= 3 * 0.02, (day, approx[day], n)
+
+
 def test_interpolate_leading_trailing_nulls(spark):
     df = spark.createDataFrame(
         [(_t(0), None), (_t(10), 10.0), (_t(20), None), (_t(30), 40.0),
