@@ -26,23 +26,40 @@ def derivative(
     partition_by: list[str] | None = None,
     out_col: str = "derivative",
     order_extra: list[str] | None = None,
+    scale_bucket_seconds: int = 86400,
 ) -> DataFrame:
     """dv/dt per series: (value - lag(value)) / (epoch_seconds - lag(...)).
 
     Null on the first row of each series and on zero/negative dt (duplicate
     timestamps), matching InfluxDB ``derivative(nonNegative: false)``.
     """
-    order = [F.col(time_col)] + [F.col(c) for c in (order_extra or [])]
-    w = (
-        Window.partitionBy(*partition_by).orderBy(*order)
-        if partition_by
-        else Window.orderBy(*order)
-    )
     secs = F.col(time_col).cast("long")
-    dv = F.col(value_col) - F.lag(value_col).over(w)
-    dts = secs - F.lag(secs).over(w)
-    return df.withColumn(
-        out_col, F.when(dts > 0, dv / dts).otherwise(F.lit(None).cast("double"))
+    if partition_by:
+        order = [F.col(time_col)] + [F.col(c) for c in (order_extra or [])]
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+        dv = F.col(value_col) - F.lag(value_col).over(w)
+        dts = secs - F.lag(secs).over(w)
+        return df.withColumn(
+            out_col,
+            F.when(dts > 0, dv / dts).otherwise(F.lit(None).cast("double")),
+        )
+    # keyless = a single global series: two-level bucketed lag instead of an
+    # unpartitioned window (which would serialize every row through one task)
+    tmp = _global_lag_struct(
+        df.withColumn("__secs", secs),
+        [value_col, "__secs"],
+        time_col,
+        order_extra,
+        scale_bucket_seconds,
+    )
+    dv = F.col(value_col) - F.col("__prev").getField(value_col)
+    dts = F.col("__secs") - F.col("__prev").getField("__secs")
+    return (
+        tmp.withColumn(
+            out_col,
+            F.when(dts > 0, dv / dts).otherwise(F.lit(None).cast("double")),
+        )
+        .drop("__secs", "__prev")
     )
 
 
@@ -52,21 +69,28 @@ def increase(
     time_col: str = "ts",
     partition_by: list[str] | None = None,
     out_col: str = "increase",
+    scale_bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Counter increase vs previous sample, clamped at 0 on resets; null on
     each series' first sample (InfluxDB/PromQL ``increase`` semantics —
     note Spark's ``greatest`` ignores nulls, so the first-row case must be
     guarded explicitly or it would read as a 0.0 increase)."""
-    w = (
-        Window.partitionBy(*partition_by).orderBy(time_col)
-        if partition_by
-        else Window.orderBy(time_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(time_col)
+        prev = F.lag(value_col).over(w)
+        return df.withColumn(
+            out_col,
+            F.when(prev.isNotNull(), F.greatest(F.col(value_col) - prev, F.lit(0.0))),
+        )
+    # keyless: two-level bucketed lag (see derivative)
+    tmp = _global_lag_struct(
+        df, [value_col], time_col, scale_bucket_seconds=scale_bucket_seconds
     )
-    prev = F.lag(value_col).over(w)
-    return df.withColumn(
+    prev = F.col("__prev").getField(value_col)
+    return tmp.withColumn(
         out_col,
         F.when(prev.isNotNull(), F.greatest(F.col(value_col) - prev, F.lit(0.0))),
-    )
+    ).drop("__prev")
 
 
 def downsample(
@@ -137,6 +161,7 @@ def _global_ffill(
     time_col: str,
     fill_cols: list[str],
     scale_bucket_seconds: int = 86400,
+    descending: bool = False,
 ) -> DataFrame:
     """Forward-fill with no series key, parallelized as a two-level prefix
     scan: (1) within time buckets, the running ``last(ignorenulls)`` runs in
@@ -145,26 +170,31 @@ def _global_ffill(
     for bucket k = running last over summaries of buckets < k.  The summary
     scan is the only unpartitioned window and sees #buckets rows (days, not
     samples), so the single task is bounded by calendar span, not data volume.
+
+    ``descending=True`` runs the mirror (backward-fill: carry the next
+    value backwards) — the forward-looking half of linear interpolation.
     """
     b = F.floor(F.col(time_col).cast("long") / scale_bucket_seconds)
     df_b = df.withColumn("__b", b)
-    wb = Window.partitionBy("__b").orderBy(time_col).rowsBetween(
+    order = F.col(time_col).desc() if descending else F.col(time_col).asc()
+    wb = Window.partitionBy("__b").orderBy(order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     local = df_b
     for c in fill_cols:
         local = local.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+    pick = F.min_by if descending else F.max_by
     summary = df_b.groupBy("__b").agg(
         *[
-            F.max_by(
+            pick(
                 c, F.when(F.col(c).isNotNull(), F.col(time_col))
             ).alias(f"__last_{c}")
             for c in fill_cols
         ]
     )
-    ws = Window.orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    ws = Window.orderBy(
+        F.col("__b").desc() if descending else F.col("__b").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
     carry = summary.select(
         "__b",
         *[
@@ -178,12 +208,44 @@ def _global_ffill(
     return out.drop("__b", *[f"__carry_{c}" for c in fill_cols])
 
 
+def _global_lag_struct(
+    df: DataFrame,
+    carry_cols: list[str],
+    time_col: str,
+    order_extra: list[str] | None = None,
+    scale_bucket_seconds: int = 86400,
+    out_col: str = "__prev",
+) -> DataFrame:
+    """Global (keyless) ``lag`` of a whole row struct via the same two-level
+    scan: within-bucket ``lag`` runs in parallel; only each bucket's FIRST row
+    needs the previous non-empty bucket's last row, delivered by a
+    #buckets-sized summary + broadcast join.  All carried values come from
+    one row (struct), never mixed."""
+    order_extra = order_extra or []
+    b = F.floor(F.col(time_col).cast("long") / scale_bucket_seconds)
+    dfb = df.withColumn("__b", b)
+    order = [F.col(time_col)] + [F.col(c) for c in order_extra]
+    wb = Window.partitionBy("__b").orderBy(*order)
+    row_struct = F.struct(*[F.col(c).alias(c) for c in carry_cols])
+    dfb = dfb.withColumn(out_col, F.lag(row_struct).over(wb))
+    okey = F.struct(F.col(time_col), *[F.col(c) for c in order_extra])
+    summary = dfb.groupBy("__b").agg(F.max_by(row_struct, okey).alias("__blast"))
+    ws = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = summary.select(
+        "__b", F.last("__blast", ignorenulls=True).over(ws).alias("__carry")
+    )
+    out = dfb.join(F.broadcast(carry), "__b", "left")
+    out = out.withColumn(out_col, F.coalesce(F.col(out_col), F.col("__carry")))
+    return out.drop("__b", "__carry")
+
+
 def interpolate_linear(
     df: DataFrame,
     value_col: str,
     time_col: str = "ts",
     partition_by: list[str] | None = None,
     out_col: str | None = None,
+    scale_bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Linear interpolation of null values between the nearest non-null
     neighbors (InfluxDB ``fill(linear)``): v = prev + (next-prev)·(t-t₀)/(t₁-t₀).
@@ -194,35 +256,54 @@ def interpolate_linear(
     forward carry the bracketing values and their timestamps.
     """
     out_col = out_col or f"{value_col}_interp"
-    asc = (
-        Window.partitionBy(*partition_by).orderBy(F.col(time_col).asc())
-        if partition_by
-        else Window.orderBy(F.col(time_col).asc())
-    )
-    desc = (
-        Window.partitionBy(*partition_by).orderBy(F.col(time_col).desc())
-        if partition_by
-        else Window.orderBy(F.col(time_col).desc())
-    )
-    # Both lookups are RUNNING frames (unbounded-preceding → current), which
-    # WindowExec evaluates incrementally in O(n).  The naive formulation —
-    # ``first(ignorenulls) over (current → unbounded FOLLOWING)`` — re-scans
-    # the remainder of the partition per row and is O(n²) (184 s vs 0.6 s at
-    # 100k rows); the forward scan is instead a running frame over the
-    # DESCENDING order.
-    back = asc.rowsBetween(Window.unboundedPreceding, 0)
-    fwd = desc.rowsBetween(Window.unboundedPreceding, 0)
     secs = F.col(time_col).cast("double")
     v = F.col(value_col)
     t_at_v = F.when(v.isNotNull(), secs)
-    prev_v = F.last(v, ignorenulls=True).over(back)
-    prev_t = F.last(t_at_v, ignorenulls=True).over(back)
-    next_v = F.last(v, ignorenulls=True).over(fwd)
-    next_t = F.last(t_at_v, ignorenulls=True).over(fwd)
+    if partition_by:
+        asc = Window.partitionBy(*partition_by).orderBy(F.col(time_col).asc())
+        desc = Window.partitionBy(*partition_by).orderBy(F.col(time_col).desc())
+        # Both lookups are RUNNING frames (unbounded-preceding → current),
+        # which WindowExec evaluates incrementally in O(n).  The naive
+        # formulation — ``first(ignorenulls) over (current → unbounded
+        # FOLLOWING)`` — re-scans the remainder of the partition per row and
+        # is O(n²) (184 s vs 0.6 s at 100k rows); the forward scan is instead
+        # a running frame over the DESCENDING order.
+        back = asc.rowsBetween(Window.unboundedPreceding, 0)
+        fwd = desc.rowsBetween(Window.unboundedPreceding, 0)
+        prev_v = F.last(v, ignorenulls=True).over(back)
+        prev_t = F.last(t_at_v, ignorenulls=True).over(back)
+        next_v = F.last(v, ignorenulls=True).over(fwd)
+        next_t = F.last(t_at_v, ignorenulls=True).over(fwd)
+        interp = F.when(v.isNotNull(), v).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t),
+                prev_v + (next_v - prev_v) * (secs - prev_t) / (next_t - prev_t),
+            )
+        )
+        return df.withColumn(out_col, interp)
+    # keyless = one global series: both directional scans go through the
+    # two-level bucketed prefix scan instead of unpartitioned running
+    # windows.  __pv/__pt (and __nv/__nt) are null on exactly the same rows,
+    # so independent per-column fills still pick values from one source row.
+    tmp = (
+        df.withColumn("__pv", v)
+        .withColumn("__pt", t_at_v)
+        .withColumn("__nv", v)
+        .withColumn("__nt", t_at_v)
+    )
+    tmp = _global_ffill(tmp, time_col, ["__pv", "__pt"], scale_bucket_seconds)
+    tmp = _global_ffill(
+        tmp, time_col, ["__nv", "__nt"], scale_bucket_seconds, descending=True
+    )
     interp = F.when(v.isNotNull(), v).otherwise(
         F.when(
-            prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t),
-            prev_v + (next_v - prev_v) * (secs - prev_t) / (next_t - prev_t),
+            F.col("__pv").isNotNull()
+            & F.col("__nv").isNotNull()
+            & (F.col("__nt") > F.col("__pt")),
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (secs - F.col("__pt"))
+            / (F.col("__nt") - F.col("__pt")),
         )
     )
-    return df.withColumn(out_col, interp)
+    return tmp.withColumn(out_col, interp).drop("__pv", "__pt", "__nv", "__nt")

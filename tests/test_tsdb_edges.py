@@ -75,6 +75,63 @@ def test_global_ffill_equals_naive_window(spark):
     )
 
 
+def test_keyless_lag_operators_equal_naive_window(spark):
+    """Keyless derivative / increase / interpolate (two-level bucketed scan)
+    must equal the naive unpartitioned-window formulation, including carries
+    across bucket boundaries and a bucket whose rows are all null."""
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(50):
+        # irregular spacing crossing many 10 s buckets; nulls for interpolate
+        v = None if i % 7 == 3 else float((i * 13) % 40)
+        rows.append((_t(i * 3 + (i % 2)), v))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+
+    got_d = derivative(df, "v", "ts", scale_bucket_seconds=10)
+    w = Window.orderBy("ts")
+    secs = F.col("ts").cast("long")
+    naive_d = df.withColumn(
+        "derivative",
+        F.when(
+            (secs - F.lag(secs).over(w)) > 0,
+            (F.col("v") - F.lag("v").over(w)) / (secs - F.lag(secs).over(w)),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+    key = lambda r: r["ts"]  # noqa: E731
+    assert sorted(got_d.collect(), key=key) == sorted(naive_d.collect(), key=key)
+
+    got_i = increase(df, "v", "ts", scale_bucket_seconds=10)
+    prev = F.lag("v").over(w)
+    naive_i = df.withColumn(
+        "increase",
+        F.when(prev.isNotNull(), F.greatest(F.col("v") - prev, F.lit(0.0))),
+    )
+    assert sorted(got_i.collect(), key=key) == sorted(naive_i.collect(), key=key)
+
+    got_l = interpolate_linear(df, "v", "ts", scale_bucket_seconds=10)
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy(F.col("ts").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dsecs = F.col("ts").cast("double")
+    t_at_v = F.when(F.col("v").isNotNull(), dsecs)
+    pv = F.last("v", ignorenulls=True).over(back)
+    pt = F.last(t_at_v, ignorenulls=True).over(back)
+    nv = F.last("v", ignorenulls=True).over(fwd)
+    nt = F.last(t_at_v, ignorenulls=True).over(fwd)
+    naive_l = df.withColumn(
+        "v_interp",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+            F.when(
+                pv.isNotNull() & nv.isNotNull() & (nt > pt),
+                pv + (nv - pv) * (dsecs - pt) / (nt - pt),
+            )
+        ),
+    )
+    assert sorted(got_l.collect(), key=key) == sorted(naive_l.collect(), key=key)
+
+
 def test_approx_users_daily_within_hll_bound(spark):
     """The one non-oracled aggregate gets a tolerance oracle here: per day,
     |approx − exact| / exact ≤ 3·rsd (rsd=0.02 → 6%), the standard HLL
