@@ -176,18 +176,29 @@ def _global_ffill(
     """
     b = F.floor(F.col(time_col).cast("long") / scale_bucket_seconds)
     df_b = df.withColumn("__b", b)
-    order = F.col(time_col).desc() if descending else F.col(time_col).asc()
-    wb = Window.partitionBy("__b").orderBy(order).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # Tie discipline at duplicate timestamps: each column's window orders ties
+    # by the VALUE itself (asc pass → value asc, desc pass → value desc), and
+    # the bucket summary picks by the same (ts, value) struct — so the
+    # within-bucket carry and the cross-bucket carry always agree on which of
+    # two same-ts rows wins (`last(ignorenulls)` skips nulls, so null
+    # placement among ties is irrelevant).
     local = df_b
     for c in fill_cols:
+        tie = F.col(c).desc() if descending else F.col(c).asc()
+        order = (F.col(time_col).desc() if descending else F.col(time_col).asc(), tie)
+        wb = Window.partitionBy("__b").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
         local = local.withColumn(c, F.last(c, ignorenulls=True).over(wb))
     pick = F.min_by if descending else F.max_by
     summary = df_b.groupBy("__b").agg(
         *[
             pick(
-                c, F.when(F.col(c).isNotNull(), F.col(time_col))
+                c,
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col(time_col).alias("t"), F.col(c).alias("v")),
+                ),
             ).alias(f"__last_{c}")
             for c in fill_cols
         ]
@@ -224,11 +235,17 @@ def _global_lag_struct(
     order_extra = order_extra or []
     b = F.floor(F.col(time_col).cast("long") / scale_bucket_seconds)
     dfb = df.withColumn("__b", b)
-    order = [F.col(time_col)] + [F.col(c) for c in order_extra]
-    wb = Window.partitionBy("__b").orderBy(*order)
     row_struct = F.struct(*[F.col(c).alias(c) for c in carry_cols])
+    # The carried row struct itself is the final sort key on BOTH levels, so
+    # ties on (time, order_extra) resolve to the same physical row in the
+    # within-bucket lag and the bucket summary (ADVICE r2: max_by ties at
+    # duplicate timestamps must not disagree with the window pass).
+    order = [F.col(time_col)] + [F.col(c) for c in order_extra] + [row_struct]
+    wb = Window.partitionBy("__b").orderBy(*order)
     dfb = dfb.withColumn(out_col, F.lag(row_struct).over(wb))
-    okey = F.struct(F.col(time_col), *[F.col(c) for c in order_extra])
+    okey = F.struct(
+        F.col(time_col), *[F.col(c) for c in order_extra], row_struct.alias("__r")
+    )
     summary = dfb.groupBy("__b").agg(F.max_by(row_struct, okey).alias("__blast"))
     ws = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     carry = summary.select(

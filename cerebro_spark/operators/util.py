@@ -34,20 +34,42 @@ def top_k_ranked(df: DataFrame, order_cols, k: int) -> DataFrame:
     round-1 scale red flag on the top-N queries.
 
     ``order_cols`` are (column, 'asc'|'desc') pairs; ties must be broken by
-    the trailing columns for determinism.
+    the trailing columns for determinism.  Constraint: a ``'desc'`` column
+    must be numeric (it is negated to reuse one ascending ``array_sort``);
+    a non-numeric desc column raises instead of silently mis-sorting via the
+    implicit double cast.  Null handling matches ``orderBy``: asc keys sort
+    nulls FIRST, desc keys sort nulls LAST — an explicit null flag precedes
+    each key so struct comparison (nulls-first on raw fields) can't promote a
+    null row to rank 1.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c, d in order_cols:
+        if d == "desc" and c in schema and not isinstance(schema[c], NumericType):
+            raise TypeError(
+                f"top_k_ranked: desc column {c!r} has non-numeric type "
+                f"{schema[c].simpleString()}; negation would cast to double/null "
+                "and mis-sort. Use a numeric sort key."
+            )
 
     ordering = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_cols
     ]
     top = df.orderBy(*ordering).limit(k)
-    # Sort key: negate desc numeric columns so one ascending array_sort gives
-    # the requested order over the bounded k-row set.
-    key_fields = [
-        ((-F.col(c)) if d == "desc" else F.col(c)).alias(f"__o{i}")
-        for i, (c, d) in enumerate(order_cols)
-    ]
+    # Sort key per column: (null_flag, value) — the flag reproduces orderBy's
+    # null placement (asc → nulls first, desc → nulls last); desc values are
+    # negated so one ascending array_sort gives the requested order over the
+    # bounded k-row set.
+    key_fields = []
+    for i, (c, d) in enumerate(order_cols):
+        if d == "desc":
+            key_fields.append(F.col(c).isNull().cast("int").alias(f"__n{i}"))
+            key_fields.append((-F.col(c)).alias(f"__o{i}"))
+        else:
+            key_fields.append(F.col(c).isNotNull().cast("int").alias(f"__n{i}"))
+            key_fields.append(F.col(c).alias(f"__o{i}"))
     packed = top.select(
         F.struct(*key_fields, F.struct(*df.columns).alias("__row")).alias("__s")
     )

@@ -163,10 +163,14 @@ try:  # PySpark 4 Python DataSource API
             n = int(o.get("num_partitions", "1"))
             start, end = o.get("start"), o.get("end")
             # Absolute bounds split into per-partition sub-ranges; relative
-            # or open ranges can't be sliced client-side → single partition.
-            if n > 1 and start and end and not start.startswith("-"):
-                s = dt.datetime.fromisoformat(start.rstrip("Z"))
-                e = dt.datetime.fromisoformat(end.rstrip("Z"))
+            # or open ranges (either endpoint, e.g. '-5m' / 'now()') can't be
+            # sliced client-side → single partition.
+            if n > 1 and start and end:
+                try:
+                    s = dt.datetime.fromisoformat(start.rstrip("Z"))
+                    e = dt.datetime.fromisoformat(end.rstrip("Z"))
+                except ValueError:
+                    return [_RangePartition(start, end)]
                 return [
                     _RangePartition(_isot(a), _isot(b))
                     for a, b in slice_range(s, e, n)

@@ -32,6 +32,18 @@ POLL_REGISTRY: dict[str, Callable] = {}
 
 
 def register_poll_fn(name: str):
+    """Register ``fn(offset, options) -> (rows, new_offset)`` under ``name``.
+
+    OFFSET CONTRACT: ``new_offset - offset`` must equal ``len(rows)`` — one
+    offset unit per emitted row — and the fn must be deterministic in
+    ``offset`` for replay.  Checkpoint recovery replays a committed batch by
+    re-polling and slicing to the committed span; a fn that advances the HWM
+    by a different amount than it emits rows would have its replay silently
+    mis-sliced (`_PollStreamReader.readBetweenOffsets`).  Snapshot-style fns
+    that emit 0 rows on error but still advance are tolerated (replay
+    under-fills, documented there).
+    """
+
     def deco(fn: Callable):
         POLL_REGISTRY[name] = fn
         return fn
@@ -126,9 +138,24 @@ try:  # PySpark 4 Python DataSource API
             # batch committed.  Fns that over-advance hwm on empty reads
             # (snapshot polls hitting a transient error) can still under-fill
             # a replay — inherent for non-deterministic state, documented.
-            rows, _ = self.fn(int(start["hwm"]), self.options)
+            rows, replay_hwm = self.fn(int(start["hwm"]), self.options)
             rows = list(rows)
             delta = int(end["hwm"]) - int(start["hwm"])
+            replay_delta = int(replay_hwm) - int(start["hwm"])
+            if replay_delta != len(rows):
+                # Fn violates the rows-per-offset contract (see
+                # register_poll_fn): slicing by offset span would lose data.
+                # Return the replay unsliced and warn — over-delivery is
+                # recoverable downstream (idempotent sink), silent loss isn't.
+                import warnings
+
+                warnings.warn(
+                    f"poll fn {self.options.get('poll_fn')!r} advanced hwm by "
+                    f"{replay_delta} but emitted {len(rows)} rows; replay not "
+                    "sliced (rows-per-offset contract violated)",
+                    stacklevel=2,
+                )
+                return iter(rows)
             if 0 <= delta < len(rows):
                 rows = rows[:delta]
             return iter(rows)

@@ -166,3 +166,23 @@ def test_interpolate_leading_trailing_nulls(spark):
     assert out[1] == 10.0
     assert out[2] == 25.0            # midpoint of 10..40 over 10..30
     assert out[4] is None            # trailing null stays
+
+
+def test_global_ffill_duplicate_ts_levels_agree(spark):
+    """Duplicate timestamps straddling a bucket boundary: the cross-bucket
+    carry must pick the same row the within-bucket window pass would
+    (ADVICE r2 — max_by/min_by tie nondeterminism). Tie rule: value asc on
+    the forward pass, so the MAX value among a tied timestamp wins."""
+    from cerebro_spark.operators.tsdb import _global_ffill
+
+    rows = [
+        (_t(9), 1.0),
+        (_t(9), 7.0),    # tie at bucket-final ts — 7.0 must be the carry
+        (_t(15), None),  # next bucket: sees the carry
+        (_t(25), None),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    for _ in range(3):  # determinism across runs
+        got = _global_ffill(df, "ts", ["v"], scale_bucket_seconds=10)
+        carried = [r["v"] for r in got.orderBy("ts", "v").collect()]
+        assert carried == [1.0, 7.0, 7.0, 7.0]

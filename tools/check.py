@@ -37,7 +37,10 @@ def canon_value(v):
     if isinstance(v, (np.floating, float)):
         v = float(v)
         if math.isnan(v):
-            return None
+            # Distinct sentinel: the driver canonicalizer has NOT been
+            # confirmed to conflate NaN with NULL, so a Spark-NaN vs
+            # DuckDB-NULL divergence must stay visible locally.
+            return "NaN"
         if v == 0:
             return 0.0
         return float(f"{v:.14g}")
