@@ -531,6 +531,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the FRONT of the registry so they get driver-checked this round; the
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
 _SNAPSHOT_PRIORITY = [
+    "dedup_clusters",
+    "dedup_resolve",
     "asof_join",
     "asof_join_tolerance",
     "range_join",

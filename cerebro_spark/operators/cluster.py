@@ -1,0 +1,133 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pair detectors (MinHash LSH, SimHash, n-gram Jaccard — `operators/dedup.py`)
+emit EDGES; an actual dedup pipeline must then pick ONE canonical document
+per transitive duplicate cluster.  That closure step is connected
+components, computed here with the alternating large-star / small-star
+contraction of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SoCC'14, public) — O(log n) rounds regardless of cluster diameter,
+so a 10M-node duplicate chain costs ~24 rounds, not 10M.
+
+Spark-first shape: each star operation is one `groupBy(min)` + one equi-join
+over the edge list — no adjacency arrays are ever materialized (a
+`collect_list` of neighbors would OOM on hub nodes), and every round's
+output is `localCheckpoint`ed to keep the logical plan flat (iterative
+loops otherwise grow lineage exponentially and spend minutes in Catalyst).
+
+Reference parity note: the reference engine has no graph operator — this is
+part of the training-data-pipeline extension family (driver brief), built on
+the dedup operators that mirror reference-style content keying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + one small-star pass over canonical (u, v) edges."""
+    # --- large-star: around each node u (over the SYMMETRIC neighborhood),
+    # connect every LARGER neighbor to m = min(N(u) ∪ {u}).
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+    mins = mins.select("u", F.least("__mn", F.col("u")).alias("m"))
+    large = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # --- small-star: orient edges high→low, connect every smaller neighbor
+    # (and u itself) to m = min of the low side.
+    directed = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+    lows = directed.join(mins2, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selfs = mins2.select(F.col("u"), F.col("m").alias("v"))
+    small = (
+        lows.union(selfs)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return small
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label (= min member id) for every node of the pair graph.
+
+    Returns ``(id, component)`` for every node that appears in ``pairs``;
+    isolated documents (no pair) are simply absent — join back with the
+    corpus for full coverage.  Converges when a round leaves the edge set
+    unchanged (checked with a count + order-independent hash aggregate, two
+    cheap single-row actions per round).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _star_round(edges).localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free (sum of hashes
+            # trips ANSI long-overflow); edges are distinct so nothing cancels
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    else:  # pragma: no cover — max_iter is ~2× the rounds a 100TB graph needs
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # Fixed point is a forest of stars: every edge is (member, root).  Roots
+    # themselves appear only on the v side — add their self-mapping.
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.union(roots).distinct()
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size) for every doc in a duplicate
+    cluster; canonical = min doc id of the cluster."""
+    comp = connected_components(pairs, src, dst)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each duplicate cluster — the final
+    step of the dedup pipeline.  Keeps: all isolated docs + one (min-id)
+    representative per cluster.  The drop-list (cluster members minus
+    canonicals) is duplicate-bounded and usually tiny relative to the corpus
+    → broadcast anti-join, no full shuffle of the corpus."""
+    comp = connected_components(pairs, src, dst)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

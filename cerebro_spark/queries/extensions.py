@@ -144,6 +144,42 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), n=3, num_hashes=_MINHASH_N,
+        bands=4, threshold=0.5,
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the MinHash-LSH pair graph:
+    (doc_id, canonical_id, cluster_size) — the closure step a dedup
+    pipeline needs between pair detection and canonical selection."""
+    from cerebro_spark.operators.cluster import duplicate_clusters
+
+    return duplicate_clusters(_lsh_pairs(spark, sf_dir))
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after dropping non-canonical duplicate-cluster members —
+    single-row summary (counts) so the gate sees a stable scalar shape."""
+    from cerebro_spark.operators.cluster import resolve_duplicates
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = resolve_duplicates(docs, _lsh_pairs(spark, sf_dir), id_col="doc_id")
+    return (
+        docs.agg(F.count(F.lit(1)).alias("total_docs"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("docs_kept")))
+        .select(
+            "total_docs",
+            "docs_kept",
+            (F.col("total_docs") - F.col("docs_kept")).alias("docs_dropped"),
+        )
+    )
+
+
+
+
 def _minhash_lsh_sql() -> str:
     """Banded-LSH candidate pairs in SQL, from the same signature CTE +
     band layout as the Spark operator (4 bands × 2 rows over 8 hashes)."""
@@ -181,6 +217,52 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b,
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
 WHERE ({matches}) / {float(_MINHASH_N)} >= 0.5
 """
+
+
+def _cc_closure_cte() -> str:
+    """Recursive transitive closure + min-label components over the SAME
+    banded-LSH pair SQL as the Spark side (embedded as a subquery CTE)."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql()}) q
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id AS n, id AS r FROM nodes
+  UNION
+  SELECT reach.n, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+),
+comp AS (SELECT n AS id, min(r) AS component FROM reach GROUP BY n)
+"""
+
+
+_DEDUP_CLUSTERS_SQL = (
+    _cc_closure_cte()
+    + """
+SELECT c.id AS doc_id, c.component AS canonical_id, s.cluster_size
+FROM comp c
+JOIN (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+) s USING (component)
+"""
+)
+
+_DEDUP_RESOLVE_SQL = (
+    _cc_closure_cte()
+    + """
+SELECT
+  (SELECT count(*) FROM documents) AS total_docs,
+  (SELECT count(*) FROM documents) - (
+    SELECT count(*) FROM comp WHERE id <> component
+  ) AS docs_kept,
+  (SELECT count(*) FROM comp WHERE id <> component) AS docs_dropped
+"""
+)
 
 
 _SIMHASH_BITS = 24
@@ -565,6 +647,8 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_resolve": q_dedup_resolve,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -584,6 +668,8 @@ ORACLES = {
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "minhash_signatures": _minhash_sql(),
     "minhash_lsh_pairs": _minhash_lsh_sql(),
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_resolve": _DEDUP_RESOLVE_SQL,
     "simhash": _simhash_sql(),
     "simhash_pairs": _simhash_pairs_sql(),
     "ann_cosine_topk": _ANN_SQL,
