@@ -24,6 +24,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--profile", default=None)
     p.add_argument("--sources", default=None, help="comma-separated source names")
     p.add_argument("--timeout", type=float, default=None, help="stop after N seconds")
+    p.add_argument(
+        "--socket",
+        default=None,
+        help="unix-socket path for the status/restart control surface "
+        "(reference serves /tmp/cerebro.sock)",
+    )
     args = p.parse_args(argv)
 
     from cerebro_spark.config.loader import IngestRunner
@@ -46,9 +52,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     runner.start()
+    ctl = None
+    if args.socket:
+        from cerebro_spark.control import ControlServer
+
+        ctl = ControlServer(runner, args.socket).start()
     try:
         runner.await_all(args.timeout)
     finally:
+        if ctl is not None:
+            ctl.stop()
         runner.stop()
     return 0
 

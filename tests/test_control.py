@@ -1,0 +1,79 @@
+"""Control-surface socket server (C3 parity — reference status socket)."""
+
+import json
+
+from cerebro_spark.control import ControlServer, query
+
+
+class _FakeRunner:
+    def __init__(self):
+        self.restarted = []
+
+    def status(self):
+        return {"s1": True, "s2": False}
+
+    def restart(self, name):
+        if name == "bad":
+            raise KeyError(name)
+        self.restarted.append(name)
+
+
+def test_status_restart_protocol(tmp_path):
+    runner = _FakeRunner()
+    sock = str(tmp_path / "ctl.sock")
+    ctl = ControlServer(runner, sock).start()
+    try:
+        assert json.loads(query(sock, "status")) == {"s1": True, "s2": False}
+        assert query(sock, "restart s2") == "true"
+        assert runner.restarted == ["s2"]
+        # reference replies false on any restart failure (cerebro.py:451-456)
+        assert query(sock, "restart bad") == "false"
+        assert query(sock, "nonsense") == "false"
+    finally:
+        ctl.stop()
+
+
+def test_socket_cleaned_up(tmp_path):
+    sock = str(tmp_path / "ctl.sock")
+    ctl = ControlServer(_FakeRunner(), sock).start()
+    ctl.stop()
+    import os
+
+    assert not os.path.exists(sock)
+    # restart over a stale path works (server unlinks before bind)
+    ctl2 = ControlServer(_FakeRunner(), sock).start()
+    assert query(sock, "status")
+    ctl2.stop()
+
+
+def test_live_runner_end_to_end(tmp_path, spark):
+    """Real IngestRunner + real streaming query behind the socket."""
+    from cerebro_spark.config.loader import IngestRunner
+
+    cfg = {
+        "sources": {
+            "poll1": {
+                "type": "poll",
+                "poll_fn": "synthetic",
+                "rows_per_poll": "3",
+                "delay": 1,
+            }
+        }
+    }
+    runner = IngestRunner(
+        spark,
+        cfg,
+        store_path=str(tmp_path / "store"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    runner.start()
+    sock = str(tmp_path / "ctl.sock")
+    ctl = ControlServer(runner, sock).start()
+    try:
+        st = json.loads(query(sock, "status"))
+        assert st == {"poll1": True}
+        assert query(sock, "restart poll1") == "true"
+        assert json.loads(query(sock, "status"))["poll1"] is True
+    finally:
+        ctl.stop()
+        runner.stop()
