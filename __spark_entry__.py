@@ -34,6 +34,7 @@ from cerebro_spark.operators.timeops import (
 )
 from cerebro_spark.operators.weather import lco_weather_pipeline
 from cerebro_spark.plans.client import CerebroClient
+from cerebro_spark.queries import analytics_q as _aq
 from cerebro_spark.queries import batch_q as _bq
 from cerebro_spark.queries import extensions as _ext
 from cerebro_spark.queries import joins_q as _jq
@@ -533,6 +534,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _SNAPSHOT_PRIORITY = [
     "dedup_clusters",
     "dedup_resolve",
+    "late_shipments_by_priority",
+    "large_volume_customers",
+    "sole_return_suppliers",
+    "market_share_by_year",
     "asof_join",
     "asof_join_tolerance",
     "range_join",
@@ -590,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_plq.QUERIES,
         **_vq.QUERIES,
         **_jq.QUERIES,
+        **_aq.QUERIES,
     })
 
 
@@ -619,4 +625,5 @@ def oracle_sql() -> dict[str, str]:
         **_plq.ORACLES,
         **_vq.ORACLES,
         **_jq.ORACLES,
+        **_aq.ORACLES,
     })
