@@ -45,10 +45,12 @@ HEADLINE = [
     "multimodal_features",
     "tfidf_top_terms",
     "chunk_documents",
+    "dedup_resolve",
     # volume + time-series joins
     "top_suppliers",
     "asof_join",
     "range_join",
+    "market_share_by_year",
 ]
 
 
