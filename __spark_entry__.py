@@ -534,6 +534,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SNAPSHOT_PRIORITY = [
     "dedup_clusters",
     "dedup_resolve",
+    "contamination_check",
     "late_shipments_by_priority",
     "large_volume_customers",
     "sole_return_suppliers",

@@ -166,6 +166,59 @@ def _portable_token_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each TEST document, the fraction of
+    its word n-gram shingles that appear anywhere in the TRAIN corpus.
+
+    Scale shape: the train side collapses to its DISTINCT shingle-hash set
+    (one aggregation — NOT per-doc pairing, which would be a pair blowup);
+    the test side is one explode + one 8-byte-key equi-join + one groupBy.
+    At 100 TB the distinct-shingle set is the big side — it shuffles once,
+    and the join key is the portable 64-bit md5-prefix hash, so a Bloom/
+    semi-join pre-filter applies (AQE injects one for selective joins).
+
+    Returns (``id_col``, n_shingles, n_matched, contamination,
+    is_contaminated) for every test doc, including zero-match docs.
+    """
+    tr = (
+        train.select(F.explode(_shingles(content_col, n)).alias("__s"))
+        .select(_portable_token_hash(F.col("__s")).alias("s"))
+        .distinct()
+    )
+    te = test.select(
+        F.col(id_col).alias("id"), _shingles(content_col, n).alias("sh")
+    ).withColumn("n_shingles", F.size("sh"))
+    te_ex = te.select("id", F.explode("sh").alias("__s")).select(
+        "id", _portable_token_hash(F.col("__s")).alias("s")
+    )
+    matched = te_ex.join(tr, "s").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    out = (
+        te.select("id", "n_shingles")
+        .join(matched, "id", "left")
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_matched") / F.col("n_shingles"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "is_contaminated", (F.col("contamination") >= threshold).cast("int")
+        )
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str = "text",

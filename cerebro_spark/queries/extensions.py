@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from cerebro_spark.io import load_table
 from cerebro_spark.operators.dedup import (
     _minhash_coeffs,
+    contamination_check,
     duplicate_groups,
     exact_dedup,
     minhash_lsh_pairs,
@@ -216,6 +217,61 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b,
   ({matches}) / {float(_MINHASH_N)} AS est_jaccard
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
 WHERE ({matches}) / {float(_MINHASH_N)} >= 0.5
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs hash-split 10% test / 90% rest (same
+    portable bucket as train_val_test); each test doc scored by the fraction
+    of its 5-gram shingles present anywhere in the train split (bucket ≥ 20,
+    matching the 'train' label of the split query)."""
+    from cerebro_spark.operators.sampling import _portable_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = _portable_bucket(F.col("doc_id"))
+    test = docs.filter(b < 10)
+    train = docs.filter(b >= 20)
+    return contamination_check(train, test, n=5, threshold=0.5)
+
+
+def _contamination_sql() -> str:
+    x = _hex2long_sql("md5(s)", 8)
+    bucket = _hex2long_sql("md5(CAST(doc_id AS STRING))", 8) + " % 100"
+    return f"""
+WITH b AS (SELECT doc_id, {bucket} AS bk FROM documents),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 4
+),
+hashed AS (SELECT doc_id, {x} AS h FROM sh),
+train_set AS (
+  SELECT DISTINCT h FROM hashed JOIN b USING (doc_id) WHERE bk >= 20
+),
+test_base AS (SELECT doc_id FROM b WHERE bk < 10),
+n_sh AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+m AS (
+  SELECT hashed.doc_id, count(*) AS n_matched
+  FROM hashed JOIN train_set USING (h) JOIN test_base USING (doc_id)
+  GROUP BY hashed.doc_id
+),
+scored AS (
+  SELECT tb.doc_id,
+    CAST(COALESCE(ns.n, 0) AS INTEGER) AS n_shingles,
+    COALESCE(m.n_matched, 0) AS n_matched,
+    CASE WHEN COALESCE(ns.n, 0) > 0
+         THEN round(COALESCE(m.n_matched, 0) / ns.n, 6) ELSE 0.0 END
+      AS contamination
+  FROM test_base tb
+  LEFT JOIN n_sh ns USING (doc_id)
+  LEFT JOIN m USING (doc_id)
+)
+SELECT doc_id, n_shingles, n_matched, contamination,
+  CAST(CASE WHEN contamination >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+    AS is_contaminated
+FROM scored
 """
 
 
@@ -649,6 +705,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_resolve": q_dedup_resolve,
+    "contamination_check": q_contamination_check,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -670,6 +727,7 @@ ORACLES = {
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_resolve": _DEDUP_RESOLVE_SQL,
+    "contamination_check": _contamination_sql(),
     "simhash": _simhash_sql(),
     "simhash_pairs": _simhash_pairs_sql(),
     "ann_cosine_topk": _ANN_SQL,
