@@ -535,6 +535,8 @@ _SNAPSHOT_PRIORITY = [
     "dedup_clusters",
     "dedup_resolve",
     "contamination_check",
+    "quantize_embeddings",
+    "stratified_sample",
     "late_shipments_by_priority",
     "large_volume_customers",
     "sole_return_suppliers",

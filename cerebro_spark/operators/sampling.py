@@ -51,6 +51,30 @@ def train_val_test_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, int],
+    key_col: str,
+    default_pct: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — rebalance a skewed corpus by
+    keeping a different hash-fraction per stratum (e.g. downsample the
+    dominant language, keep all of a rare one).
+
+    The bucket hash is salted with the stratum value so the kept key set is
+    independent across strata (an unsalted key hash would select the SAME
+    keys in every stratum — correlated selection).  Pure filter: no shuffle,
+    fully pushdown-friendly, stable under retries/reordering."""
+    b = _portable_bucket(
+        F.concat_ws("|", F.col(stratum_col), F.col(key_col).cast("string"))
+    )
+    pct = F.lit(default_pct)
+    for value, keep in fractions.items():
+        pct = F.when(F.col(stratum_col) == value, F.lit(keep)).otherwise(pct)
+    return df.filter(b < pct)
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -220,6 +220,56 @@ WHERE ({matches}) / {float(_MINHASH_N)} >= 0.5
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerebro_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, "embeddings", sf_dir))
+
+
+_QUANTIZE_SQL = """
+SELECT vec_id,
+  round(absmax / 127.0, 6) AS scale,
+  array_to_string(
+    list_transform(embedding,
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) / (absmax / 127.0))
+                                  AS INTEGER) AS STRING)),
+    ',') AS q
+FROM (
+  SELECT vec_id, embedding,
+         -- keep everything DOUBLE: float/decimal-literal division stays
+         -- FLOAT in DuckDB and rounds differently from Spark's double
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           AS absmax
+  FROM embeddings
+)
+WHERE absmax > 0
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalanced corpus: keep 10% of views, 50% of clicks, all the rest —
+    per-stratum salted hash fractions, verified by per-type counts."""
+    from cerebro_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, "events", sf_dir)
+    out = stratified_sample(
+        ev, "event_type", {"view": 10, "click": 50}, key_col="event_id"
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _stratified_sql() -> str:
+    bucket = _hex2long_sql(
+        "md5(concat(event_type, '|', CAST(event_id AS STRING)))", 8
+    )
+    return f"""
+SELECT event_type, count(*) AS n FROM events
+WHERE {bucket} % 100 < CASE event_type WHEN 'view' THEN 10
+                                       WHEN 'click' THEN 50 ELSE 100 END
+GROUP BY event_type
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs hash-split 10% test / 90% rest (same
     portable bucket as train_val_test); each test doc scored by the fraction
@@ -706,6 +756,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_resolve": q_dedup_resolve,
     "contamination_check": q_contamination_check,
+    "quantize_embeddings": q_quantize_embeddings,
+    "stratified_sample": q_stratified_sample,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -728,6 +780,8 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_resolve": _DEDUP_RESOLVE_SQL,
     "contamination_check": _contamination_sql(),
+    "quantize_embeddings": _QUANTIZE_SQL,
+    "stratified_sample": _stratified_sql(),
     "simhash": _simhash_sql(),
     "simhash_pairs": _simhash_pairs_sql(),
     "ann_cosine_topk": _ANN_SQL,
