@@ -274,3 +274,137 @@ def quantize_embeddings(
             F.concat_ws(",", q).alias("q"),
         )
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer (k-means with hash-seeded init).
+
+    Seeds = the ``n_clusters`` vectors with the smallest portable md5 hash of
+    their id (a reproducible "random" sample — no RNG, stable across runs and
+    engines), refined by ``iters`` Lloyd steps.  Each step is one broadcast
+    argmin assignment + one posexplode/avg aggregation; driver state is only
+    the k×dim centroid matrix (collected per step — a bounded aggregate, not
+    a data collect).  At 100 TB: train on a hash-sampled slice (e.g.
+    ``deterministic_sample``) — the assignment below scans the full corpus
+    exactly once either way.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(vec_col).cast("array<double>")
+    hashed = corpus.select(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h"),
+        v.alias("__v"),
+    )
+    seeds = hashed.orderBy("__h").limit(n_clusters).collect()
+    centroids = [list(r["__v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = _ivf_assign_expr(corpus, centroids, vec_col, nprobe=1).select(
+            F.col("__cluster"), F.posexplode(v).alias("__d", "__x")
+        )
+        rows = (
+            assigned.groupBy("__cluster", "__d")
+            .agg(F.avg("__x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep their seed
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["__cluster"], {})[r["__d"]] = r["m"]
+        for cid, dims in by_cluster.items():
+            new[cid] = [dims[d] for d in range(dim)]
+        centroids = new
+    return centroids
+
+
+def _ivf_assign_expr(
+    df: DataFrame, centroids: list[list[float]], vec_col: str, nprobe: int
+) -> DataFrame:
+    """Attach ``__cluster`` (nprobe=1) or explode the ``nprobe`` nearest
+    cluster ids per row — pure JVM expressions, centroids inlined as
+    literals (k×dim doubles: tiny relative to codegen limits at k≤64)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(vec_col).cast("array<double>")
+    import math
+
+    entries = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        cos = _dot(v, F.array(*[F.lit(float(x)) for x in c])) / (
+            _norm(v) * F.lit(cn)
+        )
+        entries.append(F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    if nprobe == 1:
+        return df.withColumn("__cluster", ranked[0]["cid"])
+    return df.withColumn(
+        "__cluster", F.explode(F.transform(ranked, lambda s: s["cid"]))
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus vectors live in exactly one
+    coarse cluster; each query scores only the ``nprobe`` nearest clusters.
+    Candidate fraction ≈ nprobe/n_clusters of the corpus (vs LSH's
+    bucket-collision fraction) — the standard trade: IVF prunes adaptively
+    where the data actually clusters, LSH needs no training.
+
+    At scale: the assignment is a narrow map over the corpus scan; the
+    probe join shuffles candidates by cluster id once, and the per-query
+    top-k merges per-partition (no global window)."""
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    c = _ivf_assign_expr(
+        ensure_parallelism(corpus), centroids, vec_col, nprobe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "__cluster",
+    )
+    q = _ivf_assign_expr(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "__cluster",
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -220,6 +220,17 @@ WHERE ({matches}) / {float(_MINHASH_N)} >= 0.5
 """
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-k (rows-only gate: the k-means coarse
+    quantizer is iterative and not SQL-expressible; recall ≥0.6 vs the exact
+    baseline is asserted in tests/test_ivf.py instead)."""
+    from cerebro_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.orderBy("vec_id").limit(20)
+    return cosine_topk_ivf(emb, queries, dim=64, k=5, n_clusters=16, nprobe=4)
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.similarity import quantize_embeddings
 
@@ -758,6 +769,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample": q_stratified_sample,
+    "ann_cosine_ivf": q_ann_cosine_ivf,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
