@@ -52,6 +52,31 @@ def streaming_downsample(
     )
 
 
+def streaming_dedup(
+    points: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous twin of ``dedup.exact_dedup``.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's event time, so state is bounded by (arrival
+    rate × watermark window) instead of growing with the whole stream —
+    a plain ``dropDuplicates`` on a stream never evicts and OOMs at 100 TB.
+    Duplicates arriving within the watermark window are dropped even when
+    their event times differ by less than the watermark (the semantics a
+    redelivering transport — AMQP/at-least-once poll replay — needs).
+    """
+    # default key: measurement + event time (map-typed ``tags`` can't be a
+    # dedup key — Spark set-ops reject map columns; promote tags to a string
+    # digest upstream if per-tag identity matters)
+    key_cols = key_cols or ["measurement", time_col]
+    return points.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 _SESSION_STATE_SCHEMA = "start long, last long, n long, vsum double"
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "

@@ -176,3 +176,28 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         F.col("window_start") < F.lit("2024-01-02 12:00:00").cast("timestamp")
     ).collect()
     assert late_rows == []  # late windows never emitted
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path):
+    """At-least-once redelivery collapses to one row per (measurement, time);
+    state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from cerebro_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "src")
+    pts = _points(spark, 30)
+    # simulate transport redelivery: every row written twice
+    pts.union(pts).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(src)
+    q = (
+        streaming_dedup(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT measurement, time FROM dedup_out").collect()
+    assert len(out) == 30
+    assert len(set((r["measurement"], r["time"]) for r in out)) == 30
