@@ -40,6 +40,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # by design: bounded query batch broadcast against the partitioned
     # corpus with a non-equi self-exclusion predicate
     "ann_cosine_topk",
+    # 1-row × 1-row crossJoin of two scalar count aggregates (the summary
+    # shape the gate needs) — both sides are single-row by construction
+    "dedup_resolve",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
