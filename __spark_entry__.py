@@ -537,6 +537,8 @@ _SNAPSHOT_PRIORITY = [
     "contamination_check",
     "quantize_embeddings",
     "stratified_sample",
+    "training_prep_summary",
+    "ann_cosine_ivf",
     "late_shipments_by_priority",
     "large_volume_customers",
     "sole_return_suppliers",

@@ -382,6 +382,126 @@ SELECT
 )
 
 
+def q_training_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, composed from the proven operators:
+    quality filter → MinHash-LSH dedup (canonical per cluster) → hash split
+    → token chunking of the train split.  One summary row of per-stage
+    counts — the shape a pipeline health dashboard reads, and a composition
+    proof that the operators agree with their oracles when chained."""
+    from cerebro_spark.operators.cluster import connected_components
+    from cerebro_spark.operators.sampling import _portable_bucket
+    from cerebro_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    flags = docs.withColumn(
+        "q_ok", (quality_score(F.col("text")) >= 0.999).cast("int")
+    )
+    qd = flags.filter(F.col("q_ok") == 1)
+    pairs = minhash_lsh_pairs(
+        qd, n=3, num_hashes=_MINHASH_N, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("__dropped")
+    )
+    b = _portable_bucket(F.col("doc_id"))
+    staged = (
+        flags.join(F.broadcast(drop), "doc_id", "left")
+        .withColumn(
+            "is_unique",
+            ((F.col("q_ok") == 1) & F.col("__dropped").isNull()).cast("int"),
+        )
+        .withColumn(
+            "split",
+            F.when(b < 10, "test").when(b < 20, "val").otherwise("train"),
+        )
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("q_ok").alias("n_quality"),
+        F.sum("is_unique").alias("n_unique"),
+        F.sum(
+            ((F.col("is_unique") == 1) & (F.col("split") == "train")).cast("int")
+        ).alias("n_train"),
+        F.sum(
+            ((F.col("is_unique") == 1) & (F.col("split") == "val")).cast("int")
+        ).alias("n_val"),
+        F.sum(
+            ((F.col("is_unique") == 1) & (F.col("split") == "test")).cast("int")
+        ).alias("n_test"),
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(8)) / F.lit(24)).cast("int"), F.lit(1)
+    )
+    chunks = (
+        staged.filter((F.col("is_unique") == 1) & (F.col("split") == "train"))
+        .agg(F.coalesce(F.sum(n_chunks), F.lit(0)).cast("long").alias("n_train_chunks"))
+    )
+    return agg.crossJoin(chunks)
+
+
+def _training_prep_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    # the pair CTE is the proven LSH SQL re-rooted at the quality-filtered
+    # corpus (single FROM documents occurrence, rewritten to qdocs)
+    pairs_sql = _minhash_lsh_sql().replace("FROM documents", "FROM qdocs")
+    bucket = _hex2long_sql("md5(CAST(doc_id AS STRING))", 8) + " % 100"
+    return f"""
+WITH RECURSIVE q_base AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(text), '\\s+') AS toks,
+    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+  FROM documents
+),
+qualified AS (
+  SELECT doc_id, text,
+    CASE WHEN len(toks) BETWEEN 5 AND 5000
+          AND (CASE WHEN len(ltoks) > 0
+               THEN 1.0 * len(list_filter(ltoks, t -> list_contains([{sw}], t))) / len(ltoks)
+               ELSE 0.0 END) BETWEEN 0.01 AND 0.6
+          AND (CASE WHEN length(text) > 0
+               THEN 1.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+               ELSE 0.0 END) <= 0.2
+         THEN 1 ELSE 0 END AS q_ok
+  FROM q_base
+),
+qdocs AS (SELECT doc_id, text FROM qualified WHERE q_ok = 1),
+pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs_sql}) z),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+cnodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id AS n, id AS r FROM cnodes
+  UNION
+  SELECT reach.n, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+),
+comp AS (SELECT n AS id, min(r) AS component FROM reach GROUP BY n),
+dropd AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+staged AS (
+  SELECT q.doc_id, q.text, q.q_ok,
+    CASE WHEN q.q_ok = 1 AND d.doc_id IS NULL THEN 1 ELSE 0 END AS is_unique,
+    CASE WHEN {bucket} < 10 THEN 'test'
+         WHEN {bucket} < 20 THEN 'val' ELSE 'train' END AS split
+  FROM qualified q LEFT JOIN dropd d USING (doc_id)
+)
+SELECT count(*) AS n_raw,
+  CAST(sum(q_ok) AS BIGINT) AS n_quality,
+  CAST(sum(is_unique) AS BIGINT) AS n_unique,
+  CAST(sum(CASE WHEN is_unique = 1 AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(sum(CASE WHEN is_unique = 1 AND split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+  CAST(sum(CASE WHEN is_unique = 1 AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+  (SELECT CAST(COALESCE(sum(
+      greatest(CAST(ceil((len(string_split_regex(trim(text), '\\s+')) - 8) / 24.0) AS INTEGER), 1)
+    ), 0) AS BIGINT)
+   FROM staged WHERE is_unique = 1 AND split = 'train') AS n_train_chunks
+FROM staged
+"""
+
+
 _SIMHASH_BITS = 24
 
 
@@ -770,6 +890,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample": q_stratified_sample,
     "ann_cosine_ivf": q_ann_cosine_ivf,
+    "training_prep_summary": q_training_prep_summary,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -794,6 +915,7 @@ ORACLES = {
     "contamination_check": _contamination_sql(),
     "quantize_embeddings": _QUANTIZE_SQL,
     "stratified_sample": _stratified_sql(),
+    "training_prep_summary": _training_prep_sql(),
     "simhash": _simhash_sql(),
     "simhash_pairs": _simhash_pairs_sql(),
     "ann_cosine_topk": _ANN_SQL,
