@@ -158,6 +158,19 @@ def q_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per day (``percentile_approx`` — Greenwald-
+    Khanna summaries, mergeable across partitions, bounded memory — the
+    100 TB path where exact ``percentile`` must hold all values per group).
+    Rows-only gate by construction; tests/test_tsdb_edges.py asserts each
+    approx value lies within the exact p45–p55 / p90–p97 rank bands."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 1000).alias("p95_approx"),
+    )
+
+
 _PERCENTILES_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
   quantile_cont(value, 0.5) AS p50,
@@ -264,6 +277,7 @@ QUERIES = {
     "downsample_gapfill": q_downsample_gapfill,
     "distinct_users_daily": q_distinct_users_daily,
     "approx_users_daily": q_approx_users_daily,
+    "approx_percentiles_daily": q_approx_percentiles_daily,
     "orders_no_big_items": q_orders_no_big_items,
     "frame_sample": q_frame_sample,
     "client_agg_window": q_client_agg_window,

@@ -186,3 +186,35 @@ def test_global_ffill_duplicate_ts_levels_agree(spark):
         got = _global_ffill(df, "ts", ["v"], scale_bucket_seconds=10)
         carried = [r["v"] for r in got.orderBy("ts", "v").collect()]
         assert carried == [1.0, 7.0, 7.0, 7.0]
+
+
+def test_approx_percentiles_within_rank_bands(spark, sf_dir):
+    """GK-sketch percentiles must land inside generous exact rank bands
+    on every day: p40-p60 for the median, p88-max for p95.  The bands are
+    rank-based and generous because percentile_approx returns an observed
+    sample while the exact percentile interpolates — at ~tens of samples per
+    day that alone is several rank points."""
+    from cerebro_spark.io import load_table
+    from cerebro_spark.queries.tsdb_q import q_approx_percentiles_daily
+
+    approx = {
+        r["day"]: (r["p50_approx"], r["p95_approx"])
+        for r in q_approx_percentiles_daily(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    bands = {
+        r["day"]: r
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.expr("percentile(value, 0.40)").alias("lo50"),
+            F.expr("percentile(value, 0.60)").alias("hi50"),
+            F.expr("percentile(value, 0.88)").alias("lo95"),
+            F.max("value").alias("hi95"),
+        )
+        .collect()
+    }
+    assert approx and set(approx) == set(bands)
+    for day, (p50, p95) in approx.items():
+        b = bands[day]
+        assert b["lo50"] <= p50 <= b["hi50"], (day, p50, b["lo50"], b["hi50"])
+        assert b["lo95"] <= p95 <= b["hi95"], (day, p95, b["lo95"], b["hi95"])
