@@ -93,6 +93,42 @@ def _shingles(content_col: str, n: int):
     )
 
 
+def _shingle_hash_df(
+    df: DataFrame, content_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh: array<bigint>) — distinct 64-bit shingle hashes WITHOUT
+    building shingle strings: hash each token once, then hash the n
+    token-hashes per window (``xxhash64`` is n-ary).  Skips the per-shingle
+    ``array_join`` string allocation and string-based ``array_distinct`` of
+    `_shingles`; only usable where the shingle key itself is internal (the
+    Jaccard joins), not where the oracle must reproduce the hash (MinHash
+    keeps the portable md5-over-string path).
+
+    The token-hash array MUST be materialized in its own projection: inlining
+    it makes every ``element_at`` in the window lambda re-evaluate the whole
+    array — O(tokens²·n) per doc, measured 5× slower than the string path.
+    A multi-referenced non-trivial alias blocks CollapseProject, keeping the
+    two-stage shape.
+    """
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.element_at(th, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    sh = F.array_distinct(
+        F.when(F.size(th) >= n, grams).otherwise(F.array().cast("array<bigint>"))
+    )
+    return hashed.select("id", sh.alias("sh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -109,15 +145,14 @@ def ngram_jaccard_pairs(
     shared by more than N docs — the skew/blowup guard at scale.
     """
     df = ensure_parallelism(df)
-    base = df.select(
-        F.col(id_col).alias("id"), _shingles(content_col, n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
     # shuffle key = 64-bit hash of the shingle, not the (long) shingle string:
-    # 8-byte keys instead of ~n·8 bytes of text.  A 64-bit collision
+    # 8-byte keys instead of ~n·8 bytes of text, built hash-of-token-hashes
+    # (no shingle strings at all — see _shingle_hashes).  A 64-bit collision
     # (~n²/2⁶⁵) would merge two shingles; negligible and caught by the oracle.
-    ex = base.select(
-        "id", "n_sh", F.explode("sh").alias("__s")
-    ).select("id", "n_sh", F.xxhash64(F.col("__s")).alias("s"))
+    base = _shingle_hash_df(df, content_col, id_col, n).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
 
     # Inverted-index pair generation WITHOUT a self-join (a self-join would
     # recompute the shingle explosion for both branches — no exchange reuse):

@@ -45,6 +45,18 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate turns explode(<computed array>) into a
+        # size(...)>0 pre-filter; predicate pushdown then INLINES the whole
+        # array expression into that filter and pushes it below the exchange
+        # — the shingle pipeline re-evaluated its token-hash transform per
+        # element_at inside one pre-shuffle task (measured 5× total wall on
+        # ngram_jaccard).  Our explodes are all over computed arrays where
+        # the inferred filter only duplicates work; empty-array pruning is
+        # done explicitly where it matters.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long, loader converts to µs (documented ns→µs
         # delta, SURVEY §1.4).
