@@ -43,6 +43,7 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row × 1-row crossJoin of two scalar count aggregates (the summary
     # shape the gate needs) — both sides are single-row by construction
     "dedup_resolve",
+    "training_prep_summary",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
