@@ -538,6 +538,7 @@ _SNAPSHOT_PRIORITY = [
     "quantize_embeddings",
     "stratified_sample",
     "training_prep_summary",
+    "events_quality_profile",
     "ann_cosine_ivf",
     "late_shipments_by_priority",
     "large_volume_customers",

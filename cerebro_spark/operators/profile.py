@@ -1,0 +1,44 @@
+"""Table data-quality profile — the pipeline-health aggregate a training-data
+run gates on (null explosions, range drift, cardinality collapse).
+
+One map-side-combinable aggregation pass over the table: per-column null
+counts, numeric min/max/avg, timestamp min/max, and exact distinct counts
+for the requested key columns.  Flat single-row output with deterministic
+``<col>_<stat>`` names, so the result diffs cleanly across runs and feeds
+the oracle gate directly.
+
+At 100 TB: everything here is a partial-aggregate shuffle of one row per
+partition — except ``distinct_cols``, which shuffles the distinct keys; keep
+those to genuinely-needed identifiers (or swap in approx_count_distinct at
+the call site when exactness isn't required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType, TimestampType
+
+
+def data_profile(
+    df: DataFrame,
+    distinct_cols: list[str] | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Single-row profile: ``n_rows``, ``<col>_nulls`` for every column,
+    ``<col>_min/_max/_avg`` for numerics (avg rounded for cross-engine
+    stability), ``<col>_min/_max`` for timestamps, ``<col>_distinct`` for
+    ``distinct_cols``."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"{f.name}_nulls"))
+        if isinstance(f.dataType, NumericType):
+            aggs.append(F.min(c).alias(f"{f.name}_min"))
+            aggs.append(F.max(c).alias(f"{f.name}_max"))
+            aggs.append(F.round(F.avg(c), round_digits).alias(f"{f.name}_avg"))
+        elif isinstance(f.dataType, TimestampType):
+            aggs.append(F.min(c).alias(f"{f.name}_min"))
+            aggs.append(F.max(c).alias(f"{f.name}_max"))
+    for name in distinct_cols or []:
+        aggs.append(F.count_distinct(F.col(name)).alias(f"{name}_distinct"))
+    return df.agg(*aggs)

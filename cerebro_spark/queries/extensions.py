@@ -382,6 +382,37 @@ SELECT
 )
 
 
+def q_events_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate for the events table: null counts, numeric ranges,
+    timestamp span, key cardinalities — one partial-agg pass."""
+    from cerebro_spark.operators.profile import data_profile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return data_profile(ev, distinct_cols=["user_id", "event_type"])
+
+
+_EVENTS_PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+  min(event_id) AS event_id_min, max(event_id) AS event_id_max,
+  round(avg(event_id), 4) AS event_id_avg,
+  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+  min(ts) AS ts_min, max(ts) AS ts_max,
+  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+  min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+  round(avg(user_id), 4) AS user_id_avg,
+  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+  min(value) AS value_min, max(value) AS value_max,
+  round(avg(value), 4) AS value_avg,
+  count(DISTINCT user_id) AS user_id_distinct,
+  count(DISTINCT event_type) AS event_type_distinct
+FROM events
+"""
+
+
 def q_training_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep, composed from the proven operators:
     quality filter → MinHash-LSH dedup (canonical per cluster) → hash split
@@ -891,6 +922,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "ann_cosine_ivf": q_ann_cosine_ivf,
     "training_prep_summary": q_training_prep_summary,
+    "events_quality_profile": q_events_quality_profile,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -916,6 +948,7 @@ ORACLES = {
     "quantize_embeddings": _QUANTIZE_SQL,
     "stratified_sample": _stratified_sql(),
     "training_prep_summary": _training_prep_sql(),
+    "events_quality_profile": _EVENTS_PROFILE_SQL,
     "simhash": _simhash_sql(),
     "simhash_pairs": _simhash_pairs_sql(),
     "ann_cosine_topk": _ANN_SQL,

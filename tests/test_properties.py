@@ -148,3 +148,47 @@ def test_rolling_permutation_invariant(spark, rows, rnd):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+# -- connected components vs a reference union-find --------------------------
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    label = {}
+    for n in nodes:
+        r = find(n)
+        label.setdefault(r, min(m for m in nodes if find(m) == r))
+    return {n: label[find(n)] for n in nodes}
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from cerebro_spark.operators.cluster import connected_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    nodes = sorted({x for e in real for x in e})
+    want = _uf_components(real, nodes)
+    df = spark.createDataFrame(real, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
