@@ -45,6 +45,9 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushFilters (the Influx reader compiles pushed
+        # time/field predicates into Flux) is gated off by default
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # InferFiltersFromGenerate turns explode(<computed array>) into a
         # size(...)>0 pre-filter; predicate pushdown then INLINES the whole
         # array expression into that filter and pushes it below the exchange

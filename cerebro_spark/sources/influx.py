@@ -149,6 +149,14 @@ try:  # PySpark 4 Python DataSource API
             self.start = start
             self.end = end
 
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
     class _InfluxReader(DataSourceReader):
         def __init__(self, options):
             self.options = dict(options)
@@ -157,6 +165,37 @@ try:  # PySpark 4 Python DataSource API
             # absent from a freshly imported registry — capturing the
             # function itself ships it with the reader.
             self.fetch = FETCH_REGISTRY[self.options.get("fetch_fn", "http")]
+
+        def pushFilters(self, filters):
+            """Catalyst → Flux pushdown (SURVEY §4 candidate (b)): ``time``
+            range bounds and ``field`` equality tighten the server-side
+            Flux pipeline, so Influx — not Spark — drops the rows.  Every
+            filter is also RETURNED (Spark re-evaluates them), so a fetch
+            fn that ignores the compiled range can't corrupt results —
+            pushdown here is a scan reduction, never the correctness
+            boundary.  Explicit start/end options win over pushed bounds
+            (they may be relative forms the user chose deliberately)."""
+            for f in filters:
+                col = f.attribute[0] if getattr(f, "attribute", None) else None
+                v = getattr(f, "value", None)
+                if col == "time" and isinstance(
+                    f, (GreaterThan, GreaterThanOrEqual)
+                ) and "start" not in self.options:
+                    if isinstance(v, dt.datetime):
+                        self.options["start"] = _isot(v)
+                elif col == "time" and isinstance(
+                    f, (LessThan, LessThanOrEqual)
+                ) and "end" not in self.options:
+                    if isinstance(v, dt.datetime):
+                        self.options["end"] = _isot(v)
+                elif (
+                    col == "field"
+                    and isinstance(f, EqualTo)
+                    and "field" not in self.options
+                    and isinstance(v, str)
+                ):
+                    self.options["field"] = v
+                yield f
 
         def partitions(self):
             o = self.options

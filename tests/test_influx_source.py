@@ -70,3 +70,58 @@ def test_influx_read_datasource_with_synthetic_fetch(spark):
     assert rows[0]["time"] == base
     assert rows[-1]["time"] == base + dt.timedelta(minutes=50)
     assert rows[0]["value"] == 20.0
+
+
+def test_filter_pushdown_reaches_flux(spark):
+    """A Spark-side time-range + field filter, with NO start/end options,
+    must be compiled into the Flux range: the synthetic fetch emits rows
+    ONLY when the compiled Flux contains a range, so non-empty output
+    proves the pushdown reached the query text."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.sources.influx import InfluxReadSource
+
+    spark.dataSource.register(InfluxReadSource)
+    df = (
+        spark.read.format("cerebro_influx")
+        .option("bucket", "b")
+        .option("measurement", "m")
+        .option("fetch_fn", "synthetic")
+        .option("step_seconds", "600")
+        .load()
+        .filter(
+            (F.col("time") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("time") < F.lit("2024-01-01 02:00:00").cast("timestamp"))
+            & (F.col("field") == "temp")
+        )
+    )
+    rows = df.collect()
+    assert rows, "pushdown did not reach the Flux range"
+    assert all(r["field"] == "temp" for r in rows)
+    lo = dt.datetime(2024, 1, 1, 0, 0)
+    hi = dt.datetime(2024, 1, 1, 2, 0)
+    assert all(lo <= r["time"] < hi for r in rows)
+    assert len(rows) == 12  # 2h at 600s steps — server-side range, not post-filter
+
+
+def test_explicit_options_win_over_pushed_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.sources.influx import InfluxReadSource
+
+    spark.dataSource.register(InfluxReadSource)
+    df = (
+        spark.read.format("cerebro_influx")
+        .option("bucket", "b")
+        .option("measurement", "m")
+        .option("fetch_fn", "synthetic")
+        .option("step_seconds", "600")
+        .option("start", "2024-01-01T00:00:00Z")
+        .option("end", "2024-01-01T01:00:00Z")
+        .load()
+        .filter(F.col("time") < F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    )
+    # option range (1h) bounds the scan; the pushed filter only re-trims
+    assert len(df.collect()) == 6
