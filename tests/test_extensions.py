@@ -141,3 +141,44 @@ def test_multimodal_plumbing(spark):
     first = plan.filter(F.col("doc_id") == 0).select("frame_ts_ms").collect()
     # duration = 10 bytes * 10 ms = 100ms → exactly 1 frame at default floor
     assert [r["frame_ts_ms"] for r in first] == [0]
+
+
+def test_custom_sessionize_matches_builtin_session_window(spark, sf_dir):
+    """The lag/cumsum sessionizer (kept for its stateful-streaming twin)
+    must agree with Spark's built-in session_window on batch data.  Edge
+    semantics differ only at gaps EXACTLY equal to the window (custom: same
+    session; builtin: new session) — assert that boundary is absent from
+    the fixture, then require identical sessions."""
+    import __spark_entry__ as entry
+    from cerebro_spark.io import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    boundary = ev.withColumn("g", gap).filter(F.col("g") == 1800.0).count()
+    assert boundary == 0, "fixture has an exact-boundary gap; pick another gap"
+
+    custom = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): r[
+            "value_sum"
+        ]
+        for r in entry.queries()["sessionize"](spark, sf_dir).collect()
+    }
+    builtin = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): r[
+            "value_sum"
+        ]
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("value_sum"),
+            )
+            .collect()
+        )
+    }
+    assert custom == builtin
