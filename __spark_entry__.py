@@ -540,6 +540,7 @@ _SNAPSHOT_PRIORITY = [
     "training_prep_summary",
     "events_quality_profile",
     "ann_cosine_ivf",
+    "approx_percentiles_daily",
     "late_shipments_by_priority",
     "large_volume_customers",
     "sole_return_suppliers",
