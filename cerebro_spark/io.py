@@ -124,3 +124,61 @@ def compact_store(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_conf)
+
+
+def write_wide_store(
+    points: DataFrame,
+    path: str,
+    time_col: str = "time",
+    fields_col: str = "fields",
+) -> list[str]:
+    """Pivot-on-write wide store — SURVEY §4 candidate (a) realized as a
+    storage layout instead of a Catalyst rule: per-measurement directories
+    whose parquet files carry one NATIVE column per field.
+
+    A ``fields map<string,double>`` column can never be pruned per key at
+    the scan (parquet reads the whole map to serve one field); with the
+    pivoted layout, reading one field of one measurement scans exactly
+    ``(time, <field>)`` — verify via ``ReadSchema`` in the plan.  The driver
+    loop runs once per MEASUREMENT (a bounded registry, not data); each
+    write is a distributed pivot partitioned by date.  Returns the
+    measurements written.
+    """
+    measurements = [
+        r["measurement"]
+        for r in points.select("measurement").distinct().collect()
+    ]
+    for m in sorted(measurements):
+        sub = points.filter(F.col("measurement") == m)
+        long = sub.select(
+            F.col(time_col).alias("time"),
+            F.to_date(F.col(time_col)).alias("date"),
+            F.explode(F.col(fields_col)).alias("field", "value"),
+        )
+        wide = (
+            long.groupBy("time", "date")
+            .pivot("field")
+            .agg(F.first("value", ignorenulls=True))
+        )
+        (
+            wide.write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(f"{path}/measurement={m}")
+        )
+    return sorted(measurements)
+
+
+def read_wide_store(
+    spark: SparkSession,
+    path: str,
+    measurement: str,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Column-pruned read of one measurement from the wide store: selecting
+    specific ``fields`` reaches the parquet scan as a narrow ReadSchema
+    (time + those columns only) plus date partition pruning for any time
+    filter the caller applies on the ``date`` column."""
+    df = spark.read.parquet(f"{path}/measurement={measurement}")
+    if fields:
+        return df.select("time", "date", *fields)
+    return df

@@ -1,0 +1,63 @@
+"""Pivot-on-write wide store: per-field column pruning at the scan."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import read_wide_store, write_wide_store
+from cerebro_spark.schema import POINT_SCHEMA
+
+
+def _points(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(48):
+        rows.append(
+            (
+                "temperature" if i % 2 == 0 else "humidity",
+                {"src": "t"},
+                {"value": float(i), "raw": float(i) * 10, "rms": float(i) / 2},
+                None,
+                None,
+                base + dt.timedelta(hours=i),
+                "sensors",
+            )
+        )
+    return spark.createDataFrame(rows, POINT_SCHEMA)
+
+
+def test_wide_store_roundtrip_and_pruning(spark, tmp_path):
+    pts = _points(spark)
+    written = write_wide_store(pts, str(tmp_path / "wide"))
+    assert written == ["humidity", "temperature"]
+
+    one = read_wide_store(
+        spark, str(tmp_path / "wide"), "temperature", fields=["value"]
+    )
+    # values survive the pivot
+    got = {r["time"]: r["value"] for r in one.collect()}
+    assert len(got) == 24
+    assert got[dt.datetime(2024, 1, 1)] == 0.0
+
+    # the whole point of the layout: the parquet scan reads ONLY the
+    # requested field column (plus time/date), not raw/rms
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs, plan
+    assert "value" in rs[0] and "raw" not in rs[0] and "rms" not in rs[0]
+
+
+def test_wide_store_date_partition_pruning(spark, tmp_path):
+    pts = _points(spark)
+    write_wide_store(pts, str(tmp_path / "wide"))
+    df = read_wide_store(spark, str(tmp_path / "wide"), "humidity").filter(
+        F.col("date") == "2024-01-02"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition filter present → only the matching date directory is scanned
+    assert "PartitionFilters: [isnotnull(date" in plan or "date#" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    rows = df.collect()
+    assert rows
+    assert all(str(r["date"]) == "2024-01-02" for r in rows)
