@@ -123,11 +123,13 @@ def resolve_duplicates(
 ) -> DataFrame:
     """Drop every non-canonical member of each duplicate cluster — the final
     step of the dedup pipeline.  Keeps: all isolated docs + one (min-id)
-    representative per cluster.  The drop-list (cluster members minus
-    canonicals) is duplicate-bounded and usually tiny relative to the corpus
-    → broadcast anti-join, no full shuffle of the corpus."""
+    representative per cluster.  The join strategy is deliberately NOT
+    forced: at a 30% duplicate rate on a 100 TB corpus the drop-list is
+    billions of ids — force-broadcasting it would OOM the executors.  AQE
+    picks broadcast when the list is actually small and falls back to a
+    shuffled anti-join (ids only, 8 bytes/row) when it isn't."""
     comp = connected_components(pairs, src, dst)
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    return docs.join(drop, id_col, "left_anti")

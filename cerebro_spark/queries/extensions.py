@@ -437,7 +437,9 @@ def q_training_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = _portable_bucket(F.col("doc_id"))
     staged = (
-        flags.join(F.broadcast(drop), "doc_id", "left")
+        # no broadcast hint: the drop-list is duplicate-rate-bounded, not
+        # small-bounded — AQE broadcasts it only when it actually fits
+        flags.join(drop, "doc_id", "left")
         .withColumn(
             "is_unique",
             ((F.col("q_ok") == 1) & F.col("__dropped").isNull()).cast("int"),
