@@ -2,7 +2,9 @@
 the trimmed testdata schema — no shipmode/commitdate columns).
 
 Scale notes baked into each query:
-- dimensions (nation/region/supplier/customer at these SFs) are broadcast;
+- only CONSTANT-size dimensions (nation, region) carry broadcast hints;
+  SF-scaled ones (customer, supplier) are left to AQE, which broadcasts
+  them while they fit and shuffles them at the 100 TB target;
 - the Q21 shape is expressed as ONE aggregation over (order, supplier)
   flags instead of correlated EXISTS / NOT EXISTS sub-queries — a
   correlated-exists plan re-joins lineitem per predicate, the flag
@@ -58,9 +60,11 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 300)
     )
+    # no hint on customer: it scales with SF (15B rows at the 100 TB
+    # target); AQE broadcasts it only while it fits the threshold
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -107,8 +111,9 @@ def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("sole_return_orders"))
     )
+    # supplier scales with SF — no forced broadcast (AQE decides)
     return (
-        qualifying.join(F.broadcast(sup), qualifying.l_suppkey == sup.s_suppkey)
+        qualifying.join(sup, qualifying.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "sole_return_orders")
     )
 
@@ -151,7 +156,9 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_ny = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)  # customer-derived:
+        # SF-scaled, so no forced broadcast — nation/region (constant-size)
+        # are hinted inside dims, the big probe side stays shuffled
         .groupBy(F.year("o_orderdate").alias("o_year"), F.col("n_name"))
         .agg(F.sum(rev).alias("nation_rev"))
     )
