@@ -141,7 +141,9 @@ def tfidf_top_terms(
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    # dfreq is the corpus VOCABULARY — unbounded at 100 TB (web-scale junk
+    # terms), so no forced broadcast; AQE broadcasts it while it fits
+    scored = tf.join(dfreq, "term").withColumn(
         "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())

@@ -53,7 +53,8 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.util import top_k_ranked
 
     joined = (
-        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        # supplier scales with SF — no forced broadcast (AQE decides)
+        rev.join(sup, rev.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "revenue")
     )
