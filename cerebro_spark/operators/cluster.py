@@ -70,15 +70,23 @@ def connected_components(
     unchanged (checked with a count + order-independent hash aggregate, two
     cheap single-row actions per round).
     """
-    edges = (
+    spark = pairs.sparkSession
+    # Reliable checkpoint (HDFS/S3) when the app configured a checkpoint dir
+    # — localCheckpoint blocks die with their executor, which on a cluster
+    # turns one lost node into a failed job for long CC runs.  Local mode /
+    # no dir: localCheckpoint is exactly right (no remote FS round-trip).
+    if spark.sparkContext.getCheckpointDir():
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    edges = _ckpt(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for _ in range(max_iter):
-        edges = _star_round(edges).localCheckpoint(eager=True)
+        edges = _ckpt(_star_round(edges))
         sig = edges.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent and overflow-free (sum of hashes
