@@ -1,0 +1,78 @@
+"""Training-data prep, end to end: the pipeline a 100 TB corpus runs nightly.
+
+    python examples/training_data_prep.py [sf_dir]
+
+Stages (each one an oracle-checked operator — see QUERIES.md):
+1. quality gate      — `text.quality_score` columnar filter
+2. near-dup pairs    — `dedup.minhash_lsh_pairs` (banded LSH)
+3. cluster + resolve — `cluster.connected_components` → one canonical doc
+4. decontamination   — `dedup.contamination_check` vs the held-out split
+5. stratified rebalance — `sampling.stratified_sample`
+6. split + chunk     — `sampling.train_val_test_split` / `chunk_documents`
+7. profile           — `profile.data_profile` health row for the run log
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.cluster import resolve_duplicates
+from cerebro_spark.operators.dedup import contamination_check, minhash_lsh_pairs
+from cerebro_spark.operators.profile import data_profile
+from cerebro_spark.operators.sampling import (
+    chunk_documents,
+    train_val_test_split,
+)
+from cerebro_spark.operators.text import quality_score
+from cerebro_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark("training-data-prep")
+    docs = load_table(spark, "documents", SF_DIR)
+    n_raw = docs.count()
+
+    # 1. quality gate (all three criteria)
+    quality = docs.filter(quality_score(F.col("text")) >= 0.999)
+
+    # 2-3. near-dup pairs → transitive clusters → keep one canonical per
+    pairs = minhash_lsh_pairs(quality, n=3, num_hashes=8, bands=4, threshold=0.5)
+    unique = resolve_duplicates(quality, pairs, id_col="doc_id")
+
+    # 6. leakage-safe split (hash of doc_id — stable under reruns)
+    split = train_val_test_split(unique, "doc_id", val_pct=10, test_pct=10)
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+
+    # 4. decontaminate: flag test docs whose 5-grams leak from train
+    contam = contamination_check(train, test, n=5, threshold=0.5)
+    clean_test = test.join(
+        contam.filter(F.col("is_contaminated") == 1).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+
+    # 7. chunk the train split for the tokenizer
+    chunks = chunk_documents(train, chunk_tokens=32, overlap=8)
+
+    # health row for the run log
+    profile = data_profile(
+        train.select("doc_id", "text"), distinct_cols=["doc_id"]
+    ).first()
+
+    print(f"raw docs:          {n_raw}")
+    print(f"after quality:     {quality.count()}")
+    print(f"after dedup:       {unique.count()}")
+    print(f"train/test:        {train.count()} / {test.count()}")
+    print(f"clean test:        {clean_test.count()}")
+    print(f"train chunks:      {chunks.count()}")
+    print(f"profile: n_rows={profile['n_rows']} text_nulls={profile['text_nulls']}")
+
+
+if __name__ == "__main__":
+    main()
