@@ -478,7 +478,12 @@ def _training_prep_sql() -> str:
     sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     # the pair CTE is the proven LSH SQL re-rooted at the quality-filtered
     # corpus (single FROM documents occurrence, rewritten to qdocs)
-    pairs_sql = _minhash_lsh_sql().replace("FROM documents", "FROM qdocs")
+    lsh = _minhash_lsh_sql()
+    assert lsh.count("FROM documents") == 1, (
+        "LSH SQL shape changed — the qdocs re-rooting below would silently "
+        "miss a scan; update _training_prep_sql together with it"
+    )
+    pairs_sql = lsh.replace("FROM documents", "FROM qdocs")
     bucket = _hex2long_sql("md5(CAST(doc_id AS STRING))", 8) + " % 100"
     return f"""
 WITH RECURSIVE q_base AS (
