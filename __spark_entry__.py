@@ -534,6 +534,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the FRONT of the registry so they get driver-checked this round; the
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
 _SNAPSHOT_PRIORITY = [
+    "repetition_profile",
+    "unigram_nll",
+    "mixture_sample",
+    "pack_tokens",
+    "semantic_dedup",
     "dedup_clusters",
     "dedup_resolve",
     "contamination_check",

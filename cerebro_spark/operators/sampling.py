@@ -75,6 +75,103 @@ def stratified_sample(
     return df.filter(b < pct)
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str,
+    key_col: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic domain-mixture sampler: draw the LARGEST sample whose
+    domain composition matches ``weights`` (the DoReMi/Pile-style corpus
+    reweighting step; domains not listed are dropped).
+
+    With per-domain counts n_d, the max total hitting the exact mixture is
+    S = min_d(n_d / w_d); each domain keeps fraction w_d·S/n_d via the salted
+    hash bucket (stable under retries, independent across domains).  The
+    counts and their min are |domains|-row aggregates joined back broadcast —
+    no driver collect, no shuffle of the data itself; the final filter is a
+    pure map over the scan.
+    """
+    w_expr = F.lit(None).cast("double")
+    for value, wt in weights.items():
+        w_expr = F.when(F.col("__dom") == value, F.lit(float(wt))).otherwise(
+            w_expr
+        )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", w_expr)
+        .filter(F.col("__w").isNotNull())
+    )
+    s = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__s"))
+    keep = counts.crossJoin(F.broadcast(s)).select(
+        "__dom",
+        (F.lit(float(buckets)) * F.col("__w") * F.col("__s") / F.col("__n")).alias(
+            "__pct"
+        ),
+    )
+    b = _portable_bucket(
+        F.concat_ws("|", F.col(domain_col), F.col(key_col).cast("string")),
+        buckets,
+    )
+    return (
+        df.join(
+            F.broadcast(keep), df[domain_col] == F.col("__dom"), "inner"
+        )
+        .filter(b < F.col("__pct"))
+        .drop("__dom", "__pct")
+    )
+
+
+def pack_tokens(
+    df: DataFrame,
+    budget: int,
+    partition_col: str,
+    order_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style pretraining batcher):
+    documents are concatenated in a deterministic order and cut every
+    ``budget`` tokens, so ``batch_id = floor(tokens_before / budget)`` and a
+    document may span a batch boundary (``batch_offset`` = its start inside
+    the batch).
+
+    The running sum is windowed per ``partition_col`` (shard/domain) — never
+    a global single-partition window.  For one global stream at 100 TB:
+    range-repartition by ``order_col``, pack per range, then shift each
+    range's ids by the previous ranges' token totals (a tiny per-range
+    aggregate) — same two-level pattern as the overlap-bucket rolling
+    windows.
+    """
+    from pyspark.sql import Window
+
+    from cerebro_spark.operators.text import token_count
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count(F.col(text_col))
+    return df.select(
+        F.col(order_col),
+        F.col(partition_col),
+        n_tok.alias("n_tokens"),
+    ).select(
+        order_col,
+        partition_col,
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("__before"),
+    ).select(
+        order_col,
+        partition_col,
+        "n_tokens",
+        F.floor(F.col("__before") / F.lit(float(budget))).alias("batch_id"),
+        (F.col("__before") % budget).alias("batch_offset"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -196,6 +196,71 @@ def embedding_cosine_dedup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings with the deterministic hash-seeded coarse
+    quantizer (``train_ivf_centroids``), then mark within-cluster near
+    duplicates — a row is DROPPED when a lower-id row in its cluster has
+    cosine ≥ threshold.  Returns one row per dropped vector:
+    ``(drop_id, keep_id, cosine)`` with keep_id = the most similar
+    qualifying lower id (ties by id).  Chains (a~b~c) resolve via
+    ``cluster.resolve_duplicates`` over these pairs if a canonical
+    representative per group is needed.
+
+    vs ``embedding_cosine_dedup`` (random-hyperplane LSH blocking): the
+    learned quantizer adapts blocking to the data's actual cluster structure,
+    catching near-dups whose hyperplane signs differ.  Candidate pairs are
+    within-cluster only — one shuffle by cluster id; pair blowup per cluster
+    is bounded by cluster size, so train k ≈ sqrt(N) clusters (on a hash
+    sample) to keep the expected pair count near-linear at 100 TB.
+    """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, dim, n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = _ivf_assign_expr(
+        ensure_parallelism(df), centroids, vec_col, nprobe=1
+    )
+    a = assigned.select(
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        "__cluster",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("drop_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        "__cluster",
+    )
+    pairs = (
+        a.join(b, "__cluster")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("drop_id").orderBy(
+        F.col("cosine").desc(), F.col("keep_id").asc()
+    )
+    return (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("drop_id", "keep_id", "cosine")
+    )
+
+
 def norm_stats_by_label(
     df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

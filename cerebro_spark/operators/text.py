@@ -154,6 +154,122 @@ def tfidf_top_terms(
     )
 
 
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
+    quality rules, adapted to word granularity):
+
+    - ``dup_word_frac``: 1 − distinct/total words (pure column expression);
+    - ``top_word_frac``: occurrences of the most frequent word / n_words;
+    - ``top_bigram_frac``: occurrences of the most frequent bigram / (n−1).
+
+    High values mark boilerplate/spam for training-data filtering.  Shape:
+    one explode over (unigram ∪ bigram) tagged by n, a combiner-friendly
+    (doc, n, gram) count, then a conditional-max rollup to one row per doc —
+    two shuffles, state bounded by per-doc vocabulary.  The columnar word
+    metrics ride along on the base scan and join back on the doc id.
+    """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    word_m = base.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col("__t"))).cast("double") / n,
+            6,
+        ).alias("dup_word_frac"),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(F.col("__t"), i + 1, 2), " "),
+        ),
+    ).otherwise(F.array())
+    tagged = base.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("__t"),
+                    lambda t: F.struct(F.lit(1).alias("n"), t.alias("gram")),
+                ),
+                F.transform(
+                    bigrams,
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    tops = (
+        tagged.groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("n") == 1, F.col("c"))).alias("__topw"),
+            F.max(F.when(F.col("n") == 2, F.col("c"))).alias("__topb"),
+        )
+    )
+    return word_m.join(tops, id_col).select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.round(F.col("__topw").cast("double") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.when(
+            F.col("n_words") >= 2,
+            F.round(
+                F.col("__topb").cast("double") / (F.col("n_words") - 1), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model perplexity proxy (the CCNet/Wenzek et al. 2020
+    quality signal, with the corpus itself as the LM): per-document mean
+    negative log-likelihood under corpus unigram frequencies.  Low = fluent
+    and typical; high = rare-token noise.
+
+    Shape: one explode → vocabulary count (combiner-friendly), a 1-row total
+    (broadcast scalar), an equi-join of tokens to the vocab (AQE broadcasts
+    the vocab while it fits — no forced hint: web-scale vocabularies grow
+    with the corpus), then a per-doc mean.  The mean is rounded to 4 dp on
+    both engines: ``ln`` differs by ulps between libm and the JVM.
+    """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    terms = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    scored = terms.join(vocab, "term").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.avg(-F.log(F.col("c").cast("double") / F.col("t"))), 4
+        ).alias("avg_nll"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -709,6 +709,50 @@ WHERE list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with deterministically injected duplicates: every 10th
+    vector is cloned under id+1000000 (identical embedding → cosine 1 and a
+    guaranteed shared k-means cluster).  The oracle is BRUTE-FORCE all-pairs
+    dedup — the learned blocking must find exactly the global answer, which
+    here is each clone dropped against its original (all organic pairs sit
+    below cosine 0.52 in this corpus)."""
+    from cerebro_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        emb.unionByName(clones), dim=64, threshold=0.95, n_clusters=8
+    )
+    return out.select(
+        "drop_id", "keep_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+    list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+),
+hits AS (SELECT * FROM pairs WHERE cosine >= 0.95)
+SELECT drop_id, keep_id, round(cosine, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS r
+  FROM hits
+) WHERE r = 1
+"""
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm_stats_by_label(load_table(spark, "embeddings", sf_dir))
 
@@ -935,6 +979,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
     "embedding_dedup": q_embedding_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "embedding_norms": q_embedding_norms,
     "text_profile": q_text_profile,
     "lang_confusion": q_lang_confusion,
@@ -961,6 +1006,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_SQL,
     "ann_cosine_lsh": _ann_lsh_sql(),
     "embedding_dedup": _embedding_dedup_sql(),
+    "semantic_dedup": _SEMANTIC_DEDUP_SQL,
     "embedding_norms": _NORMS_SQL,
     "text_profile": _text_profile_sql(),
     "lang_confusion": _lang_confusion_sql(),

@@ -10,6 +10,8 @@ from cerebro_spark.io import load_table
 from cerebro_spark.operators.sampling import (
     chunk_documents,
     deterministic_sample,
+    mixture_sample,
+    pack_tokens,
     redact_pii,
     train_val_test_split,
 )
@@ -100,11 +102,73 @@ FROM documents
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target mixture 50/30/20 over three sources (others dropped): the
+    sampler keeps the largest subset matching those proportions."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = mixture_sample(
+        docs,
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        domain_col="source",
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
+_MIXTURE_BUCKET = _hex2long_sql(
+    "md5(concat(source, '|', CAST(doc_id AS STRING)))", 8
+)
+
+_MIXTURE_SQL = f"""
+WITH w(dom, wt) AS (VALUES
+  ('src0', CAST(0.5 AS DOUBLE)),
+  ('src1', CAST(0.3 AS DOUBLE)),
+  ('src2', CAST(0.2 AS DOUBLE))),
+counts AS (SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+j AS (SELECT dom, n, wt FROM counts JOIN w USING (dom)),
+s AS (SELECT min(n / wt) AS s FROM j),
+pct AS (SELECT dom, CAST(100.0 AS DOUBLE) * wt * s / n AS p FROM j, s)
+SELECT doc_id, source FROM documents JOIN pct ON source = dom
+WHERE {_MIXTURE_BUCKET} % 100 < p
+"""
+
+
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_tokens(
+        load_table(spark, "documents", sf_dir),
+        budget=256,
+        partition_col="source",
+        order_col="doc_id",
+    )
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+  CAST(floor(tb / CAST(256 AS DOUBLE)) AS BIGINT) AS batch_id,
+  tb % 256 AS batch_offset
+FROM c
+"""
+
+
 QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "train_val_test": q_train_val_test,
     "chunk_documents": q_chunk_documents,
     "redact_pii": q_redact_pii,
+    "mixture_sample": q_mixture_sample,
+    "pack_tokens": q_pack_tokens,
 }
 
 ORACLES = {
@@ -112,4 +176,6 @@ ORACLES = {
     "train_val_test": _SPLIT_SQL,
     "chunk_documents": _CHUNK_SQL,
     "redact_pii": _REDACT_SQL,
+    "mixture_sample": _MIXTURE_SQL,
+    "pack_tokens": _PACK_SQL,
 }

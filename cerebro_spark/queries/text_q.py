@@ -7,7 +7,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cerebro_spark.io import load_table
 from cerebro_spark.operators.similarity import label_centroids
-from cerebro_spark.operators.text import tfidf_top_terms, top_ngrams
+from cerebro_spark.operators.text import (
+    repetition_profile,
+    tfidf_top_terms,
+    top_ngrams,
+    unigram_nll,
+)
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,14 +86,74 @@ SELECT label, CAST(dim AS INTEGER) AS dim, mean_x, n_vectors FROM (
 """
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_profile(load_table(spark, "documents", sf_dir))
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+word_m AS (
+  SELECT doc_id, len(t) AS n_words,
+    round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+      AS dup_word_frac
+  FROM base
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM base
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+    unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))
+      AS gram
+  FROM base
+),
+counts AS (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+tops AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 1 THEN c END) AS topw,
+    max(CASE WHEN n = 2 THEN c END) AS topb
+  FROM counts GROUP BY doc_id
+)
+SELECT w.doc_id, n_words, dup_word_frac,
+  round(CAST(topw AS DOUBLE) / n_words, 6) AS top_word_frac,
+  CASE WHEN n_words >= 2
+       THEN round(CAST(topb AS DOUBLE) / (n_words - 1), 6)
+       ELSE 0.0 END AS top_bigram_frac
+FROM word_m w JOIN tops USING (doc_id)
+"""
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_nll(load_table(spark, "documents", sf_dir))
+
+
+_UNIGRAM_NLL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+  round(avg(-ln(CAST(c AS DOUBLE) / t)), 4) AS avg_nll
+FROM toks JOIN vocab USING (term), tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "top_ngrams": q_top_ngrams,
     "label_centroids": q_label_centroids,
+    "repetition_profile": q_repetition_profile,
+    "unigram_nll": q_unigram_nll,
 }
 
 ORACLES = {
     "tfidf_top_terms": _TFIDF_SQL,
     "top_ngrams": _TOP_NGRAMS_SQL,
     "label_centroids": _CENTROIDS_SQL,
+    "repetition_profile": _REPETITION_SQL,
+    "unigram_nll": _UNIGRAM_NLL_SQL,
 }

@@ -100,3 +100,49 @@ def test_quantize_embeddings_reconstruction(spark, sf_dir):
     # 6-digit rounding of the emitted scale (~2% of scale)
     bad = joined.filter(F.col("max_err") > F.col("scale") * 0.55).count()
     assert bad == 0
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.io import load_table
+    from cerebro_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mixture_sample(docs, weights, domain_col="source", key_col="doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # only the weighted domains survive
+    assert set(counts) <= set(weights)
+    total = sum(counts.values())
+    # sf0.01: 25 docs per source -> S = 50, so composition should track the
+    # target up to hash-bucket granularity (~buckets are coarse at n=25)
+    for dom, w in weights.items():
+        assert abs(counts.get(dom, 0) / total - w) < 0.15
+    # deterministic under re-evaluation
+    again = mixture_sample(docs, weights, domain_col="source", key_col="doc_id")
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_pack_tokens_concat_semantics(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.sampling import pack_tokens
+
+    rows = [
+        Row(doc_id=i, source="a", text=" ".join(["w"] * n))
+        for i, n in enumerate([10, 10, 10, 10])  # 40 tokens, budget 16
+    ] + [Row(doc_id=0, source="b", text=" ".join(["w"] * 5))]
+    out = pack_tokens(
+        spark.createDataFrame(rows), budget=16,
+        partition_col="source", order_col="doc_id",
+    )
+    a = {r["doc_id"]: r for r in out.filter("source = 'a'").collect()}
+    # cumulative starts: 0, 10, 20, 30 -> batches 0, 0, 1, 1
+    assert [a[i]["batch_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert [a[i]["batch_offset"] for i in range(4)] == [0, 10, 4, 14]
+    b = out.filter("source = 'b'").collect()[0]
+    assert b["batch_id"] == 0 and b["batch_offset"] == 0

@@ -44,6 +44,11 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # shape the gate needs) — both sides are single-row by construction
     "dedup_resolve",
     "training_prep_summary",
+    # 1-row scalar broadcasts: the corpus token total (unigram_nll) and the
+    # mixture size bound S = min(n_d/w_d) (mixture_sample) — each a single
+    # aggregate row crossJoined onto a |domains|- or vocab-sized side
+    "unigram_nll",
+    "mixture_sample",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
