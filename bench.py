@@ -46,6 +46,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "chunk_documents",
     "dedup_resolve",
+    "repetition_profile",
+    "unigram_nll",
+    "pack_tokens",
+    "semantic_dedup",
     # volume + time-series joins
     "top_suppliers",
     "asof_join",

@@ -1,7 +1,10 @@
 """Similarity search over embedding columns (driver-mandated extension).
 
-Embeddings are ``array<float>`` columns.  Dot products / norms are JVM-side
-(``aggregate``/``zip_with``) — no Python in the hot path.
+Embeddings are ``array<float>`` columns.  Pairwise dot products / norms are
+JVM-side (``aggregate``/``zip_with``); the one exception is the IVF
+centroid-argmin (``_ivf_assign_expr``) — a dense (batch×dim)·(dim×k) matmul
+that runs as an Arrow-batched numpy kernel because interpreted higher-order
+functions evaluate it ~100× slower (measured 0.66 ms/row at k=224).
 
 Scale design:
 - brute-force top-k is the correctness baseline: broadcast the (small) query
@@ -362,6 +365,11 @@ def train_ivf_centroids(
     """
     from pyspark.sql import functions as F
 
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # the per-row argmin expression costs O(k·dim); small single-file scans
+    # must spread it across cores or training serializes on 1-2 tasks
+    corpus = ensure_parallelism(corpus)
     v = F.col(vec_col).cast("array<double>")
     hashed = corpus.select(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
@@ -393,27 +401,55 @@ def train_ivf_centroids(
 def _ivf_assign_expr(
     df: DataFrame, centroids: list[list[float]], vec_col: str, nprobe: int
 ) -> DataFrame:
-    """Attach ``__cluster`` (nprobe=1) or explode the ``nprobe`` nearest
-    cluster ids per row — pure JVM expressions, centroids inlined as
-    literals (k×dim doubles: tiny relative to codegen limits at k≤64)."""
-    from pyspark.sql import functions as F
+    """Attach ``__cluster`` (nprobe=1) or replicate each row under its
+    ``nprobe`` nearest cluster ids — an Arrow-batched numpy matmul kernel.
 
-    v = F.col(vec_col).cast("array<double>")
-    import math
+    This is the one dense linear-algebra hot spot in the engine: scoring a
+    row against k centroids is a (batch×dim)·(dim×k) matmul.  SQL higher-
+    order functions evaluate it as interpreted per-element lambdas —
+    measured 0.66 ms/row at k=224×dim=64 (33 s for 50k rows) in both the
+    inlined-literal and nested-array-literal forms, i.e. infeasible at
+    vector-store scale — so this is a justified ``mapInPandas``: one BLAS
+    matmul per Arrow batch, row order preserved, no shuffle introduced.
 
-    entries = []
-    for cid, c in enumerate(centroids):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        cos = _dot(v, F.array(*[F.lit(float(x)) for x in c])) / (
-            _norm(v) * F.lit(cn)
-        )
-        entries.append(F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid")))
-    ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
-    if nprobe == 1:
-        return df.withColumn("__cluster", ranked[0]["cid"])
-    return df.withColumn(
-        "__cluster", F.explode(F.transform(ranked, lambda s: s["cid"]))
+    Ranking matches the SQL form it replaces: cosine desc, cluster id asc
+    on exact ties (``argmax``/stable ``argsort`` take the first maximum).
+    Centroids are L2-normalized in the closure; the row norm is a positive
+    per-row scale so it cannot change the per-row ordering and is skipped.
+    Precondition: ``vec_col`` is non-null with a uniform dimension.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    mat = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    cn_t = np.ascontiguousarray((mat / norms[:, None]).T)
+    n_take = 1 if nprobe == 1 else min(nprobe, len(centroids))
+    out_schema = StructType(
+        df.schema.fields + [StructField("__cluster", IntegerType(), False)]
     )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            scores = x @ cn_t
+            if n_take == 1:
+                out = pdf.copy()
+                out["__cluster"] = np.argmax(scores, axis=1).astype("int32")
+                yield out
+            else:
+                top = np.argsort(-scores, axis=1, kind="stable")[:, :n_take]
+                rep = pdf.loc[pdf.index.repeat(n_take)].reset_index(drop=True)
+                rep["__cluster"] = top.reshape(-1).astype("int32")
+                yield rep
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def cosine_topk_ivf(

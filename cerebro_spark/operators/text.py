@@ -167,10 +167,11 @@ def repetition_profile(
     - ``top_bigram_frac``: occurrences of the most frequent bigram / (n−1).
 
     High values mark boilerplate/spam for training-data filtering.  Shape:
-    one explode over (unigram ∪ bigram) tagged by n, a combiner-friendly
-    (doc, n, gram) count, then a conditional-max rollup to one row per doc —
-    two shuffles, state bounded by per-doc vocabulary.  The columnar word
-    metrics ride along on the base scan and join back on the doc id.
+    ONE scan — explode (unigram ∪ bigram) tagged by n, a combiner-friendly
+    (doc, n, gram) count, then a per-doc rollup that recovers every metric
+    from the counts themselves (n_words = Σc over n=1 rows, distinct words =
+    the n=1 row count, tops = conditional max).  Two shuffles, state bounded
+    by per-doc vocabulary, no join back to the base table.
     """
     from cerebro_spark.operators.util import ensure_parallelism
 
@@ -178,15 +179,6 @@ def repetition_profile(
     toks = _tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__t"))
     n = F.size(F.col("__t"))
-    word_m = base.select(
-        id_col,
-        n.alias("n_words"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(F.col("__t"))).cast("double") / n,
-            6,
-        ).alias("dup_word_frac"),
-    )
     bigrams = F.when(
         n >= 2,
         F.transform(
@@ -209,26 +201,31 @@ def repetition_profile(
             )
         ).alias("g"),
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    tops = (
+    is_word = F.col("n") == 1
+    rolled = (
         tagged.groupBy(id_col, "n", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
         .agg(
-            F.max(F.when(F.col("n") == 1, F.col("c"))).alias("__topw"),
+            F.sum(F.when(is_word, F.col("c"))).alias("__nw"),
+            F.count(F.when(is_word, F.lit(1))).alias("__nd"),
+            F.max(F.when(is_word, F.col("c"))).alias("__topw"),
             F.max(F.when(F.col("n") == 2, F.col("c"))).alias("__topb"),
         )
     )
-    return word_m.join(tops, id_col).select(
+    return rolled.select(
         id_col,
-        "n_words",
-        "dup_word_frac",
-        F.round(F.col("__topw").cast("double") / F.col("n_words"), 6).alias(
+        F.col("__nw").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.col("__nd").cast("double") / F.col("__nw"), 6
+        ).alias("dup_word_frac"),
+        F.round(F.col("__topw").cast("double") / F.col("__nw"), 6).alias(
             "top_word_frac"
         ),
         F.when(
-            F.col("n_words") >= 2,
+            F.col("__nw") >= 2,
             F.round(
-                F.col("__topb").cast("double") / (F.col("n_words") - 1), 6
+                F.col("__topb").cast("double") / (F.col("__nw") - 1), 6
             ),
         )
         .otherwise(F.lit(0.0))

@@ -28,8 +28,17 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 #: queries allowed to contain Arrow-batched Python (documented mapInPandas
-#: paths: dynamic JSON flatten, media decode).
-ARROW_ALLOWED = {"flatten_amqp", "json_flatten", "multimodal_features", "frame_sample"}
+#: paths: dynamic JSON flatten, media decode, and the IVF centroid-argmin
+#: matmul kernel — dense linear algebra that interpreted SQL higher-order
+#: functions evaluate ~100× slower; see similarity._ivf_assign_expr).
+ARROW_ALLOWED = {
+    "flatten_amqp",
+    "json_flatten",
+    "multimodal_features",
+    "frame_sample",
+    "semantic_dedup",
+    "ann_cosine_ivf",
+}
 
 #: queries where a broadcast nested-loop join is the intended plan; every
 #: entry must state why the broadcast side is BOUNDED (that's what makes a
