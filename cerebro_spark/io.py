@@ -40,6 +40,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     both are runtime-settable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) must read as a regular
+    # (UTC-session) TIMESTAMP, not TIMESTAMP_NTZ: the engine's time operators
+    # cast ts→long epoch seconds, which NTZ forbids, and DuckDB oracles treat
+    # the same bytes as plain timestamps.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

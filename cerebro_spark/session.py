@@ -60,10 +60,14 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
-        # nanos type — read as long, loader converts to µs (documented ns→µs
-        # delta, SURVEY §1.4).
+        # Driver testdata has stored events.ts as TIMESTAMP(NANOS); Spark has
+        # no nanos type — read as long, loader converts to µs (documented
+        # ns→µs delta, SURVEY §1.4).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ...and as TIMESTAMP(MICROS, isAdjustedToUTC=false) since round 3:
+        # read those as regular UTC-session timestamps, not TIMESTAMP_NTZ
+        # (time operators cast ts→epoch long, which NTZ forbids).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Keep partition sizes bounded so a 100 TB scan fans out instead of
         # producing multi-GB tasks.
