@@ -530,10 +530,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The per-round correctness snapshot has covered exactly 50 queries per round
 # (CORRECTNESS_r01 == CORRECTNESS_r02 key set == the first 50 registered at the
-# round-1 snapshot).  Rotate the 23 queries that have never had a hard-gate row
-# to the FRONT of the registry so they get driver-checked this round; the
+# round-1 snapshot).  Rotate queries that have never had a hard-gate row to the
+# FRONT of the registry so they get driver-checked this round; the
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
 _SNAPSHOT_PRIORITY = [
+    # round-3 additions (never had any gate row)
+    "chunk_dedup",
+    "vocab_encode",
+    "small_qty_revenue",
+    "bracket_revenue",
+    "idle_customers",
+    # round-2 additions never covered by a driver snapshot row
     "repetition_profile",
     "unigram_nll",
     "mixture_sample",

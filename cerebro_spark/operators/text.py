@@ -297,3 +297,127 @@ def top_ngrams(
     return top_k_ranked(
         counts, [("n_occurrences", "desc"), ("ngram", "asc")], k=k
     )
+
+
+def dedup_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-level exact chunk dedup (the C4/RefinedWeb "duplicate line
+    removal" step, over aligned ``chunk_tokens``-token windows since the
+    synthetic corpus has no newlines).
+
+    A chunk occurring in several places survives only at its FIRST occurrence
+    (lowest ``(doc_id, chunk_idx)``); every other occurrence is dropped and
+    the documents are reassembled from their surviving chunks.
+
+    Scale shape: one shuffle by chunk text for a ``min(struct)`` aggregate —
+    partial (map-side) aggregation bounds skew even when one boilerplate
+    chunk occurs in millions of documents (a ``row_number`` window over the
+    same key would funnel that key through one task) — then one shuffle by
+    doc to reassemble.  Returns
+    ``(doc_id, n_chunks, n_kept, text_kept)``; docs whose every chunk is a
+    duplicate survive with ``n_kept = 0`` and an empty string.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    n_chunks = F.ceil(F.size("__t") / F.lit(chunk_tokens)).cast("long")
+    idx = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    chunk_at = lambda i: F.array_join(  # noqa: E731
+        F.slice("__t", i * chunk_tokens + 1, chunk_tokens), " "
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(F.transform(idx, chunk_at)).alias("chunk_idx", "chunk_text"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    # first occurrence per distinct chunk — the agg IS the kept set, no join
+    # back to the exploded chunks needed.
+    kept = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("k")
+    )
+    kept_per_doc = kept.groupBy(F.col("k.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("k.chunk_idx"), F.col("chunk_text")))
+                ),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+    return (
+        totals.join(kept_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary ``(token, token_id, n_occurrences)``,
+    ``token_id`` 1..vocab_size by (count desc, token asc).
+
+    Scale shape: one shuffle for the token counts (map-side combine), then
+    ``top_k_ranked`` (TakeOrderedAndProject + array-sort rank over the ≤V
+    survivors) — no global ``row_number`` window ever sees the full distinct
+    vocabulary.
+    """
+    from cerebro_spark.operators.util import top_k_ranked
+
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    ranked = top_k_ranked(
+        counts, [("n_occurrences", "desc"), ("token", "asc")], k=vocab_size
+    )
+    return ranked.select(
+        "token", F.col("rank").alias("token_id"), "n_occurrences"
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Map each document's tokens to vocabulary ids (the tokenize-to-ids step
+    of a training pipeline); out-of-vocabulary tokens become ``oov_id``.
+
+    The vocabulary is a bounded constant-size dimension → broadcast join; the
+    id sequence is re-assembled in token order and string-encoded
+    (``ids_str``) so the row stays canonicalizer-safe.  One shuffle (by doc
+    for the reassembly); the explode→join stays co-partitioned with the scan.
+    """
+    pos_tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    joined = pos_tok.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    ids = F.coalesce(F.col("token_id"), F.lit(oov_id))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), ids.alias("id")))),
+                lambda s: s.id.cast("string"),
+            ),
+            " ",
+        ).alias("ids_str"),
+    )

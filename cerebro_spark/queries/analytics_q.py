@@ -195,11 +195,126 @@ FROM per_ny
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: yearly revenue that would be lost by dropping
+    small-quantity orders of one brand's parts — the per-part 20%%-of-average
+    cutoff is a correlated scalar subquery in the oracle; here it is an
+    explicit per-part aggregate joined back, so the brand filter prunes
+    lineitem BEFORE the cutoff aggregate (the correlated form re-reads
+    lineitem per part).  The brand part list is SF-scaled → no forced
+    broadcast, AQE decides."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    sel = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li_sel = li.join(sel, li.l_partkey == sel.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    cut = li_sel.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li_sel.join(cut, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue from three disjunctive brand/size/quantity
+    brackets.  One equi-join on partkey with the OR-of-ANDs as a post-join
+    filter — Catalyst keeps the join an equi-join (hash, not nested-loop)
+    and pushes the common ``l_quantity <= 30`` bound and per-branch part
+    predicates to the scans."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bracket = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_BRACKET_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per market segment, customers with above-positive-average
+    balance and no order since 2001-01-01.  The global average is a
+    broadcast scalar (1-row crossJoin, allowlisted); inactivity is a
+    LEFT ANTI join against the distinct recent-purchaser set — the date
+    filter prunes orders at the scan before the distinct."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+_IDLE_CUSTOMERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+FROM customer c,
+     (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0) t
+WHERE c.c_acctbal > t.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "late_shipments_by_priority": q_late_shipments_by_priority,
     "large_volume_customers": q_large_volume_customers,
     "sole_return_suppliers": q_sole_return_suppliers,
     "market_share_by_year": q_market_share_by_year,
+    "small_qty_revenue": q_small_qty_revenue,
+    "bracket_revenue": q_bracket_revenue,
+    "idle_customers": q_idle_customers,
 }
 
 ORACLES = {
@@ -207,4 +322,7 @@ ORACLES = {
     "large_volume_customers": _LARGE_VOLUME_SQL,
     "sole_return_suppliers": _SOLE_RETURN_SQL,
     "market_share_by_year": _MARKET_SHARE_SQL,
+    "small_qty_revenue": _SMALL_QTY_SQL,
+    "bracket_revenue": _BRACKET_SQL,
+    "idle_customers": _IDLE_CUSTOMERS_SQL,
 }

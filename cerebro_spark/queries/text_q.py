@@ -8,6 +8,9 @@ from pyspark.sql import DataFrame, SparkSession
 from cerebro_spark.io import load_table
 from cerebro_spark.operators.similarity import label_centroids
 from cerebro_spark.operators.text import (
+    build_vocab,
+    dedup_chunks,
+    encode_tokens,
     repetition_profile,
     tfidf_top_terms,
     top_ngrams,
@@ -142,12 +145,79 @@ GROUP BY doc_id
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level aligned-16-token-chunk exact dedup (C4-style duplicate
+    line removal); first occurrence survives, docs reassembled."""
+    return dedup_chunks(load_table(spark, "documents", sf_dir), chunk_tokens=16)
+
+
+_CHUNK_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(t[(i*16+1):(i*16+16)], ' ') AS chunk_text
+  FROM toks, generate_series(0, 63) AS g(i)
+  WHERE i * 16 < len(t)
+),
+totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk_text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks) WHERE rn = 1
+),
+keptagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_kept
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, t.n_chunks, coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.text_kept, '') AS text_kept
+FROM totals t LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids: frequency-ranked top-256 vocabulary, documents
+    encoded as space-joined id strings (OOV → 0)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return encode_tokens(docs, build_vocab(docs, vocab_size=256))
+
+
+_VOCAB_ENCODE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+pos_tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS token
+  FROM toks, generate_series(1, 1024) AS g(i)
+  WHERE i <= len(t)
+),
+counts AS (SELECT token, count(*) AS n FROM pos_tok GROUP BY 1),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) AS token_id
+  FROM counts ORDER BY n DESC, token ASC LIMIT 256
+)
+SELECT p.doc_id, count(*) AS n_tokens,
+  count(*) FILTER (WHERE v.token_id IS NULL) AS n_oov,
+  string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ' ' ORDER BY p.pos)
+    AS ids_str
+FROM pos_tok p LEFT JOIN vocab v USING (token)
+GROUP BY p.doc_id
+"""
+
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "top_ngrams": q_top_ngrams,
     "label_centroids": q_label_centroids,
     "repetition_profile": q_repetition_profile,
     "unigram_nll": q_unigram_nll,
+    "chunk_dedup": q_chunk_dedup,
+    "vocab_encode": q_vocab_encode,
 }
 
 ORACLES = {
@@ -156,4 +226,6 @@ ORACLES = {
     "label_centroids": _CENTROIDS_SQL,
     "repetition_profile": _REPETITION_SQL,
     "unigram_nll": _UNIGRAM_NLL_SQL,
+    "chunk_dedup": _CHUNK_DEDUP_SQL,
+    "vocab_encode": _VOCAB_ENCODE_SQL,
 }

@@ -69,3 +69,52 @@ def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
         emb.unionByName(clones), dim=64, threshold=0.95, n_clusters=8
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_dedup_chunks_first_occurrence_wins(spark):
+    from cerebro_spark.operators.text import dedup_chunks
+
+    # chunk size 2: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [a b]
+    rows = [
+        Row(doc_id=1, text="a b c d"),
+        Row(doc_id=2, text="a b x y"),
+        Row(doc_id=3, text="a b"),
+    ]
+    out = {r["doc_id"]: r for r in
+           dedup_chunks(spark.createDataFrame(rows), chunk_tokens=2).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_kept"] == "a b c d"
+    # doc2 loses its copy of "a b" (doc1 owns the first occurrence)
+    assert out[2]["n_kept"] == 1 and out[2]["text_kept"] == "x y"
+    # doc3 is entirely duplicate → survives with empty text, not dropped
+    assert out[3]["n_kept"] == 0 and out[3]["text_kept"] == ""
+
+
+def test_dedup_chunks_ragged_tail_chunk(spark):
+    from cerebro_spark.operators.text import dedup_chunks
+
+    # 5 tokens at chunk 2 → chunks [a b][c d][e]; the short tail is its own
+    # chunk, not merged or dropped
+    rows = [Row(doc_id=1, text="a b c d e")]
+    r = dedup_chunks(spark.createDataFrame(rows), chunk_tokens=2).collect()[0]
+    assert r["n_chunks"] == 3 and r["n_kept"] == 3
+    assert r["text_kept"] == "a b c d e"
+
+
+def test_vocab_encode_roundtrip_and_oov(spark):
+    from cerebro_spark.operators.text import build_vocab, encode_tokens
+
+    rows = [
+        Row(doc_id=1, text="b b a c"),
+        Row(doc_id=2, text="a b zz"),
+    ]
+    docs = spark.createDataFrame(rows)
+    vocab = build_vocab(docs, vocab_size=3)
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # freq: b=3, a=2, c=1, zz=1 → rank by (count desc, token asc)
+    assert v == {"b": 1, "a": 2, "c": 3}
+    enc = {r["doc_id"]: r for r in encode_tokens(docs, vocab).collect()}
+    assert enc[1]["ids_str"] == "1 1 2 3" and enc[1]["n_oov"] == 0
+    # zz is out-of-vocabulary → id 0, counted
+    assert enc[2]["ids_str"] == "2 1 0" and enc[2]["n_oov"] == 1
+    assert enc[2]["n_tokens"] == 3

@@ -58,6 +58,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # aggregate row crossJoined onto a |domains|- or vocab-sized side
     "unigram_nll",
     "mixture_sample",
+    # 1-row scalar broadcast: the positive-balance average crossJoined onto
+    # customer before the anti join (Q22 shape)
+    "idle_customers",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
