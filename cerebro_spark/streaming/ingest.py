@@ -151,3 +151,44 @@ def run_ingest(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def streaming_enrich_join(
+    points: DataFrame,
+    meta: DataFrame,
+    key: str,
+    points_ts: str = "time",
+    meta_ts: str = "updated_at",
+    tolerance: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "leftOuter",
+) -> DataFrame:
+    """Stream-stream enrichment join: each point matches metadata rows for
+    the same ``key`` whose update time falls in
+    ``[point.time - tolerance, point.time]`` — the streaming counterpart of
+    the batch as-of join (``operators.joins.asof_join``), restricted to a
+    bounded look-back so both join states are watermark-evictable.
+
+    Spark's stream-stream outer joins REQUIRE the event-time range condition:
+    it is what lets each side drop state older than
+    ``watermark + tolerance``.  If several metadata versions fall inside the
+    tolerance window the join emits one row per version; a downstream
+    ``max_by(meta_cols, meta_ts)`` aggregate (or a tighter tolerance) picks
+    the newest — kept out of this primitive so append-mode consumers can
+    choose their own resolution.
+
+    Reference analog: the reference enriches points from an in-process dict
+    of per-source static tags (`cerebro.py:407-412`); this operator is the
+    same enrichment when the metadata itself is a live stream.
+    """
+    p = points.withWatermark(points_ts, watermark)
+    m = meta.withWatermark(meta_ts, watermark).withColumnRenamed(
+        key, f"__m_{key}"
+    )
+    lo = F.col(points_ts) - F.expr(f"INTERVAL {tolerance}")
+    cond = (
+        (p[key] == F.col(f"__m_{key}"))
+        & (F.col(meta_ts) <= F.col(points_ts))
+        & (F.col(meta_ts) >= lo)
+    )
+    return p.join(m, cond, how)
