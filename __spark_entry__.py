@@ -537,6 +537,7 @@ _SNAPSHOT_PRIORITY = [
     # round-3 additions (never had any gate row)
     "chunk_dedup",
     "vocab_encode",
+    "dup_spans",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

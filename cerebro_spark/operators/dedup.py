@@ -410,3 +410,98 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicated_span_profile(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 16,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Sliding-window exact substring dedup profile: for every position, hash
+    the ``window_tokens``-token window starting there; a token is DUPLICATED
+    if ANY window covering it occurs ≥ ``min_freq`` times corpus-wide.  The
+    per-doc duplicated-token fraction is the quality/dedup signal (the
+    suffix-array substring-dedup recipe approximated at fixed granularity:
+    every exact duplicate substring of ≥ ``window_tokens`` tokens is caught;
+    shorter ones are not — the granularity bound IS the scalability trade).
+
+    Unlike ``text.dedup_chunks`` (aligned disjoint chunks, first-occurrence
+    reassembly) this catches duplicates at ANY offset, so shifted copies
+    still collide.
+
+    Scale shape: window hashes via the n-ary ``xxhash64`` over token hashes
+    (no substring materialization, same trick as ``_shingle_hash_df``); ONE
+    shuffle to count window-hash frequencies, one 8-byte-key join back
+    (AQE-broadcast while the hot set fits), then the covered-token union is
+    computed per doc with in-array interval arithmetic — no second
+    explode-shuffle.  Output: (doc_id, n_tokens, n_windows, n_dup_windows,
+    dup_token_frac).
+    """
+    df = ensure_parallelism(df)
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    n_win = F.greatest(F.size(th) - window_tokens + 1, F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(0)))
+    wh = F.when(
+        F.size(th) >= window_tokens,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(th, (i + k + 1).cast("int"))
+                    for k in range(window_tokens)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = hashed.select(
+        "doc_id", F.size(th).alias("n_tokens"), wh.alias("__wh")
+    )
+    ex = base.select("doc_id", F.posexplode("__wh").alias("pos", "h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    dup_pos = (
+        ex.join(freq.filter(F.col("f") >= min_freq), "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("dups"))
+    )
+    # union of [pos, pos+W-1] intervals over the sorted duplicate positions:
+    # each start contributes min(W, next_start - start) covered tokens —
+    # a single fold over the bounded per-doc array, no UDF.
+    starts = F.col("dups")
+    covered = F.when(F.size(starts) == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.zip_with(
+                starts,
+                F.concat(
+                    F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(1))),
+                    F.array(F.lit(None).cast("int")),
+                ),
+                lambda s, nxt: F.least(
+                    F.coalesce(nxt - s, F.lit(window_tokens)),
+                    F.lit(window_tokens),
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        base.join(dup_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("__wh").alias("n_windows"),
+            F.coalesce(F.size("dups"), F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce(covered, F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

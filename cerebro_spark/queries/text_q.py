@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cerebro_spark.io import load_table
 from cerebro_spark.operators.similarity import label_centroids
+from cerebro_spark.operators.dedup import duplicated_span_profile
 from cerebro_spark.operators.text import (
     build_vocab,
     dedup_chunks,
@@ -210,6 +211,44 @@ GROUP BY p.doc_id
 
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 16-token-window exact substring dedup profile (suffix-array
+    recipe at fixed granularity): per-doc duplicated-token fraction."""
+    return duplicated_span_profile(
+        load_table(spark, "documents", sf_dir), window_tokens=16
+    )
+
+
+_DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+15], ' ') AS w
+  FROM toks, generate_series(1, 1024) AS g(i)
+  WHERE i <= len(t) - 16 + 1
+),
+freq AS (SELECT w, count(*) AS f FROM wins GROUP BY 1),
+dup_rows AS (
+  SELECT doc_id, pos,
+    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM wins JOIN freq USING (w) WHERE f >= 2
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_dup_windows,
+    sum(least(coalesce(nxt - pos, 16), 16)) AS covered
+  FROM dup_rows GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+  greatest(b.n_tokens - 16 + 1, 0) AS n_windows,
+  coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+  round(coalesce(c.covered, 0) / greatest(b.n_tokens, 1), 6) AS dup_token_frac
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "top_ngrams": q_top_ngrams,
@@ -218,6 +257,7 @@ QUERIES = {
     "unigram_nll": q_unigram_nll,
     "chunk_dedup": q_chunk_dedup,
     "vocab_encode": q_vocab_encode,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES = {
@@ -228,4 +268,5 @@ ORACLES = {
     "unigram_nll": _UNIGRAM_NLL_SQL,
     "chunk_dedup": _CHUNK_DEDUP_SQL,
     "vocab_encode": _VOCAB_ENCODE_SQL,
+    "dup_spans": _DUP_SPANS_SQL,
 }

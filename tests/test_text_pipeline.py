@@ -118,3 +118,27 @@ def test_vocab_encode_roundtrip_and_oov(spark):
     # zz is out-of-vocabulary → id 0, counted
     assert enc[2]["ids_str"] == "2 1 0" and enc[2]["n_oov"] == 1
     assert enc[2]["n_tokens"] == 3
+
+
+def test_duplicated_span_profile_catches_shifted_copy(spark):
+    from cerebro_spark.operators.dedup import duplicated_span_profile
+
+    uniq = [f"u{i}" for i in range(40)]
+    shared = [f"s{i}" for i in range(20)]   # 20-token run, different offsets
+    rows = [
+        Row(doc_id=1, text=" ".join(uniq[:7] + shared + uniq[7:20])),
+        Row(doc_id=2, text=" ".join(uniq[20:23] + shared + uniq[23:40])),
+        Row(doc_id=3, text=" ".join(uniq[: 16])),  # no duplicated window
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_profile(
+            spark.createDataFrame(rows), window_tokens=16
+        ).collect()
+    }
+    # the shared run yields 5 duplicated windows (20 - 16 + 1) per doc even
+    # though the aligned chunking of dedup_chunks would miss the shifted copy
+    assert out[1]["n_dup_windows"] == 5 and out[2]["n_dup_windows"] == 5
+    # covered tokens = the 20-token shared run
+    assert abs(out[1]["dup_token_frac"] - 20 / 40) < 1e-9
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_token_frac"] == 0.0
