@@ -1,0 +1,84 @@
+"""Round-3 soak: the new text/dedup operators at 10-40x sf0.1 doc counts.
+
+Reuses the soak docs generator (1000-word vocab, 80-token docs) PLUS a
+20% planted-duplicate tail (cloned token runs at random offsets) so the
+dedup operators do real work.  Results -> SCALE_NOTES.md (run manually).
+
+Usage: python tools/soak_r3.py [docs]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from cerebro_spark.session import get_spark
+
+DOCS_N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+
+spark = get_spark("soak-r3")
+
+
+def timed(name, df):
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"op": name, "sec": round(dt, 2)}))
+    return dt
+
+
+vocab = [f"w{i}" for i in range(1000)]
+voc_arr = F.array(*[F.lit(w) for w in vocab])
+# 80% unique-ish docs; 20% carry a shared 24-token run at a doc-dependent
+# offset (exercises both the aligned-chunk and sliding-window paths)
+shared = " ".join(f"s{i}" for i in range(24))
+docs = spark.range(DOCS_N).select(
+    F.col("id").alias("doc_id"),
+    F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(79)),
+            lambda i: F.element_at(
+                voc_arr,
+                ((F.pmod(F.col("id") * 131 + i * 7919, F.lit(1000))) + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        " ",
+    ).alias("base_text"),
+).select(
+    "doc_id",
+    F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat_ws(
+            " ",
+            F.array_join(
+                F.slice(
+                    F.split(F.col("base_text"), " "),
+                    1,
+                    (F.col("doc_id") % 37 + 3).cast("int"),
+                ),
+                " ",
+            ),
+            F.lit(shared),
+            F.col("base_text"),
+        ),
+    )
+    .otherwise(F.col("base_text"))
+    .alias("text"),
+)
+docs.write.mode("overwrite").parquet("/tmp/soak/docs_r3")
+docs = spark.read.parquet("/tmp/soak/docs_r3")
+print(json.dumps({"table": "docs_r3", "rows": docs.count()}))
+
+from cerebro_spark.operators.dedup import duplicated_span_profile
+from cerebro_spark.operators.text import build_vocab, dedup_chunks, encode_tokens
+
+timed("chunk_dedup", dedup_chunks(docs, chunk_tokens=16))
+timed("dup_spans_w16", duplicated_span_profile(docs, window_tokens=16))
+timed("vocab_encode", encode_tokens(docs, build_vocab(docs, vocab_size=256)))
