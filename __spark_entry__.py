@@ -538,6 +538,7 @@ _SNAPSHOT_PRIORITY = [
     "chunk_dedup",
     "vocab_encode",
     "dup_spans",
+    "epoch_shuffle",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

@@ -230,3 +230,42 @@ def redact_pii(
     for pat, repl in patterns:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(out_col, col)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle into training shards: the
+    shuffle order is the md5 hash of ``(id, epoch)`` — a new epoch value
+    reshuffles every document with zero RNG state, and any worker can
+    recompute the order (reproducible data loading).
+
+    Each doc gets ``(shard, pos)``: shard = hash mod ``num_shards``; pos =
+    rank of the hash within the shard.  The within-shard rank is a window
+    partitioned BY SHARD — parallelism equals ``num_shards``, which at scale
+    is sized like the output file count (hundreds to thousands), not a
+    constant 8; one shard = one sequentially-written training file, so the
+    per-shard serial rank matches the actual write pattern rather than
+    fighting it.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(epoch)))),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(num_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("h")
+    )

@@ -10,6 +10,7 @@ from cerebro_spark.io import load_table
 from cerebro_spark.operators.sampling import (
     chunk_documents,
     deterministic_sample,
+    epoch_shuffle,
     mixture_sample,
     pack_tokens,
     redact_pii,
@@ -162,6 +163,26 @@ FROM c
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 corpus shuffle into 8 training shards."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return epoch_shuffle(docs, epoch=1, num_shards=8)
+
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+    {_hex2long_sql("md5(CAST(doc_id AS VARCHAR) || ':1')", 14)} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT)
+    AS pos
+FROM hashed
+"""
+
+
+
 QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "train_val_test": q_train_val_test,
@@ -169,6 +190,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "mixture_sample": q_mixture_sample,
     "pack_tokens": q_pack_tokens,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLES = {
@@ -178,4 +200,5 @@ ORACLES = {
     "redact_pii": _REDACT_SQL,
     "mixture_sample": _MIXTURE_SQL,
     "pack_tokens": _PACK_SQL,
+    "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
 }

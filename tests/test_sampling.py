@@ -146,3 +146,25 @@ def test_pack_tokens_concat_semantics(spark):
     assert [a[i]["batch_offset"] for i in range(4)] == [0, 10, 4, 14]
     b = out.filter("source = 'b'").collect()[0]
     assert b["batch_id"] == 0 and b["batch_offset"] == 0
+
+
+def test_epoch_shuffle_reshuffles_between_epochs(spark):
+    from cerebro_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    e0 = epoch_shuffle(docs, epoch=0, num_shards=4)
+    e0b = epoch_shuffle(docs, epoch=0, num_shards=4)
+    e1 = epoch_shuffle(docs, epoch=1, num_shards=4)
+    k0 = {(r["doc_id"]): (r["shard"], r["pos"]) for r in e0.collect()}
+    k0b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in e0b.collect()}
+    k1 = {(r["doc_id"]): (r["shard"], r["pos"]) for r in e1.collect()}
+    assert k0 == k0b                      # same epoch → identical order
+    assert k0 != k1                       # new epoch → reshuffled
+    # (shard, pos) is a bijection onto contiguous per-shard positions
+    for k in (k0, k1):
+        by_shard: dict[int, list[int]] = {}
+        for shard, pos in k.values():
+            by_shard.setdefault(shard, []).append(pos)
+        assert sum(len(v) for v in by_shard.values()) == 200
+        for v in by_shard.values():
+            assert sorted(v) == list(range(len(v)))
