@@ -50,11 +50,17 @@ HEADLINE = [
     "unigram_nll",
     "pack_tokens",
     "semantic_dedup",
+    "chunk_dedup",
+    "dup_spans",
+    "vocab_encode",
+    "epoch_shuffle",
     # volume + time-series joins
     "top_suppliers",
     "asof_join",
     "range_join",
     "market_share_by_year",
+    "small_qty_revenue",
+    "idle_customers",
 ]
 
 

@@ -200,6 +200,30 @@ class IngestRunner:
         """Per-source running flag (C3 — `cerebro.py:430-460`)."""
         return {n: q.isActive for n, q in self._queries.items()}
 
+    def metrics(self) -> dict[str, dict]:
+        """Per-source throughput from the engine's own progress events
+        (rows/sec, batch duration, watermark) — the observability surface
+        the reference lacks entirely (its sources log errors but expose no
+        rates)."""
+        out: dict[str, dict] = {}
+        for n, q in self._queries.items():
+            p = q.lastProgress
+            out[n] = {
+                "active": q.isActive,
+                "input_rows_per_sec": (p or {}).get("inputRowsPerSecond"),
+                "processed_rows_per_sec": (p or {}).get(
+                    "processedRowsPerSecond"
+                ),
+                "batch_duration_ms": ((p or {}).get("durationMs") or {}).get(
+                    "triggerExecution"
+                ),
+                "num_input_rows": (p or {}).get("numInputRows"),
+                "watermark": ((p or {}).get("eventTime") or {}).get(
+                    "watermark"
+                ),
+            }
+        return out
+
     def stop(self, name: str | None = None) -> None:
         for n, q in list(self._queries.items()):
             if name is None or n == name:

@@ -5,6 +5,7 @@ The reference daemon serves a line protocol on a unix socket
 ``/tmp/cerebro.sock``; `cerebro.py:430-460` handles it):
 
     ``status``          → one JSON line ``{"source": running_bool, ...}``
+    ``metrics``         → one JSON line of per-source throughput/progress
     ``restart <name>``  → ``true`` / ``false``
     ``exit``            → closes the connection
 
@@ -34,6 +35,10 @@ class _Handler(socketserver.StreamRequestHandler):
             if command == "status":
                 self.wfile.write(
                     json.dumps(runner.status(), indent=None).encode() + b"\n"
+                )
+            elif command == "metrics":
+                self.wfile.write(
+                    json.dumps(runner.metrics(), indent=None).encode() + b"\n"
                 )
             elif command.startswith("restart"):
                 parts = command.split()

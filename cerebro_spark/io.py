@@ -187,3 +187,57 @@ def read_wide_store(
     if fields:
         return df.select("time", "date", *fields)
     return df
+
+
+def store_health(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition file/row statistics for a parquet store — the signal
+    that drives ``compact_store`` scheduling: (partition dir, n_files,
+    n_rows, bytes, avg file bytes, small_files flag).
+
+    Computed from ``input_file_name`` + the driver-side file listing (one
+    pass over footers via the scan, no data columns read — the projection is
+    file name only, so the parquet reader touches no row groups' pages).
+    At 100 TB this is a metadata-scale job: rows ∝ files, not data.
+    """
+    import os
+
+    rows = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    sizes = []
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(dirpath, f)
+                sizes.append(
+                    (
+                        "file:" + ("//" if full.startswith("/") else "") + full,
+                        os.path.relpath(dirpath, path),
+                        os.path.getsize(full),
+                    )
+                )
+    size_df = spark.createDataFrame(sizes, "file string, partition string, bytes long")
+    # normalize the scheme-prefixed input_file_name to the raw path for the join
+    norm = F.regexp_replace(F.col("file"), r"^file:/{0,2}", "/")
+    joined = rows.withColumn("file", norm).join(
+        size_df.withColumn("file", norm), "file"
+    )
+    return (
+        joined.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("bytes").alias("bytes"),
+        )
+        .withColumn(
+            "avg_file_bytes", (F.col("bytes") / F.col("n_files")).cast("long")
+        )
+        .withColumn(
+            # the canonical small-file smell: many files well under a block
+            "small_files",
+            (F.col("n_files") > 4) & (F.col("avg_file_bytes") < 8 * 1024 * 1024),
+        )
+    )

@@ -12,6 +12,9 @@ class _FakeRunner:
     def status(self):
         return {"s1": True, "s2": False}
 
+    def metrics(self):
+        return {"s1": {"active": True, "input_rows_per_sec": 3.0}}
+
     def restart(self, name):
         if name == "bad":
             raise KeyError(name)
@@ -24,6 +27,7 @@ def test_status_restart_protocol(tmp_path):
     ctl = ControlServer(runner, sock).start()
     try:
         assert json.loads(query(sock, "status")) == {"s1": True, "s2": False}
+        assert json.loads(query(sock, "metrics"))["s1"]["input_rows_per_sec"] == 3.0
         assert query(sock, "restart s2") == "true"
         assert runner.restarted == ["s2"]
         # reference replies false on any restart failure (cerebro.py:451-456)
@@ -72,6 +76,8 @@ def test_live_runner_end_to_end(tmp_path, spark):
     try:
         st = json.loads(query(sock, "status"))
         assert st == {"poll1": True}
+        m = json.loads(query(sock, "metrics"))
+        assert m["poll1"]["active"] is True  # progress fields fill after 1st batch
         assert query(sock, "restart poll1") == "true"
         assert json.loads(query(sock, "status"))["poll1"] is True
     finally:

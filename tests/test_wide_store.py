@@ -61,3 +61,28 @@ def test_wide_store_date_partition_pruning(spark, tmp_path):
     rows = df.collect()
     assert rows
     assert all(str(r["date"]) == "2024-01-02" for r in rows)
+
+
+def test_store_health_flags_small_files(spark, tmp_path):
+    from cerebro_spark.io import store_health
+
+    store = str(tmp_path / "health")
+    # partition p=a: 6 tiny files (streaming-sink smell); p=b: 1 file
+    df_a = spark.range(600).selectExpr("id", "'a' AS p").repartition(6)
+    df_b = spark.range(100).coalesce(1).selectExpr("id", "'b' AS p")
+    df_a.write.partitionBy("p").parquet(store)
+    df_b.write.mode("append").partitionBy("p").parquet(store)
+
+    rows = {r["partition"]: r for r in store_health(spark, store).collect()}
+    assert rows["p=a"]["n_files"] == 6 and rows["p=a"]["n_rows"] == 600
+    assert bool(rows["p=a"]["small_files"]) is True
+    assert rows["p=b"]["n_rows"] == 100
+    assert bool(rows["p=b"]["small_files"]) is False
+    # total bytes match the on-disk footprint
+    import pathlib
+
+    disk = sum(
+        f.stat().st_size
+        for f in pathlib.Path(store).rglob("*.parquet")
+    )
+    assert sum(r["bytes"] for r in rows.values()) == disk
