@@ -17,7 +17,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cerebro-spark")
-    p.add_argument("command", choices=["start", "status"])
+    p.add_argument("command", choices=["start", "status", "metrics"])
     p.add_argument("--config", required=True, help="YAML/JSON config path")
     p.add_argument("--store", required=True, help="point-store output path")
     p.add_argument("--checkpoint", default=None)
@@ -48,6 +48,16 @@ def main(argv: list[str] | None = None) -> int:
         runner.start()
         for name, active in runner.status().items():
             print(f"{name}: {'running' if active else 'stopped'}")
+        runner.stop()
+        return 0
+
+    if args.command == "metrics":
+        import json as _json
+        import time as _time
+
+        runner.start()
+        _time.sleep(2)  # let the first micro-batch land so progress exists
+        print(_json.dumps(runner.metrics(), indent=2))
         runner.stop()
         return 0
 
