@@ -76,3 +76,29 @@ def test_incremental_rollup_prunes_untouched_partitions(spark, tmp_path):
     assert {str(p): p.stat().st_mtime for p in after} == mtimes
     got = _rollup_rows(spark, roll)
     assert got[("b1", "temp", "value", "2024-01-02")] == (2, 2.0, 9.0, 11.0)
+
+
+def test_rollup_sink_under_streaming_engine(spark, tmp_path):
+    """foreachBatch wiring: replayed point files → rollup maintenance."""
+    src_dir = str(tmp_path / "src")
+    store, roll = str(tmp_path / "store"), str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+
+    pts = spark.createDataFrame(
+        [_pt("temp", 1, 1), _pt("temp", 3, 1), _pt("hum", 5, 2)], POINT_SCHEMA
+    )
+    pts.write.parquet(src_dir)
+
+    q = (
+        spark.readStream.schema(pts.schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(rollup_maintenance_sink(store, roll))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = _rollup_rows(spark, roll)
+    assert got[("b1", "temp", "value", "2024-01-01")] == (2, 1.0, 3.0, 4.0)
+    assert got[("b1", "hum", "value", "2024-01-02")] == (1, 5.0, 5.0, 5.0)
