@@ -539,6 +539,8 @@ _SNAPSHOT_PRIORITY = [
     "vocab_encode",
     "dup_spans",
     "epoch_shuffle",
+    "salted_segment_value",
+    "user_value_ranks",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

@@ -147,12 +147,88 @@ GROUP BY r_name
 """
 
 
+def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join correctness parity: events × customer-segment dim through
+    ``util.salted_join`` (16-way salt) must produce exactly the plain-join
+    aggregate — the oracle runs the unsalted SQL.  Salting is the manual
+    fallback for keys AQE's skew split can't break (a single key > executor
+    memory); this row proves the rewrite is semantics-preserving."""
+    from cerebro_spark.operators.util import salted_join
+
+    ev = load_table(spark, "events", sf_dir)
+    seg = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, seg, "user_id", salt_buckets=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_SALTED_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window showcase over PARTITIONED windows (never global):
+    per event_type, users ranked by total value with dense_rank, quartile
+    (ntile) and gap-to-previous (lag) — the everyday SQL-analytics surface
+    a reference user would expect from a query engine."""
+    ev = load_table(spark, "events", sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.dense_rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(
+            F.coalesce(
+                F.lag("total_value").over(w) - F.col("total_value"), F.lit(0.0)
+            ),
+            4,
+        ).alias("gap_to_prev"),
+    ).filter(F.col("rnk") <= 10)
+
+
+_USER_VALUE_RANKS_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id, round(sum(value), 4) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, total_value,
+    dense_rank() OVER w AS rnk,
+    ntile(4) OVER w AS quartile,
+    round(coalesce(lag(total_value) OVER w - total_value, 0.0), 4)
+      AS gap_to_prev
+  FROM totals
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY total_value DESC, user_id ASC)
+)
+SELECT * FROM ranked WHERE rnk <= 10
+"""
+
+
+
 QUERIES = {
     "customers_per_region": q_customers_per_region,
     "promo_revenue_share": q_promo_revenue_share,
     "top_suppliers": q_top_suppliers,
     "cheapest_part_per_brand": q_cheapest_part_per_brand,
     "part_size_stats": q_part_size_stats,
+    "salted_segment_value": q_salted_segment_value,
+    "user_value_ranks": q_user_value_ranks,
 }
 
 ORACLES = {
@@ -161,6 +237,8 @@ ORACLES = {
     "top_suppliers": _TOP_SUPPLIERS_SQL,
     "cheapest_part_per_brand": _CHEAPEST_SQL,
     "part_size_stats": _PART_SIZE_SQL,
+    "salted_segment_value": _SALTED_SEGMENT_SQL,
+    "user_value_ranks": _USER_VALUE_RANKS_SQL,
 }
 
 
