@@ -203,9 +203,13 @@ def keyed_upsert_sink(
     + dynamic partition overwrite), keeping the latest ``ts_col`` row per key
     (batch rows win ties — an upsert, not append).
 
-    Scale shape: work per batch is proportional to the touched buckets, not
-    the store; ``n_buckets`` bounds rewrite amplification (a batch updating
-    K keys rewrites ≤ min(K, n_buckets) partitions).  On a real deployment
+    Scale shape: I/O per batch is proportional to the touched buckets, not
+    the store (``n_buckets`` bounds rewrite amplification — a batch updating
+    K keys rewrites ≤ min(K, n_buckets) partitions), and SHUFFLE per batch
+    stays cheap: only rows whose key appears in the batch enter the
+    latest-version window (broadcast semi/anti key split — no store-sized
+    sort); rewritten rows take one sort-free hash repartition that doubles
+    as inline per-bucket compaction (one file per bucket per merge).  On a real deployment
     with Delta/Iceberg available, MERGE INTO replaces this sink 1:1 — the
     bucketing column doubles as the table's cluster key.  Retried batches
     converge to the same store state (last-writer-ties-to-batch), so the
@@ -229,22 +233,45 @@ def keyed_upsert_sink(
         ]
         if not touched:
             return
-        merged = incoming.withColumn("__from_batch", F.lit(1))
-        if os.path.isdir(path):
-            existing = (
-                spark.read.parquet(path)
-                .filter(F.col("__bucket").isin(touched))
-                .withColumn("__from_batch", F.lit(0))
-            )
-            merged = existing.unionByName(merged)
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.col(ts_col).desc(), F.col("__from_batch").desc()
-        )
-        latest = (
-            merged.withColumn("__rn", F.row_number().over(w))
+        # dedup the batch itself to its latest row per key (a window over
+        # BATCH rows only — micro-batch-sized, not store-sized)
+        wb = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+        b = (
+            incoming.withColumn("__rn", F.row_number().over(wb))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__from_batch")
+            .drop("__rn")
+            .withColumn("__from_batch", F.lit(1))
         )
+        if os.path.isdir(path):
+            existing = spark.read.parquet(path).filter(
+                F.col("__bucket").isin(touched)
+            )
+            # Only rows whose key appears in the batch need the versus-batch
+            # comparison; everything else in the touched buckets passes
+            # through scan→write with NO shuffle.  The batch key set is
+            # micro-batch-sized → broadcast semi/anti joins.
+            keys = F.broadcast(b.select(*key_cols).distinct())
+            e_rest = existing.join(keys, key_cols, "left_anti")
+            e_hit = existing.join(keys, key_cols, "left_semi").withColumn(
+                "__from_batch", F.lit(0)
+            )
+            wk = Window.partitionBy(*key_cols).orderBy(
+                F.col(ts_col).desc(), F.col("__from_batch").desc()
+            )
+            winner = (
+                e_hit.unionByName(b)
+                .withColumn("__rn", F.row_number().over(wk))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__from_batch")
+            )
+            latest = e_rest.unionByName(winner)
+        else:
+            latest = b.drop("__from_batch")
+        # one file per touched bucket: without this, every merge leaves
+        # task-count files per bucket and the store degrades into the
+        # small-file regime (store_health's flag) — the repartition is a
+        # shuffle of REWRITTEN rows only and doubles as inline compaction.
+        latest = latest.repartition(len(touched), F.col("__bucket"))
         with_conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

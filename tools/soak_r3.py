@@ -82,3 +82,39 @@ from cerebro_spark.operators.text import build_vocab, dedup_chunks, encode_token
 timed("chunk_dedup", dedup_chunks(docs, chunk_tokens=16))
 timed("dup_spans_w16", duplicated_span_profile(docs, window_tokens=16))
 timed("vocab_encode", encode_tokens(docs, build_vocab(docs, vocab_size=256)))
+
+# ---- CDC upsert merge at 2M-row store ---------------------------------------
+import shutil
+import time as _time
+
+from pyspark.sql import functions as _F
+
+from cerebro_spark.streaming.sinks import keyed_upsert_sink
+
+STORE = "/tmp/soak/upsert_store"
+shutil.rmtree(STORE, ignore_errors=True)
+sink = keyed_upsert_sink(STORE, key_cols=["k"], ts_col="time", n_buckets=64)
+
+base_rows = spark.range(2_000_000).select(
+    _F.concat(_F.lit("k"), _F.col("id")).alias("k"),
+    (_F.col("id") % 1000 / 10.0).alias("v"),
+    _F.timestamp_seconds(_F.lit(1704067200) + _F.col("id") % 86400).alias("time"),
+)
+t0 = _time.perf_counter()
+sink(base_rows, 0)
+print(json.dumps({"op": "upsert_initial_load_2M", "sec": round(_time.perf_counter() - t0, 2)}))
+
+# a 10k-key update batch: touches ≤ 64 buckets but only ~10k/2M of the rows
+upd = spark.range(10_000).select(
+    _F.concat(_F.lit("k"), (_F.col("id") * 200)).alias("k"),
+    _F.lit(999.0).alias("v"),
+    _F.timestamp_seconds(_F.lit(1704200000)).alias("time"),
+)
+t0 = _time.perf_counter()
+sink(upd, 1)
+print(json.dumps({"op": "upsert_10k_batch_into_2M", "sec": round(_time.perf_counter() - t0, 2)}))
+
+got = spark.read.parquet(STORE)
+n = got.count()
+updated = got.filter(_F.col("v") == 999.0).count()
+print(json.dumps({"check": "upsert", "rows": n, "updated": updated}))
