@@ -34,7 +34,9 @@ def rollup_points_daily(points: DataFrame) -> DataFrame:
         )
         .groupBy("bucket", "measurement", "field", "date")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            # count of non-null VALUES (not rows): keeps avg = vsum/n exact
+            # under the client's null-skipping aggregate semantics
+            F.count("v").alias("n"),
             F.min("v").alias("vmin"),
             F.max("v").alias("vmax"),
             F.sum("v").alias("vsum"),

@@ -69,15 +69,85 @@ class CerebroClient:
     ):
         self.spark = spark
         self.store = store or {}
+        self.rollups: dict[str, object] = {}
         self._now = now  # pinned clock for deterministic tests
 
     def register_bucket(self, bucket: str, path_or_df: str | DataFrame) -> None:
         self.store[bucket] = path_or_df
 
+    def register_rollup(self, bucket: str, path_or_df: str | DataFrame) -> None:
+        """Attach a maintained daily rollup (``operators.rollup`` layout:
+        measurement, field, date, n, vmin, vmax, vsum) — day-aligned
+        ``aggregate_window`` queries are then rewritten onto it."""
+        self.rollups[bucket] = path_or_df
+
     def _scan(self, bucket: str) -> DataFrame:
         """Q1 — bucket scan (`client.py:68`)."""
         src = self.store[bucket]
         return src if isinstance(src, DataFrame) else self.spark.read.parquet(src)
+
+    def _rollup_scan(self, bucket: str) -> DataFrame:
+        src = self.rollups[bucket]
+        return src if isinstance(src, DataFrame) else self.spark.read.parquet(src)
+
+    def _try_rollup_rewrite(
+        self,
+        bucket: str,
+        measurement: str,
+        field: str | None,
+        t0: dt.datetime | None,
+        t1: dt.datetime | None,
+        every: int,
+        fn: str,
+    ) -> DataFrame | None:
+        """Materialized-view rewrite: serve a day-aligned aggregateWindow
+        from the maintained daily rollup instead of re-reading raw points.
+
+        Applicability (else return None and the raw path runs): a rollup is
+        registered for the bucket, ``every`` is a whole number of days, the
+        range bounds land on day boundaries, and ``fn`` is decomposable from
+        (n, vmin, vmax, vsum) — avg as sum/count stays EXACT, not an
+        average-of-averages.  At 100 TB this turns every dashboard-grain
+        query from a fact-table scan into a rollup read that is smaller by
+        the per-day point count, with date partition pruning intact.
+        """
+        def midnight(t: dt.datetime | None) -> bool:
+            return t is None or (t.hour, t.minute, t.second, t.microsecond) == (0, 0, 0, 0)
+
+        if (
+            bucket not in self.rollups
+            or every % 86400 != 0
+            or not midnight(t0)
+            or not midnight(t1)
+            or fn not in ("avg", "mean", "min", "max", "sum", "count")
+        ):
+            return None
+        r = self._rollup_scan(bucket).filter(F.col("measurement") == measurement)
+        if t0 is not None:
+            r = r.filter(F.col("date") >= F.lit(t0.date()))
+        if t1 is not None:
+            r = r.filter(F.col("date") < F.lit(t1.date()))
+        if field is not None:
+            r = r.filter(F.col("field") == field)
+        value = {
+            "avg": F.sum("vsum") / F.sum("n"),
+            "mean": F.sum("vsum") / F.sum("n"),
+            "min": F.min("vmin"),
+            "max": F.max("vmax"),
+            "sum": F.sum("vsum"),
+            "count": F.sum("n"),
+        }[fn]
+        day_epoch = F.col("date").cast("timestamp").cast("long")
+        return (
+            r.groupBy(
+                F.timestamp_seconds(
+                    F.floor(day_epoch / every) * every
+                ).alias("time"),
+                "measurement",
+                "field",
+            )
+            .agg(value.alias("value"))
+        )
 
     def query(
         self,
@@ -127,20 +197,26 @@ class CerebroClient:
 
         if aggregate_window is not None:
             every, fn = aggregate_window
-            aggs = {
-                "avg": F.avg, "mean": F.avg, "min": F.min, "max": F.max,
-                "sum": F.sum, "count": F.count,
-            }
-            long = (
-                long.groupBy(
-                    F.timestamp_seconds(
-                        F.floor(F.col("time").cast("long") / every) * every
-                    ).alias("time"),
-                    "measurement",
-                    "field",
-                )
-                .agg(aggs[fn]("value").alias("value"))
+            rolled = self._try_rollup_rewrite(
+                bucket, measurement, field, t0, t1, every, fn
             )
+            if rolled is not None:
+                long = rolled
+            else:
+                aggs = {
+                    "avg": F.avg, "mean": F.avg, "min": F.min, "max": F.max,
+                    "sum": F.sum, "count": F.count,
+                }
+                long = (
+                    long.groupBy(
+                        F.timestamp_seconds(
+                            F.floor(F.col("time").cast("long") / every) * every
+                        ).alias("time"),
+                        "measurement",
+                        "field",
+                    )
+                    .agg(aggs[fn]("value").alias("value"))
+                )
 
         if not pivot:
             return long

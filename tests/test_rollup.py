@@ -102,3 +102,45 @@ def test_rollup_sink_under_streaming_engine(spark, tmp_path):
     got = _rollup_rows(spark, roll)
     assert got[("b1", "temp", "value", "2024-01-01")] == (2, 1.0, 3.0, 4.0)
     assert got[("b1", "hum", "value", "2024-01-02")] == (1, 5.0, 5.0, 5.0)
+
+
+def test_client_rollup_rewrite_matches_raw(spark, tmp_path):
+    """Day-aligned aggregateWindow served from the rollup equals the raw
+    scan; non-aligned windows fall back to raw."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.rollup import rollup_points_daily
+    from cerebro_spark.plans.client import CerebroClient
+
+    pts = spark.createDataFrame(
+        [_pt("temp", v, d) for d, v in ((1, 1), (1, 5), (2, 2), (3, 9), (4, 4))]
+        + [_pt("hum", 7, 2)],
+        POINT_SCHEMA,
+    )
+    store, roll = str(tmp_path / "pts"), str(tmp_path / "roll")
+    pts.write.parquet(store)
+    rollup_points_daily(pts).write.partitionBy("bucket", "date").parquet(roll)
+
+    now = dt.datetime(2024, 1, 5)
+    c = CerebroClient(spark, {"b1": store}, now=now)
+    c.register_rollup("b1", roll)
+    raw = CerebroClient(spark, {"b1": store}, now=now)  # no rollup → raw path
+
+    for fn in ("avg", "min", "max", "sum", "count"):
+        for win in (86400, 2 * 86400):
+            a = c.query("b1", "temp", "value", start="2024-01-01",
+                        end="2024-01-05", aggregate_window=(win, fn))
+            b = raw.query("b1", "temp", "value", start="2024-01-01",
+                          end="2024-01-05", aggregate_window=(win, fn))
+            assert sorted(map(tuple, a.collect())) == sorted(
+                map(tuple, b.collect())
+            ), (fn, win)
+            # the rewrite actually reads the rollup, not the point store
+            assert all("roll" in f for f in a.inputFiles()), (fn, win)
+
+    # ... and a non-day-aligned window falls back to the raw store
+    h = c.query("b1", "temp", "value", start="2024-01-01",
+                end="2024-01-05", aggregate_window=(3600, "avg"))
+    assert all("pts" in f for f in h.inputFiles())
