@@ -192,3 +192,62 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(real, "id_a long, id_b long")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+# -- chunk dedup: conservation and idempotence -------------------------------
+
+doc_words = st.lists(
+    st.text("abcde", min_size=1, max_size=3), min_size=1, max_size=40
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(doc_words, min_size=1, max_size=8))
+def test_dedup_chunks_conservation(spark, docs):
+    """Every chunk occurrence is either kept exactly once per distinct
+    chunk text (at its first occurrence) or dropped; kept text re-splits
+    into the original chunk tokens."""
+    from cerebro_spark.operators.text import dedup_chunks
+
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs)]
+    out = dedup_chunks(
+        spark.createDataFrame(rows), chunk_tokens=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == set(range(len(docs)))
+
+    # expected: first occurrence per chunk text in (doc_id, chunk_idx) order
+    seen: set[str] = set()
+    expect_kept: dict[int, list[str]] = {i: [] for i in range(len(docs))}
+    for i, w in enumerate(docs):
+        for c in range(0, len(w), 4):
+            chunk = " ".join(w[c : c + 4])
+            if chunk not in seen:
+                seen.add(chunk)
+                expect_kept[i].append(chunk)
+    for i, w in enumerate(docs):
+        r = by_id[i]
+        assert r["n_chunks"] == (len(w) + 3) // 4
+        assert r["text_kept"] == " ".join(expect_kept[i])
+        assert r["n_kept"] == len(expect_kept[i])
+    # total kept chunks across the corpus == distinct chunk count
+    assert sum(r["n_kept"] for r in out) == len(seen)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True))
+def test_epoch_shuffle_is_permutation(spark, ids):
+    """epoch_shuffle assigns every id exactly one (shard, pos) with
+    contiguous positions per shard — a permutation, nothing lost."""
+    from cerebro_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = epoch_shuffle(df, epoch=3, num_shards=4).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    per_shard: dict[int, list[int]] = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
