@@ -4,6 +4,8 @@
     python -m cerebro_spark start --config cfg.yaml --store /data/points \
         [--profile apo | --sources s1,s2] [--checkpoint /data/ckpt]
     python -m cerebro_spark status --config cfg.yaml ...
+    python -m cerebro_spark sql --sf-dir /root/testdata/sf0.01 \
+        --query "SELECT lang, count(*) FROM documents GROUP BY 1"
 
 No pidfile daemonization — on a cluster the scheduler (YARN/k8s) owns the
 process lifecycle; ``start`` blocks on the streaming queries.
@@ -17,9 +19,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cerebro-spark")
-    p.add_argument("command", choices=["start", "status", "metrics"])
-    p.add_argument("--config", required=True, help="YAML/JSON config path")
-    p.add_argument("--store", required=True, help="point-store output path")
+    p.add_argument("command", choices=["start", "status", "metrics", "sql"])
+    p.add_argument("--config", default=None, help="YAML/JSON config path")
+    p.add_argument("--sf-dir", default=None, help="testdata dir for `sql`")
+    p.add_argument("--query", default=None, help="SQL text for `sql`")
+    p.add_argument("--limit", type=int, default=20, help="`sql` print row cap")
+    p.add_argument("--store", default=None, help="point-store output path")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--profile", default=None)
     p.add_argument("--sources", default=None, help="comma-separated source names")
@@ -32,8 +37,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = p.parse_args(argv)
 
-    from cerebro_spark.config.loader import IngestRunner
     from cerebro_spark.session import get_spark
+
+    if args.command == "sql":
+        from cerebro_spark.io import DEFAULT_SF_DIR, register_views
+
+        if not args.query:
+            p.error("sql requires --query")
+        spark = get_spark("cerebro-spark-sql")
+        register_views(spark, args.sf_dir or DEFAULT_SF_DIR)
+        spark.sql(args.query).show(args.limit, truncate=False)
+        return 0
+
+    if not args.config or not args.store:
+        p.error(f"{args.command} requires --config and --store")
+
+    from cerebro_spark.config.loader import IngestRunner
 
     spark = get_spark("cerebro-spark-daemon")
     runner = IngestRunner(
