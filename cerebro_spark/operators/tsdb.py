@@ -324,3 +324,54 @@ def interpolate_linear(
         )
     )
     return tmp.withColumn(out_col, interp).drop("__pv", "__pt", "__nv", "__nt")
+
+
+def distinct_sketch_rollup(
+    df: DataFrame,
+    key_col: str,
+    keys: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Mergeable distinct-count rollup: per (keys, time bucket), a
+    DataSketches HLL sketch of ``key_col`` (binary column) plus the row
+    count.  The 100 TB shape for "distinct users over <arbitrary range>":
+    the raw table is read ONCE to build per-day sketches; any later range
+    query unions the few relevant sketches (register-wise max — lossless for
+    a fixed lg_k, so a union over daily sketches equals the sketch built
+    directly over the range).  lg_k=14 → ~0.8% rsd at 16 KiB per sketch.
+    """
+    bucket = F.timestamp_seconds(
+        (F.col(ts_col).cast("long") / bucket_seconds).cast("long")
+        * bucket_seconds
+    ).alias("bucket_ts")
+    return df.groupBy(*keys, bucket).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"),
+        F.count(key_col).alias("n_rows"),
+    )
+
+
+def distinct_over_range(
+    sketches: DataFrame,
+    start=None,
+    end=None,
+    keys: tuple[str, ...] = (),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Approximate distinct count over [start, end) from a sketch rollup —
+    no raw-table access: filter the bucket rows, union their sketches per
+    group, estimate.  Works on a persisted rollup (binary parquet column)
+    exactly as on a live one."""
+    df = sketches
+    if start is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(ts_col) < F.lit(end))
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    return grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_distinct"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    )
