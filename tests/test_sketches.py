@@ -58,3 +58,56 @@ def test_sketch_rollup_survives_parquet(spark, sf_dir, tmp_path):
         "approx_distinct"
     ]
     assert live == persisted
+
+
+def test_kll_quantile_rollup_tolerance(spark, sf_dir):
+    from cerebro_spark.operators.tsdb import (
+        quantile_sketch_rollup,
+        quantiles_over_range,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = quantile_sketch_rollup(ev, "value")
+    lo, hi = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 25)
+    got = quantiles_over_range(daily, (0.5, 0.95), lo, hi).collect()[0]
+
+    sub = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    exact = sub.selectExpr(
+        "percentile(value, 0.5) AS p50", "percentile(value, 0.95) AS p95",
+        "min(value) AS lo", "max(value) AS hi", "count(*) AS n"
+    ).collect()[0]
+    assert got["n_rows"] == exact["n"]
+    # KLL default k: rank error ~1.7%; map to value-space via the range
+    spread = exact["hi"] - exact["lo"]
+    assert abs(got["p50"] - exact["p50"]) <= 0.05 * spread
+    assert abs(got["p95"] - exact["p95"]) <= 0.05 * spread
+
+
+def test_theta_retention_matches_exact(spark, sf_dir):
+    from cerebro_spark.operators.tsdb import (
+        retention_between,
+        theta_sketch_rollup,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = theta_sketch_rollup(ev, "user_id")
+    wa = (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8))
+    wb = (dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15))
+    got = retention_between(daily, wa, wb).collect()[0]
+
+    def users(w):
+        return {
+            r["user_id"]
+            for r in ev.filter(
+                (F.col("ts") >= F.lit(w[0])) & (F.col("ts") < F.lit(w[1]))
+            ).select("user_id").distinct().collect()
+        }
+
+    ua, ub = users(wa), users(wb)
+    # theta is exact below its sampling threshold (~4k entries); the events
+    # table has 150 users so every estimate must be exact here
+    assert got["a_distinct"] == len(ua)
+    assert got["b_distinct"] == len(ub)
+    assert got["retained"] == len(ua & ub)
+    assert got["churned"] == len(ua - ub)
+    assert got["new"] == len(ub - ua)
