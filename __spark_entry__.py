@@ -541,6 +541,7 @@ _SNAPSHOT_PRIORITY = [
     "epoch_shuffle",
     "salted_segment_value",
     "user_value_ranks",
+    "user_retention",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

@@ -8,7 +8,14 @@ from pyspark.sql import functions as F
 
 from cerebro_spark.io import load_table
 from cerebro_spark.operators.multimodal import attach_media_meta, frame_sample_plan
-from cerebro_spark.operators.tsdb import derivative, downsample, gapfill, increase
+from cerebro_spark.operators.tsdb import (
+    derivative,
+    downsample,
+    gapfill,
+    increase,
+    retention_between,
+    theta_sketch_rollup,
+)
 
 
 def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,6 +278,47 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00
 """
 
 
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention/churn from per-day theta sketches — the set
+    algebra (|A∩B|, |A∖B|, |B∖A|) runs over the ROLLUP, never a raw-table
+    self-join.  Theta sketches are EXACT below their sampling threshold
+    (~4k distinct at the default lgK); the user population here is far
+    under it, so the oracle can be exact set arithmetic.  At real scale
+    the same query returns estimates with ~1.6% rse — the plan shape is
+    identical."""
+    import datetime as dt
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = theta_sketch_rollup(ev, "user_id")
+    out = retention_between(
+        daily,
+        (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)),
+        (dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15)),
+    )
+    return out.select(
+        *[F.round(F.col(c)).cast("long").alias(c) for c in out.columns]
+    )
+
+
+_USER_RETENTION_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+),
+b AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+)
+SELECT
+  (SELECT count(*) FROM a) AS a_distinct,
+  (SELECT count(*) FROM b) AS b_distinct,
+  (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS retained,
+  (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS churned,
+  (SELECT count(*) FROM b WHERE user_id NOT IN (SELECT user_id FROM a)) AS new
+"""
+
+
+
 QUERIES = {
     "derivative": q_derivative,
     "counter_increase": q_increase,
@@ -285,6 +333,7 @@ QUERIES = {
     "percentiles_daily": q_percentiles_daily,
     "value_histogram": q_value_histogram,
     "zscore_outliers": q_zscore_outliers,
+    "user_retention": q_user_retention,
 }
 
 ORACLES = {
@@ -299,6 +348,7 @@ ORACLES = {
     "percentiles_daily": _PERCENTILES_SQL,
     "value_histogram": _HISTOGRAM_SQL,
     "zscore_outliers": _ZSCORE_SQL,
+    "user_retention": _USER_RETENTION_SQL,
 }
 
 

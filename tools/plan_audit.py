@@ -61,6 +61,8 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the positive-balance average crossJoined onto
     # customer before the anti join (Q22 shape)
     "idle_customers",
+    # 1-row × 1-row crossJoin of the two window-union theta sketches
+    "user_retention",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
