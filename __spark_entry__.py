@@ -558,8 +558,6 @@ _SNAPSHOT_PRIORITY = [
     "stratified_sample",
     "training_prep_summary",
     "events_quality_profile",
-    "ann_cosine_ivf",
-    "approx_percentiles_daily",
     "late_shipments_by_priority",
     "large_volume_customers",
     "sole_return_suppliers",
@@ -587,6 +585,10 @@ _SNAPSHOT_PRIORITY = [
     "orders_with_returns",
     "part_size_stats",
     "users_purchase_no_error",
+    # rows-only checks last: their driver row is weaker, so when the 50-row
+    # snapshot cap bites, oracle-backed queries take the slots
+    "ann_cosine_ivf",
+    "approx_percentiles_daily",
 ]
 
 
