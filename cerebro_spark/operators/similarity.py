@@ -509,3 +509,95 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: centroids + the corpus PARTITIONED BY CLUSTER.
+
+    The partition layout is the index: a probe query filters on
+    ``__cluster`` literals, so the parquet scan reads only the nprobe
+    cluster directories — ANN pruning happens at the STORAGE layer via
+    ordinary partition pruning, nothing custom at read time.  Rebuild is a
+    full rewrite (centroids drift as the corpus grows); at 100 TB that's a
+    periodic job, like the reference's batch ETL cadence.
+    """
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    centroids = train_ivf_centroids(
+        corpus, dim, n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _ivf_assign_expr(
+        ensure_parallelism(corpus), centroids, vec_col, nprobe=1
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+        F.col("__cluster").alias("cluster"),
+    )
+    (
+        assigned.repartition(n_clusters, "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over a persisted IVF index.  The union of the probed
+    cluster ids (bounded: |queries| × nprobe, and queries are broadcast-
+    sized by design) becomes an IN-list filter on the partition column —
+    check ``PartitionFilters`` in the scan: only those directories are
+    read."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    centroids = [list(r["centroid"]) for r in cent]
+    q = _ivf_assign_expr(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col("__cluster").alias("cluster"),
+    )
+    probed = sorted({r["cluster"] for r in q.select("cluster").distinct().collect()})
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cluster").isin(probed)
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+        )
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -62,3 +62,41 @@ def test_ivf_prunes_candidates(spark, sf_dir):
     n = emb.count()
     assert len(sizes) >= 4  # clusters actually used
     assert max(sizes) < 0.6 * n  # no degenerate all-in-one cluster
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """Index build → query: results match the in-memory IVF path, and the
+    scan reads ONLY the probed cluster directories."""
+    from cerebro_spark.io import load_table
+    from cerebro_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        query_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.orderBy("vec_id").limit(2)
+    path = str(tmp_path / "ivf")
+
+    build_ivf_index(emb, path, dim, n_clusters=8)
+    got = query_ivf_index(spark, path, queries, k=5, nprobe=2)
+
+    # equivalence with the non-persisted path under the same centroids
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    centroids = [list(r["centroid"]) for r in cent]
+    ref = cosine_topk_ivf(
+        emb, queries, dim, k=5, n_clusters=8, nprobe=2, centroids=centroids
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    # pruning: the corpus scan carries a partition IN-filter over fewer
+    # than all clusters (inputFiles() lists pre-pruning files, so assert on
+    # the executed plan's PartitionFilters instead)
+    import re
+
+    plan = got._jdf.queryExecution().toString()
+    m = re.search(r"cluster#\d+ IN \(([0-9,]+)\)", plan)
+    assert m, plan[-2000:]
+    assert 0 < len(m.group(1).split(",")) < 8
