@@ -61,6 +61,7 @@ HEADLINE = [
     "market_share_by_year",
     "small_qty_revenue",
     "idle_customers",
+    "user_retention",
 ]
 
 
