@@ -118,3 +118,47 @@ got = spark.read.parquet(STORE)
 n = got.count()
 updated = got.filter(_F.col("v") == 999.0).count()
 print(json.dumps({"check": "upsert", "rows": n, "updated": updated}))
+
+# ---- sketch rollups at 20M events ------------------------------------------
+from cerebro_spark.operators.tsdb import (
+    distinct_over_range,
+    distinct_sketch_rollup,
+    quantile_sketch_rollup,
+    quantiles_over_range,
+)
+
+big = spark.range(20_000_000).select(
+    F.timestamp_seconds(
+        F.lit(1704067200) + (F.col("id") * 37 % 31_536_000)
+    ).alias("ts"),
+    (F.pmod(F.col("id") * 2654435761, F.lit(5_000_000))).alias("user_id"),
+    (F.pmod(F.col("id") * 48271, F.lit(100000)) / 100.0).alias("value"),
+)
+big.write.mode("overwrite").parquet("/tmp/soak/big_events")
+big = spark.read.parquet("/tmp/soak/big_events")
+
+t0 = _time.perf_counter()
+hll = distinct_sketch_rollup(big, "user_id")
+hll.write.mode("overwrite").parquet("/tmp/soak/hll_daily")
+print(json.dumps({"op": "hll_rollup_build_20M", "sec": round(_time.perf_counter() - t0, 2)}))
+
+hll = spark.read.parquet("/tmp/soak/hll_daily")
+import datetime as _dt
+lo, hi = _dt.datetime(2024, 3, 1), _dt.datetime(2024, 9, 1)
+t0 = _time.perf_counter()
+est = distinct_over_range(hll, lo, hi).collect()[0]["approx_distinct"]
+print(json.dumps({"op": "hll_range_query", "sec": round(_time.perf_counter() - t0, 2), "est": int(est)}))
+t0 = _time.perf_counter()
+exact = (
+    big.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    .agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+)
+print(json.dumps({"op": "exact_range_distinct_raw", "sec": round(_time.perf_counter() - t0, 2), "exact": exact}))
+
+t0 = _time.perf_counter()
+kll = quantile_sketch_rollup(big, "value")
+kll.write.mode("overwrite").parquet("/tmp/soak/kll_daily")
+print(json.dumps({"op": "kll_rollup_build_20M", "sec": round(_time.perf_counter() - t0, 2)}))
+t0 = _time.perf_counter()
+q = quantiles_over_range(spark.read.parquet("/tmp/soak/kll_daily"), (0.5, 0.99), lo, hi).collect()[0]
+print(json.dumps({"op": "kll_range_query", "sec": round(_time.perf_counter() - t0, 2), "p50": q["p50"], "p99": q["p99"]}))
