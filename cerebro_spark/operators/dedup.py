@@ -505,3 +505,97 @@ def duplicated_span_profile(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Persist a MinHash-LSH near-dup index: the text twin of
+    ``similarity.build_ivf_index``.
+
+    Layout: ``{path}/buckets`` = (doc_id, bucket) rows PARTITIONED BY BAND
+    (probing band b reads one directory — partition pruning is the index);
+    ``{path}/signatures`` = full signatures for Jaccard estimation at query
+    time.  Rebuild cadence = corpus ingest cadence; both writes are one
+    shuffle each.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, content_col, id_col, n, num_hashes)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    sig = docs.sparkSession.read.parquet(f"{path}/signatures")
+    bucket_rows = None
+    for bi in range(bands):
+        part = sig.select(
+            "id",
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{bi * rows + r}") for r in range(rows)]
+            ).alias("bucket"),
+        )
+        bucket_rows = part if bucket_rows is None else bucket_rows.unionByName(part)
+    (
+        bucket_rows.repartition(bands, "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    probe_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Online near-dup lookup: which indexed documents collide with each
+    (broadcast-sized) probe document, verified by estimated Jaccard over the
+    stored signatures.  One bucket equi-join (probe side broadcast) + one
+    signature join — the fact-table side is only the collision set.  Returns
+    (probe_id, match_id, est_jaccard) above ``threshold``."""
+    rows = num_hashes // bands
+    psig = minhash_signatures(probe_docs, content_col, id_col, n, num_hashes)
+    pbuckets = None
+    for bi in range(bands):
+        part = psig.select(
+            F.col("id").alias("probe_id"),
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{bi * rows + r}") for r in range(rows)]
+            ).alias("bucket"),
+        )
+        pbuckets = part if pbuckets is None else pbuckets.unionByName(part)
+    idx = spark.read.parquet(f"{path}/buckets")
+    cand = (
+        idx.join(F.broadcast(pbuckets), ["band", "bucket"])
+        .filter(F.col("id") != F.col("probe_id"))
+        .select("probe_id", F.col("id").alias("match_id"))
+        .distinct()
+    )
+    isig = spark.read.parquet(f"{path}/signatures")
+    est = sum(
+        (F.col(f"h{i}") == F.col(f"p{i}")).cast("int") for i in range(num_hashes)
+    ) / float(num_hashes)
+    renamed = F.broadcast(
+        psig.select(
+            F.col("id").alias("probe_id"),
+            *[F.col(f"h{i}").alias(f"p{i}") for i in range(num_hashes)],
+        )
+    )
+    return (
+        cand.join(isig, cand.match_id == isig.id)
+        .join(renamed, "probe_id")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("probe_id", "match_id", "est_jaccard")
+    )
