@@ -127,3 +127,34 @@ def test_streaming_enrich_join_tolerance_window(spark, tmp_path):
     got = spark.read.parquet(out_dir).collect()
     # d1 enriched (meta 20 min old < 1 h); d2's meta is 3.5 h stale → dropped
     assert [(r["device"], r["site"]) for r in got] == [("d1", "north")]
+
+
+def test_keyed_upsert_under_streaming_engine(spark, tmp_path):
+    """foreachBatch wiring: a replayed CDC file stream merges into the
+    keyed store through the streaming engine."""
+    src_dir = str(tmp_path / "cdc")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    updates = spark.createDataFrame(
+        [
+            Row(k="a", v=1.0, time=_t(0)),
+            Row(k="a", v=3.0, time=_t(9)),   # later version in the same load
+            Row(k="b", v=2.0, time=_t(1)),
+        ]
+    )
+    updates.write.parquet(src_dir)
+
+    q = (
+        spark.readStream.schema(updates.schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(
+            keyed_upsert_sink(store, key_cols=["k"], ts_col="time", n_buckets=4)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(store).collect()}
+    assert got == {"a": 3.0, "b": 2.0}
