@@ -542,6 +542,9 @@ _SNAPSHOT_PRIORITY = [
     "salted_segment_value",
     "user_value_ranks",
     "user_retention",
+    "local_supplier_volume",
+    "returned_item_losses",
+    "funnel_conversion",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

@@ -307,6 +307,190 @@ GROUP BY 1
 
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue where the ordering customer and the shipping
+    supplier sit in the SAME nation, per nation within one region — the
+    classic two-dimension equi-join (lineitem joins BOTH the
+    customer→nation and supplier→nation paths, then the equality collapses
+    them)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("c_nationkey") == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+_LOCAL_SUPPLIER_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter.  The return filter prunes lineitem at the scan; top-N via
+    TakeOrderedAndProject + bounded rank (never a global window)."""
+    from cerebro_spark.operators.util import top_k_ranked
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    # exact integer domain: price in cents × (100 - discount%) sums as a
+    # BIGINT and is RETURNED as 1e-4 currency units — a float sum's low-bit
+    # noise flipped 2-dp rounding at one customer, and even the exact total
+    # divided to double hits engine round-half disagreements at x.595
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum(rev_e4).alias("lost_revenue_e4"))
+    )
+    return top_k_ranked(
+        per_cust, [("lost_revenue_e4", "desc"), ("c_custkey", "asc")], k=20
+    )
+
+
+_RETURNED_ITEM_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS lost_revenue_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(lost_revenue_e4 AS BIGINT) AS lost_revenue_e4, rank FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY lost_revenue_e4 DESC, c_custkey ASC) AS rank
+  FROM per_cust
+) WHERE rank <= 20
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, did a `click` precede a `purchase` within
+    24 h?  Expressed as a conditional aggregate over per-user min/max
+    event times (one shuffle) rather than a self-join of the events table
+    against itself — the self-join form doubles the fact scan and
+    explodes on active users."""
+    ev = load_table(spark, "events", sf_dir)
+    first_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).alias("first_click")
+    converted = F.max(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("first_click"))
+            & (
+                F.col("ts")
+                <= F.col("first_click") + F.expr("INTERVAL 24 HOURS")
+            ),
+            1,
+        ).otherwise(0)
+    )
+    per_user = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            first_click,
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
+        )
+        .select(
+            "user_id",
+            "first_click",
+            F.when(
+                F.col("first_click").isNotNull()
+                & F.exists(
+                    "purchases",
+                    lambda t: (t >= F.col("first_click"))
+                    & (
+                        t
+                        <= F.col("first_click") + F.expr("INTERVAL 24 HOURS")
+                    ),
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_click").isNotNull(), 1).otherwise(0)).alias(
+            "n_clicked"
+        ),
+        F.sum("converted").alias("n_converted"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+conv AS (
+  SELECT p.user_id, p.first_click,
+    CASE WHEN p.first_click IS NOT NULL AND EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = p.user_id AND e.event_type = 'purchase'
+        AND e.ts >= p.first_click
+        AND e.ts <= p.first_click + INTERVAL 24 HOUR
+    ) THEN 1 ELSE 0 END AS converted
+  FROM per_user p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clicked,
+  CAST(sum(converted) AS BIGINT) AS n_converted
+FROM conv
+"""
+
+
+
 QUERIES = {
     "late_shipments_by_priority": q_late_shipments_by_priority,
     "large_volume_customers": q_large_volume_customers,
@@ -315,6 +499,9 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "bracket_revenue": q_bracket_revenue,
     "idle_customers": q_idle_customers,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_item_losses": q_returned_item_losses,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLES = {
@@ -325,4 +512,7 @@ ORACLES = {
     "small_qty_revenue": _SMALL_QTY_SQL,
     "bracket_revenue": _BRACKET_SQL,
     "idle_customers": _IDLE_CUSTOMERS_SQL,
+    "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
+    "returned_item_losses": _RETURNED_ITEM_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
 }
