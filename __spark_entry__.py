@@ -545,6 +545,7 @@ _SNAPSHOT_PRIORITY = [
     "local_supplier_volume",
     "returned_item_losses",
     "funnel_conversion",
+    "gopher_flags",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

@@ -421,3 +421,65 @@ def encode_tokens(
             " ",
         ).alias("ids_str"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style document quality rules as individual boolean flags plus
+    the overall keep decision — the audit-friendly form of a quality gate
+    (downstream can see WHICH rule dropped a doc, weight rules per domain,
+    or loosen one without re-deriving the rest).
+
+    Rules (thresholds follow the published Gopher heuristics, adapted to
+    the synthetic corpus's scale): word count in [4, 10_000]; mean word
+    length in [2, 12]; symbol ratio ≤ 0.1; stopword presence; top-word
+    occupancy < 0.35.  All whole-stage-codegen column expressions over one
+    tokenize; one extra shuffle for the top-word occupancy.
+    """
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mwl = mean_word_length(F.col(text_col))
+    sym = punct_ratio(F.col(text_col))
+    sw = stopword_ratio(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        toks.alias("__t"),
+    )
+    top = (
+        base.select("doc_id", "n_words", F.explode("__t").alias("w"))
+        .groupBy("doc_id", "n_words", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.max("n_words"), 6).alias("top_word_frac")
+        )
+    )
+    out = base.drop("__t").join(top, "doc_id")
+    words_ok = (F.col("n_words") >= 4) & (F.col("n_words") <= 10000)
+    mwl_ok = (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12)
+    sym_ok = F.col("symbol_ratio") <= 0.1
+    sw_ok = F.col("stopword_ratio") > 0
+    top_ok = F.col("top_word_frac") < 0.35
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "stopword_ratio",
+        "top_word_frac",
+        words_ok.cast("int").alias("ok_word_count"),
+        mwl_ok.cast("int").alias("ok_mean_word_len"),
+        sym_ok.cast("int").alias("ok_symbol_ratio"),
+        sw_ok.cast("int").alias("ok_stopwords"),
+        top_ok.cast("int").alias("ok_top_word"),
+        (words_ok & mwl_ok & sym_ok & sw_ok & top_ok)
+        .cast("int")
+        .alias("keep"),
+    )

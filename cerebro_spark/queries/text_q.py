@@ -12,6 +12,7 @@ from cerebro_spark.operators.text import (
     build_vocab,
     dedup_chunks,
     encode_tokens,
+    gopher_quality_flags,
     repetition_profile,
     tfidf_top_terms,
     top_ngrams,
@@ -249,6 +250,55 @@ FROM base b LEFT JOIN cov c USING (doc_id)
 
 
 
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules as per-rule boolean flags + keep decision."""
+    return gopher_quality_flags(load_table(spark, "documents", sf_dir))
+
+
+_GOPHER_FLAGS_SQL = """
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_words,
+    round(CASE WHEN len(t) > 0
+      THEN CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t)
+      ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN length(text) > 0
+      THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / length(text) ELSE 0.0 END, 6) AS symbol_ratio,
+    round(CASE WHEN len(t) > 0
+      THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                   'for','on','with','as','at','by','from','that','this')))
+        AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS stopword_ratio
+  FROM toks
+),
+top AS (
+  SELECT doc_id, round(max(c) / CAST(max(n_words) AS DOUBLE), 6) AS top_word_frac
+  FROM (
+    SELECT b.doc_id, b.n_words, u.w, count(*) AS c
+    FROM toks tk
+    JOIN base b USING (doc_id), unnest(tk.t) AS u(w)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.mean_word_len, b.symbol_ratio,
+  b.stopword_ratio, t.top_word_frac,
+  CAST(b.n_words BETWEEN 4 AND 10000 AS INT) AS ok_word_count,
+  CAST(b.mean_word_len BETWEEN 2 AND 12 AS INT) AS ok_mean_word_len,
+  CAST(b.symbol_ratio <= 0.1 AS INT) AS ok_symbol_ratio,
+  CAST(b.stopword_ratio > 0 AS INT) AS ok_stopwords,
+  CAST(t.top_word_frac < 0.35 AS INT) AS ok_top_word,
+  CAST(b.n_words BETWEEN 4 AND 10000 AND b.mean_word_len BETWEEN 2 AND 12
+       AND b.symbol_ratio <= 0.1 AND b.stopword_ratio > 0
+       AND t.top_word_frac < 0.35 AS INT) AS keep
+FROM base b JOIN top t USING (doc_id)
+"""
+
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "top_ngrams": q_top_ngrams,
@@ -258,6 +308,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "vocab_encode": q_vocab_encode,
     "dup_spans": q_dup_spans,
+    "gopher_flags": q_gopher_flags,
 }
 
 ORACLES = {
@@ -269,4 +320,5 @@ ORACLES = {
     "chunk_dedup": _CHUNK_DEDUP_SQL,
     "vocab_encode": _VOCAB_ENCODE_SQL,
     "dup_spans": _DUP_SPANS_SQL,
+    "gopher_flags": _GOPHER_FLAGS_SQL,
 }
