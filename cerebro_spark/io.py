@@ -194,34 +194,37 @@ def store_health(spark: SparkSession, path: str) -> DataFrame:
     that drives ``compact_store`` scheduling: (partition dir, n_files,
     n_rows, bytes, avg file bytes, small_files flag).
 
-    Computed from ``input_file_name`` + the driver-side file listing (one
-    pass over footers via the scan, no data columns read — the projection is
-    file name only, so the parquet reader touches no row groups' pages).
+    Computed from ``input_file_name`` + the Hadoop FileSystem listing (works
+    for any scheme the cluster can read — file://, hdfs://, s3a://; a
+    driver-side ``os.walk`` would silently return nothing for remote
+    stores).  One pass over footers via the scan, no data columns read.
     At 100 TB this is a metadata-scale job: rows ∝ files, not data.
     """
-    import os
-
     rows = (
         spark.read.parquet(path)
         .select(F.input_file_name().alias("file"))
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
+    root_str = fs.makeQualified(root).toString()
+    it = fs.listFiles(root, True)
     sizes = []
-    for dirpath, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                full = os.path.join(dirpath, f)
-                sizes.append(
-                    (
-                        "file:" + ("//" if full.startswith("/") else "") + full,
-                        os.path.relpath(dirpath, path),
-                        os.path.getsize(full),
-                    )
-                )
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if not p.endswith(".parquet"):
+            continue
+        rel = p[len(root_str) :].lstrip("/")
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        sizes.append((p, part, int(st.getLen())))
     size_df = spark.createDataFrame(sizes, "file string, partition string, bytes long")
-    # normalize the scheme-prefixed input_file_name to the raw path for the join
-    norm = F.regexp_replace(F.col("file"), r"^file:/{0,2}", "/")
+    # input_file_name renders file:///p while the FS API renders file:/p —
+    # normalize scheme prefixes on BOTH sides for the join
+    norm = F.regexp_replace(F.col("file"), r"^[a-z0-9]+:/+", "/")
     joined = rows.withColumn("file", norm).join(
         size_df.withColumn("file", norm), "file"
     )

@@ -194,11 +194,14 @@ def ngram_jaccard_pairs(
     return pairs
 
 
-def _portable_token_hash(col):
-    """Deterministic 32-bit-ish token hash computable identically in DuckDB:
-    first 8 hex chars of md5 → long.  Used instead of Spark's murmur ``hash``
-    so oracle SQL can reproduce signatures."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+def _portable_token_hash(col, hex_chars: int = 8):
+    """Deterministic md5-prefix token hash computable identically in DuckDB
+    (used instead of Spark's murmur ``hash`` so oracle SQL can reproduce
+    values).  8 hex chars = 32 bits (MinHash needs values within the
+    Mersenne-31 modulus); pass 15 (60 bits) wherever the hash is a JOIN KEY
+    over a web-scale distinct space — at ~1e9 keys a 32-bit space makes
+    every probe collide with ~20% probability."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
 
 
 def contamination_check(
@@ -216,22 +219,25 @@ def contamination_check(
     (one aggregation — NOT per-doc pairing, which would be a pair blowup);
     the test side is one explode + one 8-byte-key equi-join + one groupBy.
     At 100 TB the distinct-shingle set is the big side — it shuffles once,
-    and the join key is the portable 64-bit md5-prefix hash, so a Bloom/
-    semi-join pre-filter applies (AQE injects one for selective joins).
+    and the join key is the portable 60-bit md5-prefix hash (at 1e9 distinct
+    shingles a 32-bit key would give every clean shingle a ~20% collision
+    chance and inflate contamination; 60 bits keeps the expected collision
+    count per doc ≪ 1), so a Bloom/semi-join pre-filter applies (AQE
+    injects one for selective joins).
 
     Returns (``id_col``, n_shingles, n_matched, contamination,
     is_contaminated) for every test doc, including zero-match docs.
     """
     tr = (
         train.select(F.explode(_shingles(content_col, n)).alias("__s"))
-        .select(_portable_token_hash(F.col("__s")).alias("s"))
+        .select(_portable_token_hash(F.col("__s"), 15).alias("s"))
         .distinct()
     )
     te = test.select(
         F.col(id_col).alias("id"), _shingles(content_col, n).alias("sh")
     ).withColumn("n_shingles", F.size("sh"))
     te_ex = te.select("id", F.explode("sh").alias("__s")).select(
-        "id", _portable_token_hash(F.col("__s")).alias("s")
+        "id", _portable_token_hash(F.col("__s"), 15).alias("s")
     )
     matched = te_ex.join(tr, "s").groupBy("id").agg(
         F.count(F.lit(1)).alias("n_matched")
@@ -528,6 +534,12 @@ def build_lsh_index(
     rows = num_hashes // bands
     sig = minhash_signatures(docs, content_col, id_col, n, num_hashes)
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    # index params travel WITH the index: a probe under different (n,
+    # num_hashes, bands) would join a different hash layout and silently
+    # match garbage — query_lsh_index validates against this row.
+    docs.sparkSession.createDataFrame(
+        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     sig = docs.sparkSession.read.parquet(f"{path}/signatures")
     bucket_rows = None
     for bi in range(bands):
@@ -562,9 +574,24 @@ def query_lsh_index(
     (broadcast-sized) probe document, verified by estimated Jaccard over the
     stored signatures.  One bucket equi-join (probe side broadcast) + one
     signature join — the fact-table side is only the collision set.  Returns
-    (probe_id, match_id, est_jaccard) above ``threshold``."""
+    (probe_id, match_id, est_jaccard) above ``threshold``.
+
+    Probe params must equal the index's persisted build params (validated —
+    a mismatched hash layout would silently match garbage)."""
+    stored = spark.read.parquet(f"{path}/params").collect()[0]
+    built = (stored["n"], stored["num_hashes"], stored["bands"])
+    if built != (n, num_hashes, bands):
+        raise ValueError(
+            f"LSH index at {path} was built with (n, num_hashes, bands)="
+            f"{built}; probe requested {(n, num_hashes, bands)}"
+        )
     rows = num_hashes // bands
-    psig = minhash_signatures(probe_docs, content_col, id_col, n, num_hashes)
+    # the signature computation (shingling + num_hashes min-aggregates)
+    # feeds every per-band branch AND the verification join — persist so it
+    # runs once, not bands+1 times
+    psig = minhash_signatures(
+        probe_docs, content_col, id_col, n, num_hashes
+    ).persist()
     pbuckets = None
     for bi in range(bands):
         part = psig.select(

@@ -176,20 +176,31 @@ def _global_ffill(
     """
     b = F.floor(F.col(time_col).cast("long") / scale_bucket_seconds)
     df_b = df.withColumn("__b", b)
-    # Tie discipline at duplicate timestamps: each column's window orders ties
-    # by the VALUE itself (asc pass → value asc, desc pass → value desc), and
-    # the bucket summary picks by the same (ts, value) struct — so the
-    # within-bucket carry and the cross-bucket carry always agree on which of
-    # two same-ts rows wins (`last(ignorenulls)` skips nulls, so null
-    # placement among ties is irrelevant).
+    # Tie discipline at duplicate timestamps: ONE shared tie key — the
+    # struct of ALL fill columns — orders every column's window AND keys
+    # the bucket summary, so the within-bucket carry and the cross-bucket
+    # carry agree on which same-ts row wins.  A shared orderBy matters for
+    # the plan too: identical window specs collapse to a single Sort +
+    # Window operator (a per-column tie key planned one Sort+Window PER
+    # COLUMN — F full sorts of the bucketed data for F fill columns).
+    allkey = F.struct(*[F.col(c).alias(c) for c in fill_cols])
+    tie = allkey.desc() if descending else allkey.asc()
+    order = (
+        F.col(time_col).desc() if descending else F.col(time_col).asc(),
+        tie,
+    )
+    wb = Window.partitionBy("__b").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     local = df_b
     for c in fill_cols:
-        tie = F.col(c).desc() if descending else F.col(c).asc()
-        order = (F.col(time_col).desc() if descending else F.col(time_col).asc(), tie)
-        wb = Window.partitionBy("__b").orderBy(*order).rowsBetween(
-            Window.unboundedPreceding, 0
+        # original fill_cols feed `allkey` via df_b's projection, so the
+        # filled values must land in fresh columns and swap in afterwards
+        local = local.withColumn(
+            f"__f_{c}", F.last(c, ignorenulls=True).over(wb)
         )
-        local = local.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+    for c in fill_cols:
+        local = local.withColumn(c, F.col(f"__f_{c}")).drop(f"__f_{c}")
     pick = F.min_by if descending else F.max_by
     summary = df_b.groupBy("__b").agg(
         *[
@@ -197,7 +208,7 @@ def _global_ffill(
                 c,
                 F.when(
                     F.col(c).isNotNull(),
-                    F.struct(F.col(time_col).alias("t"), F.col(c).alias("v")),
+                    F.struct(F.col(time_col).alias("t"), allkey.alias("k")),
                 ),
             ).alias(f"__last_{c}")
             for c in fill_cols

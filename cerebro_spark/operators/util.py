@@ -62,10 +62,19 @@ def top_k_ranked(df: DataFrame, order_cols, k: int) -> DataFrame:
     # null placement (asc → nulls first, desc → nulls last); desc values are
     # negated so one ascending array_sort gives the requested order over the
     # bounded k-row set.
+    from pyspark.sql.types import DoubleType, FloatType
+
     key_fields = []
     for i, (c, d) in enumerate(order_cols):
         if d == "desc":
             key_fields.append(F.col(c).isNull().cast("int").alias(f"__n{i}"))
+            if isinstance(schema.get(c), (FloatType, DoubleType)):
+                # orderBy desc sorts NaN FIRST (NaN > any number), but -NaN
+                # is still NaN and ascending array_sort puts it LAST — a
+                # NaN flag restores the engine's placement
+                key_fields.append(
+                    (~F.isnan(F.col(c))).cast("int").alias(f"__nan{i}")
+                )
             key_fields.append((-F.col(c)).alias(f"__o{i}"))
         else:
             key_fields.append(F.col(c).isNotNull().cast("int").alias(f"__n{i}"))

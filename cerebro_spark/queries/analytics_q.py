@@ -416,17 +416,6 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_click = F.min(
         F.when(F.col("event_type") == "click", F.col("ts"))
     ).alias("first_click")
-    converted = F.max(
-        F.when(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") >= F.col("first_click"))
-            & (
-                F.col("ts")
-                <= F.col("first_click") + F.expr("INTERVAL 24 HOURS")
-            ),
-            1,
-        ).otherwise(0)
-    )
     per_user = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("user_id")

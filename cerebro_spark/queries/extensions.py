@@ -296,7 +296,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _contamination_sql() -> str:
-    x = _hex2long_sql("md5(s)", 8)
+    x = _hex2long_sql("md5(s)", 15)
     bucket = _hex2long_sql("md5(CAST(doc_id AS STRING))", 8) + " % 100"
     return f"""
 WITH b AS (SELECT doc_id, {bucket} AS bk FROM documents),

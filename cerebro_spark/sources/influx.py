@@ -186,7 +186,14 @@ try:  # PySpark 4 Python DataSource API
                 elif col == "time" and isinstance(
                     f, (LessThan, LessThanOrEqual)
                 ) and "end" not in self.options:
+                    # Flux range(stop:) is EXCLUSIVE.  `time < v` maps 1:1;
+                    # `time <= v` must over-fetch by one µs tick or the row
+                    # at exactly t == v is withheld server-side and Spark's
+                    # re-evaluation can't restore it (pushdown must only
+                    # ever over-fetch).
                     if isinstance(v, dt.datetime):
+                        if isinstance(f, LessThanOrEqual):
+                            v = v + dt.timedelta(microseconds=1)
                         self.options["end"] = _isot(v)
                 elif (
                     col == "field"

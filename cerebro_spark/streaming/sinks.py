@@ -234,8 +234,13 @@ def keyed_upsert_sink(
         if not touched:
             return
         # dedup the batch itself to its latest row per key (a window over
-        # BATCH rows only — micro-batch-sized, not store-sized)
-        wb = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+        # BATCH rows only — micro-batch-sized, not store-sized).  Same-key
+        # same-ts rows (coarse-timestamp CDC emits these) break ties by a
+        # hash of the whole row, NOT partition order: a checkpoint-recovery
+        # replay may split files differently, and retry convergence demands
+        # the same winner both times.
+        row_tie = F.xxhash64(*[F.col(c) for c in batch_df.columns]).desc()
+        wb = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc(), row_tie)
         b = (
             incoming.withColumn("__rn", F.row_number().over(wb))
             .filter(F.col("__rn") == 1)
@@ -256,7 +261,7 @@ def keyed_upsert_sink(
                 "__from_batch", F.lit(0)
             )
             wk = Window.partitionBy(*key_cols).orderBy(
-                F.col(ts_col).desc(), F.col("__from_batch").desc()
+                F.col(ts_col).desc(), F.col("__from_batch").desc(), row_tie
             )
             winner = (
                 e_hit.unionByName(b)

@@ -125,3 +125,32 @@ def test_explicit_options_win_over_pushed_bounds(spark):
     )
     # option range (1h) bounds the scan; the pushed filter only re-trims
     assert len(df.collect()) == 6
+
+
+def test_inclusive_upper_bound_not_lost_to_exclusive_flux_stop(spark):
+    """`time <= v` must still return the row at exactly t == v: Flux stop
+    is exclusive, so the pushed end over-fetches one µs and Spark trims."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.sources.influx import InfluxReadSource
+
+    spark.dataSource.register(InfluxReadSource)
+    # synthetic fetch emits points at exact 600s steps — 01:00:00 is a point
+    v = "2024-01-01 01:00:00"
+    df = (
+        spark.read.format("cerebro_influx")
+        .option("bucket", "b")
+        .option("measurement", "m")
+        .option("fetch_fn", "synthetic")
+        .option("step_seconds", "600")
+        .load()
+        .filter(
+            (F.col("time") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("time") <= F.lit(v).cast("timestamp"))
+        )
+    )
+    times = sorted(r["time"] for r in df.collect())
+    assert times[-1] == dt.datetime(2024, 1, 1, 1, 0), times[-3:]
+    assert len(times) == 7  # 00:00 .. 01:00 inclusive at 600s steps

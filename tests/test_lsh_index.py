@@ -46,3 +46,13 @@ def test_lsh_index_agrees_with_batch_pairs(spark, sf_dir, tmp_path):
         tuple(sorted((r["id_a"], r["id_b"]))) for r in batch.collect()
     }
     assert online_pairs == batch_pairs
+
+
+def test_lsh_index_rejects_mismatched_params(spark, sf_dir, tmp_path):
+    import pytest
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(docs, path, num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="built with"):
+        query_lsh_index(spark, path, docs.limit(5), bands=4)

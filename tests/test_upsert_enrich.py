@@ -158,3 +158,19 @@ def test_keyed_upsert_under_streaming_engine(spark, tmp_path):
 
     got = {r["k"]: r["v"] for r in spark.read.parquet(store).collect()}
     assert got == {"a": 3.0, "b": 2.0}
+
+
+def test_keyed_upsert_same_ts_tie_is_deterministic(spark, tmp_path):
+    """Two same-key same-ts rows in one batch must pick the same winner on
+    replay (partition order is not stable across retries)."""
+    rows = [Row(k="a", v=float(i), time=_t(0)) for i in (1, 2)]
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    for store, batch in (
+        (s1, spark.createDataFrame(rows).repartition(2)),
+        (s2, spark.createDataFrame(list(reversed(rows))).repartition(3)),
+    ):
+        sink = keyed_upsert_sink(store, key_cols=["k"], ts_col="time")
+        sink(batch, 0)
+    w1 = spark.read.parquet(s1).collect()[0]["v"]
+    w2 = spark.read.parquet(s2).collect()[0]["v"]
+    assert w1 == w2
