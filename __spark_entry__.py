@@ -546,6 +546,10 @@ _SNAPSHOT_PRIORITY = [
     "returned_item_losses",
     "funnel_conversion",
     "gopher_flags",
+    "priority_order_check",
+    "forecast_revenue_change",
+    "bilateral_trade",
+    "order_count_distribution",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

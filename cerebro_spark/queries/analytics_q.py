@@ -480,6 +480,158 @@ FROM conv
 
 
 
+def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders (per priority, one quarter) with at least one
+    lineitem shipped after 30 days — EXISTS as a LEFT SEMI join against the
+    date-filtered lineitem, counted per priority."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    sel = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    lateitems = (
+        li.join(sel, li.l_orderkey == sel.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        sel.join(lateitems, sel.o_orderkey == lateitems.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_PRIORITY_ORDER_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-side arithmetic — one year, a discount band, a
+    quantity cap; every predicate pushes to the parquet scan and the sum is
+    one partial-agg shuffle of a single double."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(rev_e4) / 10000.0).alias("revenue_increase"))
+        .select(F.round("revenue_increase", 2).alias("revenue_increase"))
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2)
+  AS revenue_increase
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two nations by year in both
+    directions — supplier-nation × customer-nation cross-filtered to the
+    ordered pair set, broadcast dims on both paths."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(rev_e4) / 10000.0).alias("revenue"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.round("revenue", 2).alias("revenue"),
+        )
+    )
+
+
+_BILATERAL_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+    AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: how many customers placed exactly N orders (including
+    zero) — LEFT join + two-level aggregate; the zero bucket only exists
+    because the join is outer."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_ORDER_COUNT_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+
 QUERIES = {
     "late_shipments_by_priority": q_late_shipments_by_priority,
     "large_volume_customers": q_large_volume_customers,
@@ -491,6 +643,10 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "returned_item_losses": q_returned_item_losses,
     "funnel_conversion": q_funnel_conversion,
+    "priority_order_check": q_priority_order_check,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "bilateral_trade": q_bilateral_trade,
+    "order_count_distribution": q_order_count_distribution,
 }
 
 ORACLES = {
@@ -504,4 +660,8 @@ ORACLES = {
     "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
     "returned_item_losses": _RETURNED_ITEM_SQL,
     "funnel_conversion": _FUNNEL_SQL,
+    "priority_order_check": _PRIORITY_ORDER_SQL,
+    "forecast_revenue_change": _FORECAST_REVENUE_SQL,
+    "bilateral_trade": _BILATERAL_TRADE_SQL,
+    "order_count_distribution": _ORDER_COUNT_SQL,
 }
