@@ -550,6 +550,8 @@ _SNAPSHOT_PRIORITY = [
     "forecast_revenue_change",
     "bilateral_trade",
     "order_count_distribution",
+    "gap_report",
+    "volume_drift",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

@@ -319,6 +319,97 @@ SELECT
 
 
 
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry gap detection: per event_type, intervals where no event
+    arrived for more than one hour (lag window per type — the uptime/
+    connectivity report every telemetry operator asks of this data;
+    reference sources only LOG disconnects, they can't query them)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # µs-exact gap, floored to whole seconds AFTER the subtraction — a
+    # per-timestamp seconds cast floors each side first and disagrees with
+    # the oracle by 1s when the fractional parts straddle a boundary
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return (
+        ev.select(
+            "event_type", "ts", prev.alias("prev_ts"), gap_us.alias("gap_us")
+        )
+        .filter(F.col("gap_us") > 3600 * 1_000_000)
+        .select(
+            "event_type",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            F.expr("gap_us div 1000000").alias("gap_seconds"),
+        )
+    )
+
+
+_GAP_REPORT_SQL = """
+SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+       (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_seconds
+FROM (
+  SELECT event_type, ts,
+    lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+WHERE epoch_us(ts) - epoch_us(prev_ts) > CAST(3600000000 AS BIGINT)
+"""
+
+
+def q_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitor: daily event counts per type vs the
+    trailing 7-day mean/stddev (excluding today); |z| ≥ 2 flags a drifted
+    day.  The window runs over DAILY AGGREGATES (≈ types × days rows), so
+    the unbounded-preceding frame is calendar-bounded, not data-bounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    # flat trailing window (sd = 0 or a single row) ⇒ no defined z — the
+    # NULL drops at the filter on both engines (nullif in the oracle)
+    z = F.when(sd > 0, (F.col("n") - mu) / sd)
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(mu, 4).alias("trailing_mean"),
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 2.0)
+    )
+
+
+_VOLUME_DRIFT_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, n,
+    round(avg(n) OVER w, 4) AS trailing_mean,
+    round((n - avg(n) OVER w) / nullif(stddev_samp(n) OVER w, 0), 4) AS z
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM scored WHERE abs(z) >= 2.0
+"""
+
+
+
 QUERIES = {
     "derivative": q_derivative,
     "counter_increase": q_increase,
@@ -334,6 +425,8 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "zscore_outliers": q_zscore_outliers,
     "user_retention": q_user_retention,
+    "gap_report": q_gap_report,
+    "volume_drift": q_volume_drift,
 }
 
 ORACLES = {
@@ -349,6 +442,8 @@ ORACLES = {
     "value_histogram": _HISTOGRAM_SQL,
     "zscore_outliers": _ZSCORE_SQL,
     "user_retention": _USER_RETENTION_SQL,
+    "gap_report": _GAP_REPORT_SQL,
+    "volume_drift": _VOLUME_DRIFT_SQL,
 }
 
 
