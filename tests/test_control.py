@@ -83,3 +83,25 @@ def test_live_runner_end_to_end(tmp_path, spark):
     finally:
         ctl.stop()
         runner.stop()
+
+
+def test_sql_cli_command(tmp_path):
+    """`python -m cerebro_spark sql` runs a query over the registered views
+    from any cwd (subprocess — the exact user invocation)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "cerebro_spark", "sql",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--query", "SELECT count(*) AS n FROM region",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "|5" in out.stdout.replace(" ", "") or "| 5" in out.stdout
