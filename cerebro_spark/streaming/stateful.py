@@ -164,3 +164,59 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def _deadband_fn(delta: float, key_col: str):
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        last = state.get[0] if state.exists else None
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            keep = []
+            for i, v in enumerate(pdf["value"]):
+                if last is None or abs(float(v) - last) >= delta:
+                    keep.append(i)
+                    last = float(v)
+            if keep:
+                yield pdf.iloc[keep]
+        if last is not None:
+            state.update((float(last),))
+
+    return fn
+
+
+def streaming_deadband(
+    events: DataFrame,
+    key_col: str = "user_id",
+    delta: float = 1.0,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Deadband compression — the classic TSDB ingest filter: per key, emit
+    a row only when the value moved ≥ ``delta`` from the LAST EMITTED value
+    (not the previous sample, which a plain ``lag`` window would compare —
+    the reference's Govee stale-filter is the time-axis analog of this
+    value-axis filter, `lvm.py:117-125`).
+
+    Per-key state is ONE float (``applyInPandasWithState``; the newer
+    ``transformWithStateInPandas`` API needs google.protobuf, absent in
+    this container — same Arrow-batched execution either way), so state is
+    O(keys).  Input needs (``key_col``, ts, value).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    state_schema = StructType([StructField("last", DoubleType())])
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _deadband_fn(delta, key_col),
+            outputStructType=events.schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

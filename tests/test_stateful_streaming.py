@@ -201,3 +201,43 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path):
     out = spark.sql("SELECT measurement, time FROM dedup_out").collect()
     assert len(out) == 30
     assert len(set((r["measurement"], r["time"]) for r in out)) == 30
+
+
+def test_streaming_deadband_emits_on_threshold_cross(spark, tmp_path):
+    """Deadband keeps a row only when the value moved >= delta from the
+    LAST EMITTED value — 10.0, 10.4, 10.9, 12.0 at delta 1.0 emits 10.0
+    (first) and 12.0 (cumulative move 2.0), NOT 10.9 (lag-based filters
+    would also drop 12.0: its step from 10.9 is only 1.1... emitted-value
+    semantics differ from consecutive-sample semantics)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cerebro_spark.streaming.stateful import streaming_deadband
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1, 0, m), value=v)
+        for m, v in [(0, 10.0), (1, 10.4), (2, 10.9), (3, 12.0)]
+    ] + [Row(user_id=2, ts=dt.datetime(2024, 1, 1, 0, 0), value=5.0)]
+    src = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    df = spark.createDataFrame(rows)
+    df.write.parquet(src)
+
+    q = (
+        streaming_deadband(
+            spark.readStream.schema(df.schema).parquet(src),
+            key_col="user_id",
+            delta=1.0,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["value"]) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(1, 10.0), (1, 12.0), (2, 5.0)]
