@@ -552,6 +552,7 @@ _SNAPSHOT_PRIORITY = [
     "order_count_distribution",
     "gap_report",
     "volume_drift",
+    "ngram_containment",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

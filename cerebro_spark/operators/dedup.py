@@ -194,6 +194,66 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT: max(|∩|/|A|, |∩|/|B|)
+    — catches a short document embedded in a long one, which Jaccard
+    structurally misses (a 50-shingle quote inside a 1000-shingle page has
+    Jaccard ≤ 0.05 but containment 1.0).  The dedup-literature companion to
+    :func:`ngram_jaccard_pairs`; identical posting-list pair generation, so
+    the same skew guard and single-scan plan apply.
+    """
+    df = ensure_parallelism(df)
+    base = _shingle_hash_df(df, content_col, id_col, n).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("n_sh")))
+    )
+    posting = ex.groupBy("s").agg(members.alias("m"))
+    if max_shingle_freq is not None:
+        posting = posting.filter(F.size("m") <= max_shingle_freq)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        posting.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.greatest(
+                    F.col("inter") / F.col("n_a"),
+                    F.col("inter") / F.col("n_b"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "containment")
+    )
+
+
 def _portable_token_hash(col, hex_chars: int = 8):
     """Deterministic md5-prefix token hash computable identically in DuckDB
     (used instead of Spark's murmur ``hash`` so oracle SQL can reproduce

@@ -21,6 +21,7 @@ from cerebro_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -106,6 +107,37 @@ SELECT * FROM (
   FROM pairs JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
 ) WHERE jaccard >= 0.1
 """
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs: max(|∩|/|A|, |∩|/|B|) ≥ 0.4 — the
+    short-doc-inside-long-doc detector Jaccard misses."""
+    return ngram_containment_pairs(
+        load_table(spark, "documents", sf_dir), n=5, threshold=0.4
+    )
+
+
+_NGRAM_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 4
+),
+cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT id_a, id_b, inter,
+    round(greatest(1.0 * inter / ca.n_sh, 1.0 * inter / cb.n_sh), 6)
+      AS containment
+  FROM pairs JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+) WHERE containment >= 0.4
+"""
+
 
 
 _MINHASH_N = 8
@@ -964,6 +996,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_groups": q_dedup_groups,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_containment": q_ngram_containment,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -992,6 +1025,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_groups": _DEDUP_GROUPS_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "ngram_containment": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _minhash_sql(),
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -182,3 +182,26 @@ def test_custom_sessionize_matches_builtin_session_window(spark, sf_dir):
         )
     }
     assert custom == builtin
+
+
+def test_containment_catches_short_in_long(spark):
+    """A short doc fully embedded in a long one: Jaccard is tiny (misses at
+    any sane threshold) but containment is 1.0."""
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    page = " ".join(f"w{i}" for i in range(200)) + " " + quote
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=quote), Row(doc_id=2, text=page)]
+    )
+    cont = ngram_containment_pairs(docs, n=5, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+    jac = ngram_jaccard_pairs(docs, n=5, threshold=0.3).collect()
+    assert jac == []  # jaccard ≈ 6/206 — invisible to a jaccard gate
