@@ -208,8 +208,12 @@ class IngestRunner:
         out: dict[str, dict] = {}
         for n, q in self._queries.items():
             p = q.lastProgress
+            observed = ((p or {}).get("observedMetrics") or {}).get(
+                "ingest_quality"
+            )
             out[n] = {
                 "active": q.isActive,
+                "quality": observed,
                 "input_rows_per_sec": (p or {}).get("inputRowsPerSecond"),
                 "processed_rows_per_sec": (p or {}).get(
                     "processedRowsPerSecond"

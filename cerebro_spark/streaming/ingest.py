@@ -135,6 +135,25 @@ def run_ingest(
     """Wire source → enrich → partitioned parquet sink; returns the
     StreamingQuery.  ``available_now=True`` drains existing input and stops
     (test/backfill mode)."""
+    # in-flight data-quality counters, observed on the RAW stream (before
+    # enrichment stamps null times and the empty-point filter drops rows, so
+    # the counters see what arrived, not what survived): land in every
+    # progress event's observedMetrics with zero extra passes and surface
+    # through IngestRunner.metrics()/the control socket.
+    source = source.observe(
+        "ingest_quality",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("time").isNull().cast("long")).alias("null_time_rows"),
+        F.sum(
+            (
+                F.coalesce(F.size("fields"), F.lit(0))
+                + F.coalesce(F.size("fields_str"), F.lit(0))
+                + F.coalesce(F.size("fields_bool"), F.lit(0))
+                <= 0
+            ).cast("long")
+        ).alias("empty_field_rows"),
+        F.approx_count_distinct("measurement").alias("measurements"),
+    )
     enriched = empty_point_batch_filter(
         enrich_points(source, instance_tags, default_bucket)
     ).withColumn("date", F.to_date("time"))

@@ -340,3 +340,29 @@ def test_client_path_store(spark, tmp_path):
         start=dt.datetime(2024, 1, 1), end=dt.datetime(2024, 1, 2),
     )
     assert out.count() == 6
+
+
+def test_ingest_observed_quality_metrics(spark, tmp_path):
+    """The ingest pipeline's observe() counters reach the progress events:
+    arriving rows, null-time rows (pre-stamping), empty points (pre-drop)."""
+    from cerebro_spark.streaming.ingest import replay_file_stream, run_ingest
+
+    pts = _mkpoints(spark, n=10)  # + 1 null-time point + 1 empty point
+    src = str(tmp_path / "src")
+    pts.write.parquet(src)
+    q = run_ingest(
+        spark,
+        replay_file_stream(spark, src),
+        sink_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+        query_name="observe-test",
+    )
+    q.awaitTermination(120)
+    obs = (q.lastProgress or {}).get("observedMetrics", {}).get(
+        "ingest_quality"
+    )
+    assert obs is not None
+    assert obs["rows"] == pts.count()
+    assert obs["null_time_rows"] >= 1
+    assert obs["empty_field_rows"] >= 1
