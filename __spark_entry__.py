@@ -553,6 +553,7 @@ _SNAPSHOT_PRIORITY = [
     "gap_report",
     "volume_drift",
     "ngram_containment",
+    "payload_dedup",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

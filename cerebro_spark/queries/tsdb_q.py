@@ -410,6 +410,37 @@ SELECT * FROM scored WHERE abs(z) >= 2.0
 
 
 
+def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY-payload dedup groups (media dedup step 0, before any
+    perceptual hashing): md5 over raw bytes, hash-groupBy — the digest is
+    computed on the binary column itself, proving the engine's opaque-blob
+    path end to end (synthesized payloads: utf-8 doc bytes)."""
+    docs = load_table(spark, "documents", sf_dir)
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return (
+        payloads.groupBy(F.md5("payload").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.min(F.octet_length("payload")).alias("payload_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_PAYLOAD_DEDUP_SQL = """
+SELECT md5(text) AS digest,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_id,
+       min(octet_length(encode(text))) AS payload_bytes
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+
 QUERIES = {
     "derivative": q_derivative,
     "counter_increase": q_increase,
@@ -427,6 +458,7 @@ QUERIES = {
     "user_retention": q_user_retention,
     "gap_report": q_gap_report,
     "volume_drift": q_volume_drift,
+    "payload_dedup": q_payload_dedup,
 }
 
 ORACLES = {
@@ -444,6 +476,7 @@ ORACLES = {
     "user_retention": _USER_RETENTION_SQL,
     "gap_report": _GAP_REPORT_SQL,
     "volume_drift": _VOLUME_DRIFT_SQL,
+    "payload_dedup": _PAYLOAD_DEDUP_SQL,
 }
 
 
