@@ -560,6 +560,7 @@ _SNAPSHOT_PRIORITY = [
     "volume_drift",
     "ngram_containment",
     "payload_dedup",
+    "rolling_active_users",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

@@ -495,3 +495,42 @@ def retention_between(
         ),
         F.theta_sketch_estimate(F.theta_difference("b", "a")).alias("new"),
     )
+
+
+def rolling_distinct(
+    sketches: DataFrame,
+    window_buckets: int = 7,
+    ts_col: str = "bucket_ts",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Trailing-window distinct counts from a theta rollup: for every
+    bucket, |distinct keys over the last ``window_buckets`` buckets| by
+    unioning that many sketches — the DAU/WAU/MAU query family with no
+    raw-table access and no distinct-over-self-join.
+
+    Shape: the rollup (days × keys, tiny) explodes ×window into
+    (target bucket, member sketch) pairs, then one groupBy unions each
+    target's sketches.  Work is O(buckets × window × sketch_size),
+    independent of corpus size.  Exact below the theta sampling threshold
+    (~4k distinct), ~1.6% rse above it.
+    """
+    step = F.explode(
+        F.sequence(F.lit(0), F.lit(window_buckets - 1))
+    ).alias("__i")
+    member = sketches.select(F.col(ts_col), F.col("tsketch"), step)
+    target = F.timestamp_seconds(
+        F.col(ts_col).cast("long") + F.col("__i") * bucket_seconds
+    ).alias("window_end")
+    contrib = member.select(target, "tsketch")
+    # only windows whose end bucket actually exists in the rollup
+    ends = sketches.select(F.col(ts_col).alias("window_end")).distinct()
+    return (
+        contrib.join(ends, "window_end")
+        .groupBy("window_end")
+        .agg(
+            F.round(
+                F.theta_sketch_estimate(F.theta_union_agg("tsketch"))
+            ).cast("long").alias("distinct_keys"),
+            F.count(F.lit(1)).alias("buckets_in_window"),
+        )
+    )

@@ -14,6 +14,7 @@ from cerebro_spark.operators.tsdb import (
     gapfill,
     increase,
     retention_between,
+    rolling_distinct,
     theta_sketch_rollup,
 )
 
@@ -441,6 +442,32 @@ GROUP BY 1 HAVING count(*) > 1
 
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve) from per-day
+    theta sketches — union 7 sketches per day instead of re-scanning
+    events; exact below the sketch sampling threshold, so the oracle is an
+    exact windowed COUNT(DISTINCT)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = theta_sketch_rollup(ev, "user_id")
+    return rolling_distinct(daily, window_buckets=7)
+
+
+_ROLLING_ACTIVE_SQL = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS window_end FROM events
+)
+SELECT d.window_end,
+  (SELECT count(DISTINCT e.user_id) FROM events e
+   WHERE e.ts >= d.window_end - INTERVAL 6 DAY
+     AND e.ts < d.window_end + INTERVAL 1 DAY) AS distinct_keys,
+  (SELECT count(DISTINCT date_trunc('day', e.ts)) FROM events e
+   WHERE e.ts >= d.window_end - INTERVAL 6 DAY
+     AND e.ts < d.window_end + INTERVAL 1 DAY) AS buckets_in_window
+FROM days d
+"""
+
+
+
 QUERIES = {
     "derivative": q_derivative,
     "counter_increase": q_increase,
@@ -459,6 +486,7 @@ QUERIES = {
     "gap_report": q_gap_report,
     "volume_drift": q_volume_drift,
     "payload_dedup": q_payload_dedup,
+    "rolling_active_users": q_rolling_active_users,
 }
 
 ORACLES = {
@@ -477,6 +505,7 @@ ORACLES = {
     "gap_report": _GAP_REPORT_SQL,
     "volume_drift": _VOLUME_DRIFT_SQL,
     "payload_dedup": _PAYLOAD_DEDUP_SQL,
+    "rolling_active_users": _ROLLING_ACTIVE_SQL,
 }
 
 
