@@ -561,6 +561,7 @@ _SNAPSHOT_PRIORITY = [
     "ngram_containment",
     "payload_dedup",
     "rolling_active_users",
+    "new_vs_returning",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

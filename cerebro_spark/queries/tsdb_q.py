@@ -468,6 +468,56 @@ FROM days d
 
 
 
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users split into first-ever-seen
+    vs returning.  First-seen is a per-user MIN aggregate joined back to
+    the per-(day,user) activity set — two shuffles on user_id, no window
+    over the fact table and no cumulative self-join."""
+    ev = load_table(spark, "events", sf_dir)
+    day_user = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).distinct()
+    )
+    first_seen = day_user.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        day_user.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias(
+                "n_new"
+            ),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        )
+    )
+
+
+_NEW_VS_RETURNING_SQL = """
+WITH day_user AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+first_seen AS (
+  SELECT user_id, min(day) AS first_day FROM day_user GROUP BY 1
+)
+SELECT day,
+  count(*) AS n_active,
+  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returning
+FROM day_user JOIN first_seen USING (user_id)
+GROUP BY day
+"""
+
+
+
 QUERIES = {
     "derivative": q_derivative,
     "counter_increase": q_increase,
@@ -487,6 +537,7 @@ QUERIES = {
     "volume_drift": q_volume_drift,
     "payload_dedup": q_payload_dedup,
     "rolling_active_users": q_rolling_active_users,
+    "new_vs_returning": q_new_vs_returning,
 }
 
 ORACLES = {
@@ -506,6 +557,7 @@ ORACLES = {
     "volume_drift": _VOLUME_DRIFT_SQL,
     "payload_dedup": _PAYLOAD_DEDUP_SQL,
     "rolling_active_users": _ROLLING_ACTIVE_SQL,
+    "new_vs_returning": _NEW_VS_RETURNING_SQL,
 }
 
 
