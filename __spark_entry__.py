@@ -562,6 +562,7 @@ _SNAPSHOT_PRIORITY = [
     "payload_dedup",
     "rolling_active_users",
     "new_vs_returning",
+    "top_revenue_supplier",
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",

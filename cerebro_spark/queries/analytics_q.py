@@ -632,6 +632,51 @@ SELECT c_count, count(*) AS custdist FROM (
 
 
 
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue —
+    the revenue "view" is computed once and reused for both the per-
+    supplier rows and the scalar max (broadcast 1-row join; the correlated
+    form would re-aggregate lineitem).  Exact 1e-4 integer revenue, so the
+    max comparison can't be perturbed by float summation order."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_e4).alias("total_e4"))
+    )
+    mx = rev.agg(F.max("total_e4").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_e4") == F.col("mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_e4").alias("total_revenue_e4"))
+    )
+
+
+_TOP_REVENUE_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_e4 AS BIGINT) AS total_revenue_e4
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+"""
+
+
+
 QUERIES = {
     "late_shipments_by_priority": q_late_shipments_by_priority,
     "large_volume_customers": q_large_volume_customers,
@@ -647,6 +692,7 @@ QUERIES = {
     "forecast_revenue_change": q_forecast_revenue_change,
     "bilateral_trade": q_bilateral_trade,
     "order_count_distribution": q_order_count_distribution,
+    "top_revenue_supplier": q_top_revenue_supplier,
 }
 
 ORACLES = {
@@ -664,4 +710,5 @@ ORACLES = {
     "forecast_revenue_change": _FORECAST_REVENUE_SQL,
     "bilateral_trade": _BILATERAL_TRADE_SQL,
     "order_count_distribution": _ORDER_COUNT_SQL,
+    "top_revenue_supplier": _TOP_REVENUE_SUPPLIER_SQL,
 }
