@@ -533,12 +533,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-1 snapshot).  Rotate queries that have never had a hard-gate row to the
 # FRONT of the registry so they get driver-checked this round; the
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
-# ROUND-4 NOTE: after the r03 snapshot lands, rotate the oracle-backed r2
-# queries the 50-cap squeezed out (events_cube, client_query_wide,
-# top_suppliers, promo_revenue_share, cheapest_part_per_brand,
-# customers_per_region, orders_with_returns, part_size_stats,
-# users_purchase_no_error) to the front, ahead of any new round-4 queries
-# that can wait a round.
+# ROUND-4 NOTE: after the r03 snapshot lands, diff CORRECTNESS_r03's key set
+# against this priority list and rotate every oracle-backed query that still
+# has NO hard-gate row (the 50-cap squeezed out a dozen-plus round-2 entries)
+# to the front, ahead of new round-4 queries that can wait a round.
 _SNAPSHOT_PRIORITY = [
     # round-3 additions (never had any gate row)
     "chunk_dedup",
