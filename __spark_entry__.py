@@ -604,10 +604,12 @@ _SNAPSHOT_PRIORITY = [
     "orders_with_returns",
     "part_size_stats",
     "users_purchase_no_error",
-    # rows-only checks last: their driver row is weaker, so when the 50-row
-    # snapshot cap bites, oracle-backed queries take the slots
+    # round-4 hardened: formerly rows-only, now oracle-backed via tolerance /
+    # recall encodings — they have never had a green gate row, so they queue
+    # with the uncovered set
     "ann_cosine_ivf",
     "approx_percentiles_daily",
+    "approx_users_daily",
 ]
 
 

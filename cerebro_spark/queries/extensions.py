@@ -253,14 +253,53 @@ WHERE ({matches}) / {float(_MINHASH_N)} >= 0.5
 
 
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-indexed approximate top-k (rows-only gate: the k-means coarse
-    quantizer is iterative and not SQL-expressible; recall ≥0.6 vs the exact
-    baseline is asserted in tests/test_ivf.py instead)."""
-    from cerebro_spark.operators.similarity import cosine_topk_ivf
+    """IVF-indexed approximate top-k, hard-gated via a recall encoding: the
+    k-means coarse quantizer is iterative and not SQL-expressible, so instead
+    of hashing the neighbor lists the query joins the IVF result against the
+    exact brute-force top-k (both computed in Spark) and emits per-query
+    two recall bounds as booleans: per-query "at least one true neighbor
+    survives the probe" and corpus-level recall@5 ≥ 0.6.  (The synthetic
+    embeddings are near-uniform, so true neighbors scatter across coarse
+    clusters and a tight PER-QUERY recall bound would be flaky — measured
+    at nprobe=8: min per-query hits 2/5, mean 3.85/5 at sf0.01.)  The
+    oracle predicts the query-id set and all-true bounds; a degraded index
+    flips booleans and fails the hash.  tests/test_ivf.py additionally
+    asserts the numeric recall."""
+    from cerebro_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.orderBy("vec_id").limit(20)
-    return cosine_topk_ivf(emb, queries, dim=64, k=5, n_clusters=16, nprobe=4)
+    k, n_q = 5, 20
+    ivf = cosine_topk_ivf(emb, queries, dim=64, k=k, n_clusters=16, nprobe=8)
+    brute = cosine_topk_bruteforce(emb, queries, k=k)
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    per_q = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", F.coalesce(F.col("__hits"), F.lit(0)).alias("__hits")
+        )
+    )
+    total = per_q.agg(F.sum("__hits").alias("__total"))
+    return per_q.crossJoin(F.broadcast(total)).select(
+        "query_id",
+        (F.col("__hits") >= 1).alias("found_any"),
+        (F.col("__total") >= F.lit(int(0.6 * k * n_q))).alias("corpus_recall_ok"),
+    )
+
+
+_ANN_IVF_SQL = """
+SELECT vec_id AS query_id, TRUE AS found_any, TRUE AS corpus_recall_ok
+FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+"""
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,6 +1071,7 @@ ORACLES = {
     "dedup_resolve": _DEDUP_RESOLVE_SQL,
     "contamination_check": _contamination_sql(),
     "quantize_embeddings": _QUANTIZE_SQL,
+    "ann_cosine_ivf": _ANN_IVF_SQL,
     "stratified_sample": _stratified_sql(),
     "training_prep_summary": _training_prep_sql(),
     "events_quality_profile": _EVENTS_PROFILE_SQL,

@@ -115,12 +115,31 @@ FROM events GROUP BY 1
 
 
 def q_approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct counts — rows-only (approximate results differ
-    across engines by construction; the exact twin above is the oracle)."""
+    """HLL-sketch distinct counts, hard-gated via a tolerance encoding: the
+    sketch value itself can't be hash-compared across engines, so the query
+    emits the EXACT count (oracle-checkable) plus a boolean asserting the
+    HLL estimate landed within 3·rsd of it.  A broken sketch (or a broken
+    bound) flips the boolean and fails the driver hash."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    agg = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
     )
+    return agg.select(
+        "day",
+        "n_users",
+        (
+            F.abs(F.col("__approx") - F.col("n_users"))
+            <= 3 * 0.02 * F.col("n_users")
+        ).alias("within_3rsd"),
+    )
+
+
+_APPROX_USERS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  count(DISTINCT user_id) AS n_users, TRUE AS within_3rsd
+FROM events GROUP BY 1
+"""
 
 
 def q_orders_no_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,13 +189,39 @@ def q_approx_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles per day (``percentile_approx`` — Greenwald-
     Khanna summaries, mergeable across partitions, bounded memory — the
     100 TB path where exact ``percentile`` must hold all values per group).
-    Rows-only gate by construction; tests/test_tsdb_edges.py asserts each
-    approx value lies within the exact p45–p55 / p90–p97 rank bands."""
+    Hard-gated via a tolerance encoding (see ``approx_users_daily``): the
+    query emits the exact per-day row count plus booleans asserting each
+    sketch value lies inside exact rank bands — p45–p55 for the median,
+    p88–max for p95 (upper band open to max: at small per-group n the
+    sketch returns an observed sample whose rank can sit above an
+    interpolated p97).  tests/test_tsdb_edges.py recomputes the bands
+    independently."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("value", 0.95, 1000).alias("p95_approx"),
+    agg = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.percentile_approx("value", 0.5, 1000).alias("__p50a"),
+        F.percentile_approx("value", 0.95, 1000).alias("__p95a"),
+        F.expr(
+            "percentile(value, array(0.45D, 0.55D, 0.88D, 1.0D))"
+        ).alias("__bands"),
+        F.count(F.lit(1)).alias("n"),
     )
+    return agg.select(
+        "day",
+        "n",
+        F.col("__p50a").between(
+            F.col("__bands")[0], F.col("__bands")[1]
+        ).alias("p50_in_band"),
+        F.col("__p95a").between(
+            F.col("__bands")[2], F.col("__bands")[3]
+        ).alias("p95_in_band"),
+    )
+
+
+_APPROX_PCTL_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+  TRUE AS p50_in_band, TRUE AS p95_in_band
+FROM events GROUP BY 1
+"""
 
 
 _PERCENTILES_SQL = """
@@ -545,6 +590,8 @@ ORACLES = {
     "counter_increase": _INCREASE_SQL,
     "downsample_gapfill": _GAPFILL_SQL,
     "distinct_users_daily": _DISTINCT_USERS_SQL,
+    "approx_users_daily": _APPROX_USERS_SQL,
+    "approx_percentiles_daily": _APPROX_PCTL_SQL,
     "orders_no_big_items": _ANTI_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
     "client_agg_window": _CLIENT_AGG_SQL,

@@ -63,6 +63,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     "idle_customers",
     # 1-row × 1-row crossJoin of the two window-union theta sketches
     "user_retention",
+    # 1-row scalar broadcast: the total-hit count crossJoined onto the
+    # 20-row per-query recall frame (round-4 recall-encoded gate)
+    "ann_cosine_ivf",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
