@@ -395,6 +395,44 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_bucket_stats(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Bucket-size histogram of the banded-LSH index: ``(bucket_size,
+    n_buckets, candidate_pairs)`` — the skew diagnostic to run BEFORE
+    launching ``minhash_lsh_pairs`` at scale.  The pair join's cost is
+    Σ size·(size−1)/2 over buckets; one hot bucket (a boilerplate band
+    signature shared by millions of docs) dominates everything, and this
+    profile is how you find it and pick the ``max_shingle_freq``-style cap.
+    Same band layout as ``minhash_lsh_pairs`` so the histogram describes
+    exactly the join it predicts."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, n, num_hashes)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"h{bi * rows + r}") for r in range(rows)]
+        )
+        for bi in range(bands)
+    ]
+    bands_long = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    sizes = bands_long.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return sizes.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+        ).alias("candidate_pairs"),
+    )
+
+
 def simhash(
     df: DataFrame,
     content_col: str = "text",
@@ -475,6 +513,110 @@ def simhash_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — public algorithm): hash every word ``k``-gram, slide a
+    ``w``-window over the hash sequence, keep the minimum hash per window,
+    emit the distinct ``(doc_id, fp)`` set.  Guarantee: any shared token run
+    of length ≥ w + k − 1 between two documents produces at least one shared
+    fingerprint, while keeping only ~2/(w+1) of the k-gram hashes — the
+    sub-sampling that makes substring-overlap detection affordable where the
+    full n-gram posting index (``ngram_jaccard_pairs``) is not.
+
+    Spark-first: both passes are higher-order array functions inside one
+    whole-stage-codegen projection chain (split → k-gram md5-prefix hashes →
+    per-window ``array_min`` → explode); the only shuffle is the final
+    distinct.  Hashes are md5-prefix (``_portable_token_hash``) so the
+    DuckDB oracle reproduces them bit-for-bit; 15 hex chars = 60 bits, the
+    join-key width (fingerprints key the overlap join downstream).
+
+    No reference file:line — driver-mandated extension family (SURVEY §7
+    step 7 / §8)."""
+    df = ensure_parallelism(df)
+    toks = F.split(F.trim(F.lower(F.col(content_col))), r"\s+")
+    gram_idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(
+        gram_idx,
+        lambda i: _portable_token_hash(
+            F.array_join(F.slice(toks, (i + 1).cast("int"), k), " "), 15
+        ),
+    )
+    # __h must be materialized in its own projection: each window lambda
+    # references it, and inlining would re-evaluate the whole k-gram hash
+    # array per window (the O(tokens²) trap measured in _shingle_hash_df)
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(toks) >= k, grams)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("__h"),
+    )
+    h = F.col("__h")
+    win_idx = F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0)))
+    wins = (
+        F.when(
+            F.size(h) >= w,
+            F.transform(
+                win_idx,
+                lambda j: F.array_min(F.slice(h, (j + 1).cast("int"), w)),
+            ),
+        )
+        # fewer grams than one full window: the single clipped window —
+        # the min of everything (matches the oracle's clipped frame)
+        .when(F.size(h) >= 1, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return (
+        hashed.select("doc_id", F.explode(wins).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
+    plagiarism/substring-overlap detector built on ``winnow_fingerprints``.
+
+    Same inverted-index pair generation as ``ngram_jaccard_pairs`` (one
+    groupBy(fp) posting list, pairs exploded in-array, no self-join) but over
+    the winnowed ~2/(w+1) sub-sample instead of every shingle, so the posting
+    index is ~w/2× smaller for the same guarantee floor.  ``max_fp_freq``
+    caps posting-list length — the skew/blowup guard at scale."""
+    fps = winnow_fingerprints(df, content_col, id_col, k=k, w=w)
+    members = F.array_sort(F.collect_list(F.col("doc_id")))
+    posting = fps.groupBy("fp").agg(members.alias("m"))
+    if max_fp_freq is not None:
+        posting = posting.filter(F.size("m") <= max_fp_freq)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        posting.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )
 
 

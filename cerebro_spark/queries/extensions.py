@@ -252,6 +252,51 @@ WHERE ({matches}) / {float(_MINHASH_N)} >= 0.5
 """
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size histogram (skew diagnostic for the pair join): same
+    band layout as ``minhash_lsh_pairs`` (8 hashes × 4 bands)."""
+    from cerebro_spark.operators.dedup import lsh_bucket_stats
+
+    return lsh_bucket_stats(
+        load_table(spark, "documents", sf_dir), n=3,
+        num_hashes=_MINHASH_N, bands=4,
+    )
+
+
+def _lsh_bucket_stats_sql() -> str:
+    x = _hex2long_sql("md5(s)", 8)
+    sig_cols = ",\n    ".join(
+        f"min(((x * {a}) + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(_MINHASH_N))
+    )
+    rows = _MINHASH_N // 4
+    band_cases = " ".join(
+        f"WHEN {bi} THEN concat('{bi}', '_', "
+        + ", '_', ".join(f"CAST(h{bi * rows + r} AS STRING)" for r in range(rows))
+        + ")"
+        for bi in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 2
+),
+hx AS (SELECT id, {x} % 2147483647 AS x FROM sh),
+sig AS (SELECT id, {sig_cols} FROM hx GROUP BY id),
+banded AS (
+  SELECT *, CASE bi {band_cases} END AS bucket
+  FROM sig, generate_series(0, 3) AS g(bi)
+),
+sizes AS (SELECT bucket, count(*) AS bucket_size FROM banded GROUP BY 1)
+SELECT bucket_size, count(*) AS n_buckets,
+  CAST(sum(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM sizes GROUP BY 1
+"""
+
+
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed approximate top-k, hard-gated via a recall encoding: the
     k-means coarse quantizer is iterative and not SQL-expressible, so instead
@@ -1038,6 +1083,7 @@ QUERIES = {
     "ngram_containment": q_ngram_containment,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_clusters": q_dedup_clusters,
     "dedup_resolve": q_dedup_resolve,
     "contamination_check": q_contamination_check,
@@ -1067,6 +1113,7 @@ ORACLES = {
     "ngram_containment": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _minhash_sql(),
     "minhash_lsh_pairs": _minhash_lsh_sql(),
+    "lsh_bucket_stats": _lsh_bucket_stats_sql(),
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_resolve": _DEDUP_RESOLVE_SQL,
     "contamination_check": _contamination_sql(),

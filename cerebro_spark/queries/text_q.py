@@ -299,6 +299,162 @@ FROM base b JOIN top t USING (doc_id)
 
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint set (k=4-gram hashes, window w=4): any
+    shared token run of ≥ 7 tokens yields a shared fingerprint."""
+    from cerebro_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, "documents", sf_dir), k=4, w=4
+    )
+
+
+def _winnow_fp_cte() -> str:
+    """Shared CTE text: the winnowed fingerprint set in DuckDB (k=4, w=4,
+    md5-prefix 60-bit hashes mirroring ``_portable_token_hash``)."""
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    x = _hex2long_sql("md5(s)", 15)
+    return f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, i, {x} AS h
+  FROM (
+    SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS s
+    FROM toks, generate_series(1, 256) AS g(i) WHERE i <= len(t) - 3
+  )
+),
+win AS (
+  SELECT doc_id, i, count(*) OVER (PARTITION BY doc_id) AS n,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM kg
+),
+fpset AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE i <= greatest(n - 3, 1)
+)"""
+
+
+def _winnow_sql() -> str:
+    return f"WITH {_winnow_fp_cte()}\nSELECT doc_id, fp FROM fpset"
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs sharing ≥3 winnowing fingerprints — the substring-overlap
+    detector over the winnowed sub-sample (posting-list pair generation)."""
+    from cerebro_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        load_table(spark, "documents", sf_dir), k=4, w=4, min_shared=3,
+        max_fp_freq=1000,
+    )
+
+
+def _winnow_overlap_sql() -> str:
+    return f"""
+WITH {_winnow_fp_cte()},
+ok AS (
+  SELECT fp FROM fpset GROUP BY fp HAVING count(*) <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+FROM fpset a JOIN fpset b USING (fp) JOIN ok USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, lang) doc/token volume and
+    the lang share within each source — the mixture summary a training-data
+    pipeline checks before sampling weights.  Partitioned window (by
+    source), one shuffle; no global ordering anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    w = Window.partitionBy("source")
+    return base.withColumn(
+        "lang_share",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
+    )
+
+
+_CORPUS_COMPOSITION_SQL = """
+WITH base AS (
+  SELECT source, lang, count(*) AS n_docs,
+    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+      AS total_tokens,
+    round(avg(n_chars), 4) AS avg_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, total_tokens, avg_chars,
+  round(1.0 * n_docs / sum(n_docs) OVER (PARTITION BY source), 6) AS lang_share
+FROM base
+"""
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length decile profile WITHOUT a global NTILE window (a global
+    ranking is a single-task sort at scale): exact decile boundaries come
+    from one 1-row percentile aggregate, broadcast back, and each doc is
+    bucketed by boundary comparison — two shuffles, no global sort.  Decile
+    d = 1 + #(boundaries < n_chars), so ties at a boundary go DOWN into the
+    lower bucket on both engines (strict <)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    bounds = docs.agg(
+        F.expr(
+            "percentile(n_chars, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("__b")
+    )
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    decile = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("__b"),
+            F.lit(0),
+            lambda acc, b: acc + (b < F.col("n_chars")).cast("int"),
+        )
+    ).alias("decile")
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(decile, F.col("n_chars"), n_toks.alias("__nt"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("__nt"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+_LENGTH_DECILES_SQL = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+  FROM documents
+),
+bucketed AS (
+  SELECT 1 + len(list_filter(b.q, x -> x < d.n_chars)) AS decile,
+         d.n_chars, len(string_split_regex(trim(d.text), '\\s+')) AS nt
+  FROM documents d, b
+)
+SELECT decile, count(*) AS n_docs, min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars, round(avg(nt), 4) AS avg_tokens
+FROM bucketed GROUP BY 1
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "top_ngrams": q_top_ngrams,
@@ -309,6 +465,10 @@ QUERIES = {
     "vocab_encode": q_vocab_encode,
     "dup_spans": q_dup_spans,
     "gopher_flags": q_gopher_flags,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
+    "corpus_composition": q_corpus_composition,
+    "length_deciles": q_length_deciles,
 }
 
 ORACLES = {
@@ -321,4 +481,8 @@ ORACLES = {
     "vocab_encode": _VOCAB_ENCODE_SQL,
     "dup_spans": _DUP_SPANS_SQL,
     "gopher_flags": _GOPHER_FLAGS_SQL,
+    "winnow_fingerprints": _winnow_sql(),
+    "winnow_overlap": _winnow_overlap_sql(),
+    "corpus_composition": _CORPUS_COMPOSITION_SQL,
+    "length_deciles": _LENGTH_DECILES_SQL,
 }

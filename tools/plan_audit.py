@@ -66,6 +66,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the total-hit count crossJoined onto the
     # 20-row per-query recall frame (round-4 recall-encoded gate)
     "ann_cosine_ivf",
+    # 1-row scalar broadcast: the 9 decile boundaries crossJoined onto the
+    # corpus scan (the alternative — a global NTILE window — is the real
+    # scale anti-pattern this query avoids)
+    "length_deciles",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
