@@ -677,6 +677,195 @@ WHERE total_e4 = (SELECT max(total_e4) FROM rev)
 
 
 
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (adapted: no partsupp, so part cost is proxied as
+    0.6·p_retailprice per unit): profit per supplier nation per order year
+    for parts whose name mentions a color.  Join order: lineitem × part
+    (selective name filter prunes first) × orders × supplier ×
+    broadcast(nation).  Money sums in e4 fixed point — exact BIGINT
+    aggregation, no cross-engine double-sum noise."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").contains("red") | F.col("p_name").contains("blue")
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    retail_e2 = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    profit_e4 = price_e2 * (100 - disc_e2) - retail_e2 * 60 * qty
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit_e4).alias("profit_e4"))
+    )
+
+
+_PROFIT_BY_NATION_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      - CAST(round(p_retailprice * 100) AS BIGINT) * 60
+        * CAST(round(l_quantity) AS BIGINT))::BIGINT AS profit_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%' OR p_name LIKE '%blue%'
+GROUP BY 1, 2
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (adapted: shipped value instead of partsupp stock value):
+    parts whose shipped value exceeds 1.25× the average part's — a
+    RELATIVE threshold, because an absolute share cutoff (Q11's 0.01%)
+    empties or floods the result as the part count scales with SF.  The
+    global (total, n_parts) is a 1-row aggregate broadcast back over the
+    per-part aggregate — the scalar-subquery pattern, not a second scan;
+    the comparison stays in exact integer arithmetic (value·n·4 > 5·total)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    value_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(value_e2).alias("value_e2")
+    )
+    total = per_part.agg(
+        F.sum("value_e2").alias("__total_e2"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_e2") * F.col("__n_parts") * 4 > F.col("__total_e2") * 5
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "value_e2",
+            F.round(F.col("value_e2") / F.col("__total_e2"), 8).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+_IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_e2
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(value_e2) AS total_e2, count(*) AS n_parts FROM per_part)
+SELECT p_partkey, CAST(value_e2 AS BIGINT) AS value_e2,
+  round(1.0 * value_e2 / total_e2, 8) AS value_share
+FROM per_part, tot
+WHERE value_e2 * n_parts * 4 > total_e2 * 5
+"""
+
+
+def q_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (adapted: the part↔supplier relation comes from lineitem —
+    no partsupp table — and the complaint exclusion becomes negative
+    account balance): distinct suppliers able to ship each (brand, type,
+    size) bucket, excluding one brand.  distinct-count shuffles on the
+    grouping key after an early dropDuplicates pre-shrink."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") != "Brand#5"
+    )
+    supp = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") >= 0
+    )
+    # pre-shrink: the (part, supplier) pairs, not every lineitem row,
+    # reach the wide join/agg — map-side dedup before the shuffle
+    pairs = li.select("l_partkey", "l_suppkey").dropDuplicates()
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(supp, pairs.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SUPPLIER_BREADTH_SQL = """
+SELECT p_brand, p_type, p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_brand <> 'Brand#5' AND s_acctbal >= 0
+GROUP BY 1, 2, 3
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (adapted: 'excess availability' becomes shipment
+    concentration): suppliers shipping >3x their fair share of some part's
+    total quantity (relative threshold — an absolute share cutoff empties
+    as the supplier count scales with SF), with how many parts they
+    dominate.  Two aggregations over ONE scan of
+    (partkey, suppkey, qty) — the per-part total is a re-aggregation of
+    the finer (part, supp) aggregate, not a second lineitem read — then an
+    equi-join on partkey and a broadcast nation lookup."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    by_ps = li.select("l_partkey", "l_suppkey", qty.alias("q")).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(F.sum("q").alias("supp_qty"))
+    by_part = by_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    dominant = (
+        by_ps.join(by_part, "l_partkey")
+        .filter(F.col("supp_qty") * F.col("n_supp") > F.col("part_qty") * 3)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("parts_dominated"))
+    )
+    return (
+        dominant.join(supp, dominant.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey", "s_name", F.col("n_name").alias("nation"),
+            "parts_dominated",
+        )
+    )
+
+
+_DOMINANT_SUPPLIERS_SQL = """
+WITH by_ps AS (
+  SELECT l_partkey, l_suppkey,
+    sum(CAST(round(l_quantity) AS BIGINT)) AS supp_qty
+  FROM lineitem GROUP BY 1, 2
+),
+by_part AS (
+  SELECT l_partkey, sum(supp_qty) AS part_qty, count(*) AS n_supp
+  FROM by_ps GROUP BY 1
+),
+dom AS (
+  SELECT l_suppkey, count(*) AS parts_dominated
+  FROM by_ps JOIN by_part USING (l_partkey)
+  WHERE supp_qty * n_supp > part_qty * 3
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name AS nation,
+  CAST(parts_dominated AS BIGINT) AS parts_dominated
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
 QUERIES = {
     "late_shipments_by_priority": q_late_shipments_by_priority,
     "large_volume_customers": q_large_volume_customers,
@@ -693,6 +882,10 @@ QUERIES = {
     "bilateral_trade": q_bilateral_trade,
     "order_count_distribution": q_order_count_distribution,
     "top_revenue_supplier": q_top_revenue_supplier,
+    "profit_by_nation_year": q_profit_by_nation_year,
+    "important_parts": q_important_parts,
+    "supplier_breadth": q_supplier_breadth,
+    "dominant_suppliers": q_dominant_suppliers,
 }
 
 ORACLES = {
@@ -711,4 +904,8 @@ ORACLES = {
     "bilateral_trade": _BILATERAL_TRADE_SQL,
     "order_count_distribution": _ORDER_COUNT_SQL,
     "top_revenue_supplier": _TOP_REVENUE_SUPPLIER_SQL,
+    "profit_by_nation_year": _PROFIT_BY_NATION_SQL,
+    "important_parts": _IMPORTANT_PARTS_SQL,
+    "supplier_breadth": _SUPPLIER_BREADTH_SQL,
+    "dominant_suppliers": _DOMINANT_SUPPLIERS_SQL,
 }

@@ -70,6 +70,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # corpus scan (the alternative — a global NTILE window — is the real
     # scale anti-pattern this query avoids)
     "length_deciles",
+    # 1-row scalar broadcast: the (total value, part count) aggregate
+    # crossJoined onto the per-part aggregate (Q11's scalar subquery)
+    "important_parts",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
