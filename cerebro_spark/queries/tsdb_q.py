@@ -3,7 +3,7 @@ gap-filled downsampling / distinct-user counts) and remaining join shapes."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cerebro_spark.io import load_table
@@ -562,6 +562,75 @@ GROUP BY day
 """
 
 
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival-time profile: lag window PARTITIONED BY
+    user (thousands of small independent partitions — scales), then exact
+    percentiles of the per-user gaps per event type.  The telemetry-health
+    twin of ``gap_report`` at user granularity."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+    return (
+        ev.select("user_id", "event_type", gap.alias("__gap"))
+        .filter(F.col("__gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.expr("percentile(__gap, 0.5)"), 4).alias("p50_gap_s"),
+            F.round(F.expr("percentile(__gap, 0.95)"), 4).alias("p95_gap_s"),
+            F.max("__gap").alias("max_gap_s"),
+        )
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+  round(quantile_cont(gap, 0.5), 4) AS p50_gap_s,
+  round(quantile_cont(gap, 0.95), 4) AS p95_gap_s,
+  max(gap) AS max_gap_s
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, the
+    fraction still active k weeks later.  Per-user MIN aggregate joined
+    back onto distinct (user, week) activity — no fact-table window, no
+    cumulative self-join; both sides of the join are user-grain (already
+    far smaller than the fact table)."""
+    ev = load_table(spark, "events", sf_dir)
+    week = F.floor(
+        (F.col("ts").cast("long") - F.lit(1704067200)) / (7 * 86400)
+    ).cast("int")
+    active = ev.select("user_id", week.alias("week")).distinct()
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+_COHORT_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+    CAST(floor((epoch(ts) - 1704067200) / 604800) AS INT) AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM active GROUP BY 1)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
 
 QUERIES = {
     "derivative": q_derivative,
@@ -583,6 +652,8 @@ QUERIES = {
     "payload_dedup": q_payload_dedup,
     "rolling_active_users": q_rolling_active_users,
     "new_vs_returning": q_new_vs_returning,
+    "interarrival_stats": q_interarrival_stats,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -605,6 +676,8 @@ ORACLES = {
     "payload_dedup": _PAYLOAD_DEDUP_SQL,
     "rolling_active_users": _ROLLING_ACTIVE_SQL,
     "new_vs_returning": _NEW_VS_RETURNING_SQL,
+    "interarrival_stats": _INTERARRIVAL_SQL,
+    "cohort_retention": _COHORT_RETENTION_SQL,
 }
 
 

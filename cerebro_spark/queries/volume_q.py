@@ -221,6 +221,40 @@ SELECT * FROM ranked WHERE rnk <= 10
 
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface: revenue by (year, quarter) with ROLLUP
+    subtotals and grand total — one shuffle computes all three levels
+    (Spark expands grouping sets in the partial aggregate, no re-scan per
+    level); grouping_id disambiguates subtotal rows for the gate."""
+    orders = load_table(spark, "orders", sf_dir)
+    price_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            price_e2.alias("__p"),
+        )
+        .rollup("o_year", "o_quarter")
+        .agg(
+            F.sum("__p").alias("revenue_e2"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_REVENUE_ROLLUP_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
+  count(*) AS n_orders,
+  CAST(grouping(year(o_orderdate)) * 2 + grouping(quarter(o_orderdate))
+       AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+"""
+
+
 QUERIES = {
     "customers_per_region": q_customers_per_region,
     "promo_revenue_share": q_promo_revenue_share,
@@ -229,6 +263,7 @@ QUERIES = {
     "part_size_stats": q_part_size_stats,
     "salted_segment_value": q_salted_segment_value,
     "user_value_ranks": q_user_value_ranks,
+    "revenue_rollup": q_revenue_rollup,
 }
 
 ORACLES = {
@@ -239,6 +274,7 @@ ORACLES = {
     "part_size_stats": _PART_SIZE_SQL,
     "salted_segment_value": _SALTED_SEGMENT_SQL,
     "user_value_ranks": _USER_VALUE_RANKS_SQL,
+    "revenue_rollup": _REVENUE_ROLLUP_SQL,
 }
 
 
