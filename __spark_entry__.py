@@ -564,6 +564,12 @@ _SNAPSHOT_PRIORITY = [
     "small_qty_revenue",
     "bracket_revenue",
     "idle_customers",
+    # round-4 hardened: formerly rows-only/amber, now oracle-backed via
+    # tolerance/recall encodings — VERDICT r1 asked for exactly this, so
+    # their green rows take slots ahead of the remaining round-2 backlog
+    "ann_cosine_ivf",
+    "approx_percentiles_daily",
+    "approx_users_daily",
     # round-2 additions never covered by a driver snapshot row
     "repetition_profile",
     "unigram_nll",
@@ -604,12 +610,20 @@ _SNAPSHOT_PRIORITY = [
     "orders_with_returns",
     "part_size_stats",
     "users_purchase_no_error",
-    # round-4 hardened: formerly rows-only, now oracle-backed via tolerance /
-    # recall encodings — they have never had a green gate row, so they queue
-    # with the uncovered set
-    "ann_cosine_ivf",
-    "approx_percentiles_daily",
-    "approx_users_daily",
+    # round-4 NEW queries queue behind the older backlog (they can wait a
+    # round; the 50-row snapshot cap bites above)
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "lsh_bucket_stats",
+    "corpus_composition",
+    "length_deciles",
+    "profit_by_nation_year",
+    "important_parts",
+    "supplier_breadth",
+    "dominant_suppliers",
+    "interarrival_stats",
+    "cohort_retention",
+    "revenue_rollup",
 ]
 
 

@@ -62,6 +62,10 @@ HEADLINE = [
     "small_qty_revenue",
     "idle_customers",
     "user_retention",
+    # round-4 additions
+    "winnow_overlap",
+    "profit_by_nation_year",
+    "cohort_retention",
 ]
 
 

@@ -251,3 +251,47 @@ def test_epoch_shuffle_is_permutation(spark, ids):
         per_shard.setdefault(r["shard"], []).append(r["pos"])
     for poss in per_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+# -- winnowing: the (w + k - 1)-guarantee on random docs ----------------------
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 30), min_size=10, max_size=40),
+    st.lists(st.integers(0, 30), min_size=10, max_size=40),
+    st.integers(0, 5),
+    st.integers(0, 5),
+)
+def test_winnow_guarantee_property(spark, a_toks, b_toks, off_a, off_b):
+    """Two random docs sharing an injected 7-token run (w + k - 1 for
+    k=w=4) at arbitrary offsets must share >= 1 fingerprint; the winnowed
+    set is always a subset of the doc's own k-gram hash set."""
+    from cerebro_spark.operators.dedup import _portable_token_hash, winnow_fingerprints
+
+    run = [f"shared{i}" for i in range(7)]
+    a = [f"t{x}" for x in a_toks]
+    b = [f"u{x}" for x in b_toks]
+    a_full = a[: off_a % (len(a) + 1)] + run + a[off_a % (len(a) + 1):]
+    b_full = b[: off_b % (len(b) + 1)] + run + b[off_b % (len(b) + 1):]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_full)), (2, " ".join(b_full))],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=4, w=4).collect()
+    got_a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    got_b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert got_a & got_b
+    # subset property vs the full k-gram hash set
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 4),
+        lambda i: _portable_token_hash(
+            F.array_join(F.slice(toks, (i + 1).cast("int"), 4), " "), 15
+        ),
+    )
+    allg = {
+        (r["doc_id"], g)
+        for r in df.select("doc_id", grams.alias("g")).collect()
+        for g in r["g"]
+    }
+    assert {(r["doc_id"], r["fp"]) for r in fps} <= allg

@@ -100,3 +100,25 @@ def test_lsh_bucket_stats_predicts_pair_join(spark, sf_dir):
         .count()
     )
     assert cand >= actual
+
+
+def test_winnow_fast_path_same_pairs(spark):
+    """portable=False (xxhash token-hash grams) must detect the same overlap
+    pairs as the md5 path — selection positions may differ (different hash
+    ordering) but the guarantee and the join result on planted overlaps
+    hold identically."""
+    shared = " ".join(f"common{i}" for i in range(30))
+    df = _docs(
+        spark,
+        [
+            (1, f"{shared} unique tail one"),
+            (2, f"prefix junk {shared}"),
+            (3, " ".join(f"other{i}" for i in range(30))),
+        ],
+    )
+    slow = {(r["id_a"], r["id_b"]) for r in
+            winnow_overlap_pairs(df, k=4, w=4, min_shared=3).collect()}
+    fast = {(r["id_a"], r["id_b"]) for r in
+            winnow_overlap_pairs(df, k=4, w=4, min_shared=3,
+                                 portable=False).collect()}
+    assert slow == fast == {(1, 2)}
