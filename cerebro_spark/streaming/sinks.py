@@ -289,3 +289,122 @@ def keyed_upsert_sink(
             )
 
     return write
+
+
+def neardup_filter_sink(
+    index_path: str,
+    out_path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    grow_index: bool = True,
+):
+    """Online near-duplicate filter for a document ingest stream: each
+    micro-batch is (1) exact-deduped within itself (content digest,
+    min-id survivor), (2) probed against the persisted MinHash-LSH index
+    (``dedup.build_lsh_index`` layout) and stripped of docs whose estimated
+    Jaccard vs ANY indexed doc reaches ``threshold``, (3) appended to
+    ``out_path``, and (4, ``grow_index``) its survivors' signatures and
+    band buckets are appended to the index — so batch N+1 dedups against
+    everything batches 1..N kept, with NO re-shingling of the corpus.
+
+    Scale shape per batch: the batch side is broadcast into the bucket
+    probe (the index fact side is read band-partition-pruned), signature
+    verification joins only the collision set, and the index grows
+    append-only (band-partitioned parquet — compaction is the store's
+    normal small-file maintenance).  State lives entirely in the index
+    directory, not executor memory, so the stream restarts cheaply and the
+    filter's memory is O(batch), never O(corpus).
+
+    The training-data twin of ``streaming_dedup`` (exact, watermark-bounded
+    state): THIS filter is approximate, unbounded-horizon, and shares its
+    index with batch pipelines (``query_lsh_index`` online lookups see the
+    streamed docs immediately).
+    """
+    from cerebro_spark.operators.dedup import (
+        minhash_signatures,
+        query_lsh_index,
+    )
+
+    rows = num_hashes // bands
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        # (1) intra-batch exact dedup, deterministic min-id survivor
+        w_digest = F.md5(F.col(content_col))
+        batch = (
+            batch_df.withColumn("__d", w_digest)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__d").orderBy(id_col)
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__d", "__rn")
+        )
+        try:
+            have_index = bool(
+                spark.read.parquet(f"{index_path}/params").head(1)
+            )
+        except Exception:  # AnalysisException: first batch, no index yet
+            have_index = False
+        if have_index:
+            # (2) strip near-dups of already-kept docs
+            matches = (
+                query_lsh_index(
+                    spark, index_path, batch,
+                    content_col=content_col, id_col=id_col,
+                    n=n, num_hashes=num_hashes, bands=bands,
+                    threshold=threshold,
+                )
+                .select(F.col("probe_id").alias(id_col))
+                .distinct()
+            )
+            kept = batch.join(matches, id_col, "left_anti")
+        else:
+            kept = batch
+        kept = kept.persist()
+        try:
+            # (3) emit survivors
+            kept.write.mode("append").parquet(out_path)
+            if not grow_index:
+                return
+            # (4) extend the index with the survivors
+            sig = minhash_signatures(
+                kept, content_col, id_col, n, num_hashes
+            ).persist()
+            if not have_index:
+                spark.createDataFrame(
+                    [(n, num_hashes, bands)],
+                    "n int, num_hashes int, bands int",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{index_path}/params"
+                )
+            sig.write.mode("append").parquet(f"{index_path}/signatures")
+            buckets = None
+            for bi in range(bands):
+                part = sig.select(
+                    "id",
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        *[F.col(f"h{bi * rows + r}") for r in range(rows)]
+                    ).alias("bucket"),
+                )
+                buckets = part if buckets is None else buckets.unionByName(part)
+            (
+                buckets.repartition(bands, "band")
+                .write.mode("append")
+                .partitionBy("band")
+                .parquet(f"{index_path}/buckets")
+            )
+            sig.unpersist()
+        finally:
+            kept.unpersist()
+
+    return write
