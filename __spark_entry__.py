@@ -624,6 +624,8 @@ _SNAPSHOT_PRIORITY = [
     "interarrival_stats",
     "cohort_retention",
     "revenue_rollup",
+    "prep_funnel",
+    "embedding_dim_variance",
 ]
 
 

@@ -455,6 +455,79 @@ FROM bucketed GROUP BY 1
 """
 
 
+def q_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep funnel report: docs surviving each pipeline stage
+    (total → Gopher quality gate → target language → exact-unique) as one
+    (stage, n_docs) row each — the composition showcase: every stage is a
+    declared operator, the funnel is four 1-row aggregates unioned (no
+    repeated corpus scans beyond the stages themselves)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept_ids = gopher_quality_flags(docs).filter(F.col("keep") == 1).select(
+        "doc_id"
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    en = kept.filter(F.col("lang") == "en")
+    uniq = en.select(F.md5("text").alias("__d")).distinct()
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("00_total", docs)
+        .unionByName(stage("10_gopher_keep", kept))
+        .unionByName(stage("20_lang_en", en))
+        .unionByName(stage("30_exact_unique", uniq))
+    )
+
+
+def _prep_funnel_sql() -> str:
+    return f"""
+WITH g AS ({_GOPHER_FLAGS_SQL}),
+kept AS (
+  SELECT d.* FROM documents d JOIN g USING (doc_id) WHERE g.keep = 1
+),
+en AS (SELECT * FROM kept WHERE lang = 'en')
+SELECT '00_total' AS stage, count(*) AS n_docs FROM documents
+UNION ALL SELECT '10_gopher_keep', count(*) FROM kept
+UNION ALL SELECT '20_lang_en', count(*) FROM en
+UNION ALL SELECT '30_exact_unique', count(DISTINCT md5(text)) FROM en
+"""
+
+
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus (whitening /
+    feature-health prep): posexplode → per-dim aggregate — the distributed
+    gram-vector pattern (constant 64-row output regardless of corpus
+    size)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        F.round(F.var_pop("x"), 6).alias("var_x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_EMB_DIM_VAR_SQL = """
+SELECT CAST(i - 1 AS INT) AS dim,
+  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_x,
+  round(var_pop(CAST(embedding[i] AS DOUBLE)), 6) AS var_x,
+  count(*) AS n
+FROM embeddings, generate_series(1, 64) AS g(i)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "top_ngrams": q_top_ngrams,
@@ -469,6 +542,8 @@ QUERIES = {
     "winnow_overlap": q_winnow_overlap,
     "corpus_composition": q_corpus_composition,
     "length_deciles": q_length_deciles,
+    "prep_funnel": q_prep_funnel,
+    "embedding_dim_variance": q_embedding_dim_variance,
 }
 
 ORACLES = {
@@ -485,4 +560,6 @@ ORACLES = {
     "winnow_overlap": _winnow_overlap_sql(),
     "corpus_composition": _CORPUS_COMPOSITION_SQL,
     "length_deciles": _LENGTH_DECILES_SQL,
+    "prep_funnel": _prep_funnel_sql(),
+    "embedding_dim_variance": _EMB_DIM_VAR_SQL,
 }
