@@ -555,6 +555,42 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a persisted IVF index: assign new vectors to the
+    EXISTING centroids and append them partition-wise — no retrain, no
+    rewrite of resident partitions.  The ingest-time companion of
+    ``build_ivf_index``'s periodic full rebuild (the standard IVF serving
+    trade: appended vectors are searchable immediately at the cost of
+    slowly-staling centroids; rebuild cadence bounds the drift).
+
+    Scale shape per append: one narrow assignment map over the new batch +
+    one ``repartition(cluster)`` append touching only the clusters the
+    batch lands in — O(batch), independent of index size."""
+    from pyspark.sql import functions as F
+
+    spark = new_vectors.sparkSession
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    assigned = _ivf_assign_expr(new_vectors, centroids, vec_col, nprobe=1).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+        F.col("__cluster").alias("cluster"),
+    )
+    (
+        assigned.repartition(len(centroids), "cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/corpus")
+    )
+
+
 def query_ivf_index(
     spark,
     path: str,

@@ -100,3 +100,51 @@ def test_persisted_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
     m = re.search(r"cluster#\d+ IN \(([0-9,]+)\)", plan)
     assert m, plan[-2000:]
     assert 0 < len(m.group(1).split(",")) < 8
+
+
+def test_append_ivf_index_searchable_no_rewrite(spark, sf_dir, tmp_path):
+    """Appended vectors are immediately searchable, assigned with the
+    existing centroids, and resident cluster files are not rewritten."""
+    import os
+
+    from cerebro_spark.io import load_table
+    from cerebro_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 400), path, dim=64)
+
+    def files():
+        out = {}
+        for root, _, names in os.walk(f"{path}/corpus"):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = files()
+    new = emb.filter(F.col("vec_id") >= 400).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    append_ivf_index(new, path)
+    after = files()
+    # resident files untouched (append adds files, never rewrites)
+    for p, mt in before.items():
+        assert p in after and after[p] == mt
+    assert len(after) > len(before)
+
+    # an appended vector is its own exact match through the index: probe
+    # with the ORIGINAL >=400 vectors; the appended twin (id+100000) has
+    # cosine 1.0 and must surface in top-k
+    probes = emb.filter(F.col("vec_id") >= 480)
+    got = query_ivf_index(spark, path, probes, k=3, nprobe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, neighbors in by_q.items():
+        assert qid + 100000 in neighbors, (qid, neighbors)
