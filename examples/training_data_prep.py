@@ -10,6 +10,9 @@ Stages (each one an oracle-checked operator — see QUERIES.md):
 5. stratified rebalance — `sampling.stratified_sample`
 6. split + chunk     — `sampling.train_val_test_split` / `chunk_documents`
 7. profile           — `profile.data_profile` health row for the run log
+8. overlap audit     — `dedup.winnow_overlap_pairs` (round 4: MOSS winnowing
+   over the FINAL train split — catches substring-level overlap the
+   doc-level LSH pass can't see, at ~2/(w+1) of the full shingle cost)
 """
 
 import sys
@@ -20,7 +23,11 @@ from pyspark.sql import functions as F
 
 from cerebro_spark.io import load_table
 from cerebro_spark.operators.cluster import resolve_duplicates
-from cerebro_spark.operators.dedup import contamination_check, minhash_lsh_pairs
+from cerebro_spark.operators.dedup import (
+    contamination_check,
+    minhash_lsh_pairs,
+    winnow_overlap_pairs,
+)
 from cerebro_spark.operators.profile import data_profile
 from cerebro_spark.operators.sampling import (
     chunk_documents,
@@ -71,6 +78,12 @@ def main() -> None:
     print(f"train/test:        {train.count()} / {test.count()}")
     print(f"clean test:        {clean_test.count()}")
     print(f"train chunks:      {chunks.count()}")
+
+    # 8. substring-overlap audit on the final train split (fast xxhash path)
+    overlaps = winnow_overlap_pairs(
+        train, k=4, w=4, min_shared=3, portable=False
+    )
+    print(f"winnow overlaps:   {overlaps.count()}")
     print(f"profile: n_rows={profile['n_rows']} text_nulls={profile['text_nulls']}")
 
 
