@@ -540,7 +540,7 @@ def winnow_fingerprints(
     (``_portable_token_hash``, 15 hex chars = 60 bits) so the DuckDB
     oracle reproduces them bit-for-bit; ``portable=False`` hashes each
     token once with ``xxhash64`` and takes the n-ary xxhash of the k
-    token-hashes per gram — no string allocation at all, measured 4×
+    token-hashes per gram — no string allocation at all, measured 2.6×
     faster at 200k docs (the same trade `_shingle_hash_df` documents) —
     use it wherever the fingerprint is internal (the overlap join).
 
@@ -746,6 +746,32 @@ def duplicated_span_profile(
     )
 
 
+def band_buckets(
+    sig: DataFrame,
+    bands: int,
+    rows: int,
+    id_alias: str = "id",
+) -> DataFrame:
+    """(id_alias, band, bucket) rows from a signature frame — THE band
+    layout of the LSH index (bucket = xxhash64 of the band's ``rows``
+    signature components).  Single source of truth shared by
+    ``build_lsh_index``, ``query_lsh_index`` and the streaming
+    ``neardup_filter_sink``: the persisted params row validates only the
+    (n, num_hashes, bands) counts, so layout drift between copies of this
+    loop would silently probe a different bucket space."""
+    out = None
+    for bi in range(bands):
+        part = sig.select(
+            F.col("id").alias(id_alias),
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{bi * rows + r}") for r in range(rows)]
+            ).alias("bucket"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def build_lsh_index(
     docs: DataFrame,
     path: str,
@@ -774,16 +800,7 @@ def build_lsh_index(
         [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     sig = docs.sparkSession.read.parquet(f"{path}/signatures")
-    bucket_rows = None
-    for bi in range(bands):
-        part = sig.select(
-            "id",
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{bi * rows + r}") for r in range(rows)]
-            ).alias("bucket"),
-        )
-        bucket_rows = part if bucket_rows is None else bucket_rows.unionByName(part)
+    bucket_rows = band_buckets(sig, bands, rows)
     (
         bucket_rows.repartition(bands, "band")
         .write.mode("overwrite")
@@ -825,16 +842,7 @@ def query_lsh_index(
     psig = minhash_signatures(
         probe_docs, content_col, id_col, n, num_hashes
     ).persist()
-    pbuckets = None
-    for bi in range(bands):
-        part = psig.select(
-            F.col("id").alias("probe_id"),
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{bi * rows + r}") for r in range(rows)]
-            ).alias("bucket"),
-        )
-        pbuckets = part if pbuckets is None else pbuckets.unionByName(part)
+    pbuckets = band_buckets(psig, bands, rows, id_alias="probe_id")
     idx = spark.read.parquet(f"{path}/buckets")
     cand = (
         idx.join(F.broadcast(pbuckets), ["band", "bucket"])

@@ -321,6 +321,9 @@ toks AS (
   FROM documents
 ),
 kg AS (
+  -- generate_series(1, 256) caps grams per doc: valid for the driver
+  -- corpus (max ~100 tokens/doc, pinned by a test) and mirrors the
+  -- minhash-oracle convention; the Spark side has no such cap
   SELECT doc_id, i, {x} AS h
   FROM (
     SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS s

@@ -323,8 +323,18 @@ def neardup_filter_sink(
     state): THIS filter is approximate, unbounded-horizon, and shares its
     index with batch pipelines (``query_lsh_index`` online lookups see the
     streamed docs immediately).
+
+    Replay contract: every write lands in a per-batch ``__batch=N``
+    directory (output, signatures, band buckets) overwritten on replay, and
+    the params marker is written LAST on the first batch — so at-least-once
+    foreachBatch retries converge to the same store/index state.  The sink
+    therefore OWNS its index layout (``buckets/__batch=N/band=M``): point it
+    at a fresh directory, not at a ``build_lsh_index`` index (whose
+    ``buckets/band=M`` layout has a different partition depth — mixing the
+    two fails loudly at read time with conflicting directory structures).
     """
     from cerebro_spark.operators.dedup import (
+        band_buckets,
         minhash_signatures,
         query_lsh_index,
     )
@@ -371,14 +381,37 @@ def neardup_filter_sink(
             kept = batch
         kept = kept.persist()
         try:
-            # (3) emit survivors
-            kept.write.mode("append").parquet(out_path)
+            # (3) emit survivors into a per-batch directory: an
+            # at-least-once foreachBatch REPLAY overwrites the same
+            # directory instead of appending duplicates (the replayed docs
+            # would NOT be caught by the probe — a doc is never a near-dup
+            # of itself, query_lsh_index excludes id == probe_id).  Same
+            # replay-idempotent layout as idempotent_parquet_sink / the
+            # rollup store's trailing __batch partition.
+            kept.write.mode("overwrite").parquet(
+                f"{out_path}/__batch={batch_id}"
+            )
             if not grow_index:
                 return
-            # (4) extend the index with the survivors
+            # (4) extend the index with the survivors — also per-batch
+            # directories (replay = overwrite, never duplicate signatures)
             sig = minhash_signatures(
                 kept, content_col, id_col, n, num_hashes
             ).persist()
+            sig.write.mode("overwrite").parquet(
+                f"{index_path}/signatures/__batch={batch_id}"
+            )
+            (
+                band_buckets(sig, bands, rows)
+                .repartition(bands, "band")
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(f"{index_path}/buckets/__batch={batch_id}")
+            )
+            # params marker LAST: its presence implies signatures + buckets
+            # exist, so a crash mid-first-batch leaves have_index=False and
+            # the replay rebuilds the same directories instead of wedging
+            # query_lsh_index on a half-written index
             if not have_index:
                 spark.createDataFrame(
                     [(n, num_hashes, bands)],
@@ -386,23 +419,6 @@ def neardup_filter_sink(
                 ).coalesce(1).write.mode("overwrite").parquet(
                     f"{index_path}/params"
                 )
-            sig.write.mode("append").parquet(f"{index_path}/signatures")
-            buckets = None
-            for bi in range(bands):
-                part = sig.select(
-                    "id",
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        *[F.col(f"h{bi * rows + r}") for r in range(rows)]
-                    ).alias("bucket"),
-                )
-                buckets = part if buckets is None else buckets.unionByName(part)
-            (
-                buckets.repartition(bands, "band")
-                .write.mode("append")
-                .partitionBy("band")
-                .parquet(f"{index_path}/buckets")
-            )
             sig.unpersist()
         finally:
             kept.unpersist()

@@ -77,3 +77,29 @@ def test_neardup_filter_across_batches(spark, tmp_path):
         spark, index, probe, n=3, num_hashes=32, bands=8, threshold=0.5
     ).collect()
     assert {(r["probe_id"], r["match_id"]) for r in hits} == {(99, 13)}
+
+
+def test_neardup_sink_replay_idempotent(spark, tmp_path):
+    """At-least-once replay: re-running the same (batch_df, batch_id) must
+    not duplicate output rows or index signatures, and a second batch still
+    dedups against the first."""
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    sink = neardup_filter_sink(index, out, n=3, num_hashes=32, bands=8,
+                               threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(1, 4)], "doc_id long, text string"
+    )
+    sink(b1, 0)
+    sink(b1, 0)  # replay of the same micro-batch
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 3]
+    sigs = spark.read.parquet(f"{index}/signatures")
+    assert sigs.count() == 3  # no duplicate signatures either
+
+    b2 = spark.createDataFrame(
+        [(11, _doc(2)), (12, _doc(55))], "doc_id long, text string"
+    )
+    sink(b2, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 3, 12]  # 11 dropped as exact dup of doc 2

@@ -122,3 +122,18 @@ def test_winnow_fast_path_same_pairs(spark):
             winnow_overlap_pairs(df, k=4, w=4, min_shared=3,
                                  portable=False).collect()}
     assert slow == fast == {(1, 2)}
+
+
+def test_oracle_gram_cap_holds_for_driver_corpus():
+    """The DuckDB oracles (winnow, minhash, ngram) cap k-grams per doc at
+    256 via generate_series; the Spark operators do not.  Pin the coupling:
+    the driver corpus must stay comfortably under the cap at every SF the
+    gate or bench touches."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        (mx,) = duckdb.sql(
+            "SELECT max(len(string_split_regex(trim(text), '\\s+')))"
+            f" FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()
+        assert mx <= 250, (sf, mx)
