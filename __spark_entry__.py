@@ -530,13 +530,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The per-round correctness snapshot has covered exactly 50 queries per round
 # (CORRECTNESS_r01 == CORRECTNESS_r02 key set == the first 50 registered at the
-# round-1 snapshot).  Rotate queries that have never had a hard-gate row to the
-# FRONT of the registry so they get driver-checked this round; the
-# previously-green remainder keeps local-oracle coverage via tools/check.py.
-# ROUND-4 NOTE: after the r03 snapshot lands, diff CORRECTNESS_r03's key set
-# against this priority list and rotate every oracle-backed query that still
-# has NO hard-gate row (the 50-cap squeezed out a dozen-plus round-2 entries)
-# to the front, ahead of new round-4 queries that can wait a round.
+# round-1 snapshot; no r03 snapshot was recorded).  Rotate queries that have
+# never had a hard-gate row to the FRONT of the registry so they get
+# driver-checked this round; the previously-green remainder keeps local-oracle
+# coverage via tools/check.py.
+# ROUND-5 NOTE: after the r04 snapshot lands, diff its key set against this
+# list and rotate the still-ungated remainder to the front — expected: the
+# round-2 entries below the 50-line (zscore_outliers onward) plus every round-4
+# query in the tail block.
 _SNAPSHOT_PRIORITY = [
     # round-3 additions (never had any gate row)
     "chunk_dedup",
