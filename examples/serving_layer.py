@@ -15,6 +15,9 @@ off the fact table:
 4. distinct sketches— `distinct_sketch_rollup` + `distinct_over_range`:
                       "distinct users over any range" from per-day HLL
                       sketches, no raw scan
+5. online dedup     — `neardup_filter_sink` (round 4): document batches
+                      filtered against the growing LSH index; the same
+                      index serves `query_lsh_index` online lookups
 """
 
 import datetime as dt
@@ -83,6 +86,24 @@ def main() -> None:
     ).collect()[0]
     print(f"distinct users Jan 5-20: ~{est['approx_distinct']:.0f} "
           f"(from {sketches.count()} daily sketches)")
+
+    # --- 5. online near-dup filter over a growing LSH index
+    from cerebro_spark.operators.dedup import query_lsh_index
+    from cerebro_spark.streaming.sinks import neardup_filter_sink
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    ndx, clean = f"{tmp}/nd_index", f"{tmp}/clean_docs"
+    nd = neardup_filter_sink(ndx, clean, n=3, num_hashes=8, bands=4,
+                             threshold=0.5)
+    half_doc = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    nd(docs.filter(F.col("doc_id") <= half_doc), 0)
+    nd(docs.filter(F.col("doc_id") > half_doc), 1)   # dedups vs batch 0
+    n_clean = spark.read.parquet(clean).count()
+    probe = docs.limit(3)
+    n_hits = query_lsh_index(spark, ndx, probe, n=3, num_hashes=8,
+                             bands=4, threshold=0.5).count()
+    print(f"online-dedup store:     {n_clean}/{docs.count()} docs kept; "
+          f"3-probe lookup -> {n_hits} matches")
 
     # --- ops: is the store healthy?
     store_health(spark, store).show(3, truncate=False)
