@@ -627,6 +627,8 @@ _SNAPSHOT_PRIORITY = [
     "revenue_rollup",
     "prep_funnel",
     "embedding_dim_variance",
+    "hourly_seasonality",
+    "value_autocorr",
 ]
 
 

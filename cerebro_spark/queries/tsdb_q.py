@@ -632,6 +632,55 @@ GROUP BY 1, 2
 """
 
 
+def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile: avg/count of value by (event_type, hour-of-day) —
+    the Grafana-style daily-shape panel; one partial-agg shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("value_avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_HOURLY_SEASONALITY_SQL = """
+SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+  round(avg(value), 4) AS value_avg, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of value per event_type: lag window partitioned
+    by type (5 independent partitions at any scale — the per-series layout),
+    then Pearson corr as one aggregate.  The trend-vs-noise diagnostic for a
+    telemetry series."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("__prev")
+    ).filter(F.col("__prev").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("value", "__prev"), 6).alias("autocorr_lag1"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+_VALUE_AUTOCORR_SQL = """
+WITH lagged AS (
+  SELECT event_type, value,
+    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type, round(corr(value, prev), 6) AS autocorr_lag1,
+  count(*) AS n_pairs
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "derivative": q_derivative,
     "counter_increase": q_increase,
@@ -653,6 +702,8 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "new_vs_returning": q_new_vs_returning,
     "interarrival_stats": q_interarrival_stats,
+    "hourly_seasonality": q_hourly_seasonality,
+    "value_autocorr": q_value_autocorr,
     "cohort_retention": q_cohort_retention,
 }
 
@@ -677,6 +728,8 @@ ORACLES = {
     "rolling_active_users": _ROLLING_ACTIVE_SQL,
     "new_vs_returning": _NEW_VS_RETURNING_SQL,
     "interarrival_stats": _INTERARRIVAL_SQL,
+    "hourly_seasonality": _HOURLY_SEASONALITY_SQL,
+    "value_autocorr": _VALUE_AUTOCORR_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
 }
 
