@@ -629,6 +629,7 @@ _SNAPSHOT_PRIORITY = [
     "embedding_dim_variance",
     "hourly_seasonality",
     "value_autocorr",
+    "merged_quantiles_check",
 ]
 
 

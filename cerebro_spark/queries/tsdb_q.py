@@ -13,6 +13,8 @@ from cerebro_spark.operators.tsdb import (
     downsample,
     gapfill,
     increase,
+    quantile_sketch_rollup,
+    quantiles_over_range,
     retention_between,
     rolling_distinct,
     theta_sketch_rollup,
@@ -632,6 +634,48 @@ GROUP BY 1, 2
 """
 
 
+def q_merged_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard gate for the KLL sketch MERGE path (the per-day sketch path is
+    pytest-covered; this gates merging): p50/p95 over Jan 8-22 computed by
+    merging 14 daily sketches must land in exact p45-p55 / p88-max rank
+    bands over the same range (tolerance encoding, see
+    ``approx_percentiles_daily``).  The oracle predicts the exact range
+    row-count and all-true bands."""
+    import datetime as dt
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = quantile_sketch_rollup(ev, "value")
+    start, end = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 22)
+    merged = quantiles_over_range(
+        daily, probabilities=(0.5, 0.95), start=start, end=end
+    )
+    in_range = ev.filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+    bands = in_range.agg(
+        F.expr("percentile(value, array(0.45D, 0.55D, 0.88D, 1.0D))").alias(
+            "__b"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return merged.crossJoin(F.broadcast(bands)).select(
+        F.col("n_rows"),
+        (F.col("__n") == F.col("n_rows")).alias("count_consistent"),
+        F.col("p50").between(F.col("__b")[0], F.col("__b")[1]).alias(
+            "p50_in_band"
+        ),
+        F.col("p95").between(F.col("__b")[2], F.col("__b")[3]).alias(
+            "p95_in_band"
+        ),
+    )
+
+
+_MERGED_QUANTILES_SQL = """
+SELECT count(*) AS n_rows, TRUE AS count_consistent,
+  TRUE AS p50_in_band, TRUE AS p95_in_band
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+"""
+
+
 def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal profile: avg/count of value by (event_type, hour-of-day) —
     the Grafana-style daily-shape panel; one partial-agg shuffle."""
@@ -702,6 +746,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "new_vs_returning": q_new_vs_returning,
     "interarrival_stats": q_interarrival_stats,
+    "merged_quantiles_check": q_merged_quantiles_check,
     "hourly_seasonality": q_hourly_seasonality,
     "value_autocorr": q_value_autocorr,
     "cohort_retention": q_cohort_retention,
@@ -728,6 +773,7 @@ ORACLES = {
     "rolling_active_users": _ROLLING_ACTIVE_SQL,
     "new_vs_returning": _NEW_VS_RETURNING_SQL,
     "interarrival_stats": _INTERARRIVAL_SQL,
+    "merged_quantiles_check": _MERGED_QUANTILES_SQL,
     "hourly_seasonality": _HOURLY_SEASONALITY_SQL,
     "value_autocorr": _VALUE_AUTOCORR_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
