@@ -630,6 +630,7 @@ _SNAPSHOT_PRIORITY = [
     "hourly_seasonality",
     "value_autocorr",
     "merged_quantiles_check",
+    "merged_distinct_check",
 ]
 
 

@@ -676,6 +676,44 @@ WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
 """
 
 
+def q_merged_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard gate for the HLL sketch UNION path (twin of
+    ``merged_quantiles_check``): distinct users over Jan 8-22 from 14
+    merged daily sketches must land within 3x the lg_k=14 rsd (~0.8%) of
+    the exact distinct count, which the oracle verifies exactly."""
+    import datetime as dt
+
+    from cerebro_spark.operators.tsdb import (
+        distinct_over_range,
+        distinct_sketch_rollup,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    start, end = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 22)
+    est = distinct_over_range(
+        distinct_sketch_rollup(ev, "user_id"), start=start, end=end
+    )
+    exact = ev.filter(
+        (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_users",
+        "n_rows",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_users"))
+            <= 3 * 0.008 * F.col("n_users")
+        ).alias("within_3rsd"),
+    )
+
+
+_MERGED_DISTINCT_SQL = """
+SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_rows,
+  TRUE AS within_3rsd
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+"""
+
+
 def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal profile: avg/count of value by (event_type, hour-of-day) —
     the Grafana-style daily-shape panel; one partial-agg shuffle."""
@@ -747,6 +785,7 @@ QUERIES = {
     "new_vs_returning": q_new_vs_returning,
     "interarrival_stats": q_interarrival_stats,
     "merged_quantiles_check": q_merged_quantiles_check,
+    "merged_distinct_check": q_merged_distinct_check,
     "hourly_seasonality": q_hourly_seasonality,
     "value_autocorr": q_value_autocorr,
     "cohort_retention": q_cohort_retention,
@@ -774,6 +813,7 @@ ORACLES = {
     "new_vs_returning": _NEW_VS_RETURNING_SQL,
     "interarrival_stats": _INTERARRIVAL_SQL,
     "merged_quantiles_check": _MERGED_QUANTILES_SQL,
+    "merged_distinct_check": _MERGED_DISTINCT_SQL,
     "hourly_seasonality": _HOURLY_SEASONALITY_SQL,
     "value_autocorr": _VALUE_AUTOCORR_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,

@@ -73,9 +73,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the (total value, part count) aggregate
     # crossJoined onto the per-part aggregate (Q11's scalar subquery)
     "important_parts",
-    # 1-row × 1-row crossJoin: merged-sketch quantiles against the exact
-    # rank-band aggregate (round-4 merge-path gate)
+    # 1-row × 1-row crossJoin: merged-sketch quantiles/distincts against
+    # the exact aggregates (round-4 merge-path gates)
     "merged_quantiles_check",
+    "merged_distinct_check",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
