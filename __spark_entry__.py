@@ -631,6 +631,7 @@ _SNAPSHOT_PRIORITY = [
     "value_autocorr",
     "merged_quantiles_check",
     "merged_distinct_check",
+    "min_cost_supplier",
 ]
 
 

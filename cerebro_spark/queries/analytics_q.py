@@ -15,7 +15,7 @@ Scale notes baked into each query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cerebro_spark.io import load_table
@@ -866,6 +866,68 @@ JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted: no partsupp, so the part↔supplier relation comes
+    from lineitem and supply cost is proxied by s_acctbal): for each part
+    of size ≥ 40 shipped by an ASIA supplier, the cheapest such supplier
+    (min acctbal, tie → min suppkey).  The correlated min runs as a window
+    PARTITIONED BY part (wide fan-out, no global ordering); dims chain
+    nation→region broadcast."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size") >= 40)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    sdim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey").dropDuplicates()
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(sdim, F.col("l_suppkey") == sdim.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "p_partkey", "p_brand", "p_size", "s_suppkey", "s_name",
+            "s_acctbal", F.col("n_name").alias("nation"),
+        )
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = """
+WITH sdim AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, s_acctbal,
+       n_name AS nation
+FROM (
+  SELECT p.p_partkey, p.p_brand, p.p_size, s.s_suppkey, s.s_name,
+         s.s_acctbal, s.n_name,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal ASC, s.s_suppkey ASC) AS rn
+  FROM pairs
+  JOIN part p ON l_partkey = p_partkey
+  JOIN sdim s ON l_suppkey = s_suppkey
+  WHERE p.p_size >= 40
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "late_shipments_by_priority": q_late_shipments_by_priority,
     "large_volume_customers": q_large_volume_customers,
@@ -886,6 +948,7 @@ QUERIES = {
     "important_parts": q_important_parts,
     "supplier_breadth": q_supplier_breadth,
     "dominant_suppliers": q_dominant_suppliers,
+    "min_cost_supplier": q_min_cost_supplier,
 }
 
 ORACLES = {
@@ -908,4 +971,5 @@ ORACLES = {
     "important_parts": _IMPORTANT_PARTS_SQL,
     "supplier_breadth": _SUPPLIER_BREADTH_SQL,
     "dominant_suppliers": _DOMINANT_SUPPLIERS_SQL,
+    "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
 }
