@@ -51,3 +51,19 @@ def test_anti_semi_join_strategies(spark, sf_dir):
 
     assert "LeftAnti" in _plan(q_orders_no_big_items(spark, sf_dir))
     assert "LeftSemi" in _plan(q_orders_with_returns(spark, sf_dir))
+
+
+def test_all_registered_queries_pass_plan_audit(spark, sf_dir):
+    """Every registry query must pass the 100 TB anti-pattern audit
+    (single-partition windows, nested-loop joins outside the documented
+    bounded-broadcast allowlist, row-at-a-time Python, unexpected Arrow
+    stages) — the pytest twin of `python tools/plan_audit.py`."""
+    from tools.plan_audit import audit_plan
+
+    bad = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        problems = audit_plan(name, plan)
+        if problems:
+            bad[name] = problems
+    assert not bad, bad
