@@ -424,3 +424,43 @@ def neardup_filter_sink(
             kept.unpersist()
 
     return write
+
+
+def compact_neardup_index(spark, index_path: str, out_path: str | None = None):
+    """Compact a ``neardup_filter_sink``-owned LSH index: thousands of
+    per-batch ``__batch=N`` directories (one small file each) become one
+    consolidated ``__batch=0`` generation — same read schema, same probe
+    results, bounded file count.  The ops companion to ``io.compact_store``
+    for the index layout.
+
+    Writes a full new index tree and swaps it in with directory renames
+    (``<path>.old`` is kept until the swap completes, then removed) — run
+    it from the maintenance window, not concurrently with the ingest
+    stream: the swap is not atomic for a reader that opens mid-rename.
+    If ``out_path`` is given the compacted index is written there instead
+    and no swap happens (side-by-side validation)."""
+    import shutil
+
+    sig = spark.read.parquet(f"{index_path}/signatures").drop("__batch")
+    buckets = spark.read.parquet(f"{index_path}/buckets").drop("__batch")
+    params = spark.read.parquet(f"{index_path}/params")
+    n_bands = int(params.collect()[0]["bands"])
+
+    target = out_path or f"{index_path}.compact-tmp"
+    shutil.rmtree(target, ignore_errors=True)
+    sig.repartition(1).write.mode("overwrite").parquet(
+        f"{target}/signatures/__batch=0"
+    )
+    (
+        buckets.repartition(n_bands, "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{target}/buckets/__batch=0")
+    )
+    params.coalesce(1).write.mode("overwrite").parquet(f"{target}/params")
+    if out_path is None:
+        old = f"{index_path}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(index_path, old)
+        shutil.move(target, index_path)
+        shutil.rmtree(old)
