@@ -679,8 +679,9 @@ WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
 def q_merged_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard gate for the HLL sketch UNION path (twin of
     ``merged_quantiles_check``): distinct users over Jan 8-22 from 14
-    merged daily sketches must land within 3x the lg_k=14 rsd (~0.8%) of
-    the exact distinct count, which the oracle verifies exactly."""
+    merged daily sketches must land within 3·rsd (rsd = 1.04/√2^lg_k,
+    ~0.81% at lg_k=14) of the exact distinct count, which the oracle
+    verifies exactly."""
     import datetime as dt
 
     from cerebro_spark.operators.tsdb import (
@@ -690,8 +691,10 @@ def q_merged_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     start, end = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 22)
+    lg_k = 14
+    rsd = 1.04 / (2 ** (lg_k / 2))  # standard HLL error for this lg_k
     est = distinct_over_range(
-        distinct_sketch_rollup(ev, "user_id"), start=start, end=end
+        distinct_sketch_rollup(ev, "user_id", lg_k=lg_k), start=start, end=end
     )
     exact = ev.filter(
         (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
@@ -701,7 +704,7 @@ def q_merged_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (
             F.abs(F.col("approx_distinct") - F.col("n_users"))
-            <= 3 * 0.008 * F.col("n_users")
+            <= 3 * rsd * F.col("n_users")
         ).alias("within_3rsd"),
     )
 

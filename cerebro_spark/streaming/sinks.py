@@ -342,9 +342,23 @@ def neardup_filter_sink(
     rows = num_hashes // bands
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
+        # LOUD failure for a half-finished compaction swap: if the index
+        # directory is gone but the pre-swap copy survives, starting fresh
+        # here would silently lose dedup against the whole historical
+        # corpus (the bare except below would read it as "first batch").
+        if not os.path.exists(index_path) and os.path.exists(
+            f"{index_path}.old"
+        ):
+            raise RuntimeError(
+                f"{index_path} missing but {index_path}.old exists — a "
+                "compact_neardup_index swap crashed mid-rename; restore "
+                f"with: mv {index_path}.old {index_path}"
+            )
         # (1) intra-batch exact dedup, deterministic min-id survivor
         w_digest = F.md5(F.col(content_col))
         batch = (
@@ -394,7 +408,21 @@ def neardup_filter_sink(
             if not grow_index:
                 return
             # (4) extend the index with the survivors — also per-batch
-            # directories (replay = overwrite, never duplicate signatures)
+            # directories (replay = overwrite, never duplicate signatures).
+            # A batch already folded into the compacted generation is
+            # SKIPPED (replaying it would re-append signatures compaction
+            # already absorbed into __batch=0).
+            if have_index:
+                try:
+                    ct = (
+                        spark.read.parquet(
+                            f"{index_path}/compacted_through"
+                        ).collect()[0]["through_batch"]
+                    )
+                except Exception:  # no compaction has run yet
+                    ct = -1
+                if batch_id <= ct:
+                    return
             sig = minhash_signatures(
                 kept, content_col, id_col, n, num_hashes
             ).persist()
@@ -426,7 +454,12 @@ def neardup_filter_sink(
     return write
 
 
-def compact_neardup_index(spark, index_path: str, out_path: str | None = None):
+def compact_neardup_index(
+    spark,
+    index_path: str,
+    out_path: str | None = None,
+    target_files: int = 8,
+):
     """Compact a ``neardup_filter_sink``-owned LSH index: thousands of
     per-batch ``__batch=N`` directories (one small file each) become one
     consolidated ``__batch=0`` generation — same read schema, same probe
@@ -435,20 +468,46 @@ def compact_neardup_index(spark, index_path: str, out_path: str | None = None):
 
     Writes a full new index tree and swaps it in with directory renames
     (``<path>.old`` is kept until the swap completes, then removed) — run
-    it from the maintenance window, not concurrently with the ingest
-    stream: the swap is not atomic for a reader that opens mid-rename.
-    If ``out_path`` is given the compacted index is written there instead
-    and no swap happens (side-by-side validation)."""
+    it from the maintenance window, AFTER the ingest stream has stopped
+    with its last batch checkpoint-committed; the swap is not atomic for
+    a reader that opens mid-rename.  LOCAL filesystem paths only (POSIX
+    renames) — on an object store pass ``out_path`` and flip your own
+    pointer.  Crash safety: if the process dies between the two renames,
+    the sink refuses to start and names the ``<path>.old`` restore; a
+    replay of an already-folded batch after restart is skipped via the
+    persisted ``compacted_through`` marker.  Signatures/buckets are
+    deduplicated on fold, so a pre-compaction replay duplicate heals
+    here.  ``target_files`` bounds the consolidated signature file count
+    without funneling the whole set through one task."""
+    import os as _os
+    import re
     import shutil
 
-    sig = spark.read.parquet(f"{index_path}/signatures").drop("__batch")
-    buckets = spark.read.parquet(f"{index_path}/buckets").drop("__batch")
+    sig = (
+        spark.read.parquet(f"{index_path}/signatures")
+        .drop("__batch")
+        .dropDuplicates(["id"])
+    )
+    buckets = (
+        spark.read.parquet(f"{index_path}/buckets")
+        .drop("__batch")
+        .dropDuplicates(["id", "band", "bucket"])
+    )
     params = spark.read.parquet(f"{index_path}/params")
     n_bands = int(params.collect()[0]["bands"])
+    max_batch = max(
+        (
+            int(m.group(1))
+            for d in _os.listdir(f"{index_path}/signatures")
+            for m in [re.match(r"__batch=(\d+)$", d)]
+            if m
+        ),
+        default=0,
+    )
 
     target = out_path or f"{index_path}.compact-tmp"
     shutil.rmtree(target, ignore_errors=True)
-    sig.repartition(1).write.mode("overwrite").parquet(
+    sig.repartition(target_files).write.mode("overwrite").parquet(
         f"{target}/signatures/__batch=0"
     )
     (
@@ -458,6 +517,11 @@ def compact_neardup_index(spark, index_path: str, out_path: str | None = None):
         .parquet(f"{target}/buckets/__batch=0")
     )
     params.coalesce(1).write.mode("overwrite").parquet(f"{target}/params")
+    spark.createDataFrame(
+        [(max_batch,)], "through_batch long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{target}/compacted_through"
+    )
     if out_path is None:
         old = f"{index_path}.old"
         shutil.rmtree(old, ignore_errors=True)
