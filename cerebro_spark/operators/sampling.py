@@ -269,3 +269,24 @@ def epoch_shuffle(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep each row with probability ≈ its weight (a [0,1] column — e.g. a
+    quality score), decided by key hash instead of RNG: row survival is
+    stable under retries and re-partitioning, and any engine reproduces the
+    exact kept set from (key, weight) alone.
+
+    The quality-weighted corpus downsample every training-data pipeline runs
+    (keep high-quality docs, thin out low-quality ones) — one codegen'd
+    filter, no shuffle, no state.
+    """
+    return df.filter(
+        _portable_bucket(F.col(key_col), buckets)
+        < F.col(weight_col).cast("double") * buckets
+    )

@@ -483,3 +483,70 @@ def gopher_quality_flags(
         .cast("int")
         .alias("keep"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information: for every
+    adjacent token pair, PMI = ln(p(w1,w2) / (p(w1)·p(w2))), estimated from
+    corpus-wide bigram/unigram counts.
+
+    Plan shape: one explode+groupBy for unigram counts (vocab-sized), one
+    for bigram counts; the bigram table joins the unigram table twice on the
+    word key.  The vocab table broadcasts while it fits (AQE) and shuffles
+    on the word key beyond that — no all-pairs stage anywhere, so the cost
+    is bounded by distinct-bigram cardinality, not corpus size.  The
+    ``min_count`` floor drops noise pairs BEFORE the joins (PMI is unstable
+    below ~10 observations, and the filter shrinks the join probe side).
+
+    All-double arithmetic is ordered identically to the DuckDB oracle so the
+    driver hash reproduces: (cab·Nu·Nu) / (Nb·c1·c2), then ln, then round.
+    """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = _tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    # slice length clamps at 0 for single-token docs → empty zip, no
+    # when/otherwise branch (whose array() literal would type-clash with
+    # array<struct>)
+    n_m1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n_m1).alias("w1"),
+        F.slice(toks, 2, n_m1).alias("w2"),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    nu = uni.agg(F.sum("cw").cast("double").alias("__nu"))
+    nb_total = (
+        df.select(
+            F.greatest(F.size(toks) - 1, F.lit(0)).alias("__k")
+        ).agg(F.sum("__k").cast("double").alias("__nb"))
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    joined = (
+        big.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_total))
+    )
+    pmi = F.log(
+        (F.col("n_pairs").cast("double") * F.col("__nu") * F.col("__nu"))
+        / (F.col("__nb") * F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return joined.select(
+        "w1", "w2", "n_pairs", "c1", "c2", F.round(pmi, 6).alias("pmi")
+    )

@@ -534,3 +534,245 @@ def rolling_distinct(
             F.count(F.lit(1)).alias("buckets_in_window"),
         )
     )
+
+
+def ohlc(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str,
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Open/high/low/close per tumbling bucket — the candlestick downsample
+    every TSDB ships (Influx ``first/last/min/max``, Timescale ``ohlc``).
+
+    One groupBy, all map-side-combinable aggregates: ``min_by``/``max_by``
+    over a (time, *tiebreak) ordering struct pick open/close, plain
+    ``min``/``max`` give low/high.  Determinism at duplicate timestamps
+    requires ``tiebreak`` (e.g. an id column) in the ordering struct —
+    without it ties pick an arbitrary row (the round-1 ADVICE lesson on
+    max_by ties).
+    """
+    order = F.struct(
+        F.col(time_col), *[F.col(c) for c in (tiebreak or [])]
+    )
+    bucket = F.timestamp_seconds(
+        F.floor(F.col(time_col).cast("long") / bucket_seconds) * bucket_seconds
+    ).alias("bucket_ts")
+    v = F.col(value_col)
+    return df.groupBy(bucket, *[F.col(k) for k in (keys or [])]).agg(
+        F.min_by(v, order).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, order).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str,
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per tumbling bucket: each sample is weighted by
+    its hold time (gap to the next sample *within the bucket*), so irregular
+    series don't over-count burst periods — the Timescale ``time_weight
+    ('LOCF')`` / Influx ``integral/elapsed`` semantics.
+
+    TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first) over each (key, bucket) group;
+    a single-sample (or all-same-timestamp) bucket degrades to the plain
+    mean of its rows.  The lead window partitions by (key, bucket) — tasks
+    scale with bucket count, never a global sort.  ``tiebreak`` columns
+    extend the window ordering so duplicate timestamps weight
+    deterministically (ties get zero hold time; the last tied row carries
+    the gap).
+    """
+    keys = keys or []
+    bucket = (
+        F.floor(F.col(time_col).cast("long") / bucket_seconds) * bucket_seconds
+    ).alias("__bucket")
+    d = df.select(
+        bucket,
+        *[F.col(k) for k in keys],
+        F.col(time_col).cast("double").alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        *[F.col(c) for c in (tiebreak or []) if c not in keys],
+    )
+    w = Window.partitionBy("__bucket", *keys).orderBy(
+        "__t", *[F.col(c) for c in (tiebreak or [])]
+    )
+    d = d.withColumn("__hold", F.lead("__t").over(w) - F.col("__t"))
+    return (
+        d.groupBy("__bucket", *keys)
+        .agg(
+            F.when(
+                F.sum("__hold") > 0,
+                F.sum(F.col("__v") * F.col("__hold")) / F.sum("__hold"),
+            )
+            .otherwise(F.avg("__v"))
+            .alias("twa"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.timestamp_seconds(F.col("__bucket")).alias("bucket_ts"),
+            *keys,
+            "twa",
+            "n",
+        )
+    )
+
+
+def minmax_downsample(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str,
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Extrema-preserving downsample for plotting: per tumbling bucket keep
+    the min-value and max-value sample (timestamp + value), so a rendered
+    line never loses a spike — the practical cousin of LTTB that stays a
+    pure one-shuffle aggregation (LTTB's previous-selection recurrence
+    doesn't distribute).
+
+    Ties on value resolve by (time, *tiebreak) — earliest wins — making the
+    output deterministic and oracle-reproducible.
+    """
+    order_min = F.struct(
+        F.col(value_col),
+        F.col(time_col),
+        *[F.col(c) for c in (tiebreak or [])],
+    )
+    bucket = F.timestamp_seconds(
+        F.floor(F.col(time_col).cast("long") / bucket_seconds) * bucket_seconds
+    ).alias("bucket_ts")
+    grouped = df.groupBy(bucket, *[F.col(k) for k in (keys or [])]).agg(
+        F.min_by(F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")), order_min).alias("__lo"),
+        F.max_by(F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")), order_min).alias("__hi"),
+    )
+    lo = grouped.select(
+        "bucket_ts",
+        *(keys or []),
+        F.lit("min").alias("kind"),
+        F.col("__lo.t").alias(time_col),
+        F.col("__lo.v").alias(value_col),
+    )
+    hi = grouped.select(
+        "bucket_ts",
+        *(keys or []),
+        F.lit("max").alias("kind"),
+        F.col("__hi.t").alias(time_col),
+        F.col("__hi.v").alias(value_col),
+    )
+    return lo.unionByName(hi)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: float = 3.0,
+    time_col: str = "ts",
+) -> DataFrame:
+    """Robust outlier flags via median absolute deviation: |v − median| >
+    k·1.4826·MAD per key group.  Two exact-percentile aggregations (median,
+    then MAD over the re-joined residuals) — both map-side partial, the
+    group cardinality (event types / series) bounds the state, and the
+    per-key medians broadcast back onto the fact rows.
+
+    Exact ``percentile`` (interpolated) matches DuckDB ``quantile_cont`` so
+    the oracle reproduces bit-for-bit at sf gates; at the 100 TB target the
+    drop-in is ``percentile_approx`` with a documented rank-error bound.
+    """
+    keys = keys or []
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    joined = df.join(F.broadcast(med), on=keys) if keys else df.crossJoin(
+        F.broadcast(med)
+    )
+    resid = joined.withColumn("__resid", F.abs(v - F.col("__med")))
+    mad = resid.groupBy(*keys).agg(
+        F.expr("percentile(__resid, 0.5)").alias("__mad")
+    )
+    out = resid.join(F.broadcast(mad), on=keys) if keys else resid.crossJoin(
+        F.broadcast(mad)
+    )
+    return out.withColumn(
+        "is_outlier",
+        F.col("__resid") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+    ).drop("__resid")
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    bins: int = 64,
+) -> DataFrame:
+    """Distribution-drift monitor: two-sample Kolmogorov–Smirnov statistic
+    between the early and late half of each series' time span, computed on
+    a shared fixed grid of ``bins`` value buckets.
+
+    The exact KS over raw samples needs a per-key sort of all points; the
+    binned variant is the scale form — one groupBy to (key, bin, side)
+    counts (state = keys × bins, independent of row count), a per-key
+    cumulative window over ≤``bins`` rows, and a max.  Bin-resolution error
+    is bounded by 1/bins, plenty for a drift alarm.
+
+    Time split and bin edges derive from one global min/max aggregate
+    (broadcast back, no second scan dependency chain) so every engine
+    reproduces the same buckets bit-for-bit.
+    """
+    keys = keys or []
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    span = df.agg(
+        F.min(t).alias("__tmin"),
+        F.max(t).alias("__tmax"),
+        F.min(v).alias("__vmin"),
+        F.max(v).alias("__vmax"),
+    )
+    d = df.crossJoin(F.broadcast(span))
+    is_early = t <= (F.col("__tmin") + F.col("__tmax")) / 2
+    bin_ = F.least(
+        F.floor(
+            (v - F.col("__vmin"))
+            / (F.col("__vmax") - F.col("__vmin"))
+            * bins
+        ),
+        F.lit(bins - 1),
+    ).cast("long")
+    counts = (
+        d.select(*keys, bin_.alias("__bin"), is_early.alias("__early"))
+        .groupBy(*keys, "__bin")
+        .agg(
+            F.sum(F.col("__early").cast("long")).alias("__ne"),
+            F.sum((~F.col("__early")).cast("long")).alias("__nl"),
+        )
+    )
+    wcum = Window.partitionBy(*keys).orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy(*keys)
+    cdf = counts.select(
+        *keys,
+        (F.sum("__ne").over(wcum).cast("double") / F.sum("__ne").over(wtot))
+        .alias("__ce"),
+        (F.sum("__nl").over(wcum).cast("double") / F.sum("__nl").over(wtot))
+        .alias("__cl"),
+        F.col("__ne"),
+        F.col("__nl"),
+    )
+    return cdf.groupBy(*keys).agg(
+        F.round(F.max(F.abs(F.col("__ce") - F.col("__cl"))), 6).alias("ks"),
+        F.sum("__ne").alias("n_early"),
+        F.sum("__nl").alias("n_late"),
+    )

@@ -566,3 +566,98 @@ ORACLES = {
     "prep_funnel": _prep_funnel_sql(),
     "embedding_dim_variance": _EMB_DIM_VAR_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-5: collocations by PMI, quality-weighted corpus sampling
+# ---------------------------------------------------------------------------
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerebro_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(load_table(spark, "documents", sf_dir), min_count=10)
+
+
+_BIGRAM_PMI_SQL = """
+WITH base AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+ucnt AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+),
+tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM ucnt),
+btot AS (
+  SELECT CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS nb FROM base
+),
+bcnt AS (
+  SELECT w1, w2, count(*) AS n_pairs
+  FROM (SELECT unnest(t[:-2]) AS w1, unnest(t[2:]) AS w2 FROM base)
+  GROUP BY w1, w2
+  HAVING count(*) >= 10
+)
+SELECT b.w1, b.w2, b.n_pairs, c1.cw AS c1, c2.cw AS c2,
+  round(ln((CAST(b.n_pairs AS DOUBLE) * tot.nu * tot.nu)
+           / (btot.nb * CAST(c1.cw AS DOUBLE) * CAST(c2.cw AS DOUBLE))), 6) AS pmi
+FROM bcnt b
+JOIN ucnt c1 ON b.w1 = c1.w
+JOIN ucnt c2 ON b.w2 = c2.w
+CROSS JOIN tot CROSS JOIN btot
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsample: survival probability = the
+    composite quality score, decided by doc_id hash (no RNG — retry-stable,
+    engine-reproducible)."""
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.sampling import weighted_sample
+    from cerebro_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    kept = weighted_sample(docs, "quality", "doc_id")
+    return kept.select(
+        "doc_id", "lang", "source", F.round("quality", 6).alias("quality")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from cerebro_spark.operators.text import EN_STOPWORDS
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    bucket = _hex2long_sql("md5(CAST(doc_id AS STRING))", 8) + " % 100"
+    return f"""
+WITH m AS (
+  SELECT doc_id, lang, source,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN 1.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+         THEN 1.0 * len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    t -> list_contains([{sw}], t)))
+              / len(string_split_regex(trim(lower(text)), '\\s+'))
+         ELSE 0.0 END AS stopword_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, source,
+    ((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+  FROM m
+)
+SELECT doc_id, lang, source, round(quality, 6) AS quality
+FROM q
+WHERE {bucket} < quality * 100
+"""
+
+
+QUERIES["bigram_pmi"] = q_bigram_pmi
+ORACLES["bigram_pmi"] = _BIGRAM_PMI_SQL
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = _weighted_sample_sql()

@@ -868,3 +868,175 @@ FROM ctx
 
 QUERIES["interpolate_linear"] = q_interpolate
 ORACLES["interpolate_linear"] = _INTERPOLATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# round-5 TSDB verbs: OHLC, time-weighted average, min/max downsample,
+# MAD outliers, KS drift
+# ---------------------------------------------------------------------------
+
+def q_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick downsample (reference delegates this to Flux
+    first()/last()/min()/max(); cerebro/client.py:57-91 builds the range —
+    here it's one native groupBy)."""
+    from cerebro_spark.operators.tsdb import ohlc
+
+    ev = load_table(spark, "events", sf_dir)
+    return ohlc(
+        ev, _BUCKET, "value", "ts", keys=["event_type"], tiebreak=["event_id"]
+    )
+
+
+_OHLC_SQL = f"""
+SELECT
+  make_timestamp(CAST(floor(epoch(ts) / {_BUCKET}) * {_BUCKET} AS BIGINT) * 1000000) AS bucket_ts,
+  event_type,
+  (min(struct_pack(t := ts, id := event_id, v := value))).v AS open,
+  max(value) AS high,
+  min(value) AS low,
+  (max(struct_pack(t := ts, id := event_id, v := value))).v AS close,
+  count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_twa_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerebro_spark.operators.tsdb import time_weighted_avg
+
+    ev = load_table(spark, "events", sf_dir)
+    out = time_weighted_avg(
+        ev, _BUCKET, "value", "ts", keys=["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "bucket_ts", "event_type", F.round("twa", 4).alias("twa"), "n"
+    )
+
+
+_TWA_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+    floor(epoch(ts) / {_BUCKET}) * {_BUCKET} AS bkt,
+    value AS v,
+    lead(epoch(ts)) OVER (
+      PARTITION BY event_type, floor(epoch(ts) / {_BUCKET}) * {_BUCKET}
+      ORDER BY epoch(ts), event_id
+    ) - epoch(ts) AS hold
+  FROM events
+)
+SELECT make_timestamp(CAST(bkt AS BIGINT) * 1000000) AS bucket_ts, event_type,
+  round(CASE WHEN sum(hold) > 0 THEN sum(v * hold) / sum(hold)
+             ELSE avg(v) END, 4) AS twa,
+  count(*) AS n
+FROM h GROUP BY bkt, event_type
+"""
+
+
+def q_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerebro_spark.operators.tsdb import minmax_downsample
+
+    ev = load_table(spark, "events", sf_dir)
+    return minmax_downsample(
+        ev, _BUCKET, "value", "ts", keys=["event_type"], tiebreak=["event_id"]
+    )
+
+
+_MINMAX_SQL = f"""
+WITH g AS (
+  SELECT event_type,
+    make_timestamp(CAST(floor(epoch(ts) / {_BUCKET}) * {_BUCKET} AS BIGINT) * 1000000) AS bucket_ts,
+    min(struct_pack(v := value, t := ts, id := event_id)) AS lo,
+    max(struct_pack(v := value, t := ts, id := event_id)) AS hi
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_ts, event_type, 'min' AS kind, lo.t AS ts, lo.v AS value FROM g
+UNION ALL
+SELECT bucket_ts, event_type, 'max' AS kind, hi.t AS ts, hi.v AS value FROM g
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerebro_spark.operators.tsdb import mad_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    out = mad_outliers(ev, "value", keys=["event_type"], k=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("__med", 6).alias("med"),
+        F.round("__mad", 6).alias("mad"),
+        "is_outlier",
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+resid AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS r
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(r, 0.5) AS mad FROM resid GROUP BY 1
+)
+SELECT r.event_id, r.event_type, r.value,
+  round(r.med, 6) AS med, round(d.mad, 6) AS mad,
+  r.r > 3.0 * 1.4826 * d.mad AS is_outlier
+FROM resid r JOIN mad d USING (event_type)
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerebro_spark.operators.tsdb import ks_drift
+
+    ev = load_table(spark, "events", sf_dir)
+    return ks_drift(ev, "value", "ts", keys=["event_type"], bins=64)
+
+
+_KS_SQL = """
+WITH span AS (
+  SELECT min(epoch(ts)) AS tmin, max(epoch(ts)) AS tmax,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+binned AS (
+  SELECT e.event_type,
+    CAST(least(floor((e.value - s.vmin) / (s.vmax - s.vmin) * 64), 63) AS BIGINT) AS bin,
+    epoch(e.ts) <= (s.tmin + s.tmax) / 2 AS early
+  FROM events e, span s
+),
+counts AS (
+  SELECT event_type, bin,
+    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+    CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS nl
+  FROM binned GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, ne, nl,
+    CAST(sum(ne) OVER wc AS DOUBLE) / sum(ne) OVER wt AS ce,
+    CAST(sum(nl) OVER wc AS DOUBLE) / sum(nl) OVER wt AS cl
+  FROM counts
+  WINDOW
+    wc AS (PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wt AS (PARTITION BY event_type)
+)
+SELECT event_type, round(max(abs(ce - cl)), 6) AS ks,
+  CAST(sum(ne) AS BIGINT) AS n_early, CAST(sum(nl) AS BIGINT) AS n_late
+FROM cdf GROUP BY event_type
+"""
+
+
+QUERIES["ohlc_6h"] = q_ohlc_6h
+ORACLES["ohlc_6h"] = _OHLC_SQL
+QUERIES["twa_6h"] = q_twa_6h
+ORACLES["twa_6h"] = _TWA_SQL
+QUERIES["minmax_downsample"] = q_minmax_downsample
+ORACLES["minmax_downsample"] = _MINMAX_SQL
+QUERIES["mad_outliers"] = q_mad_outliers
+ORACLES["mad_outliers"] = _MAD_SQL
+QUERIES["ks_drift"] = q_ks_drift
+ORACLES["ks_drift"] = _KS_SQL

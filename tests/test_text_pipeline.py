@@ -142,3 +142,33 @@ def test_duplicated_span_profile_catches_shifted_copy(spark):
     # covered tokens = the 20-token shared run
     assert abs(out[1]["dup_token_frac"] - 20 / 40) < 1e-9
     assert out[3]["n_dup_windows"] == 0 and out[3]["dup_token_frac"] == 0.0
+
+
+def test_bigram_pmi_collocation_ranks_high(spark):
+    from cerebro_spark.operators.text import bigram_pmi
+
+    # "new york" always adjacent; "the of" never adjacent → PMI(new,york) high
+    docs = spark.createDataFrame(
+        [(i, "the new york of cats and the dogs of new york") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = {(r["w1"], r["w2"]): r["pmi"] for r in bigram_pmi(docs, min_count=5).collect()}
+    assert ("new", "york") in out
+    assert out[("new", "york")] > 0
+    assert ("the", "of") not in out  # never adjacent → no pair row
+
+
+def test_weighted_sample_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.sampling import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id"), F.lit(0.0).alias("w0"), F.lit(1.0).alias("w1")
+    )
+    assert weighted_sample(df, "w0", "id").count() == 0
+    assert weighted_sample(df, "w1", "id").count() == 500
+    half = weighted_sample(
+        df.withColumn("wh", F.lit(0.5)), "wh", "id"
+    ).count()
+    assert 200 < half < 300  # hash-uniform ≈ 50%

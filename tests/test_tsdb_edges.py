@@ -224,3 +224,79 @@ def test_approx_percentiles_within_rank_bands(spark, sf_dir):
         assert r["p50_in_band"] == (b["lo50"] <= b["p50a"] <= b["hi50"]), day
         assert r["p95_in_band"] == (b["lo95"] <= b["p95a"] <= b["hi95"]), day
         assert r["p50_in_band"] and r["p95_in_band"], (day, dict(r.asDict()))
+
+
+# ---------------------------------------------------------------------------
+# round-5 verbs: ohlc / twa / minmax downsample / MAD / KS drift
+# ---------------------------------------------------------------------------
+
+def test_ohlc_dup_ts_deterministic(spark):
+    from cerebro_spark.operators.tsdb import ohlc
+
+    # two rows share the opening timestamp — tiebreak id decides open
+    df = spark.createDataFrame(
+        [(1, _t(0), 5.0), (2, _t(0), 7.0), (3, _t(30), 1.0), (4, _t(50), 9.0)],
+        ["id", "ts", "v"],
+    )
+    row = ohlc(df, 3600, "v", "ts", tiebreak=["id"]).collect()[0]
+    assert row["open"] == 5.0      # id=1 wins the t=0 tie
+    assert row["high"] == 9.0
+    assert row["low"] == 1.0
+    assert row["close"] == 9.0
+    assert row["n"] == 4
+
+
+def test_time_weighted_avg_hold_semantics(spark):
+    from cerebro_spark.operators.tsdb import time_weighted_avg
+
+    # v=10 held 30 s, v=20 held 10 s, last sample weightless:
+    # TWA = (10*30 + 20*10) / 40 = 12.5 (NOT the plain mean 20)
+    df = spark.createDataFrame(
+        [(1, _t(0), 10.0), (2, _t(30), 20.0), (3, _t(40), 50.0)],
+        ["id", "ts", "v"],
+    )
+    row = time_weighted_avg(df, 3600, "v", "ts", tiebreak=["id"]).collect()[0]
+    assert row["twa"] == 12.5
+    # single-sample bucket degrades to the mean
+    one = spark.createDataFrame([(1, _t(0), 42.0)], ["id", "ts", "v"])
+    assert time_weighted_avg(one, 3600, "v", "ts").collect()[0]["twa"] == 42.0
+
+
+def test_minmax_downsample_keeps_spike(spark):
+    from cerebro_spark.operators.tsdb import minmax_downsample
+
+    df = spark.createDataFrame(
+        [(1, _t(0), 5.0), (2, _t(10), 99.0), (3, _t(20), 5.0)],
+        ["id", "ts", "v"],
+    )
+    out = minmax_downsample(df, 3600, "v", "ts", tiebreak=["id"]).collect()
+    by_kind = {r["kind"]: r for r in out}
+    assert by_kind["max"]["v"] == 99.0 and by_kind["max"]["ts"] == _t(10)
+    assert by_kind["min"]["v"] == 5.0 and by_kind["min"]["ts"] == _t(0)  # tie → earliest
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from cerebro_spark.operators.tsdb import mad_outliers
+
+    rows = [(i, _t(i), float(i % 7)) for i in range(50)] + [(99, _t(99), 1e6)]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "v").collect()}
+    assert out[99] is True
+    assert sum(bool(v) for v in out.values()) == 1
+
+
+def test_ks_drift_detects_shift(spark):
+    from cerebro_spark.operators.tsdb import ks_drift
+
+    # first half ~ U[0,1), second half ~ U[5,6): KS should be ~1
+    rows = [(i, _t(i), (i % 10) / 10.0) for i in range(100)] + [
+        (i, _t(i), 5.0 + (i % 10) / 10.0) for i in range(100, 200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    ks = ks_drift(df, "v", "ts", keys=[]).collect()[0]["ks"]
+    assert ks > 0.99
+    # identical halves → KS 0
+    same = spark.createDataFrame(
+        [(i, _t(i), (i % 10) / 10.0) for i in range(200)], ["id", "ts", "v"]
+    )
+    assert ks_drift(same, "v", "ts", keys=[]).collect()[0]["ks"] < 0.06

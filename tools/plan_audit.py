@@ -77,6 +77,12 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # the exact aggregates (round-4 merge-path gates)
     "merged_quantiles_check",
     "merged_distinct_check",
+    # 1-row scalar broadcasts: corpus token/bigram totals (Nu, Nb)
+    # crossJoined onto the distinct-bigram frame
+    "bigram_pmi",
+    # 1-row scalar broadcast: the global (tmin,tmax,vmin,vmax) span row
+    # crossJoined onto the fact scan to derive shared bins
+    "ks_drift",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
