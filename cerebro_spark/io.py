@@ -244,3 +244,87 @@ def store_health(spark: SparkSession, path: str) -> DataFrame:
             (F.col("n_files") > 4) & (F.col("avg_file_bytes") < 8 * 1024 * 1024),
         )
     )
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> DataFrame:
+    """Append a ``__z`` column: the Morton (Z-order) interleave of each
+    column's quantized rank — the multi-dimensional clustering key behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+    Linear sort makes parquet min/max row-group stats selective for the
+    leading key ONLY; sorting by the interleaved key makes them selective
+    for EVERY clustered column at once (each z-contiguous run spans a small
+    hyper-rectangle of the value space), so filter pushdown skips row
+    groups on any of the clustered dimensions.
+
+    Quantization is by RANK, not by linear min/max: bin boundaries are
+    2^bits approximate quantiles per column (one bounded ``approxQuantile``
+    driver action), so skewed distributions — the 100 TB norm — still fill
+    the bins evenly and every z-run holds a comparable row count.  The bin
+    lookup (count of boundaries ≤ v) and the interleave are pure shift/mask
+    column expressions — whole-stage-codegen, no UDF.
+    """
+    n_bins = 1 << bits
+    quantized = []
+    probs = [i / n_bins for i in range(1, n_bins)]
+    for c in cols:
+        bnds = df.stat.approxQuantile(c, probs, 0.001)
+        # strictly increasing boundary list; duplicates (low-cardinality or
+        # heavy-hitter columns) collapse into one boundary
+        uniq: list[float] = []
+        for b in bnds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        if not uniq:
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        arr = F.array(*[F.lit(float(b)) for b in uniq])
+        v = F.col(c).cast("double")
+        cnt = F.size(F.filter(arr, lambda b: b <= v)).cast("long")
+        # spread the column's rank levels across the FULL bit width: a
+        # low-cardinality column (few distinct boundaries) must still
+        # populate the high z-bits, or the interleave degenerates into a
+        # linear sort on whichever column has the most levels
+        scale = n_bins / (len(uniq) + 1)
+        q = F.floor(cnt.cast("double") * F.lit(scale)).cast("long")
+        quantized.append(F.least(q, F.lit(n_bins - 1)))
+    stride = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                    b * stride + i,
+                )
+            )
+    return df.withColumn("__z", z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    target_files: int = 32,
+    bits: int = 8,
+) -> None:
+    """Rewrite ``df`` as ``target_files`` parquet files clustered on the
+    Z-order of ``cols``: range-partition by ``__z`` (contiguous z-runs per
+    file → tight per-file min/max on every clustered column), sort within
+    each file, drop the helper column at write.
+
+    At 100 TB this is the periodic maintenance job that turns an
+    append-ordered fact table into a scan-efficient one — the measured
+    effect (file-level stats pruning on BOTH clustered columns) is
+    asserted in tests/test_zorder.py from the parquet footers themselves.
+    """
+    z = zorder_value(df, cols, bits)
+    (
+        z.repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,76 @@
+"""Z-order clustering: file-stat pruning must become selective on BOTH
+clustered columns (vs a linear sort, which only helps its leading key).
+
+Asserted from the parquet footers (min/max per file) — deterministic, no
+timing: a scan with a narrow predicate can skip every file whose stat range
+misses the predicate, so "files overlapping a slice" IS the I/O cost model."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table, write_zordered
+
+
+def _overlap_fraction(path: str, col: str, lo: float, hi: float) -> float:
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert files
+    hit = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(col)
+        fmin = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        fmax = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        if fmax >= lo and fmin <= hi:
+            hit += 1
+    return hit / len(files)
+
+
+def test_zorder_prunes_on_both_dims(spark, sf_dir, tmp_path):
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    write_zordered(ev, zpath, ["user_id", "value"], target_files=16)
+    # linear layout: range-sorted by user_id only (the append-order strawman)
+    (
+        ev.repartitionByRange(16, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    stats = ev.agg(
+        F.min("value"), F.max("value"), F.min("user_id"), F.max("user_id")
+    ).first()
+    vmin, vmax, umin, umax = stats
+    v_slice = (vmin, vmin + (vmax - vmin) * 0.05)
+    u_slice = (umin, umin + (umax - umin) * 0.05)
+
+    # value predicate: linear-by-user layout can't skip anything (~100%),
+    # z-order skips most files
+    z_v = _overlap_fraction(zpath, "value", *v_slice)
+    l_v = _overlap_fraction(lpath, "value", *v_slice)
+    assert l_v > 0.9
+    assert z_v < 0.5
+    assert z_v < l_v / 2
+
+    # user predicate: z-order stays selective too (the point of interleaving
+    # — no dimension monopolizes the sort)
+    z_u = _overlap_fraction(zpath, "user_id", *u_slice)
+    assert z_u < 0.5
+
+    # row fidelity: clustering is a rewrite, not a transformation
+    assert spark.read.parquet(zpath).count() == ev.count()
+    total = (
+        spark.read.parquet(zpath).agg(F.sum("event_id")).first()[0]
+    )
+    assert total == ev.agg(F.sum("event_id")).first()[0]
