@@ -66,6 +66,12 @@ HEADLINE = [
     "winnow_overlap",
     "profit_by_nation_year",
     "cohort_retention",
+    # round-5 additions
+    "ohlc_6h",
+    "twa_6h",
+    "mad_outliers",
+    "ks_drift",
+    "bigram_pmi",
 ]
 
 

@@ -973,3 +973,47 @@ ORACLES = {
     "dominant_suppliers": _DOMINANT_SUPPLIERS_SQL,
     "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
 }
+
+
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per order priority: daily e2 fixed-point
+    totals first (shrinks the window input from order-grain to
+    day×priority-grain), then an integer RANGE frame over the day index —
+    gap-correct (missing days don't stretch the window) and partitioned by
+    priority, so no global sort at any scale."""
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.floor(F.col("o_orderdate").cast("long") / 86400).alias("day")
+    rev_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = orders.groupBy(day, "o_orderpriority").agg(
+        F.sum(rev_e2).alias("rev_e2")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        F.col("rev_e2"),
+        F.sum("rev_e2").over(w).alias("rolling_rev_e2"),
+    )
+
+
+_ROLLING_REVENUE_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+    o_orderpriority,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, rev_e2,
+  CAST(sum(rev_e2) OVER (
+    PARTITION BY o_orderpriority ORDER BY day
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS rolling_rev_e2
+FROM daily
+"""
+
+QUERIES["rolling_revenue_7d"] = q_rolling_revenue_7d
+ORACLES["rolling_revenue_7d"] = _ROLLING_REVENUE_SQL

@@ -661,3 +661,105 @@ QUERIES["bigram_pmi"] = q_bigram_pmi
 ORACLES["bigram_pmi"] = _BIGRAM_PMI_SQL
 QUERIES["weighted_sample"] = q_weighted_sample
 ORACLES["weighted_sample"] = _weighted_sample_sql()
+
+
+def q_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per document source — the
+    corpus-diversity diagnostic (low entropy = templated/repetitive source).
+    One explode+groupBy to (source, token) counts, per-source totals
+    broadcast back, then -Σ p·ln p.  State is source × vocab, not tokens."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_tokens", "vocab")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+_ENTROPY_SQL = """
+WITH cnt AS (
+  SELECT source, w, count(*) AS c
+  FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS vocab
+  FROM cnt GROUP BY 1
+)
+SELECT cnt.source, n_tokens, vocab,
+  round(-sum((CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens)), 6) AS entropy
+FROM cnt JOIN tot USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label mean embeddings — the label-space
+    confusion map (near-1 pairs are candidates for merging).  Works in the
+    per-dimension long form throughout: centroid frames join on the dim key
+    (labels² × dims rows, constant in corpus size), no array reassembly."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    cen = ex.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    a = cen.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    j = a.join(b, "dim").filter(F.col("label_a") < F.col("label_b"))
+    return (
+        j.groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("__dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("__na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("__nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("__dot") / F.sqrt(F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+_CENTROID_SIM_SQL = """
+WITH ex AS (
+  SELECT label, CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+cen AS (SELECT label, dim, avg(x) AS m FROM ex GROUP BY 1, 2)
+SELECT a.label AS label_a, b.label AS label_b,
+  round(sum(a.m * b.m) / sqrt(sum(a.m * a.m) * sum(b.m * b.m)), 6) AS cosine
+FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+
+QUERIES["entropy_per_source"] = q_entropy_per_source
+ORACLES["entropy_per_source"] = _ENTROPY_SQL
+QUERIES["centroid_similarity"] = q_centroid_similarity
+ORACLES["centroid_similarity"] = _CENTROID_SIM_SQL

@@ -220,3 +220,41 @@ def streaming_deadband(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ohlc(
+    points: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Continuous OHLC rollup of the point stream — the streaming twin of
+    ``operators.tsdb.ohlc``: per (window, measurement) open/high/low/close
+    of the ``value`` field, with open/close picked by event time via
+    ``min_by``/``max_by`` (map-side-combinable, so the state per window is
+    four scalars, not a buffer of rows).
+
+    Watermark closes windows for append-mode emission; late rows beyond the
+    watermark are dropped by the engine — same contract as the downsample.
+    """
+    v = F.element_at(F.col("fields"), "value")
+    return (
+        points.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), "measurement")
+        .agg(
+            F.min_by(v, F.col(time_col)).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, F.col(time_col)).alias("close"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "measurement",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_points",
+        )
+    )

@@ -241,3 +241,31 @@ def test_streaming_deadband_emits_on_threshold_cross(spark, tmp_path):
         (r["user_id"], r["value"]) for r in spark.read.parquet(out_dir).collect()
     )
     assert got == [(1, 10.0), (1, 12.0), (2, 5.0)]
+
+
+def test_streaming_ohlc(spark, tmp_path):
+    from cerebro_spark.streaming.stateful import streaming_ohlc
+
+    src = str(tmp_path / "ohlc_in")
+    _points(spark).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(src)
+    agg = streaming_ohlc(stream, window="1 hour", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ohlc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ohlc").collect()
+    assert out, "watermark-closed windows must emit"
+    for r in out:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+    # first temperature window opens with the t=0 point (value 0.0)
+    first = min(
+        (r for r in out if r["measurement"] == "temperature"),
+        key=lambda r: r["window_start"],
+    )
+    assert first["open"] == 0.0
