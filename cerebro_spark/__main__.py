@@ -19,10 +19,11 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cerebro-spark")
-    p.add_argument("command", choices=["start", "status", "metrics", "sql"])
+    p.add_argument("command", choices=["start", "status", "metrics", "sql", "explain"])
     p.add_argument("--config", default=None, help="YAML/JSON config path")
     p.add_argument("--sf-dir", default=None, help="testdata dir for `sql`")
     p.add_argument("--query", default=None, help="SQL text for `sql`")
+    p.add_argument("--name", default=None, help="registered query name for `explain`")
     p.add_argument("--limit", type=int, default=20, help="`sql` print row cap")
     p.add_argument("--store", default=None, help="point-store output path")
     p.add_argument("--checkpoint", default=None)
@@ -38,6 +39,33 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     from cerebro_spark.session import get_spark
+
+    if args.command == "explain":
+        # plan transparency surface: the formatted physical plan of any
+        # registered query plus the 100 TB anti-pattern audit verdict — the
+        # same checks tests/test_plan_shapes.py gates on, exposed for ad-hoc
+        # "is my filter pushed down?" inspection.
+        import __spark_entry__ as entry
+        from cerebro_spark.io import DEFAULT_SF_DIR
+        from tools.plan_audit import audit_plan
+
+        qs = entry.queries()
+        if not args.name or args.name not in qs:
+            p.error(
+                "explain requires --name, one of: " + ", ".join(sorted(qs))
+            )
+        spark = get_spark("cerebro-spark-explain")
+        df = qs[args.name](spark, args.sf_dir or DEFAULT_SF_DIR)
+        df.explain("formatted")
+        problems = audit_plan(
+            args.name, df._jdf.queryExecution().executedPlan().toString()
+        )
+        if problems:
+            print(f"AUDIT: WEAK — {problems}")
+            return 1
+        print("AUDIT: clean (no single-partition windows, undocumented "
+              "nested-loop joins, or Python in the plan)")
+        return 0
 
     if args.command == "sql":
         from cerebro_spark.io import DEFAULT_SF_DIR, register_views

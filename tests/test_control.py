@@ -105,3 +105,37 @@ def test_sql_cli_command(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "|5" in out.stdout.replace(" ", "") or "| 5" in out.stdout
+
+
+def test_explain_cli_command(tmp_path):
+    """`python -m cerebro_spark explain --name <query>` prints the formatted
+    plan and the plan-audit verdict (subprocess, any cwd)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "cerebro_spark", "explain",
+            "--name", "pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Physical Plan" in out.stdout
+    assert "AUDIT: clean" in out.stdout
+    # unknown names list the registry instead of stack-tracing
+    bad = subprocess.run(
+        [sys.executable, "-m", "cerebro_spark", "explain", "--name", "nope"],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        timeout=300,
+    )
+    assert bad.returncode != 0
+    assert "weather_chain" in bad.stderr
