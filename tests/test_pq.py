@@ -1,0 +1,80 @@
+"""Product quantization: determinism, packing round-trip, reconstruction
+error, and search recall on the compressed corpus.
+
+Recall context: the synthetic embeddings are near-uniform (no cluster
+structure), the hardest case for PQ — cosine gaps between true and false
+neighbors are tiny, so quantization noise flips ranks easily.  Measured
+recall@5 at sf0.001: 0.16 (m=8,k=16) → 0.36 (k=64) → 0.44 (k=128); the
+floors below leave ~2× headroom.  On real embedding corpora (which cluster)
+PQ recall is far higher at the same code budget."""
+
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_pq,
+    pq_decode,
+    pq_encode,
+    train_pq_codebooks,
+)
+
+
+def test_pq_train_deterministic(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b1 = train_pq_codebooks(emb, dim=64, m=8, k=16, iters=2)
+    b2 = train_pq_codebooks(emb, dim=64, m=8, k=16, iters=2)
+    assert b1 == b2
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+
+
+def test_pq_encode_pack_roundtrip(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(emb, dim=64, m=8, k=16, iters=2)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+        unpacked = [(r["packed"] >> (j * 4)) & 0xF for j in range(8)]
+        assert unpacked == list(r["codes"])
+
+
+def test_pq_reconstruction_beats_mean_baseline(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(emb, dim=64, m=8, k=16)
+    codes = pq_encode(emb, books)
+    dec = pq_decode(codes, books, out_col="rv").join(emb, "vec_id")
+    se = F.aggregate(
+        F.zip_with(
+            F.col("rv"),
+            F.col("embedding").cast("array<double>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mse = dec.agg(F.avg(se)).first()[0]
+    # 1-centroid baseline (encode everything as the mean vector) would leave
+    # the full per-vector variance ≈ 1.0 on these ~unit-variance embeddings;
+    # measured PQ error is ≈ 0.54 — assert with headroom
+    assert 0 < mse < 0.75
+
+
+def test_pq_search_recall(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.orderBy("vec_id").limit(20)
+    brute = cosine_topk_bruteforce(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    books = train_pq_codebooks(emb, dim=64, m=8, k=128)
+    codes = pq_encode(emb, books)
+    pq = cosine_topk_pq(codes, qs, books, k=5)
+    hits = (
+        pq.select("query_id", "neighbor_id")
+        .join(brute, ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert hits / 100 >= 0.25  # measured 0.44; uniform-data hard case
+    # result shape contract
+    assert pq.columns == ["query_id", "neighbor_id", "cosine", "rank"]

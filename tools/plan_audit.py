@@ -38,6 +38,7 @@ ARROW_ALLOWED = {
     "frame_sample",
     "semantic_dedup",
     "ann_cosine_ivf",
+    "pq_recall",
 }
 
 #: queries where a broadcast nested-loop join is the intended plan; every
@@ -64,8 +65,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row × 1-row crossJoin of the two window-union theta sketches
     "user_retention",
     # 1-row scalar broadcast: the total-hit count crossJoined onto the
-    # 20-row per-query recall frame (round-4 recall-encoded gate)
+    # 20-row per-query recall frame (round-4/5 recall-encoded gates)
     "ann_cosine_ivf",
+    "pq_recall",
     # 1-row scalar broadcast: the 9 decile boundaries crossJoined onto the
     # corpus scan (the alternative — a global NTILE window — is the real
     # scale anti-pattern this query avoids)
