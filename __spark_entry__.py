@@ -530,14 +530,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The per-round correctness snapshot has covered exactly 50 queries per round
 # (CORRECTNESS_r01 == CORRECTNESS_r02 key set == the first 50 registered at the
-# round-1 snapshot; no r03 snapshot was recorded).  Rotate queries that have
-# never had a hard-gate row to the FRONT of the registry so they get
-# driver-checked this round; the previously-green remainder keeps local-oracle
-# coverage via tools/check.py.
-# ROUND-5 NOTE: after the r04 snapshot lands, diff its key set against this
+# round-1 snapshot).  Rotate queries that have never had a hard-gate row to the
+# FRONT of the registry so they get driver-checked this round; the
+# previously-green remainder keeps local-oracle coverage via tools/check.py.
+# NEXT-ROUND NOTE: after the r03 snapshot lands, diff its key set against this
 # list and rotate the still-ungated remainder to the front — expected: the
-# round-2 entries below the 50-line (zscore_outliers onward) plus every round-4
-# query in the tail block.
+# entries below the 50-line (repetition_profile onward), the round-4 tail
+# block, and the round-5 tail block.
 _SNAPSHOT_PRIORITY = [
     # round-3 additions (never had any gate row)
     "chunk_dedup",
@@ -632,6 +631,19 @@ _SNAPSHOT_PRIORITY = [
     "merged_quantiles_check",
     "merged_distinct_check",
     "min_cost_supplier",
+    # round-5 NEW queries (this session's additions; ungated like everything
+    # above, queue at the back of the rotation)
+    "ohlc_6h",
+    "twa_6h",
+    "minmax_downsample",
+    "mad_outliers",
+    "ks_drift",
+    "bigram_pmi",
+    "weighted_sample",
+    "rolling_revenue_7d",
+    "entropy_per_source",
+    "centroid_similarity",
+    "pq_recall",
 ]
 
 
