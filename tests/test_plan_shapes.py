@@ -67,3 +67,42 @@ def test_all_registered_queries_pass_plan_audit(spark, sf_dir):
         if problems:
             bad[name] = problems
     assert not bad, bad
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Selective-dim joins get a runtime BLOOM FILTER on the fact scan —
+    rows whose key can't match are dropped BEFORE the shuffle.  In
+    production the trigger is the application-side scan exceeding
+    `...applicationSideScanSizeThreshold` (default 10 GB — every 100 TB
+    fact table qualifies); the sf0.01 fixture sits under it, so this test
+    pins the threshold at 0 to exercise the same injection path and
+    asserts the engine still plans it."""
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ),
+    }
+    try:
+        from cerebro_spark.io import load_table
+
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir)
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
