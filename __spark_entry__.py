@@ -644,6 +644,7 @@ _SNAPSHOT_PRIORITY = [
     "entropy_per_source",
     "centroid_similarity",
     "pq_recall",
+    "key_skew_report",
 ]
 
 

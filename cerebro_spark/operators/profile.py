@@ -42,3 +42,40 @@ def data_profile(
     for name in distinct_cols or []:
         aggs.append(F.count_distinct(F.col(name)).alias(f"{name}_distinct"))
     return df.agg(*aggs)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: the top heavy hitters of ``key_col``
+    with their row share, plus global context (key count, total rows,
+    median per-key count) on every row — the before-you-join check that
+    tells you whether this key needs salting / AQE skew handling.
+
+    Plan: one per-key count aggregate (map-side combine), one bounded
+    top-k (TakeOrderedAndProject via ``top_k_ranked``), two 1-row global
+    aggregates broadcast on.  Nothing scales with distinct-key count
+    except the count shuffle itself.
+    """
+    from cerebro_spark.operators.util import top_k_ranked
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("__p50"),
+    )
+    hitters = top_k_ranked(counts, [("cnt", "desc"), ("key", "asc")], k=top)
+    return hitters.crossJoin(F.broadcast(glob)).select(
+        "rank",
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+        F.round(F.col("cnt") / F.col("__p50"), 2).alias("x_median"),
+        "n_keys",
+        "total_rows",
+    )

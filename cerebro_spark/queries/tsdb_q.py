@@ -719,21 +719,43 @@ WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
 
 def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal profile: avg/count of value by (event_type, hour-of-day) —
-    the Grafana-style daily-shape panel; one partial-agg shuffle."""
+    the Grafana-style daily-shape panel; one partial-agg shuffle.
+
+    Average via e2 fixed-point sums (value is exact at 2 decimals), NO
+    rounding: round(avg(double)) hit .00005 boundaries where the engines'
+    summation orders (and then their round() implementations — Spark
+    BigDecimal HALF_UP vs DuckDB double multiply-round) disagreed.  With an
+    order-independent BIGINT sum, the division chain s/100.0/n is the same
+    IEEE operations on both engines → bit-identical doubles, nothing to
+    round.
+    """
     ev = load_table(spark, "events", sf_dir)
+    v_e2 = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy("event_type", F.hour("ts").alias("hod"))
         .agg(
-            F.round(F.avg("value"), 4).alias("value_avg"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(v_e2).alias("__s"), F.count(F.lit(1)).alias("n")
+        )
+        .select(
+            "event_type",
+            "hod",
+            (F.col("__s").cast("double") / 100.0 / F.col("n")).alias(
+                "value_avg"
+            ),
+            "n",
         )
     )
 
 
 _HOURLY_SEASONALITY_SQL = """
-SELECT event_type, CAST(hour(ts) AS INT) AS hod,
-  round(avg(value), 4) AS value_avg, count(*) AS n
-FROM events GROUP BY 1, 2
+SELECT event_type, hod,
+  CAST(s AS DOUBLE) / 100.0 / n AS value_avg, n
+FROM (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+    count(*) AS n
+  FROM events GROUP BY 1, 2
+)
 """
 
 
@@ -1040,3 +1062,38 @@ QUERIES["mad_outliers"] = q_mad_outliers
 ORACLES["mad_outliers"] = _MAD_SQL
 QUERIES["ks_drift"] = q_ks_drift
 ORACLES["ks_drift"] = _KS_SQL
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops diagnostics: heavy-hitter report for the events user_id key
+    (the pre-join skew check — decides salting / AQE skew handling)."""
+    from cerebro_spark.operators.profile import key_skew_report
+
+    ev = load_table(spark, "events", sf_dir)
+    return key_skew_report(ev, "user_id", top=10)
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+         quantile_cont(cnt, 0.5) AS p50
+  FROM counts
+),
+top AS (
+  SELECT key, cnt,
+    CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT) AS rank
+  FROM counts ORDER BY cnt DESC, key ASC LIMIT 10
+)
+SELECT rank, key, cnt,
+  round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+  round(CAST(cnt AS DOUBLE) / p50, 2) AS x_median,
+  n_keys, total_rows
+FROM top, stats
+"""
+
+QUERIES["key_skew_report"] = q_key_skew_report
+ORACLES["key_skew_report"] = _KEY_SKEW_SQL

@@ -85,6 +85,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the global (tmin,tmax,vmin,vmax) span row
     # crossJoined onto the fact scan to derive shared bins
     "ks_drift",
+    # 1-row scalar broadcast: (n_keys, total_rows, p50) context crossJoined
+    # onto the ≤top-k heavy-hitter frame
+    "key_skew_report",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
