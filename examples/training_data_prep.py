@@ -28,12 +28,18 @@ from cerebro_spark.operators.dedup import (
     minhash_lsh_pairs,
     winnow_overlap_pairs,
 )
-from cerebro_spark.operators.profile import data_profile
+from cerebro_spark.operators.profile import data_profile, key_skew_report
+from cerebro_spark.operators.similarity import (
+    cosine_topk_pq,
+    pq_encode,
+    train_pq_codebooks,
+)
 from cerebro_spark.operators.sampling import (
     chunk_documents,
     train_val_test_split,
 )
 from cerebro_spark.operators.text import quality_score
+from cerebro_spark.operators.sampling import weighted_sample
 from cerebro_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -85,6 +91,30 @@ def main() -> None:
     )
     print(f"winnow overlaps:   {overlaps.count()}")
     print(f"profile: n_rows={profile['n_rows']} text_nulls={profile['text_nulls']}")
+
+    # 9. quality-weighted thinning of the train split (survival probability =
+    # quality score, hash-decided — retry-stable, no RNG)
+    # (over the RAW corpus — the train split already passed the hard quality
+    # gate, so its weights are all 1.0; the soft gate is the alternative)
+    weighted = weighted_sample(
+        docs.withColumn("q", quality_score(F.col("text"))), "q", "doc_id"
+    )
+    print(f"quality-weighted:  {weighted.count()} of {n_raw} raw docs")
+
+    # 10. skew check before any doc_id-keyed join downstream
+    skew = key_skew_report(
+        chunks.select("doc_id"), "doc_id", top=3
+    ).collect()
+    print(f"chunk skew top-3:  {[(r['key'], r['cnt']) for r in skew]}")
+
+    # 11. compress the companion embeddings with product quantization and
+    # verify the compressed corpus still answers top-k
+    emb = load_table(spark, "embeddings", SF_DIR)
+    books = train_pq_codebooks(emb, dim=64, m=8, k=64)
+    codes = pq_encode(emb, books)
+    topk = cosine_topk_pq(codes, emb.orderBy("vec_id").limit(5), books, k=3)
+    print(f"pq codes:          {codes.count()} vectors -> packed int64")
+    print(f"pq top-k sample:   {topk.count()} rows")
 
 
 if __name__ == "__main__":
