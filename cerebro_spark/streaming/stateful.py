@@ -258,3 +258,38 @@ def streaming_ohlc(
             "n_points",
         )
     )
+
+
+def streaming_percentiles(
+    points: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    time_col: str = "time",
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Continuous windowed percentiles of the ``value`` field — the
+    streaming twin of ``percentiles_daily``'s sketch path: per (window,
+    measurement) p50/p95/p99 via ``percentile_approx`` (Greenwald-Khanna
+    summaries — MERGEABLE, so window state is one bounded sketch per
+    group, never a value buffer; exact percentiles would have to hold
+    every row in state).
+    """
+    v = F.element_at(F.col("fields"), "value")
+    return (
+        points.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), "measurement")
+        .agg(
+            F.percentile_approx(v, 0.5, accuracy).alias("p50"),
+            F.percentile_approx(v, 0.95, accuracy).alias("p95"),
+            F.percentile_approx(v, 0.99, accuracy).alias("p99"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "measurement",
+            "p50",
+            "p95",
+            "p99",
+            "n_points",
+        )
+    )

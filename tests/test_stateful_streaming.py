@@ -269,3 +269,25 @@ def test_streaming_ohlc(spark, tmp_path):
         key=lambda r: r["window_start"],
     )
     assert first["open"] == 0.0
+
+
+def test_streaming_percentiles(spark, tmp_path):
+    from cerebro_spark.streaming.stateful import streaming_percentiles
+
+    src = str(tmp_path / "pct_in")
+    _points(spark).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(src)
+    agg = streaming_percentiles(stream, window="1 hour", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pct")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM pct").collect()
+    assert out, "watermark-closed windows must emit"
+    for r in out:
+        assert r["p50"] <= r["p95"] <= r["p99"]
+        assert 0.0 <= r["p50"] <= 9.0  # values are i % 10
