@@ -645,6 +645,7 @@ _SNAPSHOT_PRIORITY = [
     "centroid_similarity",
     "pq_recall",
     "key_skew_report",
+    "cusum_alerts",
 ]
 
 

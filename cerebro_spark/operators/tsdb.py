@@ -776,3 +776,65 @@ def ks_drift(
         F.sum("__ne").alias("n_early"),
         F.sum("__nl").alias("n_late"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+    slack_sigmas: float = 0.5,
+    alert_sigmas: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM change detection per series: alert when the
+    cumulative upward deviation from the series mean exceeds
+    ``alert_sigmas``·σ (Page 1954) — the standard drift alarm for sensor /
+    counter telemetry.
+
+    The textbook recurrence Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − μ − kσ)) looks
+    sequential, but has the closed form **Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)**
+    with P the ordered prefix sum of the deviations — so it distributes as
+    two stacked windows (running sum + running min) partitioned by series
+    key.  No recursion, no per-row Python, no state beyond the window.
+
+    μ and σ come from order-independent fixed-point sums (value is e2-exact
+    in this corpus): Σx·100 and Σ(x·100)² as BIGINTs, so both engines derive
+    bit-identical baselines.  The e4 square sum holds to ~8×10⁹ rows per
+    key at this value range; beyond that switch the baseline to a sampled
+    estimate (the alarm only needs 2-digit σ).
+    """
+    keys = keys or []
+    e2 = F.round(F.col(value_col) * 100).cast("long")
+    stats = df.groupBy(*keys).agg(
+        F.sum(e2).alias("__s1"),
+        F.sum(e2 * e2).alias("__s2"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        *keys,
+        (F.col("__s1").cast("double") / 100.0 / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            F.col("__s2").cast("double") / 10000.0 / F.col("__n")
+            - (F.col("__s1").cast("double") / 100.0 / F.col("__n"))
+            * (F.col("__s1").cast("double") / 100.0 / F.col("__n"))
+        ).alias("__sigma"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), on=keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    dev = (
+        F.col(value_col).cast("double")
+        - F.col("__mu")
+        - F.lit(slack_sigmas) * F.col("__sigma")
+    )
+    order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_p = joined.withColumn("__p", F.sum(dev).over(w))
+    s = F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w))
+    return with_p.withColumn("cusum", F.round(s, 6)).withColumn(
+        "is_alert", s > F.lit(alert_sigmas) * F.col("__sigma")
+    ).drop("__p", "__s1", "__s2", "__n")

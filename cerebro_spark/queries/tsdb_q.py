@@ -1097,3 +1097,64 @@ FROM top, stats
 
 QUERIES["key_skew_report"] = q_key_skew_report
 ORACLES["key_skew_report"] = _KEY_SKEW_SQL
+
+
+def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift alarm per event_type (closed-form two-window plan — see
+    operators.tsdb.cusum)."""
+    from cerebro_spark.operators.tsdb import cusum
+
+    ev = load_table(spark, "events", sf_dir)
+    out = cusum(
+        ev, "value", "ts", keys=["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "cusum",
+        "is_alert",
+        F.round("__mu", 6).alias("mu"),
+        F.round("__sigma", 6).alias("sigma"),
+    )
+
+
+_CUSUM_SQL = """
+WITH stats AS (
+  SELECT event_type,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2,
+    count(*) AS n
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT event_type,
+    CAST(s1 AS DOUBLE) / 100.0 / n AS mu,
+    sqrt(CAST(s2 AS DOUBLE) / 10000.0 / n
+         - (CAST(s1 AS DOUBLE) / 100.0 / n) * (CAST(s1 AS DOUBLE) / 100.0 / n)) AS sigma
+  FROM stats
+),
+p AS (
+  SELECT e.event_id, e.event_type, e.ts, b.mu, b.sigma,
+    sum(e.value - b.mu - 0.5 * b.sigma) OVER (
+      PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS pref
+  FROM events e JOIN base b USING (event_type)
+),
+s AS (
+  SELECT event_id, event_type, ts, mu, sigma,
+    pref - least(0.0, min(pref) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )) AS cu
+  FROM p
+)
+SELECT event_id, event_type, ts, round(cu, 6) AS cusum,
+  cu > 4.0 * sigma AS is_alert,
+  round(mu, 6) AS mu, round(sigma, 6) AS sigma
+FROM s
+"""
+
+QUERIES["cusum_alerts"] = q_cusum_alerts
+ORACLES["cusum_alerts"] = _CUSUM_SQL

@@ -300,3 +300,28 @@ def test_ks_drift_detects_shift(spark):
         [(i, _t(i), (i % 10) / 10.0) for i in range(200)], ["id", "ts", "v"]
     )
     assert ks_drift(same, "v", "ts", keys=[]).collect()[0]["ks"] < 0.06
+
+
+def test_cusum_alerts_on_level_shift(spark):
+    from cerebro_spark.operators.tsdb import cusum
+
+    # stable series then a sustained +10σ level shift: alerts must fire
+    # after the shift and only after it
+    rows = [(i, _t(i), 5.0 + (i % 3) * 0.01) for i in range(200)] + [
+        (i, _t(i), 9.0 + (i % 3) * 0.01) for i in range(200, 400)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = cusum(df, "v", "ts", tiebreak=["id"]).select("id", "is_alert").collect()
+    alerts = {r["id"] for r in out if r["is_alert"]}
+    assert alerts, "level shift must trigger"
+    assert min(alerts) >= 200         # nothing fires before the shift
+    assert 210 in alerts and 399 in alerts  # fires shortly after, stays on
+    # no-shift series stays quiet
+    quiet = spark.createDataFrame(
+        [(i, _t(i), 5.0 + (i % 3) * 0.01) for i in range(400)],
+        ["id", "ts", "v"],
+    )
+    assert not [
+        r for r in cusum(quiet, "v", "ts", tiebreak=["id"]).collect()
+        if r["is_alert"]
+    ]
