@@ -293,3 +293,80 @@ def streaming_percentiles(
             "n_points",
         )
     )
+
+
+def _cusum_fn(mu: float, sigma: float, slack_sigmas: float, alert_sigmas: float):
+    k = slack_sigmas * sigma
+    h = alert_sigmas * sigma
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s = state.get[0] if state.exists else 0.0
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts"]).reset_index(drop=True)
+            cs, alerts = [], []
+            for v in pdf["value"]:
+                s = max(0.0, s + (float(v) - mu - k))
+                cs.append(s)
+                alerts.append(s > h)
+            out = pdf[["ts", "value"]].copy()
+            out.insert(0, "key", key[0])
+            out["cusum"] = cs
+            out["is_alert"] = alerts
+            yield out
+        state.update((float(s),))
+
+    return fn
+
+
+def streaming_cusum(
+    events: DataFrame,
+    mu: float,
+    sigma: float,
+    key_col: str = "user_id",
+    slack_sigmas: float = 0.5,
+    alert_sigmas: float = 4.0,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming CUSUM drift alarm — the textbook sequential recurrence
+    Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − μ − kσ)), which genuinely needs carried state
+    online (the batch twin ``operators.tsdb.cusum`` uses the closed
+    two-window form instead; the recurrence here keeps ONE float per key).
+
+    μ/σ are the *training baseline*, passed in (computed offline by the
+    batch operator) — estimating them online would make the alarm chase its
+    own drift.  Input needs (``key_col``, ts, value).
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    key_field = events.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField("key", key_field.dataType),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("cusum", DoubleType()),
+            StructField("is_alert", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("s", DoubleType())])
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _cusum_fn(mu, sigma, slack_sigmas, alert_sigmas),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -291,3 +291,51 @@ def test_streaming_percentiles(spark, tmp_path):
     for r in out:
         assert r["p50"] <= r["p95"] <= r["p99"]
         assert 0.0 <= r["p50"] <= 9.0  # values are i % 10
+
+
+def test_streaming_cusum_carries_state_across_batches(spark, tmp_path):
+    """The cumulative sum must CARRY across micro-batches: a drift split
+    over two file batches alerts only because state persists."""
+    from cerebro_spark.streaming.stateful import streaming_cusum
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "cusum_in")
+    ckpt = str(tmp_path / "cusum_ck")
+    # batch 1: at-baseline values; batch 2: sustained +2σ drift — each
+    # single batch alone stays under the 4σ threshold only briefly
+    b1 = [(1, base + dt.timedelta(seconds=i), 5.0) for i in range(20)]
+    b2 = [
+        (1, base + dt.timedelta(seconds=20 + i), 7.0) for i in range(20)
+    ]
+    # one file per batch so the file stream's path-ordered processing
+    # matches event time (many part-files would interleave the recurrence)
+    spark.createDataFrame(b1, ["user_id", "ts", "value"]).repartition(
+        1
+    ).write.parquet(f"{src}/b1")
+    spark.createDataFrame(b2, ["user_id", "ts", "value"]).repartition(
+        1
+    ).write.parquet(f"{src}/b2")
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    out = streaming_cusum(stream, mu=5.0, sigma=1.0, alert_sigmas=4.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM cusum_stream ORDER BY ts"
+    ).collect()
+    assert len(rows) == 40
+    alerts = [r["is_alert"] for r in rows]
+    assert not any(alerts[:20])       # baseline batch quiet
+    assert any(alerts[20:])           # drift batch fires
+    # S accumulates 1.5/sample after the shift: crossing 4.0 needs ≥3
+    # post-shift samples — proof the recurrence ran, not a per-row test
+    first_alert = alerts.index(True)
+    assert first_alert >= 22
