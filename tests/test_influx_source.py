@@ -154,3 +154,38 @@ def test_inclusive_upper_bound_not_lost_to_exclusive_flux_stop(spark):
     times = sorted(r["time"] for r in df.collect())
     assert times[-1] == dt.datetime(2024, 1, 1, 1, 0), times[-3:]
     assert len(times) == 7  # 00:00 .. 01:00 inclusive at 600s steps
+
+
+def test_partitions_fall_back_on_relative_end():
+    """num_partitions>1 with an absolute start but a RELATIVE end ('-5m' /
+    'now()') can't be sliced client-side — must fall back to one partition,
+    not raise (ADVICE r2 regression)."""
+    from cerebro_spark.sources.influx import _InfluxReader
+
+    for end in ("-5m", "now()"):
+        r = _InfluxReader(
+            {
+                "bucket": "b",
+                "measurement": "m",
+                "fetch_fn": "synthetic",
+                "num_partitions": "4",
+                "start": "2024-01-01T00:00:00Z",
+                "end": end,
+            }
+        )
+        parts = r.partitions()
+        assert len(parts) == 1
+        assert parts[0].start == "2024-01-01T00:00:00Z"
+        assert parts[0].end == end
+    # absolute both ends still slices
+    r = _InfluxReader(
+        {
+            "bucket": "b",
+            "measurement": "m",
+            "fetch_fn": "synthetic",
+            "num_partitions": "4",
+            "start": "2024-01-01T00:00:00Z",
+            "end": "2024-01-02T00:00:00Z",
+        }
+    )
+    assert len(r.partitions()) == 4

@@ -175,3 +175,26 @@ def test_poll_source_via_config_runner(spark, tmp_path):
     assert n >= 6
     out = spark.read.parquet(str(tmp_path / "store"))
     assert out.filter(F.col("measurement") == "pressure").count() == out.count()
+
+
+def test_replay_contract_violation_warns_not_slices():
+    """A poll fn that advances hwm by 1 while emitting N rows violates the
+    rows-per-offset contract: replay must deliver ALL rows (over-delivery is
+    recoverable via the idempotent sink; slicing would silently lose data)
+    and warn."""
+    import warnings
+
+    from cerebro_spark.sources.poll import _PollStreamReader
+
+    @register_poll_fn("bulk_per_offset")
+    def bulk(offset, options):
+        rows = [("m", None, {"v": float(i)}, None, None, None, "b")
+                for i in range(3)]
+        return rows, offset + 1  # 3 rows, hwm advances by 1
+
+    r = _PollStreamReader(None, {"poll_fn": "bulk_per_offset"})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        replay = list(r.readBetweenOffsets({"hwm": 0}, {"hwm": 1}))
+    assert len(replay) == 3          # NOT sliced to the offset delta of 1
+    assert any("rows-per-offset" in str(x.message) for x in w)
