@@ -295,3 +295,61 @@ def test_winnow_guarantee_property(spark, a_toks, b_toks, off_a, off_b):
         for g in r["g"]
     }
     assert {(r["doc_id"], r["fp"]) for r in fps} <= allg
+
+
+# -- top_k_ranked ≡ orderBy().collect() prefix, including null/NaN keys ------
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(-1e3, 1e3, allow_nan=False),
+            st.just(float("nan")),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_top_k_ranked_matches_orderby_prefix(spark, vals):
+    from cerebro_spark.operators.util import top_k_ranked
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    k = 5
+    got = [
+        r["id"]
+        for r in top_k_ranked(df, [("v", "desc"), ("id", "asc")], k=k)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = [
+        r["id"]
+        for r in df.orderBy(F.col("v").desc(), F.col("id").asc())
+        .limit(k)
+        .collect()
+    ]
+    assert got == want
+
+
+# -- z-order rewrite is a pure permutation of the input ----------------------
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 50), st.floats(0, 100, allow_nan=False)),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_is_permutation(spark, pairs, tmp_path_factory):
+    from cerebro_spark.io import write_zordered
+
+    tmp = str(tmp_path_factory.mktemp("z"))
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, a long, b double")
+    write_zordered(df, tmp, ["a", "b"], target_files=4, bits=4)
+    back = spark.read.parquet(tmp)
+    assert sorted(r["id"] for r in back.collect()) == [r[0] for r in rows]
+    assert back.columns == ["id", "a", "b"]  # helper column dropped
