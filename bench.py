@@ -72,6 +72,7 @@ HEADLINE = [
     "mad_outliers",
     "ks_drift",
     "bigram_pmi",
+    "cusum_alerts",
 ]
 
 
