@@ -646,6 +646,8 @@ _SNAPSHOT_PRIORITY = [
     "pq_recall",
     "key_skew_report",
     "cusum_alerts",
+    "asof_join_forward",
+    "asof_join_nearest",
 ]
 
 

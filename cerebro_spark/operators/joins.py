@@ -28,15 +28,56 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: the latest right row at-or-before its timestamp
-    (within ``tolerance_seconds`` when given), matched per ``by`` keys.
+    """For each left row: the matching right row per ``by`` keys —
+    ``direction`` selects which one (pandas ``merge_asof`` parity):
 
-    Ties at identical timestamps: the right row is considered visible to a
-    left row with the same timestamp (``<=`` semantics, like DuckDB
-    ``ASOF JOIN ... ON l.t >= r.t``).
+    - ``"backward"`` (default): latest right at-or-before the left time
+      (``<=`` semantics, like DuckDB ``ASOF JOIN ... ON l.t >= r.t``);
+    - ``"forward"``: earliest right at-or-after the left time — the
+      mirrored union-merge, same one-shuffle plan with a descending sort;
+    - ``"nearest"``: whichever of the two is closer in time; exact-tie
+      breaks BACKWARD (deterministic).  Costs both passes (two sorts of
+      the union — still no inequality join anywhere).
+
+    ``tolerance_seconds`` bounds |right.time − left.time| in every mode.
+
+    Ties at identical timestamps: the right row is visible to a left row
+    with the same timestamp in both directions.
     """
     by = by or []
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest":
+        b = asof_join(
+            left, right, time_col, by, right_cols, tolerance_seconds,
+            suffix="__b", direction="backward",
+        )
+        f = asof_join(
+            b, right, time_col, by, right_cols, tolerance_seconds,
+            suffix="__f", direction="forward",
+        )
+        rc = right_cols or [
+            c for c in right.columns if c != time_col and c not in by
+        ]
+        lt = F.col(time_col).cast("double")
+        # the inner passes expose their matched right timestamp as
+        # __rt__b/__rt__f (see below) — the deltas that decide the winner
+        out = f
+        db = F.abs(lt - F.col("__rt__b").cast("double"))
+        df_ = F.abs(F.col("__rt__f").cast("double") - lt)
+        pick_b = F.col("__rt__f").isNull() | (
+            F.col("__rt__b").isNotNull() & (db <= df_)
+        )
+        for c in rc:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(pick_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")),
+            )
+        drop = [f"{c}__b" for c in rc] + [f"{c}__f" for c in rc]
+        drop += ["__rt__b", "__rt__f"]
+        return out.drop(*drop)
     right_cols = right_cols or [
         c for c in right.columns if c != time_col and c not in by
     ]
@@ -56,12 +97,18 @@ def asof_join(
     merged = lt.unionByName(rt, allowMissingColumns=True)
 
     # per key, ordered by (time, side): side=0 (right) sorts before side=1
-    # (left) at equal timestamps, so <= visibility holds.  The struct is
-    # non-null for every right row (even one whose fields are all null), so
-    # last(ignorenulls) selects whole rows, never mixes them.
+    # (left) at equal timestamps, so <=/>= visibility holds in either
+    # direction.  The struct is non-null for every right row (even one whose
+    # fields are all null), so last(ignorenulls) selects whole rows, never
+    # mixes them.  Forward mode is the exact mirror: descending time.
+    t_ord = (
+        F.col(time_col).desc()
+        if direction == "forward"
+        else F.col(time_col).asc()
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+        .orderBy(t_ord, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.withColumn(
@@ -70,13 +117,18 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1).drop("__side", "__rvals")
     matched = F.col("__c")
     if tolerance_seconds is not None:
-        matched = F.when(
-            F.col(time_col).cast("long") - F.col("__c").getField("__rt").cast("long")
-            <= tolerance_seconds,
-            F.col("__c"),
+        delta = (
+            F.col("__c").getField("__rt").cast("long")
+            - F.col(time_col).cast("long")
+            if direction == "forward"
+            else F.col(time_col).cast("long")
+            - F.col("__c").getField("__rt").cast("long")
         )
+        matched = F.when(delta <= tolerance_seconds, F.col("__c"))
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", matched.getField(c))
+    if suffix in ("__b", "__f"):  # nearest-mode inner pass: keep match time
+        out = out.withColumn(f"__rt{suffix}", matched.getField("__rt"))
     return out.drop("__c")
 
 

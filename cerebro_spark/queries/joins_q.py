@@ -102,3 +102,77 @@ ORACLES = {
     "asof_join_tolerance": _ASOF_TOL_SQL,
     "range_join": _RANGE_SQL,
 }
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """direction='forward': each click joined to the user's NEXT purchase
+    at-or-after it (the mirrored union-merge; DuckDB expresses the same
+    via ASOF JOIN with l.ts <= r.ts)."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, "ts", by=["user_id"], direction="forward"
+    )
+    return out.select("event_id", "user_id", "ts", "value_right")
+
+
+_ASOF_FWD_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.value AS value_right
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """direction='nearest': closest purchase either side, exact tie breaks
+    backward — pandas merge_asof parity; the oracle composes DuckDB's two
+    native ASOF directions with the same tie rule."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, "ts", by=["user_id"], direction="nearest"
+    )
+    return out.select("event_id", "user_id", "ts", "value_right")
+
+
+_ASOF_NEAREST_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT l.event_id, r.ts AS bts, r.value AS bval
+  FROM l ASOF LEFT JOIN p r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+f AS (
+  SELECT l.event_id, r.ts AS fts, r.value AS fval
+  FROM l ASOF LEFT JOIN p r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+  CASE WHEN fts IS NULL THEN bval
+       WHEN bts IS NOT NULL
+            AND abs(epoch(l.ts) - epoch(bts)) <= abs(epoch(fts) - epoch(l.ts))
+       THEN bval
+       ELSE fval END AS value_right
+FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+"""
+
+
+QUERIES["asof_join_forward"] = q_asof_join_forward
+ORACLES["asof_join_forward"] = _ASOF_FWD_SQL
+QUERIES["asof_join_nearest"] = q_asof_join_nearest
+ORACLES["asof_join_nearest"] = _ASOF_NEAREST_SQL

@@ -66,3 +66,37 @@ def test_range_join_boundaries(spark):
         for r in range_join(pts, iv, "ts", bucket_seconds=60).collect()
     }
     assert out == {(1, 10), (2, 10), (4, 11)}  # inclusive bounds, 3 matches
+
+
+def test_asof_directions_matrix(spark):
+    """backward / forward / nearest against a hand-checked fixture,
+    including the exact-tie-breaks-backward rule and forward tolerance."""
+    import datetime as dt
+
+    from cerebro_spark.operators.joins import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "a", T(10)), (2, "a", T(20)), (3, "a", T(30))],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("a", T(8), 1.0), ("a", T(19), 2.0), ("a", T(21), 3.0), ("a", T(35), 4.0)],
+        ["k", "ts", "v"],
+    )
+
+    def got(**kw):
+        rows = asof_join(left, right, "ts", by=["k"], **kw).collect()
+        return {r["lid"]: r["v_right"] for r in rows}
+
+    assert got(direction="backward") == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert got(direction="forward") == {1: 2.0, 2: 3.0, 3: 4.0}
+    # lid=2 is 1 s from both 19 and 21 — tie breaks backward (2.0)
+    assert got(direction="nearest") == {1: 1.0, 2: 2.0, 3: 4.0}
+    assert got(direction="forward", tolerance_seconds=3) == {
+        1: None, 2: 3.0, 3: None,
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        got(direction="sideways")
