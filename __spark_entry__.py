@@ -648,6 +648,8 @@ _SNAPSHOT_PRIORITY = [
     "cusum_alerts",
     "asof_join_forward",
     "asof_join_nearest",
+    "value_heatmap",
+    "error_burn_rate",
 ]
 
 

@@ -1158,3 +1158,107 @@ FROM s
 
 QUERIES["cusum_alerts"] = q_cusum_alerts
 ORACLES["cusum_alerts"] = _CUSUM_SQL
+
+
+def q_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × value-octile heatmap (the Grafana heatmap panel feed):
+    octile boundaries come from ONE exact-percentile aggregate broadcast
+    onto the scan — same no-global-NTILE discipline as length_deciles;
+    state is 24 × 8 cells regardless of row count."""
+    ev = load_table(spark, "events", sf_dir)
+    # boundaries rounded to e6: the engines' interpolation formulas
+    # (l+f·(u−l) vs l·(1−f)+u·f) differ by 1 ulp on equal neighbors, which
+    # flips strict-< for data sitting exactly on a boundary; values are
+    # e2-grid and boundaries e3-grid, so e6 rounding is noise-free margin
+    bounds = ev.agg(
+        F.transform(
+            F.expr(
+                "percentile(value, array(0.125D,0.25D,0.375D,0.5D,0.625D,0.75D,0.875D))"
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("__b")
+    )
+    with_bin = ev.crossJoin(F.broadcast(bounds)).select(
+        F.hour("ts").alias("hod"),
+        # octile = count of boundaries strictly below the value (ties go
+        # DOWN on both engines via strict <)
+        F.size(F.filter(F.col("__b"), lambda b: b < F.col("value"))).alias(
+            "octile"
+        ),
+    )
+    return with_bin.groupBy("hod", "octile").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_VALUE_HEATMAP_SQL = """
+WITH bounds AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]),
+           x -> round(x, 6)) AS b
+  FROM events
+)
+SELECT CAST(hour(ts) AS INT) AS hod,
+  CAST(len(list_filter(b, x -> x < value)) AS INT) AS octile,
+  count(*) AS n
+FROM events, bounds
+GROUP BY 1, 2
+"""
+
+
+def q_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE burn-rate alert: per 1 h bucket, the error share of all events
+    and the trailing-6-bucket share, alerting when the long window burns
+    >2× the corpus baseline (multiwindow burn-rate alerting).  Counts are
+    exact integers end-to-end; shares divide BIGINTs in the same order on
+    both engines, so no rounding is needed anywhere."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).alias("__h")
+    ).agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("err"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    w6 = Window.orderBy("__h").rangeBetween(-5, 0)
+    # baseline from the same aggregate — 1-row broadcast
+    base = hourly.agg(
+        (F.sum("err").cast("double") / F.sum("total")).alias("__rate")
+    )
+    out = hourly.crossJoin(F.broadcast(base)).select(
+        F.timestamp_seconds(F.col("__h") * 3600).alias("bucket_ts"),
+        "err",
+        "total",
+        (F.col("err").cast("double") / F.col("total")).alias("share_1h"),
+        (
+            F.sum("err").over(w6).cast("double") / F.sum("total").over(w6)
+        ).alias("share_6h"),
+        F.col("__rate").alias("baseline"),
+    )
+    return out.withColumn(
+        "is_burning", F.col("share_6h") > 2.0 * F.col("baseline")
+    )
+
+
+_ERROR_BURN_SQL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+    count(*) AS total
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT CAST(sum(err) AS DOUBLE) / sum(total) AS rate FROM hourly
+)
+SELECT make_timestamp(h * 3600 * 1000000) AS bucket_ts, err, total,
+  CAST(err AS DOUBLE) / total AS share_1h,
+  CAST(sum(err) OVER w AS DOUBLE) / sum(total) OVER w AS share_6h,
+  rate AS baseline,
+  (CAST(sum(err) OVER w AS DOUBLE) / sum(total) OVER w) > 2.0 * rate AS is_burning
+FROM hourly, base
+WINDOW w AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["value_heatmap"] = q_value_heatmap
+ORACLES["value_heatmap"] = _VALUE_HEATMAP_SQL
+QUERIES["error_burn_rate"] = q_error_burn_rate
+ORACLES["error_burn_rate"] = _ERROR_BURN_SQL

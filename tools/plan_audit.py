@@ -88,11 +88,21 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: (n_keys, total_rows, p50) context crossJoined
     # onto the ≤top-k heavy-hitter frame
     "key_skew_report",
+    # 1-row scalar broadcasts: the octile-boundary array (value_heatmap)
+    # and the corpus baseline error rate (error_burn_rate) crossJoined
+    # onto the scan / hourly frame
+    "value_heatmap",
+    "error_burn_rate",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
 #: (post-limit top-k rank assembly is ≤ k rows; 1-row aggregates).
-GLOBAL_WINDOW_ALLOWED: set[str] = set()
+GLOBAL_WINDOW_ALLOWED: set[str] = {
+    # trailing-6h window over the HOURLY aggregate — one row per hour
+    # (8 760/year), calendar-bounded like the gapfill bucket summaries;
+    # the fact table never passes through the window
+    "error_burn_rate",
+}
 
 
 def _bracket_groups(s: str) -> list[str]:
