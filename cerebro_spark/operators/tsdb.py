@@ -640,8 +640,10 @@ def minmax_downsample(
     pure one-shuffle aggregation (LTTB's previous-selection recurrence
     doesn't distribute).
 
-    Ties on value resolve by (time, *tiebreak) — earliest wins — making the
-    output deterministic and oracle-reproducible.
+    Ties on value resolve by (time, *tiebreak) lexicographically — the min
+    sample takes the EARLIEST tied row, the max sample the LATEST (both
+    sides of the struct comparison, identical in Spark and the oracle) —
+    making the output deterministic and oracle-reproducible.
     """
     order_min = F.struct(
         F.col(value_col),
