@@ -650,6 +650,7 @@ _SNAPSHOT_PRIORITY = [
     "asof_join_nearest",
     "value_heatmap",
     "error_burn_rate",
+    "hard_negatives",
 ]
 
 

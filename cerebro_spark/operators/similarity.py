@@ -809,3 +809,56 @@ def cosine_topk_pq(
         F.col(id_col).alias("vec_id"), F.col("__rv").alias(vec_col)
     )
     return cosine_topk_bruteforce(rec, queries, k=k, id_col="vec_id", vec_col=vec_col)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector, the
+    ``k`` most-similar corpus vectors with a DIFFERENT label — the pairs
+    that teach a contrastive/triplet objective the most (near the decision
+    boundary), mined corpus-wide.
+
+    Same plan as the brute-force top-k (broadcast queries × partitioned
+    corpus, per-query window), with the label-mismatch predicate applied
+    BEFORE ranking so positives and near-duplicates never crowd out the
+    negatives.  At 100 TB, swap the corpus side for the IVF/PQ candidate
+    set and re-rank survivors exactly — the operator shape is identical.
+    """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(label_col).alias("negative_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("negative_label") != F.col("query_label"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label",
+            "cosine", "rank",
+        )
+    )

@@ -832,3 +832,36 @@ FROM embeddings ORDER BY vec_id LIMIT 20
 
 QUERIES["pq_recall"] = q_pq_recall
 ORACLES["pq_recall"] = _PQ_RECALL_SQL
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: nearest different-label neighbor
+    per query vector (the boundary pairs a triplet loss learns from)."""
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+_HARD_NEGATIVES_SQL = """
+SELECT query_id, query_label, negative_id, negative_label, cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+    c.vec_id AS negative_id, c.label AS negative_label,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id ASC
+    ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+  WHERE q.vec_id < 20
+) WHERE rank <= 3
+"""
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLES["hard_negatives"] = _HARD_NEGATIVES_SQL

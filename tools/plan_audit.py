@@ -48,8 +48,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # scalar-subquery pattern: the broadcast side is the 1-row max-ts bound
     "relative_range",
     # by design: bounded query batch broadcast against the partitioned
-    # corpus with a non-equi self-exclusion predicate
+    # corpus with a non-equi self-exclusion / label-mismatch predicate
     "ann_cosine_topk",
+    "hard_negatives",
     # 1-row × 1-row crossJoin of two scalar count aggregates (the summary
     # shape the gate needs) — both sides are single-row by construction
     "dedup_resolve",
