@@ -328,3 +328,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    older_than_days: int,
+    now: "dt.date | None" = None,
+    date_partition: str = "date",
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention policy for the (bucket, date)-partitioned point store —
+    the InfluxDB bucket-retention equivalent (the reference delegates
+    retention to Influx; a native store needs its own expiry job).
+
+    Drops whole CLOSED date partitions older than the cutoff via the
+    Hadoop FileSystem API (directory deletes — no data rewrite, no Spark
+    job), so the cost is one listing regardless of store size.  Returns the
+    partition directories removed (or would-remove under ``dry_run``).
+    ``now`` is injectable for deterministic tests and backfill replays.
+    """
+    import datetime as dt
+
+    cutoff = (now or dt.date.today()) - dt.timedelta(days=older_than_days)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    expired: list[str] = []
+    # layout: <path>/bucket=<b>/date=<yyyy-mm-dd>/...
+    for bucket_status in fs.listStatus(root):
+        if not bucket_status.isDirectory():
+            continue
+        for date_status in fs.listStatus(bucket_status.getPath()):
+            name = date_status.getPath().getName()
+            if not name.startswith(f"{date_partition}="):
+                continue
+            try:
+                d = dt.date.fromisoformat(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if d < cutoff:
+                expired.append(str(date_status.getPath().toUri().getPath()))
+                if not dry_run:
+                    fs.delete(date_status.getPath(), True)
+    return sorted(expired)

@@ -86,3 +86,45 @@ def test_store_health_flags_small_files(spark, tmp_path):
         for f in pathlib.Path(store).rglob("*.parquet")
     )
     assert sum(r["bytes"] for r in rows.values()) == disk
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """Retention drops only date partitions older than the cutoff, never
+    newer ones or non-partition files; dry_run lists without deleting."""
+    import datetime as dt
+
+    from cerebro_spark.io import expire_partitions
+
+    store = str(tmp_path / "store")
+    rows = []
+    for day in (1, 10, 20):
+        rows.append(
+            ("m", dt.datetime(2024, 1, day, 12), 1.0, "sensors",
+             dt.date(2024, 1, day))
+        )
+    df = spark.createDataFrame(
+        rows, "measurement string, time timestamp, v double, bucket string, date date"
+    )
+    df.write.partitionBy("bucket", "date").parquet(store)
+
+    # cutoff 15 days before Jan 25 → Jan 1 expires, Jan 10/20 survive
+    dry = expire_partitions(
+        spark, store, older_than_days=15, now=dt.date(2024, 1, 25),
+        dry_run=True,
+    )
+    assert len(dry) == 1 and "date=2024-01-01" in dry[0]
+    assert spark.read.parquet(store).count() == 3  # dry run deleted nothing
+
+    gone = expire_partitions(
+        spark, store, older_than_days=15, now=dt.date(2024, 1, 25)
+    )
+    assert gone == dry
+    left = spark.read.parquet(store)
+    assert left.count() == 2
+    assert {str(r["date"]) for r in left.select("date").collect()} == {
+        "2024-01-10", "2024-01-20",
+    }
+    # idempotent: second run removes nothing
+    assert expire_partitions(
+        spark, store, older_than_days=15, now=dt.date(2024, 1, 25)
+    ) == []
