@@ -19,11 +19,14 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cerebro-spark")
-    p.add_argument("command", choices=["start", "status", "metrics", "sql", "explain"])
+    p.add_argument("command", choices=["start", "status", "metrics", "sql", "explain", "maintain"])
     p.add_argument("--config", default=None, help="YAML/JSON config path")
     p.add_argument("--sf-dir", default=None, help="testdata dir for `sql`")
     p.add_argument("--query", default=None, help="SQL text for `sql`")
     p.add_argument("--name", default=None, help="registered query name for `explain`")
+    p.add_argument("--compact", action="store_true", help="`maintain`: rewrite small files per partition")
+    p.add_argument("--expire-days", type=int, default=None, help="`maintain`: drop date partitions older than N days")
+    p.add_argument("--dry-run", action="store_true", help="`maintain`: list expirable partitions without deleting")
     p.add_argument("--limit", type=int, default=20, help="`sql` print row cap")
     p.add_argument("--store", default=None, help="point-store output path")
     p.add_argument("--checkpoint", default=None)
@@ -39,6 +42,35 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     from cerebro_spark.session import get_spark
+
+    if args.command == "maintain":
+        # the periodic store-maintenance job: retention first (no point
+        # compacting doomed partitions), then compaction of what's left —
+        # the scheduler runs this daily over CLOSED partitions
+        if not args.store:
+            p.error("maintain requires --store")
+        if args.expire_days is None and not args.compact:
+            p.error("maintain requires --expire-days and/or --compact")
+        from cerebro_spark.io import compact_store, expire_partitions, store_health
+
+        spark = get_spark("cerebro-spark-maintain")
+        if args.expire_days is not None:
+            gone = expire_partitions(
+                spark, args.store, args.expire_days, dry_run=args.dry_run
+            )
+            verb = "would expire" if args.dry_run else "expired"
+            print(f"{verb} {len(gone)} partition(s)")
+            for g in gone:
+                print(f"  {g}")
+        if args.compact and not args.dry_run:
+            compact_store(spark, args.store)
+            print("compacted")
+        for row in store_health(spark, args.store).collect():
+            print(
+                f"{row['partition']}: files={row['n_files']} rows={row['n_rows']} "
+                f"small_files={row['small_files']}"
+            )
+        return 0
 
     if args.command == "explain":
         # plan transparency surface: the formatted physical plan of any

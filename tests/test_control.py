@@ -139,3 +139,39 @@ def test_explain_cli_command(tmp_path):
     )
     assert bad.returncode != 0
     assert "weather_chain" in bad.stderr
+
+
+def test_maintain_cli_command(spark, tmp_path):
+    """`python -m cerebro_spark maintain` runs retention + compaction over a
+    (bucket, date)-partitioned store and prints the health report."""
+    import datetime as dt
+    import subprocess
+    import sys
+
+    store = str(tmp_path / "mstore")
+    rows = [
+        ("m", dt.datetime(2020, 1, 1, 12), 1.0, "sensors", dt.date(2020, 1, 1)),
+        ("m", dt.datetime.now(), 2.0, "sensors", dt.date.today()),
+    ]
+    spark.createDataFrame(
+        rows,
+        "measurement string, time timestamp, v double, bucket string, date date",
+    ).write.partitionBy("bucket", "date").parquet(store)
+
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "cerebro_spark", "maintain",
+            "--store", store, "--expire-days", "365", "--compact",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "expired 1 partition(s)" in out.stdout
+    assert "compacted" in out.stdout
+    assert "date=2020-01-01" in out.stdout  # listed in the expiry report
+    left = spark.read.parquet(store)
+    assert left.count() == 1  # only today's row survives
