@@ -79,3 +79,48 @@ def key_skew_report(
         "n_keys",
         "total_rows",
     )
+
+
+def profile_drift(
+    before: DataFrame,
+    after: DataFrame,
+    rel_threshold: float = 0.2,
+) -> list[dict]:
+    """Diff two ``data_profile`` rows (e.g. yesterday's vs today's ingest):
+    returns one record per shared stat with the relative change and a flag
+    when it moved more than ``rel_threshold`` — the cheap schema/content
+    drift alarm a scheduled pipeline gates on before training.
+
+    Driver-side by design: profiles are single rows (bounded aggregates),
+    so the comparison is metadata-scale no matter how big the tables were.
+    Null-count stats compare as rates against ``n_rows`` so the alarm
+    doesn't fire just because today ingested more data.
+    """
+    b = before.first().asDict()
+    a = after.first().asDict()
+    out: list[dict] = []
+    bn, an = b.get("n_rows") or 0, a.get("n_rows") or 0
+    for key in sorted(set(b) & set(a)):
+        x, y = b[key], a[key]
+        if x is None or y is None:
+            continue
+        if not isinstance(x, (int, float)) or isinstance(x, bool):
+            continue
+        if key.endswith("_nulls") and bn and an:
+            x, y = x / bn, y / an
+        if x == y:
+            rel = 0.0
+        elif x == 0:
+            rel = float("inf")
+        else:
+            rel = abs(y - x) / abs(x)
+        out.append(
+            {
+                "stat": key,
+                "before": x,
+                "after": y,
+                "rel_change": rel,
+                "drifted": rel > rel_threshold,
+            }
+        )
+    return out

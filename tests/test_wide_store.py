@@ -128,3 +128,25 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert expire_partitions(
         spark, store, older_than_days=15, now=dt.date(2024, 1, 25)
     ) == []
+
+
+def test_profile_drift_flags_moved_stats(spark):
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.profile import data_profile, profile_drift
+
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    # after: same shape but v shifted 10× and 30% nulls
+    shifted = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 100).cast("double") * 10)
+        .alias("v"),
+    )
+    drift = profile_drift(data_profile(base), data_profile(shifted))
+    by_stat = {d["stat"]: d for d in drift}
+    assert by_stat["v_avg"]["drifted"]           # 10× shift
+    assert by_stat["v_nulls"]["drifted"]         # 0% → 33% null rate
+    assert not by_stat["id_nulls"]["drifted"]    # rate stays 0 despite 2× rows
