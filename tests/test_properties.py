@@ -353,3 +353,47 @@ def test_zorder_is_permutation(spark, pairs, tmp_path_factory):
     back = spark.read.parquet(tmp)
     assert sorted(r["id"] for r in back.collect()) == [r[0] for r in rows]
     assert back.columns == ["id", "a", "b"]  # helper column dropped
+
+
+# -- asof_join ≡ pandas merge_asof on random per-key series ------------------
+
+@given(
+    lts=st.lists(st.integers(0, 300), min_size=1, max_size=15),
+    rts=st.lists(st.integers(0, 300), min_size=1, max_size=15),
+    seed=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, seed):
+    import datetime as dt
+
+    import pandas as pd
+
+    from cerebro_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, seed % 2, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(lts)
+    ]
+    right_rows = [
+        (seed % 2, t0 + dt.timedelta(seconds=s), float(i))
+        for i, s in enumerate(sorted(set(rts)))  # unique right ts per key
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+    lp = pd.DataFrame(left_rows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: r["v_right"]
+            for r in asof_join(
+                left, right, "ts", by=["k"], direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else float(r.v))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"direction={direction}"
