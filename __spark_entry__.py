@@ -651,6 +651,7 @@ _SNAPSHOT_PRIORITY = [
     "value_heatmap",
     "error_burn_rate",
     "hard_negatives",
+    "approx_top_terms",
 ]
 
 

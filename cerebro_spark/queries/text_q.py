@@ -865,3 +865,48 @@ FROM (
 
 QUERIES["hard_negatives"] = q_hard_negatives
 ORACLES["hard_negatives"] = _HARD_NEGATIVES_SQL
+
+
+def q_approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter terms via Spark 4's ``approx_top_k`` frequent-items
+    sketch (the streaming-friendly, mergeable alternative to a full
+    groupBy count: sketch size bounds memory at any cardinality).  Gate
+    discipline: the sketch is EXACT while distinct items fit its capacity
+    (vocab ≈ 1k « 10k default), and the top-100 slice is re-ranked
+    deterministically (count desc, term asc) before the top-20 cut, so the
+    driver hash compares against the exact SQL answer bit-for-bit —
+    capacity overflow or a broken sketch changes counts and fails the
+    hash."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    sk = toks.agg(F.expr("approx_top_k(term, 100)").alias("tk"))
+    items = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"), F.col("e.count").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    # ≤100 rows reach this window — bounded input, not a scale risk
+    return (
+        items.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+_APPROX_TOP_TERMS_SQL = """
+SELECT term, n, rank FROM (
+  SELECT term, count(*) AS n,
+    CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS INT) AS rank
+  FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+  )
+  GROUP BY term
+) WHERE rank <= 20
+"""
+
+QUERIES["approx_top_terms"] = q_approx_top_terms
+ORACLES["approx_top_terms"] = _APPROX_TOP_TERMS_SQL

@@ -103,6 +103,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # (8 760/year), calendar-bounded like the gapfill bucket summaries;
     # the fact table never passes through the window
     "error_burn_rate",
+    # deterministic re-rank of the exploded approx_top_k sketch — input is
+    # ONE aggregate row exploded to ≤100 items
+    "approx_top_terms",
 }
 
 
