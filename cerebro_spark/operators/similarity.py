@@ -862,3 +862,96 @@ def hard_negatives(
             "cosine", "rank",
         )
     )
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    rerank: int = 32,
+    pq_m: int = 8,
+    pq_k: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The full billion-scale ANN recipe (IVF-PQ, Jégou 2011 §IV): coarse
+    clusters prune WHICH vectors are scored (nprobe/n_clusters of the
+    corpus), PQ codes shrink WHAT is scored (32× smaller candidate scan),
+    and the top-``rerank`` compressed candidates per query are re-ranked
+    EXACTLY from the raw vectors — so the final `cosine` values are true
+    cosines, with approximation only in candidate selection.
+
+    Plan: assignment + encode are one Arrow pass each over the corpus; the
+    probe join shuffles candidates by cluster id; the rerank join fetches
+    ``rerank`` raw vectors per query by id (a semi-join-sized read at
+    scale, or a parquet partition-pruned fetch against `build_ivf_index`'s
+    layout).  Nothing all-pairs, no global window.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, dim, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col
+        )
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    assigned = _ivf_assign_expr(
+        ensure_parallelism(corpus), centroids, vec_col, nprobe=1
+    )
+    codes = pq_encode(assigned, codebooks, id_col=id_col, vec_col=vec_col)
+    clusters = assigned.select(
+        F.col(id_col).alias("vec_id"), "__cluster"
+    )
+    compressed = pq_decode(
+        codes.join(clusters, "vec_id"), codebooks, out_col="__rv"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("__rv").alias("cv"),
+        "__cluster",
+    )
+    q = _ivf_assign_expr(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "__cluster",
+    )
+    approx = (
+        compressed.join(F.broadcast(q), "__cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__acos",
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__acos").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        approx.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("rawv"),
+    )
+    exact = cands.join(raw, "neighbor_id").withColumn(
+        "cosine",
+        _dot(F.col("qv"), F.col("rawv"))
+        / (_norm(F.col("qv")) * _norm(F.col("rawv"))),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

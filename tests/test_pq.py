@@ -78,3 +78,41 @@ def test_pq_search_recall(spark, sf_dir):
     assert hits / 100 >= 0.25  # measured 0.44; uniform-data hard case
     # result shape contract
     assert pq.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_pq_rerank_beats_plain_pq(spark, sf_dir):
+    """The exact re-rank must recover recall lost to quantization: IVF-PQ
+    with rerank ≥ plain-PQ recall at the same code budget, and every
+    returned cosine is a TRUE cosine (matches the brute-force value)."""
+    from cerebro_spark.operators.similarity import cosine_topk_ivf_pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.orderBy("vec_id").limit(20)
+    brute = cosine_topk_bruteforce(emb, qs, k=5)
+    bset = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in brute.collect()
+    }
+    books = train_pq_codebooks(emb, dim=64, m=8, k=128)
+    codes = pq_encode(emb, books)
+    pq_only = cosine_topk_pq(codes, qs, books, k=5)
+    pq_hits = len(
+        {(r["query_id"], r["neighbor_id"]) for r in pq_only.collect()}
+        & {(q, n) for q, n, _ in bset}
+    )
+    ivfpq = cosine_topk_ivf_pq(
+        emb, qs, dim=64, k=5, n_clusters=16, nprobe=16,  # probe-all isolates
+        rerank=32, codebooks=books,                      # the rerank effect
+    )
+    rows = ivfpq.collect()
+    ivfpq_hits = len(
+        {(r["query_id"], r["neighbor_id"]) for r in rows}
+        & {(q, n) for q, n, _ in bset}
+    )
+    assert ivfpq_hits >= pq_hits
+    assert ivfpq_hits >= 60  # rerank recovers most of brute's top-5
+    # returned cosines are exact: every overlapping pair matches brute
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        if (r["query_id"], r["neighbor_id"]) in {(q, n) for q, n, _ in bset}:
+            assert key in bset
