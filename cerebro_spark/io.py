@@ -309,11 +309,19 @@ def write_zordered(
     cols: list[str],
     target_files: int = 32,
     bits: int = 8,
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Rewrite ``df`` as ``target_files`` parquet files clustered on the
     Z-order of ``cols``: range-partition by ``__z`` (contiguous z-runs per
     file → tight per-file min/max on every clustered column), sort within
     each file, drop the helper column at write.
+
+    ``bloom_cols`` additionally writes parquet bloom filters for the named
+    (high-cardinality, point-lookup) columns — min/max stats can't skip
+    row groups for an `id = X` probe on an id that's uniform within every
+    file, a bloom can.  Cost ≈ 64 KiB per column per row group (size-delta
+    verified in tests/test_zorder.py; this pyarrow/duckdb can't read the
+    bloom metadata back directly).
 
     At 100 TB this is the periodic maintenance job that turns an
     append-ordered fact table into a scan-efficient one — the measured
@@ -321,13 +329,15 @@ def write_zordered(
     asserted in tests/test_zorder.py from the parquet footers themselves.
     """
     z = zorder_value(df, cols, bits)
-    (
+    writer = (
         z.repartitionByRange(target_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
-        .parquet(path)
     )
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
 
 
 def expire_partitions(

@@ -74,3 +74,23 @@ def test_zorder_prunes_on_both_dims(spark, sf_dir, tmp_path):
         spark.read.parquet(zpath).agg(F.sum("event_id")).first()[0]
     )
     assert total == ev.agg(F.sum("event_id")).first()[0]
+
+
+def test_zorder_bloom_filter_written(spark, sf_dir, tmp_path):
+    """bloom_cols materially grows the files (~64 KiB bloom per column per
+    row group — the only signal this pyarrow/duckdb can read back) without
+    changing the rows."""
+    import os
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    plain, bloomed = str(tmp_path / "p"), str(tmp_path / "b")
+    write_zordered(ev, plain, ["user_id", "value"], target_files=2)
+    write_zordered(
+        ev, bloomed, ["user_id", "value"], target_files=2,
+        bloom_cols=["event_id"],
+    )
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+    )
+    assert size(bloomed) > size(plain) + 50_000  # blooms present
+    assert spark.read.parquet(bloomed).count() == ev.count()
