@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact", action="store_true", help="`maintain`: rewrite small files per partition")
     p.add_argument("--expire-days", type=int, default=None, help="`maintain`: drop date partitions older than N days")
     p.add_argument("--dry-run", action="store_true", help="`maintain`: list expirable partitions without deleting")
+    p.add_argument("--zorder", default=None, help="`maintain`: comma-separated columns to Z-order cluster by")
+    p.add_argument("--output", default=None, help="`maintain --zorder`: destination path for the clustered rewrite")
+    p.add_argument("--target-files", type=int, default=32, help="`maintain --zorder`: output file count")
     p.add_argument("--limit", type=int, default=20, help="`sql` print row cap")
     p.add_argument("--store", default=None, help="point-store output path")
     p.add_argument("--checkpoint", default=None)
@@ -49,8 +52,8 @@ def main(argv: list[str] | None = None) -> int:
         # the scheduler runs this daily over CLOSED partitions
         if not args.store:
             p.error("maintain requires --store")
-        if args.expire_days is None and not args.compact:
-            p.error("maintain requires --expire-days and/or --compact")
+        if args.expire_days is None and not args.compact and not args.zorder:
+            p.error("maintain requires --expire-days, --compact and/or --zorder")
         from cerebro_spark.io import compact_store, expire_partitions, store_health
 
         spark = get_spark("cerebro-spark-maintain")
@@ -65,6 +68,20 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact and not args.dry_run:
             compact_store(spark, args.store)
             print("compacted")
+        if args.zorder:
+            if not args.output:
+                p.error("--zorder requires --output (clustered rewrite path)")
+            from cerebro_spark.io import write_zordered
+
+            cols = args.zorder.split(",")
+            if not args.dry_run:
+                write_zordered(
+                    spark.read.parquet(args.store),
+                    args.output,
+                    cols,
+                    target_files=args.target_files,
+                )
+            print(f"zordered by {cols} -> {args.output}")
         for row in store_health(spark, args.store).collect():
             print(
                 f"{row['partition']}: files={row['n_files']} rows={row['n_rows']} "

@@ -175,3 +175,29 @@ def test_maintain_cli_command(spark, tmp_path):
     assert "date=2020-01-01" in out.stdout  # listed in the expiry report
     left = spark.read.parquet(store)
     assert left.count() == 1  # only today's row survives
+
+
+def test_maintain_zorder_cli(spark, tmp_path):
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "zsrc")
+    out_path = str(tmp_path / "zout")
+    spark.range(5000).selectExpr(
+        "id", "id % 100 as a", "cast(id % 7 as double) as b"
+    ).write.parquet(src)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "cerebro_spark", "maintain",
+            "--store", src, "--zorder", "a,b",
+            "--output", out_path, "--target-files", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "zordered by ['a', 'b']" in out.stdout
+    assert spark.read.parquet(out_path).count() == 5000
