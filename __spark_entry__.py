@@ -652,6 +652,7 @@ _SNAPSHOT_PRIORITY = [
     "error_burn_rate",
     "hard_negatives",
     "approx_top_terms",
+    "session_stats",
 ]
 
 

@@ -1262,3 +1262,74 @@ QUERIES["value_heatmap"] = q_value_heatmap
 ORACLES["value_heatmap"] = _VALUE_HEATMAP_SQL
 QUERIES["error_burn_rate"] = q_error_burn_rate
 ORACLES["error_burn_rate"] = _ERROR_BURN_SQL
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics via Spark's NATIVE ``session_window``
+    (the engine-managed variant of the manual lag/cumsum `sessionize` —
+    same 30-min-gap semantics, one groupBy, no window-function pass).
+    Durations in exact unix-micros BIGINTs end-to-end: a session's span is
+    (window end − gap) − window start, summed as integers, so the per-user
+    average is one deterministic division — no double-sum noise, no
+    rounding (the hourly_seasonality lesson).  Boundary discipline: an
+    event exactly `gap` after the previous one starts a NEW session on
+    both engines (session windows are [start, last+gap) half-open; the
+    oracle's island rule uses the matching ``>= gap`` split)."""
+    gap_us = 1800 * 1_000_000
+    ev = load_table(spark, "events", sf_dir)
+    sessions = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "1800 seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.unix_micros(F.col("w.end"))
+                - F.lit(gap_us)
+                - F.unix_micros(F.col("w.start"))
+            ).alias("span_us"),
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+        (F.sum("span_us").cast("double") / 1000000.0 / F.count(F.lit(1))).alias(
+            "avg_span_s"
+        ),
+    )
+
+
+_SESSION_STATS_SQL = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, us,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, sid, count(*) AS n_events,
+    CAST(max(us) - min(us) AS BIGINT) AS span_us
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+  count(*) AS n_sessions,
+  CAST(sum(n_events) AS BIGINT) AS total_events,
+  CAST(max(n_events) AS BIGINT) AS max_session_events,
+  CAST(sum(span_us) AS DOUBLE) / 1000000.0 / count(*) AS avg_span_s
+FROM per_session GROUP BY user_id
+"""
+
+QUERIES["session_stats"] = q_session_stats
+ORACLES["session_stats"] = _SESSION_STATS_SQL
