@@ -339,3 +339,44 @@ def test_streaming_cusum_carries_state_across_batches(spark, tmp_path):
     # post-shift samples — proof the recurrence ran, not a per-row test
     first_alert = alerts.index(True)
     assert first_alert >= 22
+
+
+def test_native_streaming_session_window(spark, tmp_path):
+    """Spark's built-in session_window also runs in streaming mode with a
+    watermark — the engine-managed counterpart to streaming_sessionize
+    (which exists for CUSTOM gap/emit rules).  Two bursts 2 h apart must
+    close into two session rows."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=5 * i), 1.0) for i in range(4)]
+    rows += [
+        (1, base + dt.timedelta(hours=3, minutes=5 * i), 1.0) for i in range(3)
+    ]
+    # watermark sentinel: a much-later event closes user 1's second session
+    # (append mode only emits sessions the watermark has passed)
+    rows.append((2, base + dt.timedelta(hours=9), 1.0))
+    src = str(tmp_path / "sess_in")
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+        .repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT n FROM native_sessions WHERE user_id = 1 "
+        "ORDER BY session_window.start"
+    ).collect()
+    assert [r["n"] for r in out] == [4, 3]
