@@ -94,3 +94,21 @@ def test_zorder_bloom_filter_written(spark, sf_dir, tmp_path):
     )
     assert size(bloomed) > size(plain) + 50_000  # blooms present
     assert spark.read.parquet(bloomed).count() == ev.count()
+
+
+def test_zorder_degenerate_columns(spark, tmp_path):
+    """Constant and single-distinct columns must not break quantization
+    (their boundary list collapses; the z-value degrades gracefully to the
+    informative column)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.lit(7.0).alias("const"),
+        (F.col("id") % 50).cast("double").alias("v"),
+    )
+    out = str(tmp_path / "zc")
+    write_zordered(df, out, ["const", "v"], target_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert sorted(back.columns) == ["const", "id", "v"]
