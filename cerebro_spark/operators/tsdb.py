@@ -744,14 +744,19 @@ def ks_drift(
     )
     d = df.crossJoin(F.broadcast(span))
     is_early = t <= (F.col("__tmin") + F.col("__tmax")) / 2
-    bin_ = F.least(
-        F.floor(
-            (v - F.col("__vmin"))
-            / (F.col("__vmax") - F.col("__vmin"))
-            * bins
+    # constant-valued column → one bin (ANSI mode would otherwise raise
+    # DIVIDE_BY_ZERO on the range normalization)
+    bin_ = F.when(
+        F.col("__vmax") > F.col("__vmin"),
+        F.least(
+            F.floor(
+                (v - F.col("__vmin"))
+                / (F.col("__vmax") - F.col("__vmin"))
+                * bins
+            ),
+            F.lit(bins - 1),
         ),
-        F.lit(bins - 1),
-    ).cast("long")
+    ).otherwise(F.lit(0)).cast("long")
     counts = (
         d.select(*keys, bin_.alias("__bin"), is_early.alias("__early"))
         .groupBy(*keys, "__bin")

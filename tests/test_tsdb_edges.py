@@ -325,3 +325,27 @@ def test_cusum_alerts_on_level_shift(spark):
         r for r in cusum(quiet, "v", "ts", tiebreak=["id"]).collect()
         if r["is_alert"]
     ]
+
+
+def test_ks_drift_constant_series_no_crash(spark):
+    """Constant values collapse the bin range — must yield KS 0, not an
+    ANSI DIVIDE_BY_ZERO from the range normalization."""
+    from cerebro_spark.operators.tsdb import ks_drift
+
+    df = spark.createDataFrame(
+        [(i, _t(i), 5.0) for i in range(100)], ["id", "ts", "v"]
+    )
+    row = ks_drift(df, "v", "ts", keys=[]).collect()[0]
+    assert row["ks"] == 0.0
+    assert row["n_early"] + row["n_late"] == 100
+
+
+def test_cusum_constant_series_quiet(spark):
+    """σ=0 series: deviations are 0, S stays 0, no alerts, no crash."""
+    from cerebro_spark.operators.tsdb import cusum
+
+    df = spark.createDataFrame(
+        [(i, _t(i), 5.0) for i in range(100)], ["id", "ts", "v"]
+    )
+    out = cusum(df, "v", "ts", tiebreak=["id"]).collect()
+    assert all(r["cusum"] == 0.0 and not r["is_alert"] for r in out)
