@@ -769,11 +769,14 @@ def ks_drift(
         Window.unboundedPreceding, 0
     )
     wtot = Window.partitionBy(*keys)
+    # a key whose rows all fall on one side has a zero denominator — emit
+    # null CDF (→ null ks) instead of an ANSI divide-by-zero
+    tot_e, tot_l = F.sum("__ne").over(wtot), F.sum("__nl").over(wtot)
     cdf = counts.select(
         *keys,
-        (F.sum("__ne").over(wcum).cast("double") / F.sum("__ne").over(wtot))
+        F.when(tot_e > 0, F.sum("__ne").over(wcum).cast("double") / tot_e)
         .alias("__ce"),
-        (F.sum("__nl").over(wcum).cast("double") / F.sum("__nl").over(wtot))
+        F.when(tot_l > 0, F.sum("__nl").over(wcum).cast("double") / tot_l)
         .alias("__cl"),
         F.col("__ne"),
         F.col("__nl"),
@@ -820,10 +823,16 @@ def cusum(
     ).select(
         *keys,
         (F.col("__s1").cast("double") / 100.0 / F.col("__n")).alias("__mu"),
+        # greatest(·, 0): the two FP paths for E[x²]−E[x]² can differ by an
+        # ulp on constant series, and sqrt(−ε) would poison every downstream
+        # comparison with NaN
         F.sqrt(
-            F.col("__s2").cast("double") / 10000.0 / F.col("__n")
-            - (F.col("__s1").cast("double") / 100.0 / F.col("__n"))
-            * (F.col("__s1").cast("double") / 100.0 / F.col("__n"))
+            F.greatest(
+                F.col("__s2").cast("double") / 10000.0 / F.col("__n")
+                - (F.col("__s1").cast("double") / 100.0 / F.col("__n"))
+                * (F.col("__s1").cast("double") / 100.0 / F.col("__n")),
+                F.lit(0.0),
+            )
         ).alias("__sigma"),
     )
     joined = (

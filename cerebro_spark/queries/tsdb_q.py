@@ -1130,8 +1130,9 @@ WITH stats AS (
 base AS (
   SELECT event_type,
     CAST(s1 AS DOUBLE) / 100.0 / n AS mu,
-    sqrt(CAST(s2 AS DOUBLE) / 10000.0 / n
-         - (CAST(s1 AS DOUBLE) / 100.0 / n) * (CAST(s1 AS DOUBLE) / 100.0 / n)) AS sigma
+    sqrt(greatest(CAST(s2 AS DOUBLE) / 10000.0 / n
+         - (CAST(s1 AS DOUBLE) / 100.0 / n) * (CAST(s1 AS DOUBLE) / 100.0 / n),
+         0.0)) AS sigma
   FROM stats
 ),
 p AS (

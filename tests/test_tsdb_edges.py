@@ -349,3 +349,17 @@ def test_cusum_constant_series_quiet(spark):
     )
     out = cusum(df, "v", "ts", tiebreak=["id"]).collect()
     assert all(r["cusum"] == 0.0 and not r["is_alert"] for r in out)
+
+
+def test_ks_drift_one_sided_key_yields_null(spark):
+    """A key whose rows all land in one half must yield NULL ks (no early
+    CDF to compare), not an ANSI divide-by-zero."""
+    from cerebro_spark.operators.tsdb import ks_drift
+
+    # key 'a' spans both halves; key 'b' exists only in the late half
+    rows = [(i, _t(i), "a", float(i % 10)) for i in range(100)]
+    rows += [(i, _t(i), "b", float(i % 10)) for i in range(60, 100)]
+    df = spark.createDataFrame(rows, ["id", "ts", "k", "v"])
+    out = {r["k"]: r["ks"] for r in ks_drift(df, "v", "ts", keys=["k"]).collect()}
+    assert out["a"] is not None
+    assert out["b"] is None
