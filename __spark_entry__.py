@@ -653,6 +653,7 @@ _SNAPSHOT_PRIORITY = [
     "hard_negatives",
     "approx_top_terms",
     "session_stats",
+    "seasonal_decompose",
 ]
 
 

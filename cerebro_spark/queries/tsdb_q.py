@@ -1334,3 +1334,43 @@ FROM per_session GROUP BY user_id
 
 QUERIES["session_stats"] = q_session_stats
 ORACLES["session_stats"] = _SESSION_STATS_SQL
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of each event_type series: 24h centered
+    moving-average trend + hour-of-day seasonal profile + residual."""
+    from cerebro_spark.operators.tsdb import seasonal_decompose
+
+    ev = load_table(spark, "events", sf_dir)
+    out = seasonal_decompose(ev, "value", "ts", keys=["event_type"])
+    return out.select(
+        "event_id", "event_type", "ts", "value", "trend", "seasonal", "residual"
+    )
+
+
+_SEASONAL_SQL = """
+WITH t AS (
+  SELECT event_id, event_type, ts, value,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER wt AS DOUBLE)
+      / 100.0 / count(*) OVER wt AS trend_raw,
+    CAST(hour(ts) AS INT) AS u
+  FROM events
+  WINDOW wt AS (
+    PARTITION BY event_type
+    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 43200 PRECEDING AND 43199 FOLLOWING
+  )
+),
+prof AS (
+  SELECT event_type, u, avg(value - trend_raw) AS seasonal_raw
+  FROM t GROUP BY 1, 2
+)
+SELECT event_id, t.event_type, ts, value,
+  trend_raw AS trend,
+  round(seasonal_raw, 4) AS seasonal,
+  round(value - trend_raw - seasonal_raw, 4) AS residual
+FROM t JOIN prof ON t.event_type = prof.event_type AND t.u = prof.u
+"""
+
+QUERIES["seasonal_decompose"] = q_seasonal_decompose
+ORACLES["seasonal_decompose"] = _SEASONAL_SQL
