@@ -363,3 +363,25 @@ def test_ks_drift_one_sided_key_yields_null(spark):
     out = {r["k"]: r["ks"] for r in ks_drift(df, "v", "ts", keys=["k"]).collect()}
     assert out["a"] is not None
     assert out["b"] is None
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A pure hour-of-day pattern decomposes into ~flat trend + the planted
+    seasonal profile + ~zero residuals."""
+    import datetime as dt
+
+    from cerebro_spark.operators.tsdb import seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), float((i % 24) * 1.0))
+        for i in range(24 * 14)  # two weeks hourly
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = seasonal_decompose(df, "v", "ts", keys=[]).collect()
+    # interior rows (full centered window): residuals vanish, seasonal
+    # spans the planted amplitude
+    interior = [r for r in out if 24 <= r["id"] < 24 * 13]
+    assert max(abs(r["residual"]) for r in interior) < 1.0
+    seas = {r["ts"].hour: r["seasonal"] for r in interior}
+    assert seas[23] - seas[0] > 20  # planted 0..23 swing recovered
