@@ -73,6 +73,8 @@ HEADLINE = [
     "ks_drift",
     "bigram_pmi",
     "cusum_alerts",
+    "session_stats",
+    "seasonal_decompose",
 ]
 
 
