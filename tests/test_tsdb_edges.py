@@ -385,3 +385,31 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     assert max(abs(r["residual"]) for r in interior) < 1.0
     seas = {r["ts"].hour: r["seasonal"] for r in interior}
     assert seas[23] - seas[0] > 20  # planted 0..23 swing recovered
+
+
+def test_holt_winters_extends_linear_trend(spark):
+    from cerebro_spark.operators.tsdb import holt_winters_forecast
+
+    # clean linear series: +2 per hour — Holt must keep the slope
+    rows = [(i, _t(i * 3600), 100.0 + 2.0 * i) for i in range(48)]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    fc = holt_winters_forecast(
+        df, "v", "ts", keys=[], bucket_seconds=3600, horizon=5
+    ).orderBy("step").collect()
+    assert len(fc) == 5
+    last = 100.0 + 2.0 * 47
+    for r in fc:
+        assert abs(r["yhat"] - (last + 2.0 * r["step"])) < 0.5
+    # per-key variant keeps series separate
+    rows2 = [(i, _t(i * 3600), "a", 10.0 + i) for i in range(48)] + [
+        (i, _t(i * 3600), "b", 500.0 - i) for i in range(48)
+    ]
+    df2 = spark.createDataFrame(rows2, ["id", "ts", "k", "v"])
+    fc2 = holt_winters_forecast(
+        df2, "v", "ts", keys=["k"], bucket_seconds=3600, horizon=3
+    ).collect()
+    by_k = {}
+    for r in fc2:
+        by_k.setdefault(r["k"], []).append(r["yhat"])
+    assert all(y > 50 for y in by_k["a"]) and all(y < 500 for y in by_k["b"])
+    assert by_k["a"][0] < by_k["b"][0]
