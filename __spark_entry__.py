@@ -654,6 +654,8 @@ _SNAPSHOT_PRIORITY = [
     "approx_top_terms",
     "session_stats",
     "seasonal_decompose",
+    "rsi_14",
+    "value_corr_matrix",
 ]
 
 

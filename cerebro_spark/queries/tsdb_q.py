@@ -1374,3 +1374,110 @@ FROM t JOIN prof ON t.event_type = prof.event_type AND t.u = prof.u
 
 QUERIES["seasonal_decompose"] = q_seasonal_decompose
 ORACLES["seasonal_decompose"] = _SEASONAL_SQL
+
+
+def q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (14-sample, simple-average form) per series —
+    the classic momentum oscillator (Flux ``relativeStrengthIndex``).
+    Gains/losses in exact e2 BIGINTs (value diffs are e2-exact), rolling
+    ROWS-frame sums stay integers, so RSI's division chain is
+    bit-deterministic — rounding only as presentation (4 dp)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e2 = F.round(F.col("value") * 100).cast("long")
+    diff = e2 - F.lag(e2).over(w)
+    d = ev.select(
+        "event_id", "event_type", "ts",
+        F.when(diff > 0, diff).otherwise(F.lit(0)).alias("__gain"),
+        F.when(diff < 0, -diff).otherwise(F.lit(0)).alias("__loss"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    g = F.sum("__gain").over(w14).cast("double")
+    l = F.sum("__loss").over(w14).cast("double")
+    rsi = F.when(
+        (g + l) > 0, 100.0 * g / (g + l)
+    ).otherwise(F.lit(50.0))
+    return (
+        d.withColumn("rsi", F.round(rsi, 4))
+        .filter(F.col("__rn") >= 15)  # full 14-diff window only
+        .select("event_id", "event_type", "ts", "rsi")
+    )
+
+
+_RSI_SQL = """
+WITH d AS (
+  SELECT event_id, event_type, ts,
+    CAST(round(value * 100) AS BIGINT)
+      - lag(CAST(round(value * 100) AS BIGINT)) OVER w AS diff,
+    row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+gl AS (
+  SELECT event_id, event_type, ts, rn,
+    CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+    CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss
+  FROM d
+),
+roll AS (
+  SELECT event_id, event_type, ts, rn,
+    CAST(sum(gain) OVER w14 AS DOUBLE) AS g,
+    CAST(sum(loss) OVER w14 AS DOUBLE) AS l
+  FROM gl
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts,
+  round(CASE WHEN g + l > 0 THEN 100.0 * g / (g + l) ELSE 50.0 END, 4) AS rsi
+FROM roll WHERE rn >= 15
+"""
+
+
+def q_value_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series Pearson correlation matrix: event types pivot to hourly
+    bucket averages, pairs correlate over the shared bucket axis — the
+    'which metrics move together' panel.  State is buckets × types, pairs
+    are types², both bounded; corr carries double-sum noise → round 4."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).alias("__h"),
+        "event_type",
+    ).agg(F.avg("value").alias("__v"))
+    a = hourly.select(
+        "__h", F.col("event_type").alias("type_a"), F.col("__v").alias("va")
+    )
+    b = hourly.select(
+        "__h", F.col("event_type").alias("type_b"), F.col("__v").alias("vb")
+    )
+    j = a.join(b, "__h").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        j.groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.corr("va", "vb"), 4).alias("corr"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+
+
+_CORR_MATRIX_SQL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, event_type,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  round(corr(a.v, b.v), 4) AS corr,
+  count(*) AS n_buckets
+FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+QUERIES["rsi_14"] = q_rsi_14
+ORACLES["rsi_14"] = _RSI_SQL
+QUERIES["value_corr_matrix"] = q_value_corr_matrix
+ORACLES["value_corr_matrix"] = _CORR_MATRIX_SQL
