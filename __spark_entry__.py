@@ -656,6 +656,7 @@ _SNAPSHOT_PRIORITY = [
     "seasonal_decompose",
     "rsi_14",
     "value_corr_matrix",
+    "bollinger_20",
 ]
 
 

@@ -1481,3 +1481,73 @@ QUERIES["rsi_14"] = q_rsi_14
 ORACLES["rsi_14"] = _RSI_SQL
 QUERIES["value_corr_matrix"] = q_value_corr_matrix
 ORACLES["value_corr_matrix"] = _CORR_MATRIX_SQL
+
+
+def q_bollinger_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-sample rolling mean ± 2σ) per series — the
+    monitoring-envelope verb.  Rolling Σx and Σx² as e2/e4 BIGINTs over a
+    ROWS frame keep every derived double bit-deterministic across engines
+    (same discipline as cusum's baseline), so mid/upper/lower ship
+    UNROUNDED — exact ratios would land on round() boundaries otherwise."""
+    ev = load_table(spark, "events", sf_dir)
+    e2 = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    s1 = F.sum(e2).over(w).cast("double")
+    s2 = F.sum(e2 * e2).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mid = s1 / 100.0 / n
+    sigma = F.sqrt(F.greatest(s2 / 10000.0 / n - mid * mid, F.lit(0.0)))
+    d = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        mid.alias("mid"),
+        (mid + 2.0 * sigma).alias("upper"),
+        (mid - 2.0 * sigma).alias("lower"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("__rn"),
+    )
+    return (
+        d.filter(F.col("__rn") >= 20)  # full windows only
+        .withColumn(
+            "breakout",
+            (F.col("value") > F.col("upper"))
+            | (F.col("value") < F.col("lower")),
+        )
+        .drop("__rn")
+    )
+
+
+_BOLLINGER_SQL = """
+WITH r AS (
+  SELECT event_id, event_type, ts, value,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w20 AS DOUBLE) AS s1,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) OVER w20 AS DOUBLE) AS s2,
+    CAST(count(*) OVER w20 AS DOUBLE) AS n,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+  WINDOW w20 AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts, value,
+  s1 / 100.0 / n AS mid,
+  s1 / 100.0 / n + 2.0 * sqrt(greatest(s2 / 10000.0 / n
+    - (s1 / 100.0 / n) * (s1 / 100.0 / n), 0.0)) AS upper,
+  s1 / 100.0 / n - 2.0 * sqrt(greatest(s2 / 10000.0 / n
+    - (s1 / 100.0 / n) * (s1 / 100.0 / n), 0.0)) AS lower,
+  (value > s1 / 100.0 / n + 2.0 * sqrt(greatest(s2 / 10000.0 / n
+    - (s1 / 100.0 / n) * (s1 / 100.0 / n), 0.0)))
+  OR (value < s1 / 100.0 / n - 2.0 * sqrt(greatest(s2 / 10000.0 / n
+    - (s1 / 100.0 / n) * (s1 / 100.0 / n), 0.0))) AS breakout
+FROM r WHERE rn >= 20
+"""
+
+QUERIES["bollinger_20"] = q_bollinger_20
+ORACLES["bollinger_20"] = _BOLLINGER_SQL
