@@ -657,6 +657,7 @@ _SNAPSHOT_PRIORITY = [
     "rsi_14",
     "value_corr_matrix",
     "bollinger_20",
+    "stochastic_14",
 ]
 
 

@@ -1551,3 +1551,60 @@ FROM r WHERE rn >= 20
 
 QUERIES["bollinger_20"] = q_bollinger_20
 ORACLES["bollinger_20"] = _BOLLINGER_SQL
+
+
+def q_stochastic_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K (position of the current value inside the
+    rolling 14-sample min/max channel, a.k.a. Donchian position).  Rolling
+    extrema of e2 BIGINTs are exact; the ratio is one deterministic
+    division (constant windows → channel width 0 → defined as 50)."""
+    ev = load_table(spark, "events", sf_dir)
+    e2 = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    lo = F.min(e2).over(w)
+    hi = F.max(e2).over(w)
+    k = F.when(
+        hi > lo,
+        100.0 * (e2 - lo).cast("double") / (hi - lo).cast("double"),
+    ).otherwise(F.lit(50.0))
+    d = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        (lo.cast("double") / 100.0).alias("channel_low"),
+        (hi.cast("double") / 100.0).alias("channel_high"),
+        k.alias("pct_k"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("__rn"),
+    )
+    return d.filter(F.col("__rn") >= 14).drop("__rn")
+
+
+_STOCHASTIC_SQL = """
+WITH r AS (
+  SELECT event_id, event_type, ts, value,
+    min(CAST(round(value * 100) AS BIGINT)) OVER w14 AS lo,
+    max(CAST(round(value * 100) AS BIGINT)) OVER w14 AS hi,
+    CAST(round(value * 100) AS BIGINT) AS e2,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts, value,
+  CAST(lo AS DOUBLE) / 100.0 AS channel_low,
+  CAST(hi AS DOUBLE) / 100.0 AS channel_high,
+  CASE WHEN hi > lo
+       THEN 100.0 * CAST(e2 - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+       ELSE 50.0 END AS pct_k
+FROM r WHERE rn >= 14
+"""
+
+QUERIES["stochastic_14"] = q_stochastic_14
+ORACLES["stochastic_14"] = _STOCHASTIC_SQL
