@@ -413,3 +413,38 @@ def test_holt_winters_extends_linear_trend(spark):
         by_k.setdefault(r["k"], []).append(r["yhat"])
     assert all(y > 50 for y in by_k["a"]) and all(y < 500 for y in by_k["b"])
     assert by_k["a"][0] < by_k["b"][0]
+
+
+def test_momentum_verbs_invariants(spark, sf_dir):
+    """Unit invariants for the oracle-gated momentum verbs: RSI ∈ [0,100],
+    %K ∈ [0,100] and inside-channel by construction, Bollinger mid between
+    the bands with breakouts rare on stationary data."""
+    from cerebro_spark.io import load_table
+    from cerebro_spark.queries.tsdb_q import (
+        q_bollinger_20,
+        q_rsi_14,
+        q_stochastic_14,
+    )
+
+    rsi = q_rsi_14(spark, sf_dir).agg(
+        F.min("rsi"), F.max("rsi")
+    ).first()
+    assert 0.0 <= rsi[0] and rsi[1] <= 100.0
+
+    st = q_stochastic_14(spark, sf_dir)
+    bad = st.filter(
+        (F.col("pct_k") < 0)
+        | (F.col("pct_k") > 100)
+        | (F.col("value") < F.col("channel_low") - 0.005)
+        | (F.col("value") > F.col("channel_high") + 0.005)
+    ).count()
+    assert bad == 0
+
+    bb = q_bollinger_20(spark, sf_dir)
+    mid_ok = bb.filter(
+        (F.col("mid") < F.col("lower")) | (F.col("mid") > F.col("upper"))
+    ).count()
+    assert mid_ok == 0
+    n = bb.count()
+    breakouts = bb.filter("breakout").count()
+    assert breakouts / n < 0.2  # 2σ bands: breakouts are the tail
