@@ -1349,17 +1349,25 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEASONAL_SQL = """
-WITH t AS (
-  SELECT event_id, event_type, ts, value,
-    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER wt AS DOUBLE)
-      / 100.0 / count(*) OVER wt AS trend_raw,
-    CAST(hour(ts) AS INT) AS u
-  FROM events
-  WINDOW wt AS (
-    PARTITION BY event_type
-    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-    RANGE BETWEEN 43200 PRECEDING AND 43199 FOLLOWING
-  )
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tb AS (
+  SELECT event_type, b,
+    CAST(sum(s) OVER wb AS DOUBLE) / 100.0 / sum(c) OVER wb AS trend_raw
+  FROM hourly
+  WINDOW wb AS (PARTITION BY event_type ORDER BY b
+                RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+),
+t AS (
+  SELECT e.event_id, e.event_type, e.ts, e.value, tb.trend_raw,
+    CAST(hour(e.ts) AS INT) AS u
+  FROM events e
+  JOIN tb ON tb.event_type = e.event_type
+         AND tb.b = CAST(floor(epoch(e.ts) / 3600) AS BIGINT)
 ),
 prof AS (
   SELECT event_type, u, avg(value - trend_raw) AS seasonal_raw
