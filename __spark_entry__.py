@@ -538,61 +538,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries below the 50-line (repetition_profile onward), the round-4 tail
 # block, and the round-5 tail block.
 _SNAPSHOT_PRIORITY = [
-    # round-3 additions (never had any gate row)
-    "chunk_dedup",
-    "vocab_encode",
-    "dup_spans",
-    "epoch_shuffle",
-    "salted_segment_value",
-    "user_value_ranks",
-    "user_retention",
-    "local_supplier_volume",
-    "returned_item_losses",
-    "funnel_conversion",
-    "gopher_flags",
-    "priority_order_check",
-    "forecast_revenue_change",
-    "bilateral_trade",
-    "order_count_distribution",
-    "gap_report",
-    "volume_drift",
-    "ngram_containment",
-    "payload_dedup",
-    "rolling_active_users",
-    "new_vs_returning",
-    "top_revenue_supplier",
-    "small_qty_revenue",
-    "bracket_revenue",
-    "idle_customers",
-    # round-4 hardened: formerly rows-only/amber, now oracle-backed via
-    # tolerance/recall encodings — VERDICT r1 asked for exactly this, so
-    # their green rows take slots ahead of the remaining round-2 backlog
-    "ann_cosine_ivf",
-    "approx_percentiles_daily",
-    "approx_users_daily",
-    # round-2 additions never covered by a driver snapshot row
-    "repetition_profile",
-    "unigram_nll",
-    "mixture_sample",
-    "pack_tokens",
-    "semantic_dedup",
-    "dedup_clusters",
-    "dedup_resolve",
-    "contamination_check",
-    "quantize_embeddings",
-    "stratified_sample",
-    "training_prep_summary",
-    "events_quality_profile",
-    "late_shipments_by_priority",
-    "large_volume_customers",
-    "sole_return_suppliers",
-    "market_share_by_year",
-    "asof_join",
-    "asof_join_tolerance",
-    "range_join",
-    "interpolate_linear",
-    "percentiles_daily",
-    "value_histogram",
+    # ROUND-4 ROTATION: the 61 queries with no driver CORRECTNESS row in
+    # r01-r03 (VERDICT r3 ask #1).  Driver snapshots the FIRST 50, so the
+    # last 11 below (error_burn_rate onward) plus any round-4 additions
+    # must head the r05 rotation.  NEXT-ROUND NOTE: diff CORRECTNESS_r04
+    # keys against this list and rotate the leftover to the front.
     "zscore_outliers",
     "tfidf_top_terms",
     "top_ngrams",
@@ -610,8 +560,6 @@ _SNAPSHOT_PRIORITY = [
     "orders_with_returns",
     "part_size_stats",
     "users_purchase_no_error",
-    # round-4 NEW queries queue behind the older backlog (they can wait a
-    # round; the 50-row snapshot cap bites above)
     "winnow_fingerprints",
     "winnow_overlap",
     "lsh_bucket_stats",
@@ -631,8 +579,6 @@ _SNAPSHOT_PRIORITY = [
     "merged_quantiles_check",
     "merged_distinct_check",
     "min_cost_supplier",
-    # round-5 NEW queries (this session's additions; ungated like everything
-    # above, queue at the back of the rotation)
     "ohlc_6h",
     "twa_6h",
     "minmax_downsample",

@@ -151,16 +151,23 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
+    # The driver tail-captures only the LAST stdout line and its buffer is
+    # finite (BENCH_r03 recorded parsed:null when the runs arrays pushed the
+    # line past it).  Emit the full per-run detail on an EARLIER line for
+    # humans/diffs, and keep the final line a compact record well under 2 KB:
+    # timings rounded to ms, no runs arrays.
+    print(json.dumps({"detail": "all_runs", "runs": runs}))
+    compact = {n: round(t, 3) for n, t in timings.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "runs": runs,
+                "queries": compact,
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -29,6 +29,7 @@ def asof_join(
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    _keep_match_time: bool = False,
 ) -> DataFrame:
     """For each left row: the matching right row per ``by`` keys —
     ``direction`` selects which one (pandas ``merge_asof`` parity):
@@ -45,6 +46,11 @@ def asof_join(
 
     Ties at identical timestamps: the right row is visible to a left row
     with the same timestamp in both directions.
+
+    ``__asof_`` is a reserved column-name prefix (nearest-mode
+    intermediates); ``_keep_match_time`` is private plumbing for the
+    nearest-mode inner passes — user-supplied suffix values never change
+    the output shape.
     """
     by = by or []
     if direction not in ("backward", "forward", "nearest"):
@@ -52,31 +58,34 @@ def asof_join(
     if direction == "nearest":
         b = asof_join(
             left, right, time_col, by, right_cols, tolerance_seconds,
-            suffix="__b", direction="backward",
+            suffix="__asof_b", direction="backward", _keep_match_time=True,
         )
         f = asof_join(
             b, right, time_col, by, right_cols, tolerance_seconds,
-            suffix="__f", direction="forward",
+            suffix="__asof_f", direction="forward", _keep_match_time=True,
         )
         rc = right_cols or [
             c for c in right.columns if c != time_col and c not in by
         ]
         lt = F.col(time_col).cast("double")
         # the inner passes expose their matched right timestamp as
-        # __rt__b/__rt__f (see below) — the deltas that decide the winner
+        # __asof_rt__asof_{b,f} — the deltas that decide the winner
+        rt_b, rt_f = "__asof_rt__asof_b", "__asof_rt__asof_f"
         out = f
-        db = F.abs(lt - F.col("__rt__b").cast("double"))
-        df_ = F.abs(F.col("__rt__f").cast("double") - lt)
-        pick_b = F.col("__rt__f").isNull() | (
-            F.col("__rt__b").isNotNull() & (db <= df_)
+        db = F.abs(lt - F.col(rt_b).cast("double"))
+        df_ = F.abs(F.col(rt_f).cast("double") - lt)
+        pick_b = F.col(rt_f).isNull() | (
+            F.col(rt_b).isNotNull() & (db <= df_)
         )
         for c in rc:
             out = out.withColumn(
                 f"{c}{suffix}",
-                F.when(pick_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")),
+                F.when(pick_b, F.col(f"{c}__asof_b")).otherwise(
+                    F.col(f"{c}__asof_f")
+                ),
             )
-        drop = [f"{c}__b" for c in rc] + [f"{c}__f" for c in rc]
-        drop += ["__rt__b", "__rt__f"]
+        drop = [f"{c}__asof_b" for c in rc] + [f"{c}__asof_f" for c in rc]
+        drop += [rt_b, rt_f]
         return out.drop(*drop)
     right_cols = right_cols or [
         c for c in right.columns if c != time_col and c not in by
@@ -127,8 +136,8 @@ def asof_join(
         matched = F.when(delta <= tolerance_seconds, F.col("__c"))
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", matched.getField(c))
-    if suffix in ("__b", "__f"):  # nearest-mode inner pass: keep match time
-        out = out.withColumn(f"__rt{suffix}", matched.getField("__rt"))
+    if _keep_match_time:  # nearest-mode inner pass: keep match time
+        out = out.withColumn(f"__asof_rt{suffix}", matched.getField("__rt"))
     return out.drop("__c")
 
 

@@ -686,12 +686,25 @@ def train_pq_codebooks(
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             code = np.argmin(d2, axis=1)
+            new_cent = cent.copy()
+            empties = []
             for c in range(k):
                 mask = code == c
                 if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
+                    new_cent[c] = sub[mask].mean(axis=0)
                 else:
-                    cent[c] = sub[np.argmax(d2.min(axis=1))]
+                    empties.append(c)
+            if empties:
+                # Re-seed each empty cluster to a DISTINCT far point: the
+                # 1st, 2nd, … farthest-from-their-centroid sample rows (one
+                # shared reseed point would collapse multiple empty clusters
+                # to identical entries; duplicate hash-order seed rows self-
+                # heal the same way — they empty out in the next assignment
+                # and land on distinct far points here).
+                order = np.argsort(-d2.min(axis=1))
+                for i, c in enumerate(empties):
+                    new_cent[c] = sub[order[i % len(order)]]
+            cent = new_cent
         books.append(cent.tolist())
     return books
 
@@ -728,9 +741,13 @@ def pq_encode(
     bits = max(1, int(np.ceil(np.log2(k))))
     if m * bits > 63:
         raise ValueError(f"codes need {m * bits} bits; packing requires <= 63")
+    # carry the caller's id column through verbatim — name AND type (a
+    # string/uuid id must not be coerced to int64, and the output column
+    # keeps the name the caller joins back on)
+    id_field = df.schema[id_col]
     out_schema = StructType(
         [
-            StructField("vec_id", LongType(), False),
+            StructField(id_field.name, id_field.dataType, id_field.nullable),
             StructField("codes", ArrayType(IntegerType(), False), False),
             StructField("packed", LongType(), False),
         ]
@@ -759,7 +776,7 @@ def pq_encode(
                 packed |= codes[:, j] << (j * bits)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "codes": [c.astype("int32") for c in codes],
                     "packed": packed,
                 }

@@ -694,21 +694,21 @@ def mad_outliers(
     keys = keys or []
     v = F.col(value_col).cast("double")
     med = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )
     joined = df.join(F.broadcast(med), on=keys) if keys else df.crossJoin(
         F.broadcast(med)
     )
-    resid = joined.withColumn("__resid", F.abs(v - F.col("__med")))
+    resid = joined.withColumn("__resid", F.abs(v - F.col("med")))
     mad = resid.groupBy(*keys).agg(
-        F.expr("percentile(__resid, 0.5)").alias("__mad")
+        F.expr("percentile(__resid, 0.5)").alias("mad")
     )
     out = resid.join(F.broadcast(mad), on=keys) if keys else resid.crossJoin(
         F.broadcast(mad)
     )
     return out.withColumn(
         "is_outlier",
-        F.col("__resid") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+        F.col("__resid") > F.lit(k) * F.lit(1.4826) * F.col("mad"),
     ).drop("__resid")
 
 
@@ -720,8 +720,8 @@ def ks_drift(
     bins: int = 64,
 ) -> DataFrame:
     """Distribution-drift monitor: two-sample Kolmogorov–Smirnov statistic
-    between the early and late half of each series' time span, computed on
-    a shared fixed grid of ``bins`` value buckets.
+    between the early and late half of **each series' own** time span,
+    computed on a shared fixed grid of ``bins`` value buckets.
 
     The exact KS over raw samples needs a per-key sort of all points; the
     binned variant is the scale form — one groupBy to (key, bin, side)
@@ -729,20 +729,30 @@ def ks_drift(
     cumulative window over ≤``bins`` rows, and a max.  Bin-resolution error
     is bounded by 1/bins, plenty for a drift alarm.
 
-    Time split and bin edges derive from one global min/max aggregate
-    (broadcast back, no second scan dependency chain) so every engine
-    reproduces the same buckets bit-for-bit.
+    The early/late midpoint is PER KEY (a series active only in part of the
+    global window still splits around its own span — a series that appeared
+    or disappeared is exactly the one the alarm must cover), computed by one
+    keyed min/max aggregate broadcast back.  Value bin edges stay GLOBAL so
+    every key's two CDFs share one grid and every engine reproduces the
+    same buckets bit-for-bit.  ``ks`` is null only for the degenerate
+    single-instant series (no late half exists).
     """
     keys = keys or []
     t = F.col(time_col).cast("double")
     v = F.col(value_col).cast("double")
-    span = df.agg(
-        F.min(t).alias("__tmin"),
-        F.max(t).alias("__tmax"),
+    vspan = df.agg(
         F.min(v).alias("__vmin"),
         F.max(v).alias("__vmax"),
     )
-    d = df.crossJoin(F.broadcast(span))
+    d = df.crossJoin(F.broadcast(vspan))
+    if keys:
+        tspan = df.groupBy(*keys).agg(
+            F.min(t).alias("__tmin"), F.max(t).alias("__tmax")
+        )
+        d = d.join(F.broadcast(tspan), on=keys)
+    else:
+        tspan = df.agg(F.min(t).alias("__tmin"), F.max(t).alias("__tmax"))
+        d = d.crossJoin(F.broadcast(tspan))
     is_early = t <= (F.col("__tmin") + F.col("__tmax")) / 2
     # constant-valued column → one bin (ANSI mode would otherwise raise
     # DIVIDE_BY_ZERO on the range normalization)
@@ -822,7 +832,7 @@ def cusum(
         F.count(F.lit(1)).alias("__n"),
     ).select(
         *keys,
-        (F.col("__s1").cast("double") / 100.0 / F.col("__n")).alias("__mu"),
+        (F.col("__s1").cast("double") / 100.0 / F.col("__n")).alias("mu"),
         # greatest(·, 0): the two FP paths for E[x²]−E[x]² can differ by an
         # ulp on constant series, and sqrt(−ε) would poison every downstream
         # comparison with NaN
@@ -833,7 +843,7 @@ def cusum(
                 * (F.col("__s1").cast("double") / 100.0 / F.col("__n")),
                 F.lit(0.0),
             )
-        ).alias("__sigma"),
+        ).alias("sigma"),
     )
     joined = (
         df.join(F.broadcast(stats), on=keys)
@@ -842,8 +852,8 @@ def cusum(
     )
     dev = (
         F.col(value_col).cast("double")
-        - F.col("__mu")
-        - F.lit(slack_sigmas) * F.col("__sigma")
+        - F.col("mu")
+        - F.lit(slack_sigmas) * F.col("sigma")
     )
     order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
@@ -852,7 +862,7 @@ def cusum(
     with_p = joined.withColumn("__p", F.sum(dev).over(w))
     s = F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w))
     return with_p.withColumn("cusum", F.round(s, 6)).withColumn(
-        "is_alert", s > F.lit(alert_sigmas) * F.col("__sigma")
+        "is_alert", s > F.lit(alert_sigmas) * F.col("sigma")
     ).drop("__p", "__s1", "__s2", "__n")
 
 

@@ -986,8 +986,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.round("__med", 6).alias("med"),
-        F.round("__mad", 6).alias("mad"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
         "is_outlier",
     )
 
@@ -1019,16 +1019,20 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KS_SQL = """
-WITH span AS (
-  SELECT min(epoch(ts)) AS tmin, max(epoch(ts)) AS tmax,
-         min(value) AS vmin, max(value) AS vmax
-  FROM events
+WITH vspan AS (
+  SELECT min(value) AS vmin, max(value) AS vmax FROM events
+),
+tspan AS (
+  SELECT event_type, min(epoch(ts)) AS tmin, max(epoch(ts)) AS tmax
+  FROM events GROUP BY 1
 ),
 binned AS (
   SELECT e.event_type,
     CAST(least(floor((e.value - s.vmin) / (s.vmax - s.vmin) * 64), 63) AS BIGINT) AS bin,
-    epoch(e.ts) <= (s.tmin + s.tmax) / 2 AS early
-  FROM events e, span s
+    epoch(e.ts) <= (k.tmin + k.tmax) / 2 AS early
+  FROM events e
+  JOIN tspan k USING (event_type)
+  CROSS JOIN vspan s
 ),
 counts AS (
   SELECT event_type, bin,
@@ -1114,8 +1118,8 @@ def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "cusum",
         "is_alert",
-        F.round("__mu", 6).alias("mu"),
-        F.round("__sigma", 6).alias("sigma"),
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
     )
 
 

@@ -16,6 +16,13 @@ dict only carries strings across the driver/worker boundary):
     def poll(offset: int, options: dict) -> tuple[list[tuple], int]:
         ...return (point_rows, new_offset)
 
+A poll fn may instead return a 3-tuple ``(rows, new_offset, state)`` where
+``state`` is an opaque string checkpointed INSIDE the offset and handed back
+on the next poll as ``options["__state"]`` — the Spark-native home for the
+reference's incremental HTTP high-water-mark (`lco.py:116-122` keeps
+``start_time`` in daemon memory and loses it on restart; here it survives in
+the streaming checkpoint).
+
 Row shape = POINT_SCHEMA tuples.  Transient poll failures follow the
 reference's reconnect policy via ``ExponentialBackoff`` (C5 —
 `protocols.py:24-28`: initial 1 s, factor e, Gaussian jitter σ≈0.1196,
@@ -118,13 +125,27 @@ try:  # PySpark 4 Python DataSource API
         def initialOffset(self) -> dict:
             return {"hwm": int(self.options.get("start_offset", "0"))}
 
+        def _call(self, start: dict) -> tuple[list, dict]:
+            """Invoke the poll fn with the checkpointed opaque state (if
+            any) injected as ``options["__state"]``; normalize 2- and
+            3-tuple returns to (rows, offset_dict)."""
+            opts = dict(self.options)
+            if start.get("state") is not None:
+                opts["__state"] = start["state"]
+            out = self.fn(int(start["hwm"]), opts)
+            if len(out) == 3:
+                rows, new_hwm, state = out
+                return list(rows), {"hwm": int(new_hwm), "state": state}
+            rows, new_hwm = out
+            return list(rows), {"hwm": int(new_hwm)}
+
         def read(self, start: dict):
             backoff = ExponentialBackoff(seed=0)
             last_exc: Exception | None = None
             for _ in range(self.max_retries):
                 try:
-                    rows, new_hwm = self.fn(int(start["hwm"]), self.options)
-                    return iter(rows), {"hwm": int(new_hwm)}
+                    rows, end = self._call(start)
+                    return iter(rows), end
                 except Exception as exc:  # noqa: BLE001 — retry transient reads
                     last_exc = exc
                     backoff.next_delay()  # bounded in-batch; no sleep in tests
@@ -138,10 +159,9 @@ try:  # PySpark 4 Python DataSource API
             # batch committed.  Fns that over-advance hwm on empty reads
             # (snapshot polls hitting a transient error) can still under-fill
             # a replay — inherent for non-deterministic state, documented.
-            rows, replay_hwm = self.fn(int(start["hwm"]), self.options)
-            rows = list(rows)
+            rows, replay_end = self._call(start)
             delta = int(end["hwm"]) - int(start["hwm"])
-            replay_delta = int(replay_hwm) - int(start["hwm"])
+            replay_delta = int(replay_end["hwm"]) - int(start["hwm"])
             if replay_delta != len(rows):
                 # Fn violates the rows-per-offset contract (see
                 # register_poll_fn): slicing by offset span would lose data.
@@ -319,3 +339,86 @@ def _tpm_snapshot_poll(offset: int, options: dict) -> tuple[list[tuple], int]:
         options.get("bucket"),
     )
     return [row], offset + 1
+
+
+@register_poll_fn("http_request")
+def _http_request_poll(
+    offset: int, options: dict
+) -> tuple[list[tuple], int, str | None]:
+    """S15/S16 streaming transport — incremental HTTP fetch with a
+    time-based high-water-mark, the reference's LCO feed loop
+    (`/root/reference/cerebro/sources/lco.py:116-122`: GET with
+    ``start_time=<last seen ts>``, then HWM ← last row's second-precision
+    ISO timestamp).  The HWM here lives in the checkpointed offset state
+    (3-tuple return), so a restarted query resumes from the committed
+    watermark instead of the reference's in-memory ``start_time``.
+
+    Options: ``url`` (required); ``hwm_param`` (query parameter carrying
+    the watermark, default ``start_time``); ``initial_start`` (first-poll
+    value, default ``-120`` = the reference's relative-seconds form);
+    ``time_field`` (default ``ts``); ``rows_key`` (when the payload is a
+    dict, the key holding the row list; default ``results``);
+    ``measurement``, ``source_name``, ``bucket``, ``timeout_s``.
+
+    Response rows are JSON objects; the ``time_field`` value (ISO 8601)
+    becomes the point time, numeric members land in ``fields``, strings in
+    ``fields_str``, booleans in ``fields_bool`` — ready for the
+    ``lco_weather_pipeline`` / ``lco_seeing_pipeline`` parse stages.
+    HTTP errors raise → the reader's C5 backoff retries.  Replay after a
+    crash re-issues the committed watermark's request; the committed-span
+    slice in ``readBetweenOffsets`` bounds over-delivery.
+    """
+    import datetime as dt
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    url = options["url"]
+    hwm_param = options.get("hwm_param", "start_time")
+    time_field = options.get("time_field", "ts")
+    state = options.get("__state") or options.get("initial_start", "-120")
+    sep = "&" if "?" in url else "?"
+    full = f"{url}{sep}{urllib.parse.urlencode({hwm_param: state})}"
+    with urllib.request.urlopen(
+        full, timeout=float(options.get("timeout_s", "10"))
+    ) as resp:
+        payload = _json.load(resp)
+    if isinstance(payload, dict):
+        payload = payload.get(options.get("rows_key", "results"), [])
+
+    rows: list[tuple] = []
+    last_ts: dt.datetime | None = None
+    for rec in payload:
+        rec = dict(rec)
+        raw_ts = rec.pop(time_field, None)
+        t = None
+        if raw_ts is not None:
+            t = dt.datetime.fromisoformat(str(raw_ts).replace("Z", "+00:00"))
+            if t.tzinfo is not None:
+                t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            if last_ts is None or t > last_ts:
+                last_ts = t
+        fields = {
+            k: float(v)
+            for k, v in rec.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        }
+        fields_str = {k: v for k, v in rec.items() if isinstance(v, str)}
+        fields_bool = {k: v for k, v in rec.items() if isinstance(v, bool)}
+        rows.append(
+            (
+                options.get("measurement", "http"),
+                {"source": options.get("source_name", "http")},
+                fields or None,
+                fields_str or None,
+                fields_bool or None,
+                t,
+                options.get("bucket"),
+            )
+        )
+    new_state = state
+    if last_ts is not None:
+        # the reference's HWM discipline (lco.py:117-122): second-precision
+        # ISO of the newest row — the server side treats it as exclusive
+        new_state = last_ts.replace(microsecond=0).isoformat()
+    return rows, offset + len(rows), new_state

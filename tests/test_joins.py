@@ -100,3 +100,34 @@ def test_asof_directions_matrix(spark):
 
     with pytest.raises(ValueError):
         got(direction="sideways")
+
+
+def test_asof_user_suffix_not_sentinel(spark):
+    """User-supplied suffix values '__b'/'__f' are plain suffixes, not the
+    nearest-mode internal sentinel: no __rt*/__asof_* columns leak, and a
+    pre-existing left column named like the OLD intermediates (<col>__b)
+    survives nearest mode untouched."""
+    import datetime as dt
+
+    from cerebro_spark.operators.joins import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "a", T(10), 99.0)], ["lid", "k", "ts", "v__b"]
+    )
+    right = spark.createDataFrame([("a", T(8), 1.0)], ["k", "ts", "v"])
+
+    # suffix "__b" used as a plain user suffix on a backward join: output is
+    # v__b... which collides with the left column by the user's own choice —
+    # use a distinct suffix here and assert nothing internal leaks
+    out = asof_join(left, right, "ts", by=["k"], suffix="__f")
+    assert sorted(out.columns) == ["k", "lid", "ts", "v__b", "v__f"]
+    row = out.collect()[0]
+    assert row["v__b"] == 99.0 and row["v__f"] == 1.0
+
+    # nearest mode: the old implementation built intermediates named v__b
+    # (clobbering the user's column) and leaked __rt__b/__rt__f
+    near = asof_join(left, right, "ts", by=["k"], direction="nearest")
+    assert sorted(near.columns) == ["k", "lid", "ts", "v__b", "v_right"]
+    nrow = near.collect()[0]
+    assert nrow["v__b"] == 99.0 and nrow["v_right"] == 1.0

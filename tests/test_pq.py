@@ -116,3 +116,41 @@ def test_ivf_pq_rerank_beats_plain_pq(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
         if (r["query_id"], r["neighbor_id"]) in {(q, n) for q, n, _ in bset}:
             assert key in bset
+
+
+def test_pq_codebooks_reseed_distinct(spark):
+    """Empty-cluster reseeding must yield DISTINCT codebook entries even
+    when the seed rows are massively duplicated (ADVICE r3: the old code
+    reseeded every empty cluster to the same stale argmax point)."""
+    from cerebro_spark.operators.similarity import train_pq_codebooks
+
+    # 2 distinct vectors repeated + a spread tail: with k=8 seeds drawn
+    # from hash order, most initial clusters empty out immediately
+    rows = [(i, [1.0] * 16) for i in range(40)]
+    rows += [(100 + i, [-1.0] * 16) for i in range(40)]
+    rows += [(200 + i, [float(i % 7) - 3.0 + 0.01 * i] * 16) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = train_pq_codebooks(df, dim=16, m=4, k=8, iters=6)
+    for book in books:
+        uniq = {tuple(round(x, 9) for x in c) for c in book}
+        # every codebook keeps k distinct entries (the docstring's claim)
+        assert len(uniq) == len(book)
+
+
+def test_pq_encode_carries_id_column(spark):
+    """pq_encode keeps the caller's id column name AND type (ADVICE r3:
+    the old code pinned vec_id/int64 and crashed on string ids)."""
+    from cerebro_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rows = [(f"doc-{i}", [float((i * 7 + j) % 5) for j in range(16)])
+            for i in range(64)]
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    books = train_pq_codebooks(df, dim=16, m=4, k=4, iters=2, id_col="doc_id")
+    out = pq_encode(df, books, id_col="doc_id")
+    assert out.columns[0] == "doc_id"
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {f"doc-{i}" for i in range(64)}

@@ -351,18 +351,28 @@ def test_cusum_constant_series_quiet(spark):
     assert all(r["cusum"] == 0.0 and not r["is_alert"] for r in out)
 
 
-def test_ks_drift_one_sided_key_yields_null(spark):
-    """A key whose rows all land in one half must yield NULL ks (no early
-    CDF to compare), not an ANSI divide-by-zero."""
+def test_ks_drift_per_key_span(spark):
+    """The early/late split is per key: a key active only in the late part
+    of the GLOBAL window still splits around its own span and gets a real
+    ks (a series that appeared mid-window is exactly what the alarm must
+    cover).  Only a degenerate single-instant key yields NULL ks."""
     from cerebro_spark.operators.tsdb import ks_drift
 
-    # key 'a' spans both halves; key 'b' exists only in the late half
+    # key 'a' spans the whole window; key 'b' exists only in the late 40%
+    # but drifts WITHIN its own span (first half low, second half high)
     rows = [(i, _t(i), "a", float(i % 10)) for i in range(100)]
-    rows += [(i, _t(i), "b", float(i % 10)) for i in range(60, 100)]
+    rows += [
+        (i, _t(i), "b", 0.0 if i < 80 else 9.0) for i in range(60, 100)
+    ]
+    rows += [(i, _t(0), "c", 1.0) for i in range(5)]  # single instant
     df = spark.createDataFrame(rows, ["id", "ts", "k", "v"])
-    out = {r["k"]: r["ks"] for r in ks_drift(df, "v", "ts", keys=["k"]).collect()}
-    assert out["a"] is not None
-    assert out["b"] is None
+    out = {r["k"]: r for r in ks_drift(df, "v", "ts", keys=["k"]).collect()}
+    assert out["a"]["ks"] is not None
+    # b: its own midpoint is t=79.5 → early=[60,79] all 0.0, late=[80,99]
+    # all 9.0 → maximal drift
+    assert out["b"]["ks"] == 1.0
+    assert out["b"]["n_early"] == 20 and out["b"]["n_late"] == 20
+    assert out["c"]["ks"] is None
 
 
 def test_seasonal_decompose_recovers_planted_cycle(spark):
