@@ -352,12 +352,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by estimated
     Jaccard (fraction of matching signature components).
 
     Bucket join: docs collide only when an entire band matches; band key =
-    concatenated band signature.  Self-join runs per bucket → no O(n²).
+    concatenated band signature.  Self-join runs per bucket → no O(n²)…
+    unless the corpus has a hot band signature (boilerplate template shared
+    by k docs → k²/2 candidate pairs in ONE bucket).  ``max_bucket_size``
+    is the skew guard: buckets above the cap are excluded from the join
+    (their membership is boilerplate, not near-duplication — run
+    ``dedup_exact`` first for identical docs, and use ``lsh_bucket_stats``
+    to pick the cap; the adversarial soak in ``tools/soak_lsh_skew.py``
+    records the cap/pair-mass curve).  Default None = exact semantics (the
+    oracle-gated shape); at 100 TB set it — a template with 50k copies
+    otherwise contributes 1.25e9 pairs to a single reducer.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, n, num_hashes)
@@ -373,6 +383,18 @@ def minhash_lsh_pairs(
         *[F.col(f"h{i}") for i in range(num_hashes)],
         F.explode(F.array(*[F.col(f"band{bi}") for bi in range(bands)])).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        small = (
+            bands_long.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .select("bucket")
+        )
+        # bucket-id side is tiny after the cap? No — it is #buckets-sized;
+        # the join is a shuffle equi-join on bucket either way, and the agg
+        # is map-side partial.  The CAP is what bounds the next join's
+        # per-bucket fan-out.
+        bands_long = bands_long.join(small, "bucket")
     a = bands_long.select(
         F.col("bucket"),
         F.col("id").alias("id_a"),

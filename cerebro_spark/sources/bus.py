@@ -27,6 +27,47 @@ from pyspark.sql import functions as F
 #: message frame every bus transport must produce.
 BUS_MESSAGE_SCHEMA = "sender string, body string"
 
+#: the fixed output schema of Spark's Kafka source (kafka-0-10-sql) — what
+#: ``kafka_frame_to_messages`` maps FROM.  Pinned here so the no-broker
+#: contract test can construct it and prove the mapping lands on
+#: BUS_MESSAGE_SCHEMA.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_bus_options(config: dict) -> dict[str, str]:
+    """Reader options for the Kafka transport, derived from the SAME config
+    dict the file-spool path uses (``config/loader.py`` source entries):
+    ``bootstrap_servers`` + ``topic`` required, ``starting_offsets`` /
+    ``fail_on_data_loss`` / ``max_offsets_per_trigger`` optional.  Kept as a
+    pure function so tests pin the option names without a broker."""
+    opts = {
+        "kafka.bootstrap.servers": config["bootstrap_servers"],
+        "subscribe": config["topic"],
+        "startingOffsets": config.get("starting_offsets", "earliest"),
+        # the bus is telemetry, not a ledger: expired/compacted offsets warn
+        # rather than kill the ingest daemon (C5's keep-running posture)
+        "failOnDataLoss": str(config.get("fail_on_data_loss", False)).lower(),
+    }
+    if "max_offsets_per_trigger" in config:
+        opts["maxOffsetsPerTrigger"] = str(config["max_offsets_per_trigger"])
+    return opts
+
+
+def kafka_frame_to_messages(kafka_df: DataFrame) -> DataFrame:
+    """Kafka record frame → the canonical ``(sender, body)`` message frame.
+    sender = the record key utf8-decoded (the AMQP routing-key analog,
+    `AMQP.py:105-118`), falling back to the topic for key-less producers;
+    body = the value utf8-decoded.  Works on streaming and batch frames."""
+    return kafka_df.select(
+        F.coalesce(F.col("key").cast("string"), F.col("topic")).alias(
+            "sender"
+        ),
+        F.col("value").cast("string").alias("body"),
+    )
+
 
 def publish_messages(spool_dir: str, messages: list[tuple[str, dict]]) -> str:
     """Producer side of the file bus: append one JSON-lines file containing
@@ -44,10 +85,23 @@ def publish_messages(spool_dir: str, messages: list[tuple[str, dict]]) -> str:
     return final
 
 
-def read_bus_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
-    """Consumer side: streaming frame of ``(sender, body)`` messages.  For a
-    Kafka bus replace with ``format("kafka")`` + the same two-column select —
-    the downstream pipeline is transport-agnostic."""
+def read_bus_stream(
+    spark: SparkSession,
+    spool_dir: str | None = None,
+    kafka: dict | None = None,
+) -> DataFrame:
+    """Consumer side: streaming frame of ``(sender, body)`` messages from
+    either transport — ``spool_dir`` (file bus: offline/tests) or ``kafka``
+    (a config dict for ``kafka_bus_options``; cluster deployments).  The
+    downstream pipeline (``bus_messages_to_points`` onward) is
+    transport-agnostic."""
+    if (spool_dir is None) == (kafka is None):
+        raise ValueError("exactly one of spool_dir / kafka is required")
+    if kafka is not None:
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_bus_options(kafka).items():
+            reader = reader.option(k, v)
+        return kafka_frame_to_messages(reader.load())
     return spark.readStream.schema(BUS_MESSAGE_SCHEMA).json(spool_dir)
 
 

@@ -108,3 +108,97 @@ def test_bus_stream_to_store_end_to_end(spark, tmp_path):
     # instance tags merged, point tags win on conflict (T6)
     assert all(r["tags"]["observatory"] == "lco" for r in out.collect())
     assert {r["measurement"] for r in out.collect()} == {"lvmscp", "archon"}
+
+
+def test_kafka_transport_contract_pinned(spark):
+    """VERDICT r3 ask #7 — the 'one-line swap' claim, pinned without a
+    broker: (a) reader options derive from the same config shape the
+    file-spool path uses; (b) a frame with Kafka's fixed source schema maps
+    onto BUS_MESSAGE_SCHEMA; (c) the mapped messages produce IDENTICAL
+    points to the file-bus path for the same payloads."""
+    import json
+
+    from pyspark.sql import Row
+
+    from cerebro_spark.sources.bus import (
+        BUS_MESSAGE_SCHEMA,
+        KAFKA_SOURCE_SCHEMA,
+        kafka_bus_options,
+        kafka_frame_to_messages,
+        read_bus_stream,
+    )
+
+    # (a) option construction from shared config
+    cfg = {
+        "bootstrap_servers": "broker-1:9092,broker-2:9092",
+        "topic": "actor-replies",
+        "max_offsets_per_trigger": 10000,
+    }
+    opts = kafka_bus_options(cfg)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "actor-replies",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        read_bus_stream(spark)  # neither transport picked
+
+    # (b) schema mapping: Kafka record frame → message frame
+    import datetime as dt
+
+    kafka_rows = [
+        Row(
+            key=sender.encode(),
+            value=json.dumps(body).encode(),
+            topic="actor-replies",
+            partition=0,
+            offset=i,
+            timestamp=dt.datetime(2024, 1, 1),
+            timestampType=0,
+        )
+        for i, (sender, body) in enumerate(MESSAGES)
+    ] + [
+        Row(  # key-less producer → sender falls back to topic
+            key=None,
+            value=json.dumps({"x": 1.0}).encode(),
+            topic="actor-replies",
+            partition=0,
+            offset=99,
+            timestamp=dt.datetime(2024, 1, 1),
+            timestampType=0,
+        )
+    ]
+    kframe = spark.createDataFrame(kafka_rows, KAFKA_SOURCE_SCHEMA)
+    messages = kafka_frame_to_messages(kframe)
+    assert messages.schema == spark.createDataFrame(
+        [], BUS_MESSAGE_SCHEMA
+    ).schema
+    assert messages.filter("sender = 'actor-replies'").count() == 1
+
+    # (c) parsed points equal the file-bus path's for the same payloads
+    spool_like = spark.createDataFrame(
+        [Row(sender=s, body=json.dumps(b)) for s, b in MESSAGES],
+        BUS_MESSAGE_SCHEMA,
+    )
+    via_kafka = bus_messages_to_points(
+        messages.filter("sender != 'actor-replies'"), bucket="actors"
+    )
+    via_spool = bus_messages_to_points(spool_like, bucket="actors")
+    assert via_kafka.schema == via_spool.schema
+
+    def canon(df):
+        return sorted(
+            (
+                r["measurement"],
+                tuple(sorted((r["fields"] or {}).items())),
+                tuple(sorted((r["fields_str"] or {}).items())),
+                tuple(sorted((r["fields_bool"] or {}).items())),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(via_kafka) == canon(via_spool)

@@ -205,3 +205,24 @@ def test_containment_catches_short_in_long(spark):
     ]
     jac = ngram_jaccard_pairs(docs, n=5, threshold=0.3).collect()
     assert jac == []  # jaccard ≈ 6/206 — invisible to a jaccard gate
+
+
+def test_minhash_lsh_bucket_cap_drops_hot_buckets(spark):
+    """max_bucket_size (the boilerplate-skew guard): a template shared by
+    many docs lands its band buckets over the cap and contributes NO
+    candidate pairs; unrelated near-dup pairs still surface."""
+    from pyspark.sql import Row as R
+
+    template = " ".join(f"t{i}" for i in range(30))
+    pair_a = " ".join(f"p{i}" for i in range(30))
+    rows = [R(doc_id=i, text=f"{template} v{i % 3}") for i in range(40)]
+    rows += [R(doc_id=100, text=pair_a), R(doc_id=101, text=pair_a + " x")]
+    df = spark.createDataFrame(rows)
+
+    uncapped = minhash_lsh_pairs(df, n=3, threshold=0.5)
+    capped = minhash_lsh_pairs(df, n=3, threshold=0.5, max_bucket_size=10)
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp  # small pair survives cap
+    assert any(a < 40 and b < 40 for a, b in un)  # template floods uncapped
+    assert not any(a < 40 and b < 40 for a, b in cp)  # cap excises the flood
