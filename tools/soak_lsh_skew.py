@@ -73,7 +73,7 @@ hist = sorted(
     for r in stats.collect()
 )
 total_mass = sum(m for _, _, m in hist)
-print(json.dumps({"docs": DOCS_N, "dup_copies": DUP_COPIES,
+print("\n" + json.dumps({"docs": DOCS_N, "dup_copies": DUP_COPIES,
                   "uncapped_pair_mass": total_mass,
                   "max_bucket_size_seen": hist[-1][0]}))
 for cap in (None, 100_000, 10_000, 1_000, 100):
@@ -81,15 +81,19 @@ for cap in (None, 100_000, 10_000, 1_000, 100):
     print(json.dumps({"cap": cap, "pair_mass": mass,
                       "pairs_per_doc": round(mass / DOCS_N, 1)}))
 
-# 2) the join itself at the recommended cap: linear mass, completes fast
-CAP = 1_000
+# 2) the join itself at the recommended cap.  The histogram above is
+# bimodal: background docs basically never collide (mass ~0 at cap=100)
+# while the 50k-template's band sub-buckets span ~10^2..10^4 members —
+# the cap must sit BELOW the boilerplate-cluster scale, at the knee the
+# histogram exposes.  Here that is 100.
+CAP = 100
 t0 = time.perf_counter()
 n_pairs = minhash_lsh_pairs(
     docs, n=3, num_hashes=32, bands=8, threshold=0.5, max_bucket_size=CAP
 ).count()
 dt = time.perf_counter() - t0
 kept_mass = sum(m for s, _, m in hist if s <= CAP)
-print(json.dumps({"cap": CAP, "join_sec": round(dt, 2),
+print("\n" + json.dumps({"cap": CAP, "join_sec": round(dt, 2),
                   "verified_pairs": n_pairs,
                   "kept_pair_mass": kept_mass,
                   "linear_ok": kept_mass <= PAIRS_PER_DOC_BOUND * DOCS_N}))
