@@ -290,3 +290,55 @@ def weighted_sample(
         _portable_bucket(F.col(key_col), buckets)
         < F.col(weight_col).cast("double") * buckets
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.7,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-reweighted domain mixture (the multilingual/multi-domain
+    sampling rule of Conneau & Lample 2019 §3.1, also the CC/domain mix in
+    most open pretraining recipes): sampling weight wᵢ ∝ pᵢ^α where pᵢ is
+    the domain's corpus share.  α=1 keeps natural proportions; α→0 flattens
+    toward uniform; 0.7 is the customary middle.
+
+    Output per domain: ``n_docs`` (or Σ``weight_col``, e.g. token counts),
+    ``share``, ``temp_weight`` (the normalized wᵢ), and ``boost`` =
+    temp_weight/share — the effective over/under-sampling factor a sampler
+    (``mixture_sample``/``weighted_sample``) should apply.  boost > 1 means
+    the domain is repeated (epochs > 1 at a fixed token budget) — the
+    low-resource upweighting the temperature exists for.
+
+    Scale shape: one map-side-combinable groupBy to domain counts (output =
+    #domains rows, a dimension table), then arithmetic over a 1-row total
+    crossJoin — the same bounded-broadcast pattern as the decile/centroid
+    summaries on the plan-audit allowlist.
+    """
+    mass = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).cast("double")
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        mass.alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("__total"),
+        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("__z"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__z"), 6
+            ).alias("temp_weight"),
+            F.round(
+                (F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__z"))
+                / (F.col("n_docs") / F.col("__total")),
+                6,
+            ).alias("boost"),
+        )
+    )

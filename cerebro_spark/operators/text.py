@@ -550,3 +550,45 @@ def bigram_pmi(
     return joined.select(
         "w1", "w2", "n_pairs", "c1", "c2", F.round(pmi, 6).alias("pmi")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """The counting step of BPE vocabulary induction (Sennrich et al. 2016)
+    at corpus scale: the ``k`` most frequent adjacent character pairs,
+    weighted by word frequency — i.e. the first merge candidates a
+    tokenizer trainer would pick.
+
+    Scale shape — the trick is to NEVER explode characters per document:
+    (1) one map-side-combinable groupBy collapses the corpus to its
+    distinct-word frequency table (vocabulary-sized, not corpus-sized);
+    (2) character bigrams explode off the DISTINCT words only, weighted by
+    their counts; (3) a second combinable groupBy sums pair counts;
+    (4) ``top_k_ranked`` (TakeOrderedAndProject) picks the top k without a
+    global window.  At 100 TB the word table is the only intermediate that
+    grows with data — sublinearly (Heaps' law) — and both aggregations
+    partial-combine map-side.
+    """
+    from cerebro_spark.operators.util import top_k_ranked
+
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("n"),
+    ).groupBy("pair").agg(F.sum("n").alias("pair_count"))
+    return top_k_ranked(
+        pairs, [("pair_count", "desc"), ("pair", "asc")], k=k
+    ).select("pair", "pair_count", "rank")

@@ -182,6 +182,95 @@ FROM hashed
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch packing diagnostics over the ``pack_tokens`` layout:
+    per source — total tokens, sequence count at budget=256, fill ratio of
+    the (only-partially-filled) final sequence's stream, and how many docs
+    straddle a sequence boundary.  The report a data engineer reads before
+    committing a packing budget."""
+    packed = pack_tokens(
+        load_table(spark, "documents", sf_dir),
+        budget=256,
+        partition_col="source",
+        order_col="doc_id",
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                (F.col("batch_offset") + F.col("n_tokens") > 256)
+                .cast("int")
+            ).alias("boundary_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / 256.0).alias("n_sequences"),
+            F.round(
+                F.col("total_tokens")
+                / (F.ceil(F.col("total_tokens") / 256.0) * 256.0),
+                6,
+            ).alias("fill_ratio"),
+            "boundary_docs",
+        )
+    )
+
+
+_PACK_EFF_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      % 256 AS batch_offset
+  FROM t
+)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_sequences,
+  round(sum(n_tokens) / (ceil(sum(n_tokens) / 256.0) * 256.0), 6)
+    AS fill_ratio,
+  CAST(sum(CASE WHEN batch_offset + n_tokens > 256 THEN 1 ELSE 0 END)
+    AS BIGINT) AS boundary_docs
+FROM c GROUP BY source
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted (alpha=0.7) domain mixture table."""
+    from cerebro_spark.operators.sampling import temperature_mixture_weights
+
+    return temperature_mixture_weights(
+        load_table(spark, "documents", sf_dir), domain_col="source", alpha=0.7
+    )
+
+
+_TEMP_MIX_SQL = """
+WITH counts AS (
+  SELECT source AS domain, CAST(count(*) AS DOUBLE) AS n FROM documents
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS total, sum(pow(n, 0.7)) AS z FROM counts
+)
+SELECT domain,
+  CAST(n AS BIGINT) AS n_docs,
+  round(n / total, 6) AS share,
+  round(pow(n, 0.7) / z, 6) AS temp_weight,
+  round((pow(n, 0.7) / z) / (n / total), 6) AS boost
+FROM counts, tot
+"""
+
+
 
 QUERIES = {
     "deterministic_sample": q_deterministic_sample,
@@ -191,6 +280,8 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "pack_tokens": q_pack_tokens,
     "epoch_shuffle": q_epoch_shuffle,
+    "packing_efficiency": q_packing_efficiency,
+    "temperature_mix": q_temperature_mix,
 }
 
 ORACLES = {
@@ -201,4 +292,6 @@ ORACLES = {
     "mixture_sample": _MIXTURE_SQL,
     "pack_tokens": _PACK_SQL,
     "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
+    "packing_efficiency": _PACK_EFF_SQL,
+    "temperature_mix": _TEMP_MIX_SQL,
 }

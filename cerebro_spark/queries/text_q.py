@@ -657,6 +657,34 @@ WHERE {bucket} < quality * 100
 """
 
 
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE first-merge candidates (character-pair counts weighted by
+    word frequency) — the distributed counting step of tokenizer
+    induction."""
+    from cerebro_spark.operators.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(load_table(spark, "documents", sf_dir), k=50)
+
+
+_BPE_SQL = """
+WITH words AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2 GROUP BY 1
+),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM words, generate_series(1, 512) AS g(i)
+  WHERE i <= len(w) - 1 GROUP BY 1
+)
+SELECT pair, pair_count, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rank
+  FROM pairs
+) WHERE rank <= 50
+"""
+
 QUERIES["bigram_pmi"] = q_bigram_pmi
 ORACLES["bigram_pmi"] = _BIGRAM_PMI_SQL
 QUERIES["weighted_sample"] = q_weighted_sample
@@ -910,3 +938,6 @@ SELECT term, n, rank FROM (
 
 QUERIES["approx_top_terms"] = q_approx_top_terms
 ORACLES["approx_top_terms"] = _APPROX_TOP_TERMS_SQL
+
+QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
+ORACLES["bpe_merge_candidates"] = _BPE_SQL

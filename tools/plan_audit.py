@@ -69,6 +69,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 20-row per-query recall frame (round-4/5 recall-encoded gates)
     "ann_cosine_ivf",
     "pq_recall",
+    # 1-row scalar broadcast: the (total, Z=Σn^α) normalizer crossJoined
+    # onto the |domains|-row count table (bounded dimension, round 4)
+    "temperature_mix",
     # 1-row scalar broadcast: the 9 decile boundaries crossJoined onto the
     # corpus scan (the alternative — a global NTILE window — is the real
     # scale anti-pattern this query avoids)
