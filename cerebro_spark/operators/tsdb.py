@@ -856,14 +856,72 @@ def cusum(
         - F.lit(slack_sigmas) * F.col("sigma")
     )
     order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
-    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, 0
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        with_p = joined.withColumn("__p", F.sum(dev).over(w))
+        s = F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w))
+    else:
+        # KEYLESS (one global series): the closed form needs the running
+        # prefix sum P and running min of P — both distribute as two-level
+        # scans (within-time-bucket window in parallel + ONE summary row
+        # per bucket through the only unpartitioned window, calendar-sized).
+        # P_i = offset(bucket) + P_local;  min_{j<=i} P_j =
+        # min(prevmin(bucket), offset(bucket) + minP_local up to i).
+        bkt = F.floor(F.col(time_col).cast("long") / 86400)
+        m = joined.withColumn("__bkt", bkt).withColumn("__d", dev)
+        w_in = (
+            Window.partitionBy("__bkt")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        m = m.withColumn("__pl", F.sum("__d").over(w_in)).withColumn(
+            "__ml", F.min("__pl").over(w_in)
+        )
+        summ = m.groupBy("__bkt").agg(
+            F.sum("__d").alias("__t"), F.min("__pl").alias("__bm")
+        )
+        w_s = Window.orderBy("__bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_incl = Window.orderBy("__bkt").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_b = Window.orderBy("__bkt")
+        carry = summ.select(
+            "__bkt",
+            "__bm",
+            F.coalesce(F.sum("__t").over(w_s), F.lit(0.0)).alias("__off"),
+        )
+        carry = carry.select(
+            "__bkt",
+            "__off",
+            F.min(F.col("__off") + F.col("__bm")).over(w_incl).alias(
+                "__selfmin"
+            ),
+        )
+        # prevmin(bucket) = min over STRICTLY earlier buckets of
+        # (offset(b') + minP_local(b')) — lag the inclusive running min
+        carry = carry.select(
+            "__bkt", "__off", F.lag("__selfmin").over(w_b).alias("__pm")
+        )
+        with_p = m.join(F.broadcast(carry), "__bkt").withColumn(
+            "__p", F.col("__off") + F.col("__pl")
+        )
+        runmin = F.least(
+            F.coalesce(F.col("__pm"), F.lit(float("inf"))),
+            F.col("__off") + F.col("__ml"),
+        )
+        s = F.col("__p") - F.least(F.lit(0.0), runmin)
+    return (
+        with_p.withColumn("cusum", F.round(s, 6))
+        .withColumn("is_alert", s > F.lit(alert_sigmas) * F.col("sigma"))
+        .drop(
+            "__p", "__s1", "__s2", "__n",
+            "__bkt", "__d", "__pl", "__ml", "__off", "__pm",
+        )
     )
-    with_p = joined.withColumn("__p", F.sum(dev).over(w))
-    s = F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w))
-    return with_p.withColumn("cusum", F.round(s, 6)).withColumn(
-        "is_alert", s > F.lit(alert_sigmas) * F.col("sigma")
-    ).drop("__p", "__s1", "__s2", "__n")
 
 
 def seasonal_decompose(

@@ -458,3 +458,36 @@ def test_momentum_verbs_invariants(spark, sf_dir):
     n = bb.count()
     breakouts = bb.filter("breakout").count()
     assert breakouts / n < 0.2  # 2σ bands: breakouts are the tail
+
+
+def test_cusum_keyless_two_level_matches_keyed(spark):
+    """Keyless CUSUM (one global series) runs the two-level bucketed scan;
+    it must equal the keyed path with a constant key across day-bucket
+    boundaries (the closed-form S = P − min(0, min P) decomposed into
+    per-bucket windows + a calendar-sized summary carry)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.tsdb import cusum
+
+    # 300 samples spread over 4 days (crosses bucket boundaries), with a
+    # planted level shift that drives S up in the last day
+    rows = []
+    for i in range(300):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=20 * i)
+        v = 5.0 + (i % 7) * 0.1 + (3.0 if i > 240 else 0.0)
+        rows.append((i, ts, v))
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+
+    keyless = cusum(df, "v", "ts", keys=[], tiebreak=["id"])
+    keyed = cusum(
+        df.withColumn("k", F.lit(1)), "v", "ts", keys=["k"], tiebreak=["id"]
+    )
+    got = {r["id"]: (r["cusum"], r["is_alert"]) for r in keyless.collect()}
+    want = {r["id"]: (r["cusum"], r["is_alert"]) for r in keyed.collect()}
+    assert got == want
+    assert any(a for _, a in got.values())  # the shift actually alerts
+    # plan shape: merged-row windows partition by the day bucket
+    plan = keyless._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan
