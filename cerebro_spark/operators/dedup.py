@@ -501,11 +501,18 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 48,
     blocks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via the pigeonhole block trick:
     split the fingerprint into ``blocks`` segments — any pair within distance
     k < blocks must agree on ≥1 block, so the join key is (block_idx, segment).
-    Avoids the O(n²) all-pairs comparison."""
+    Avoids the O(n²) all-pairs comparison.
+
+    ``max_bucket_size`` is the same boilerplate-skew guard as
+    ``minhash_lsh_pairs``: a template shared by k docs puts k²/2 candidate
+    pairs in each of its (block, segment) buckets; buckets above the cap
+    are excluded (default None = exact semantics; size it from the bucket
+    histogram at corpus scale — see SCALE_NOTES round-4 soak).
     width = bits // blocks
     sh = simhash(df, content_col, id_col, bits)
     seg = sh.select(
@@ -526,6 +533,15 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.seg").alias("seg"))
+    a = seg.select("blk", "seg", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    if max_bucket_size is not None:
+        small = (
+            seg.groupBy("blk", "seg")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .select("blk", "seg")
+        )
+        seg = seg.join(small, ["blk", "seg"])
     a = seg.select("blk", "seg", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = seg.select("blk", "seg", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.expr("sh_a ^ sh_b"))

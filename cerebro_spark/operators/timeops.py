@@ -187,6 +187,14 @@ def rolling_by_time(
     order_col = "__roll_ord"
     out = df.withColumn(order_col, F.col(time_col).cast("long"))
 
+    if not partition_by and scale_bucket_seconds is None:
+        # keyless default: auto-size the overlap buckets instead of falling
+        # into an unpartitioned global window (the round-1 scale trap).
+        # 8× the widest window bounds the context-copy duplication at
+        # ≤ 12.5% while keeping #buckets ≈ span/8w — plenty of parallelism
+        # for any realistic span/window ratio.  Callers can still pin a
+        # width explicitly.
+        scale_bucket_seconds = 8 * max(s for _, _, s in specs.values())
     if scale_bucket_seconds is not None and not partition_by:
         max_w = max(s for _, _, s in specs.values())
         assert scale_bucket_seconds >= max_w, (
