@@ -513,6 +513,7 @@ def simhash_pairs(
     pairs in each of its (block, segment) buckets; buckets above the cap
     are excluded (default None = exact semantics; size it from the bucket
     histogram at corpus scale — see SCALE_NOTES round-4 soak).
+    """
     width = bits // blocks
     sh = simhash(df, content_col, id_col, bits)
     seg = sh.select(
@@ -533,7 +534,6 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.seg").alias("seg"))
-    a = seg.select("blk", "seg", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     if max_bucket_size is not None:
         small = (
             seg.groupBy("blk", "seg")
