@@ -1,0 +1,88 @@
+"""Pre-commit smoke gate: the tree must PARSE, IMPORT, and answer ONE query
+before any commit — especially the end-of-round snapshot.
+
+Two consecutive rounds shipped a broken driver artifact for mechanically
+preventable reasons (r03: unparseable bench tail line; r04: an unterminated
+docstring in operators/dedup.py that made ``import __spark_entry__`` fail, so
+the correctness gate ran ZERO queries).  Every check here is sub-second to a
+few seconds; run it before EVERY commit:
+
+    python tools/smoke.py
+
+Checks, in order (fail-fast, non-zero exit on the first failure):
+
+1. ``compileall`` over ``cerebro_spark/``, ``__spark_entry__.py``,
+   ``bench.py``, ``tools/`` — catches syntax errors anywhere in the tree.
+2. ``import __spark_entry__`` and assert the registry holds >= 163 queries
+   with ``oracle_sql()`` keys a subset of ``queries()`` keys — catches
+   import-time breakage beyond syntax (bad imports, module-level errors).
+3. One end-to-end oracle query (``weather_chain`` by default, override via
+   argv) through ``tools/check.py`` at sf0.001 — catches runtime breakage in
+   the session bootstrap, IO layer, and the Spark-vs-DuckDB compare harness.
+"""
+
+from __future__ import annotations
+
+import compileall
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MIN_QUERIES = 163
+SMOKE_SF = "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    os.chdir(REPO)
+    sys.path.insert(0, REPO)
+
+    # 1. parse the whole tree
+    targets = ["cerebro_spark", "tools", "__spark_entry__.py", "bench.py"]
+    for t in targets:
+        ok = compileall.compile_file(t, quiet=2) if t.endswith(".py") else (
+            compileall.compile_dir(t, quiet=2)
+        )
+        if not ok:
+            print(f"SMOKE FAIL: compileall {t}", file=sys.stderr)
+            return 1
+    print("smoke 1/3: compileall ok")
+
+    # 2. import the driver entry and sanity-check the registry
+    try:
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        oracles = entry.oracle_sql()
+    except Exception as exc:  # noqa: BLE001 — any import failure is the point
+        print(f"SMOKE FAIL: import __spark_entry__: {exc!r}", file=sys.stderr)
+        return 1
+    if len(qs) < MIN_QUERIES:
+        print(f"SMOKE FAIL: registry shrank: {len(qs)} < {MIN_QUERIES}", file=sys.stderr)
+        return 1
+    extra = set(oracles) - set(qs)
+    if extra:
+        print(f"SMOKE FAIL: oracle keys not in queries(): {sorted(extra)}", file=sys.stderr)
+        return 1
+    print(f"smoke 2/3: import ok ({len(qs)} queries, {len(oracles)} oracles)")
+
+    # 3. one oracle query end-to-end (subprocess: fresh interpreter, like the driver)
+    names = sys.argv[1:] or ["weather_chain"]
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check.py"), SMOKE_SF, *names],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    tail = (proc.stdout or "").strip().splitlines()[-1:] or ["<no output>"]
+    if proc.returncode != 0 or "all green" not in (proc.stdout or ""):
+        print(f"SMOKE FAIL: check.py {names}: rc={proc.returncode} tail={tail}", file=sys.stderr)
+        print(proc.stderr[-2000:], file=sys.stderr)
+        return 1
+    print(f"smoke 3/3: check.py {names} ok ({tail[0]})")
+    print("SMOKE GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
