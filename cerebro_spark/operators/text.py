@@ -583,7 +583,10 @@ def bpe_merge_candidates(
     pairs = words.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
+                # 512-pair cap per word bounds the fan-out of pathological
+                # "words" (minified JS, base64 blobs); the DuckDB oracle
+                # (_BPE_SQL) applies the same generate_series(1, 512) cap.
+                F.sequence(F.lit(1), F.least(F.length("w") - 1, F.lit(512))),
                 lambda i: F.col("w").substr(i, F.lit(2)),
             )
         ).alias("pair"),

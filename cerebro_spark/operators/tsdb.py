@@ -690,26 +690,41 @@ def mad_outliers(
     Exact ``percentile`` (interpolated) matches DuckDB ``quantile_cont`` so
     the oracle reproduces bit-for-bit at sf gates; at the 100 TB target the
     drop-in is ``percentile_approx`` with a documented rank-error bound.
+
+    Output adds ``med``, ``mad``, ``is_outlier``; inputs already carrying
+    one of those names are rejected (internals stay ``__``-prefixed so
+    the mid-plan joins can never collide with user columns).
     """
     keys = keys or []
+    clash = {"med", "mad", "is_outlier"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"mad_outliers: input columns {sorted(clash)} collide with the "
+            "operator's output columns; rename them first"
+        )
     v = F.col(value_col).cast("double")
     med = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
     joined = df.join(F.broadcast(med), on=keys) if keys else df.crossJoin(
         F.broadcast(med)
     )
-    resid = joined.withColumn("__resid", F.abs(v - F.col("med")))
+    resid = joined.withColumn("__resid", F.abs(v - F.col("__med")))
     mad = resid.groupBy(*keys).agg(
-        F.expr("percentile(__resid, 0.5)").alias("mad")
+        F.expr("percentile(__resid, 0.5)").alias("__mad")
     )
     out = resid.join(F.broadcast(mad), on=keys) if keys else resid.crossJoin(
         F.broadcast(mad)
     )
-    return out.withColumn(
-        "is_outlier",
-        F.col("__resid") > F.lit(k) * F.lit(1.4826) * F.col("mad"),
-    ).drop("__resid")
+    return (
+        out.withColumn(
+            "is_outlier",
+            F.col("__resid") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+        )
+        .drop("__resid")
+        .withColumnRenamed("__med", "med")
+        .withColumnRenamed("__mad", "mad")
+    )
 
 
 def ks_drift(
@@ -823,8 +838,19 @@ def cusum(
     bit-identical baselines.  The e4 square sum holds to ~8×10⁹ rows per
     key at this value range; beyond that switch the baseline to a sampled
     estimate (the alarm only needs 2-digit σ).
+
+    Output adds ``mu``, ``sigma``, ``cusum``, ``is_alert``; inputs already
+    carrying one of those names are rejected (internals stay
+    ``__``-prefixed so the mid-plan joins can never collide with user
+    columns).
     """
     keys = keys or []
+    clash = {"mu", "sigma", "cusum", "is_alert"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"cusum: input columns {sorted(clash)} collide with the "
+            "operator's output columns; rename them first"
+        )
     e2 = F.round(F.col(value_col) * 100).cast("long")
     stats = df.groupBy(*keys).agg(
         F.sum(e2).alias("__s1"),
@@ -832,7 +858,7 @@ def cusum(
         F.count(F.lit(1)).alias("__n"),
     ).select(
         *keys,
-        (F.col("__s1").cast("double") / 100.0 / F.col("__n")).alias("mu"),
+        (F.col("__s1").cast("double") / 100.0 / F.col("__n")).alias("__mu"),
         # greatest(·, 0): the two FP paths for E[x²]−E[x]² can differ by an
         # ulp on constant series, and sqrt(−ε) would poison every downstream
         # comparison with NaN
@@ -843,7 +869,7 @@ def cusum(
                 * (F.col("__s1").cast("double") / 100.0 / F.col("__n")),
                 F.lit(0.0),
             )
-        ).alias("sigma"),
+        ).alias("__sigma"),
     )
     joined = (
         df.join(F.broadcast(stats), on=keys)
@@ -852,8 +878,8 @@ def cusum(
     )
     dev = (
         F.col(value_col).cast("double")
-        - F.col("mu")
-        - F.lit(slack_sigmas) * F.col("sigma")
+        - F.col("__mu")
+        - F.lit(slack_sigmas) * F.col("__sigma")
     )
     order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
     if keys:
@@ -916,11 +942,13 @@ def cusum(
         s = F.col("__p") - F.least(F.lit(0.0), runmin)
     return (
         with_p.withColumn("cusum", F.round(s, 6))
-        .withColumn("is_alert", s > F.lit(alert_sigmas) * F.col("sigma"))
+        .withColumn("is_alert", s > F.lit(alert_sigmas) * F.col("__sigma"))
         .drop(
             "__p", "__s1", "__s2", "__n",
             "__bkt", "__d", "__pl", "__ml", "__off", "__pm",
         )
+        .withColumnRenamed("__mu", "mu")
+        .withColumnRenamed("__sigma", "sigma")
     )
 
 

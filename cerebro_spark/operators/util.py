@@ -26,18 +26,39 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     small input is cheap and under-spreading is the real regression.
     """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect has no sparkContext
+            target = 8
     try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        max_split = _parse_size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
         est_parts = max(1, size // max_split)
     except Exception:
         est_parts = 0  # no stats → spread out (see docstring)
     if est_parts < target:
         return df.repartition(target)
     return df
+
+
+def _parse_size_bytes(conf: str) -> int:
+    """Parse a Spark byte-size conf value: plain bytes (``134217728``),
+    byte-suffixed (``134217728b``), or human-readable (``128m``, ``1g``).
+    Raising on junk is correct — the caller's except-branch handles it."""
+    s = conf.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
 
 
 def top_k_ranked(df: DataFrame, order_cols, k: int) -> DataFrame:

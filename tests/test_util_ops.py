@@ -53,3 +53,31 @@ def test_top_k_ranked_nan_matches_orderby(spark):
     by_rank = [r["k"] for r in sorted(got, key=lambda r: r["rank"])]
     ref = [r["k"] for r in df.orderBy(df.v.desc(), df.k.asc()).collect()]
     assert by_rank == ref == ["b", "c", "a"]
+
+
+def test_parse_size_bytes_suffixes():
+    """maxPartitionBytes accepts plain bytes, 'b'-suffixed, and human
+    k/m/g forms — all must parse (the old rstrip('b') choked on '128m',
+    silently triggering a full repartition of arbitrarily large input)."""
+    from cerebro_spark.operators.util import _parse_size_bytes
+
+    assert _parse_size_bytes("134217728") == 134217728
+    assert _parse_size_bytes("134217728b") == 134217728
+    assert _parse_size_bytes("128m") == 128 * 1024**2
+    assert _parse_size_bytes("1g") == 1024**3
+    assert _parse_size_bytes("2K") == 2048
+    with pytest.raises(ValueError):
+        _parse_size_bytes("oops")
+
+
+def test_mad_cusum_reject_reserved_columns(spark):
+    """Operators that attach med/mad/mu/sigma outputs refuse inputs that
+    already carry those names instead of silently shadowing them."""
+    from cerebro_spark.operators.tsdb import cusum, mad_outliers
+
+    df = spark.createDataFrame([(1.0, 2.0)], "v double, med double")
+    with pytest.raises(ValueError, match="collide"):
+        mad_outliers(df, "v")
+    df2 = spark.createDataFrame([(1.0, 2.0)], "v double, sigma double")
+    with pytest.raises(ValueError, match="collide"):
+        cusum(df2, "v", "v")
