@@ -75,6 +75,21 @@ HEADLINE = [
     "cusum_alerts",
     "session_stats",
     "seasonal_decompose",
+    # round-6 additions: >=1 query per remaining operator family, so a
+    # perf regression in the newest operators can't hide outside the
+    # headline (VERDICT r4 #6)
+    "bpe_merge_candidates",   # BPE merge counting
+    "packing_efficiency",     # sequence-packing diagnostics
+    "temperature_mix",        # mixture temperature weights
+    "rsi_14",                 # momentum indicators
+    "bollinger_20",           # rolling bands
+    "value_corr_matrix",      # pairwise correlation
+    "value_heatmap",          # 2-D histogram
+    "minhash_lsh_pairs",      # banded LSH candidate join
+    "simhash_pairs",          # pigeonhole Hamming join
+    "winnow_fingerprints",    # MOSS winnowing
+    "approx_users_daily",     # HLL sketch rollup
+    "asof_join_nearest",      # keyless as-of (two-level bucketed carry)
 ]
 
 

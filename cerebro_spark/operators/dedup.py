@@ -494,29 +494,20 @@ def simhash(
     return agg.select("id", fingerprint.alias("simhash"))
 
 
-def simhash_pairs(
+def _simhash_segments(
     df: DataFrame,
-    content_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    bits: int = 48,
-    blocks: int = 4,
-    max_bucket_size: int | None = None,
+    content_col: str,
+    id_col: str,
+    bits: int,
+    blocks: int,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ k via the pigeonhole block trick:
-    split the fingerprint into ``blocks`` segments — any pair within distance
-    k < blocks must agree on ≥1 block, so the join key is (block_idx, segment).
-    Avoids the O(n²) all-pairs comparison.
-
-    ``max_bucket_size`` is the same boilerplate-skew guard as
-    ``minhash_lsh_pairs``: a template shared by k docs puts k²/2 candidate
-    pairs in each of its (block, segment) buckets; buckets above the cap
-    are excluded (default None = exact semantics; size it from the bucket
-    histogram at corpus scale — see SCALE_NOTES round-4 soak).
-    """
+    """(id, simhash, blk, seg) — each doc exploded into its ``blocks``
+    pigeonhole segments.  Shared by ``simhash_pairs`` (the join) and
+    ``simhash_bucket_stats`` (the skew diagnostic) so the histogram
+    describes exactly the join it predicts."""
     width = bits // blocks
     sh = simhash(df, content_col, id_col, bits)
-    seg = sh.select(
+    return sh.select(
         "id",
         "simhash",
         F.explode(
@@ -534,6 +525,66 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.seg").alias("seg"))
+
+
+def simhash_bucket_stats(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    blocks: int = 4,
+) -> DataFrame:
+    """Bucket-size histogram of the simhash pigeonhole index:
+    ``(bucket_size, n_buckets, candidate_pairs)`` — the skew diagnostic to
+    run BEFORE ``simhash_pairs`` at scale, the exact analogue of
+    ``lsh_bucket_stats`` for the (block, segment) buckets.  The pair join's
+    cost is Σ size·(size−1)/2 over buckets; a boilerplate template shared
+    by k docs lands k members in each of its ``blocks`` buckets, and this
+    profile is how you find the knee and pick ``max_bucket_size``."""
+    seg = _simhash_segments(df, content_col, id_col, bits, blocks)
+    sizes = seg.groupBy("blk", "seg").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return sizes.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+        ).alias("candidate_pairs"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 48,
+    blocks: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via the pigeonhole block trick:
+    split the fingerprint into ``blocks`` segments — any pair within distance
+    k < blocks must agree on ≥1 block, so the join key is (block_idx, segment).
+    Avoids the O(n²) all-pairs comparison.
+
+    ``max_bucket_size`` is the same boilerplate-skew guard as
+    ``minhash_lsh_pairs``: a template shared by k docs puts k²/2 candidate
+    pairs in each of its (block, segment) buckets; buckets above the cap
+    are excluded (default None = exact semantics; size it from the
+    ``simhash_bucket_stats`` histogram at corpus scale).
+
+    SIZING (measured, tools/soak_simhash_skew.py): segment width =
+    ``bits // blocks`` must satisfy ``2^width >> N / cap`` or random
+    birthday collisions alone push EVERY bucket over the cap and capped
+    recall collapses to zero — at 1M docs use ``bits=60`` (width 15), not
+    the default 48 (width 12).  Background candidate mass is
+    ``blocks·N²/2^(width+1)`` — quadratic in N at fixed width — and
+    ``bits`` is capped at 60 by the signed-long fingerprint, so this
+    operator's applicability bound is ~1-2M docs per run (per dump/shard);
+    beyond that prefer ``minhash_lsh_pairs``, whose band width grows with
+    ``num_hashes`` without bound.
+    """
+    seg = _simhash_segments(df, content_col, id_col, bits, blocks)
     if max_bucket_size is not None:
         small = (
             seg.groupBy("blk", "seg")

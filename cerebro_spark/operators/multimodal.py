@@ -55,13 +55,50 @@ def attach_media_meta(
     )
 
 
+def _pil_image_module():
+    """Import-try for Pillow — the decode dependency is OPTIONAL.  This
+    container ships without it, so the gated queries and tests pin the
+    deterministic ``fake_image_features`` path; a deployment that installs
+    Pillow gets real decode with no code change here."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB — real implementation needs an image library (PIL/cv2) not present
-    in this container.  The Spark plumbing calls ``fake_image_features``
-    instead; swap this in when the decode dependency exists."""
-    raise NotImplementedError(
-        "image decode requires PIL/cv2; use fake_image_features for plumbing"
-    )
+    """Decode an image payload to a PIL.Image when Pillow is installed;
+    raises ``NotImplementedError`` with guidance otherwise (this container
+    has no image library — the Spark plumbing is exercised end-to-end via
+    ``fake_image_features`` instead)."""
+    image_mod = _pil_image_module()
+    if image_mod is None:
+        raise NotImplementedError(
+            "image decode requires Pillow (pip install pillow); "
+            "use fake_image_features for plumbing tests"
+        )
+    import io
+
+    return image_mod.open(io.BytesIO(payload))
+
+
+def real_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Feature vector from a REAL decode (requires Pillow): grayscale
+    luminance histogram folded to ``dim`` buckets — same output shape and
+    normalization as ``fake_image_features``, so it is a drop-in
+    ``features_fn`` for ``extract_features``."""
+    if not payload:
+        return [0.0] * dim
+    img = decode_image(payload).convert("L")
+    hist = img.histogram()  # 256 luminance bins
+    width = 256 // dim
+    buckets = [
+        float(sum(hist[i * width : (i + 1) * width])) for i in range(dim)
+    ]
+    total = sum(buckets) or 1.0
+    return [b / total for b in buckets]
 
 
 def fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -83,6 +120,7 @@ def extract_features(
     id_col: str = "doc_id",
     dim: int = 8,
     batch_limit: int = 1024,
+    features_fn=None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas.
 
@@ -90,9 +128,17 @@ def extract_features(
     in, fixed-width float vector out); ``batch_limit`` mirrors the
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` bound a 100 TB run sets so
     a partition of large payloads can't blow executor memory.
+
+    ``features_fn(payload: bytes, dim: int) -> list[float]`` defaults to the
+    deterministic ``fake_image_features`` (this container has no decode
+    library, and the oracle-gated queries need reproducible output); pass
+    ``real_image_features`` in a deployment with Pillow installed.  The
+    function must be importable on executors (module-level, not a closure
+    over driver state).
     """
     from cerebro_spark.operators.util import ensure_parallelism
 
+    features_fn = features_fn or fake_image_features
     df = ensure_parallelism(df)
     schema = f"`{id_col}` long, features array<double>, n_bytes long"
 
@@ -101,7 +147,7 @@ def extract_features(
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
                 feats = [
-                    fake_image_features(p if p is not None else b"", dim)
+                    features_fn(p if p is not None else b"", dim)
                     for p in chunk[payload_col]
                 ]
                 yield pd.DataFrame(

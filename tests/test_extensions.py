@@ -226,3 +226,87 @@ def test_minhash_lsh_bucket_cap_drops_hot_buckets(spark):
     assert (100, 101) in un and (100, 101) in cp  # small pair survives cap
     assert any(a < 40 and b < 40 for a, b in un)  # template floods uncapped
     assert not any(a < 40 and b < 40 for a, b in cp)  # cap excises the flood
+
+
+def test_simhash_pairs_cap_drops_only_above_cap_buckets(spark):
+    """max_bucket_size must drop exactly the pairs whose ONLY co-occurring
+    (block, segment) buckets exceed the cap — the template cluster — while
+    pairs living in small buckets survive untouched (the skew guard mirrors
+    minhash_lsh_pairs' cap; see tools/soak_simhash_skew.py for the
+    at-scale measurement)."""
+    template = " ".join(f"tpl{i}" for i in range(40))
+    other = " ".join(f"oth{i}" for i in range(40))
+    rows = [
+        # 8 identical copies of one template: identical fingerprints, so
+        # EVERY bucket any template pair shares holds all 8 members (> cap)
+        Row(doc_id=i, text=template) for i in range(8)
+    ] + [
+        # one small near-dup pair, textually unrelated to the template
+        Row(doc_id=100, text=other + " a"),
+        Row(doc_id=101, text=other + " b"),
+    ]
+    df = spark.createDataFrame(rows)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, max_hamming=6).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, max_hamming=6, max_bucket_size=5).collect()
+    }
+    # ground truth from the segment table itself: a pair must survive the
+    # cap iff it co-occurs in >= 1 bucket of size <= cap (a template pair
+    # may legitimately survive through a small bucket where the varying
+    # token flipped bits for most of the cluster)
+    from cerebro_spark.operators.dedup import _simhash_segments
+
+    segs = _simhash_segments(df, "text", "doc_id", 48, 4).collect()
+    by_bucket: dict = {}
+    for r in segs:
+        by_bucket.setdefault((r["blk"], r["seg"]), []).append(r["id"])
+    small_bucket_pairs = set()
+    for members in by_bucket.values():
+        if len(members) <= 5:
+            small_bucket_pairs.update(
+                (a, b)
+                for a in members
+                for b in members
+                if a < b
+            )
+    expected = uncapped & small_bucket_pairs
+    assert (100, 101) in uncapped and (100, 101) in expected
+    # the 8-member template cluster's buckets are above the cap, so SOME
+    # of its pairs must be dropped (the skew mass), and nothing else is
+    dropped = uncapped - expected
+    assert len(dropped) > 0
+    assert all(a < 8 and b < 8 for a, b in dropped)
+    assert capped == expected
+
+
+def test_real_image_features_optional_dependency(spark):
+    """real_image_features is the drop-in decode path behind an optional
+    Pillow import: without Pillow it raises NotImplementedError with
+    install guidance; with Pillow it returns the same shape/normalization
+    contract as fake_image_features.  extract_features keeps the
+    deterministic fake as its default features_fn either way."""
+    from cerebro_spark.operators.multimodal import (
+        _pil_image_module,
+        decode_image,
+        real_image_features,
+    )
+
+    if _pil_image_module() is None:
+        with pytest.raises(NotImplementedError, match="[Pp]illow"):
+            decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError, match="[Pp]illow"):
+            real_image_features(b"\x89PNG")
+        # empty payload short-circuits before the import check, like the fake
+        assert real_image_features(b"", dim=4) == [0.0] * 4
+    else:  # deployment with Pillow: contract parity with the fake
+        import io
+
+        image_mod = _pil_image_module()
+        buf = io.BytesIO()
+        image_mod.new("L", (4, 4), color=200).save(buf, format="PNG")
+        feats = real_image_features(buf.getvalue(), dim=8)
+        assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-9

@@ -34,34 +34,51 @@ PAIRS_PER_DOC_BOUND = 50  # "linear" = at most this many candidates per doc
 
 spark = get_spark("soak-lsh-skew")
 
-# unique-ish docs: 40 tokens from a 4k vocab keyed by doc id; the first
-# DUP_COPIES docs instead share one 40-token template with ONE varying
-# token (near-dup, not exact-dup — exact dedup would catch identical text)
+# Corpus: three populations (round-5 revision — the original background
+# generator (id*131 + i*7919) mod 4000 CYCLES with period 4000 in id, so at
+# 1M docs every "unique" background doc repeated ~250×; every background
+# band bucket exceeded the cap and the round-4 run's "mass ~0 at cap=100"
+# measured the degenerate exact-dup background, not clean-background
+# behavior.  F.hash(id, i) breaks the cycle; a PAIR_N near-dup-pair probe
+# now also measures that the cap PRESERVES small-cluster recall).
+# - ids [0, DUP_COPIES): near-copies of ONE template (39 shared tokens +
+#   one unique trailing token) — true near-dups (Jaccard ≈ 0.9), not exact
+#   dups, which are dedup_exact's job and would muddy the skew signal.
+# - ids [DUP_COPIES, DUP_COPIES + 2*PAIR_N): isolated near-dup PAIRS.
+# - everything else: 40 hash-drawn tokens from a 4k vocab.
+PAIR_N = 1000
 voc = F.array(*[F.lit(f"w{i}") for i in range(4000)])
 template = " ".join(f"t{i}" for i in range(39))
+
+
+def _hash_tokens(seed_col, n):
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.element_at(
+                voc, (F.pmod(F.hash(seed_col, i), F.lit(4000)) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+
+
+pair_idx = F.floor((F.col("id") - DUP_COPIES) / 2)
 docs = spark.range(DOCS_N).select(
     F.col("id").alias("doc_id"),
     F.when(
         F.col("id") < DUP_COPIES,
-        # one UNIQUE trailing token per copy: true near-dups (Jaccard ≈
-        # 0.9 pairwise), not exact dups — exact dups are dedup_exact's
-        # job and would muddy the bucket-skew signal with legitimate mass
         F.concat(F.lit(template + " v"), F.col("id").cast("string")),
     )
-    .otherwise(
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(39)),
-                lambda i: F.element_at(
-                    voc,
-                    (F.pmod(F.col("id") * 131 + i * 7919, F.lit(4000)) + 1).cast(
-                        "int"
-                    ),
-                ),
-            ),
-            " ",
-        )
+    .when(
+        (F.col("id") >= DUP_COPIES) & (F.col("id") < DUP_COPIES + 2 * PAIR_N),
+        F.concat(
+            _hash_tokens(pair_idx + F.lit(10_000_000), 39),
+            F.lit(" p"),
+            F.pmod(F.col("id"), F.lit(2)).cast("string"),
+        ),
     )
+    .otherwise(_hash_tokens(F.col("id"), 40))
     .alias("text"),
 ).persist()
 docs.count()
@@ -88,17 +105,43 @@ for cap in (None, 100_000, 10_000, 1_000, 100):
 # histogram exposes.  Here that is 100.
 CAP = 100
 t0 = time.perf_counter()
-n_pairs = minhash_lsh_pairs(
+capped = minhash_lsh_pairs(
     docs, n=3, num_hashes=32, bands=8, threshold=0.5, max_bucket_size=CAP
-).count()
+).persist()
+n_pairs = capped.count()
 dt = time.perf_counter() - t0
 kept_mass = sum(m for s, _, m in hist if s <= CAP)
+
+# 3) recall probe: the capped full-corpus join must still find the isolated
+# near-dup pairs; ceiling = the uncapped join on the probe subset alone
+# (LSH's own band-collision probability, not the cap's doing)
+lo, hi = DUP_COPIES, DUP_COPIES + 2 * PAIR_N
+probe_pair = (
+    (F.col("id_a") >= lo)
+    & (F.col("id_a") < hi)
+    & (F.col("id_b") == F.col("id_a") + 1)
+    & (F.pmod(F.col("id_a") - F.lit(lo), F.lit(2)) == 0)
+)
+probe_found_capped = capped.filter(probe_pair).count()
+probe_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+probe_ceiling = (
+    minhash_lsh_pairs(probe_docs, n=3, num_hashes=32, bands=8, threshold=0.5)
+    .filter(probe_pair)
+    .count()
+)
 print("\n" + json.dumps({"cap": CAP, "join_sec": round(dt, 2),
                   "verified_pairs": n_pairs,
                   "kept_pair_mass": kept_mass,
+                  "probe_pairs": PAIR_N,
+                  "probe_ceiling_uncapped": probe_ceiling,
+                  "probe_found_capped": probe_found_capped,
                   "linear_ok": kept_mass <= PAIRS_PER_DOC_BOUND * DOCS_N}))
 assert kept_mass <= PAIRS_PER_DOC_BOUND * DOCS_N, (
     f"cap {CAP} leaves superlinear candidate mass {kept_mass}"
 )
+assert probe_ceiling > 0 and probe_found_capped >= 0.9 * probe_ceiling, (
+    f"cap {CAP} lost small-cluster recall: {probe_found_capped}/{probe_ceiling}"
+)
+capped.unpersist()
 stats.unpersist()
 docs.unpersist()
