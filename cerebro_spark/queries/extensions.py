@@ -694,14 +694,20 @@ SELECT id, printf('%0{hexw}x', CAST(simhash AS BIGINT)) AS simhash FROM fp
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_hamming tight (4/48 bits) because the synthetic docs share one small
-    # vocabulary and loose thresholds degenerate to all-pairs.
-    return simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=4)
+    # max_hamming tight (4/60 bits) because the synthetic docs share one small
+    # vocabulary and loose thresholds degenerate to all-pairs.  bits=60, not
+    # the 48 default: the width rule (2^(bits/blocks) >> N — see the
+    # simhash_pairs docstring and tools/soak_simhash_skew.py) — at sf0.1's
+    # 200k docs, 12-bit segments average ~48 members/bucket from birthday
+    # collisions alone (~19M candidate pairs); 15-bit segments cut that ~8×.
+    return simhash_pairs(
+        load_table(spark, "documents", sf_dir), max_hamming=4, bits=60
+    )
 
 
 def _simhash_pairs_sql() -> str:
-    """Pigeonhole block-join pairs in SQL from the simhash CTE (48 bits,
-    4 blocks of 12)."""
+    """Pigeonhole block-join pairs in SQL from the simhash CTE (60 bits,
+    4 blocks of 15 — mirrors q_simhash_pairs' width-rule setting)."""
     x = _hex2long_sql("md5(tok)", 15)
     return f"""
 WITH toks AS (
@@ -713,7 +719,7 @@ WITH toks AS (
 hx AS (SELECT id, {x} AS x FROM toks),
 bits AS (
   SELECT id, i, sum(CASE WHEN (x >> i) % 2 = 1 THEN 1 ELSE -1 END) AS v
-  FROM hx, generate_series(0, 47) AS g(i) GROUP BY id, i
+  FROM hx, generate_series(0, 59) AS g(i) GROUP BY id, i
 ),
 fp AS (
   SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
@@ -721,7 +727,7 @@ fp AS (
   FROM bits GROUP BY id
 ),
 seg AS (
-  SELECT id, simhash, bi, (simhash >> (bi * 12)) % 4096 AS segment
+  SELECT id, simhash, bi, (simhash >> (bi * 15)) % 32768 AS segment
   FROM fp, generate_series(0, 3) AS g(bi)
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
