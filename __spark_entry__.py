@@ -533,16 +533,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-1 snapshot).  Rotate queries that have never had a hard-gate row to the
 # FRONT of the registry so they get driver-checked this round; the
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
-# NEXT-ROUND NOTE: after the r03 snapshot lands, diff its key set against this
-# list and rotate the still-ungated remainder to the front — expected: the
-# entries below the 50-line (repetition_profile onward), the round-4 tail
-# block, and the round-5 tail block.
+# ROUND-6 ROTATION NOTE (written r5): the r04 gate ran ZERO queries (import
+# crash, fixed first thing in r5), so THIS list's head-50 is what the r05
+# snapshot gates.  At r06 start: verify CORRECTNESS_r05 keys == the head-50
+# here, then move the 14 still-ungated entries to the front —
+# approx_top_terms, asof_join_nearest, bollinger_20, bpe_merge_candidates,
+# error_burn_rate, hard_negatives, packing_efficiency, rsi_14,
+# seasonal_decompose, session_stats, stochastic_14, temperature_mix,
+# value_corr_matrix, value_heatmap — (11 are already in this list below the
+# 50-line; bpe_merge_candidates / packing_efficiency / temperature_mix are
+# round-4 additions not listed yet).  That completes 163/163 cumulative
+# driver-gated coverage.
 _SNAPSHOT_PRIORITY = [
     # ROUND-4 ROTATION: the 61 queries with no driver CORRECTNESS row in
-    # r01-r03 (VERDICT r3 ask #1).  Driver snapshots the FIRST 50, so the
-    # last 11 below (error_burn_rate onward) plus any round-4 additions
-    # must head the r05 rotation.  NEXT-ROUND NOTE: diff CORRECTNESS_r04
-    # keys against this list and rotate the leftover to the front.
+    # r01-r03 (VERDICT r3 ask #1).  Driver snapshots the FIRST 50.
     "zscore_outliers",
     "tfidf_top_terms",
     "top_ngrams",

@@ -567,6 +567,14 @@ def simhash_pairs(
     k < blocks must agree on ≥1 block, so the join key is (block_idx, segment).
     Avoids the O(n²) all-pairs comparison.
 
+    RECALL GUARANTEE requires ``max_hamming < blocks``: at
+    ``max_hamming >= blocks`` a qualifying pair can differ in every block
+    and be missed, and the result is the well-defined approximation
+    "pairs with hamming ≤ k that also share ≥1 block" (which a mirroring
+    oracle reproduces exactly, but is not exhaustive).  For exact recall
+    at larger k, raise ``blocks`` to ``k + 1`` — and re-check the width
+    rule below, since more blocks means narrower segments.
+
     ``max_bucket_size`` is the same boilerplate-skew guard as
     ``minhash_lsh_pairs``: a template shared by k docs puts k²/2 candidate
     pairs in each of its (block, segment) buckets; buckets above the cap
