@@ -397,3 +397,95 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, seed):
             for r in want_df.itertuples()
         }
         assert got == want, f"direction={direction}"
+
+
+# -- keyless CUSUM closed form vs the textbook recurrence --------------------
+#
+# The distributed plan computes S_i = P_i - min(0, min_{j<=i} P_j) via a
+# two-level bucketed scan (tsdb.cusum keyless branch); the ground truth is
+# the sequential Page recurrence S_i = max(0, S_{i-1} + (x_i - mu - k*sigma)).
+# Random hour-spaced timestamps cross the 86400 s carry buckets, duplicate
+# timestamps exercise the tiebreak, and values quantize to e2 like the
+# operator's fixed-point baseline assumes.
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 400),  # hour offset (spans ~17 day-buckets)
+            st.integers(-2000, 2000),  # value in e2 fixed point
+        ),
+        min_size=2,
+        max_size=120,
+    )
+)
+@settings(**SETTINGS)
+def test_keyless_cusum_matches_textbook_recurrence(spark, rows):
+    from cerebro_spark.operators.tsdb import cusum
+
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), e2 / 100.0)
+        for i, (h, e2) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["id", "ts", "v"])
+    got = {
+        r["id"]: r["cusum"]
+        for r in cusum(df, "v", "ts", keys=[], tiebreak=["id"]).collect()
+    }
+
+    # textbook reference, with the operator's exact fixed-point baseline
+    n = len(data)
+    s1 = sum(round(v * 100) for _, _, v in data)
+    s2 = sum(round(v * 100) ** 2 for _, _, v in data)
+    mu = s1 / 100.0 / n
+    sigma = (max(s2 / 10000.0 / n - mu * mu, 0.0)) ** 0.5
+    s = 0.0
+    want = {}
+    for i, ts, v in sorted(data, key=lambda r: (r[1], r[0])):
+        s = max(0.0, s + (v - mu - 0.5 * sigma))
+        want[i] = s
+
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) <= 2e-6, (i, got[i], want[i])
+
+
+@given(
+    lts=st.lists(st.integers(0, 400), min_size=1, max_size=15),
+    rts=st.lists(st.integers(0, 400), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_keyless_asof_join_matches_pandas_merge_asof(spark, lts, rts):
+    """The KEYLESS as-of path (`joins._keyless_carry`, a per-day-bucket
+    two-level carry — not the keyed union-merge window) against pandas
+    merge_asof.  Hour-spaced offsets span ~17 day-buckets so carries cross
+    bucket boundaries, left-before-any-right rows exercise the null fill."""
+    import pandas as pd
+
+    from cerebro_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, t0 + dt.timedelta(hours=h)) for i, h in enumerate(lts)
+    ]
+    right_rows = [
+        (t0 + dt.timedelta(hours=h), float(i))
+        for i, h in enumerate(sorted(set(rts)))
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "ts timestamp, v double")
+    lp = pd.DataFrame(left_rows, columns=["lid", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["ts", "v"]).sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: r["v_right"]
+            for r in asof_join(
+                left, right, "ts", by=[], direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(lp, rp, on="ts", direction=direction)
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else float(r.v))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"direction={direction}"
