@@ -85,6 +85,76 @@ def publish_messages(spool_dir: str, messages: list[tuple[str, dict]]) -> str:
     return final
 
 
+def amqp_to_spool(
+    spool_dir: str,
+    amqp: dict,
+    max_messages: int = 1000,
+    batch_size: int = 100,
+) -> int:
+    """Native RabbitMQ consumer → file-bus spool pump: drain the queue with
+    the dependency-free 0-9-1 client (``sources/amqp_client.py``), write
+    each batch to the spool via the atomic-rename ``publish_messages``, and
+    ack ONLY AFTER the batch file is durably in place — a crash between
+    write and ack redelivers the batch (at-least-once; duplicate telemetry
+    points collapse downstream at the T8 sort+dedup stage).  Returns the
+    number of messages spooled.
+
+    ``amqp`` config keys: ``host`` (required), ``port``/``username``/
+    ``password``/``vhost`` (defaults: 5672/guest/guest//), ``queue``
+    (required), ``declare`` ("passive" default — assert the queue exists;
+    "active" creates it, for tests/dev).
+
+    sender = the message routing key (the reference's sender encoding,
+    `AMQP.py:105-118`); body must be a JSON object — non-JSON bodies are
+    spooled as ``{"raw": <utf8-replaced text>}`` so nothing is silently
+    dropped and the flatten stage still yields a (diagnosable) point.
+
+    Run the pump from a scheduler loop (the daemon's trigger cadence or
+    cron) next to the streaming query reading the spool; Spark's file
+    source gives the downstream pipeline exactly-once over the spool files.
+    Cluster alternative remains the Kafka transport below.
+    """
+    from cerebro_spark.sources.amqp_client import AMQPClient
+
+    client = AMQPClient(
+        amqp["host"],
+        port=int(amqp.get("port", 5672)),
+        username=amqp.get("username", "guest"),
+        password=amqp.get("password", "guest"),
+        vhost=amqp.get("vhost", "/"),
+    )
+    queue = amqp["queue"]
+    client.connect()
+    total = 0
+    try:
+        client.declare_queue(
+            queue, passive=amqp.get("declare", "passive") == "passive"
+        )
+        while total < max_messages:
+            tagged = client.drain_tagged(
+                queue, min(batch_size, max_messages - total), ack=False
+            )
+            if not tagged:
+                break
+            messages = []
+            for _tag, routing_key, body in tagged:
+                try:
+                    payload = json.loads(body)
+                    if not isinstance(payload, dict):
+                        raise ValueError("non-object JSON body")
+                except (ValueError, UnicodeDecodeError):
+                    payload = {"raw": body.decode("utf-8", errors="replace")}
+                messages.append((routing_key, payload))
+            publish_messages(spool_dir, messages)
+            # batch is on disk — now release it broker-side (multiple-ack
+            # up to the batch's last delivery tag)
+            client.ack(tagged[-1][0], multiple=True)
+            total += len(tagged)
+    finally:
+        client.close()
+    return total
+
+
 def read_bus_stream(
     spark: SparkSession,
     spool_dir: str | None = None,

@@ -1,0 +1,172 @@
+"""In-process AMQP 0-9-1 broker for the native-consumer contract tests.
+
+Speaks REAL frames over a real socket — the client under test
+(`cerebro_spark/sources/amqp_client.py`) is exercised byte-for-byte, not
+mocked: protocol header, Start/Tune/Open handshake, channel open, queue
+declare, Basic.Get / Get-Ok / Get-Empty with content header + body frames,
+Basic.Ack (single and multiple), Connection.Close.  Unacked deliveries are
+requeued (front, original order, redelivered flag set) when the client
+disconnects — the broker behavior the ack-after-spool-write pump relies on.
+
+Single-connection-at-a-time, sequential — matching the pump's usage.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from collections import deque
+
+from cerebro_spark.sources.amqp_client import (
+    AMQPError,
+    BASIC_ACK,
+    BASIC_GET,
+    BASIC_GET_EMPTY,
+    BASIC_GET_OK,
+    CHANNEL_OPEN,
+    CHANNEL_OPEN_OK,
+    CONNECTION_CLOSE,
+    CONNECTION_CLOSE_OK,
+    CONNECTION_OPEN,
+    CONNECTION_OPEN_OK,
+    CONNECTION_START,
+    CONNECTION_START_OK,
+    CONNECTION_TUNE,
+    CONNECTION_TUNE_OK,
+    FRAME_BODY,
+    FRAME_HEADER,
+    FRAME_METHOD,
+    PROTOCOL_HEADER,
+    QUEUE_DECLARE,
+    QUEUE_DECLARE_OK,
+    build_frame,
+    content_header_payload,
+    empty_table,
+    longstr,
+    method_payload,
+    parse_shortstr,
+    read_frame,
+    recv_exact,
+    shortstr,
+)
+
+
+class FakeBroker(threading.Thread):
+    def __init__(self, messages: list[tuple[str, bytes]]):
+        super().__init__(daemon=True)
+        #: (routing_key, body, redelivered)
+        self.queue = deque((rk, b, False) for rk, b in messages)
+        self.unacked: dict[int, tuple[str, bytes, bool]] = {}
+        self.acked: list[int] = []
+        self._tag = 0
+        self._stopping = threading.Event()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self._srv.settimeout(0.2)
+        self.port = self._srv.getsockname()[1]
+
+    def stop(self) -> None:
+        self._stopping.set()
+        self.join(timeout=5)
+        self._srv.close()
+
+    def run(self) -> None:
+        while not self._stopping.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+            try:
+                self._serve(conn)
+            except (AMQPError, OSError, ConnectionError, IndexError, struct.error):
+                pass  # client vanished mid-frame: fall through to requeue
+            finally:
+                conn.close()
+                self._requeue_unacked()
+
+    def _requeue_unacked(self) -> None:
+        for tag in sorted(self.unacked, reverse=True):
+            rk, body, _ = self.unacked.pop(tag)
+            self.queue.appendleft((rk, body, True))
+
+    # -- one client session ---------------------------------------------------
+
+    def _send_method(self, conn, channel, cm, args=b"") -> None:
+        conn.sendall(build_frame(FRAME_METHOD, channel, method_payload(*cm, args)))
+
+    def _serve(self, conn: socket.socket) -> None:
+        conn.settimeout(10)
+        if recv_exact(conn, 8) != PROTOCOL_HEADER:
+            return
+        self._send_method(
+            conn, 0, CONNECTION_START,
+            struct.pack(">BB", 0, 9) + empty_table()
+            + longstr(b"PLAIN") + longstr(b"en_US"),
+        )
+        self._expect(conn, CONNECTION_START_OK)
+        self._send_method(
+            conn, 0, CONNECTION_TUNE, struct.pack(">HIH", 2047, 131072, 0)
+        )
+        self._expect(conn, CONNECTION_TUNE_OK)
+        self._expect(conn, CONNECTION_OPEN)
+        self._send_method(conn, 0, CONNECTION_OPEN_OK, shortstr(""))
+        while True:
+            cm, channel, args = self._read_method(conn)
+            if cm == CHANNEL_OPEN:
+                self._send_method(conn, channel, CHANNEL_OPEN_OK, longstr(b""))
+            elif cm == QUEUE_DECLARE:
+                name, _ = parse_shortstr(args, 2)
+                self._send_method(
+                    conn, channel, QUEUE_DECLARE_OK,
+                    shortstr(name) + struct.pack(">II", len(self.queue), 0),
+                )
+            elif cm == BASIC_GET:
+                self._basic_get(conn, channel, args)
+            elif cm == BASIC_ACK:
+                (tag,) = struct.unpack_from(">Q", args, 0)
+                multiple = args[8] == 1
+                tags = (
+                    [t for t in self.unacked if t <= tag] if multiple else [tag]
+                )
+                for t in tags:
+                    self.unacked.pop(t, None)
+                    self.acked.append(t)
+            elif cm == CONNECTION_CLOSE:
+                self._send_method(conn, 0, CONNECTION_CLOSE_OK)
+                return
+            else:
+                raise AssertionError(f"fake broker: unhandled method {cm}")
+
+    def _basic_get(self, conn, channel, args) -> None:
+        rk_queue, off = parse_shortstr(args, 2)
+        if not self.queue:
+            self._send_method(conn, channel, BASIC_GET_EMPTY, shortstr(""))
+            return
+        rk, body, redelivered = self.queue.popleft()
+        self._tag += 1
+        self.unacked[self._tag] = (rk, body, redelivered)
+        self._send_method(
+            conn, channel, BASIC_GET_OK,
+            struct.pack(">Q", self._tag)
+            + (b"\x01" if redelivered else b"\x00")
+            + shortstr("")  # exchange
+            + shortstr(rk)
+            + struct.pack(">I", len(self.queue)),
+        )
+        conn.sendall(
+            build_frame(FRAME_HEADER, channel, content_header_payload(60, len(body)))
+        )
+        conn.sendall(build_frame(FRAME_BODY, channel, body))
+
+    def _read_method(self, conn) -> tuple[tuple[int, int], int, bytes]:
+        ftype, channel, payload = read_frame(conn)
+        assert ftype == FRAME_METHOD, f"fake broker: frame type {ftype}"
+        return struct.unpack_from(">HH", payload, 0), channel, payload[4:]
+
+    def _expect(self, conn, cm) -> bytes:
+        got, _ch, args = self._read_method(conn)
+        assert got == cm, f"fake broker: expected {cm}, got {got}"
+        return args

@@ -1,0 +1,137 @@
+"""Native AMQP 0-9-1 consumer contract tests — real frames over a loopback
+socket (tests/amqp_fake_broker.py), no mocks: handshake, queue declare,
+Basic.Get polling, ack-after-spool-write, crash redelivery, and the full
+pump → spool → bus_messages_to_points pipeline."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cerebro_spark.sources.amqp_client import AMQPClient
+from cerebro_spark.sources.bus import (
+    BUS_MESSAGE_SCHEMA,
+    amqp_to_spool,
+    bus_messages_to_points,
+)
+from tests.amqp_fake_broker import FakeBroker
+
+
+def _broker(messages):
+    b = FakeBroker(messages)
+    b.start()
+    return b
+
+
+def _cfg(broker, **kw):
+    return {
+        "host": "127.0.0.1",
+        "port": broker.port,
+        "queue": "telemetry",
+        "declare": "active",
+        **kw,
+    }
+
+
+def test_client_handshake_get_ack_empty():
+    broker = _broker([("lab.sensor", json.dumps({"temp": 21.5}).encode())])
+    try:
+        c = AMQPClient("127.0.0.1", port=broker.port)
+        c.connect()
+        assert c.declare_queue("telemetry") == 1
+        tag, rk, body = c.get("telemetry")
+        assert rk == "lab.sensor" and json.loads(body) == {"temp": 21.5}
+        c.ack(tag)
+        assert c.get("telemetry") is None  # Get-Empty path
+        c.close()
+        assert broker.acked == [tag]
+    finally:
+        broker.stop()
+
+
+def test_pump_spools_then_acks_and_is_idempotent(tmp_path):
+    msgs = [
+        (
+            f"actor.{i}",
+            json.dumps({"v": float(i), "controller": f"c{i % 2}"}).encode(),
+        )
+        for i in range(7)
+    ] + [("actor.raw", b"\x00not-json\xff")]
+    broker = _broker(msgs)
+    spool = str(tmp_path / "spool")
+    try:
+        n = amqp_to_spool(spool, _cfg(broker), batch_size=3)
+        assert n == 8
+        assert len(broker.acked) == 8 and not broker.unacked
+        # a second pump finds the queue empty — no dup spool files
+        assert amqp_to_spool(spool, _cfg(broker)) == 0
+    finally:
+        broker.stop()
+
+    # the spooled batches feed the transport-agnostic pipeline
+    from cerebro_spark.session import get_spark
+
+    spark = get_spark("amqp-test")
+    messages = spark.read.schema(BUS_MESSAGE_SCHEMA).json(spool)
+    assert messages.count() == 8
+    pts = bus_messages_to_points(messages, groupers=["controller"], bucket="b")
+    rows = {r["measurement"]: r for r in pts.collect()}
+    assert rows["actor.3"]["fields"]["v"] == 3.0
+    assert rows["actor.3"]["tags"] == {"controller": "c1"}
+    # the non-JSON body survived as a raw-string point, not a drop
+    assert "not-json" in rows["actor.raw"]["fields_str"]["raw"]
+
+
+def test_crash_between_spool_write_and_ack_redelivers():
+    msgs = [(f"k{i}", json.dumps({"i": i}).encode()) for i in range(5)]
+    broker = _broker(msgs)
+    try:
+        c = AMQPClient("127.0.0.1", port=broker.port)
+        c.connect()
+        taken = c.drain_tagged("telemetry", max_messages=3, ack=False)
+        assert [rk for _, rk, _ in taken] == ["k0", "k1", "k2"]
+        c._teardown()  # crash before ack
+        # next connection sees ALL five again, the first three redelivered
+        # in their original order (the broker requeues unacked at the front)
+        c2 = AMQPClient("127.0.0.1", port=broker.port)
+        c2.connect()
+        again = c2.drain("telemetry", max_messages=10, ack=True)
+        assert [rk for rk, _ in again] == ["k0", "k1", "k2", "k3", "k4"]
+        c2.close()
+        assert not broker.unacked and not broker.queue
+    finally:
+        broker.stop()
+
+
+def test_pump_after_partial_crash_no_message_loss(tmp_path):
+    """At-least-once end-to-end: a pump that dies between spool-write and
+    ack leaves the batch in the broker; the next pump re-spools it (dup
+    rows possible, loss impossible)."""
+    msgs = [(f"k{i}", json.dumps({"i": i}).encode()) for i in range(4)]
+    broker = _broker(msgs)
+    spool = str(tmp_path / "spool")
+    try:
+        # simulate the crash with a client that writes the spool then dies
+        from cerebro_spark.sources.bus import publish_messages
+
+        c = AMQPClient("127.0.0.1", port=broker.port)
+        c.connect()
+        taken = c.drain_tagged("telemetry", max_messages=2, ack=False)
+        publish_messages(
+            spool, [(rk, json.loads(b)) for _, rk, b in taken]
+        )
+        c._teardown()  # died before ack
+
+        n = amqp_to_spool(spool, _cfg(broker))
+        assert n == 4  # the 2 unacked redeliveries + the 2 never-seen
+    finally:
+        broker.stop()
+
+    from cerebro_spark.session import get_spark
+
+    spark = get_spark("amqp-test")
+    df = spark.read.schema(BUS_MESSAGE_SCHEMA).json(spool)
+    # 2 spooled by the crashed pump + 4 by the recovery pump; every
+    # original message present at least once
+    assert df.count() == 6
+    senders = {r["sender"] for r in df.select("sender").distinct().collect()}
+    assert senders == {"k0", "k1", "k2", "k3"}
