@@ -142,6 +142,73 @@ def _rate(spark: SparkSession, name: str, **params) -> DataFrame:
     )
 
 
+#: live AMQP pump threads keyed by source name: (thread, stop_event).
+_PUMP_THREADS: dict[str, tuple[Any, Any]] = {}
+
+
+@register_source("amqp")
+def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
+    """S5 native transport, config-driven: a background pump thread drains
+    the RabbitMQ queue into ``spool_dir`` every ``pump_interval`` seconds
+    (``bus.amqp_to_spool`` — dependency-free 0-9-1 client, ack after the
+    atomic spool write), and the streaming query is the file bus over that
+    spool mapped to canonical points.  Broker errors back off with the C5
+    reconnect policy and never kill the pump (keep-running posture); the
+    pump stops with the source (``IngestRunner.stop``/``restart``).
+
+    params: ``host``/``queue``/``spool_dir`` required; ``port``,
+    ``username``, ``password``, ``vhost``, ``declare``, ``pump_interval``
+    (default 5 s), ``max_messages_per_pump`` (default 1000), ``groupers``,
+    ``keywords`` optional.
+    """
+    import threading
+
+    from cerebro_spark.sources.bus import (
+        amqp_to_spool,
+        bus_messages_to_points,
+        read_bus_stream,
+    )
+
+    spool = params["spool_dir"]
+    os.makedirs(spool, exist_ok=True)
+    interval = float(params.get("pump_interval", 5.0))
+    amqp_cfg = {
+        k: params[k]
+        for k in ("host", "port", "username", "password", "vhost", "queue",
+                  "declare")
+        if k in params
+    }
+    max_msgs = int(params.get("max_messages_per_pump", 1000))
+    stop = threading.Event()
+
+    def pump() -> None:
+        from cerebro_spark.sources.poll import ExponentialBackoff
+
+        backoff = ExponentialBackoff()
+        while not stop.is_set():
+            try:
+                amqp_to_spool(spool, amqp_cfg, max_messages=max_msgs)
+                backoff.reset()
+                delay = interval
+            except Exception:  # noqa: BLE001 — C5: log-and-retry, never die
+                delay = backoff.next_delay()
+            stop.wait(delay)
+
+    old = _PUMP_THREADS.pop(name, None)
+    if old is not None:
+        old[1].set()
+    thread = threading.Thread(target=pump, daemon=True, name=f"amqp-pump-{name}")
+    thread.start()
+    _PUMP_THREADS[name] = (thread, stop)
+
+    messages = read_bus_stream(spark, spool_dir=spool)
+    return bus_messages_to_points(
+        messages,
+        groupers=params.get("groupers"),
+        keywords=params.get("keywords"),
+    )
+
+
 class IngestRunner:
     """C1/C3 parity: named streaming queries with status / stop / restart.
 
@@ -233,6 +300,9 @@ class IngestRunner:
             if name is None or n == name:
                 q.stop()
                 del self._queries[n]
+                pump = _PUMP_THREADS.pop(n, None)
+                if pump is not None:  # side transport (amqp): stop its thread
+                    pump[1].set()
 
     def restart(self, name: str) -> None:
         """C3 ``restart <source>``."""

@@ -135,3 +135,65 @@ def test_pump_after_partial_crash_no_message_loss(tmp_path):
     assert df.count() == 6
     senders = {r["sender"] for r in df.select("sender").distinct().collect()}
     assert senders == {"k0", "k1", "k2", "k3"}
+
+
+def test_amqp_source_via_config_runner(spark, tmp_path):
+    """config-declared `type: amqp` source: the pump thread drains the
+    loopback broker into the spool, the streaming query turns the spool
+    into enriched points in the store, and IngestRunner.stop also stops
+    the pump thread."""
+    import time
+
+    from cerebro_spark.config.loader import _PUMP_THREADS, IngestRunner
+
+    msgs = [
+        (f"actor.{i}", json.dumps({"v": float(i), "controller": "sp1"}).encode())
+        for i in range(6)
+    ]
+    broker = _broker(msgs)
+    try:
+        runner = IngestRunner(
+            spark,
+            {
+                "sources": {
+                    "bus1": {
+                        "type": "amqp",
+                        "host": "127.0.0.1",
+                        "port": broker.port,
+                        "queue": "telemetry",
+                        "declare": "active",
+                        "spool_dir": str(tmp_path / "spool"),
+                        "pump_interval": 0.2,
+                        "groupers": ["controller"],
+                        "delay": 1,
+                    }
+                }
+            },
+            store_path=str(tmp_path / "store"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+        )
+        runner.start()
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(str(tmp_path / "store")).count()
+            except Exception:
+                n = 0
+            if n >= 6:
+                break
+            time.sleep(1)
+        pump_thread = _PUMP_THREADS["bus1"][0]
+        runner.stop()
+        assert n >= 6
+        out = spark.read.parquet(str(tmp_path / "store"))
+        rows = {r["measurement"]: r for r in out.collect()}
+        assert rows["actor.4"]["fields"]["v"] == 4.0
+        assert rows["actor.4"]["tags"]["controller"] == "sp1"
+        assert len(broker.acked) == 6 and not broker.unacked
+        # the pump thread was signalled and winds down with the source
+        assert "bus1" not in _PUMP_THREADS
+        pump_thread.join(timeout=10)
+        assert not pump_thread.is_alive()
+    finally:
+        broker.stop()
