@@ -47,6 +47,8 @@ CONNECTION_CLOSE = (10, 50)
 CONNECTION_CLOSE_OK = (10, 51)
 CHANNEL_OPEN = (20, 10)
 CHANNEL_OPEN_OK = (20, 11)
+CHANNEL_CLOSE = (20, 40)
+CHANNEL_CLOSE_OK = (20, 41)
 QUEUE_DECLARE = (50, 10)
 QUEUE_DECLARE_OK = (50, 11)
 BASIC_GET = (60, 70)
@@ -188,6 +190,19 @@ class AMQPClient:
                 finally:
                     self._teardown()
                 raise AMQPError(f"server closed connection: {code} {text}")
+            if cm == CHANNEL_CLOSE:
+                # e.g. 404 NOT_FOUND from a passive declare of a missing
+                # queue.  Acknowledge, then tear down: the one channel is
+                # dead and reopening it mid-session is not worth the state
+                # machine — callers reconnect (the pump's backoff path).
+                (code,) = struct.unpack_from(">H", args, 0)
+                text, _ = parse_shortstr(args, 2)
+                try:
+                    self._send(FRAME_METHOD, _ch,
+                               method_payload(*CHANNEL_CLOSE_OK))
+                finally:
+                    self._teardown()
+                raise AMQPError(f"server closed channel: {code} {text}")
             return cm, args
 
     def _expect(self, cm: tuple[int, int]) -> bytes:

@@ -24,6 +24,8 @@ from cerebro_spark.sources.amqp_client import (
     BASIC_GET,
     BASIC_GET_EMPTY,
     BASIC_GET_OK,
+    CHANNEL_CLOSE,
+    CHANNEL_CLOSE_OK,
     CHANNEL_OPEN,
     CHANNEL_OPEN_OK,
     CONNECTION_CLOSE,
@@ -118,7 +120,19 @@ class FakeBroker(threading.Thread):
             if cm == CHANNEL_OPEN:
                 self._send_method(conn, channel, CHANNEL_OPEN_OK, longstr(b""))
             elif cm == QUEUE_DECLARE:
-                name, _ = parse_shortstr(args, 2)
+                name, off = parse_shortstr(args, 2)
+                passive = bool(args[off] & 1)
+                if passive and name != "telemetry":
+                    # RabbitMQ behavior: passive declare of a missing queue
+                    # fails the CHANNEL with 404 NOT_FOUND
+                    self._send_method(
+                        conn, channel, CHANNEL_CLOSE,
+                        struct.pack(">H", 404)
+                        + shortstr(f"NOT_FOUND - no queue '{name}'")
+                        + struct.pack(">HH", *QUEUE_DECLARE),
+                    )
+                    self._expect(conn, CHANNEL_CLOSE_OK)
+                    continue
                 self._send_method(
                     conn, channel, QUEUE_DECLARE_OK,
                     shortstr(name) + struct.pack(">II", len(self.queue), 0),

@@ -197,3 +197,20 @@ def test_amqp_source_via_config_runner(spark, tmp_path):
         assert not pump_thread.is_alive()
     finally:
         broker.stop()
+
+
+def test_passive_declare_missing_queue_raises_404():
+    """RabbitMQ fails a passive declare of a missing queue with
+    Channel.Close 404; the client must reply Close-Ok, tear down, and
+    surface a clear error (the pump's backoff path retries)."""
+    import pytest
+
+    broker = _broker([])
+    try:
+        c = AMQPClient("127.0.0.1", port=broker.port)
+        c.connect()
+        with pytest.raises(Exception, match="404"):
+            c.declare_queue("missing", passive=True)
+        assert c._sock is None  # channel dead -> client tears down
+    finally:
+        broker.stop()
