@@ -182,17 +182,35 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
     stop = threading.Event()
 
     def pump() -> None:
+        from cerebro_spark.sources.amqp_client import AMQPClient
         from cerebro_spark.sources.poll import ExponentialBackoff
 
         backoff = ExponentialBackoff()
+        conn = None  # persistent across cycles; re-dialed after errors
         while not stop.is_set():
             try:
-                amqp_to_spool(spool, amqp_cfg, max_messages=max_msgs)
+                if conn is None:
+                    conn = AMQPClient(
+                        amqp_cfg["host"],
+                        port=int(amqp_cfg.get("port", 5672)),
+                        username=amqp_cfg.get("username", "guest"),
+                        password=amqp_cfg.get("password", "guest"),
+                        vhost=amqp_cfg.get("vhost", "/"),
+                    )
+                    conn.connect()
+                amqp_to_spool(
+                    spool, amqp_cfg, max_messages=max_msgs, client=conn
+                )
                 backoff.reset()
                 delay = interval
             except Exception:  # noqa: BLE001 — C5: log-and-retry, never die
+                if conn is not None:
+                    conn._teardown()
+                conn = None
                 delay = backoff.next_delay()
             stop.wait(delay)
+        if conn is not None:
+            conn.close()
 
     old = _PUMP_THREADS.pop(name, None)
     if old is not None:

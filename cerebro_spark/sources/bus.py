@@ -90,6 +90,7 @@ def amqp_to_spool(
     amqp: dict,
     max_messages: int = 1000,
     batch_size: int = 100,
+    client=None,
 ) -> int:
     """Native RabbitMQ consumer → file-bus spool pump: drain the queue with
     the dependency-free 0-9-1 client (``sources/amqp_client.py``), write
@@ -113,18 +114,24 @@ def amqp_to_spool(
     cron) next to the streaming query reading the spool; Spark's file
     source gives the downstream pipeline exactly-once over the spool files.
     Cluster alternative remains the Kafka transport below.
+
+    Pass ``client`` (a connected ``AMQPClient``) to reuse one broker
+    connection across pump cycles — the config-driven pump thread does;
+    ownership stays with the caller (not closed here).
     """
     from cerebro_spark.sources.amqp_client import AMQPClient
 
-    client = AMQPClient(
-        amqp["host"],
-        port=int(amqp.get("port", 5672)),
-        username=amqp.get("username", "guest"),
-        password=amqp.get("password", "guest"),
-        vhost=amqp.get("vhost", "/"),
-    )
+    own_client = client is None
+    if own_client:
+        client = AMQPClient(
+            amqp["host"],
+            port=int(amqp.get("port", 5672)),
+            username=amqp.get("username", "guest"),
+            password=amqp.get("password", "guest"),
+            vhost=amqp.get("vhost", "/"),
+        )
+        client.connect()
     queue = amqp["queue"]
-    client.connect()
     total = 0
     try:
         client.declare_queue(
@@ -151,7 +158,8 @@ def amqp_to_spool(
             client.ack(tagged[-1][0], multiple=True)
             total += len(tagged)
     finally:
-        client.close()
+        if own_client:
+            client.close()
     return total
 
 
