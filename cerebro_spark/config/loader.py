@@ -169,6 +169,14 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
         read_bus_stream,
     )
 
+    # fail at start(), not inside the retry loop: a missing required param
+    # is a permanent config error, and the pump's keep-running posture
+    # would otherwise silently back off on it forever
+    missing = [k for k in ("host", "queue", "spool_dir") if k not in params]
+    if missing:
+        raise KeyError(
+            f"amqp source {name!r}: missing required params {missing}"
+        )
     spool = params["spool_dir"]
     os.makedirs(spool, exist_ok=True)
     interval = float(params.get("pump_interval", 5.0))
@@ -264,17 +272,27 @@ class IngestRunner:
         delay = params.pop("delay", None)
         source_df = builder(self.spark, name, **params)
         tags = {"source": type_name, **self.config.get("tags", {}), **tags}
-        return run_ingest(
-            self.spark,
-            source_df,
-            sink_path=self.store_path,
-            checkpoint=os.path.join(self.checkpoint_root, name),
-            instance_tags=tags,
-            default_bucket=bucket,
-            processing_time=f"{delay} seconds" if delay else None,
-            available_now=delay is None,
-            query_name=f"cerebro-{name}",
-        )
+        try:
+            return run_ingest(
+                self.spark,
+                source_df,
+                sink_path=self.store_path,
+                checkpoint=os.path.join(self.checkpoint_root, name),
+                instance_tags=tags,
+                default_bucket=bucket,
+                processing_time=f"{delay} seconds" if delay else None,
+                available_now=delay is None,
+                query_name=f"cerebro-{name}",
+            )
+        except Exception:
+            # a builder may have spawned a side transport (amqp pump
+            # thread); if the query itself fails to start, stop it — it is
+            # keyed in _PUMP_THREADS but would never be reachable through
+            # stop() because the source never lands in self._queries
+            pump = _PUMP_THREADS.pop(name, None)
+            if pump is not None:
+                pump[1].set()
+            raise
 
     def start(self, names: list[str] | None = None) -> None:
         for name in names or list(self.selected):

@@ -694,14 +694,16 @@ SELECT id, printf('%0{hexw}x', CAST(simhash AS BIGINT)) AS simhash FROM fp
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_hamming tight (4/60 bits) because the synthetic docs share one small
-    # vocabulary and loose thresholds degenerate to all-pairs.  bits=60, not
-    # the 48 default: the width rule (2^(bits/blocks) >> N — see the
+    # max_hamming tight (3/60 bits) because the synthetic docs share one small
+    # vocabulary and loose thresholds degenerate to all-pairs; 3 < blocks=4
+    # keeps the pigeonhole recall guarantee EXACT (at 4 == blocks a
+    # qualifying pair could differ in every block and be missed).  bits=60,
+    # not the 48 default: the width rule (2^(bits/blocks) >> N — see the
     # simhash_pairs docstring and tools/soak_simhash_skew.py) — at sf0.1's
     # 200k docs, 12-bit segments average ~48 members/bucket from birthday
     # collisions alone (~19M candidate pairs); 15-bit segments cut that ~8×.
     return simhash_pairs(
-        load_table(spark, "documents", sf_dir), max_hamming=4, bits=60
+        load_table(spark, "documents", sf_dir), max_hamming=3, bits=60
     )
 
 
@@ -733,7 +735,7 @@ seg AS (
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
   bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM seg a JOIN seg b ON a.bi = b.bi AND a.segment = b.segment AND a.id < b.id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 

@@ -226,8 +226,12 @@ class AMQPClient:
         ))
         tune = self._expect(CONNECTION_TUNE)
         channel_max, frame_max, _heartbeat = struct.unpack_from(">HIH", tune, 0)
-        # echo the server's limits; heartbeat 0 = disabled (the pump holds
-        # connections only for the duration of one drain)
+        # echo the server's limits; heartbeat 0 = disabled.  The persistent
+        # pump idles between drains, so a silently-dead peer (broker
+        # restart, NAT drop) is detected at the NEXT cycle's send/recv —
+        # bounded by pump_interval + the socket timeout — and the backoff
+        # reconnect path re-dials.  Acceptable for a polling consumer;
+        # a heartbeat thread is not worth the concurrency surface.
         self._send(FRAME_METHOD, 0, method_payload(
             *CONNECTION_TUNE_OK,
             struct.pack(">HIH", channel_max, frame_max, 0),

@@ -71,8 +71,11 @@ def kafka_frame_to_messages(kafka_df: DataFrame) -> DataFrame:
 
 def publish_messages(spool_dir: str, messages: list[tuple[str, dict]]) -> str:
     """Producer side of the file bus: append one JSON-lines file containing
-    ``messages`` = [(sender, body_dict), ...].  Written via tmp-name + rename
-    so the streaming file source never sees a partial file."""
+    ``messages`` = [(sender, body_dict), ...].  Written via tmp-name +
+    fsync + rename + directory fsync, so the streaming file source never
+    sees a partial file AND a batch that has been acknowledged upstream
+    (the AMQP pump acks after this returns) survives a power failure, not
+    just a process crash."""
     os.makedirs(spool_dir, exist_ok=True)
     name = f"batch-{uuid.uuid4().hex}.json"
     tmp = os.path.join(spool_dir, f".{name}.tmp")
@@ -80,8 +83,15 @@ def publish_messages(spool_dir: str, messages: list[tuple[str, dict]]) -> str:
         for sender, body in messages:
             fh.write(json.dumps({"sender": sender, "body": json.dumps(body)}))
             fh.write("\n")
+        fh.flush()
+        os.fsync(fh.fileno())
     final = os.path.join(spool_dir, name)
     os.rename(tmp, final)
+    dir_fd = os.open(spool_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)  # persist the rename itself
+    finally:
+        os.close(dir_fd)
     return final
 
 

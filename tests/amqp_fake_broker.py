@@ -173,7 +173,8 @@ class FakeBroker(threading.Thread):
         conn.sendall(
             build_frame(FRAME_HEADER, channel, content_header_payload(60, len(body)))
         )
-        conn.sendall(build_frame(FRAME_BODY, channel, body))
+        if body:  # real brokers send ZERO body frames for an empty body
+            conn.sendall(build_frame(FRAME_BODY, channel, body))
 
     def _read_method(self, conn) -> tuple[tuple[int, int], int, bytes]:
         ftype, channel, payload = read_frame(conn)

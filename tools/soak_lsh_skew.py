@@ -34,53 +34,15 @@ PAIRS_PER_DOC_BOUND = 50  # "linear" = at most this many candidates per doc
 
 spark = get_spark("soak-lsh-skew")
 
-# Corpus: three populations (round-5 revision — the original background
-# generator (id*131 + i*7919) mod 4000 CYCLES with period 4000 in id, so at
-# 1M docs every "unique" background doc repeated ~250×; every background
-# band bucket exceeded the cap and the round-4 run's "mass ~0 at cap=100"
-# measured the degenerate exact-dup background, not clean-background
-# behavior.  F.hash(id, i) breaks the cycle; a PAIR_N near-dup-pair probe
-# now also measures that the cap PRESERVES small-cluster recall).
-# - ids [0, DUP_COPIES): near-copies of ONE template (39 shared tokens +
-#   one unique trailing token) — true near-dups (Jaccard ≈ 0.9), not exact
-#   dups, which are dedup_exact's job and would muddy the skew signal.
-# - ids [DUP_COPIES, DUP_COPIES + 2*PAIR_N): isolated near-dup PAIRS.
-# - everything else: 40 hash-drawn tokens from a 4k vocab.
+# Corpus: the shared three-population generator (template cluster +
+# isolated near-dup probe pairs + hash-random background) — see
+# tools/soak_corpus.py for the populations and the round-5 note on why
+# the background draw must be hash-based, not modular (the original
+# modular formula made every background bucket exceed the cap at 1M docs).
+from soak_corpus import boilerplate_corpus, probe_pair_predicate
+
 PAIR_N = 1000
-voc = F.array(*[F.lit(f"w{i}") for i in range(4000)])
-template = " ".join(f"t{i}" for i in range(39))
-
-
-def _hash_tokens(seed_col, n):
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n - 1)),
-            lambda i: F.element_at(
-                voc, (F.pmod(F.hash(seed_col, i), F.lit(4000)) + 1).cast("int")
-            ),
-        ),
-        " ",
-    )
-
-
-pair_idx = F.floor((F.col("id") - DUP_COPIES) / 2)
-docs = spark.range(DOCS_N).select(
-    F.col("id").alias("doc_id"),
-    F.when(
-        F.col("id") < DUP_COPIES,
-        F.concat(F.lit(template + " v"), F.col("id").cast("string")),
-    )
-    .when(
-        (F.col("id") >= DUP_COPIES) & (F.col("id") < DUP_COPIES + 2 * PAIR_N),
-        F.concat(
-            _hash_tokens(pair_idx + F.lit(10_000_000), 39),
-            F.lit(" p"),
-            F.pmod(F.col("id"), F.lit(2)).cast("string"),
-        ),
-    )
-    .otherwise(_hash_tokens(F.col("id"), 40))
-    .alias("text"),
-).persist()
+docs = boilerplate_corpus(spark, DOCS_N, DUP_COPIES, PAIR_N).persist()
 docs.count()
 
 # 1) the diagnostic: bucket histogram → pair mass by cap value
@@ -116,12 +78,7 @@ kept_mass = sum(m for s, _, m in hist if s <= CAP)
 # near-dup pairs; ceiling = the uncapped join on the probe subset alone
 # (LSH's own band-collision probability, not the cap's doing)
 lo, hi = DUP_COPIES, DUP_COPIES + 2 * PAIR_N
-probe_pair = (
-    (F.col("id_a") >= lo)
-    & (F.col("id_a") < hi)
-    & (F.col("id_b") == F.col("id_a") + 1)
-    & (F.pmod(F.col("id_a") - F.lit(lo), F.lit(2)) == 0)
-)
+probe_pair = probe_pair_predicate(DUP_COPIES, PAIR_N)
 probe_found_capped = capped.filter(probe_pair).count()
 probe_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
 probe_ceiling = (
