@@ -214,3 +214,23 @@ def test_passive_declare_missing_queue_raises_404():
         assert c._sock is None  # channel dead -> client tears down
     finally:
         broker.stop()
+
+
+def test_amqp_source_missing_params_fail_fast(spark, tmp_path):
+    """A misconfigured amqp source (missing required params) fails at
+    start() — it must NOT spawn a pump thread that would silently retry a
+    permanent config error behind its keep-running backoff forever."""
+    import pytest
+
+    from cerebro_spark.config.loader import _PUMP_THREADS, IngestRunner
+
+    runner = IngestRunner(
+        spark,
+        {"sources": {"bad": {"type": "amqp", "host": "127.0.0.1",
+                             "spool_dir": str(tmp_path / "s")}}},
+        store_path=str(tmp_path / "store"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(KeyError, match="queue"):
+        runner.start()
+    assert "bad" not in _PUMP_THREADS
