@@ -533,18 +533,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-1 snapshot).  Rotate queries that have never had a hard-gate row to the
 # FRONT of the registry so they get driver-checked this round; the
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
-# ROUND-6 ROTATION NOTE (written r5): the r04 gate ran ZERO queries (import
-# crash, fixed first thing in r5), so THIS list's head-50 is what the r05
-# snapshot gates.  At r06 start: verify CORRECTNESS_r05 keys == the head-50
-# here, then move the 14 still-ungated entries to the front —
-# approx_top_terms, asof_join_nearest, bollinger_20, bpe_merge_candidates,
-# error_burn_rate, hard_negatives, packing_efficiency, rsi_14,
-# seasonal_decompose, session_stats, stochastic_14, temperature_mix,
-# value_corr_matrix, value_heatmap — (11 are already in this list below the
-# 50-line; bpe_merge_candidates / packing_efficiency / temperature_mix are
-# round-4 additions not listed yet).  That completes 163/163 cumulative
-# driver-gated coverage.
+# ROTATION HISTORY: r04 gated zero (import crash); r05 gated the head-50 of
+# the round-4 rotation list (all green); r06 executed the staged rotation —
+# the 14 queries never gated in r01-r05 now lead the list, completing
+# 163/163 cumulative driver-gated coverage.  POLICY from here on: any NEW
+# query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
+# a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
+    # ROUND-6 ROTATION (executed per the note above): the 14 queries with no
+    # driver CORRECTNESS row across r01-r05, moved to the front so the r06
+    # snapshot gates them -> cumulative 163/163 driver-gated.  Precondition
+    # re-verified at r6 start: CORRECTNESS_r05 keys == the previous head-50,
+    # all 50 green.  New queries born after this point go ABOVE this block so
+    # they gate in the round they are born.
+    "approx_top_terms",
+    "asof_join_nearest",
+    "bollinger_20",
+    "bpe_merge_candidates",
+    "error_burn_rate",
+    "hard_negatives",
+    "packing_efficiency",
+    "rsi_14",
+    "seasonal_decompose",
+    "session_stats",
+    "stochastic_14",
+    "temperature_mix",
+    "value_corr_matrix",
+    "value_heatmap",
     # ROUND-4 ROTATION: the 61 queries with no driver CORRECTNESS row in
     # r01-r03 (VERDICT r3 ask #1).  Driver snapshots the FIRST 50.
     "zscore_outliers",
@@ -597,17 +612,6 @@ _SNAPSHOT_PRIORITY = [
     "key_skew_report",
     "cusum_alerts",
     "asof_join_forward",
-    "asof_join_nearest",
-    "value_heatmap",
-    "error_burn_rate",
-    "hard_negatives",
-    "approx_top_terms",
-    "session_stats",
-    "seasonal_decompose",
-    "rsi_14",
-    "value_corr_matrix",
-    "bollinger_20",
-    "stochastic_14",
 ]
 
 
