@@ -19,6 +19,8 @@ DataFrame of canonical points.
 
 from __future__ import annotations
 
+import contextvars
+import logging
 import os
 import re
 from collections.abc import Callable
@@ -142,8 +144,23 @@ def _rate(spark: SparkSession, name: str, **params) -> DataFrame:
     )
 
 
-#: live AMQP pump threads keyed by source name: (thread, stop_event).
-_PUMP_THREADS: dict[str, tuple[Any, Any]] = {}
+#: live AMQP pump threads keyed by (runner namespace, source name):
+#: (thread, stop_event).  The namespace (the owning IngestRunner's
+#: checkpoint root — unique per runner by construction, since two runners
+#: sharing a checkpoint root would corrupt each other's streaming state
+#: anyway) keeps two runners in one process that both declare a source
+#: named e.g. ``bus1`` from stomping each other's pump.
+_PUMP_THREADS: dict[tuple[str, str], tuple[Any, Any]] = {}
+
+#: set by IngestRunner._build around builder calls so side transports key
+#: themselves per-runner; "" = builder called directly (no runner).
+_PUMP_NAMESPACE = contextvars.ContextVar("cerebro_pump_namespace", default="")
+
+
+def _stop_pump(namespace: str, name: str) -> None:
+    pump = _PUMP_THREADS.pop((namespace, name), None)
+    if pump is not None:
+        pump[1].set()
 
 
 @register_source("amqp")
@@ -157,9 +174,11 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
     pump stops with the source (``IngestRunner.stop``/``restart``).
 
     params: ``host``/``queue``/``spool_dir`` required; ``port``,
-    ``username``, ``password``, ``vhost``, ``declare``, ``pump_interval``
-    (default 5 s), ``max_messages_per_pump`` (default 1000), ``groupers``,
-    ``keywords`` optional.
+    ``user``/``username`` (``user`` is the reference AMQPSource key —
+    both accepted), ``password``, ``vhost``, ``ssl`` (amqps; default off —
+    cleartext, loopback/trusted networks only), ``declare``,
+    ``pump_interval`` (default 5 s), ``max_messages_per_pump`` (default
+    1000), ``groupers``, ``keywords`` optional.
     """
     import threading
 
@@ -170,8 +189,8 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
     )
 
     # fail at start(), not inside the retry loop: a missing required param
-    # is a permanent config error, and the pump's keep-running posture
-    # would otherwise silently back off on it forever
+    # or a malformed numeric is a permanent config error, and the pump's
+    # keep-running posture would otherwise silently back off on it forever
     missing = [k for k in ("host", "queue", "spool_dir") if k not in params]
     if missing:
         raise KeyError(
@@ -179,15 +198,25 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
         )
     spool = params["spool_dir"]
     os.makedirs(spool, exist_ok=True)
-    interval = float(params.get("pump_interval", 5.0))
     amqp_cfg = {
         k: params[k]
         for k in ("host", "port", "username", "password", "vhost", "queue",
-                  "declare")
+                  "declare", "ssl")
         if k in params
     }
-    max_msgs = int(params.get("max_messages_per_pump", 1000))
+    if "user" in params:  # reference AMQPSource config key (C2 parity)
+        amqp_cfg.setdefault("username", params["user"])
+    try:
+        interval = float(params.get("pump_interval", 5.0))
+        amqp_cfg["port"] = int(amqp_cfg.get("port", 5672))
+        max_msgs = int(params.get("max_messages_per_pump", 1000))
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"amqp source {name!r}: non-numeric port/pump_interval/"
+            f"max_messages_per_pump: {exc}"
+        ) from exc
     stop = threading.Event()
+    log = logging.getLogger("cerebro_spark.amqp")
 
     def pump() -> None:
         from cerebro_spark.sources.amqp_client import AMQPClient
@@ -200,10 +229,11 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
                 if conn is None:
                     conn = AMQPClient(
                         amqp_cfg["host"],
-                        port=int(amqp_cfg.get("port", 5672)),
+                        port=amqp_cfg["port"],
                         username=amqp_cfg.get("username", "guest"),
                         password=amqp_cfg.get("password", "guest"),
                         vhost=amqp_cfg.get("vhost", "/"),
+                        ssl=amqp_cfg.get("ssl", False),
                     )
                     conn.connect()
                 amqp_to_spool(
@@ -211,21 +241,28 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
                 )
                 backoff.reset()
                 delay = interval
-            except Exception:  # noqa: BLE001 — C5: log-and-retry, never die
+            except Exception as exc:  # noqa: BLE001 — C5: log-and-retry
                 if conn is not None:
                     conn._teardown()
                 conn = None
                 delay = backoff.next_delay()
+                # one WARNING per failed cycle; the growing backoff makes
+                # this self-rate-limiting (a permanent error logs at the
+                # max-backoff cadence, not in a tight loop)
+                log.warning(
+                    "amqp source %r: pump cycle failed (%s: %s); "
+                    "retrying in %.1f s",
+                    name, type(exc).__name__, exc, delay,
+                )
             stop.wait(delay)
         if conn is not None:
             conn.close()
 
-    old = _PUMP_THREADS.pop(name, None)
-    if old is not None:
-        old[1].set()
+    namespace = _PUMP_NAMESPACE.get()
+    _stop_pump(namespace, name)
     thread = threading.Thread(target=pump, daemon=True, name=f"amqp-pump-{name}")
     thread.start()
-    _PUMP_THREADS[name] = (thread, stop)
+    _PUMP_THREADS[(namespace, name)] = (thread, stop)
 
     messages = read_bus_stream(spark, spool_dir=spool)
     return bus_messages_to_points(
@@ -270,29 +307,32 @@ class IngestRunner:
             "default_bucket", "default"
         )
         delay = params.pop("delay", None)
-        source_df = builder(self.spark, name, **params)
-        tags = {"source": type_name, **self.config.get("tags", {}), **tags}
+        token = _PUMP_NAMESPACE.set(self.checkpoint_root)
         try:
-            return run_ingest(
-                self.spark,
-                source_df,
-                sink_path=self.store_path,
-                checkpoint=os.path.join(self.checkpoint_root, name),
-                instance_tags=tags,
-                default_bucket=bucket,
-                processing_time=f"{delay} seconds" if delay else None,
-                available_now=delay is None,
-                query_name=f"cerebro-{name}",
-            )
-        except Exception:
-            # a builder may have spawned a side transport (amqp pump
-            # thread); if the query itself fails to start, stop it — it is
-            # keyed in _PUMP_THREADS but would never be reachable through
-            # stop() because the source never lands in self._queries
-            pump = _PUMP_THREADS.pop(name, None)
-            if pump is not None:
-                pump[1].set()
-            raise
+            source_df = builder(self.spark, name, **params)
+            tags = {"source": type_name, **self.config.get("tags", {}), **tags}
+            try:
+                return run_ingest(
+                    self.spark,
+                    source_df,
+                    sink_path=self.store_path,
+                    checkpoint=os.path.join(self.checkpoint_root, name),
+                    instance_tags=tags,
+                    default_bucket=bucket,
+                    processing_time=f"{delay} seconds" if delay else None,
+                    available_now=delay is None,
+                    query_name=f"cerebro-{name}",
+                )
+            except Exception:
+                # a builder may have spawned a side transport (amqp pump
+                # thread); if the query itself fails to start, stop it — it
+                # is keyed in _PUMP_THREADS but would never be reachable
+                # through stop() because the source never lands in
+                # self._queries
+                _stop_pump(self.checkpoint_root, name)
+                raise
+        finally:
+            _PUMP_NAMESPACE.reset(token)
 
     def start(self, names: list[str] | None = None) -> None:
         for name in names or list(self.selected):
@@ -336,9 +376,9 @@ class IngestRunner:
             if name is None or n == name:
                 q.stop()
                 del self._queries[n]
-                pump = _PUMP_THREADS.pop(n, None)
-                if pump is not None:  # side transport (amqp): stop its thread
-                    pump[1].set()
+                # side transport (amqp): stop this RUNNER's pump only —
+                # the key carries the runner namespace
+                _stop_pump(self.checkpoint_root, n)
 
     def restart(self, name: str) -> None:
         """C3 ``restart <source>``."""

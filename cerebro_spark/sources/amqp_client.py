@@ -123,9 +123,142 @@ def read_frame(sock: socket.socket) -> tuple[int, int, bytes]:
     return ftype, channel, payload
 
 
-def content_header_payload(class_id: int, body_size: int) -> bytes:
-    # weight=0, no properties (flags=0)
-    return struct.pack(">HHQH", class_id, 0, body_size, 0)
+def encode_table(table: dict) -> bytes:
+    """AMQP field table encoder (the subset of value types the telemetry
+    bus uses: str→longstr 'S', bool 't', int 'l', float 'd', dict 'F',
+    None 'V').  Used by the loopback test broker to attach basic-properties
+    headers; the client only ever parses."""
+    body = b""
+    for key, val in table.items():
+        body += shortstr(key)
+        if isinstance(val, bool):
+            body += b"t" + (b"\x01" if val else b"\x00")
+        elif isinstance(val, str):
+            body += b"S" + longstr(val.encode("utf-8"))
+        elif isinstance(val, int):
+            body += b"l" + struct.pack(">q", val)
+        elif isinstance(val, float):
+            body += b"d" + struct.pack(">d", val)
+        elif isinstance(val, dict):
+            body += b"F" + encode_table(val)
+        elif val is None:
+            body += b"V"
+        else:
+            raise AMQPError(f"unsupported table value type {type(val)}")
+    return struct.pack(">I", len(body)) + body
+
+
+def parse_table(buf: bytes, off: int) -> tuple[dict, int]:
+    """AMQP field table parser — all value types a RabbitMQ peer emits
+    (spec + RabbitMQ's errata types 'b'/'B'/'u'/'i').  Unknown type octets
+    raise rather than silently desynchronizing the frame."""
+    (size,) = struct.unpack_from(">I", buf, off)
+    off += 4
+    end = off + size
+    out: dict = {}
+    while off < end:
+        key, off = parse_shortstr(buf, off)
+        val, off = _parse_field_value(buf, off)
+        out[key] = val
+    return out, off
+
+
+def _parse_field_value(buf: bytes, off: int):
+    t = buf[off : off + 1]
+    off += 1
+    if t == b"S":
+        raw, off = parse_longstr(buf, off)
+        return raw.decode("utf-8", errors="replace"), off
+    if t == b"t":
+        return bool(buf[off]), off + 1
+    if t in (b"b", b"B"):
+        return buf[off] if t == b"B" else struct.unpack_from(">b", buf, off)[0], off + 1
+    if t in (b"u", b"U"):
+        return struct.unpack_from(">H" if t == b"u" else ">h", buf, off)[0], off + 2
+    if t in (b"I", b"i"):
+        return struct.unpack_from(">i" if t == b"I" else ">I", buf, off)[0], off + 4
+    if t in (b"l", b"L"):
+        return struct.unpack_from(">q", buf, off)[0], off + 8
+    if t == b"f":
+        return struct.unpack_from(">f", buf, off)[0], off + 4
+    if t == b"d":
+        return struct.unpack_from(">d", buf, off)[0], off + 8
+    if t == b"D":  # decimal: scale octet + long
+        scale = buf[off]
+        (raw,) = struct.unpack_from(">i", buf, off + 1)
+        return raw / (10**scale), off + 5
+    if t == b"T":  # timestamp (posix seconds)
+        return struct.unpack_from(">Q", buf, off)[0], off + 8
+    if t == b"F":
+        return parse_table(buf, off)
+    if t == b"A":  # array: size then typed values
+        (size,) = struct.unpack_from(">I", buf, off)
+        off += 4
+        end = off + size
+        vals = []
+        while off < end:
+            v, off = _parse_field_value(buf, off)
+            vals.append(v)
+        return vals, off
+    if t == b"x":
+        raw, off = parse_longstr(buf, off)
+        return raw, off
+    if t == b"V":
+        return None, off
+    raise AMQPError(f"unknown field-table value type {t!r}")
+
+
+#: Basic-class property list, spec order: (flag bit, parser kind).
+_BASIC_PROPS = [
+    (1 << 15, "shortstr"),  # content-type
+    (1 << 14, "shortstr"),  # content-encoding
+    (1 << 13, "table"),     # headers
+    (1 << 12, "octet"),     # delivery-mode
+    (1 << 11, "octet"),     # priority
+    (1 << 10, "shortstr"),  # correlation-id
+    (1 << 9, "shortstr"),   # reply-to
+    (1 << 8, "shortstr"),   # expiration
+    (1 << 7, "shortstr"),   # message-id
+    (1 << 6, "longlong"),   # timestamp
+    (1 << 5, "shortstr"),   # type
+    (1 << 4, "shortstr"),   # user-id
+    (1 << 3, "shortstr"),   # app-id
+    (1 << 2, "shortstr"),   # cluster-id
+]
+
+
+def parse_basic_headers(payload: bytes) -> dict:
+    """Extract the ``headers`` table from a Basic content-header frame
+    payload (class, weight, body size, property flags, property list) —
+    empty dict when the publisher set no headers.  Walks every present
+    property in spec order so headers parse correctly regardless of which
+    other properties (content-type, delivery-mode, ...) are also set."""
+    (flags,) = struct.unpack_from(">H", payload, 12)
+    off = 14
+    for bit, kind in _BASIC_PROPS:
+        if not flags & bit:
+            continue
+        if kind == "table":
+            headers, off = parse_table(payload, off)
+            return headers
+        if kind == "shortstr":
+            _, off = parse_shortstr(payload, off)
+        elif kind == "octet":
+            off += 1
+        elif kind == "longlong":
+            off += 8
+    return {}
+
+
+def content_header_payload(
+    class_id: int, body_size: int, headers: dict | None = None
+) -> bytes:
+    # weight=0; property flags carry only the headers table when given
+    flags = 1 << 13 if headers else 0
+    out = struct.pack(">HHQH", class_id, 0, body_size, flags)
+    if headers:
+        out += encode_table(headers)
+    return out
 
 
 # --- the client --------------------------------------------------------------
@@ -152,11 +285,18 @@ class AMQPClient:
         password: str = "guest",
         vhost: str = "/",
         timeout: float = 10.0,
+        ssl: "bool | object" = False,
     ):
+        """``ssl``: False (default) = cleartext TCP — credentials go as
+        SASL PLAIN in the clear, loopback/trusted-network only; True = wrap
+        the socket with a default-verifying ``ssl.SSLContext`` (amqps,
+        port 5671 by convention — pass it explicitly); or pass a
+        pre-configured ``SSLContext`` for custom CAs / client certs."""
         self.host, self.port = host, port
         self.username, self.password = username, password
         self.vhost = vhost
         self.timeout = timeout
+        self.ssl = ssl
         self._sock: socket.socket | None = None
 
     # -- frame I/O -----------------------------------------------------------
@@ -217,6 +357,15 @@ class AMQPClient:
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout
         )
+        if self.ssl:
+            import ssl as _ssl
+
+            ctx = (
+                self.ssl
+                if isinstance(self.ssl, _ssl.SSLContext)
+                else _ssl.create_default_context()
+            )
+            self._sock = ctx.wrap_socket(self._sock, server_hostname=self.host)
         self._sock.sendall(PROTOCOL_HEADER)
         self._expect(CONNECTION_START)  # server capabilities: not needed
         sasl = b"\x00" + self.username.encode() + b"\x00" + self.password.encode()
@@ -282,8 +431,13 @@ class AMQPClient:
         return message_count
 
     def get(self, queue: str, no_ack: bool = False):
-        """One ``Basic.Get`` poll: ``(delivery_tag, routing_key, body)`` or
-        ``None`` when the queue is empty."""
+        """One ``Basic.Get`` poll:
+        ``(delivery_tag, routing_key, body, headers)`` or ``None`` when the
+        queue is empty.  ``headers`` is the basic-properties headers table
+        ({} when the publisher set none) — the reference's actor replies
+        carry their sender there, not in the routing key
+        (`AMQP.py:105-118`: routing keys on a clu bus are
+        ``reply.<commander>``)."""
         assert self._sock is not None
         self._send_method(
             BASIC_GET,
@@ -303,13 +457,14 @@ class AMQPClient:
         if ftype != FRAME_HEADER:
             raise AMQPError(f"expected content header, got frame type {ftype}")
         _cls, _weight, body_size = struct.unpack_from(">HHQ", payload, 0)
+        headers = parse_basic_headers(payload)
         body = b""
         while len(body) < body_size:
             ftype, _ch, chunk = read_frame(self._sock)
             if ftype != FRAME_BODY:
                 raise AMQPError(f"expected body frame, got type {ftype}")
             body += chunk
-        return delivery_tag, routing_key, body
+        return delivery_tag, routing_key, body, headers
 
     def ack(self, delivery_tag: int, multiple: bool = False) -> None:
         self._send_method(
@@ -324,19 +479,19 @@ class AMQPClient:
         message is acknowledged AFTER it is appended to the result (callers
         needing write-then-ack batching — the spool pump — pass
         ``ack=False`` and ack via the returned tags of ``drain_tagged``)."""
-        return [(rk, body) for _tag, rk, body in
+        return [(rk, body) for _tag, rk, body, _hdrs in
                 self.drain_tagged(queue, max_messages, ack=ack)]
 
     def drain_tagged(
         self, queue: str, max_messages: int = 1000, ack: bool = True
-    ) -> list[tuple[int, str, bytes]]:
-        out: list[tuple[int, str, bytes]] = []
+    ) -> list[tuple[int, str, bytes, dict]]:
+        out: list[tuple[int, str, bytes, dict]] = []
         for _ in range(max_messages):
             msg = self.get(queue)
             if msg is None:
                 break
-            tag, rk, body = msg
-            out.append((tag, rk, body))
+            tag, rk, body, headers = msg
+            out.append((tag, rk, body, headers))
             if ack:
                 self.ack(tag)
         return out

@@ -115,10 +115,14 @@ def amqp_to_spool(
     (required), ``declare`` ("passive" default — assert the queue exists;
     "active" creates it, for tests/dev).
 
-    sender = the message routing key (the reference's sender encoding,
-    `AMQP.py:105-118`); body must be a JSON object — non-JSON bodies are
-    spooled as ``{"raw": <utf8-replaced text>}`` so nothing is silently
-    dropped and the flatten stage still yields a (diagnosable) point.
+    sender = the message's basic-properties ``sender`` header when present
+    — the reference derives sender from the message header, not the routing
+    key (`AMQP.py:105-118`; clu routing keys are ``reply.<commander>``, the
+    commander, not the replying actor) — falling back to the routing key
+    for bare publishers (tests, plain telemetry producers).  body must be a
+    JSON object — non-JSON bodies are spooled as
+    ``{"raw": <utf8-replaced text>}`` so nothing is silently dropped and
+    the flatten stage still yields a (diagnosable) point.
 
     Run the pump from a scheduler loop (the daemon's trigger cadence or
     cron) next to the streaming query reading the spool; Spark's file
@@ -154,14 +158,17 @@ def amqp_to_spool(
             if not tagged:
                 break
             messages = []
-            for _tag, routing_key, body in tagged:
+            for _tag, routing_key, body, headers in tagged:
                 try:
                     payload = json.loads(body)
                     if not isinstance(payload, dict):
                         raise ValueError("non-object JSON body")
                 except (ValueError, UnicodeDecodeError):
                     payload = {"raw": body.decode("utf-8", errors="replace")}
-                messages.append((routing_key, payload))
+                sender = headers.get("sender")
+                if not isinstance(sender, str) or not sender:
+                    sender = routing_key
+                messages.append((sender, payload))
             publish_messages(spool_dir, messages)
             # batch is on disk — now release it broker-side (multiple-ack
             # up to the batch's last delivery tag)

@@ -55,12 +55,22 @@ from cerebro_spark.sources.amqp_client import (
 
 
 class FakeBroker(threading.Thread):
-    def __init__(self, messages: list[tuple[str, bytes]]):
+    def __init__(self, messages: list[tuple]):
+        """``messages``: (routing_key, body) or (routing_key, body,
+        headers_dict) — the 3-tuple form publishes a basic-properties
+        headers table, as the reference's actor bus does for sender."""
         super().__init__(daemon=True)
-        #: (routing_key, body, redelivered)
-        self.queue = deque((rk, b, False) for rk, b in messages)
-        self.unacked: dict[int, tuple[str, bytes, bool]] = {}
+        #: (routing_key, body, headers, redelivered)
+        self.queue = deque(
+            (m[0], m[1], m[2] if len(m) > 2 else None, False)
+            for m in messages
+        )
+        self.unacked: dict[int, tuple[str, bytes, dict | None, bool]] = {}
         self.acked: list[int] = []
+        #: raw SASL PLAIN response of the most recent handshake
+        #: (b"\\0user\\0password") — lets tests pin which credentials a
+        #: config-driven pump actually presented.
+        self.last_sasl: bytes | None = None
         self._tag = 0
         self._stopping = threading.Event()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -91,8 +101,8 @@ class FakeBroker(threading.Thread):
 
     def _requeue_unacked(self) -> None:
         for tag in sorted(self.unacked, reverse=True):
-            rk, body, _ = self.unacked.pop(tag)
-            self.queue.appendleft((rk, body, True))
+            rk, body, headers, _ = self.unacked.pop(tag)
+            self.queue.appendleft((rk, body, headers, True))
 
     # -- one client session ---------------------------------------------------
 
@@ -108,7 +118,12 @@ class FakeBroker(threading.Thread):
             struct.pack(">BB", 0, 9) + empty_table()
             + longstr(b"PLAIN") + longstr(b"en_US"),
         )
-        self._expect(conn, CONNECTION_START_OK)
+        start_ok = self._expect(conn, CONNECTION_START_OK)
+        # client-properties table, mechanism shortstr, response longstr
+        (tbl_size,) = struct.unpack_from(">I", start_ok, 0)
+        _mech, off = parse_shortstr(start_ok, 4 + tbl_size)
+        (sasl_len,) = struct.unpack_from(">I", start_ok, off)
+        self.last_sasl = start_ok[off + 4 : off + 4 + sasl_len]
         self._send_method(
             conn, 0, CONNECTION_TUNE, struct.pack(">HIH", 2047, 131072, 0)
         )
@@ -159,9 +174,9 @@ class FakeBroker(threading.Thread):
         if not self.queue:
             self._send_method(conn, channel, BASIC_GET_EMPTY, shortstr(""))
             return
-        rk, body, redelivered = self.queue.popleft()
+        rk, body, headers, redelivered = self.queue.popleft()
         self._tag += 1
-        self.unacked[self._tag] = (rk, body, redelivered)
+        self.unacked[self._tag] = (rk, body, headers, redelivered)
         self._send_method(
             conn, channel, BASIC_GET_OK,
             struct.pack(">Q", self._tag)
@@ -171,7 +186,11 @@ class FakeBroker(threading.Thread):
             + struct.pack(">I", len(self.queue)),
         )
         conn.sendall(
-            build_frame(FRAME_HEADER, channel, content_header_payload(60, len(body)))
+            build_frame(
+                FRAME_HEADER,
+                channel,
+                content_header_payload(60, len(body), headers=headers),
+            )
         )
         if body:  # real brokers send ZERO body frames for an empty body
             conn.sendall(build_frame(FRAME_BODY, channel, body))
