@@ -19,6 +19,11 @@ Checks, in order (fail-fast, non-zero exit on the first failure):
 3. One end-to-end oracle query (``weather_chain`` by default, override via
    argv) through ``tools/check.py`` at sf0.001 — catches runtime breakage in
    the session bootstrap, IO layer, and the Spark-vs-DuckDB compare harness.
+4. ``tools/plan_audit.py`` over a fixed ~15-query §2-parity subset at
+   sf0.001 — the plan SHAPE is part of the contract (pushdown, no
+   single-partition windows, no stray Python, no unjustified nested
+   loops); a regression like the seasonal_decompose sliding-frame trap
+   (503 s at 5M rows) gets caught at commit time, not at the next soak.
 """
 
 from __future__ import annotations
@@ -31,6 +36,27 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MIN_QUERIES = 163
 SMOKE_SF = "/root/testdata/sf0.001"
+
+#: §2-parity representatives, one per operator family — the plan-shape
+#: canary set for smoke step 4 (full 163-query audit stays in
+#: tools/plan_audit.py for round soaks).
+PLAN_CANARIES = [
+    "client_query",        # Q1-Q6 scan→range→pivot chain
+    "weather_chain",       # S16 transform chain
+    "rolling_value",       # T17 time rolling window (keyless auto-bucket)
+    "hwm",                 # T22 high-water-mark advance
+    "pricing_summary",     # wide agg (TPC-H Q1 shape)
+    "dedup_exact",         # hash-groupBy dedup
+    "minhash_lsh_pairs",   # banded LSH equi-join
+    "simhash_pairs",       # pigeonhole block join
+    "ann_cosine_topk",     # bounded-broadcast ANN
+    "semantic_dedup",      # k-means blocking + Arrow matmul
+    "tfidf_top_terms",     # vocab TakeOrdered + broadcast join
+    "ohlc_6h",             # TSDB bucket agg
+    "asof_join_forward",   # keyless two-level carry
+    "seasonal_decompose",  # bucket-grid pre-agg (the 503 s trap lives here)
+    "pack_tokens",         # greedy packing mapInPandas stage
+]
 
 
 def main() -> int:
@@ -46,7 +72,7 @@ def main() -> int:
         if not ok:
             print(f"SMOKE FAIL: compileall {t}", file=sys.stderr)
             return 1
-    print("smoke 1/3: compileall ok")
+    print("smoke 1/4: compileall ok")
 
     # 2. import the driver entry and sanity-check the registry
     try:
@@ -64,7 +90,7 @@ def main() -> int:
     if extra:
         print(f"SMOKE FAIL: oracle keys not in queries(): {sorted(extra)}", file=sys.stderr)
         return 1
-    print(f"smoke 2/3: import ok ({len(qs)} queries, {len(oracles)} oracles)")
+    print(f"smoke 2/4: import ok ({len(qs)} queries, {len(oracles)} oracles)")
 
     # 3. one oracle query end-to-end (subprocess: fresh interpreter, like the driver)
     names = sys.argv[1:] or ["weather_chain"]
@@ -79,7 +105,23 @@ def main() -> int:
         print(f"SMOKE FAIL: check.py {names}: rc={proc.returncode} tail={tail}", file=sys.stderr)
         print(proc.stderr[-2000:], file=sys.stderr)
         return 1
-    print(f"smoke 3/3: check.py {names} ok ({tail[0]})")
+    print(f"smoke 3/4: check.py {names} ok ({tail[0]})")
+
+    # 4. plan-shape audit on the §2-parity canary subset
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plan_audit.py"),
+         SMOKE_SF, *PLAN_CANARIES],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    tail = (proc.stdout or "").strip().splitlines()[-1:] or ["<no output>"]
+    if proc.returncode != 0 or "all plans clean" not in (proc.stdout or ""):
+        print(f"SMOKE FAIL: plan_audit canaries: rc={proc.returncode} "
+              f"tail={tail}", file=sys.stderr)
+        print(proc.stderr[-2000:], file=sys.stderr)
+        return 1
+    print(f"smoke 4/4: plan_audit ok ({len(PLAN_CANARIES)} canary plans clean)")
     print("SMOKE GREEN")
     return 0
 
