@@ -76,6 +76,45 @@ def test_zorder_prunes_on_both_dims(spark, sf_dir, tmp_path):
     assert total == ev.agg(F.sum("event_id")).first()[0]
 
 
+def test_zorder_scan_plan_prunes_and_pushes(spark, sf_dir, tmp_path):
+    """The Spark-side half of the skipping claim (the footer test above is
+    the storage-side half): a narrow read over the z-ordered table must
+    (a) produce exactly ``target_files`` files — the clustering contract
+    the stat ranges depend on, (b) push the slice predicate into the scan
+    (PushedFilters — parquet row-group stats can only skip for pushed
+    predicates), and (c) prune the read schema to the projection.  Pins
+    the executed plan shape so a regression (e.g. a cast blocking
+    pushdown after a schema change) fails here, not at the next soak."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(ev, zpath, ["user_id", "value"], target_files=16)
+    assert len(glob.glob(f"{zpath}/*.parquet")) == 16
+
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    hi = vmin + (vmax - vmin) * 0.05
+    q = (
+        spark.read.parquet(zpath)
+        .filter((F.col("value") >= vmin) & (F.col("value") <= hi))
+        .select("user_id")
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    pushed = next(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
+    assert "GreaterThanOrEqual(value" in pushed
+    assert "LessThanOrEqual(value" in pushed
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "user_id" in read_schema and "value" in read_schema
+    assert "event_id" not in read_schema  # column pruning held
+
+
 def test_zorder_bloom_filter_written(spark, sf_dir, tmp_path):
     """bloom_cols materially grows the files (~64 KiB bloom per column per
     row group — the only signal this pyarrow/duckdb can read back) without
