@@ -40,6 +40,7 @@ from cerebro_spark.queries import extensions as _ext
 from cerebro_spark.queries import joins_q as _jq
 from cerebro_spark.queries import parsers_q as _pq
 from cerebro_spark.queries import pipeline_q as _plq
+from cerebro_spark.queries import streaming_q as _sq
 from cerebro_spark.queries import text_q as _txq
 from cerebro_spark.queries import tsdb_q as _tq
 from cerebro_spark.queries import volume_q as _vq
@@ -540,6 +541,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
+    # Born round 6 (gate in the round they are born — the post-rotation
+    # policy): streaming-twin batch-equivalence gates.
+    "streaming_ohlc_6h",
+    "streaming_percentiles_check",
     # ROUND-6 ROTATION (executed per the note above): the 14 queries with no
     # driver CORRECTNESS row across r01-r05, moved to the front so the r06
     # snapshot gates them -> cumulative 163/163 driver-gated.  Precondition
@@ -647,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_vq.QUERIES,
         **_jq.QUERIES,
         **_aq.QUERIES,
+        **_sq.QUERIES,
     })
 
 
@@ -677,4 +683,5 @@ def oracle_sql() -> dict[str, str]:
         **_vq.ORACLES,
         **_jq.ORACLES,
         **_aq.ORACLES,
+        **_sq.ORACLES,
     })

@@ -90,6 +90,10 @@ HEADLINE = [
     "winnow_fingerprints",    # MOSS winnowing
     "approx_users_daily",     # HLL sketch rollup
     "asof_join_nearest",      # keyless as-of (two-level bucketed carry)
+    # born round 6: stateful-streaming twin (full availableNow replay with
+    # checkpoint + memory sink inside the query — measures the streaming
+    # engine path, like streaming_ingest below)
+    "streaming_ohlc_6h",
 ]
 
 

@@ -227,6 +227,7 @@ def streaming_ohlc(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     time_col: str = "time",
+    tiebreak_field: str | None = None,
 ) -> DataFrame:
     """Continuous OHLC rollup of the point stream — the streaming twin of
     ``operators.tsdb.ohlc``: per (window, measurement) open/high/low/close
@@ -234,18 +235,30 @@ def streaming_ohlc(
     ``min_by``/``max_by`` (map-side-combinable, so the state per window is
     four scalars, not a buffer of rows).
 
+    ``tiebreak_field`` names a ``fields`` entry appended to the ordering
+    struct so duplicate timestamps pick open/close deterministically —
+    the same contract as the batch twin's ``tiebreak`` columns (without
+    it, ties pick an arbitrary row; the batch-equivalence gate
+    ``streaming_ohlc_6h`` relies on this).
+
     Watermark closes windows for append-mode emission; late rows beyond the
     watermark are dropped by the engine — same contract as the downsample.
     """
     v = F.element_at(F.col("fields"), "value")
+    order = (
+        F.struct(F.col(time_col),
+                 F.element_at(F.col("fields"), tiebreak_field))
+        if tiebreak_field
+        else F.col(time_col)
+    )
     return (
         points.withWatermark(time_col, watermark)
         .groupBy(F.window(F.col(time_col), window).alias("w"), "measurement")
         .agg(
-            F.min_by(v, F.col(time_col)).alias("open"),
+            F.min_by(v, order).alias("open"),
             F.max(v).alias("high"),
             F.min(v).alias("low"),
-            F.max_by(v, F.col(time_col)).alias("close"),
+            F.max_by(v, order).alias("close"),
             F.count(F.lit(1)).alias("n_points"),
         )
         .select(
