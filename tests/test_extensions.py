@@ -310,3 +310,84 @@ def test_real_image_features_optional_dependency(spark):
         image_mod.new("L", (4, 4), color=200).save(buf, format="PNG")
         feats = real_image_features(buf.getvalue(), dim=8)
         assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-9
+
+
+def _make_wav(freq_hz=1000.0, sr=8000, seconds=0.1, channels=1, width=2):
+    """In-memory PCM WAV of a pure sine — stdlib only."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        for i in range(n):
+            v = math.sin(2 * math.pi * freq_hz * i / sr)
+            if width == 2:
+                frame = struct.pack("<h", int(v * 32000))
+            else:  # 8-bit unsigned
+                frame = struct.pack("<B", int(v * 120) + 128)
+            w.writeframes(frame * channels)
+    return buf.getvalue()
+
+
+def test_real_audio_features_wav_needs_no_dependency(spark):
+    """Audio's real-decode twin: WAV PCM decodes via stdlib wave + numpy —
+    runnable in THIS container, not just in a deployment — and the
+    spectral-band features keep the fake's shape/normalization contract.
+    A 1.2 kHz sine at sr=8000 must put its energy in band 2 of 8 (bands
+    span 0-4 kHz Nyquist; 1.2/(4/8) = 2.4, interior to the band so the
+    array_split boundary rounding can't move it)."""
+    from cerebro_spark.operators.multimodal import (
+        decode_audio,
+        extract_features,
+        real_audio_features,
+    )
+
+    wav = _make_wav(freq_hz=1200.0, sr=8000, seconds=0.1)
+    samples, sr = decode_audio(wav)
+    assert sr == 8000 and len(samples) == 800
+    assert max(abs(s) for s in samples) <= 1.0
+
+    feats = real_audio_features(wav, dim=8)
+    assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-9
+    assert feats.index(max(feats)) == 2
+    assert max(feats) > 0.95  # a pure tone concentrates in one band
+
+    # stereo + 8-bit variants downmix/scale without error
+    assert len(decode_audio(_make_wav(channels=2))[0]) == 800
+    assert max(abs(s) for s in decode_audio(_make_wav(width=1))[0]) <= 1.0
+
+    # the same Arrow mapInPandas plumbing carries the real audio kernel
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(wav)), Row(doc_id=2, payload=None)]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_features(
+            df, features_fn=real_audio_features
+        ).collect()
+    }
+    assert rows[1]["features"] == pytest.approx(feats)
+    assert rows[2]["features"] == [0.0] * 8 and rows[2]["n_bytes"] == 0
+
+
+def test_audio_non_wav_optional_dependency():
+    """Non-WAV payloads route to the optional soundfile decoder; without it
+    the error carries install guidance (the Pillow pattern)."""
+    from cerebro_spark.operators.multimodal import (
+        _soundfile_module,
+        decode_audio,
+        fake_audio_features,
+        real_audio_features,
+    )
+
+    assert real_audio_features(b"", dim=4) == [0.0] * 4
+    assert fake_audio_features(b"\x01\xff", dim=2) == [0.5, 0.5]
+    if _soundfile_module() is None:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"OggS\x00not-really-ogg")
