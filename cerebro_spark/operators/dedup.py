@@ -381,7 +381,9 @@ def minhash_lsh_pairs(
     bands_long = banded.select(
         "id",
         *[F.col(f"h{i}") for i in range(num_hashes)],
-        F.explode(F.array(*[F.col(f"band{bi}") for bi in range(bands)])).alias("bucket"),
+        F.posexplode(
+            F.array(*[F.col(f"band{bi}") for bi in range(bands)])
+        ).alias("bi", "bucket"),
     )
     if max_bucket_size is not None:
         small = (
@@ -396,11 +398,13 @@ def minhash_lsh_pairs(
         # per-bucket fan-out.
         bands_long = bands_long.join(small, "bucket")
     a = bands_long.select(
+        F.col("bi"),
         F.col("bucket"),
         F.col("id").alias("id_a"),
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
     )
     b = bands_long.select(
+        F.col("bi"),
         F.col("bucket"),
         F.col("id").alias("id_b"),
         *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
@@ -408,12 +412,17 @@ def minhash_lsh_pairs(
     matches = sum(
         (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(num_hashes)
     )
+    # threshold-filter BEFORE the dedup shuffle: the sub-threshold candidate
+    # mass (the expensive part of a skewed corpus — a hot band's k²/2 pairs
+    # are mostly boilerplate collisions below the Jaccard bar) is discarded
+    # row-locally in the join stage, and only the qualifying set — orders of
+    # magnitude smaller — pays the dropDuplicates exchange.
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bi", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter((matches / num_hashes) >= threshold)
         .select("id_a", "id_b", (matches / num_hashes).alias("est_jaccard"))
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -604,13 +613,37 @@ def simhash_pairs(
     a = seg.select("blk", "seg", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = seg.select("blk", "seg", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
-    return (
+    # hamming-filter BEFORE any dedup: the candidate set is the quadratic
+    # intermediate, the qualifying set is tiny — never shuffle the former
+    cand = (
         a.join(b, ["blk", "seg"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(hamming <= max_hamming)
     )
+    if max_bucket_size is None:
+        # exact path: emit each pair only from its FIRST matching block —
+        # a row-local filter (both fingerprints are in the row), so the
+        # dropDuplicates shuffle over candidates disappears entirely.  Not
+        # applicable under a cap: the minimal matching block's bucket may
+        # be capped away while a later small bucket legitimately carries
+        # the pair (pinned by the cap ground-truth test).
+        width = bits // blocks
+        seg_eq = [
+            (
+                F.expr(f"shiftright(sh_a, {bi * width})")
+                % F.lit(2**width).cast("long")
+                == F.expr(f"shiftright(sh_b, {bi * width})")
+                % F.lit(2**width).cast("long")
+            )
+            for bi in range(blocks)
+        ]
+        first_match = F.coalesce(
+            *[F.when(seg_eq[bi], F.lit(bi)) for bi in range(blocks)]
+        )
+        deduped = cand.filter(F.col("blk") == first_match)
+    else:
+        deduped = cand.dropDuplicates(["id_a", "id_b"])
+    return deduped.select("id_a", "id_b", hamming.alias("hamming"))
 
 
 def winnow_fingerprints(
