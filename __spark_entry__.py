@@ -542,9 +542,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
     # Born round 6 (gate in the round they are born — the post-rotation
-    # policy): streaming-twin batch-equivalence gates.
+    # policy): streaming-twin batch-equivalence gates, including the
+    # applyInPandasWithState operators (sessionize/CUSUM) and the
+    # at-least-once dedup — previously pytest-only evidence.
     "streaming_ohlc_6h",
     "streaming_percentiles_check",
+    "streaming_sessionize_closed",
+    "streaming_cusum_check",
+    "streaming_dedup_check",
     # ROUND-6 ROTATION (executed per the note above): the 14 queries with no
     # driver CORRECTNESS row across r01-r05, moved to the front so the r06
     # snapshot gates them -> cumulative 163/163 driver-gated.  Precondition

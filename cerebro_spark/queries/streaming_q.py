@@ -55,23 +55,40 @@ def _events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_available_now(points_df: DataFrame, twin) -> DataFrame:
+def _run_available_now(
+    points_df: DataFrame,
+    twin,
+    output_mode: str = "complete",
+    ordered_single_batch: bool = False,
+    order_col: str = "ts",
+) -> DataFrame:
     """Replay a batch point frame through a streaming twin: spool to
-    parquet, readStream it, run ``twin`` on the stream, collect
-    complete-mode windows into a memory sink, return them as a batch
-    frame.  The temp spool/checkpoint dir is removed after termination
-    (the memory sink owns the rows)."""
+    parquet, readStream it, run ``twin`` on the stream, collect the
+    emitted rows into a memory sink, return them as a batch frame.  The
+    temp spool/checkpoint dir is removed after termination (the memory
+    sink owns the rows).
+
+    ``ordered_single_batch`` writes the spool as ONE ts-sorted file so the
+    replay is a single in-order micro-batch — required when the twin's
+    semantics are order-dependent (sessionize/CUSUM recurrences).  This is
+    a property of the equivalence HARNESS, not of the operators: on a live
+    stream the watermark bounds disorder instead."""
     spark = points_df.sparkSession
     name = f"stream_gate_{uuid.uuid4().hex[:12]}"
     tmp = tempfile.mkdtemp(prefix=name)
     try:
-        points_df.write.mode("overwrite").parquet(f"{tmp}/in")
+        writer = (
+            points_df.orderBy(order_col).coalesce(1)
+            if ordered_single_batch
+            else points_df
+        )
+        writer.write.mode("overwrite").parquet(f"{tmp}/in")
         stream = spark.readStream.schema(points_df.schema).parquet(f"{tmp}/in")
         q = (
             twin(stream)
             .writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", f"{tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
@@ -172,12 +189,172 @@ FROM (
 """
 
 
+def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-closed sessions from the ``applyInPandasWithState`` sessionizer.
+
+    An availableNow replay emits exactly the sessions CLOSED by a
+    following gap; each user's final session stays in state (it would
+    emit on processing-time timeout in a live stream), so the oracle is
+    the batch session set minus the last session per user.  Gap semantics
+    are exact nanoseconds (sub-second timestamps count), hence the
+    ``epoch_ns`` oracle rather than the second-truncated ``sessionize``
+    convention."""
+    from cerebro_spark.streaming.stateful import streaming_sessionize
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    out = _run_available_now(
+        ev,
+        lambda s: streaming_sessionize(
+            s, gap_seconds=1800, emit_on_timeout=False
+        ),
+        output_mode="append",
+        ordered_single_batch=True,
+    )
+    # value_sum rounded on both sides: sequential Python accumulation vs
+    # DuckDB's group sum differ in the low float bits
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+
+
+_STREAMING_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+g AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+    count(*) AS n_events, round(sum(value), 4) AS value_sum
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, value_sum
+FROM g
+WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+"""
+
+
+def q_streaming_cusum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed per-key CUSUM (one-float state recurrence) vs the batch
+    closed form S_i = P_i − min(0, min_{j≤i} P_j) over cumulative sums —
+    algebraically identical, so the only daylight is float associativity;
+    the gate counts rows where they differ beyond 1e-6 (and alert flags
+    that flip outside a 1e-6 guard band of the threshold) and pins both
+    at zero.  μ/σ are the offline training baseline (two scalar
+    aggregates, bounded driver collect — the documented deployment
+    pattern for the streaming alarm)."""
+    from pyspark.sql import Window
+
+    from cerebro_spark.streaming.stateful import streaming_cusum
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    mu, sigma = ev.agg(
+        F.avg("value"), F.coalesce(F.stddev("value"), F.lit(0.0))
+    ).first()
+    slack_sigmas, alert_sigmas = 0.5, 4.0
+    k = slack_sigmas * sigma
+    h = alert_sigmas * sigma
+
+    streamed = _run_available_now(
+        ev,
+        lambda s: streaming_cusum(
+            s, mu=mu, sigma=sigma, key_col="user_id",
+            slack_sigmas=slack_sigmas, alert_sigmas=alert_sigmas,
+        ),
+        output_mode="append",
+        ordered_single_batch=True,
+    ).select(
+        F.col("key").alias("user_id"), "ts",
+        F.col("cusum").alias("cusum_s"), F.col("is_alert").alias("alert_s"),
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = F.sum(F.col("value") - F.lit(mu) - F.lit(k)).over(w)
+    batch = ev.select(
+        "user_id", "ts",
+        (p - F.least(F.min(F.least(p, F.lit(0.0))).over(w), F.lit(0.0)))
+        .alias("cusum_b"),
+    ).withColumn("alert_b", F.col("cusum_b") > F.lit(h))
+
+    j = streamed.join(batch, ["user_id", "ts"], "full_outer")
+    cusum_diff = F.abs(F.col("cusum_s") - F.col("cusum_b"))
+    alert_flip = (F.col("alert_s") != F.col("alert_b")) & (
+        F.abs(F.col("cusum_b") - F.lit(h)) > 1e-6
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                F.col("cusum_s").isNull()
+                | F.col("cusum_b").isNull()
+                | (cusum_diff > 1e-6)
+            ).cast("long")
+        ).alias("cusum_mismatches"),
+        F.sum(alert_flip.cast("long")).alias("alert_mismatches"),
+    )
+
+
+_STREAMING_CUSUM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS cusum_mismatches,
+       CAST(0 AS BIGINT) AS alert_mismatches
+FROM events
+"""
+
+
+def q_streaming_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under at-least-once redelivery:
+    every event delivered TWICE (the AMQP/poll-replay failure mode) must
+    come out exactly once — the streamed survivor set hashes against the
+    plain events table.  Single-batch replay keeps the check
+    deterministic; on a live stream the watermark bounds how long a
+    redelivery can lag and still be suppressed."""
+    from cerebro_spark.streaming.stateful import streaming_dedup
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    doubled = ev.unionAll(ev)
+    out = _run_available_now(
+        doubled,
+        lambda s: streaming_dedup(
+            s, key_cols=["event_id"], time_col="ts"
+        ),
+        output_mode="append",
+        ordered_single_batch=True,
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, ts, value FROM events
+"""
+
+
 QUERIES = {
     "streaming_ohlc_6h": q_streaming_ohlc_6h,
     "streaming_percentiles_check": q_streaming_percentiles_check,
+    "streaming_sessionize_closed": q_streaming_sessionize_closed,
+    "streaming_cusum_check": q_streaming_cusum_check,
+    "streaming_dedup_check": q_streaming_dedup_check,
 }
 
 ORACLES = {
     "streaming_ohlc_6h": _STREAMING_OHLC_SQL,
     "streaming_percentiles_check": _STREAMING_PCTL_SQL,
+    "streaming_sessionize_closed": _STREAMING_SESSION_SQL,
+    "streaming_cusum_check": _STREAMING_CUSUM_SQL,
+    "streaming_dedup_check": _STREAMING_DEDUP_SQL,
 }

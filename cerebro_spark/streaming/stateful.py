@@ -84,7 +84,9 @@ _SESSION_OUT_SCHEMA = (
 )
 
 
-def _session_fn(gap_seconds: int):
+def _session_fn(gap_seconds: int, use_timeout: bool = True):
+    gap_ns = int(gap_seconds) * 1_000_000_000
+
     def fn(
         key: tuple,
         batches: Iterator[pd.DataFrame],
@@ -97,8 +99,8 @@ def _session_fn(gap_seconds: int):
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "session_start": [pd.Timestamp(start, unit="ns")],
+                    "session_end": [pd.Timestamp(last, unit="ns")],
                     "n_events": [n],
                     "value_sum": [vsum],
                 }
@@ -110,29 +112,33 @@ def _session_fn(gap_seconds: int):
         # silently mispairs timestamps with values.  Sort whole rows by ts and
         # iterate positionally — no index round-trip at all.
         rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
-        secs = rows["ts"].astype("int64") // 1_000_000_000
+        # state carries NANOSECONDS (int64), not truncated seconds: the gap
+        # test and the emitted session bounds must match the batch twin's
+        # exact timestamps (events carry sub-second precision)
+        ns = rows["ts"].astype("int64")
         closed = []
         if state.exists:
             start, last, n, vsum = state.get
         else:
             start, last, n, vsum = None, None, 0, 0.0
-        for sec, v in zip(secs, rows["value"]):
-            if last is not None and sec - last > gap_seconds:
+        for t, v in zip(ns, rows["value"]):
+            if last is not None and t - last > gap_ns:
                 closed.append((start, last, n, vsum))
-                start, n, vsum = sec, 0, 0.0
+                start, n, vsum = t, 0, 0.0
             if start is None:
-                start = sec
-            last = sec
+                start = t
+            last = t
             n += 1
             vsum += float(v)
         state.update((int(start), int(last), int(n), float(vsum)))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if use_timeout:
+            state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in closed],
+                    "session_start": [pd.Timestamp(s, unit="ns") for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ns") for _, e, _, _ in closed],
                     "n_events": [n for _, _, n, _ in closed],
                     "value_sum": [v for _, _, _, v in closed],
                 }
@@ -145,11 +151,21 @@ def streaming_sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
     watermark: str = "30 minutes",
+    emit_on_timeout: bool = True,
 ) -> DataFrame:
     """Arbitrary-gap session windows over a streaming (or batch) events frame
     with ``applyInPandasWithState``: per-user state = open session
     (start/last/n/sum); a session closes when a gap exceeds ``gap_seconds``
     (emitted immediately) or on state timeout (emitted at expiry).
+
+    ``emit_on_timeout=False`` disables the processing-time timeout: open
+    sessions then stay in state until a later event closes them by gap.
+    Use it for finite availableNow replays (the batch-equivalence gate) —
+    a registered processing-time timeout keeps an availableNow query
+    running extra empty batches waiting for wall-clock expiry, so the
+    replay would block for ``gap_seconds`` instead of terminating with
+    the data.  Live deployments keep the default (a user who walks away
+    still gets their last session flushed).
 
     Input needs ``user_id``, ``ts``, ``value``.
     """
@@ -157,11 +173,15 @@ def streaming_sessionize(
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_seconds),
+            _session_fn(gap_seconds, use_timeout=emit_on_timeout),
             outputStructType=_SESSION_OUT_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if emit_on_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
