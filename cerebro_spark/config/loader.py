@@ -177,8 +177,10 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
     ``user``/``username`` (``user`` is the reference AMQPSource key —
     both accepted), ``password``, ``vhost``, ``ssl`` (amqps; default off —
     cleartext, loopback/trusted networks only), ``declare``,
-    ``pump_interval`` (default 5 s), ``max_messages_per_pump`` (default
-    1000), ``groupers``, ``keywords`` optional.
+    ``exchange``/``exchange_type``/``binding_key`` (bind the queue to an
+    exchange topology, the reference's consumer shape), ``pump_interval``
+    (default 5 s), ``max_messages_per_pump`` (default 1000),
+    ``groupers``, ``keywords`` optional.
     """
     import threading
 
@@ -201,7 +203,8 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
     amqp_cfg = {
         k: params[k]
         for k in ("host", "port", "username", "password", "vhost", "queue",
-                  "declare", "ssl")
+                  "declare", "ssl", "exchange", "exchange_type",
+                  "binding_key")
         if k in params
     }
     if "user" in params:  # reference AMQPSource config key (C2 parity)

@@ -49,8 +49,12 @@ CHANNEL_OPEN = (20, 10)
 CHANNEL_OPEN_OK = (20, 11)
 CHANNEL_CLOSE = (20, 40)
 CHANNEL_CLOSE_OK = (20, 41)
+EXCHANGE_DECLARE = (40, 10)
+EXCHANGE_DECLARE_OK = (40, 11)
 QUEUE_DECLARE = (50, 10)
 QUEUE_DECLARE_OK = (50, 11)
+QUEUE_BIND = (50, 20)
+QUEUE_BIND_OK = (50, 21)
 BASIC_GET = (60, 70)
 BASIC_GET_OK = (60, 71)
 BASIC_GET_EMPTY = (60, 72)
@@ -429,6 +433,44 @@ class AMQPClient:
         _name, off = parse_shortstr(args, 0)
         (message_count,) = struct.unpack_from(">I", args, off)
         return message_count
+
+    def declare_exchange(
+        self,
+        exchange: str,
+        ex_type: str = "topic",
+        passive: bool = False,
+        durable: bool = False,
+    ) -> None:
+        """Declare (or, with ``passive``, assert existence of) an exchange —
+        the reference's bus topology entry point (its consumer binds a queue
+        to the actor exchange, `AMQP.py:140-160`)."""
+        bits = (0b00001 if passive else 0) | (0b00010 if durable else 0)
+        self._send_method(
+            EXCHANGE_DECLARE,
+            struct.pack(">H", 0)
+            + shortstr(exchange)
+            + shortstr(ex_type)
+            + bytes([bits])
+            + empty_table(),
+        )
+        self._expect(EXCHANGE_DECLARE_OK)
+
+    def bind_queue(
+        self, queue: str, exchange: str, routing_key: str = "#"
+    ) -> None:
+        """Bind ``queue`` to ``exchange`` under ``routing_key`` (default
+        ``#`` = every message on a topic exchange — the telemetry-bus
+        firehose the reference consumes)."""
+        self._send_method(
+            QUEUE_BIND,
+            struct.pack(">H", 0)
+            + shortstr(queue)
+            + shortstr(exchange)
+            + shortstr(routing_key)
+            + b"\x00"  # no-wait = false
+            + empty_table(),
+        )
+        self._expect(QUEUE_BIND_OK)
 
     def get(self, queue: str, no_ack: bool = False):
         """One ``Basic.Get`` poll:

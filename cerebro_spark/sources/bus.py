@@ -113,7 +113,13 @@ def amqp_to_spool(
     ``amqp`` config keys: ``host`` (required), ``port``/``username``/
     ``password``/``vhost`` (defaults: 5672/guest/guest//), ``queue``
     (required), ``declare`` ("passive" default — assert the queue exists;
-    "active" creates it, for tests/dev).
+    "active" creates it, for tests/dev); optionally ``exchange`` (+
+    ``exchange_type`` default "topic", ``binding_key`` default "#") to
+    bind the queue to an existing exchange before draining — the
+    reference's topology (its consumer binds to the actor exchange,
+    `AMQP.py:140-160`), so pointing this pump at a clu bus needs no
+    manual broker setup.  The exchange itself is asserted passively
+    unless ``declare`` is "active" (tests/dev create it).
 
     sender = the message's basic-properties ``sender`` header when present
     — the reference derives sender from the message header, not the routing
@@ -148,9 +154,17 @@ def amqp_to_spool(
     queue = amqp["queue"]
     total = 0
     try:
-        client.declare_queue(
-            queue, passive=amqp.get("declare", "passive") == "passive"
-        )
+        passive = amqp.get("declare", "passive") == "passive"
+        client.declare_queue(queue, passive=passive)
+        if amqp.get("exchange"):
+            client.declare_exchange(
+                amqp["exchange"],
+                ex_type=amqp.get("exchange_type", "topic"),
+                passive=passive,
+            )
+            client.bind_queue(
+                queue, amqp["exchange"], amqp.get("binding_key", "#")
+            )
         while total < max_messages:
             tagged = client.drain_tagged(
                 queue, min(batch_size, max_messages - total), ack=False

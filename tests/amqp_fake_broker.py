@@ -36,10 +36,14 @@ from cerebro_spark.sources.amqp_client import (
     CONNECTION_START_OK,
     CONNECTION_TUNE,
     CONNECTION_TUNE_OK,
+    EXCHANGE_DECLARE,
+    EXCHANGE_DECLARE_OK,
     FRAME_BODY,
     FRAME_HEADER,
     FRAME_METHOD,
     PROTOCOL_HEADER,
+    QUEUE_BIND,
+    QUEUE_BIND_OK,
     QUEUE_DECLARE,
     QUEUE_DECLARE_OK,
     build_frame,
@@ -71,6 +75,12 @@ class FakeBroker(threading.Thread):
         #: (b"\\0user\\0password") — lets tests pin which credentials a
         #: config-driven pump actually presented.
         self.last_sasl: bytes | None = None
+        #: exchanges that "exist" (passive declares of others 404, like
+        #: RabbitMQ); a topic exchange named 'actors' is pre-existing —
+        #: the reference topology the consumer binds into.
+        self.exchanges: set[str] = {"actors"}
+        #: (queue, exchange, routing_key) bindings recorded verbatim.
+        self.bindings: list[tuple[str, str, str]] = []
         self._tag = 0
         self._stopping = threading.Event()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -152,6 +162,27 @@ class FakeBroker(threading.Thread):
                     conn, channel, QUEUE_DECLARE_OK,
                     shortstr(name) + struct.pack(">II", len(self.queue), 0),
                 )
+            elif cm == EXCHANGE_DECLARE:
+                name, off = parse_shortstr(args, 2)
+                _type, off = parse_shortstr(args, off)
+                passive = bool(args[off] & 1)
+                if passive and name not in self.exchanges:
+                    self._send_method(
+                        conn, channel, CHANNEL_CLOSE,
+                        struct.pack(">H", 404)
+                        + shortstr(f"NOT_FOUND - no exchange '{name}'")
+                        + struct.pack(">HH", *EXCHANGE_DECLARE),
+                    )
+                    self._expect(conn, CHANNEL_CLOSE_OK)
+                    continue
+                self.exchanges.add(name)
+                self._send_method(conn, channel, EXCHANGE_DECLARE_OK)
+            elif cm == QUEUE_BIND:
+                q, off = parse_shortstr(args, 2)
+                ex, off = parse_shortstr(args, off)
+                rk, off = parse_shortstr(args, off)
+                self.bindings.append((q, ex, rk))
+                self._send_method(conn, channel, QUEUE_BIND_OK)
             elif cm == BASIC_GET:
                 self._basic_get(conn, channel, args)
             elif cm == BASIC_ACK:

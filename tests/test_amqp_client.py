@@ -201,6 +201,43 @@ def test_amqp_source_via_config_runner(spark, tmp_path):
         broker.stop()
 
 
+def test_exchange_bind_consumer_topology(tmp_path):
+    """Reference parity (`AMQP.py:140-160`): the consumer binds its queue
+    into a pre-existing exchange topology.  With `exchange` configured the
+    pump asserts the exchange (passively, when declare is passive... here
+    'active' creates the queue but the exchange 'actors' pre-exists) and
+    binds queue->exchange under the binding key before draining."""
+    broker = _broker([("reply.c1", json.dumps({"v": 1.0}).encode())])
+    spool = str(tmp_path / "spool")
+    try:
+        n = amqp_to_spool(
+            spool,
+            _cfg(broker, exchange="actors", binding_key="reply.#"),
+        )
+        assert n == 1
+        assert broker.bindings == [("telemetry", "actors", "reply.#")]
+    finally:
+        broker.stop()
+
+
+def test_passive_declare_missing_exchange_raises_404():
+    """RabbitMQ fails a passive declare of a missing exchange with
+    Channel.Close 404 — the client must surface it and tear down, exactly
+    like the missing-queue path."""
+    import pytest
+
+    broker = _broker([])
+    try:
+        c = AMQPClient("127.0.0.1", port=broker.port)
+        c.connect()
+        c.declare_exchange("actors", passive=True)  # pre-existing: fine
+        with pytest.raises(Exception, match="404"):
+            c.declare_exchange("ghosts", passive=True)
+        assert c._sock is None
+    finally:
+        broker.stop()
+
+
 def test_passive_declare_missing_queue_raises_404():
     """RabbitMQ fails a passive declare of a missing queue with
     Channel.Close 404; the client must reply Close-Ok, tear down, and
