@@ -90,7 +90,14 @@ def main() -> int:
     if extra:
         print(f"SMOKE FAIL: oracle keys not in queries(): {sorted(extra)}", file=sys.stderr)
         return 1
-    print(f"smoke 2/4: import ok ({len(qs)} queries, {len(oracles)} oracles)")
+    # _prioritize silently skips names absent from the registry — a typo in
+    # _SNAPSHOT_PRIORITY would silently drop a query from the driver gate
+    ghost = [n for n in entry._SNAPSHOT_PRIORITY if n not in qs]
+    if ghost:
+        print(f"SMOKE FAIL: _SNAPSHOT_PRIORITY names not in queries(): {ghost}", file=sys.stderr)
+        return 1
+    print(f"smoke 2/4: import ok ({len(qs)} queries, {len(oracles)} oracles, "
+          f"priority list consistent)")
 
     # 3. one oracle query end-to-end (subprocess: fresh interpreter, like the driver)
     names = sys.argv[1:] or ["weather_chain"]
