@@ -28,7 +28,22 @@ import sys
 
 def load_queries(path: str) -> dict[str, float]:
     with open(path) as fh:
-        data = json.load(fh)
+        text = fh.read()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        # raw bench.py stdout: line-delimited JSON (all-runs detail line,
+        # then the headline line) — take the last line carrying `queries`
+        data = {}
+        for line in text.splitlines():
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and obj.get("queries"):
+                data = obj
+        if not data:
+            raise ValueError(f"{path}: no parseable bench JSON") from None
     tail = ""
     if "parsed" in data or "rc" in data:  # driver wrapper
         tail = data.get("tail") or ""
