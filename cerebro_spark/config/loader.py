@@ -357,8 +357,14 @@ class IngestRunner:
             observed = ((p or {}).get("observedMetrics") or {}).get(
                 "ingest_quality"
             )
+            pump = _PUMP_THREADS.get((self.checkpoint_root, n))
             out[n] = {
                 "active": q.isActive,
+                # side-transport health (amqp pump thread); None = this
+                # source has no side transport.  Errors inside the pump are
+                # logged (cerebro_spark.amqp) — a dead thread here means the
+                # whole loop crashed, which the keep-running posture forbids
+                "pump_alive": pump[0].is_alive() if pump else None,
                 "quality": observed,
                 "input_rows_per_sec": (p or {}).get("inputRowsPerSecond"),
                 "processed_rows_per_sec": (p or {}).get(

@@ -186,6 +186,7 @@ def test_amqp_source_via_config_runner(spark, tmp_path):
             time.sleep(1)
         pump_key = (str(tmp_path / "ckpt"), "bus1")  # (runner ns, source)
         pump_thread = _PUMP_THREADS[pump_key][0]
+        assert runner.metrics()["bus1"]["pump_alive"] is True
         runner.stop()
         assert n >= 6
         out = spark.read.parquet(str(tmp_path / "store"))
@@ -318,6 +319,42 @@ def test_sender_header_overrides_routing_key(tmp_path):
         with open(f) as fh:
             senders.update(json.loads(line)["sender"] for line in fh)
     assert senders == {"scale_actor", "plain.route"}
+
+
+def test_field_table_codec_roundtrip_property():
+    """encode_table ∘ parse_table == identity for every value shape the
+    encoder emits (str/bool/int/float/None/nested dict) — property-based,
+    because header tables come from arbitrary publishers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cerebro_spark.sources.amqp_client import encode_table, parse_table
+
+    scalars = st.one_of(
+        st.booleans(),  # before ints: bool is an int subclass in Python
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=40),
+        st.none(),
+    )
+    tables = st.dictionaries(
+        st.text(min_size=1, max_size=30),
+        st.one_of(
+            scalars,
+            st.dictionaries(st.text(min_size=1, max_size=10), scalars, max_size=3),
+        ),
+        max_size=8,
+    )
+
+    @given(tables)
+    @settings(max_examples=200, deadline=None)
+    def roundtrip(table):
+        buf = encode_table(table)
+        parsed, off = parse_table(buf, 0)
+        assert parsed == table
+        assert off == len(buf)
+
+    roundtrip()
 
 
 def test_client_parses_headers_table():
