@@ -181,6 +181,110 @@ def real_audio_features(payload: bytes, dim: int = 8) -> list[float]:
     return [b / total for b in bands]
 
 
+def _video_module():
+    """Import-try for a video decoder — OPTIONAL: PyAV preferred (container
+    demux + frame decode), OpenCV as fallback.  This container has neither,
+    so the fake path is the tested default; the plumbing (payload bytes in,
+    fixed-width vector out, frame-sample cadence) is identical."""
+    try:
+        import av  # type: ignore[import-not-found]
+
+        return ("av", av)
+    except ImportError:
+        pass
+    try:
+        import cv2  # type: ignore[import-not-found]
+
+        return ("cv2", cv2)
+    except ImportError:
+        return None
+
+
+def decode_video_frames(payload: bytes, every_ms: int = 1000) -> "list":
+    """Decode a video payload to ``[(ts_ms, grayscale ndarray), ...]``
+    sampled every ``every_ms`` — the decode stage the metadata-only
+    ``frame_sample_plan`` defers.  Requires PyAV or OpenCV; raises
+    ``NotImplementedError`` with guidance otherwise (the
+    ``decode_image``/``decode_audio`` pattern)."""
+    mod = _video_module()
+    if mod is None:
+        raise NotImplementedError(
+            "video decode requires PyAV (pip install av) or OpenCV "
+            "(pip install opencv-python-headless); use fake_video_features "
+            "for plumbing tests"
+        )
+    kind, lib = mod
+    import numpy as np
+
+    frames = []
+    if kind == "av":
+        import io
+
+        with lib.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            next_ts = 0
+            for frame in container.decode(stream):
+                ts_ms = int((frame.time or 0) * 1000)
+                if ts_ms >= next_ts:
+                    frames.append(
+                        (ts_ms, frame.to_ndarray(format="gray"))
+                    )
+                    next_ts += every_ms
+        return frames
+    # cv2 path: needs a temp file (VideoCapture has no bytes API)
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".bin")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        cap = lib.VideoCapture(path)
+        fps = cap.get(lib.CAP_PROP_FPS) or 30.0
+        step = max(1, int(round(fps * every_ms / 1000.0)))
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i % step == 0:
+                gray = lib.cvtColor(frame, lib.COLOR_BGR2GRAY)
+                frames.append((int(i / fps * 1000), np.asarray(gray)))
+            i += 1
+        cap.release()
+    finally:
+        os.unlink(path)
+    return frames
+
+
+def real_video_features(
+    payload: bytes, dim: int = 8, every_ms: int = 1000
+) -> list[float]:
+    """Feature vector from a REAL video decode (PyAV/OpenCV): mean
+    luminance histogram over the sampled frames, folded to ``dim`` buckets
+    and L1-normalized — drop-in ``features_fn`` with the fakes' contract."""
+    import numpy as np
+
+    if not payload:
+        return [0.0] * dim
+    frames = decode_video_frames(payload, every_ms)
+    if not frames:
+        return [0.0] * dim
+    width = 256 // dim
+    acc = np.zeros(dim, dtype=np.float64)
+    for _ts, gray in frames:
+        hist, _ = np.histogram(gray, bins=256, range=(0, 256))
+        acc += [hist[i * width : (i + 1) * width].sum() for i in range(dim)]
+    total = acc.sum() or 1.0
+    return [float(b / total) for b in acc]
+
+
+def fake_video_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for decoded-video features — byte-bucket
+    histogram, same contract as the other fakes."""
+    return fake_image_features(payload, dim)
+
+
 def fake_audio_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for decoded-audio features — byte-bucket
     histogram, identical contract to ``fake_image_features`` (kept as a

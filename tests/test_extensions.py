@@ -376,6 +376,27 @@ def test_real_audio_features_wav_needs_no_dependency(spark):
     assert rows[2]["features"] == [0.0] * 8 and rows[2]["n_bytes"] == 0
 
 
+def test_video_optional_dependency():
+    """Video completes the media triple: a real decode twin behind optional
+    PyAV/OpenCV with install guidance when absent, a deterministic fake
+    with the shared contract, and the empty-payload short-circuit."""
+    from cerebro_spark.operators.multimodal import (
+        _video_module,
+        decode_video_frames,
+        fake_video_features,
+        real_video_features,
+    )
+
+    assert real_video_features(b"", dim=4) == [0.0] * 4
+    f = fake_video_features(b"\x00\xff\x00\xff", dim=2)
+    assert f == [0.5, 0.5]
+    if _video_module() is None:
+        with pytest.raises(NotImplementedError, match="av|OpenCV"):
+            decode_video_frames(b"\x00\x00\x00\x18ftypmp42")
+        with pytest.raises(NotImplementedError, match="av|OpenCV"):
+            real_video_features(b"\x00\x00\x00\x18ftypmp42")
+
+
 def test_audio_non_wav_optional_dependency():
     """Non-WAV payloads route to the optional soundfile decoder; without it
     the error carries install guidance (the Pillow pattern)."""
