@@ -149,6 +149,7 @@ def amqp_to_spool(
             username=amqp.get("username", "guest"),
             password=amqp.get("password", "guest"),
             vhost=amqp.get("vhost", "/"),
+            ssl=amqp.get("ssl", False),
         )
         client.connect()
     queue = amqp["queue"]
