@@ -541,6 +541,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
+    # Born round 6, second batch: retrieval / record-linkage / graph
+    # operators (BM25 top-k, blocked fuzzy join, fixed-iteration PageRank).
+    "bm25_topk",
+    "fuzzy_part_pairs",
+    "pagerank_trade",
     # Born round 6 (gate in the round they are born — the post-rotation
     # policy): streaming-twin batch-equivalence gates, including the
     # applyInPandasWithState operators (sessionize/CUSUM) and the

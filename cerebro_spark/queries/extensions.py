@@ -1143,3 +1143,81 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
 }
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetrized customer–supplier
+    bipartite trade graph (edges = customer ordered from supplier), top 20
+    nodes.  The iterative join+agg loop Spark-side vs 3 chained CTE
+    iterations in DuckDB; ranks are quantized per iteration (operator
+    docstring) so the fixed point is engine-exact."""
+    from cerebro_spark.operators.cluster import pagerank
+    from cerebro_spark.operators.util import top_k_ranked
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=3, damping=0.85).select(
+        "node", F.col("rank").alias("pagerank")
+    )
+    return top_k_ranked(ranks, [("pagerank", "desc"), ("node", "asc")], k=20).select(
+        "node", "pagerank", F.col("rank").alias("pos")
+    )
+
+
+_PAGERANK_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+it1 AS (
+  SELECT nodes.node,
+    floor(((1.0 - 0.85) / n + 0.85 * coalesce(c.s, 0.0)) / 1e-9 + 0.5) * 1e-9 AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.v AS node, sum(r.rank / deg.outdeg) AS s
+    FROM e JOIN r0 r ON e.u = r.node JOIN deg ON e.u = deg.u
+    GROUP BY e.v
+  ) c USING (node), nn
+),
+it2 AS (
+  SELECT nodes.node,
+    floor(((1.0 - 0.85) / n + 0.85 * coalesce(c.s, 0.0)) / 1e-9 + 0.5) * 1e-9 AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.v AS node, sum(r.rank / deg.outdeg) AS s
+    FROM e JOIN it1 r ON e.u = r.node JOIN deg ON e.u = deg.u
+    GROUP BY e.v
+  ) c USING (node), nn
+),
+it3 AS (
+  SELECT nodes.node,
+    floor(((1.0 - 0.85) / n + 0.85 * coalesce(c.s, 0.0)) / 1e-9 + 0.5) * 1e-9 AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.v AS node, sum(r.rank / deg.outdeg) AS s
+    FROM e JOIN it2 r ON e.u = r.node JOIN deg ON e.u = deg.u
+    GROUP BY e.v
+  ) c USING (node), nn
+)
+SELECT node, rank AS pagerank,
+  CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS pos
+FROM it3
+QUALIFY pos <= 20
+"""
+
+QUERIES["pagerank_trade"] = q_pagerank_trade
+ORACLES["pagerank_trade"] = _PAGERANK_SQL

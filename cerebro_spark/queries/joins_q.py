@@ -176,3 +176,53 @@ QUERIES["asof_join_forward"] = q_asof_join_forward
 ORACLES["asof_join_forward"] = _ASOF_FWD_SQL
 QUERIES["asof_join_nearest"] = q_asof_join_nearest
 ORACLES["asof_join_nearest"] = _ASOF_NEAREST_SQL
+
+
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: near-identical part names (edit distance <= 2) within
+    a (brand, first-word) block — the blocked fuzzy join that replaces the
+    O(n*m) cross-product at scale.  Plan: shuffle equi-join on the block key
+    + codegen'd levenshtein filter; candidate mass is sum of block sizes
+    squared (diagnosable the same way as lsh_bucket_stats)."""
+    from cerebro_spark.operators.joins import fuzzy_join_blocked
+
+    part = load_table(spark, "part", sf_dir)
+    base = part.select(
+        F.col("p_partkey"),
+        F.col("p_name"),
+        F.col("p_brand"),
+        F.split(F.col("p_name"), " ")[0].alias("first_word"),
+    )
+    a = base.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name"), "p_brand", "first_word"
+    )
+    b = base.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name"), "p_brand", "first_word"
+    )
+    return fuzzy_join_blocked(
+        a,
+        b,
+        text_col="p_name",
+        block_cols=["p_brand", "first_word"],
+        max_distance=2,
+        left_id="key_a",
+        right_id="key_b",
+    )
+
+
+_FUZZY_PAIRS_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand, string_split(p_name, ' ')[1] AS first_word
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand, a.first_word,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.first_word = b.first_word
+ AND a.p_partkey < b.p_partkey
+WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+QUERIES["fuzzy_part_pairs"] = q_fuzzy_part_pairs
+ORACLES["fuzzy_part_pairs"] = _FUZZY_PAIRS_SQL

@@ -685,6 +685,69 @@ SELECT pair, pair_count, rank FROM (
 ) WHERE rank <= 50
 """
 
+#: fixed retrieval query for the BM25 gate — terms from the synthetic corpus
+#: vocabulary, sorted (the operator folds contributions in term order).
+_BM25_TERMS = ("merge", "spark", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a fixed 3-term query (the missing
+    classic next to tfidf_top_terms).  Corpus-side work is one filtered
+    explode + combinable groupBy; query-side stats are driver scalars."""
+    from cerebro_spark.operators.text import bm25_topk
+
+    return bm25_topk(load_table(spark, "documents", sf_dir), _BM25_TERMS, k=10)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    # mirror the operator's float-op order exactly: idf * (tf*(k1+1)) / B with
+    # B = tf + k1*((1-b) + (b*dl)/avgdl); fold per-doc contributions in term
+    # order from 0.0 (list_reduce over a prepended 0.0 = Spark's F.aggregate
+    # fold); quantize with floor(x*1e6 + 0.5) — same semantics both engines.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS dl_sum
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+  )
+  WHERE term IN ({terms})
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+per AS (
+  SELECT doc_id,
+    term,
+    ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+      * (tf * (1.2 + 1.0))
+      / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (CAST(dl_sum AS DOUBLE) / n_docs)))
+      AS contrib
+  FROM tf JOIN dfreq USING (term), stats
+),
+scored AS (
+  SELECT doc_id,
+    floor(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                      (acc, c) -> acc + c) * 1e6 + 0.5) / 1e6 AS score
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLES["bm25_topk"] = _bm25_sql()
+
 QUERIES["bigram_pmi"] = q_bigram_pmi
 ORACLES["bigram_pmi"] = _BIGRAM_PMI_SQL
 QUERIES["weighted_sample"] = q_weighted_sample

@@ -1,0 +1,169 @@
+"""BM25 retrieval, blocked fuzzy join, and PageRank — the round-6 retrieval /
+record-linkage / graph additions (no reference counterpart; driver-mandated
+extension surface).  Cross-engine value checks live in the oracle gates
+(``bm25_topk`` / ``fuzzy_part_pairs`` / ``pagerank_trade``); these tests pin
+the SEMANTICS on hand-built inputs where the right answer is computable by
+hand or a tiny numpy reference.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerebro_spark.operators.cluster import pagerank
+from cerebro_spark.operators.joins import fuzzy_join_blocked
+from cerebro_spark.operators.text import bm25_topk
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Textbook Okapi BM25 (Lucene +1-in-log idf) in pure Python."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for q in sorted(set(terms)):
+            tf = tk.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if q in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * len(tk) / avgdl))
+        if s > 0.0:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_textbook_reference(spark):
+    docs = [
+        (1, "spark join merge window spark spark"),
+        (2, "window window window hash table"),
+        (3, "merge sort run length"),
+        (4, "nothing relevant here at all"),
+        (5, "spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, ("spark", "window", "merge"), k=10).collect()
+    }
+    ref = _bm25_ref(docs, ("spark", "window", "merge"))
+    assert set(got) == set(ref)  # doc 4 (no query term) absent
+    for i, s in ref.items():
+        assert got[i] == pytest.approx(s, abs=1e-6)  # 1e-6 quantization
+
+
+def test_bm25_rank_order_and_k(spark):
+    docs = [(i, "spark " * i + "pad") for i in range(1, 8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_topk(df, ("spark",), k=3).orderBy("rank").collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # more occurrences in a shorter doc => higher score; scores descend
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_requires_terms(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, ())
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy join
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_join_blocked_pairs_and_blocking(spark):
+    rows = [
+        (1, "acme corp", "A"),
+        (2, "acme corp.", "A"),   # distance 1 to #1, same block
+        (3, "acme corpse", "A"),  # distance 2 to #1
+        (4, "acme corp", "B"),    # identical text, DIFFERENT block -> no pair
+        (5, "zzzzzzzzzz", "A"),   # same block, far away -> filtered
+    ]
+    base = spark.createDataFrame(rows, "id long, name string, blk string")
+    a = base.select(F.col("id").alias("key_a"), "name", "blk")
+    b = base.select(F.col("id").alias("key_b"), "name", "blk")
+    got = {
+        (r["key_a"], r["key_b"]): r["distance"]
+        for r in fuzzy_join_blocked(
+            a, b, "name", ["blk"], max_distance=2,
+            left_id="key_a", right_id="key_b",
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 3 - 1}  # (2,3) distance 2
+    # the (1,4) identical-name pair is absent: blocking is an equi-key, a
+    # recall/cost tradeoff the caller owns (docstring contract)
+
+
+def test_fuzzy_join_length_prefilter_semantics(spark):
+    # |len(a)-len(b)| > max_distance can never pass; prefilter must not
+    # change results, only skip DP work — assert the boundary pair survives
+    rows = [(1, "abcd", "X"), (2, "abcdef", "X")]  # len diff 2, distance 2
+    base = spark.createDataFrame(rows, "id long, name string, blk string")
+    a = base.select(F.col("id").alias("key_a"), "name", "blk")
+    b = base.select(F.col("id").alias("key_b"), "name", "blk")
+    out = fuzzy_join_blocked(
+        a, b, "name", ["blk"], max_distance=2,
+        left_id="key_a", right_id="key_b",
+    ).collect()
+    assert [(r["key_a"], r["key_b"], r["distance"]) for r in out] == [(1, 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _pr_ref(edges, iters=3, d=0.85, q=1e-9):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, _ in set(edges):
+        out[u] += 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0.0 for v in nodes}
+        for u, v in sorted(set(edges)):
+            s[v] += r[u] / out[u]
+        r = {
+            v: math.floor(((1.0 - d) / n + d * s[v]) / q + 0.5) * q
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_reference_on_small_graph(spark):
+    # star: hub 1 pointed at by 2,3,4 (symmetrized like the gated query)
+    e0 = [(2, 1), (3, 1), (4, 1), (2, 3)]
+    edges = e0 + [(v, u) for u, v in e0]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    ref = _pr_ref(edges)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=1e-9)
+    # hub has the highest rank
+    assert max(got, key=got.get) == 1
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    # symmetric graph => no dangling nodes => total rank stays ~1
+    e0 = [(i, (i + 1) % 6) for i in range(6)]
+    edges = e0 + [(v, u) for u, v in e0]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    total = sum(
+        r["rank"] for r in pagerank(df, iterations=5).collect()
+    )
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
