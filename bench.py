@@ -54,6 +54,10 @@ HEADLINE = [
     "dup_spans",
     "vocab_encode",
     "epoch_shuffle",
+    # retrieval / record linkage / graph (round 6)
+    "bm25_topk",
+    "fuzzy_part_pairs",
+    "pagerank_trade",
     # volume + time-series joins
     "top_suppliers",
     "asof_join",

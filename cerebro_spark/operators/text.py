@@ -610,90 +610,85 @@ def bm25_topk(
     (Robertson & Zaragoza 2009, the Lucene ``+1``-inside-the-log idf variant
     so idf is never negative).
 
-    Scale shape — the query side is TINY (a handful of terms), so everything
-    expensive stays corpus-side and combinable:
-    (1) per-doc term frequencies for ONLY the query terms via an
-        ``array_contains``-free filtered explode — the tokenizer output is
-        filtered to the query-term set *before* the (doc, term) groupBy, so
-        the shuffled aggregate is bounded by docs × |query|, not by corpus
-        token count;
-    (2) doc length (``dl``) is an integer per doc and ``avgdl`` is an exact
-        BIGINT sum divided once — no float summation-order hazard;
-    (3) per-term document frequencies are |query|-sized scalars collected on
-        the driver (bounded metadata, like the k-means centroids);
-    (4) scores are computed per (doc, term) row in pure JVM expressions, then
-        folded per doc over an ``array_sort``-ed struct list so the float
-        additions happen in term order — deterministic across engines and
-        partitionings;
-    (5) the global top-k is ``top_k_ranked`` (TakeOrderedAndProject), never a
+    Scale shape — the query side is TINY (a handful of terms), so the whole
+    operator is shuffle-free:
+    (1) per-doc term frequencies come from |query| ``size(filter(tokens))``
+        array expressions — one codegen'd projection, NO (doc, term) explode
+        and NO groupBy shuffle (the wide form would shuffle docs × |query|
+        rows for counts a row-local expression already knows);
+    (2) corpus statistics (N, Σdl as exact BIGINT, per-term document
+        frequencies) reduce in ONE combinable aggregation returning a single
+        driver row — bounded metadata, like the k-means centroids;
+    (3) scores are pure per-row JVM expressions folded in sorted term order
+        from 0.0 (absent terms contribute exactly +0.0, which IEEE-754
+        guarantees is the identity, so the fold equals the oracle's
+        present-terms-only ordered fold bit-for-bit);
+    (4) the global top-k is ``top_k_ranked`` (TakeOrderedAndProject), never a
         partitionless window.
+    Total cost: two corpus scans (stats, scoring) and zero shuffles.
 
     The score is quantized to 1e-6 with ``floor(x*1e6 + 0.5)`` (identical
     semantics in Spark and DuckDB, unlike half-up vs half-even ``round``) so
-    the cross-engine hash is stable at the last ulp of the 3-term fold.
+    the cross-engine hash is stable at the last ulp of the term fold.
 
     Reference parity: the reference has no retrieval engine; this is part of
     the driver-mandated training-data extension surface (SURVEY §2 "text
     analysis" family, alongside tfidf_top_terms).
     """
+    import math
+
     from cerebro_spark.operators.util import ensure_parallelism, top_k_ranked
 
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
-    terms_lit = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    terms = sorted(set(query_terms))
 
     df = ensure_parallelism(df)
-    toks = df.select(
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def _count_of(term: str):
+        # closure factory: F.filter lambdas must be single-parameter
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    counted = df.select(
         F.col(id_col).alias("id"),
-        _tokens(F.lower(F.col(text_col))).alias("toks"),
+        F.size(toks).alias("dl"),
+        *[_count_of(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
     )
-    # dl/avgdl from exact integer sums (no float summation order dependence)
-    lengths = toks.select("id", F.size("toks").alias("dl"))
-    n_docs, dl_sum = lengths.agg(
-        F.count(F.lit(1)), F.sum("dl")
+
+    # one combinable aggregation -> a single bounded driver row of stats
+    stats = counted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("dl_sum"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
     ).first()
-    avgdl = float(dl_sum) / float(n_docs)
+    n_docs = stats["n"]
+    avgdl = float(stats["dl_sum"]) / float(n_docs)
 
-    tf = (
-        toks.select(
-            "id",
-            F.size("toks").alias("dl"),
-            F.explode(F.filter("toks", lambda t: F.array_contains(terms_lit, t))).alias("term"),
+    # fold per-term contributions in sorted term order from 0.0; a tf of 0
+    # adds exactly +0.0 (idf > 0 always, denominator > 0), preserving parity
+    # with the oracle's present-terms-only ordered fold
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        dft = float(stats[f"__df_{i}"])
+        idf = F.lit(math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)))
+        tf = F.col(f"__tf_{i}")
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
         )
-        .groupBy("id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # |query| scalar document frequencies — bounded driver metadata
-    dfreq = {r["term"]: r["df"] for r in tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()}
 
-    # idf per query term as a chained CASE (|query| branches, all JVM-side)
-    import math
-
-    idf_case = None
-    for t in sorted(set(query_terms)):
-        dft = float(dfreq.get(t, 0))
-        val = F.lit(math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)))
-        idf_case = F.when(F.col("term") == t, val) if idf_case is None else idf_case.when(F.col("term") == t, val)
-
-    per_term = tf.withColumn(
-        "contrib",
-        idf_case
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))),
-    )
-    # fold contributions in term order so the float sum is order-deterministic
+    # inclusion = "has at least one query term" (raw score > 0), decided
+    # BEFORE quantization so a sub-quantum score still matches the oracle's
+    # present-term membership
     scored = (
-        per_term.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        counted.select("id", score.alias("__raw"))
+        .filter(F.col("__raw") > 0.0)
         .select(
             "id",
-            (
-                F.floor(
-                    F.aggregate("cs", F.lit(0.0), lambda acc, c: acc + c["contrib"]) * F.lit(1e6)
-                    + F.lit(0.5)
-                )
-                / F.lit(1e6)
-            ).alias("score"),
+            (F.floor(F.col("__raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("score"),
         )
     )
     return top_k_ranked(scored, [("score", "desc"), ("id", "asc")], k=k).select(
