@@ -180,6 +180,9 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
     ``exchange``/``exchange_type``/``binding_key`` (bind the queue to an
     exchange topology, the reference's consumer shape), ``pump_interval``
     (default 5 s), ``max_messages_per_pump`` (default 1000),
+    ``mode`` ("get" = Basic.Get poll, the default; "consume" =
+    Basic.Consume push with prefetch-bounded flow for higher-rate queues)
+    + ``idle_timeout`` (consume-mode batch silence cutoff, default 1 s),
     ``groupers``, ``keywords`` optional.
     """
     import threading
@@ -204,7 +207,7 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
         k: params[k]
         for k in ("host", "port", "username", "password", "vhost", "queue",
                   "declare", "ssl", "exchange", "exchange_type",
-                  "binding_key")
+                  "binding_key", "mode", "idle_timeout")
         if k in params
     }
     if "user" in params:  # reference AMQPSource config key (C2 parity)

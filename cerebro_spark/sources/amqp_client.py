@@ -8,14 +8,20 @@ consumer surface the bus transport needs — PLAIN auth handshake, one
 channel, passive/active queue declare, ``Basic.Get`` polling, and
 ``Basic.Ack``.
 
-Why ``Basic.Get`` (poll) rather than ``Basic.Consume`` (push): every other
-external feed in this engine is a poll transport (``sources/poll.py`` —
-TCP/UDP/HTTP/TPM), pull bounds batch size naturally, and the broker keeps
-the delivery cursor — so the spool pump (``bus.amqp_to_spool``) gets
-at-least-once semantics from ack-after-write with zero client state.
-RabbitMQ documents basic.get as lower-throughput than consume; the pump
-amortizes that by draining in batches, and telemetry buses (the reference's
-actor replies) are low-rate.
+Two consumption modes:
+
+* ``Basic.Get`` (poll, the default): every other external feed in this
+  engine is a poll transport (``sources/poll.py`` — TCP/UDP/HTTP/TPM), pull
+  bounds batch size naturally, and the broker keeps the delivery cursor —
+  so the spool pump (``bus.amqp_to_spool``) gets at-least-once semantics
+  from ack-after-write with zero client state.  Telemetry buses (the
+  reference's actor replies) are low-rate, so the per-message round-trip
+  is immaterial.
+* ``Basic.Consume`` (push, ``mode: consume``): for higher-rate queues the
+  Get round-trip dominates; ``consume_start`` + ``consume_drain`` let the
+  broker stream deliveries ahead of the client, bounded by ``basic.qos``
+  prefetch (the batch-size bound that Get gave for free).  Same
+  ack-after-write contract: unacked deliveries requeue on disconnect.
 
 The frame codec lives in module functions so the loopback test broker
 (tests/amqp_fake_broker.py) speaks BYTE-IDENTICAL frames from the server
@@ -55,6 +61,13 @@ QUEUE_DECLARE = (50, 10)
 QUEUE_DECLARE_OK = (50, 11)
 QUEUE_BIND = (50, 20)
 QUEUE_BIND_OK = (50, 21)
+BASIC_QOS = (60, 10)
+BASIC_QOS_OK = (60, 11)
+BASIC_CONSUME = (60, 20)
+BASIC_CONSUME_OK = (60, 21)
+BASIC_CANCEL = (60, 30)
+BASIC_CANCEL_OK = (60, 31)
+BASIC_DELIVER = (60, 60)
 BASIC_GET = (60, 70)
 BASIC_GET_OK = (60, 71)
 BASIC_GET_EMPTY = (60, 72)
@@ -494,7 +507,12 @@ class AMQPClient:
         off = 8 + 1  # + redelivered bit
         _exchange, off = parse_shortstr(args, off)
         routing_key, off = parse_shortstr(args, off)
-        # content header then body frames until body_size consumed
+        body, headers = self._read_content()
+        return delivery_tag, routing_key, body, headers
+
+    def _read_content(self) -> tuple[bytes, dict]:
+        """Content header frame + body frames until body-size consumed —
+        shared by Get-Ok and Deliver."""
         ftype, _ch, payload = read_frame(self._sock)
         if ftype != FRAME_HEADER:
             raise AMQPError(f"expected content header, got frame type {ftype}")
@@ -506,7 +524,7 @@ class AMQPClient:
             if ftype != FRAME_BODY:
                 raise AMQPError(f"expected body frame, got type {ftype}")
             body += chunk
-        return delivery_tag, routing_key, body, headers
+        return body, headers
 
     def ack(self, delivery_tag: int, multiple: bool = False) -> None:
         self._send_method(
@@ -537,3 +555,92 @@ class AMQPClient:
             if ack:
                 self.ack(tag)
         return out
+
+    # -- push mode (Basic.Consume) --------------------------------------------
+
+    def qos(self, prefetch_count: int) -> None:
+        """``basic.qos``: cap unacked deliveries the broker pushes ahead —
+        the push-mode equivalent of Get's natural batch bound.  0 = unlimited
+        (don't: an ack-after-fsync pump would buffer the whole queue)."""
+        self._send_method(
+            BASIC_QOS, struct.pack(">IH", 0, prefetch_count) + b"\x00"
+        )
+        self._expect(BASIC_QOS_OK)
+
+    def consume_start(self, queue: str, no_ack: bool = False) -> str:
+        """``basic.consume``: register this channel as a push consumer of
+        ``queue``; returns the server-assigned consumer tag (pass to
+        ``consume_cancel``).  Call ``qos`` first to bound prefetch."""
+        bits = 0b0010 if no_ack else 0
+        self._send_method(
+            BASIC_CONSUME,
+            struct.pack(">H", 0)
+            + shortstr(queue)
+            + shortstr("")  # consumer-tag: let the server assign
+            + bytes([bits])
+            + empty_table(),
+        )
+        args = self._expect(BASIC_CONSUME_OK)
+        tag, _ = parse_shortstr(args, 0)
+        return tag
+
+    def _read_delivery(self, args: bytes) -> tuple[int, str, bytes, dict]:
+        _ctag, off = parse_shortstr(args, 0)
+        (delivery_tag,) = struct.unpack_from(">Q", args, off)
+        off += 8 + 1  # + redelivered bit
+        _exchange, off = parse_shortstr(args, off)
+        routing_key, off = parse_shortstr(args, off)
+        body, headers = self._read_content()
+        return delivery_tag, routing_key, body, headers
+
+    def consume_drain(
+        self, max_messages: int = 1000, idle_timeout: float = 1.0
+    ) -> list[tuple[int, str, bytes, dict]]:
+        """Collect pushed ``Deliver``s until ``max_messages`` or the socket
+        has been silent for ``idle_timeout`` seconds.  Does NOT ack — the
+        pump acks after the spool write, exactly like the Get path.
+
+        The idle timeout is detected between frames; pick it above the
+        broker's frame latency (a timeout that fires mid-frame desyncs the
+        connection, which surfaces as AMQPError and takes the caller's
+        reconnect path — the same failure mode as any half-dead socket).
+        """
+        assert self._sock is not None
+        out: list[tuple[int, str, bytes, dict]] = []
+        prev = self._sock.gettimeout()
+        self._sock.settimeout(idle_timeout)
+        try:
+            while len(out) < max_messages:
+                try:
+                    cm, args = self._read_method()
+                except TimeoutError:  # socket.timeout is TimeoutError (3.10+)
+                    break
+                if cm == BASIC_DELIVER:
+                    out.append(self._read_delivery(args))
+                elif cm == BASIC_CANCEL:
+                    # server-initiated cancel (queue deleted / node failover)
+                    raise AMQPError("server cancelled the consumer")
+                else:
+                    raise AMQPError(f"unexpected method in consume: {cm}")
+        finally:
+            if self._sock is not None:
+                self._sock.settimeout(prev)
+        return out
+
+    def consume_cancel(
+        self, consumer_tag: str
+    ) -> list[tuple[int, str, bytes, dict]]:
+        """``basic.cancel``: stop the push flow.  Deliveries already in
+        flight between Cancel and Cancel-Ok are drained and RETURNED — the
+        caller either processes+acks them or leaves them unacked for the
+        broker to requeue on disconnect."""
+        self._send_method(BASIC_CANCEL, shortstr(consumer_tag) + b"\x00")
+        inflight: list[tuple[int, str, bytes, dict]] = []
+        while True:
+            cm, args = self._read_method()
+            if cm == BASIC_CANCEL_OK:
+                return inflight
+            if cm == BASIC_DELIVER:
+                inflight.append(self._read_delivery(args))
+            else:
+                raise AMQPError(f"expected Cancel-Ok/Deliver, got {cm}")

@@ -121,6 +121,14 @@ def amqp_to_spool(
     manual broker setup.  The exchange itself is asserted passively
     unless ``declare`` is "active" (tests/dev create it).
 
+    ``mode``: "get" (default) polls with ``Basic.Get`` — one round-trip per
+    message, fine for telemetry rates; "consume" registers a
+    ``Basic.Consume`` push consumer with ``basic.qos`` prefetch =
+    ``batch_size`` (so at most one unspooled batch is ever in flight) and
+    collects deliveries until ``idle_timeout`` seconds of silence — the
+    higher-throughput path when the queue outruns the Get round-trip.
+    Both modes share the same ack-after-spool-write contract.
+
     sender = the message's basic-properties ``sender`` header when present
     — the reference derives sender from the message header, not the routing
     key (`AMQP.py:105-118`; clu routing keys are ``reply.<commander>``, the
@@ -166,12 +174,7 @@ def amqp_to_spool(
             client.bind_queue(
                 queue, amqp["exchange"], amqp.get("binding_key", "#")
             )
-        while total < max_messages:
-            tagged = client.drain_tagged(
-                queue, min(batch_size, max_messages - total), ack=False
-            )
-            if not tagged:
-                break
+        def _spool_and_ack(tagged) -> None:
             messages = []
             for _tag, routing_key, body, headers in tagged:
                 try:
@@ -188,7 +191,40 @@ def amqp_to_spool(
             # batch is on disk — now release it broker-side (multiple-ack
             # up to the batch's last delivery tag)
             client.ack(tagged[-1][0], multiple=True)
-            total += len(tagged)
+
+        if amqp.get("mode", "get") == "consume":
+            # push mode: the broker streams ahead of the client, bounded by
+            # the prefetch window (= batch_size, so one unspooled batch is
+            # the most that can be in flight)
+            client.qos(batch_size)
+            ctag = client.consume_start(queue)
+            try:
+                while total < max_messages:
+                    tagged = client.consume_drain(
+                        max_messages=min(batch_size, max_messages - total),
+                        idle_timeout=float(amqp.get("idle_timeout", 1.0)),
+                    )
+                    if not tagged:
+                        break
+                    _spool_and_ack(tagged)
+                    total += len(tagged)
+            finally:
+                # deliveries racing the cancel are spooled+acked too — a
+                # REUSED connection keeps unacked messages invisible until
+                # it drops, so leaving them in flight would strand them
+                inflight = client.consume_cancel(ctag)
+                if inflight:
+                    _spool_and_ack(inflight)
+                    total += len(inflight)
+        else:
+            while total < max_messages:
+                tagged = client.drain_tagged(
+                    queue, min(batch_size, max_messages - total), ack=False
+                )
+                if not tagged:
+                    break
+                _spool_and_ack(tagged)
+                total += len(tagged)
     finally:
         if own_client:
             client.close()

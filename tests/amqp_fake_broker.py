@@ -21,9 +21,16 @@ from collections import deque
 from cerebro_spark.sources.amqp_client import (
     AMQPError,
     BASIC_ACK,
+    BASIC_CANCEL,
+    BASIC_CANCEL_OK,
+    BASIC_CONSUME,
+    BASIC_CONSUME_OK,
+    BASIC_DELIVER,
     BASIC_GET,
     BASIC_GET_EMPTY,
     BASIC_GET_OK,
+    BASIC_QOS,
+    BASIC_QOS_OK,
     CHANNEL_CLOSE,
     CHANNEL_CLOSE_OK,
     CHANNEL_OPEN,
@@ -120,6 +127,9 @@ class FakeBroker(threading.Thread):
         conn.sendall(build_frame(FRAME_METHOD, channel, method_payload(*cm, args)))
 
     def _serve(self, conn: socket.socket) -> None:
+        # push-mode session state (reset per connection, like a real channel)
+        self._prefetch = 0
+        self._consumer_tag: str | None = None
         conn.settimeout(10)
         if recv_exact(conn, 8) != PROTOCOL_HEADER:
             return
@@ -185,6 +195,23 @@ class FakeBroker(threading.Thread):
                 self._send_method(conn, channel, QUEUE_BIND_OK)
             elif cm == BASIC_GET:
                 self._basic_get(conn, channel, args)
+            elif cm == BASIC_QOS:
+                _size, count = struct.unpack_from(">IH", args, 0)
+                self._prefetch = count
+                self._send_method(conn, channel, BASIC_QOS_OK)
+            elif cm == BASIC_CONSUME:
+                _q, off = parse_shortstr(args, 2)
+                self._consumer_tag = "ctag-fake-1"
+                self._send_method(
+                    conn, channel, BASIC_CONSUME_OK,
+                    shortstr(self._consumer_tag),
+                )
+                self._push_ready(conn, channel)
+            elif cm == BASIC_CANCEL:
+                tag_s, _off = parse_shortstr(args, 0)
+                assert tag_s == self._consumer_tag
+                self._consumer_tag = None
+                self._send_method(conn, channel, BASIC_CANCEL_OK, shortstr(tag_s))
             elif cm == BASIC_ACK:
                 (tag,) = struct.unpack_from(">Q", args, 0)
                 multiple = args[8] == 1
@@ -194,6 +221,9 @@ class FakeBroker(threading.Thread):
                 for t in tags:
                     self.unacked.pop(t, None)
                     self.acked.append(t)
+                if self._consumer_tag is not None:
+                    # acks free prefetch window -> push more (RabbitMQ flow)
+                    self._push_ready(conn, channel)
             elif cm == CONNECTION_CLOSE:
                 self._send_method(conn, 0, CONNECTION_CLOSE_OK)
                 return
@@ -225,6 +255,33 @@ class FakeBroker(threading.Thread):
         )
         if body:  # real brokers send ZERO body frames for an empty body
             conn.sendall(build_frame(FRAME_BODY, channel, body))
+
+    def _push_ready(self, conn, channel) -> None:
+        """Stream queued messages as ``Deliver`` frames while the prefetch
+        window (0 = unlimited) has room — RabbitMQ's consume flow."""
+        while self.queue and (
+            self._prefetch == 0 or len(self.unacked) < self._prefetch
+        ):
+            rk, body, headers, redelivered = self.queue.popleft()
+            self._tag += 1
+            self.unacked[self._tag] = (rk, body, headers, redelivered)
+            self._send_method(
+                conn, channel, BASIC_DELIVER,
+                shortstr(self._consumer_tag)
+                + struct.pack(">Q", self._tag)
+                + (b"\x01" if redelivered else b"\x00")
+                + shortstr("")  # exchange
+                + shortstr(rk),
+            )
+            conn.sendall(
+                build_frame(
+                    FRAME_HEADER,
+                    channel,
+                    content_header_payload(60, len(body), headers=headers),
+                )
+            )
+            if body:
+                conn.sendall(build_frame(FRAME_BODY, channel, body))
 
     def _read_method(self, conn) -> tuple[tuple[int, int], int, bytes]:
         ftype, channel, payload = read_frame(conn)

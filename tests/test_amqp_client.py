@@ -403,3 +403,84 @@ def test_user_alias_matches_reference_config_key(spark, tmp_path):
     finally:
         loader_mod._stop_pump(_PUMP_NAMESPACE.get(), "aliascheck")
         broker.stop()
+
+
+# ---------------------------------------------------------------------------
+# Basic.Consume push mode
+# ---------------------------------------------------------------------------
+
+def test_consume_push_respects_prefetch_and_acks():
+    msgs = [(f"k{i}", json.dumps({"i": i}).encode()) for i in range(5)]
+    broker = _broker(msgs)
+    try:
+        c = AMQPClient("127.0.0.1", port=broker.port)
+        c.connect()
+        c.declare_queue("telemetry")
+        c.qos(2)  # broker may push at most 2 unacked
+        ctag = c.consume_start("telemetry")
+        first = c.consume_drain(max_messages=10, idle_timeout=0.3)
+        # prefetch window of 2 with no acks -> exactly 2 in flight
+        assert [rk for _, rk, _, _ in first] == ["k0", "k1"]
+        assert len(broker.unacked) == 2 and len(broker.queue) == 3
+        # acking frees the window -> the broker pushes the next 2 (the
+        # window refills per ack, so k4 stays queued until another ack)
+        c.ack(first[-1][0], multiple=True)
+        rest = c.consume_drain(max_messages=10, idle_timeout=0.3)
+        assert [rk for _, rk, _, _ in rest] == ["k2", "k3"]
+        c.ack(rest[-1][0], multiple=True)
+        last = c.consume_drain(max_messages=10, idle_timeout=0.3)
+        assert [rk for _, rk, _, _ in last] == ["k4"]
+        c.ack(last[-1][0], multiple=True)
+        assert c.consume_cancel(ctag) == []
+        c.close()
+        assert sorted(broker.acked) == [1, 2, 3, 4, 5]
+        assert not broker.unacked and not broker.queue
+    finally:
+        broker.stop()
+
+
+def test_consume_cancel_returns_inflight_deliveries():
+    msgs = [(f"k{i}", json.dumps({"i": i}).encode()) for i in range(3)]
+    broker = _broker(msgs)
+    try:
+        c = AMQPClient("127.0.0.1", port=broker.port)
+        c.connect()
+        c.declare_queue("telemetry")
+        c.qos(0)  # unlimited: everything is pushed immediately
+        ctag = c.consume_start("telemetry")
+        # cancel WITHOUT draining: the pushed deliveries race the Cancel-Ok
+        # and must come back from consume_cancel, not be lost
+        inflight = c.consume_cancel(ctag)
+        assert [rk for _, rk, _, _ in inflight] == ["k0", "k1", "k2"]
+        c._teardown()  # drop without acking -> broker requeues all three
+        c2 = AMQPClient("127.0.0.1", port=broker.port)
+        c2.connect()
+        again = c2.drain("telemetry", max_messages=10, ack=True)
+        assert [rk for rk, _ in again] == ["k0", "k1", "k2"]
+        c2.close()
+    finally:
+        broker.stop()
+
+
+def test_pump_consume_mode_spools_everything(tmp_path):
+    msgs = [
+        (f"actor.{i}", json.dumps({"v": float(i)}).encode()) for i in range(9)
+    ]
+    broker = _broker(msgs)
+    spool = str(tmp_path / "spool")
+    try:
+        cfg = _cfg(broker, mode="consume", idle_timeout=0.3)
+        n = amqp_to_spool(spool, cfg, batch_size=4)
+        assert n == 9
+        assert len(broker.acked) == 9
+        assert not broker.unacked and not broker.queue
+        # a second consume-mode pump on the empty queue spools nothing
+        assert amqp_to_spool(spool, cfg, batch_size=4) == 0
+    finally:
+        broker.stop()
+    spooled = []
+    for f in sorted((tmp_path / "spool").glob("*.json")):
+        spooled += [json.loads(line) for line in f.read_text().splitlines()]
+    assert sorted(m["sender"] for m in spooled) == sorted(
+        f"actor.{i}" for i in range(9)
+    )
