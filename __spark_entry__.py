@@ -546,6 +546,9 @@ _SNAPSHOT_PRIORITY = [
     "bm25_topk",
     "fuzzy_part_pairs",
     "pagerank_trade",
+    "dsir_topk",
+    "rfm_segments",
+    "event_transitions",
     # Born round 6 (gate in the round they are born — the post-rotation
     # policy): streaming-twin batch-equivalence gates, including the
     # applyInPandasWithState operators (sessionize/CUSUM) and the

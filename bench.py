@@ -54,10 +54,13 @@ HEADLINE = [
     "dup_spans",
     "vocab_encode",
     "epoch_shuffle",
-    # retrieval / record linkage / graph (round 6)
+    # retrieval / record linkage / graph / data selection (round 6)
     "bm25_topk",
     "fuzzy_part_pairs",
     "pagerank_trade",
+    "dsir_topk",
+    "rfm_segments",
+    "event_transitions",
     # volume + time-series joins
     "top_suppliers",
     "asof_join",

@@ -694,3 +694,82 @@ def bm25_topk(
     return top_k_ranked(scored, [("score", "desc"), ("id", "asc")], k=k).select(
         F.col("id").alias(id_col), "score", "rank"
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    document by its log-likelihood ratio under an add-1-smoothed unigram LM
+    of the TARGET slice vs the full corpus, and return the top-``k`` —
+    the hashed-n-gram data-selection recipe, at corpus scale, with n=1.
+
+    Scale shape:
+    (1) (doc, word) term frequencies — ONE combinable groupBy, the same
+        vocabulary-bounded shuffle every other text operator pays;
+    (2) corpus and target word counts derive from that tf frame (second
+        combinable groupBy over vocab-sized input, not corpus-sized);
+    (3) the per-word log-ratio is computed once per VOCAB word and
+        **quantized to integer micro-nats** (floor(x*1e6 + 0.5) as BIGINT)
+        — so the per-document weight is an exact INTEGER sum: no float
+        summation-order hazard at any scale, on any engine, under any
+        partitioning (same reasoning as the fixed-point revenue sums);
+    (4) doc weights are one more combinable groupBy; top-k is
+        TakeOrderedAndProject.
+
+    ``target_filter`` marks the target-domain rows (e.g. ``lang == 'en'``).
+    Smoothing: add-1 over the CORPUS vocabulary for both models, so words
+    unseen in the target still score (negatively), and the weight of a doc
+    is Σ_w tf_w · q_w with q_w = floor((ln p_target(w) − ln p_corpus(w)) ·
+    1e6 + 0.5).  Output weight is in micro-nats (BIGINT).
+
+    Reference parity: no reference counterpart — driver-mandated
+    training-data extension surface (data-selection family next to
+    unigram_nll and quality_score).
+    """
+    from cerebro_spark.operators.util import ensure_parallelism, top_k_ranked
+
+    df = ensure_parallelism(df)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_filter.cast("boolean").alias("__tgt"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = toks.groupBy("id", "__tgt", "w").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("w").agg(
+        F.sum("tf").alias("c_all"),
+        F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_all").alias("n_all"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    ).first()
+    n_all, n_tgt, vocab = float(totals["n_all"]), float(totals["n_tgt"]), float(totals["vocab"])
+    # per-word log-ratio in integer micro-nats: ln((c_tgt+1)/(n_tgt+V)) -
+    # ln((c_all+1)/(n_all+V)), quantized once per vocab word
+    q = F.floor(
+        (
+            F.log((F.col("c_tgt") + F.lit(1.0)) / F.lit(n_tgt + vocab))
+            - F.log((F.col("c_all") + F.lit(1.0)) / F.lit(n_all + vocab))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    ratios = counts.select("w", q.alias("q"))
+    # vocab-sized ratio table joins back onto tf — AQE broadcasts while it
+    # fits (same policy as the tfidf dfreq join; vocabulary is unbounded at
+    # web scale, so no forced broadcast)
+    weights = (
+        tf.join(ratios, "w")
+        .groupBy("id")
+        .agg(F.sum(F.col("tf") * F.col("q")).alias("weight"))
+    )
+    return top_k_ranked(weights, [("weight", "desc"), ("id", "asc")], k=k).select(
+        F.col("id").alias(id_col), "weight", "rank"
+    )

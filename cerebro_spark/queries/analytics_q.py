@@ -1017,3 +1017,112 @@ FROM daily
 
 QUERIES["rolling_revenue_7d"] = q_rolling_revenue_7d
 ORACLES["rolling_revenue_7d"] = _ROLLING_REVENUE_SQL
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation over the
+    events stream — the classic CRM cut, banded on FIXED thresholds so no
+    global ranking window exists (an ntile() over all users would serialize
+    through one WindowExec task; fixed bands are one combinable groupBy).
+    Monetary is an exact integer cents sum (floor(value*100 + 0.5) per
+    event) and recency is integer days vs the corpus max timestamp — every
+    output column is integer-derived, so the cross-engine hash is exact."""
+    from cerebro_spark.io import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("monetary_e2"),
+        F.max(F.col("ts").cast("long")).alias("last_s"),
+    )
+    # 1-row corpus anchor; scalar crossJoin broadcast (the allowlisted shape)
+    anchor = ev.agg(F.max(F.col("ts").cast("long")).alias("max_s"))
+    days = F.floor((F.col("max_s") - F.col("last_s")) / F.lit(86400)).cast("int")
+    banded = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.when(days <= 0, "r1").when(days <= 1, "r2").otherwise("r3").alias("r_band"),
+        F.when(F.col("freq") >= 70, "f1").when(F.col("freq") >= 55, "f2").otherwise("f3").alias("f_band"),
+        F.when(F.col("monetary_e2") >= 400000, "m1")
+        .when(F.col("monetary_e2") >= 250000, "m2")
+        .otherwise("m3")
+        .alias("m_band"),
+        "monetary_e2",
+    )
+    return banded.groupBy("r_band", "f_band", "m_band").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_e2").alias("segment_monetary_e2"),
+    )
+
+
+_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS freq,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_e2,
+    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s
+  FROM events GROUP BY 1
+),
+anchor AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS max_s FROM events),
+banded AS (
+  SELECT user_id,
+    CASE WHEN floor((max_s - last_s) / 86400.0) <= 0 THEN 'r1'
+         WHEN floor((max_s - last_s) / 86400.0) <= 1 THEN 'r2'
+         ELSE 'r3' END AS r_band,
+    CASE WHEN freq >= 70 THEN 'f1' WHEN freq >= 55 THEN 'f2'
+         ELSE 'f3' END AS f_band,
+    CASE WHEN monetary_e2 >= 400000 THEN 'm1'
+         WHEN monetary_e2 >= 250000 THEN 'm2'
+         ELSE 'm3' END AS m_band,
+    monetary_e2
+  FROM per_user, anchor
+)
+SELECT r_band, f_band, m_band, count(*) AS n_users,
+  CAST(sum(monetary_e2) AS BIGINT) AS segment_monetary_e2
+FROM banded GROUP BY 1, 2, 3
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition counts (the first-order Markov
+    matrix behind funnel/path analysis): per-user lag over (ts, event_id) —
+    the deterministic total order — with transitions crossing a 30-minute
+    gap discarded as session breaks.  One per-user window pass + one
+    combinable groupBy; at 100 TB the window partitions by user (millions of
+    independent partitions), never globally."""
+    from cerebro_spark.io import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).filter(F.col("prev_type").isNotNull() & (F.col("gap_us") < 1800 * 1_000_000))
+    return lagged.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH lagged AS (
+  SELECT event_type,
+    lag(event_type) OVER w AS prev_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT prev_type, event_type, count(*) AS n_transitions
+FROM lagged
+WHERE prev_type IS NOT NULL AND gap_us < 1800000000
+GROUP BY 1, 2
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = _RFM_SQL
+QUERIES["event_transitions"] = q_event_transitions
+ORACLES["event_transitions"] = _EVENT_TRANSITIONS_SQL

@@ -1004,3 +1004,55 @@ ORACLES["approx_top_terms"] = _APPROX_TOP_TERMS_SQL
 
 QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
 ORACLES["bpe_merge_candidates"] = _BPE_SQL
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: top-50 documents by unigram importance
+    weight toward the English slice (target = lang 'en', source = whole
+    corpus).  Per-word log-ratios quantize to integer micro-nats BEFORE the
+    per-doc sum, so document weights are exact integer sums (no float
+    summation-order hazard; operator docstring)."""
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.text import dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_weights(docs, F.col("lang") == "en", k=50)
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, tgt, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+counts AS (
+  SELECT w, CAST(sum(tf) AS BIGINT) AS c_all,
+         CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM tf GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+         CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+         CAST(count(*) AS DOUBLE) AS vocab
+  FROM counts
+),
+ratios AS (
+  SELECT w,
+    CAST(floor((ln((c_tgt + 1.0) / (n_tgt + vocab))
+              - ln((c_all + 1.0) / (n_all + vocab))) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM counts, tot
+),
+weights AS (
+  SELECT doc_id, CAST(sum(tf * q) AS BIGINT) AS weight
+  FROM tf JOIN ratios USING (w) GROUP BY 1
+)
+SELECT doc_id, weight,
+  CAST(row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS INT) AS rank
+FROM weights
+QUALIFY rank <= 50
+"""
+
+QUERIES["dsir_topk"] = q_dsir_topk
+ORACLES["dsir_topk"] = _DSIR_SQL

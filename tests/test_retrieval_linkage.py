@@ -167,3 +167,60 @@ def test_pagerank_mass_conserved_without_dangling(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_match_hand_computation(spark):
+    from cerebro_spark.operators.text import dsir_weights
+
+    docs = [
+        (1, "alpha alpha beta", True),    # target-leaning vocabulary
+        (2, "gamma gamma gamma", False),
+        (3, "alpha beta beta", True),
+        (4, "gamma beta", False),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(df, F.col("tgt"), k=10).collect()
+    }
+
+    # hand model: add-1 smoothed unigram LMs over corpus vocab (V=3)
+    toks = {i: t.split() for i, t, _ in docs}
+    tgt_ids = {i for i, _, f in docs if f}
+    c_all, c_tgt = {}, {}
+    for i, tk in toks.items():
+        for w in tk:
+            c_all[w] = c_all.get(w, 0) + 1
+            if i in tgt_ids:
+                c_tgt[w] = c_tgt.get(w, 0) + 1
+    n_all, n_tgt, v = sum(c_all.values()), sum(c_tgt.values()), len(c_all)
+    q = {
+        w: math.floor(
+            (
+                math.log((c_tgt.get(w, 0) + 1.0) / (n_tgt + v))
+                - math.log((c_all[w] + 1.0) / (n_all + v))
+            )
+            * 1e6
+            + 0.5
+        )
+        for w in c_all
+    }
+    ref = {i: sum(q[w] for w in tk) for i, tk in toks.items()}
+    assert got == ref
+    # target-vocabulary docs outweigh source-only docs
+    assert got[1] > got[2] and got[3] > got[2]
+
+
+def test_dsir_weight_is_integer_micro_nats(spark):
+    from cerebro_spark.operators.text import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "x y", True), (2, "y z", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = dsir_weights(df, F.col("tgt"), k=10)
+    assert dict(out.dtypes)["weight"] == "bigint"

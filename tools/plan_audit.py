@@ -63,6 +63,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the positive-balance average crossJoined onto
     # customer before the anti join (Q22 shape)
     "idle_customers",
+    # 1-row scalar broadcast: the corpus max-ts recency anchor crossJoined
+    # onto the per-user RFM aggregate (r6)
+    "rfm_segments",
     # 1-row × 1-row crossJoin of the two window-union theta sketches
     "user_retention",
     # 1-row scalar broadcast: the total-hit count crossJoined onto the
