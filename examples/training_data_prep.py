@@ -13,6 +13,9 @@ Stages (each one an oracle-checked operator — see QUERIES.md):
 8. overlap audit     — `dedup.winnow_overlap_pairs` (round 4: MOSS winnowing
    over the FINAL train split — catches substring-level overlap the
    doc-level LSH pass can't see, at ~2/(w+1) of the full shingle cost)
+12. data selection   — `text.dsir_weights` (round 6: DSIR unigram
+    importance toward a target domain, integer micro-nat weights)
+13. retrieval probe  — `text.bm25_topk` (round 6: shuffle-free BM25)
 """
 
 import sys
@@ -115,6 +118,17 @@ def main() -> None:
     topk = cosine_topk_pq(codes, emb.orderBy("vec_id").limit(5), books, k=3)
     print(f"pq codes:          {codes.count()} vectors -> packed int64")
     print(f"pq top-k sample:   {topk.count()} rows")
+
+    # 12. DSIR data selection: rank the raw corpus by unigram importance
+    # toward the English slice (integer micro-nat weights — exact sums)
+    from cerebro_spark.operators.text import bm25_topk, dsir_weights
+
+    selected = dsir_weights(docs, F.col("lang") == "en", k=20)
+    print(f"dsir top-20:       {selected.count()} docs selected")
+
+    # 13. retrieval sanity: BM25 top-5 for a probe query over the train split
+    hits = bm25_topk(train, ("spark", "window", "merge"), k=5)
+    print(f"bm25 probe hits:   {hits.count()} docs")
 
 
 if __name__ == "__main__":
