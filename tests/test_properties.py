@@ -489,3 +489,51 @@ def test_keyless_asof_join_matches_pandas_merge_asof(spark, lts, rts):
             for r in want_df.itertuples()
         }
         assert got == want, f"direction={direction}"
+
+
+# -- blocked fuzzy join == brute force restricted to block-equal pairs -------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcx", min_size=0, max_size=6),
+            st.sampled_from(["B1", "B2"]),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(0, 3),
+)
+def test_fuzzy_join_blocked_matches_bruteforce(spark, rows, d):
+    from cerebro_spark.operators.joins import fuzzy_join_blocked
+
+    data = [(i, name, blk) for i, (name, blk) in enumerate(rows)]
+    base = spark.createDataFrame(data, "id long, name string, blk string")
+    a = base.select(F.col("id").alias("key_a"), "name", "blk")
+    b = base.select(F.col("id").alias("key_b"), "name", "blk")
+    got = {
+        (r["key_a"], r["key_b"]): r["distance"]
+        for r in fuzzy_join_blocked(
+            a, b, "name", ["blk"], max_distance=d,
+            left_id="key_a", right_id="key_b",
+        ).collect()
+    }
+    ref = {
+        (i, j): _lev(ni, nj)
+        for i, ni, bi in data
+        for j, nj, bj in data
+        if i < j and bi == bj and _lev(ni, nj) <= d
+    }
+    assert got == ref
