@@ -151,6 +151,7 @@ def pagerank(
     dst: str = "dst",
     quantum: float = 1e-9,
     checkpoint_every: int = 8,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — returns ``(node, rank)``.
 
@@ -186,11 +187,14 @@ def pagerank(
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
-        .cache()
-    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        # duplicate edges would double-count contributions; callers whose
+        # edge list is distinct by construction (e.g. the union of two
+        # disjoint distinct halves after symmetrizing) pass
+        # assume_distinct=True and save this full-edge shuffle
+        e = e.distinct()
+    e = e.cache()
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))

@@ -745,23 +745,26 @@ def dsir_weights(
         F.sum("tf").alias("c_all"),
         F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(F.lit(0))).alias("c_tgt"),
     )
+    # corpus totals as a 1-row scalar broadcast instead of a driver action:
+    # keeps the whole operator ONE job, so Catalyst reuses the tf exchange
+    # for both the vocab counts and the per-doc weights (a .first() here
+    # would force an extra full corpus pass)
     totals = counts.agg(
-        F.sum("c_all").alias("n_all"),
-        F.sum("c_tgt").alias("n_tgt"),
-        F.count(F.lit(1)).alias("vocab"),
-    ).first()
-    n_all, n_tgt, vocab = float(totals["n_all"]), float(totals["n_tgt"]), float(totals["vocab"])
+        F.sum("c_all").cast("double").alias("n_all"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
     # per-word log-ratio in integer micro-nats: ln((c_tgt+1)/(n_tgt+V)) -
     # ln((c_all+1)/(n_all+V)), quantized once per vocab word
     q = F.floor(
         (
-            F.log((F.col("c_tgt") + F.lit(1.0)) / F.lit(n_tgt + vocab))
-            - F.log((F.col("c_all") + F.lit(1.0)) / F.lit(n_all + vocab))
+            F.log((F.col("c_tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.col("vocab")))
+            - F.log((F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("vocab")))
         )
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
-    ratios = counts.select("w", q.alias("q"))
+    ratios = counts.crossJoin(F.broadcast(totals)).select("w", q.alias("q"))
     # vocab-sized ratio table joins back onto tf — AQE broadcasts while it
     # fits (same policy as the tfidf dfreq join; vocabulary is unbounded at
     # web scale, so no forced broadcast)

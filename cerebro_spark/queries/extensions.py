@@ -1165,7 +1165,10 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iterations=3, damping=0.85).select(
+    # the union of the two prefix-disjoint distinct halves ('c…'->'s…' and
+    # 's…'->'c…') is distinct by construction — skip the operator's dedup
+    # shuffle over the full edge list
+    ranks = pagerank(edges, iterations=3, damping=0.85, assume_distinct=True).select(
         "node", F.col("rank").alias("pagerank")
     )
     return top_k_ranked(ranks, [("pagerank", "desc"), ("node", "asc")], k=20).select(

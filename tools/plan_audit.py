@@ -60,6 +60,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # aggregate row crossJoined onto a |domains|- or vocab-sized side
     "unigram_nll",
     "mixture_sample",
+    # 1-row scalar broadcast: corpus totals (N_all, N_tgt, vocab) crossJoined
+    # onto the vocab-sized counts frame — keeps DSIR one job (r6)
+    "dsir_topk",
     # 1-row scalar broadcast: the positive-balance average crossJoined onto
     # customer before the anti join (Q22 shape)
     "idle_customers",
