@@ -484,3 +484,62 @@ def test_pump_consume_mode_spools_everything(tmp_path):
     assert sorted(m["sender"] for m in spooled) == sorted(
         f"actor.{i}" for i in range(9)
     )
+
+
+def test_amqp_source_config_runner_consume_mode(spark, tmp_path):
+    """`type: amqp` with `mode: consume`: the loader passes mode/idle_timeout
+    through to the pump, which drains via Basic.Consume push — same store
+    output and ack accounting as the Get path."""
+    import time
+
+    from cerebro_spark.config.loader import IngestRunner
+
+    msgs = [
+        (f"actor.{i}", json.dumps({"v": float(i), "controller": "sp2"}).encode())
+        for i in range(5)
+    ]
+    broker = _broker(msgs)
+    try:
+        runner = IngestRunner(
+            spark,
+            {
+                "sources": {
+                    "busc": {
+                        "type": "amqp",
+                        "host": "127.0.0.1",
+                        "port": broker.port,
+                        "queue": "telemetry",
+                        "declare": "active",
+                        "mode": "consume",
+                        "idle_timeout": 0.3,
+                        "spool_dir": str(tmp_path / "spool"),
+                        "pump_interval": 0.2,
+                        "groupers": ["controller"],
+                        "delay": 1,
+                    }
+                }
+            },
+            store_path=str(tmp_path / "store"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+        )
+        runner.start()
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(str(tmp_path / "store")).count()
+            except Exception:
+                n = 0
+            if n >= 5:
+                break
+            time.sleep(1)
+        runner.stop()
+        assert n >= 5
+        rows = {
+            r["measurement"]: r
+            for r in spark.read.parquet(str(tmp_path / "store")).collect()
+        }
+        assert rows["actor.2"]["fields"]["v"] == 2.0
+        assert len(broker.acked) == 5 and not broker.unacked
+    finally:
+        broker.stop()
