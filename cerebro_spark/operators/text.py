@@ -625,7 +625,9 @@ def bm25_topk(
         present-terms-only ordered fold bit-for-bit);
     (4) the global top-k is ``top_k_ranked`` (TakeOrderedAndProject), never a
         partitionless window.
-    Total cost: two corpus scans (stats, scoring) and zero shuffles.
+    Total cost: two corpus scans (stats, scoring) and zero data shuffles
+    (the only Exchange a small-input plan shows is ``ensure_parallelism``'s
+    round-robin spread, which a large scan bypasses).
 
     The score is quantized to 1e-6 with ``floor(x*1e6 + 0.5)`` (identical
     semantics in Spark and DuckDB, unlike half-up vs half-even ``round``) so
