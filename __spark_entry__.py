@@ -546,6 +546,7 @@ _SNAPSHOT_PRIORITY = [
     "bm25_topk",
     "fuzzy_part_pairs",
     "pagerank_trade",
+    "triangle_parts",
     "dsir_topk",
     "rfm_segments",
     "event_transitions",

@@ -234,3 +234,76 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = _ckpt(ranks)
     return ranks
+
+
+def triangle_participation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts — returns ``(node,
+    triangles)`` for every node that closes at least one triangle.
+
+    Algorithm: the standard degree-ordered node-iterator ("compact
+    forward", Latapy 2008 / Suri-Vassilvitskii WWW'11 MapReduce variant):
+    every undirected edge is oriented from the (degree, node)-smaller
+    endpoint to the larger, wedges are built by self-joining the directed
+    edges on their source, and a wedge (b, c) is a triangle iff the
+    directed edge b→c exists.  The orientation bounds every node's
+    out-degree by O(√m), so wedge volume is O(m^1.5) worst-case instead of
+    Σ deg² — the hub-node blowup of the naive node-iterator never happens,
+    and all three steps are plain equi-joins (shuffle-partitioned by node /
+    edge key, combiner-friendly count at the end).
+
+    Each triangle is found exactly once (its unique orientation) and
+    credited to all three corners.
+
+    Reference parity: no reference counterpart — graph-analytics extension
+    next to connected_components / pagerank.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ew = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dir_e = ew.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lower_first, F.col("du")).otherwise(F.col("dv")).alias("ds"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).cache()
+    b = dir_e.select(
+        F.col("s").alias("a"), F.col("t").alias("b"),
+        F.col("dt").alias("db"),
+    )
+    c = dir_e.select(
+        F.col("s").alias("a"), F.col("t").alias("c"),
+        F.col("dt").alias("dc"),
+    )
+    wedges = b.join(c, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = dir_e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

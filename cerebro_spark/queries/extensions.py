@@ -1224,3 +1224,54 @@ QUALIFY pos <= 20
 
 QUERIES["pagerank_trade"] = q_pagerank_trade
 ORACLES["pagerank_trade"] = _PAGERANK_SQL
+
+
+def q_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the co-ordered-parts graph (parts appearing
+    in the same order are adjacent): the degree-ordered compact-forward
+    node-iterator Spark-side vs the naive a<b<c 3-way self-join in DuckDB —
+    both count every triangle exactly once, so per-node counts hash-match.
+    Top 20 nodes by triangle count."""
+    from cerebro_spark.operators.cluster import triangle_participation
+    from cerebro_spark.operators.util import top_k_ranked
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    counts = triangle_participation(e)
+    return top_k_ranked(
+        counts, [("triangles", "desc"), ("node", "asc")], k=20
+    ).select("node", "triangles", F.col("rank").alias("pos"))
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT ta AS node FROM tri
+  UNION ALL SELECT tb FROM tri
+  UNION ALL SELECT tc FROM tri
+),
+counts AS (SELECT node, count(*) AS triangles FROM corners GROUP BY 1)
+SELECT node, triangles,
+  CAST(row_number() OVER (ORDER BY triangles DESC, node ASC) AS INT) AS pos
+FROM counts
+QUALIFY pos <= 20
+"""
+
+QUERIES["triangle_parts"] = q_triangle_parts
+ORACLES["triangle_parts"] = _TRIANGLES_SQL

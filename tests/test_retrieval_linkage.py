@@ -224,3 +224,32 @@ def test_dsir_weight_is_integer_micro_nats(spark):
     )
     out = dsir_weights(df, F.col("tgt"), k=10)
     assert dict(out.dtypes)["weight"] == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# triangle participation
+# ---------------------------------------------------------------------------
+
+def test_triangle_participation_hand_graph(spark):
+    from cerebro_spark.operators.cluster import triangle_participation
+
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) + pendant 5 + an
+    # isolated edge (6,7); duplicate and reversed edges must not double-count
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(4, 5), (6, 7), (1, 2)]  # reversed dups + pendant + isolated
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_participation(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_participation_no_triangles(spark):
+    from cerebro_spark.operators.cluster import triangle_participation
+
+    # a path graph has no triangles
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    assert triangle_participation(df).count() == 0
