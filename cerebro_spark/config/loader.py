@@ -216,11 +216,17 @@ def _amqp(spark: SparkSession, name: str, **params) -> DataFrame:
         interval = float(params.get("pump_interval", 5.0))
         amqp_cfg["port"] = int(amqp_cfg.get("port", 5672))
         max_msgs = int(params.get("max_messages_per_pump", 1000))
+        amqp_cfg["idle_timeout"] = float(amqp_cfg.get("idle_timeout", 1.0))
     except (TypeError, ValueError) as exc:
         raise ValueError(
             f"amqp source {name!r}: non-numeric port/pump_interval/"
-            f"max_messages_per_pump: {exc}"
+            f"max_messages_per_pump/idle_timeout: {exc}"
         ) from exc
+    if amqp_cfg.get("mode", "get") not in ("get", "consume"):
+        raise ValueError(
+            f"amqp source {name!r}: mode must be 'get' or 'consume', "
+            f"got {amqp_cfg['mode']!r}"
+        )
     stop = threading.Event()
     log = logging.getLogger("cerebro_spark.amqp")
 

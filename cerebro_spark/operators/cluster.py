@@ -203,6 +203,8 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        e.unpersist()
+        nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = e.join(deg, "u").cache()  # (u, v, outdeg) — reused every iteration
@@ -233,6 +235,12 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = _ckpt(ranks)
+    # materialize the (node-sized, small) result, then release the cached
+    # edge-scale frames — otherwise every pagerank() call pins its edge
+    # list in executor storage for the life of the application
+    ranks = _ckpt(ranks)
+    for cached in (ew, nodes, e):
+        cached.unpersist()
     return ranks
 
 
@@ -306,4 +314,13 @@ def triangle_participation(
         .union(tri.select(F.col("b").alias("node")))
         .union(tri.select(F.col("c").alias("node")))
     )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    counts = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    # materialize the (node-sized) counts, then release the cached directed
+    # edge list — same cache-lifetime contract as pagerank
+    spark = edges.sparkSession
+    if spark.sparkContext.getCheckpointDir():
+        counts = counts.checkpoint(eager=True)
+    else:
+        counts = counts.localCheckpoint(eager=True)
+    dir_e.unpersist()
+    return counts

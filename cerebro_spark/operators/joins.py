@@ -244,6 +244,7 @@ def fuzzy_join_blocked(
     max_distance: int = 4,
     left_id: str = "left_id",
     right_id: str = "right_id",
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Blocked fuzzy (edit-distance) join — record linkage at scale.
 
@@ -262,8 +263,12 @@ def fuzzy_join_blocked(
     can be salted exactly like any skewed equi-join.
 
     Each side must carry a unique id column (``left_id`` / ``right_id``
-    name the OUTPUT columns); the pair (id_l < id_r) dedup is applied when
-    left and right are the same logical table to halve the candidate mass.
+    name the OUTPUT columns).  ``dedup_pairs=True`` applies the
+    (id_l < id_r) filter — pass it ONLY for self-joins (both sides the
+    same logical table under one id space), where it halves the candidate
+    mass and drops self-pairs.  It must stay False for genuine two-table
+    linkage: with disjoint id ranges the filter would silently discard
+    every pair whose left id sorts after its right id.
 
     Returns (left_id, right_id, block…, distance) with 0 <= distance <=
     ``max_distance``.  Edit distance ≤ d implies length difference ≤ d, so a
@@ -282,8 +287,7 @@ def fuzzy_join_blocked(
         eq = F.col(f"__bl_{c}") == F.col(f"__br_{c}")
         cond = eq if cond is None else cond & eq
     j = a.join(b, cond, "inner")
-    same_table = left_id != right_id
-    if same_table:
+    if dedup_pairs:
         j = j.filter(F.col(left_id) < F.col(right_id))
     j = j.filter(
         F.abs(F.length("__ta") - F.length("__tb")) <= max_distance

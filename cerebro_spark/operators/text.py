@@ -668,6 +668,15 @@ def bm25_topk(
         ],
     ).first()
     n_docs = stats["n"]
+    if n_docs == 0:
+        # empty corpus -> empty top-k with the normal output schema (not a
+        # None/ZeroDivision crash deep in a pipeline stage)
+        return (
+            counted.select(F.col("id").alias(id_col))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(1).cast("int"))
+            .limit(0)
+        )
     avgdl = float(stats["dl_sum"]) / float(n_docs)
 
     # fold per-term contributions in sorted term order from 0.0; a tf of 0

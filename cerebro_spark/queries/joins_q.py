@@ -207,6 +207,7 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=2,
         left_id="key_a",
         right_id="key_b",
+        dedup_pairs=True,  # self-join: both sides are `part`
     )
 
 

@@ -124,10 +124,16 @@ def amqp_to_spool(
     ``mode``: "get" (default) polls with ``Basic.Get`` — one round-trip per
     message, fine for telemetry rates; "consume" registers a
     ``Basic.Consume`` push consumer with ``basic.qos`` prefetch =
-    ``batch_size`` (so at most one unspooled batch is ever in flight) and
-    collects deliveries until ``idle_timeout`` seconds of silence — the
-    higher-throughput path when the queue outruns the Get round-trip.
-    Both modes share the same ack-after-spool-write contract.
+    ``min(batch_size, max_messages)`` (at most one unspooled batch in
+    flight) and collects deliveries until ``idle_timeout`` seconds of
+    silence — the higher-throughput path when the queue outruns the Get
+    round-trip.  Both modes share the same ack-after-spool-write contract.
+    Cap semantics: with an owned connection ``max_messages`` is exact
+    (cancel-racing deliveries are left unacked and requeue on close); with
+    a caller-provided ``client`` they are spooled+acked instead — the
+    connection stays open, so stranding them unacked would make them
+    invisible — and the return value may exceed ``max_messages`` by up to
+    the prefetch window.
 
     sender = the message's basic-properties ``sender`` header when present
     — the reference derives sender from the message header, not the routing
@@ -147,7 +153,7 @@ def amqp_to_spool(
     connection across pump cycles — the config-driven pump thread does;
     ownership stays with the caller (not closed here).
     """
-    from cerebro_spark.sources.amqp_client import AMQPClient
+    from cerebro_spark.sources.amqp_client import AMQPClient, AMQPError
 
     own_client = client is None
     if own_client:
@@ -192,11 +198,19 @@ def amqp_to_spool(
             # up to the batch's last delivery tag)
             client.ack(tagged[-1][0], multiple=True)
 
-        if amqp.get("mode", "get") == "consume":
+        mode = amqp.get("mode", "get")
+        if mode not in ("get", "consume"):
+            # fail loudly: a typo'd mode silently falling back to Get would
+            # leave a high-rate queue on the slow path with no diagnostics
+            raise ValueError(
+                f"amqp mode must be 'get' or 'consume', got {mode!r}"
+            )
+        if mode == "consume":
             # push mode: the broker streams ahead of the client, bounded by
-            # the prefetch window (= batch_size, so one unspooled batch is
-            # the most that can be in flight)
-            client.qos(batch_size)
+            # the prefetch window (≤ one batch AND ≤ the per-call cap, so
+            # cancel-racing deliveries can never blow max_messages by more
+            # than the window)
+            client.qos(min(batch_size, max_messages))
             ctag = client.consume_start(queue)
             try:
                 while total < max_messages:
@@ -209,13 +223,26 @@ def amqp_to_spool(
                     _spool_and_ack(tagged)
                     total += len(tagged)
             finally:
-                # deliveries racing the cancel are spooled+acked too — a
-                # REUSED connection keeps unacked messages invisible until
-                # it drops, so leaving them in flight would strand them
-                inflight = client.consume_cancel(ctag)
-                if inflight:
-                    _spool_and_ack(inflight)
-                    total += len(inflight)
+                # Cancel cleanly only if the connection is still alive — a
+                # torn-down client (broker restart mid-drain) must not have
+                # its AMQPError replaced by a second failure from writing
+                # Basic.Cancel to a dead socket.
+                if client._sock is not None:
+                    try:
+                        inflight = client.consume_cancel(ctag)
+                    except (AMQPError, OSError):
+                        inflight = []  # connection died racing the cancel
+                    if inflight and own_client:
+                        # leaving them unacked is safe AND keeps the
+                        # max_messages cap honest: close() below drops the
+                        # connection and the broker requeues unacked
+                        pass
+                    elif inflight:
+                        # reused connection: unacked deliveries would stay
+                        # invisible until the connection drops — spool+ack
+                        # them (documented overshoot ≤ the prefetch window)
+                        _spool_and_ack(inflight)
+                        total += len(inflight)
         else:
             while total < max_messages:
                 tagged = client.drain_tagged(

@@ -543,3 +543,37 @@ def test_amqp_source_config_runner_consume_mode(spark, tmp_path):
         assert len(broker.acked) == 5 and not broker.unacked
     finally:
         broker.stop()
+
+
+def test_pump_consume_mode_cap_is_exact_with_owned_client(tmp_path):
+    """max_messages is exact in consume mode when the pump owns the
+    connection: cancel-racing deliveries are left unacked and requeue on
+    close instead of being spooled past the cap."""
+    msgs = [(f"k{i}", json.dumps({"i": i}).encode()) for i in range(9)]
+    broker = _broker(msgs)
+    spool = str(tmp_path / "spool")
+    try:
+        cfg = _cfg(broker, mode="consume", idle_timeout=0.3)
+        n = amqp_to_spool(spool, cfg, max_messages=4, batch_size=100)
+        assert n == 4
+        assert len(broker.acked) == 4
+        # the rest requeued on close — nothing stranded unacked
+        assert not broker.unacked and len(broker.queue) == 5
+        # a second pump picks up exactly the remainder
+        assert amqp_to_spool(spool, cfg, max_messages=100, batch_size=100) == 5
+        assert not broker.unacked and not broker.queue
+    finally:
+        broker.stop()
+
+
+def test_pump_rejects_unknown_mode(tmp_path):
+    import pytest as _pytest
+
+    broker = _broker([])
+    try:
+        with _pytest.raises(ValueError, match="mode must be"):
+            amqp_to_spool(
+                str(tmp_path / "spool"), _cfg(broker, mode="push")
+            )
+    finally:
+        broker.stop()

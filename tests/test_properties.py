@@ -527,7 +527,7 @@ def test_fuzzy_join_blocked_matches_bruteforce(spark, rows, d):
         (r["key_a"], r["key_b"]): r["distance"]
         for r in fuzzy_join_blocked(
             a, b, "name", ["blk"], max_distance=d,
-            left_id="key_a", right_id="key_b",
+            left_id="key_a", right_id="key_b", dedup_pairs=True,
         ).collect()
     }
     ref = {

@@ -95,7 +95,7 @@ def test_fuzzy_join_blocked_pairs_and_blocking(spark):
         (r["key_a"], r["key_b"]): r["distance"]
         for r in fuzzy_join_blocked(
             a, b, "name", ["blk"], max_distance=2,
-            left_id="key_a", right_id="key_b",
+            left_id="key_a", right_id="key_b", dedup_pairs=True,
         ).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 3 - 1}  # (2,3) distance 2
@@ -112,7 +112,7 @@ def test_fuzzy_join_length_prefilter_semantics(spark):
     b = base.select(F.col("id").alias("key_b"), "name", "blk")
     out = fuzzy_join_blocked(
         a, b, "name", ["blk"], max_distance=2,
-        left_id="key_a", right_id="key_b",
+        left_id="key_a", right_id="key_b", dedup_pairs=True,
     ).collect()
     assert [(r["key_a"], r["key_b"], r["distance"]) for r in out] == [(1, 2, 2)]
 
@@ -253,3 +253,27 @@ def test_triangle_participation_no_triangles(spark):
         [(i, i + 1) for i in range(10)], "src long, dst long"
     )
     assert triangle_participation(df).count() == 0
+
+
+def test_fuzzy_join_cross_table_keeps_reversed_id_order(spark):
+    # two-table linkage (default dedup_pairs=False): disjoint id ranges with
+    # left ids ABOVE right ids must still match — the self-join (l < r)
+    # filter would silently drop every pair here
+    left = spark.createDataFrame(
+        [(1001, "acme corp", "A")], "key_a long, name string, blk string"
+    )
+    right = spark.createDataFrame(
+        [(7, "acme corp.", "A")], "key_b long, name string, blk string"
+    )
+    out = fuzzy_join_blocked(
+        left, right, "name", ["blk"], max_distance=2,
+        left_id="key_a", right_id="key_b",
+    ).collect()
+    assert [(r["key_a"], r["key_b"], r["distance"]) for r in out] == [(1001, 7, 1)]
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_topk(df, ("spark",), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score", "rank"]
