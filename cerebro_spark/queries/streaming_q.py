@@ -358,3 +358,79 @@ ORACLES = {
     "streaming_cusum_check": _STREAMING_CUSUM_SQL,
     "streaming_dedup_check": _STREAMING_DEDUP_SQL,
 }
+
+
+def q_streaming_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click-to-purchase attribution): the one
+    streaming capability class the other gates don't cover.  Purchases join
+    clicks of the same user within the 6 h before the purchase — a
+    watermarked self-join of two branches of one stream with an event-time
+    range condition, which is exactly the state-cleanup contract Spark's
+    stream-stream join machinery exists for (the watermark + range bound
+    how much click state is retained on a live stream).
+
+    Inner-join results emit as they match (append mode does not hold them
+    for the watermark), so the availableNow replay emits exactly the batch
+    join — hashed against the plain batch SQL.  Single-ordered-batch replay
+    keeps cross-batch eviction out of the equivalence check; on a live
+    stream the watermark bounds disorder instead."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+    def twin(stream: DataFrame) -> DataFrame:
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        return purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+            ),
+            "inner",
+        ).select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("click_ts"))
+            ).alias("gap_us"),
+        )
+
+    return _run_available_now(
+        ev, twin, output_mode="append", ordered_single_batch=True
+    )
+
+
+_STREAMING_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 6 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+QUERIES["streaming_join_check"] = q_streaming_join_check
+ORACLES["streaming_join_check"] = _STREAMING_JOIN_SQL
