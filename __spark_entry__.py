@@ -544,6 +544,7 @@ _SNAPSHOT_PRIORITY = [
     # Born round 6, second batch: retrieval / record-linkage / graph
     # operators (BM25 top-k, blocked fuzzy join, fixed-iteration PageRank).
     "streaming_join_check",
+    "fuzzy_block_stats",
     "bm25_topk",
     "fuzzy_part_pairs",
     "pagerank_trade",

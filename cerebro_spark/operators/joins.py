@@ -299,3 +299,30 @@ def fuzzy_join_blocked(
         "distance",
     )
     return out
+
+
+def fuzzy_block_stats(
+    df: DataFrame,
+    block_cols: list[str],
+) -> DataFrame:
+    """Block-size histogram for ``fuzzy_join_blocked``: ``(block_size,
+    n_blocks, candidate_pairs)`` — the skew diagnostic to run BEFORE the
+    fuzzy join at scale, the same pattern as ``lsh_bucket_stats`` /
+    ``simhash_bucket_stats``.  The join's levenshtein cost is
+    Σ size·(size−1)/2 over blocks (self-join form); one hot block (a
+    dominant brand, an empty-string prefix) dominates everything, and this
+    histogram is how you find it and widen the block key before paying for
+    the join."""
+    sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("block_size"))
+    return (
+        sizes.groupBy("block_size")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .select(
+            "block_size",
+            "n_blocks",
+            (
+                F.col("n_blocks")
+                * (F.col("block_size") * (F.col("block_size") - 1) / 2)
+            ).cast("long").alias("candidate_pairs"),
+        )
+    )

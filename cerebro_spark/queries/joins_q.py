@@ -227,3 +227,31 @@ WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
 
 QUERIES["fuzzy_part_pairs"] = q_fuzzy_part_pairs
 ORACLES["fuzzy_part_pairs"] = _FUZZY_PAIRS_SQL
+
+
+def q_fuzzy_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size histogram for the fuzzy join's (brand, first-word)
+    blocking — the pre-join skew diagnostic (candidate mass = Σ n·(n−1)/2
+    over blocks), gated like lsh_bucket_stats / simhash_bucket_stats."""
+    from cerebro_spark.operators.joins import fuzzy_block_stats
+
+    part = load_table(spark, "part", sf_dir).select(
+        "p_brand", F.split(F.col("p_name"), " ")[0].alias("first_word")
+    )
+    return fuzzy_block_stats(part, ["p_brand", "first_word"])
+
+
+_FUZZY_BLOCK_STATS_SQL = """
+WITH sizes AS (
+  SELECT p_brand, string_split(p_name, ' ')[1] AS first_word,
+         count(*) AS block_size
+  FROM part GROUP BY 1, 2
+)
+SELECT block_size, count(*) AS n_blocks,
+  CAST(count(*) * (block_size * (block_size - 1) / 2) AS BIGINT)
+    AS candidate_pairs
+FROM sizes GROUP BY 1
+"""
+
+QUERIES["fuzzy_block_stats"] = q_fuzzy_block_stats
+ORACLES["fuzzy_block_stats"] = _FUZZY_BLOCK_STATS_SQL
