@@ -152,6 +152,7 @@ def pagerank(
     quantum: float = 1e-9,
     checkpoint_every: int = 8,
     assume_distinct: bool = False,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — returns ``(node, rank)``.
 
@@ -176,6 +177,10 @@ def pagerank(
     per stage.  Lineage is cut with local/reliable checkpoints every
     ``checkpoint_every`` iterations (same policy as connected_components);
     for the default 3-5 iteration analytics runs no checkpoint fires.
+    ``release_cache=True`` additionally materializes the result and drops
+    the cached frames on the way out — long-lived-session hygiene, at the
+    cost of one extra checkpoint materialization (the caches are
+    MEMORY_AND_DISK and LRU-evictable, so occasional callers skip it).
 
     Reference parity: the reference has no graph verbs; this belongs to the
     driver-mandated extension surface (duplicate-graph / influence
@@ -235,12 +240,16 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = _ckpt(ranks)
-    # materialize the (node-sized, small) result, then release the cached
-    # edge-scale frames — otherwise every pagerank() call pins its edge
-    # list in executor storage for the life of the application
-    ranks = _ckpt(ranks)
-    for cached in (ew, nodes, e):
-        cached.unpersist()
+    if release_cache:
+        # long-lived-session hygiene: materialize the (node-sized, small)
+        # result, then drop the cached edge-scale frames so repeated calls
+        # don't accumulate storage.  Costs one checkpoint materialization
+        # (~2-3x the single-shot latency), so it is opt-in: the cached
+        # frames are MEMORY_AND_DISK and LRU-evictable, so a short-lived
+        # or occasional caller loses nothing by leaving them.
+        ranks = _ckpt(ranks)
+        for cached in (ew, nodes, e):
+            cached.unpersist()
     return ranks
 
 
@@ -248,6 +257,7 @@ def triangle_participation(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    release_cache: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts — returns ``(node,
     triangles)`` for every node that closes at least one triangle.
@@ -315,12 +325,12 @@ def triangle_participation(
         .union(tri.select(F.col("c").alias("node")))
     )
     counts = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
-    # materialize the (node-sized) counts, then release the cached directed
-    # edge list — same cache-lifetime contract as pagerank
-    spark = edges.sparkSession
-    if spark.sparkContext.getCheckpointDir():
-        counts = counts.checkpoint(eager=True)
-    else:
-        counts = counts.localCheckpoint(eager=True)
-    dir_e.unpersist()
+    if release_cache:
+        # same opt-in cache-lifetime contract as pagerank(release_cache=True)
+        spark = edges.sparkSession
+        if spark.sparkContext.getCheckpointDir():
+            counts = counts.checkpoint(eager=True)
+        else:
+            counts = counts.localCheckpoint(eager=True)
+        dir_e.unpersist()
     return counts
