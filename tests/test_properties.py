@@ -537,3 +537,39 @@ def test_fuzzy_join_blocked_matches_bruteforce(spark, rows, d):
         if i < j and bi == bj and _lev(ni, nj) <= d
     }
     assert got == ref
+
+
+# -- triangle participation == brute force on random graphs ------------------
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_participation_matches_bruteforce(spark, raw_edges):
+    from itertools import combinations
+
+    from cerebro_spark.operators.cluster import triangle_participation
+
+    df = spark.createDataFrame(raw_edges, "src long, dst long")
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_participation(df).collect()
+    }
+    undirected = {
+        (min(u, v), max(u, v)) for u, v in raw_edges if u != v
+    }
+    nodes = {u for e in undirected for u in e}
+    ref: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (
+            (a, b) in undirected
+            and (b, c) in undirected
+            and (a, c) in undirected
+        ):
+            for x in (a, b, c):
+                ref[x] = ref.get(x, 0) + 1
+    assert got == ref
