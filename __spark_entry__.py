@@ -543,6 +543,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SNAPSHOT_PRIORITY = [
     # Born round 6, second batch: retrieval / record-linkage / graph
     # operators (BM25 top-k, blocked fuzzy join, fixed-iteration PageRank).
+    "streaming_outer_join_check",
     "streaming_join_check",
     "fuzzy_block_stats",
     "bm25_topk",

@@ -434,3 +434,106 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 
 QUERIES["streaming_join_check"] = q_streaming_join_check
 ORACLES["streaming_join_check"] = _STREAMING_JOIN_SQL
+
+
+def q_streaming_outer_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the held-until-watermark emission
+    class the inner-join gate can't exercise: a purchase with NO click in
+    its 6 h window must still come out (click_id null), which the engine
+    can only emit once the watermark proves no matching click can arrive.
+
+    Determinism trick for the finite replay: one sentinel event far past
+    the corpus max-ts rides the stream PER JOIN BRANCH, typed to pass that
+    branch's event_type filter — Catalyst pushes the branch filters below
+    the watermark operators, so each branch's watermark only tracks rows
+    that survive its own filter (a lone untyped sentinel advances neither;
+    found empirically: the global watermark is min() over branches).  The
+    sentinels use user ids no real row has (and can't match each other),
+    and the sentinel purchase is dropped after the join.  On a live stream
+    the same advancement comes from the passage of event time itself.
+
+    Output: per-purchase match count + null-flag, hashed against the batch
+    LEFT JOIN aggregate."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    far = (F.max("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts")
+    sentinel_click = ev.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        far,
+    )
+    sentinel_purchase = ev.agg(
+        F.lit(-2).cast("long").alias("event_id"),
+        F.lit(-2).cast("long").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        far,
+    )
+    src = ev.unionByName(sentinel_click).unionByName(sentinel_purchase)
+
+    def twin(stream: DataFrame) -> DataFrame:
+        clicks = (
+            stream.withWatermark("ts", "10 minutes")
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        purchases = (
+            stream.withWatermark("ts", "10 minutes")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+            ),
+            "left_outer",
+        )
+        return joined.select(
+            "purchase_id",
+            "user_id",
+            F.col("click_id"),
+        )
+
+    out = _run_available_now(
+        src, twin, output_mode="append", ordered_single_batch=True
+    ).filter(F.col("purchase_id") >= 0)  # drop the sentinel purchase
+    # aggregate to per-purchase counts: outer-join row order/duplication is
+    # engine-internal, the per-purchase contract is not
+    return out.groupBy("purchase_id", "user_id").agg(
+        F.sum(F.when(F.col("click_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks"),
+        F.max(F.col("click_id").isNull().cast("int")).cast("long").alias("unmatched"),
+    )
+
+
+_STREAMING_OUTER_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+  CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+  CAST(CASE WHEN count(c.event_id) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS unmatched
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 6 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+QUERIES["streaming_outer_join_check"] = q_streaming_outer_join_check
+ORACLES["streaming_outer_join_check"] = _STREAMING_OUTER_JOIN_SQL
