@@ -541,8 +541,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # Born round 6, second batch: retrieval / record-linkage / graph
-    # operators (BM25 top-k, blocked fuzzy join, fixed-iteration PageRank).
+    # Born round 6, second batch — newest first: stream-stream join gates
+    # (left-outer with per-branch watermark sentinels; inner interval),
+    # the fuzzy-join block-skew diagnostic, then the retrieval /
+    # record-linkage / graph / selection operators (BM25 top-k, blocked
+    # fuzzy join, fixed-iteration PageRank, triangles, DSIR, RFM,
+    # event transitions).
     "streaming_outer_join_check",
     "streaming_join_check",
     "fuzzy_block_stats",

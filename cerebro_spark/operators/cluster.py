@@ -276,6 +276,12 @@ def triangle_participation(
     Each triangle is found exactly once (its unique orientation) and
     credited to all three corners.
 
+    ``release_cache=True`` materializes the (node-sized) counts and drops
+    the cached directed-edge frame on the way out — the same opt-in
+    long-lived-session hygiene contract as ``pagerank(release_cache=True)``
+    (one extra checkpoint materialization; the cache is MEMORY_AND_DISK
+    and LRU-evictable, so occasional callers skip it).
+
     Reference parity: no reference counterpart — graph-analytics extension
     next to connected_components / pagerank.
     """

@@ -457,20 +457,27 @@ def q_streaming_outer_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "ts"
     )
-    far = (F.max("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts")
-    sentinel_click = ev.agg(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("click").alias("event_type"),
-        far,
-    )
-    sentinel_purchase = ev.agg(
-        F.lit(-2).cast("long").alias("event_id"),
-        F.lit(-2).cast("long").alias("user_id"),
-        F.lit("purchase").alias("event_type"),
-        far,
-    )
-    src = ev.unionByName(sentinel_click).unionByName(sentinel_purchase)
+    # ONE max-ts aggregation builds both sentinel rows (explode of a
+    # 2-struct array over the 1-row anchor — not two full-table agg jobs)
+    anchor = ev.agg((F.max("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts"))
+    sentinels = anchor.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(-1).cast("long").alias("event_id"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit("click").alias("event_type"),
+                ),
+                F.struct(
+                    F.lit(-2).cast("long").alias("event_id"),
+                    F.lit(-2).cast("long").alias("user_id"),
+                    F.lit("purchase").alias("event_type"),
+                ),
+            )
+        ).alias("s"),
+        "ts",
+    ).select("s.event_id", "s.user_id", "s.event_type", "ts")
+    src = ev.unionByName(sentinels)
 
     def twin(stream: DataFrame) -> DataFrame:
         clicks = (
