@@ -541,6 +541,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
+    # Born round 6, third batch — newest first: link-prediction /
+    # association-rule graph analytics (common-neighbor Jaccard over the
+    # supplier–customer bipartite graph; market-basket lift over order
+    # baskets).
+    "supplier_overlap",
+    "part_affinity",
     # Born round 6, second batch — newest first: stream-stream join gates
     # (left-outer with per-branch watermark sentinels; inner interval),
     # the fuzzy-join block-skew diagnostic, then the retrieval /

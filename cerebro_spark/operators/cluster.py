@@ -253,6 +253,153 @@ def pagerank(
     return ranks
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    entity: str = "entity",
+    neighbor: str = "neighbor",
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Pairwise Jaccard similarity of neighbor sets — the classic
+    common-neighbors link-prediction / entity-resolution score over a
+    bipartite adjacency list ``(entity, neighbor)``.
+
+    Returns ``(id_a, id_b, common, jaccard)`` for every entity pair with at
+    least ``min_common`` shared neighbors, ``id_a < id_b``, where
+    ``jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|``.
+
+    Scale shape — identical to the inverted-index join of
+    ``ngram_jaccard_pairs`` (dedup.py), but over graph adjacency instead of
+    shingle sets: the pair space is NEVER enumerated; candidate pairs
+    materialize only through the self-join on the shared neighbor, so cost
+    is Σ_neighbor deg(neighbor)², not |entities|².  A hub neighbor (one
+    connected to everything — a stopword of the graph) makes that sum
+    quadratic; ``max_neighbor_degree`` drops such neighbors before the
+    wedge join, the same guard as ``max_shingle_freq`` there.  Dropping a
+    hub REDUCES every pair's `common` but also its union via degree
+    recount, keeping the score honest on the filtered graph (degrees are
+    computed AFTER the cap so numerator and denominator agree).
+
+    ``top_k`` bounds the output with a TakeOrderedAndProject on
+    ``(jaccard DESC, id_a, id_b)`` instead of a full sort.
+
+    Reference parity: no reference counterpart — record-linkage extension
+    next to fuzzy_join_blocked and the dedup pair detectors.
+    """
+    e = edges.select(
+        F.col(entity).alias("ent"), F.col(neighbor).alias("nb")
+    ).distinct()
+    if max_neighbor_degree is not None:
+        nb_deg = e.groupBy("nb").agg(F.count(F.lit(1)).alias("__nd"))
+        e = (
+            e.join(nb_deg.filter(F.col("__nd") <= max_neighbor_degree), "nb")
+            .select("ent", "nb")
+        )
+    deg = e.groupBy("ent").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.select(F.col("nb"), F.col("ent").alias("id_a"))
+    b = e.select(F.col("nb"), F.col("ent").alias("id_b"))
+    common = (
+        a.join(b, "nb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("ent").alias("id_a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("ent").alias("id_b"), F.col("deg").alias("__db"))
+    scored = (
+        common.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (
+                F.lit(1.0) * F.col("common")
+                / (F.col("__da") + F.col("__db") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    if top_k is not None:
+        from cerebro_spark.operators.util import top_k_ranked
+
+        scored = top_k_ranked(
+            scored, [("jaccard", "desc"), ("id_a", "asc"), ("id_b", "asc")], k=top_k
+        ).drop("rank")
+    return scored
+
+
+def cooccurrence_lift(
+    edges: DataFrame,
+    basket: str = "basket",
+    item: str = "item",
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket association scores — support, confidence and lift for
+    every item pair that co-occurs in at least ``min_pair_count`` baskets
+    (Agrawal & Srikant, VLDB'94 measures; pair enumeration instead of full
+    apriori since depth-2 rules are what a recommender actually serves).
+
+    Returns ``(item_a, item_b, pair_count, support, lift)`` with
+    ``item_a < item_b``; ``support = pair_count / n_baskets``;
+    ``lift = pair_count * n_baskets / (count(a) * count(b))`` — lift > 1
+    means the pair co-occurs more than independence predicts.
+
+    Scale shape: pair candidates come from the self-join on the basket key
+    (Σ_basket size² wedges, not |items|²), so a degenerate giant basket is
+    the skew risk — ``max_basket_size`` drops baskets above the cap before
+    the join (a basket of 10⁶ items contributes 10¹² wedges and zero
+    signal).  Item marginals are computed AFTER the cap so support and
+    lift stay consistent on the filtered baskets.  ``n_baskets`` reduces
+    to a 1-row frame joined in by broadcast cross-join (bounded metadata,
+    same pattern as the BM25 corpus stats).
+
+    Reference parity: no reference counterpart — co-occurrence analytics
+    extension next to bigram_pmi (text) and neighbor_jaccard (graph).
+    """
+    e = edges.select(
+        F.col(basket).alias("bk"), F.col(item).alias("it")
+    ).distinct()
+    if max_basket_size is not None:
+        bsz = e.groupBy("bk").agg(F.count(F.lit(1)).alias("__bs"))
+        e = (
+            e.join(bsz.filter(F.col("__bs") <= max_basket_size), "bk")
+            .select("bk", "it")
+        )
+    n_baskets = e.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    marg = e.groupBy("it").agg(F.count(F.lit(1)).alias("cnt"))
+    a = e.select("bk", F.col("it").alias("item_a"))
+    b = e.select("bk", F.col("it").alias("item_b"))
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    ma = marg.select(F.col("it").alias("item_a"), F.col("cnt").alias("__ca"))
+    mb = marg.select(F.col("it").alias("item_b"), F.col("cnt").alias("__cb"))
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))  # 1-row stats frame
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            (F.lit(1.0) * F.col("pair_count") / F.col("__n")).alias("support"),
+            (
+                F.lit(1.0) * F.col("pair_count") * F.col("__n")
+                / (F.col("__ca") * F.col("__cb"))
+            ).alias("lift"),
+        )
+    )
+
+
 def triangle_participation(
     edges: DataFrame,
     src: str = "src",

@@ -1275,3 +1275,100 @@ QUALIFY pos <= 20
 
 QUERIES["triangle_parts"] = q_triangle_parts
 ORACLES["triangle_parts"] = _TRIANGLES_SQL
+
+
+def q_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction: suppliers scored by the
+    overlap of their customer sets (cluster.neighbor_jaccard — inverted-index
+    wedge join on the shared customer, never the |suppliers|² pair space).
+    Top 20 pairs; single-division score, so no quantization is needed for
+    cross-engine parity."""
+    from cerebro_spark.operators.cluster import neighbor_jaccard
+    from cerebro_spark.operators.util import top_k_ranked
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("l_suppkey").alias("entity"), F.col("o_custkey").alias("neighbor")
+    )
+    scored = neighbor_jaccard(edges, min_common=2)
+    return top_k_ranked(
+        scored, [("jaccard", "desc"), ("id_a", "asc"), ("id_b", "asc")], k=20
+    ).select("id_a", "id_b", "common", "jaccard", F.col("rank").alias("pos"))
+
+
+_SUPPLIER_OVERLAP_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS ent, o_custkey AS nb
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT ent, count(*) AS deg FROM e GROUP BY 1),
+common AS (
+  SELECT a.ent AS id_a, b.ent AS id_b, count(*) AS common
+  FROM e a JOIN e b ON a.nb = b.nb AND a.ent < b.ent
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+s AS (
+  SELECT id_a, id_b, common,
+    1.0 * common / (da.deg + db.deg - common) AS jaccard
+  FROM common JOIN deg da ON da.ent = id_a JOIN deg db ON db.ent = id_b
+)
+SELECT id_a, id_b, common, jaccard,
+  CAST(row_number() OVER (ORDER BY jaccard DESC, id_a, id_b) AS INT) AS pos
+FROM s
+QUALIFY pos <= 20
+"""
+
+QUERIES["supplier_overlap"] = q_supplier_overlap
+ORACLES["supplier_overlap"] = _SUPPLIER_OVERLAP_SQL
+
+
+def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: part pairs ranked by lift over
+    order baskets (cluster.cooccurrence_lift — basket self-join wedges,
+    1-row broadcast basket-count frame).  Top 20 by lift; support and lift
+    are single divisions of exact sub-2^53 integers, so the doubles are
+    bit-equal across engines without quantization."""
+    from cerebro_spark.operators.cluster import cooccurrence_lift
+    from cerebro_spark.operators.util import top_k_ranked
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    scored = cooccurrence_lift(
+        li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        min_pair_count=2,
+    )
+    return top_k_ranked(
+        scored, [("lift", "desc"), ("item_a", "asc"), ("item_b", "asc")], k=20
+    ).select(
+        "item_a", "item_b", "pair_count", "support", "lift",
+        F.col("rank").alias("pos"),
+    )
+
+
+_PART_AFFINITY_SQL = """
+WITH e AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+n AS (SELECT count(DISTINCT bk) AS n_baskets FROM e),
+marg AS (SELECT it, count(*) AS cnt FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b, count(*) AS pair_count
+  FROM e a JOIN e b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+s AS (
+  SELECT item_a, item_b, pair_count,
+    1.0 * pair_count / n_baskets AS support,
+    1.0 * pair_count * n_baskets / (ma.cnt * mb.cnt) AS lift
+  FROM pairs
+  JOIN marg ma ON ma.it = item_a
+  JOIN marg mb ON mb.it = item_b, n
+)
+SELECT item_a, item_b, pair_count, support, lift,
+  CAST(row_number() OVER (ORDER BY lift DESC, item_a, item_b) AS INT) AS pos
+FROM s
+QUALIFY pos <= 20
+"""
+
+QUERIES["part_affinity"] = q_part_affinity
+ORACLES["part_affinity"] = _PART_AFFINITY_SQL

@@ -277,3 +277,93 @@ def test_bm25_empty_corpus_returns_empty(spark):
     out = bm25_topk(df, ("spark",), k=5)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "score", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# neighbor Jaccard (link prediction) — round-6 third batch
+# ---------------------------------------------------------------------------
+
+def test_neighbor_jaccard_hand_graph(spark):
+    from cerebro_spark.operators.cluster import neighbor_jaccard
+
+    # N(a)={1,2,3}, N(b)={2,3,4}, N(c)={9} -> only (a,b) shares anything
+    rows = [("a", n) for n in (1, 2, 3)] + [("b", n) for n in (2, 3, 4)] + [("c", 9)]
+    df = spark.createDataFrame(rows, "entity string, neighbor long")
+    out = neighbor_jaccard(df).collect()
+    assert [(r["id_a"], r["id_b"], r["common"], r["jaccard"]) for r in out] == [
+        ("a", "b", 2, 2 / (3 + 3 - 2))
+    ]
+
+
+def test_neighbor_jaccard_hub_cap_recounts_degrees(spark):
+    from cerebro_spark.operators.cluster import neighbor_jaccard
+
+    # hub neighbor 99 touches everyone; uncapped it creates an (a,c) pair
+    # and inflates degrees — capped, degrees must be recomputed WITHOUT the
+    # hub so numerator and denominator agree on the filtered graph
+    rows = (
+        [("a", n) for n in (1, 2, 3, 99)]
+        + [("b", n) for n in (2, 3, 4, 99)]
+        + [("c", 9), ("c", 99)]
+    )
+    df = spark.createDataFrame(rows, "entity string, neighbor long")
+    unc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in neighbor_jaccard(df).collect()}
+    assert ("a", "c") in unc and unc[("a", "b")] == 3 / (4 + 4 - 3)
+    cap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           neighbor_jaccard(df, max_neighbor_degree=2).collect()}
+    assert ("a", "c") not in cap
+    assert cap[("a", "b")] == 2 / (3 + 3 - 2)  # hub gone from BOTH sides
+
+
+def test_neighbor_jaccard_topk_bounds_output(spark):
+    from cerebro_spark.operators.cluster import neighbor_jaccard
+
+    rows = [(f"e{i}", n) for i in range(6) for n in (1, 2)]
+    df = spark.createDataFrame(rows, "entity string, neighbor long")
+    out = neighbor_jaccard(df, top_k=3).collect()
+    assert len(out) == 3
+    assert all(r["jaccard"] == 1.0 for r in out)
+    # deterministic tie-break: (id_a, id_b) ascending
+    assert [(r["id_a"], r["id_b"]) for r in out] == [
+        ("e0", "e1"), ("e0", "e2"), ("e0", "e3")
+    ]
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence lift (market basket) — round-6 third batch
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_lift_hand_baskets(spark):
+    from cerebro_spark.operators.cluster import cooccurrence_lift
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (4, "y")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): (r["pair_count"], r["support"], r["lift"])
+        for r in cooccurrence_lift(df, min_pair_count=1).collect()
+    }
+    # n=4 baskets, cnt x=3 y=3 z=1
+    assert out[("x", "y")] == (2, 2 / 4, 2 * 4 / (3 * 3))
+    assert out[("x", "z")] == (1, 1 / 4, 1 * 4 / (3 * 1))
+    assert ("y", "z") not in out  # never co-occur
+
+
+def test_cooccurrence_lift_min_pair_count_and_dedup(spark):
+    from cerebro_spark.operators.cluster import cooccurrence_lift
+
+    # duplicate (basket, item) rows must count once; min_pair_count prunes
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = cooccurrence_lift(df, min_pair_count=2).collect()
+    assert [(r["item_a"], r["item_b"], r["pair_count"]) for r in out] == [("x", "y", 2)]
+
+
+def test_cooccurrence_basket_cap_drops_giant_basket(spark):
+    from cerebro_spark.operators.cluster import cooccurrence_lift
+
+    rows = [(1, "x"), (1, "y")] + [(9, f"i{k}") for k in range(10)]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = cooccurrence_lift(df, min_pair_count=1, max_basket_size=5).collect()
+    # only basket 1 survives: one pair, marginals recomputed on survivors
+    assert [(r["item_a"], r["item_b"], r["pair_count"], r["support"], r["lift"])
+            for r in out] == [("x", "y", 1, 1.0, 1.0)]

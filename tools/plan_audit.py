@@ -78,6 +78,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the (total, Z=Σn^α) normalizer crossJoined
     # onto the |domains|-row count table (bounded dimension, round 4)
     "temperature_mix",
+    # 1-row scalar broadcast: the basket-count frame crossJoined onto the
+    # pair-count table for support/lift denominators (r6 third batch)
+    "part_affinity",
     # 1-row scalar broadcast: the 9 decile boundaries crossJoined onto the
     # corpus scan (the alternative — a global NTILE window — is the real
     # scale anti-pattern this query avoids)
