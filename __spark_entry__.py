@@ -545,6 +545,8 @@ _SNAPSHOT_PRIORITY = [
     # association-rule graph analytics (common-neighbor Jaccard over the
     # supplier–customer bipartite graph; market-basket lift over order
     # baskets).
+    "kcore_trade",
+    "lpa_communities",
     "supplier_overlap",
     "part_affinity",
     # Born round 6, second batch — newest first: stream-stream join gates

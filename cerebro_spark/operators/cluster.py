@@ -253,6 +253,134 @@ def pagerank(
     return ranks
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition: iteratively peel nodes of degree < ``k`` until
+    a fixpoint, returning ``(node, degree)`` for the surviving core (degree
+    = within-core degree).  The k-core is unique, so looping to the
+    fixpoint (with an early exit as soon as a peel round removes nothing)
+    is exact regardless of round count — an oracle that unrolls a FIXED
+    number of rounds matches whenever the data converges within them.
+
+    Scale shape: each round is one symmetric-degree ``groupBy`` (map-side
+    combinable) plus two semi-joins of the edge list against the shrinking
+    keep-set — no adjacency arrays, no per-node iteration.  Rounds are
+    ``localCheckpoint``/``checkpoint``-cut like connected_components (same
+    lineage-growth failure mode), and convergence needs one cheap count
+    per round.  Peeling removes at least one node per non-final round, so
+    ``max_rounds`` only guards degenerate adversarial chains; real graphs
+    cascade in a handful of rounds.
+
+    Reference parity: no reference counterpart — graph-analytics extension
+    next to pagerank / triangle_participation (driver brief).
+    """
+    spark = edges.sparkSession
+    if spark.sparkContext.getCheckpointDir():
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    e = _ckpt(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = e.count()
+    for _ in range(max_rounds):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select(F.col("u").alias("node"))
+        )
+        e = _ckpt(
+            e.join(keep, e["u"] == keep["node"], "left_semi")
+            .join(keep, F.col("v") == keep["node"], "left_semi")
+        )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover — max_rounds ≫ the cascade depth of real graphs
+        raise RuntimeError(f"kcore: no fixpoint in {max_rounds} rounds")
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with deterministic tie-breaks — returns ``(node, label)`` after
+    exactly ``iterations`` rounds.
+
+    Semantics (documented so the SQL oracle can reproduce them exactly):
+    every node starts labeled with itself; each round, a node adopts the
+    label with the highest vote count among its neighbors' current labels
+    PLUS ONE vote for its own current label (the self-vote damps the
+    2-cycle oscillation synchronous LPA exhibits on bipartite subgraphs),
+    ties broken by the SMALLEST label.  The argmax is a ``min`` over
+    ``struct(-count, label)`` — one combinable aggregation, no per-node
+    window — which a SQL oracle expresses as ``row_number() OVER
+    (PARTITION BY node ORDER BY cnt DESC, label ASC) = 1``.
+
+    Fixed iterations rather than convergence detection: synchronous LPA is
+    not guaranteed to reach a fixpoint (label cycles), and a bounded round
+    count is also what makes the operator's cost predictable at 100 TB —
+    each round is one edge⋈label equi-join plus two combinable groupBys,
+    lineage-cut per round like the other iterative operators here.
+
+    Reference parity: no reference counterpart — community-detection
+    extension next to connected_components (which it refines: LPA splits
+    weakly-joined components that CC merges).
+    """
+    spark = edges.sparkSession
+    if spark.sparkContext.getCheckpointDir():
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = _ckpt(e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        votes = sym.join(labels, sym["u"] == labels["node"]).select(
+            F.col("v").alias("node"), "label"
+        ).unionByName(labels)
+        counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = _ckpt(
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.l").alias("label"))
+        )
+    return labels
+
+
 def neighbor_jaccard(
     edges: DataFrame,
     entity: str = "entity",

@@ -1372,3 +1372,153 @@ QUALIFY pos <= 20
 
 QUERIES["part_affinity"] = q_part_affinity
 ORACLES["part_affinity"] = _PART_AFFINITY_SQL
+
+
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the customer–supplier trade graph (cluster.kcore): peel
+    nodes of degree < k until fixpoint, k = ceil(edges/nodes) computed from
+    the data (integer formula, engine-exact) so the cut scales with the SF's
+    density.  Spark loops to the fixpoint; the oracle unrolls 4 peel rounds
+    — the fixpoint is reached in 2 at every test SF (measured), and the
+    k-core is unique, so extra rounds are no-ops on both sides."""
+    from cerebro_spark.operators.cluster import kcore
+    from cerebro_spark.operators.util import top_k_ranked
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    # bounded-metadata driver stats (two scalar counts), same pattern as the
+    # BM25 corpus stats: m edges, n nodes -> k = ceil(m/n) in pure integers
+    m = e0.count()
+    n = e0.select(F.col("src").alias("x")).union(
+        e0.select(F.col("dst").alias("x"))
+    ).distinct().count()
+    k = (m + n - 1) // n
+    core = kcore(e0, k)
+    return top_k_ranked(core, [("degree", "desc"), ("node", "asc")], k=20).select(
+        "node", "degree", F.col("rank").alias("pos")
+    )
+
+
+def _kcore_sql(rounds: int = 4) -> str:
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+kk AS (
+  SELECT (m + n - 1) // n AS k FROM
+    (SELECT count(*) AS m FROM e0),
+    (SELECT count(*) AS n FROM (SELECT u FROM e0 UNION SELECT v FROM e0))
+)"""
+    parts = [head]
+    for i in range(rounds):
+        parts.append(f""",
+d{i} AS (
+  SELECT u AS node, count(*) AS d
+  FROM (SELECT u, v FROM e{i} UNION ALL SELECT v AS u, u AS v FROM e{i})
+  GROUP BY 1
+),
+e{i + 1} AS (
+  SELECT e.u, e.v
+  FROM e{i} e JOIN d{i} da ON e.u = da.node JOIN d{i} db ON e.v = db.node
+  CROSS JOIN kk
+  WHERE da.d >= kk.k AND db.d >= kk.k
+)""")
+    parts.append(f"""
+SELECT node, degree, pos FROM (
+  SELECT u AS node, count(*) AS degree,
+    CAST(row_number() OVER (ORDER BY count(*) DESC, u ASC) AS INT) AS pos
+  FROM (SELECT u, v FROM e{rounds} UNION ALL SELECT v AS u, u AS v FROM e{rounds})
+  GROUP BY 1
+)
+WHERE pos <= 20
+""")
+    return "".join(parts)
+
+
+QUERIES["kcore_trade"] = q_kcore_trade
+ORACLES["kcore_trade"] = _kcore_sql()
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the co-ordered-parts graph,
+    sparsified to edges with ≥2 distinct co-orders (the unfiltered co-order
+    blob is one dense component and LPA rightly collapses it to a single
+    community — the support threshold keeps only repeated associations,
+    the graph where community structure actually lives).  3 synchronous
+    rounds, self-vote, min-label tie-break (cluster.label_propagation
+    docstring); 20 largest communities.  The Spark argmax is
+    min(struct(-cnt, label)); the oracle's is row_number()
+    (cnt DESC, label ASC) = 1 — identical pick."""
+    from cerebro_spark.operators.cluster import label_propagation
+    from cerebro_spark.operators.util import top_k_ranked
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("ok", F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__n_orders"))
+        .filter(F.col("__n_orders") >= 2)
+        .select("src", "dst")
+    )
+    labels = label_propagation(e, iterations=3)
+    comm = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return top_k_ranked(
+        comm, [("n_members", "desc"), ("community", "asc")], k=20
+    ).select("community", "n_members", F.col("rank").alias("pos"))
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    head = """
+WITH co AS (
+  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS (SELECT u, v FROM co GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+lab0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+v{i} AS (
+  SELECT s.v AS node, l.label FROM sym s JOIN lab{i - 1} l ON s.u = l.node
+  UNION ALL SELECT node, label FROM lab{i - 1}
+),
+c{i} AS (SELECT node, label, count(*) AS cnt FROM v{i} GROUP BY 1, 2),
+lab{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT community, n_members, pos FROM (
+  SELECT label AS community, count(*) AS n_members,
+    CAST(row_number() OVER (ORDER BY count(*) DESC, label ASC) AS INT) AS pos
+  FROM lab{iterations}
+  GROUP BY 1
+)
+WHERE pos <= 20
+""")
+    return "".join(parts)
+
+
+QUERIES["lpa_communities"] = q_lpa_communities
+ORACLES["lpa_communities"] = _lpa_sql()

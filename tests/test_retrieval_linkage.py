@@ -367,3 +367,83 @@ def test_cooccurrence_basket_cap_drops_giant_basket(spark):
     # only basket 1 survives: one pair, marginals recomputed on survivors
     assert [(r["item_a"], r["item_b"], r["pair_count"], r["support"], r["lift"])
             for r in out] == [("x", "y", 1, 1.0, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# k-core and label propagation — round-6 third batch
+# ---------------------------------------------------------------------------
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from cerebro_spark.operators.cluster import kcore
+
+    # K4 clique (nodes 1-4, degree 3) with a pendant chain 4-5-6; the chain
+    # must cascade out of the 3-core over TWO rounds (6 first, then 5)
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = {r["node"]: r["degree"] for r in kcore(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_k_exceeds_graph(spark):
+    from cerebro_spark.operators.cluster import kcore
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert kcore(df, k=5).count() == 0
+
+
+def test_kcore_k1_keeps_everything(spark):
+    from cerebro_spark.operators.cluster import kcore
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    out = {r["node"]: r["degree"] for r in kcore(df, k=1).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def _lpa_ref(edges, iterations):
+    """Pure-Python synchronous LPA with self-vote and min-label tie-break."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    lab = {n: n for n in adj}
+    for _ in range(iterations):
+        new = {}
+        for n in adj:
+            votes = Counter(lab[m] for m in adj[n])
+            votes[lab[n]] += 1  # self-vote
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    from cerebro_spark.operators.cluster import label_propagation
+
+    # two triangles joined by one bridge edge — LPA should keep them as
+    # two communities where plain connected components merges them
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_ref(edges, iters), f"iterations={iters}"
+
+
+def test_label_propagation_two_communities_despite_bridge(spark):
+    from cerebro_spark.operators.cluster import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
