@@ -545,6 +545,7 @@ _SNAPSHOT_PRIORITY = [
     # association-rule graph analytics (common-neighbor Jaccard over the
     # supplier–customer bipartite graph; market-basket lift over order
     # baskets).
+    "hybrid_rrf_topk",
     "kcore_trade",
     "lpa_communities",
     "supplier_overlap",

@@ -881,6 +881,69 @@ def hard_negatives(
     )
 
 
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    quantum: float = 1e-9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named retrieval rankings (Cormack, Clarke
+    & Buettcher, SIGIR 2009): ``rrf(d) = Σ_s 1/(k + rank_s(d))`` over every
+    system ``s`` that returned ``d``.  The standard way to combine a
+    lexical (BM25) and a semantic (embedding cosine) ranking without score
+    calibration — only RANKS enter the fusion, so the systems' score
+    scales never have to be reconciled.
+
+    ``rankings`` maps a system tag to its ranking frame ``(id_col,
+    rank_col)``; returns ``(id_col, n_systems, rrf)``.
+
+    Scale shape: each input is already a top-k ranking (systems × k rows,
+    tiny next to the corpus), so this is one union + one combinable
+    groupBy.  Cross-engine determinism: per-system contributions are
+    collected per id (bounded by the number of systems, NOT data-sized),
+    sorted by the system tag, and folded from 0.0 — float addition is not
+    associative, so an unordered SUM would drift in the last ulp between
+    engines — then quantized to ``quantum`` with the half-up floor trick.
+    A SQL oracle expresses the same fold as ``list_reduce(list_prepend(
+    0.0, list(c ORDER BY tag)), (a, b) -> a + b)``.
+
+    Reference parity: the reference has no retrieval engine — extension
+    surface next to bm25_topk / cosine_topk_* (hybrid-search serving and
+    training-data selection both fuse exactly like this).
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        rankings[tag].select(
+            F.col(id_col).alias("__id"),
+            F.lit(tag).alias("t"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("c"),
+        )
+        for tag in sorted(rankings)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    q = float(quantum)
+    fused = u.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        (
+            F.floor(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("t", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                )
+                / F.lit(q)
+                + F.lit(0.5)
+            )
+            * F.lit(q)
+        ).alias("rrf"),
+    )
+    return fused.select(F.col("__id").alias(id_col), "n_systems", "rrf")
+
+
 def cosine_topk_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,

@@ -4,6 +4,7 @@ embedding centroids."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cerebro_spark.io import load_table
 from cerebro_spark.operators.similarity import label_centroids
@@ -699,14 +700,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, "documents", sf_dir), _BM25_TERMS, k=10)
 
 
-def _bm25_sql() -> str:
+def _bm25_ctes() -> str:
+    """The BM25 scoring pipeline as a reusable CTE chain ending in
+    ``scored (doc_id, score)`` — shared by the bm25_topk oracle and the
+    hybrid_rrf_topk oracle's lexical branch."""
     terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
     # mirror the operator's float-op order exactly: idf * (tf*(k1+1)) / B with
     # B = tf + k1*((1-b) + (b*dl)/avgdl); fold per-doc contributions in term
     # order from 0.0 (list_reduce over a prepended 0.0 = Spark's F.aggregate
     # fold); quantize with floor(x*1e6 + 0.5) — same semantics both engines.
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
   FROM documents
 ),
@@ -737,7 +740,12 @@ scored AS (
     floor(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
                       (acc, c) -> acc + c) * 1e6 + 0.5) / 1e6 AS score
   FROM per GROUP BY doc_id
-)
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_ctes()}
 SELECT doc_id, score,
   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
 FROM scored
@@ -747,6 +755,78 @@ QUALIFY rank <= 10
 
 QUERIES["bm25_topk"] = q_bm25_topk
 ORACLES["bm25_topk"] = _bm25_sql()
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for the fixed 3-term query fused with
+    the embedding-cosine top-50 around query vector vec_id=0 via
+    reciprocal-rank fusion (similarity.rrf_fuse, k=60 — the SIGIR'09
+    constant).  documents.doc_id and embeddings.vec_id share one id space
+    in the test corpus, so the two rankings fuse directly.  Only RANKS
+    cross systems (both rank columns are already oracle-proven
+    deterministic), and the 2-term contribution fold is tag-sorted and
+    1e-9-quantized, so the fused score hash-matches without calibration."""
+    from cerebro_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        rrf_fuse,
+    )
+    from cerebro_spark.operators.text import bm25_topk
+    from cerebro_spark.operators.util import top_k_ranked
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id", "rank")
+    sem = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse({"lex": lex, "sem": sem}, k=60)
+    return top_k_ranked(
+        fused, [("rrf", "desc"), ("doc_id", "asc")], k=20
+    ).select("doc_id", "n_systems", "rrf", F.col("rank").alias("pos"))
+
+
+def _hybrid_rrf_sql() -> str:
+    return f"""
+WITH {_bm25_ctes()},
+lex AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS r
+  FROM scored
+  QUALIFY r <= 50
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT doc_id, r FROM (
+    SELECT c.vec_id AS doc_id,
+      CAST(row_number() OVER (
+        ORDER BY list_cosine_similarity(qv.v, CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id ASC
+      ) AS INT) AS r
+    FROM embeddings c, qv
+    WHERE c.vec_id <> 0
+  )
+  WHERE r <= 50
+),
+contrib AS (
+  SELECT doc_id, 'lex' AS tag, 1.0 / (60 + r) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 'sem' AS tag, 1.0 / (60 + r) AS c FROM sem
+),
+fused AS (
+  SELECT doc_id, count(*) AS n_systems,
+    floor(list_reduce(list_prepend(0.0, list(c ORDER BY tag)),
+                      (a, b) -> a + b) / 1e-9 + 0.5) * 1e-9 AS rrf
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, n_systems, rrf,
+  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS pos
+FROM fused
+QUALIFY pos <= 20
+"""
+
+
+QUERIES["hybrid_rrf_topk"] = q_hybrid_rrf_topk
+ORACLES["hybrid_rrf_topk"] = _hybrid_rrf_sql()
 
 QUERIES["bigram_pmi"] = q_bigram_pmi
 ORACLES["bigram_pmi"] = _BIGRAM_PMI_SQL

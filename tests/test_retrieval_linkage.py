@@ -447,3 +447,41 @@ def test_label_propagation_two_communities_despite_bridge(spark):
     }
     assert {got[1], got[2], got[3]} == {1}
     assert {got[10], got[11], got[12]} == {10}
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion — round-6 third batch
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_rankings(spark):
+    from cerebro_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = {
+        r["doc_id"]: (r["n_systems"], r["rrf"])
+        for r in rrf_fuse({"lex": lex, "sem": sem}, k=60).collect()
+    }
+    q = lambda x: __import__("math").floor(x / 1e-9 + 0.5) * 1e-9  # noqa: E731
+    assert out[2] == (2, q(1 / 62 + 1 / 61))  # in both systems
+    assert out[1] == (1, q(1 / 61))
+    assert out[3] == (1, q(1 / 63))
+    assert out[4] == (1, q(1 / 62))
+
+
+def test_rrf_fuse_order_prefers_consensus(spark):
+    from cerebro_spark.operators.similarity import rrf_fuse
+
+    # a doc ranked 3rd by BOTH systems must beat a doc ranked 1st by one
+    lex = spark.createDataFrame([(1, 1), (9, 3)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(2, 1), (9, 3)], "doc_id long, rank int")
+    fused = rrf_fuse({"lex": lex, "sem": sem}).collect()
+    best = max(fused, key=lambda r: (r["rrf"], -r["doc_id"]))
+    assert best["doc_id"] == 9
+
+
+def test_rrf_fuse_requires_rankings(spark):
+    from cerebro_spark.operators.similarity import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse({})

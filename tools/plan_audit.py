@@ -51,6 +51,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # corpus with a non-equi self-exclusion / label-mismatch predicate
     "ann_cosine_topk",
     "hard_negatives",
+    # same shape: the semantic branch broadcasts the 1-row query vector
+    # against the corpus before the rank fusion (r6 third batch)
+    "hybrid_rrf_topk",
     # 1-row × 1-row crossJoin of two scalar count aggregates (the summary
     # shape the gate needs) — both sides are single-row by construction
     "dedup_resolve",
