@@ -101,6 +101,14 @@ HEADLINE = [
     # checkpoint + memory sink inside the query — measures the streaming
     # engine path, like streaming_ingest below)
     "streaming_ohlc_6h",
+    # round-6 third batch: graph analytics + hybrid retrieval (warm
+    # best-of-2 at sf0.1: 2-5 s each — the iterative/wedge costs are the
+    # algorithms' real work, in line with dedup_resolve/simhash_pairs)
+    "supplier_overlap",       # common-neighbor Jaccard link prediction
+    "part_affinity",          # market-basket lift
+    "kcore_trade",            # iterative peel to fixpoint
+    "lpa_communities",        # label-propagation communities
+    "hybrid_rrf_topk",        # BM25 + cosine reciprocal-rank fusion
 ]
 
 

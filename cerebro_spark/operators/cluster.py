@@ -424,6 +424,11 @@ def neighbor_jaccard(
             e.join(nb_deg.filter(F.col("__nd") <= max_neighbor_degree), "nb")
             .select("ent", "nb")
         )
+    # the (possibly capped) adjacency feeds THREE consumers — the degree
+    # aggregate and both wedge sides — and upstream may be an expensive
+    # join+distinct; cache the ids-only frame (16 bytes/row, MEMORY_AND_DISK,
+    # LRU-evictable) instead of recomputing it per branch
+    e = e.cache()
     deg = e.groupBy("ent").agg(F.count(F.lit(1)).alias("deg"))
     a = e.select(F.col("nb"), F.col("ent").alias("id_a"))
     b = e.select(F.col("nb"), F.col("ent").alias("id_b"))
@@ -496,6 +501,10 @@ def cooccurrence_lift(
             e.join(bsz.filter(F.col("__bs") <= max_basket_size), "bk")
             .select("bk", "it")
         )
+    # four consumers (basket count, marginals, both pair sides) — cache the
+    # ids-only frame rather than recompute upstream per branch (same
+    # rationale as neighbor_jaccard)
+    e = e.cache()
     n_baskets = e.select("bk").distinct().agg(
         F.count(F.lit(1)).alias("__n")
     )

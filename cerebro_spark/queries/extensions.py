@@ -1394,6 +1394,12 @@ def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # materialize the edge list once — the m/n scalar counts and the peel
+    # loop would otherwise each recompute the orders⋈lineitem join+distinct
+    if spark.sparkContext.getCheckpointDir():
+        e0 = e0.checkpoint(eager=True)
+    else:
+        e0 = e0.localCheckpoint(eager=True)
     # bounded-metadata driver stats (two scalar counts), same pattern as the
     # BM25 corpus stats: m edges, n nodes -> k = ceil(m/n) in pure integers
     m = e0.count()
