@@ -545,6 +545,9 @@ _SNAPSHOT_PRIORITY = [
     # association-rule graph analytics (common-neighbor Jaccard over the
     # supplier–customer bipartite graph; market-basket lift over order
     # baskets).
+    "textrank_keywords",
+    "order_snapshot_diff",
+    "k_anonymity_events",
     "hybrid_rrf_topk",
     "kcore_trade",
     "lpa_communities",

@@ -109,6 +109,9 @@ HEADLINE = [
     "kcore_trade",            # iterative peel to fixpoint
     "lpa_communities",        # label-propagation communities
     "hybrid_rrf_topk",        # BM25 + cosine reciprocal-rank fusion
+    "textrank_keywords",      # PageRank over the word co-occurrence graph
+    "order_snapshot_diff",    # keyed snapshot diff (one full-outer join)
+    "k_anonymity_events",     # governance: quasi-identifier class sizes
 ]
 
 

@@ -124,3 +124,99 @@ def profile_drift(
             }
         )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table — the dataset
+    versioning primitive ("what changed between yesterday's corpus and
+    today's"): returns ``(*keys, status)`` with status ∈ {'added',
+    'removed', 'changed'}.  Unchanged rows — the overwhelming bulk of any
+    real snapshot pair — are dropped immediately after the join, so only
+    the delta flows downstream.
+
+    ``compare_cols`` defaults to every shared non-key column.  Value
+    comparison is a null-safe struct equality (``eqNullSafe`` — NULL = NULL
+    counts as unchanged), which a SQL oracle expresses as an OR-chain of
+    ``IS DISTINCT FROM`` per column.
+
+    Scale shape: ONE full-outer shuffle join on the key columns — the
+    irreducible cost of an exact diff.  At 100 TB, write both snapshots
+    bucketed on ``keys`` (io.write_bucketed) and the exchange disappears;
+    the compared values ride the shuffle as a single packed struct column
+    rather than N separate ones.
+
+    Reference parity: no reference counterpart — data-management extension
+    next to data_profile / expire_partitions.
+    """
+    if compare_cols is None:
+        shared = [f.name for f in old.schema.fields if f.name in new.columns]
+        compare_cols = [c for c in shared if c not in keys]
+    oc = old.select(
+        *keys,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__ov"),
+        F.lit(1).alias("__op"),
+    )
+    nc = new.select(
+        *keys,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__nv"),
+        F.lit(1).alias("__np"),
+    )
+    j = oc.join(nc, keys, "full_outer")
+    status = (
+        F.when(F.col("__op").isNull(), F.lit("added"))
+        .when(F.col("__np").isNull(), F.lit("removed"))
+        .when(~F.col("__ov").eqNullSafe(F.col("__nv")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(*keys, status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity risk summary over a set of quasi-identifier columns —
+    the governance check before releasing/training on user-adjacent data:
+    one row with ``n_rows``, ``n_groups`` (equivalence classes),
+    ``n_risky_groups`` / ``n_risky_rows`` (classes smaller than ``k``,
+    whose members are re-identifiable), and ``risky_row_share``.
+
+    ``quasi_cols`` accepts column names or Column expressions (bucket your
+    continuous quasi-identifiers — raw floats make every row its own
+    class, which is true but useless).
+
+    Plan: one combinable groupBy over the quasi-identifier tuple, then one
+    1-row aggregate over the class sizes — class-count-sized state, never
+    row-sized.  The share is a single division of exact counts, so the
+    summary is engine-exact.
+
+    Reference parity: no reference counterpart — governance extension next
+    to redact_pii.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    classes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__sz"))
+    return classes.agg(
+        F.sum("__sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("__sz") < k).cast("long")).alias("n_risky_groups"),
+        F.sum(F.when(F.col("__sz") < k, F.col("__sz")).otherwise(F.lit(0))).alias(
+            "n_risky_rows"
+        ),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_risky_groups",
+        "n_risky_rows",
+        (F.lit(1.0) * F.col("n_risky_rows") / F.col("n_rows")).alias(
+            "risky_row_share"
+        ),
+    )

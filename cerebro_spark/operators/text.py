@@ -552,6 +552,68 @@ def bigram_pmi(
     )
 
 
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    min_cooccur: int = 3,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau, EMNLP 2004): PageRank over
+    the adjacent-token co-occurrence graph — returns ``(word, score)``.
+
+    Graph construction: lowercase whitespace tokens, unordered adjacent
+    pairs (window 2) canonicalized with least/greatest, kept when they
+    co-occur at least ``min_cooccur`` times corpus-wide (the support floor
+    both denoises — TextRank's own authors drop rare links — and bounds the
+    edge list by distinct-bigram cardinality, not corpus size).  The
+    symmetrized halves are disjoint by construction (u < v vs v > u), so
+    the PageRank runs with ``assume_distinct=True`` and skips the full-edge
+    dedup shuffle.  Ranks are per-iteration 1e-9-quantized inside
+    ``cluster.pagerank`` — the whole composition is engine-exact.
+
+    A deliberate composition of two existing operators (bigram counting ⇄
+    ``bigram_pmi``'s pair build, ranking ⇄ ``cluster.pagerank``): keyword
+    extraction at 100 TB is a vocab-sized graph problem, not a per-document
+    one, so it inherits PageRank's scale shape unchanged.
+
+    Reference parity: no reference counterpart — text-analysis extension
+    next to tfidf_top_terms / bigram_pmi.
+    """
+    from cerebro_spark.operators.cluster import pagerank
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = _tokens(F.lower(F.col(text_col)))
+    n_m1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n_m1).alias("w1"),
+        F.slice(toks, 2, n_m1).alias("w2"),
+    )
+    e = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(
+            F.least(F.col("p.w1"), F.col("p.w2")).alias("u"),
+            F.greatest(F.col("p.w1"), F.col("p.w2")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_cooccur)
+        .select("u", "v")
+    )
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ranks = pagerank(
+        edges,
+        iterations=iterations,
+        damping=damping,
+        src="u",
+        dst="v",
+        assume_distinct=True,
+    )
+    return ranks.select(F.col("node").alias("word"), F.col("rank").alias("score"))
+
+
 def bpe_merge_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -1126,3 +1126,104 @@ QUERIES["rfm_segments"] = q_rfm_segments
 ORACLES["rfm_segments"] = _RFM_SQL
 QUERIES["event_transitions"] = q_event_transitions
 ORACLES["event_transitions"] = _EVENT_TRANSITIONS_SQL
+
+
+def q_order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (profile.snapshot_diff): two deterministic
+    snapshots of orders — 'old' missing the keys ≡5 (mod 89), 'new' missing
+    keys ≡0 (mod 97) with prices bumped +1.0 on keys ≡0 (mod 13) — diffed
+    on o_orderkey comparing o_totalprice, summarized per status.  The +1.0
+    double op is exact on both engines, so 'changed' membership is
+    deterministic."""
+    from cerebro_spark.operators.profile import snapshot_diff
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 89 != 5)
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    diff = snapshot_diff(old, new, keys=["o_orderkey"])
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 89 <> 5
+),
+new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+      AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+diff AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE
+      WHEN o.o_orderkey IS NULL THEN 'added'
+      WHEN n.o_orderkey IS NULL THEN 'removed'
+      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+      ELSE 'unchanged'
+    END AS status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT status, count(*) AS n,
+  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+FROM diff
+WHERE status <> 'unchanged'
+GROUP BY 1
+"""
+
+QUERIES["order_snapshot_diff"] = q_order_snapshot_diff
+ORACLES["order_snapshot_diff"] = _SNAPSHOT_DIFF_SQL
+
+
+def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk summary (profile.k_anonymity, k=5) over the events
+    quasi-identifier tuple (event_type, day, value bucketed to width 50 —
+    raw floats would make every row its own class).  One combinable
+    groupBy + one 1-row aggregate; the share is one division of exact
+    counts."""
+    from cerebro_spark.operators.profile import k_anonymity
+
+    ev = load_table(spark, "events", sf_dir)
+    return k_anonymity(
+        ev,
+        [
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")),
+            F.floor(F.col("value") / 50),
+        ],
+        k=5,
+    )
+
+
+_K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT event_type, date_trunc('day', ts) AS d, floor(value / 50) AS vb,
+    count(*) AS sz
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+  count(*) AS n_groups,
+  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_risky_rows,
+  1.0 * sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) / sum(sz) AS risky_row_share
+FROM classes
+"""
+
+QUERIES["k_anonymity_events"] = q_k_anonymity_events
+ORACLES["k_anonymity_events"] = _K_ANONYMITY_SQL

@@ -828,6 +828,67 @@ QUALIFY pos <= 20
 QUERIES["hybrid_rrf_topk"] = q_hybrid_rrf_topk
 ORACLES["hybrid_rrf_topk"] = _hybrid_rrf_sql()
 
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (text.textrank_keywords): PageRank over
+    the adjacent-token co-occurrence graph (min co-occurrence 3), top 20
+    words.  A composition gate — bigram pair build ⇄ bigram_pmi, ranking ⇄
+    cluster.pagerank with its per-iteration 1e-9 quantization — so the
+    oracle is the word-graph CTE feeding the same 3 unrolled PageRank
+    iterations as the pagerank_trade oracle."""
+    from cerebro_spark.operators.text import textrank_keywords
+    from cerebro_spark.operators.util import top_k_ranked
+
+    scores = textrank_keywords(
+        load_table(spark, "documents", sf_dir), min_cooccur=3, iterations=3
+    )
+    return top_k_ranked(
+        scores, [("score", "desc"), ("word", "asc")], k=20
+    ).select("word", "score", F.col("rank").alias("pos"))
+
+
+def _textrank_sql(iterations: int = 3, min_cooccur: int = 3) -> str:
+    head = f"""
+WITH base AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+bc AS (
+  SELECT least(w1, w2) AS u, greatest(w1, w2) AS v
+  FROM (SELECT unnest(t[:-2]) AS w1, unnest(t[2:]) AS w2 FROM base)
+  WHERE w1 <> w2
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_cooccur}
+),
+e AS (SELECT u, v FROM bc UNION ALL SELECT v AS u, u AS v FROM bc),
+nodes AS (SELECT DISTINCT u AS node FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+it0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+it{i} AS (
+  SELECT nodes.node,
+    floor(((1.0 - 0.85) / n + 0.85 * coalesce(c.s, 0.0)) / 1e-9 + 0.5) * 1e-9 AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.v AS node, sum(r.rank / deg.outdeg) AS s
+    FROM e JOIN it{i - 1} r ON e.u = r.node JOIN deg ON e.u = deg.u
+    GROUP BY e.v
+  ) c USING (node), nn
+)""")
+    parts.append(f"""
+SELECT node AS word, rank AS score,
+  CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS pos
+FROM it{iterations}
+QUALIFY pos <= 20
+""")
+    return "".join(parts)
+
+
+QUERIES["textrank_keywords"] = q_textrank_keywords
+ORACLES["textrank_keywords"] = _textrank_sql()
+
 QUERIES["bigram_pmi"] = q_bigram_pmi
 ORACLES["bigram_pmi"] = _BIGRAM_PMI_SQL
 QUERIES["weighted_sample"] = q_weighted_sample

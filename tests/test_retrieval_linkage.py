@@ -485,3 +485,70 @@ def test_rrf_fuse_requires_rankings(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+# ---------------------------------------------------------------------------
+# TextRank, snapshot diff, k-anonymity — round-6 third batch
+# ---------------------------------------------------------------------------
+
+def test_textrank_matches_pagerank_on_hand_graph(spark):
+    from cerebro_spark.operators.text import textrank_keywords
+
+    # corpus engineered so the word graph is known: 'hub' is adjacent to
+    # every other word, so it must get the top TextRank score
+    docs = [
+        (1, "hub alpha hub beta hub gamma"),
+        (2, "hub alpha hub beta hub gamma"),
+        (3, "hub alpha hub beta hub gamma"),
+        (4, "alpha beta alpha beta alpha beta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["word"]: r["score"] for r in
+           textrank_keywords(df, min_cooccur=3, iterations=3).collect()}
+    # graph: hub-alpha, hub-beta, hub-gamma (>=3 co-occurrences each),
+    # alpha-beta (5 in doc 4 + adjacents in docs 1-3? alpha/beta never
+    # adjacent there) -> verify via the same pure-Python pagerank reference
+    edges = [("hub", "alpha"), ("hub", "beta"), ("hub", "gamma"),
+             ("alpha", "beta")]
+    sym = edges + [(b, a) for a, b in edges]
+    ref = _pr_ref(sym, iters=3)
+    assert set(out) == set(ref)
+    for w, s in ref.items():
+        assert out[w] == pytest.approx(s, abs=1e-9), w
+    assert max(out, key=out.get) == "hub"
+
+
+def test_snapshot_diff_statuses_and_null_semantics(spark):
+    from cerebro_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 31.0), (5, 50.0)], "k long, v double"
+    )
+    out = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 NULL==NULL unchanged (absent), 3 changed,
+    # 4 removed, 5 added
+    assert out == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_to_value_is_changed(spark):
+    from cerebro_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    out = snapshot_diff(old, new, ["k"]).collect()
+    assert [(r["k"], r["status"]) for r in out] == [(1, "changed")]
+
+
+def test_k_anonymity_hand_classes(spark):
+    from cerebro_spark.operators.profile import k_anonymity
+
+    # classes: ('a',) x6 safe, ('b',) x2 risky, ('c',) x1 risky
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "q string")
+    r = k_anonymity(df, ["q"], k=5).collect()[0]
+    assert (r["n_rows"], r["n_groups"], r["n_risky_groups"],
+            r["n_risky_rows"]) == (9, 3, 2, 3)
+    assert r["risky_row_share"] == pytest.approx(3 / 9)
