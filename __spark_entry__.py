@@ -545,6 +545,8 @@ _SNAPSHOT_PRIORITY = [
     # association-rule graph analytics (common-neighbor Jaccard over the
     # supplier–customer bipartite graph; market-basket lift over order
     # baskets).
+    "ppr_trade_recs",
+    "incremental_rollup_check",
     "textrank_keywords",
     "order_snapshot_diff",
     "k_anonymity_events",

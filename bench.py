@@ -112,6 +112,8 @@ HEADLINE = [
     "textrank_keywords",      # PageRank over the word co-occurrence graph
     "order_snapshot_diff",    # keyed snapshot diff (one full-outer join)
     "k_anonymity_events",     # governance: quasi-identifier class sizes
+    "ppr_trade_recs",         # personalized PageRank recommendations
+    "incremental_rollup_check",  # mergeable-state maintenance identity
 ]
 
 

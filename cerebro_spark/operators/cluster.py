@@ -153,8 +153,16 @@ def pagerank(
     checkpoint_every: int = 8,
     assume_distinct: bool = False,
     release_cache: bool = False,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — returns ``(node, rank)``.
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala, WWW 2002):
+    the teleport mass ``(1-d)`` is split uniformly over the seed nodes
+    instead of all nodes, and the walk starts at the seed distribution —
+    the resulting ranks measure proximity TO the seeds (related-item /
+    recommendation scores), not global importance.  Seeds are driver-side
+    literals (a handful of ids — an `isin` predicate, no join).
 
     Semantics (documented so the SQL oracle can reproduce them exactly):
     every node appearing as ``src`` or ``dst`` starts at 1/N; each iteration
@@ -214,9 +222,19 @@ def pagerank(
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = e.join(deg, "u").cache()  # (u, v, outdeg) — reused every iteration
 
-    base = (1.0 - damping) / n
     q = float(quantum)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds:
+        # personalized: teleport and start mass live on the seeds only
+        is_seed = F.col("node").isin(list(seeds))
+        base_col = F.when(is_seed, F.lit((1.0 - damping) / len(seeds))).otherwise(
+            F.lit(0.0)
+        )
+        ranks = nodes.withColumn(
+            "rank", F.when(is_seed, F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+        )
+    else:
+        base_col = F.lit((1.0 - damping) / n)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
             ew.join(ranks, ew["u"] == ranks["node"])
@@ -230,7 +248,7 @@ def pagerank(
                 "node",
                 (
                     F.floor(
-                        (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
+                        (base_col + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
                         / F.lit(q)
                         + F.lit(0.5)
                     )

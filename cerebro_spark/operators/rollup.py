@@ -109,3 +109,48 @@ def rollup_maintenance_sink(store_path: str, rollup_path: str):
         refresh_rollup(spark, store_path, rollup_path, touched)
 
     return write
+
+
+def rollup_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key mergeable rollup state ``(n, vmin, vmax, vsum_e2)`` — the
+    algebraic form a continuously-maintained aggregate stores.  The sum is
+    kept as an exact e2 fixed-point BIGINT (each value quantized to
+    cents with the half-up floor before summing), so merging states is
+    integer arithmetic: associative, commutative, and engine-exact — no
+    float summation-order drift between a state built in one pass and one
+    built incrementally across a thousand micro-batches.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long")).alias(
+            "vsum_e2"
+        ),
+    )
+
+
+def merge_rollup_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge any number of ``rollup_state`` frames into one — count/sum add,
+    min/max take extrema.  This is the maintenance step of an incremental
+    aggregate: yesterday's state ⊕ today's delta state == the state a full
+    recompute would produce (the gated query proves exactly that identity
+    against the oracle's one-pass aggregate).  One union + one combinable
+    groupBy; state is key-count-sized, never row-sized.
+    """
+    from functools import reduce
+
+    if not states:
+        raise ValueError("merge_rollup_states needs at least one state")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsum_e2").alias("vsum_e2"),
+    )

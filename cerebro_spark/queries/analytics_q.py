@@ -1227,3 +1227,32 @@ FROM classes
 
 QUERIES["k_anonymity_events"] = q_k_anonymity_events
 ORACLES["k_anonymity_events"] = _K_ANONYMITY_SQL
+
+
+def q_incremental_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability gate for the incremental-aggregate state
+    (rollup.rollup_state / merge_rollup_states): the per-type state built
+    from two disjoint halves of events (event_id parity split) and then
+    MERGED must equal the oracle's one-pass aggregate bit-for-bit — counts
+    and e2 fixed-point sums are integers, min/max are value extrema, so
+    the identity holds exactly or the hash fails."""
+    from cerebro_spark.operators.rollup import merge_rollup_states, rollup_state
+
+    ev = load_table(spark, "events", sf_dir)
+    a = rollup_state(ev.filter(F.col("event_id") % 2 == 0), ["event_type"])
+    b = rollup_state(ev.filter(F.col("event_id") % 2 == 1), ["event_type"])
+    return merge_rollup_states([a, b], ["event_type"])
+
+
+_INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type,
+  count(value) AS n,
+  min(value) AS vmin,
+  max(value) AS vmax,
+  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS vsum_e2
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["incremental_rollup_check"] = q_incremental_rollup_check
+ORACLES["incremental_rollup_check"] = _INCREMENTAL_ROLLUP_SQL

@@ -1528,3 +1528,79 @@ WHERE pos <= 20
 
 QUERIES["lpa_communities"] = q_lpa_communities
 ORACLES["lpa_communities"] = _lpa_sql()
+
+
+def q_ppr_trade_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank recommendations (cluster.pagerank with seeds):
+    proximity of every trade-graph node to the lowest-keyed customer —
+    the related-supplier/related-customer score.  Seed chosen as
+    min(o_custkey) so it provably exists at every SF; same quantized
+    3-iteration loop as pagerank_trade, teleport mass confined to the
+    seed.  Top 20 non-seed nodes."""
+    from cerebro_spark.operators.cluster import pagerank
+    from cerebro_spark.operators.util import top_k_ranked
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    seed = "c" + str(orders.agg(F.min("o_custkey")).first()[0])
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = (
+        pagerank(edges, iterations=3, assume_distinct=True, seeds=[seed])
+        .filter(F.col("node") != seed)
+        .select("node", F.col("rank").alias("ppr"))
+    )
+    return top_k_ranked(ranks, [("ppr", "desc"), ("node", "asc")], k=20).select(
+        "node", "ppr", F.col("rank").alias("pos")
+    )
+
+
+def _ppr_sql(iterations: int = 3) -> str:
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sd AS (SELECT 'c' || min(o_custkey) AS s FROM orders),
+e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+it0 AS (
+  SELECT node, CASE WHEN node = sd.s THEN 1.0 ELSE 0.0 END AS rank
+  FROM nodes, sd
+)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+it{i} AS (
+  SELECT nodes.node,
+    floor((CASE WHEN nodes.node = sd.s THEN 0.15 ELSE 0.0 END
+           + 0.85 * coalesce(c.s, 0.0)) / 1e-9 + 0.5) * 1e-9 AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.v AS node, sum(r.rank / deg.outdeg) AS s
+    FROM e JOIN it{i - 1} r ON e.u = r.node JOIN deg ON e.u = deg.u
+    GROUP BY e.v
+  ) c USING (node), sd
+)""")
+    parts.append(f"""
+SELECT node, ppr, pos FROM (
+  SELECT node, rank AS ppr,
+    CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS pos
+  FROM it{iterations}, sd
+  WHERE node <> sd.s
+)
+WHERE pos <= 20
+""")
+    return "".join(parts)
+
+
+QUERIES["ppr_trade_recs"] = q_ppr_trade_recs
+ORACLES["ppr_trade_recs"] = _ppr_sql()

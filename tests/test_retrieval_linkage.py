@@ -552,3 +552,89 @@ def test_k_anonymity_hand_classes(spark):
     assert (r["n_rows"], r["n_groups"], r["n_risky_groups"],
             r["n_risky_rows"]) == (9, 3, 2, 3)
     assert r["risky_row_share"] == pytest.approx(3 / 9)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank + mergeable rollup state — round-6 third batch
+# ---------------------------------------------------------------------------
+
+def _ppr_ref(edges, seeds, iters=3, d=0.85, q=1e-9):
+    """Pure-Python personalized PageRank mirroring the operator exactly."""
+    import math
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        out[u].append(v)
+        nodes.update((u, v))
+    r = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += r[u] / len(vs)
+        r = {
+            n: math.floor(
+                (((1 - d) / len(seeds) if n in seeds else 0.0) + d * contrib[n])
+                / q + 0.5
+            ) * q
+            for n in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    from cerebro_spark.operators.cluster import pagerank
+
+    # path graph a-b-c-d-e symmetrized, seeded at 'a'.  Values must match
+    # the reference exactly; structurally, mass OSCILLATES on a bipartite
+    # path at finite iterations (odd iterations load the odd-distance
+    # nodes), so assert the parity facts, not naive monotonic decay: the
+    # direct neighbor dominates, and a node 4 hops out has received
+    # nothing after 3 iterations.
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    sym = chain + [(y, x) for x, y in chain]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3, assume_distinct=True,
+                          seeds=["a"]).collect()
+    }
+    ref = _ppr_ref(sym, {"a"})
+    assert got == ref
+    assert max(got, key=got.get) == "b"
+    assert got["e"] == 0.0
+
+
+def test_pagerank_unseeded_unchanged_by_new_param(spark):
+    from cerebro_spark.operators.cluster import pagerank
+
+    sym = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=2).collect()}
+    # symmetric 2-cycle: stationary uniform 0.5/0.5
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_rollup_state_merge_identity(spark):
+    from cerebro_spark.operators.rollup import merge_rollup_states, rollup_state
+
+    rows = [("x", 1.004), ("x", 2.006), ("y", -3.5), ("y", 0.0), ("x", 10.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    direct = {r["k"]: r for r in rollup_state(df, ["k"]).collect()}
+    a = rollup_state(df.filter(F.col("value") < 1.5), ["k"])
+    b = rollup_state(df.filter(F.col("value") >= 1.5), ["k"])
+    merged = {r["k"]: r for r in merge_rollup_states([a, b], ["k"]).collect()}
+    for k in direct:
+        for c in ("n", "vmin", "vmax", "vsum_e2"):
+            assert merged[k][c] == direct[k][c], (k, c)
+    # e2 quantization is half-up floor: 1.004 -> 100, 2.006 -> 201
+    assert direct["x"]["vsum_e2"] == 100 + 201 + 1000
+
+
+def test_merge_rollup_states_requires_input(spark):
+    from cerebro_spark.operators.rollup import merge_rollup_states
+
+    with pytest.raises(ValueError):
+        merge_rollup_states([], ["k"])
