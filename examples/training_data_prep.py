@@ -16,6 +16,10 @@ Stages (each one an oracle-checked operator — see QUERIES.md):
 12. data selection   — `text.dsir_weights` (round 6: DSIR unigram
     importance toward a target domain, integer micro-nat weights)
 13. retrieval probe  — `text.bm25_topk` (round 6: shuffle-free BM25)
+14. hybrid retrieval — `similarity.rrf_fuse` (round 6: reciprocal-rank
+    fusion of the BM25 and embedding-cosine rankings)
+15. governance gate  — `profile.k_anonymity` (round 6: quasi-identifier
+    class-size risk summary before release)
 """
 
 import sys
@@ -129,6 +133,31 @@ def main() -> None:
     # 13. retrieval sanity: BM25 top-5 for a probe query over the train split
     hits = bm25_topk(train, ("spark", "window", "merge"), k=5)
     print(f"bm25 probe hits:   {hits.count()} docs")
+
+    # 14. hybrid retrieval: fuse the lexical probe with an embedding-cosine
+    # ranking via reciprocal-rank fusion (rank-only — no score calibration)
+    from cerebro_spark.operators.similarity import cosine_topk_bruteforce, rrf_fuse
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    lex = bm25_topk(docs, ("spark", "window", "merge"), k=50).select("doc_id", "rank")
+    sem = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem})
+    print(f"rrf fused pool:    {fused.count()} candidates")
+
+    # 15. governance gate: k-anonymity of the released training metadata —
+    # block the run if too many quasi-identifier classes are singletons
+    from cerebro_spark.operators.profile import k_anonymity
+
+    risk = k_anonymity(
+        train, [F.col("lang"), F.col("source"), F.floor(F.col("n_chars") / 100)],
+        k=5,
+    ).first()
+    print(
+        f"k-anonymity:       {risk['n_risky_rows']}/{risk['n_rows']} rows in "
+        f"sub-k classes (share {risk['risky_row_share']:.3f})"
+    )
 
 
 if __name__ == "__main__":
