@@ -541,6 +541,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
+    # Born round 6, fourth batch — newest first: HITS hubs/authorities
+    # (exact-bigint L1-normalized iterations) and bounded-BFS blast radius
+    # (frontier expansion with anti-join settling) over the trade graph;
+    # SCD2 interval build, Benford first-digit audit, PSI drift,
+    # Theil–Sen robust trend, inverted-index postings.
+    "hits_trade",
+    "reach_3hop",
+    "scd2_intervals",
+    "benford_profile",
+    "psi_drift",
+    "theil_sen_trend",
+    "inverted_postings",
     # Born round 6, third batch — newest first: link-prediction /
     # association-rule graph analytics (common-neighbor Jaccard over the
     # supplier–customer bipartite graph; market-basket lift over order

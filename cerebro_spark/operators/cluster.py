@@ -642,3 +642,128 @@ def triangle_participation(
             counts = counts.localCheckpoint(eager=True)
         dir_e.unpersist()
     return counts
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000_000,
+    assume_distinct: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration HITS (Kleinberg, JACM 1999) over a DIRECTED edge
+    list — returns ``(authorities, hubs)`` as two frames:
+    ``(node, authority BIGINT)`` over in-endpoint nodes and
+    ``(node, hub BIGINT)`` over out-endpoint nodes, both in integer
+    ``1/scale`` units (callers divide by ``scale`` once for a double score).
+
+    Cross-engine determinism contract (same family as ``pagerank``'s
+    quantized ranks, but stronger): scores are held as BIGINTs throughout,
+    so every engine-order-dependent aggregation is an EXACT integer sum.
+    One iteration is
+    ``a_raw(v) = Σ_{u→v} h(u)``           (bigint sum, exact)
+    ``a(v) = floor(a_raw / Ta * scale + .5)``  (Ta = Σ a_raw, exact; the
+    division is a single IEEE op on two exact integers — bit-identical in
+    any engine), then the mirrored update for hubs from the fresh
+    authorities.  L1 normalization replaces the classical L2 (a per-vector
+    positive rescale — identical ranking, and it avoids a cross-engine
+    sqrt).  Overflow bound: scores ≤ scale and exact sums ≤ n·scale must
+    stay under 2^53 for the float division — at scale=1e9 that holds to
+    ~9M nodes; shrink ``scale`` for bigger graphs.
+
+    Scale shape: per iteration exactly two equi-joins of the cached edge
+    list against a node-sized score frame and two combiner-friendly
+    bigint-sum groupBys, plus two 1-row total aggregates broadcast back
+    with a crossJoin — the same bounded-scalar-broadcast pattern as the
+    DSIR totals.  The edge list shuffles once and is reused.
+
+    Reference parity: no reference counterpart — graph-analytics extension
+    next to pagerank/kcore (driver brief).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.cache()
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.sum("s").alias("t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.floor(
+                (F.col("s").cast("double") / F.col("t")) * F.lit(float(scale))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(col),
+        )
+
+    hubs = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("hub", F.lit(int(scale)).cast("long"))
+    )
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e["u"] == hubs["node"])
+            .groupBy(e["v"].alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auths = _normalize(a_raw, "authority")
+        h_raw = (
+            e.join(auths, e["v"] == auths["node"])
+            .groupBy(e["u"].alias("node"))
+            .agg(F.sum("authority").alias("s"))
+        )
+        hubs = _normalize(h_raw, "hub")
+    return auths, hubs
+
+
+def bounded_reach(
+    edges: DataFrame,
+    seeds: list,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded multi-source BFS — returns ``(node, dist INT)`` for every
+    node reachable from the seed set within ``max_hops`` directed hops
+    (seeds themselves at dist 0).  Distances are exact small integers, so
+    the result is trivially engine-deterministic.
+
+    Scale shape: the textbook distributed frontier expansion — per hop one
+    equi-join of the CURRENT FRONTIER (not the whole visited set) against
+    the cached edge list, a distinct, and a left-anti join against the
+    visited set so the frontier never re-expands settled nodes.  Frontier
+    and visited frames are node-sized; the edge list shuffles once.  The
+    visited set is localCheckpoint'ed each hop to keep lineage flat (same
+    policy as connected_components' star rounds).  Seeds are driver-side
+    literals (an ``isin``-free union of lit rows — a handful of ids).
+
+    Reference parity: no reference counterpart — graph-analytics extension
+    (reachability / blast-radius queries) next to pagerank/kcore.
+    """
+    spark = edges.sparkSession
+    if spark.sparkContext.getCheckpointDir():
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
+    seed_df = spark.createDataFrame([(s,) for s in seeds], ["node"]).distinct()
+    visited = seed_df.withColumn("dist", F.lit(0).cast("int"))
+    frontier = seed_df
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        frontier = nxt
+        visited = _ckpt(
+            visited.union(nxt.withColumn("dist", F.lit(hop).cast("int")))
+        )
+    e.unpersist()
+    return visited

@@ -1130,3 +1130,181 @@ def holt_winters_forecast(
     grouped = ds.groupBy(*keys) if keys else ds.groupBy(F.lit(1).alias("__g"))
     out = grouped.applyInPandas(fit, out_schema)
     return out
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the early and late half of each
+    series' own time span — the standard model-monitoring drift score
+    (PSI < 0.1 stable, > 0.25 shifted).
+
+    ``PSI = Σ_bins (p_late − p_early) · ln(p_late / p_early)`` with
+    Laplace-smoothed proportions ``p = (cnt + 1) / (n + bins)`` so empty
+    bins contribute finite terms.  Bin edges are equal-width over the
+    EARLY window's per-key value span (PSI bins on the reference
+    distribution); late values outside the reference span clamp into the
+    edge bins.
+
+    Cross-engine determinism: proportions are single IEEE divisions of
+    exact integers; ln is libm-identical; each bin's (always-nonnegative)
+    term is quantized to a 1e-9 BIGINT and the per-key total is an EXACT
+    integer sum over the full ``bins`` grid (missing bins are
+    materialized via a keys × sequence cross join — they still carry
+    smoothing mass).
+
+    Scale shape: two keyed min/max aggregates broadcast back, one
+    combinable (key, bin) groupBy — state is keys × bins, independent of
+    row count — then window sums over ≤``bins`` rows per key.  Same
+    monitor family as ``ks_drift`` (which compares CDF shape; PSI weights
+    mass movement, the complementary alarm).
+    """
+    keys = keys or []
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    if keys:
+        tspan = df.groupBy(*keys).agg(
+            F.min(t).alias("__tmin"), F.max(t).alias("__tmax")
+        )
+        d = df.join(F.broadcast(tspan), on=keys)
+    else:
+        tspan = df.agg(F.min(t).alias("__tmin"), F.max(t).alias("__tmax"))
+        d = df.crossJoin(F.broadcast(tspan))
+    is_early = t <= (F.col("__tmin") + F.col("__tmax")) / 2
+    d = d.select(*keys, v.alias("__v"), is_early.alias("__early"))
+    early = d.filter("__early")
+    if keys:
+        vspan = early.groupBy(*keys).agg(
+            F.min("__v").alias("__vmin"), F.max("__v").alias("__vmax")
+        )
+        d = d.join(F.broadcast(vspan), on=keys)
+    else:
+        vspan = early.agg(
+            F.min("__v").alias("__vmin"), F.max("__v").alias("__vmax")
+        )
+        d = d.crossJoin(F.broadcast(vspan))
+    bin_ = F.when(
+        F.col("__vmax") > F.col("__vmin"),
+        F.greatest(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__vmin"))
+                    / (F.col("__vmax") - F.col("__vmin"))
+                    * bins
+                ),
+                F.lit(bins - 1),
+            ),
+            F.lit(0),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    counts = (
+        d.select(*keys, bin_.alias("__bin"), F.col("__early"))
+        .groupBy(*keys, "__bin")
+        .agg(
+            F.sum(F.col("__early").cast("long")).alias("__ne"),
+            F.sum((~F.col("__early")).cast("long")).alias("__nl"),
+        )
+    )
+    grid = tspan.select(*keys).withColumn(
+        "__bin", F.explode(F.sequence(F.lit(0), F.lit(bins - 1)))
+    ).withColumn("__bin", F.col("__bin").cast("long"))
+    full = grid.join(counts, [*keys, "__bin"], "left").select(
+        *keys,
+        "__bin",
+        F.coalesce("__ne", F.lit(0)).alias("__ne"),
+        F.coalesce("__nl", F.lit(0)).alias("__nl"),
+    )
+    wtot = Window.partitionBy(*keys)
+    pe = (F.col("__ne") + 1).cast("double") / (
+        F.sum("__ne").over(wtot) + F.lit(bins)
+    )
+    pl = (F.col("__nl") + 1).cast("double") / (
+        F.sum("__nl").over(wtot) + F.lit(bins)
+    )
+    term = (pl - pe) * F.log(pl / pe)
+    scored = full.select(
+        *keys,
+        F.col("__ne"),
+        F.col("__nl"),
+        F.floor(term * F.lit(1.0e9) + F.lit(0.5)).cast("long").alias("__t9"),
+    )
+    return scored.groupBy(*keys).agg(
+        (F.sum("__t9") / F.lit(1.0e9)).alias("psi"),
+        F.sum("__ne").alias("n_early"),
+        F.sum("__nl").alias("n_late"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Theil–Sen robust trend estimator per series: the MEDIAN of all
+    pairwise slopes between time-bucket means — up to ~29% outlier
+    contamination cannot move it, unlike the OLS slope.
+
+    Rows are first reduced to per-(key, bucket) means (exact 1e-6
+    fixed-point integer sums, so the means are engine-deterministic), then
+    all bucket pairs (i < j) yield slopes ``(m_j − m_i) / (j − i)`` in
+    value-units per bucket, and the median is taken WITHOUT interpolation
+    ambiguity: the one (n odd) or two (n even) middle elements are picked
+    by row_number and averaged — every step is a single IEEE op, so no
+    quantization of the result is needed.
+
+    Scale shape: the pairwise self-join is quadratic in BUCKETS PER KEY,
+    never in rows — the operator contract is the same as
+    ``seasonal_decompose``'s: pre-aggregate to a bounded grid (the default
+    daily bucket bounds a year of data at 366 points → ~67k pairs per
+    key).  For multi-year spans pass a coarser ``bucket_seconds``.  One
+    combinable groupBy, one keyed self-join over the bucket grid, two
+    windows over the pair frame.
+    """
+    keys = keys or []
+    t = F.col(time_col).cast("double")
+    q = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    daily = (
+        df.select(
+            *keys, F.floor(t / bucket_seconds).cast("long").alias("__b"), q.alias("__q")
+        )
+        .groupBy(*keys, "__b")
+        .agg(
+            ((F.sum("__q").cast("double") / F.count(F.lit(1))) / F.lit(1.0e6)).alias(
+                "__m"
+            )
+        )
+    )
+    a = daily.select(*keys, F.col("__b").alias("__ba"), F.col("__m").alias("__ma"))
+    b = daily.select(*keys, F.col("__b").alias("__bb"), F.col("__m").alias("__mb"))
+    pairs = a.join(b, keys if keys else None) if keys else a.crossJoin(b)
+    pairs = pairs.filter(F.col("__ba") < F.col("__bb")).select(
+        *keys,
+        (
+            (F.col("__mb") - F.col("__ma"))
+            / (F.col("__bb") - F.col("__ba")).cast("double")
+        ).alias("__s"),
+    )
+    wn = Window.partitionBy(*keys)
+    wr = Window.partitionBy(*keys).orderBy("__s")
+    ranked = pairs.select(
+        *keys,
+        "__s",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    mid = ranked.filter(
+        (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
+    )
+    return mid.groupBy(*keys).agg(
+        (F.sum("__s") / F.count(F.lit(1))).alias("slope_med"),
+        F.max("__n").alias("n_pairs"),
+    )

@@ -1256,3 +1256,159 @@ GROUP BY 1
 
 QUERIES["incremental_rollup_check"] = q_incremental_rollup_check
 ORACLES["incremental_rollup_check"] = _INCREMENTAL_ROLLUP_SQL
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build (profile.scd2_collapse):
+    collapse each sampled user's event log into event_type version
+    intervals — valid_from / valid_to (NULL while current) / run size.
+    Ordering ties at equal ts break on event_id (operator docstring), so
+    run boundaries are engine-deterministic; every output value is a
+    string, timestamp or exact count — no float canon needed.  Users are
+    subset with user_id % 5 = 0 to keep the gate result interval-sized."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") % 5 == 0)
+    from cerebro_spark.operators.profile import scd2_collapse
+
+    return scd2_collapse(
+        ev,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id FROM events WHERE user_id % 5 = 0
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM marked
+),
+iv AS (
+  SELECT user_id, run, event_type,
+    min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from,
+  lead(valid_from) OVER w2 AS valid_to,
+  n_events,
+  lead(valid_from) OVER w2 IS NULL AS is_current
+FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+"""
+
+QUERIES["scd2_intervals"] = q_scd2_intervals
+ORACLES["scd2_intervals"] = _SCD2_SQL
+
+
+#: Benford first-digit expectations log10(1 + 1/d), embedded as IDENTICAL
+#: literal doubles in the Spark plan and the oracle SQL (repr round-trips
+#: exactly), so neither engine evaluates log10 at runtime.
+_BENFORD_EXPECTED = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit over order totals: first significant
+    digit of floor(o_totalprice) per order priority, with the chi-square
+    statistic against the Benford expectation.  The digit is extracted
+    from the BIGINT's string form (identical formatting in both engines —
+    no float→string, no log10 at runtime: expectations are shared literal
+    constants).  Per-digit chi² terms are quantized to 1e-6 BIGINTs and
+    summed exactly (the DSIR integer-sum trick), so the statistic is
+    engine-deterministic.  Plan: one combinable groupBy over (priority,
+    digit) — 9 rows per priority — then window sums over that tiny frame."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1.0)
+    fd = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.select("o_orderpriority", fd.alias("fd"))
+        .groupBy("o_orderpriority", "fd")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority")
+    p_exp = F.element_at(
+        F.create_map(
+            *[x for d, e in sorted(_BENFORD_EXPECTED.items()) for x in (F.lit(d), F.lit(e))]
+        ),
+        F.col("fd"),
+    )
+    scored = counts.select(
+        "o_orderpriority",
+        "fd",
+        "n",
+        F.sum("n").over(w).alias("total"),
+        p_exp.alias("p_exp"),
+    ).select(
+        "o_orderpriority",
+        "fd",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p_obs"),
+        "p_exp",
+        F.floor(
+            (F.col("n") - F.col("p_exp") * F.col("total"))
+            * (F.col("n") - F.col("p_exp") * F.col("total"))
+            / (F.col("p_exp") * F.col("total"))
+            * F.lit(1.0e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__term"),
+    )
+    return scored.select(
+        "o_orderpriority",
+        "fd",
+        "n",
+        "p_obs",
+        "p_exp",
+        (F.sum("__term").over(w) / F.lit(1.0e6)).alias("chi2"),
+    )
+
+
+def _benford_sql() -> str:
+    # CAST each literal to DOUBLE: DuckDB otherwise types the 17-digit
+    # decimal literals as DECIMAL and runs the whole chi² in decimal
+    # arithmetic (overflowing DECIMAL(38) and diverging from Spark doubles)
+    cases = " ".join(
+        f"WHEN fd = {d} THEN CAST({e!r} AS DOUBLE)"
+        for d, e in sorted(_BENFORD_EXPECTED.items())
+    )
+    return f"""
+WITH counts AS (
+  SELECT o_orderpriority,
+    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS fd,
+    count(*) AS n
+  FROM orders WHERE o_totalprice >= 1.0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT o_orderpriority, fd, n,
+    sum(n) OVER w AS total,
+    CASE {cases} END AS p_exp
+  FROM counts
+  WINDOW w AS (PARTITION BY o_orderpriority)
+)
+SELECT o_orderpriority, fd, n,
+  CAST(n AS DOUBLE) / total AS p_obs,
+  p_exp,
+  sum(CAST(floor(
+        (n - p_exp * total) * (n - p_exp * total) / (p_exp * total) * 1e6 + 0.5
+      ) AS BIGINT)) OVER (PARTITION BY o_orderpriority) / 1e6 AS chi2
+FROM scored
+"""
+
+
+QUERIES["benford_profile"] = q_benford_profile
+ORACLES["benford_profile"] = _benford_sql()

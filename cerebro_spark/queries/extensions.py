@@ -1604,3 +1604,154 @@ WHERE pos <= 20
 
 QUERIES["ppr_trade_recs"] = q_ppr_trade_recs
 ORACLES["ppr_trade_recs"] = _ppr_sql()
+
+
+def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED customer→supplier trade
+    graph (cluster.hits): authorities rank suppliers that the most active
+    customers buy from, hubs rank customers whose baskets concentrate on
+    authoritative suppliers.  2 iterations, L1-normalized, all sums exact
+    bigint (operator docstring) so both engines reach the identical fixed
+    point.  Output: top-10 authorities and top-10 hubs, role-tagged."""
+    from cerebro_spark.operators.cluster import hits
+    from cerebro_spark.operators.util import top_k_ranked
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    auths, hubs = hits(edges, iterations=2, assume_distinct=True)
+    top_a = top_k_ranked(
+        auths.select("node", (F.col("authority") / F.lit(1.0e9)).alias("score")),
+        [("score", "desc"), ("node", "asc")],
+        k=10,
+    ).select(F.lit("authority").alias("role"), "node", "score", F.col("rank").alias("pos"))
+    top_h = top_k_ranked(
+        hubs.select("node", (F.col("hub") / F.lit(1.0e9)).alias("score")),
+        [("score", "desc"), ("node", "asc")],
+        k=10,
+    ).select(F.lit("hub").alias("role"), "node", "score", F.col("rank").alias("pos"))
+    return top_a.unionByName(top_h)
+
+
+def _hits_sql(iterations: int = 2) -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT u AS node, CAST(1000000000 AS BIGINT) AS h FROM e)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+ar{i} AS (
+  SELECT e.v AS node, sum(h.h) AS s FROM e JOIN h{i - 1} h ON e.u = h.node
+  GROUP BY e.v
+),
+a{i} AS (
+  SELECT node,
+    CAST(floor(CAST(s AS DOUBLE) / t * 1e9 + 0.5) AS BIGINT) AS a
+  FROM ar{i}, (SELECT sum(s) AS t FROM ar{i})
+),
+hr{i} AS (
+  SELECT e.u AS node, sum(a.a) AS s FROM e JOIN a{i} a ON e.v = a.node
+  GROUP BY e.u
+),
+h{i} AS (
+  SELECT node,
+    CAST(floor(CAST(s AS DOUBLE) / t * 1e9 + 0.5) AS BIGINT) AS h
+  FROM hr{i}, (SELECT sum(s) AS t FROM hr{i})
+)""")
+    parts.append(f"""
+SELECT role, node, score, pos FROM (
+  SELECT 'authority' AS role, node, a / 1e9 AS score,
+    CAST(row_number() OVER (ORDER BY a DESC, node ASC) AS INT) AS pos
+  FROM a{iterations}
+) WHERE pos <= 10
+UNION ALL
+SELECT role, node, score, pos FROM (
+  SELECT 'hub' AS role, node, h / 1e9 AS score,
+    CAST(row_number() OVER (ORDER BY h DESC, node ASC) AS INT) AS pos
+  FROM h{iterations}
+) WHERE pos <= 10
+""")
+    return "".join(parts)
+
+
+QUERIES["hits_trade"] = q_hits_trade
+ORACLES["hits_trade"] = _hits_sql()
+
+
+def q_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS blast radius (cluster.bounded_reach): how much of the
+    symmetrized trade graph is within 1/2/3 hops of the lowest-keyed
+    customer.  Frontier-expansion join per hop with anti-join settling
+    (operator docstring); distances are exact ints.  Output: one row per
+    distance with the reached-node count and the min/max node id at that
+    distance (a value probe on the membership, not just the size)."""
+    from cerebro_spark.operators.cluster import bounded_reach
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    seed = "c" + str(orders.agg(F.min("o_custkey")).first()[0])
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    reached = bounded_reach(edges, [seed], max_hops=3)
+    return (
+        reached.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
+_REACH_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+sd AS (SELECT 'c' || min(o_custkey) AS s FROM orders),
+d0 AS (SELECT s AS node FROM sd),
+d1 AS (
+  SELECT DISTINCT e.v AS node FROM e, sd WHERE e.u = sd.s
+  EXCEPT SELECT node FROM d0
+),
+d2 AS (
+  SELECT DISTINCT e.v AS node FROM e JOIN d1 ON e.u = d1.node
+  EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT e.v AS node FROM e JOIN d2 ON e.u = d2.node
+  EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM d1
+          UNION ALL SELECT node FROM d2)
+),
+allv AS (
+  SELECT 0 AS dist, node FROM d0
+  UNION ALL SELECT 1, node FROM d1
+  UNION ALL SELECT 2, node FROM d2
+  UNION ALL SELECT 3, node FROM d3
+)
+SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes,
+  min(node) AS min_node, max(node) AS max_node
+FROM allv GROUP BY dist ORDER BY dist
+"""
+
+QUERIES["reach_3hop"] = q_reach_3hop
+ORACLES["reach_3hop"] = _REACH_SQL

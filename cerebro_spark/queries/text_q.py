@@ -1197,3 +1197,63 @@ QUALIFY rank <= 50
 
 QUERIES["dsir_topk"] = q_dsir_topk
 ORACLES["dsir_topk"] = _DSIR_SQL
+
+
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list build for the 20 highest-df terms:
+    (term, df, pos, doc_id) rows — the head of each term's doc-id-sorted
+    posting list (first 10 entries), the physical structure behind the
+    BM25 / retrieval queries.  Plan: one (term, doc) distinct, one
+    combinable df groupBy, a broadcast semi-join of the tiny top-term set
+    back onto the postings, and a per-term row_number over ≤df rows —
+    postings stay exploded rows end-to-end (never a collect_list array:
+    hub terms would build driver-scale lists AND the gate canonicalizer
+    rejects array cells).  All values are strings/exact ints."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    postings = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    ).distinct()
+    df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # TakeOrdered top-k over the vocab-sized df frame, NOT a keyless
+    # row_number window (the round-1 scale red flag)
+    from cerebro_spark.operators.util import top_k_ranked
+
+    top = top_k_ranked(
+        df_counts, [("df", "desc"), ("term", "asc")], k=20
+    ).select("term", "df")
+    wpos = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        postings.join(F.broadcast(top), "term")
+        .withColumn("pos", F.row_number().over(wpos))
+        .filter(F.col("pos") <= 10)
+        .select("term", "df", "pos", "doc_id")
+    )
+
+
+_INVERTED_POSTINGS_SQL = """
+WITH postings AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+  )
+),
+dfc AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+top AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+      row_number() OVER (ORDER BY df DESC, term ASC) AS trank
+    FROM dfc
+  ) WHERE trank <= 20
+)
+SELECT term, df, pos, doc_id FROM (
+  SELECT p.term, t.df,
+    CAST(row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id) AS INT) AS pos,
+    p.doc_id
+  FROM postings p JOIN top t USING (term)
+) WHERE pos <= 10
+"""
+
+QUERIES["inverted_postings"] = q_inverted_postings
+ORACLES["inverted_postings"] = _INVERTED_POSTINGS_SQL

@@ -1620,3 +1620,116 @@ FROM r WHERE rn >= 14
 
 QUERIES["stochastic_14"] = q_stochastic_14
 ORACLES["stochastic_14"] = _STOCHASTIC_SQL
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type (tsdb.psi_drift): 10
+    equal-width bins over each series' EARLY-half value span, Laplace
+    smoothing, per-bin terms quantized to 1e-9 BIGINTs and summed exactly
+    (operator docstring) — the mass-movement drift alarm complementing
+    ks_drift's CDF-shape alarm."""
+    from cerebro_spark.operators.tsdb import psi_drift
+
+    ev = load_table(spark, "events", sf_dir)
+    return psi_drift(ev, "value", "ts", keys=["event_type"], bins=10)
+
+
+_PSI_SQL = """
+WITH tspan AS (
+  SELECT event_type, min(epoch(ts)) AS tmin, max(epoch(ts)) AS tmax
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.event_type, e.value AS v,
+    epoch(e.ts) <= (k.tmin + k.tmax) / 2 AS early
+  FROM events e JOIN tspan k USING (event_type)
+),
+vspan AS (
+  SELECT event_type, min(v) AS vmin, max(v) AS vmax
+  FROM d WHERE early GROUP BY 1
+),
+binned AS (
+  SELECT d.event_type,
+    CASE WHEN s.vmax > s.vmin
+      THEN greatest(least(CAST(floor((d.v - s.vmin) / (s.vmax - s.vmin) * 10)
+                               AS BIGINT), 9), 0)
+      ELSE 0 END AS bin,
+    d.early
+  FROM d JOIN vspan s USING (event_type)
+),
+counts AS (
+  SELECT event_type, bin,
+    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+    CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS nl
+  FROM binned GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, CAST(g.b AS BIGINT) AS bin
+  FROM tspan, generate_series(0, 9) AS g(b)
+),
+full_grid AS (
+  SELECT grid.event_type, grid.bin,
+    coalesce(c.ne, 0) AS ne, coalesce(c.nl, 0) AS nl
+  FROM grid LEFT JOIN counts c
+    ON grid.event_type = c.event_type AND grid.bin = c.bin
+),
+scored AS (
+  SELECT event_type, ne, nl,
+    CAST(floor(
+      (CAST(nl + 1 AS DOUBLE) / (sum(nl) OVER w + 10)
+       - CAST(ne + 1 AS DOUBLE) / (sum(ne) OVER w + 10))
+      * ln((CAST(nl + 1 AS DOUBLE) / (sum(nl) OVER w + 10))
+           / (CAST(ne + 1 AS DOUBLE) / (sum(ne) OVER w + 10)))
+      * 1e9 + 0.5) AS BIGINT) AS t9
+  FROM full_grid
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, sum(t9) / 1e9 AS psi,
+  CAST(sum(ne) AS BIGINT) AS n_early, CAST(sum(nl) AS BIGINT) AS n_late
+FROM scored GROUP BY event_type
+"""
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLES["psi_drift"] = _PSI_SQL
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily trend per event_type (tsdb.theil_sen):
+    median of all pairwise slopes between daily means — outlier-immune
+    where the OLS slope is not.  Daily means are exact 1e-6 fixed-point
+    sums; the median picks middle elements by row_number (no
+    interpolation), so the slope needs no output rounding (operator
+    docstring)."""
+    from cerebro_spark.operators.tsdb import theil_sen
+
+    ev = load_table(spark, "events", sf_dir)
+    return theil_sen(ev, "value", "ts", keys=["event_type"], bucket_seconds=86400)
+
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b,
+    (CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+     / count(*)) / 1e6 AS m
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, (b.m - a.m) / CAST(b.b - a.b AS DOUBLE) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.b < b.b
+),
+ranked AS (
+  SELECT event_type, s,
+    row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type, sum(s) / count(*) AS slope_med,
+  CAST(max(n) AS BIGINT) AS n_pairs
+FROM ranked
+WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
+GROUP BY event_type
+"""
+
+QUERIES["theil_sen_trend"] = q_theil_sen_trend
+ORACLES["theil_sen_trend"] = _THEIL_SEN_SQL

@@ -66,3 +66,79 @@ def test_duplicate_clusters_and_resolve(spark):
     )
     # canonical 1 and 6 kept; 3, 5, 7 dropped; isolated 0,2,4 kept
     assert kept == [0, 1, 2, 4, 6]
+
+
+# --- HITS --------------------------------------------------------------
+
+
+def test_hits_one_iteration_exact(spark):
+    # h1 -> {a1, a2}, h2 -> {a1}.  After one L1-normalized iteration:
+    # a_raw = (a1: 2e9, a2: 1e9), Ta = 3e9 -> a1 = floor(2/3*1e9+.5),
+    # h_raw = (h1: a1+a2 = 1e9, h2: a1), Th = 1_666_666_667.
+    from cerebro_spark.operators.cluster import hits
+
+    e = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], "src string, dst string"
+    )
+    auths, hubs = hits(e, iterations=1)
+    a = {r["node"]: r["authority"] for r in auths.collect()}
+    h = {r["node"]: r["hub"] for r in hubs.collect()}
+    assert a == {"a1": 666666667, "a2": 333333333}
+    assert h["h1"] == 600000000 and h["h2"] == 400000000
+
+
+def test_hits_l1_mass_conserved(spark):
+    # L1 normalization: each vector sums to `scale` up to n/2 ulps of
+    # per-node rounding.
+    from cerebro_spark.operators.cluster import hits
+
+    edges = [(f"u{i}", f"v{(i * 7) % 5}") for i in range(20)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    auths, hubs = hits(e, iterations=3)
+    ta = sum(r["authority"] for r in auths.collect())
+    th = sum(r["hub"] for r in hubs.collect())
+    assert abs(ta - 1_000_000_000) <= 5
+    assert abs(th - 1_000_000_000) <= 20
+
+
+def test_hits_authority_ordering(spark):
+    # The node cited by every hub must out-rank a node cited by one.
+    from cerebro_spark.operators.cluster import hits
+
+    e = spark.createDataFrame(
+        [("h1", "star"), ("h2", "star"), ("h3", "star"), ("h3", "minor")],
+        "src string, dst string",
+    )
+    auths, _ = hits(e, iterations=2)
+    a = {r["node"]: r["authority"] for r in auths.collect()}
+    assert a["star"] > a["minor"]
+
+
+# --- bounded BFS --------------------------------------------------------
+
+
+def test_bounded_reach_chain(spark):
+    from cerebro_spark.operators.cluster import bounded_reach
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["dist"] for r in bounded_reach(e, ["a"], 3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e is 4 hops out
+
+
+def test_bounded_reach_min_dist_and_multiseed(spark):
+    # diamond + cycle: settled nodes are never re-expanded at a larger
+    # dist, and two seeds both settle at 0.
+    from cerebro_spark.operators.cluster import bounded_reach
+
+    e = spark.createDataFrame(
+        [("s", "x"), ("s", "y"), ("x", "z"), ("y", "z"), ("z", "s"),
+         ("t", "x")],
+        "src string, dst string",
+    )
+    rows = bounded_reach(e, ["s", "t"], 3).collect()
+    got = {r["node"]: r["dist"] for r in rows}
+    assert len(rows) == len(got)  # one row per node
+    assert got == {"s": 0, "t": 0, "x": 1, "y": 1, "z": 2}

@@ -638,3 +638,55 @@ def test_merge_rollup_states_requires_input(spark):
 
     with pytest.raises(ValueError):
         merge_rollup_states([], ["k"])
+
+
+# --- SCD2 collapse -------------------------------------------------------
+
+
+def _scd2_rows(spark, rows):
+    from cerebro_spark.operators.profile import scd2_collapse
+
+    df = spark.createDataFrame(rows, "k string, eid long, ts timestamp, a string")
+    out = scd2_collapse(
+        df, key_cols=["k"], attr_cols=["a"], ts_col="ts", tiebreak_cols=["eid"]
+    )
+    return sorted(out.collect(), key=lambda r: (r["k"], r["valid_from"]))
+
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        ("u", 1, t(0), "A"), ("u", 2, t(10), "A"), ("u", 3, t(20), "B"),
+        ("u", 4, t(30), "B"), ("u", 5, t(40), "A"),
+    ]
+    got = _scd2_rows(spark, rows)
+    assert [(r["a"], r["n_events"], r["is_current"]) for r in got] == [
+        ("A", 2, False), ("B", 2, False), ("A", 1, True),
+    ]
+    # valid_to chains exactly onto the next valid_from
+    assert got[0]["valid_to"] == got[1]["valid_from"]
+    assert got[1]["valid_to"] == got[2]["valid_from"]
+    assert got[2]["valid_to"] is None
+
+
+def test_scd2_same_ts_ties_break_on_tiebreaker(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two rows at the SAME timestamp: eid order decides the run sequence
+    rows = [("u", 2, t0, "B"), ("u", 1, t0, "A")]
+    got = _scd2_rows(spark, rows)
+    assert [r["a"] for r in got] == ["A", "B"]
+    assert got[0]["is_current"] is False and got[1]["is_current"] is True
+
+
+def test_scd2_null_attribute_runs_collapse(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    # NULL==NULL must be one run (eqNullSafe), and NULL->A a boundary
+    rows = [("u", 1, t(0), None), ("u", 2, t(10), None), ("u", 3, t(20), "A")]
+    got = _scd2_rows(spark, rows)
+    assert [(r["a"], r["n_events"]) for r in got] == [(None, 2), ("A", 1)]

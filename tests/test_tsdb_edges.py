@@ -491,3 +491,78 @@ def test_cusum_keyless_two_level_matches_keyed(spark):
     # plan shape: merged-row windows partition by the day bucket
     plan = keyless._jdf.queryExecution().executedPlan().toString()
     assert "__bkt" in plan
+
+
+def test_psi_drift_zero_for_identical_halves(spark):
+    from cerebro_spark.operators.tsdb import psi_drift
+
+    rows = [(i, _t(i), (i % 10) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = psi_drift(df, "v", "ts", keys=[]).collect()[0]
+    # identical early/late distributions -> psi ~ 0 (exactly 0 up to the
+    # n_early/n_late denominator mismatch, which is 0 here: 100/100 split)
+    assert out["n_early"] == 100 and out["n_late"] == 100
+    assert abs(out["psi"]) < 1e-6
+
+
+def test_psi_drift_detects_mass_shift(spark):
+    from cerebro_spark.operators.tsdb import psi_drift
+
+    # early ~ U[0,1), late all piled at 0.95: big PSI
+    rows = [(i, _t(i), (i % 10) / 10.0) for i in range(100)] + [
+        (i, _t(i), 0.95) for i in range(100, 200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = psi_drift(df, "v", "ts", keys=[]).collect()[0]
+    assert out["psi"] > 1.0
+
+
+def test_psi_drift_late_values_outside_reference_span_clamp(spark):
+    from cerebro_spark.operators.tsdb import psi_drift
+
+    # late values far outside the early span must land in the edge bins,
+    # not crash or create bins outside 0..9
+    rows = [(i, _t(i), float(i % 5)) for i in range(50)] + [
+        (i, _t(i), 1e6 if i % 2 else -1e6) for i in range(50, 100)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = psi_drift(df, "v", "ts", keys=[]).collect()[0]
+    assert out["n_late"] == 50 and out["psi"] > 0.5
+
+
+def test_theil_sen_exact_on_clean_line(spark):
+    from cerebro_spark.operators.tsdb import theil_sen
+
+    # v = 3 + 2*day, two points per day -> every pairwise slope is 2.0
+    rows = []
+    for day in range(10):
+        for j in (0, 1):
+            rows.append((day * 2 + j, _t(day * 86400 + j), 3.0 + 2.0 * day))
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = theil_sen(df, "v", "ts", keys=[]).collect()[0]
+    assert out["slope_med"] == 2.0
+    assert out["n_pairs"] == 45  # C(10,2)
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    from cerebro_spark.operators.tsdb import theil_sen
+
+    # one wrecked day cannot move the median slope (OLS would shift)
+    rows = [(d, _t(d * 86400), 1.0 * d) for d in range(11)]
+    rows[5] = (5, _t(5 * 86400), 1e5)
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = theil_sen(df, "v", "ts", keys=[]).collect()[0]
+    assert out["slope_med"] == 1.0
+
+
+def test_theil_sen_even_pair_count_median_is_middle_average(spark):
+    from cerebro_spark.operators.tsdb import theil_sen
+
+    # days 0,1,2,3 with means 0, 1, 4, 5: slopes {1,2,5/3,3,2,1} sorted
+    # [1,1,5/3,2,2,3] -> median = (5/3+2)/2
+    means = {0: 0.0, 1: 1.0, 2: 4.0, 3: 5.0}
+    rows = [(d, _t(d * 86400), m) for d, m in means.items()]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = theil_sen(df, "v", "ts", keys=[]).collect()[0]
+    assert out["n_pairs"] == 6
+    assert abs(out["slope_med"] - (5.0 / 3.0 + 2.0) / 2) < 1e-12

@@ -109,6 +109,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # onto the scan / hourly frame
     "value_heatmap",
     "error_burn_rate",
+    # 1-row scalar broadcasts: the L1 normalizer totals (Ta, Th) crossJoined
+    # onto the node-sized score frames, twice per HITS iteration (r6 fourth
+    # batch; same bounded-scalar contract as the DSIR totals)
+    "hits_trade",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
