@@ -114,6 +114,16 @@ HEADLINE = [
     "k_anonymity_events",     # governance: quasi-identifier class sizes
     "ppr_trade_recs",         # personalized PageRank recommendations
     "incremental_rollup_check",  # mergeable-state maintenance identity
+    # round-6 fourth batch
+    "hits_trade",             # HITS hubs/authorities (exact-bigint)
+    "reach_3hop",             # bounded-BFS frontier expansion
+    "scd2_intervals",         # SCD2 dimension-history build
+    "psi_drift",              # population-stability drift score
+    "theil_sen_trend",        # robust pairwise-slope median trend
+    "benford_profile",        # first-digit conformance audit
+    "inverted_postings",      # posting-list build (retrieval structure)
+    "window_funnel",          # ordered 3-step funnel (anchored greedy)
+    "ewma_level",             # sorted-fold exponential smoothing
 ]
 
 

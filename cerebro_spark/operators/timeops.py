@@ -251,3 +251,136 @@ def hwm_advance(df: DataFrame, time_col: str = "ts") -> dt.datetime | None:
     polling connectors; in Structured Streaming the checkpoint owns this."""
     row = df.select(F.date_trunc("second", F.max(time_col)).alias("hwm")).first()
     return row["hwm"] if row else None
+
+
+def window_funnel(
+    df: DataFrame,
+    step_predicates: list[Column],
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """Ordered multi-step funnel (the ClickHouse ``windowFunnel`` shape,
+    anchored at the FIRST step-1 event): per key, how deep into the
+    ordered step sequence did events progress, where every later step must
+    occur strictly after the previous step's match and within
+    ``window_seconds`` of the step-1 anchor.
+
+    Returns ``(keys…, level INT, t1)``: ``level`` = number of steps
+    matched (≥1 — keys with no step-1 event are absent), ``t1`` the
+    anchor time.  "Anchored at first" is the deterministic greedy variant:
+    a single canonical chain per key (min-aggregates all the way down), so
+    the result is engine-exact with no tie ambiguity — ClickHouse's
+    any-chain-start semantics would need per-key event arrays.
+
+    Scale shape: one filtered scan + combinable min-groupBy PER STEP
+    (filters push to parquet; each step frame is key-sized), chained with
+    equi-joins on the key — co-partitioned shuffles, no self-join of the
+    fact table against itself and no per-key arrays.  Step count is the
+    (small, fixed) funnel depth.
+
+    Reference parity: no reference counterpart — product-analytics
+    extension next to sessionize/retention.
+    """
+    keys = keys or ["user_id"]
+    t = F.col(time_col)
+    cur = (
+        df.filter(step_predicates[0])
+        .groupBy(*keys)
+        .agg(F.min(t).alias("t1"))
+    )
+    frames = [cur]
+    for i, pred in enumerate(step_predicates[1:], start=2):
+        prev_t = f"t{i - 1}"
+        nxt = (
+            df.filter(pred)
+            .join(frames[-1], keys)
+            .filter(
+                (t > F.col(prev_t))
+                & (
+                    t
+                    <= F.col("t1")
+                    + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+                )
+            )
+            .groupBy(*keys)
+            .agg(F.min(t).alias(f"t{i}"), F.min("t1").alias("t1"))
+        )
+        frames.append(nxt)
+    out = frames[0]
+    for i, fr in enumerate(frames[1:], start=2):
+        out = out.join(
+            fr.select(*keys, f"t{i}"), keys, "left"
+        )
+    # deepest matched step wins: each later `when` WRAPS the previous
+    # expression, so building shallow→deep leaves the deepest test
+    # outermost (building deep→shallow would misclassify level-3 users
+    # as level 2)
+    level = F.lit(1)
+    for i in range(2, len(frames) + 1):
+        level = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(level)
+    return out.select(*keys, level.cast("int").alias("level"), "t1")
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    bucket_seconds: int = 86400,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series, over time-bucket
+    means — returns ``(keys…, ewma DOUBLE, n_buckets, last_bucket)`` where
+    ``ewma`` is the smoothed level after folding all buckets in time
+    order (``s ← α·x + (1−α)·s``, seeded with the first bucket's mean).
+
+    Cross-engine determinism: bucket means are exact 1e-6 fixed-point
+    integer sums (the theil_sen trick); the recursive fold is evaluated
+    over ONE explicitly sorted per-key array with identical operation
+    order on both engines (``F.aggregate`` over ``array_sort(collect_list)``
+    ⇄ DuckDB ``list_reduce(list(m ORDER BY b))`` — the SCALE_NOTES sorted-
+    fold rule), so the result is bit-identical with no output rounding.
+
+    Scale shape: one combinable (key, bucket) groupBy, then a per-key
+    collect of BUCKET-GRID size (bounded by span/bucket_seconds — the
+    seasonal_decompose contract: pre-aggregate to a bounded grid, never
+    collect raw rows; a year of daily buckets is 366 elements).  The fold
+    itself is JVM-side (``F.aggregate``), no Python in the plan.
+    """
+    keys = keys or []
+    t = F.col(time_col).cast("double")
+    q = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    daily = (
+        df.select(
+            *keys,
+            F.floor(t / bucket_seconds).cast("long").alias("__b"),
+            q.alias("__q"),
+        )
+        .groupBy(*keys, "__b")
+        .agg(
+            ((F.sum("__q").cast("double") / F.count(F.lit(1))) / F.lit(1.0e6)).alias(
+                "__m"
+            )
+        )
+    )
+    grouped = daily.groupBy(*keys) if keys else daily.groupBy()
+    arr = F.array_sort(F.collect_list(F.struct("__b", "__m")))
+    folded = grouped.agg(
+        arr.alias("__arr"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("__b").alias("last_bucket"),
+    )
+    rest = F.slice(
+        F.col("__arr"), 2, F.greatest(F.size("__arr") - 1, F.lit(0))
+    )
+    smoothed = F.aggregate(
+        rest,
+        F.element_at(F.col("__arr"), 1)["__m"],
+        lambda acc, x: F.lit(alpha) * x["__m"] + F.lit(1.0 - alpha) * acc,
+    )
+    return folded.select(
+        *keys, smoothed.alias("ewma"), "n_buckets", "last_bucket"
+    )

@@ -1412,3 +1412,68 @@ FROM scored
 
 QUERIES["benford_profile"] = q_benford_profile
 ORACLES["benford_profile"] = _benford_sql()
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ordered funnel view → click → purchase within 24 h of each
+    user's FIRST view (timeops.window_funnel, the anchored-greedy
+    ClickHouse windowFunnel shape): per-level user counts plus the
+    earliest anchor among that level's users.  Every step is a filtered
+    scan + min-groupBy chained on user_id — no fact-table self-join
+    (operator docstring)."""
+    from cerebro_spark.operators.timeops import window_funnel
+
+    ev = load_table(spark, "events", sf_dir)
+    lv = window_funnel(
+        ev,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        time_col="ts",
+        keys=["user_id"],
+        window_seconds=86400,
+    )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("t1").alias("first_anchor"),
+    )
+
+
+_WINDOW_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 86400 SECONDS
+  GROUP BY 1
+),
+lv AS (
+  SELECT s1.user_id,
+    CASE WHEN s3.t3 IS NOT NULL THEN 3
+         WHEN s2.t2 IS NOT NULL THEN 2
+         ELSE 1 END AS level,
+    s1.t1
+  FROM s1
+  LEFT JOIN s2 ON s1.user_id = s2.user_id
+  LEFT JOIN s3 ON s1.user_id = s3.user_id
+)
+SELECT CAST(level AS INT) AS level, count(*) AS n_users,
+  min(t1) AS first_anchor
+FROM lv GROUP BY level
+"""
+
+QUERIES["window_funnel"] = q_window_funnel
+ORACLES["window_funnel"] = _WINDOW_FUNNEL_SQL

@@ -1733,3 +1733,34 @@ GROUP BY event_type
 
 QUERIES["theil_sen_trend"] = q_theil_sen_trend
 ORACLES["theil_sen_trend"] = _THEIL_SEN_SQL
+
+
+def q_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothed level per event_type over daily-bucket means
+    (timeops.ewma, α=0.3): exact fixed-point bucket means folded in time
+    order with identical operation order on both engines (the sorted-fold
+    rule), so the smoothed double is bit-identical without rounding."""
+    from cerebro_spark.operators.timeops import ewma
+
+    ev = load_table(spark, "events", sf_dir)
+    return ewma(
+        ev, "value", "ts", keys=["event_type"], bucket_seconds=86400, alpha=0.3
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b,
+    (CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+     / count(*)) / 1e6 AS m
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+  list_reduce(list(m ORDER BY b), (a, x) -> 0.3 * x + 0.7 * a) AS ewma,
+  count(*) AS n_buckets,
+  max(b) AS last_bucket
+FROM daily GROUP BY event_type
+"""
+
+QUERIES["ewma_level"] = q_ewma_level
+ORACLES["ewma_level"] = _EWMA_SQL

@@ -81,3 +81,93 @@ def test_mad_cusum_reject_reserved_columns(spark):
     df2 = spark.createDataFrame([(1.0, 2.0)], "v double, sigma double")
     with pytest.raises(ValueError, match="collide"):
         cusum(df2, "v", "v")
+
+
+# --- window_funnel -------------------------------------------------------
+
+
+def _funnel(spark, rows, window_seconds=100):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.timeops import window_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(u, t0 + dt.timedelta(seconds=s), e) for u, s, e in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+    out = window_funnel(
+        df,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        keys=["user_id"],
+        window_seconds=window_seconds,
+    )
+    return {r["user_id"]: r["level"] for r in out.collect()}
+
+
+def test_window_funnel_full_chain_reaches_deepest_level(spark):
+    # regression: the level when-chain must test the DEEPEST step
+    # outermost — a 3-step completer was once misclassified as level 2
+    rows = [(1, 0, "view"), (1, 10, "click"), (1, 20, "purchase")]
+    assert _funnel(spark, rows) == {1: 3}
+
+
+def test_window_funnel_order_and_window_enforced(spark):
+    rows = [
+        # u2: click BEFORE view -> that click can't count; no later click
+        (2, 0, "click"), (2, 5, "view"), (2, 10, "purchase"),
+        # u3: purchase outside the window of the FIRST view
+        (3, 0, "view"), (3, 10, "click"), (3, 500, "purchase"),
+        # u4: steps anchored at FIRST view even if a later view fits
+        (4, 0, "view"), (4, 300, "view"), (4, 310, "click"),
+        # u5: never viewed -> absent
+        (5, 0, "click"), (5, 1, "purchase"),
+    ]
+    got = _funnel(spark, rows, window_seconds=100)
+    assert got == {2: 1, 3: 2, 4: 1}
+
+
+def test_window_funnel_strictly_after_previous_step(spark):
+    # purchase at the SAME second as the click does not advance the funnel
+    rows = [(1, 0, "view"), (1, 10, "click"), (1, 10, "purchase")]
+    assert _funnel(spark, rows) == {1: 2}
+
+
+# --- ewma ----------------------------------------------------------------
+
+
+def test_ewma_matches_hand_fold(spark):
+    import datetime as dt
+
+    from cerebro_spark.operators.timeops import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    # three daily buckets with means 1.0, 2.0, 4.0 (single rows)
+    rows = [
+        (t0, 1.0),
+        (t0 + dt.timedelta(days=1), 2.0),
+        (t0 + dt.timedelta(days=2), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = ewma(df, "value", "ts", keys=[], alpha=0.3).collect()[0]
+    # fold: s=1.0; s=0.3*2+0.7*1=1.3; s=0.3*4+0.7*1.3=2.11
+    assert abs(out["ewma"] - (0.3 * 4.0 + 0.7 * (0.3 * 2.0 + 0.7 * 1.0))) < 1e-15
+    assert out["n_buckets"] == 3
+
+
+def test_ewma_single_bucket_returns_its_mean(spark):
+    import datetime as dt
+
+    from cerebro_spark.operators.timeops import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0, 10.0), (t0 + dt.timedelta(hours=1), 20.0)],
+        "ts timestamp, value double",
+    )
+    out = ewma(df, "value", "ts", keys=[]).collect()[0]
+    assert out["ewma"] == 15.0 and out["n_buckets"] == 1
