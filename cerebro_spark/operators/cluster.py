@@ -785,5 +785,11 @@ def bounded_reach(
             visited.union(nxt.withColumn("dist", F.lit(hop).cast("int")))
         )
         frontier = visited.filter(F.col("dist") == hop).select("node")
+        if hop < max_hops and frontier.isEmpty():
+            # component exhausted: every remaining hop would still pay a
+            # full union-checkpoint of the visited set for zero new nodes
+            # (soak-measured ~1.6s/empty hop at 3M nodes) — stop early.
+            # isEmpty here is a cheap scan of the just-materialized frame.
+            break
     e.unpersist()
     return visited
