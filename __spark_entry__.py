@@ -546,6 +546,7 @@ _SNAPSHOT_PRIORITY = [
     # (frontier expansion with anti-join settling) over the trade graph;
     # SCD2 interval build, Benford first-digit audit, PSI drift,
     # Theil–Sen robust trend, inverted-index postings.
+    "chi2_event_hour",
     "window_funnel",
     "ewma_level",
     "hits_trade",

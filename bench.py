@@ -124,6 +124,7 @@ HEADLINE = [
     "inverted_postings",      # posting-list build (retrieval structure)
     "window_funnel",          # ordered 3-step funnel (anchored greedy)
     "ewma_level",             # sorted-fold exponential smoothing
+    "chi2_event_hour",        # chi-square independence (full grid)
 ]
 
 

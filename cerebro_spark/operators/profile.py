@@ -282,3 +282,77 @@ def scd2_collapse(
         "n_events",
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a,
+    col_b,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — returns ONE row ``(chi2, dof, n, cramers_v)``.
+
+    ``col_a`` / ``col_b`` accept names or Column expressions (bucket
+    continuous columns first).  The statistic sums ``(o − e)² / e`` over
+    the FULL |A|×|B| contingency grid — zero-observation cells contribute
+    their full expected mass ``e`` (dropping them understates the
+    statistic), so the grid is materialized as a crossJoin of the two
+    bounded category frames and left-joined with the observed counts.
+
+    Cross-engine determinism: every input to a term is an exact integer
+    (cell count, row/col totals, grand total); ``e = ra·cb / n`` and the
+    term are fixed IEEE op chains; each term is quantized to a 1e-6
+    BIGINT and summed exactly; Cramér's V uses sqrt, which IEEE 754
+    requires to be correctly rounded — all engine-exact.
+
+    Scale shape: one combinable groupBy to the contingency table
+    (state = |A|×|B| cells, independent of row count), two category-sized
+    marginal aggregates, the bounded-grid crossJoin, one 1-row reduce.
+
+    Reference parity: no reference counterpart — statistical-profiling
+    extension next to ks_drift/psi_drift (driver brief).
+    """
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    cells = (
+        df.select(a.alias("__a"), b.alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    grid = ra.crossJoin(cb)  # bounded: |A| x |B| category combinations
+    full = grid.join(cells, ["__a", "__b"], "left").select(
+        "__a",
+        "__b",
+        "__ra",
+        "__cb",
+        F.coalesce("__o", F.lit(0)).alias("__o"),
+    )
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct("__a").alias("__r"),
+        F.count_distinct("__b").alias("__c"),
+    )
+    e = (F.col("__ra") * F.col("__cb")).cast("double") / F.col("__n")
+    term = (F.col("__o") - e) * (F.col("__o") - e) / e
+    scored = full.crossJoin(F.broadcast(tot)).select(
+        F.floor(term * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias("__t6"),
+        "__n",
+        "__r",
+        "__c",
+    )
+    return scored.groupBy("__n", "__r", "__c").agg(
+        (F.sum("__t6") / F.lit(1.0e6)).alias("chi2")
+    ).select(
+        "chi2",
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long").alias("dof"),
+        F.col("__n").alias("n"),
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("__n")
+                * F.least(F.col("__r") - 1, F.col("__c") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )

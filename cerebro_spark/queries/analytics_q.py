@@ -1477,3 +1477,50 @@ FROM lv GROUP BY level
 
 QUERIES["window_funnel"] = q_window_funnel
 ORACLES["window_funnel"] = _WINDOW_FUNNEL_SQL
+
+
+def q_chi2_event_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (profile.chi2_independence): is the
+    event-type mix independent of the hour of day?  Full 5×24 contingency
+    grid including zero cells, e6-quantized terms summed exactly,
+    Cramér's V via IEEE-correctly-rounded sqrt (operator docstring) —
+    single-row engine-exact summary."""
+    from cerebro_spark.operators.profile import chi2_independence
+
+    ev = load_table(spark, "events", sf_dir)
+    return chi2_independence(ev, F.col("event_type"), F.hour(F.col("ts")))
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type AS a, hour(ts) AS b, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c
+  FROM cells
+),
+grid AS (
+  SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(cells.o, 0) AS o
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b
+),
+terms AS (
+  SELECT CAST(floor(
+    (o - CAST(ra * cb AS DOUBLE) / n) * (o - CAST(ra * cb AS DOUBLE) / n)
+      / (CAST(ra * cb AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) AS t6
+  FROM grid, tot
+)
+SELECT sum(t6) / 1e6 AS chi2,
+  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+  CAST(n AS BIGINT) AS n,
+  sqrt((sum(t6) / 1e6) / (n * CAST(least(r - 1, c - 1) AS DOUBLE)))
+    AS cramers_v
+FROM terms, tot
+GROUP BY r, c, n
+"""
+
+QUERIES["chi2_event_hour"] = q_chi2_event_hour
+ORACLES["chi2_event_hour"] = _CHI2_SQL

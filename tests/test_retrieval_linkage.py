@@ -690,3 +690,40 @@ def test_scd2_null_attribute_runs_collapse(spark):
     rows = [("u", 1, t(0), None), ("u", 2, t(10), None), ("u", 3, t(20), "A")]
     got = _scd2_rows(spark, rows)
     assert [(r["a"], r["n_events"]) for r in got] == [(None, 2), ("A", 1)]
+
+
+# --- chi-square independence ----------------------------------------------
+
+
+def test_chi2_independence_zero_for_independent_grid(spark):
+    from cerebro_spark.operators.profile import chi2_independence
+
+    # perfectly independent 2x2: every cell = ra*cb/n exactly -> chi2 = 0
+    rows = [("x", 0)] * 4 + [("x", 1)] * 4 + [("y", 0)] * 4 + [("y", 1)] * 4
+    df = spark.createDataFrame(rows, "a string, b int")
+    out = chi2_independence(df, "a", "b").collect()[0]
+    assert out["chi2"] == 0.0 and out["dof"] == 1 and out["n"] == 16
+    assert out["cramers_v"] == 0.0
+
+
+def test_chi2_independence_perfect_association(spark):
+    from cerebro_spark.operators.profile import chi2_independence
+
+    # perfect association: a determines b -> chi2 = n, V = 1
+    rows = [("x", 0)] * 5 + [("y", 1)] * 5
+    df = spark.createDataFrame(rows, "a string, b int")
+    out = chi2_independence(df, "a", "b").collect()[0]
+    assert abs(out["chi2"] - 10.0) < 1e-9
+    assert abs(out["cramers_v"] - 1.0) < 1e-9
+
+
+def test_chi2_independence_zero_cells_contribute(spark):
+    from cerebro_spark.operators.profile import chi2_independence
+
+    # 2x2 with an EMPTY cell: dropping it would understate chi2.
+    # counts: (x,0)=4 (x,1)=0 / (y,0)=2 (y,1)=2 -> e(x,1)=8*... hand value:
+    # n=8, ra(x)=4, cb(1)=2 -> e(x,1)=1, term=(0-1)^2/1=1; full chi2 = 8/3.
+    rows = [("x", 0)] * 4 + [("y", 0)] * 2 + [("y", 1)] * 2
+    df = spark.createDataFrame(rows, "a string, b int")
+    out = chi2_independence(df, "a", "b").collect()[0]
+    assert abs(out["chi2"] - 8.0 / 3.0) < 1e-5  # e6 quantization

@@ -113,6 +113,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # onto the node-sized score frames, twice per HITS iteration (r6 fourth
     # batch; same bounded-scalar contract as the DSIR totals)
     "hits_trade",
+    # bounded-grid crossJoin: |event_type|×|hour| = 5×24 category marginals
+    # build the full contingency grid (zero cells must contribute their
+    # expected mass), plus the 1-row totals broadcast (r6 fourth batch)
+    "chi2_event_hour",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
