@@ -546,6 +546,8 @@ _SNAPSHOT_PRIORITY = [
     # (frontier expansion with anti-join settling) over the trade graph;
     # SCD2 interval build, Benford first-digit audit, PSI drift,
     # Theil–Sen robust trend, inverted-index postings.
+    "revenue_gini",
+    "funnel_latency",
     "chi2_event_hour",
     "window_funnel",
     "ewma_level",

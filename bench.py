@@ -125,6 +125,8 @@ HEADLINE = [
     "window_funnel",          # ordered 3-step funnel (anchored greedy)
     "ewma_level",             # sorted-fold exponential smoothing
     "chi2_event_hour",        # chi-square independence (full grid)
+    "revenue_gini",           # two-level distributed-rank Gini
+    "funnel_latency",         # per-level time-to-advance
 ]
 
 

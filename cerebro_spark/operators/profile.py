@@ -356,3 +356,81 @@ def chi2_independence(
             )
         ).alias("cramers_v"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Gini coefficient of an exact-integer value distribution — one row
+    ``(gini, n, total)``.  0 = perfectly equal, →1 = one key holds all
+    the mass.  The inequality/concentration summary for revenue-share,
+    token-budget and corpus-composition audits.
+
+    Uses the rank formula ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`` over values
+    sorted ascending.  The global rank is computed WITHOUT a global
+    window: values are range-bucketed (min/max from a 1-row broadcast),
+    per-bucket counts give cumulative offsets over the n_buckets-sized
+    frame, and ``rank = bucket_offset + row_number within bucket`` — the
+    two-level distributed-ranking pattern (same family as the keyless
+    as-of join's bucketed carry).  Each bucket's window is bounded by its
+    share of rows; a pathologically skewed value distribution concentrates
+    one bucket (documented bound — raise ``n_buckets`` for heavy skew).
+
+    Determinism: ``value_col`` must already be an exact integer (cents,
+    token counts); ranks/sums are then exact BIGINTs (Σ rank·x must stay
+    under 2^63: fine to ~1e9 keys of 1e7-unit values) and the final
+    formula is a fixed chain of single IEEE ops, mirrored in the oracle.
+    Ties order by ``key_col`` — any tie order gives the same Σ i·xᵢ for
+    equal x, so the tiebreak is for plan stability, not the statistic.
+
+    Reference parity: no reference counterpart — statistical-profiling
+    extension (driver brief).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    vals = df.select(v.alias("__v"), F.col(key_col).alias("__k"))
+    span = vals.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    b = vals.crossJoin(F.broadcast(span)).select(
+        "__v",
+        "__k",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            ((F.col("__v") - F.col("__lo")) * n_buckets)
+            / (F.col("__hi") - F.col("__lo") + 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__b"),
+    )
+    bcounts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # n_buckets-sized frame: the keyless window is bounded by construction
+    offsets = bcounts.select(
+        "__b", F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__off")
+    )
+    ww = Window.partitionBy("__b").orderBy("__v", "__k")
+    ranked = (
+        b.join(F.broadcast(offsets), "__b")
+        .select(
+            "__v",
+            (F.col("__off") + F.row_number().over(ww)).cast("long").alias("__i"),
+        )
+    )
+    agg = ranked.agg(
+        F.sum("__v").alias("__s0"),
+        F.sum(F.col("__i") * F.col("__v")).alias("__s1"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return agg.select(
+        (
+            (F.lit(2.0) * F.col("__s1"))
+            / (F.col("__s0").cast("double") * F.col("__n"))
+            - (F.col("__n") + 1).cast("double") / F.col("__n")
+        ).alias("gini"),
+        F.col("__n").alias("n"),
+        F.col("__s0").alias("total"),
+    )

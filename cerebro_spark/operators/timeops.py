@@ -319,7 +319,12 @@ def window_funnel(
     level = F.lit(1)
     for i in range(2, len(frames) + 1):
         level = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(level)
-    return out.select(*keys, level.cast("int").alias("level"), "t1")
+    return out.select(
+        *keys,
+        level.cast("int").alias("level"),
+        "t1",
+        *[f"t{i}" for i in range(2, len(frames) + 1)],
+    )
 
 
 def ewma(

@@ -1524,3 +1524,118 @@ GROUP BY r, c, n
 
 QUERIES["chi2_event_hour"] = q_chi2_event_hour
 ORACLES["chi2_event_hour"] = _CHI2_SQL
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue (profile.gini_concentration):
+    how concentrated is spend across the customer base — exact-cents
+    integer ranks via the two-level bucketed distributed ranking (no
+    global window; operator docstring), final formula a mirrored chain of
+    single IEEE ops."""
+    from cerebro_spark.operators.profile import gini_concentration
+
+    orders = load_table(spark, "orders", sf_dir)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_e2")
+    )
+    return gini_concentration(rev, "rev_e2", "o_custkey")
+
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS k,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, k) AS i FROM rev
+),
+agg AS (
+  SELECT CAST(sum(v) AS BIGINT) AS s0,
+    CAST(sum(i * v) AS BIGINT) AS s1,
+    count(*) AS n
+  FROM ranked
+)
+SELECT
+  (2.0 * s1) / (CAST(s0 AS DOUBLE) * n) - CAST(n + 1 AS DOUBLE) / n AS gini,
+  CAST(n AS BIGINT) AS n, s0 AS total
+FROM agg
+"""
+
+QUERIES["revenue_gini"] = q_revenue_gini
+ORACLES["revenue_gini"] = _GINI_SQL
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-advance per funnel level (companion to window_funnel): for
+    users who reached level 2 / level 3, the count and exact-microsecond
+    min/avg/max latency from the level-1 anchor to that level's step —
+    avg is a division of exact integer sums, so no rounding is needed."""
+    from cerebro_spark.operators.timeops import window_funnel
+
+    ev = load_table(spark, "events", sf_dir)
+    lv = window_funnel(
+        ev,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        time_col="ts",
+        keys=["user_id"],
+        window_seconds=86400,
+    )
+    lat = lambda c: F.unix_micros(F.col(c)) - F.unix_micros(F.col("t1"))  # noqa: E731
+    two = lv.filter(F.col("t2").isNotNull()).select(
+        F.lit(2).alias("level"), lat("t2").alias("us")
+    )
+    three = lv.filter(F.col("t3").isNotNull()).select(
+        F.lit(3).alias("level"), lat("t3").alias("us")
+    )
+    return (
+        two.unionByName(three)
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("us").alias("min_us"),
+            ((F.sum("us").cast("double") / F.count(F.lit(1))) / F.lit(1.0e6)).alias(
+                "avg_s"
+            ),
+            F.max("us").alias("max_us"),
+        )
+    )
+
+
+_FUNNEL_LATENCY_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 86400 SECONDS
+  GROUP BY 1
+),
+lat AS (
+  SELECT 2 AS level, epoch_us(t2) - epoch_us(t1) AS us FROM s2
+  UNION ALL
+  SELECT 3 AS level, epoch_us(t3) - epoch_us(t1) AS us FROM s3
+)
+SELECT CAST(level AS INT) AS level, count(*) AS n_users,
+  CAST(min(us) AS BIGINT) AS min_us,
+  (CAST(sum(us) AS DOUBLE) / count(*)) / 1e6 AS avg_s,
+  CAST(max(us) AS BIGINT) AS max_us
+FROM lat GROUP BY level
+"""
+
+QUERIES["funnel_latency"] = q_funnel_latency
+ORACLES["funnel_latency"] = _FUNNEL_LATENCY_SQL

@@ -727,3 +727,37 @@ def test_chi2_independence_zero_cells_contribute(spark):
     df = spark.createDataFrame(rows, "a string, b int")
     out = chi2_independence(df, "a", "b").collect()[0]
     assert abs(out["chi2"] - 8.0 / 3.0) < 1e-5  # e6 quantization
+
+
+# --- Gini concentration ----------------------------------------------------
+
+
+def test_gini_zero_for_equal_values(spark):
+    from cerebro_spark.operators.profile import gini_concentration
+
+    df = spark.createDataFrame([(i, 100) for i in range(10)], "k long, v long")
+    out = gini_concentration(df, "v", "k").collect()[0]
+    assert abs(out["gini"]) < 1e-12
+    assert out["n"] == 10 and out["total"] == 1000
+
+
+def test_gini_extreme_concentration(spark):
+    from cerebro_spark.operators.profile import gini_concentration
+
+    # one key holds everything: G = (n-1)/n
+    rows = [(i, 0) for i in range(9)] + [(9, 1000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = gini_concentration(df, "v", "k").collect()[0]
+    assert abs(out["gini"] - 0.9) < 1e-12
+
+
+def test_gini_matches_hand_formula_and_single_bucket(spark):
+    from cerebro_spark.operators.profile import gini_concentration
+
+    vals = [1, 2, 3, 4, 10]
+    df = spark.createDataFrame(list(enumerate(vals)), "k long, v long")
+    # ranks ascending: sum(i*x) = 1*1+2*2+3*3+4*4+5*10 = 80
+    expect = 2 * 80 / (5 * 20) - 6 / 5
+    for nb in (1, 1024):  # degenerate single bucket must agree
+        out = gini_concentration(df, "v", "k", n_buckets=nb).collect()[0]
+        assert abs(out["gini"] - expect) < 1e-12, nb

@@ -117,6 +117,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # build the full contingency grid (zero cells must contribute their
     # expected mass), plus the 1-row totals broadcast (r6 fourth batch)
     "chi2_event_hour",
+    # 1-row scalar broadcast: the (min,max) value span crossJoined onto the
+    # per-customer revenue frame for range bucketing (r6 fourth batch)
+    "revenue_gini",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -129,6 +132,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # deterministic re-rank of the exploded approx_top_k sketch — input is
     # ONE aggregate row exploded to ≤100 items
     "approx_top_terms",
+    # cumulative-offset window over the n_buckets-sized (≤1024 row) bucket
+    # count frame — the two-level distributed ranking's bounded metadata
+    # pass; the per-row rank window partitions BY BUCKET (r6 fourth batch)
+    "revenue_gini",
 }
 
 
