@@ -668,9 +668,11 @@ def hits(
     any engine), then the mirrored update for hubs from the fresh
     authorities.  L1 normalization replaces the classical L2 (a per-vector
     positive rescale — identical ranking, and it avoids a cross-engine
-    sqrt).  Overflow bound: scores ≤ scale and exact sums ≤ n·scale must
-    stay under 2^53 for the float division — at scale=1e9 that holds to
-    ~9M nodes; shrink ``scale`` for bigger graphs.
+    sqrt).  Overflow bound: the exact-integer totals must stay under 2^53
+    for the float division, and the binding constraint is EDGES, not
+    nodes — the first iteration's L1 total is exactly E·scale (every
+    initial hub score is ``scale``), so at scale=1e9 exactness holds to
+    ~9M edges; shrink ``scale`` proportionally for bigger graphs.
 
     Scale shape: per iteration exactly two equi-joins of the cached edge
     list against a node-sized score frame and two combiner-friendly

@@ -257,11 +257,10 @@ def scd2_collapse(
 
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    changed = F.coalesce(
-        ~F.struct(*attr_cols).eqNullSafe(
-            F.lag(F.struct(*attr_cols)).over(w)
-        ),
-        F.lit(True),
+    # eqNullSafe never returns NULL: the first row's NULL lag struct
+    # compares false, so its negation already marks a run start
+    changed = ~F.struct(*attr_cols).eqNullSafe(
+        F.lag(F.struct(*attr_cols)).over(w)
     )
     runs = df.select(
         *key_cols,
@@ -293,7 +292,13 @@ def chi2_independence(
     columns — returns ONE row ``(chi2, dof, n, cramers_v)``.
 
     ``col_a`` / ``col_b`` accept names or Column expressions (bucket
-    continuous columns first).  The statistic sums ``(o − e)² / e`` over
+    continuous columns first).  Rows with a NULL in either column are
+    EXCLUDED up front (the standard complete-case chi²): a NULL category
+    would silently corrupt the statistic otherwise — the grid equi-join
+    never matches NULL keys, so NULL cells' observed counts would read 0
+    while their mass stayed in ``n`` and the marginals, and
+    ``count_distinct`` excludes NULL so ``dof`` would disagree with the
+    grid actually summed.  The statistic sums ``(o − e)² / e`` over
     the FULL |A|×|B| contingency grid — zero-observation cells contribute
     their full expected mass ``e`` (dropping them understates the
     statistic), so the grid is materialized as a crossJoin of the two
@@ -316,6 +321,7 @@ def chi2_independence(
     b = F.col(col_b) if isinstance(col_b, str) else col_b
     cells = (
         df.select(a.alias("__a"), b.alias("__b"))
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
         .groupBy("__a", "__b")
         .agg(F.count(F.lit(1)).alias("__o"))
     )

@@ -353,24 +353,10 @@ def ewma(
     collect raw rows; a year of daily buckets is 366 elements).  The fold
     itself is JVM-side (``F.aggregate``), no Python in the plan.
     """
+    from cerebro_spark.operators.tsdb import bucket_means
+
     keys = keys or []
-    t = F.col(time_col).cast("double")
-    q = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
-        "long"
-    )
-    daily = (
-        df.select(
-            *keys,
-            F.floor(t / bucket_seconds).cast("long").alias("__b"),
-            q.alias("__q"),
-        )
-        .groupBy(*keys, "__b")
-        .agg(
-            ((F.sum("__q").cast("double") / F.count(F.lit(1))) / F.lit(1.0e6)).alias(
-                "__m"
-            )
-        )
-    )
+    daily = bucket_means(df, value_col, time_col, keys, bucket_seconds)
     grouped = daily.groupBy(*keys) if keys else daily.groupBy()
     arr = F.array_sort(F.collect_list(F.struct("__b", "__m")))
     folded = grouped.agg(

@@ -1239,6 +1239,41 @@ def psi_drift(
     )
 
 
+def bucket_means(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Per-(key, time-bucket) means with the exact 1e-6 fixed-point
+    contract — returns ``(keys…, __b BIGINT, __m DOUBLE)``.
+
+    Values are floor-quantized to 1e-6 BIGINTs so the per-bucket sum is an
+    EXACT integer in any summation order, and the mean is the fixed chain
+    ``(sum::DOUBLE / count) / 1e6`` — mirrored verbatim by the SQL oracles.
+    The shared pre-aggregation grid for the trend/smoothing family
+    (theil_sen, timeops.ewma): bucket first, THEN run the quadratic or
+    recursive step over the bounded grid.
+    """
+    keys = keys or []
+    t = F.col(time_col).cast("double")
+    q = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        df.select(
+            *keys, F.floor(t / bucket_seconds).cast("long").alias("__b"), q.alias("__q")
+        )
+        .groupBy(*keys, "__b")
+        .agg(
+            ((F.sum("__q").cast("double") / F.count(F.lit(1))) / F.lit(1.0e6)).alias(
+                "__m"
+            )
+        )
+    )
+
+
 def theil_sen(
     df: DataFrame,
     value_col: str = "value",
@@ -1267,21 +1302,7 @@ def theil_sen(
     windows over the pair frame.
     """
     keys = keys or []
-    t = F.col(time_col).cast("double")
-    q = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
-        "long"
-    )
-    daily = (
-        df.select(
-            *keys, F.floor(t / bucket_seconds).cast("long").alias("__b"), q.alias("__q")
-        )
-        .groupBy(*keys, "__b")
-        .agg(
-            ((F.sum("__q").cast("double") / F.count(F.lit(1))) / F.lit(1.0e6)).alias(
-                "__m"
-            )
-        )
-    )
+    daily = bucket_means(df, value_col, time_col, keys, bucket_seconds)
     a = daily.select(*keys, F.col("__b").alias("__ba"), F.col("__m").alias("__ma"))
     b = daily.select(*keys, F.col("__b").alias("__bb"), F.col("__m").alias("__mb"))
     pairs = a.join(b, keys if keys else None) if keys else a.crossJoin(b)

@@ -1327,16 +1327,28 @@ def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float→string, no log10 at runtime: expectations are shared literal
     constants).  Per-digit chi² terms are quantized to 1e-6 BIGINTs and
     summed exactly (the DSIR integer-sum trick), so the statistic is
-    engine-deterministic.  Plan: one combinable groupBy over (priority,
-    digit) — 9 rows per priority — then window sums over that tiny frame."""
+    engine-deterministic.  The FULL priority×digit grid is materialized
+    (an absent digit still owes its expected mass (0−e)²/e = e to the
+    chi² — dropping empty cells understates the statistic, the same rule
+    chi2_independence documents).  Plan: one combinable groupBy over
+    (priority, digit) — 9 rows per priority — then window sums over that
+    tiny frame."""
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1.0)
     fd = F.substring(
         F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
     ).cast("int")
-    counts = (
+    observed = (
         orders.select("o_orderpriority", fd.alias("fd"))
         .groupBy("o_orderpriority", "fd")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        observed.select("o_orderpriority")
+        .distinct()
+        .withColumn("fd", F.explode(F.sequence(F.lit(1), F.lit(9))))
+    )
+    counts = grid.join(observed, ["o_orderpriority", "fd"], "left").select(
+        "o_orderpriority", "fd", F.coalesce("n", F.lit(0)).alias("n")
     )
     w = Window.partitionBy("o_orderpriority")
     p_exp = F.element_at(
@@ -1386,12 +1398,22 @@ def _benford_sql() -> str:
         for d, e in sorted(_BENFORD_EXPECTED.items())
     )
     return f"""
-WITH counts AS (
+WITH observed AS (
   SELECT o_orderpriority,
     CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS fd,
     count(*) AS n
   FROM orders WHERE o_totalprice >= 1.0
   GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.o_orderpriority, CAST(g.d AS INT) AS fd
+  FROM (SELECT DISTINCT o_orderpriority FROM observed) p,
+       generate_series(1, 9) AS g(d)
+),
+counts AS (
+  SELECT grid.o_orderpriority, grid.fd, coalesce(o.n, 0) AS n
+  FROM grid LEFT JOIN observed o
+    ON grid.o_orderpriority = o.o_orderpriority AND grid.fd = o.fd
 ),
 scored AS (
   SELECT o_orderpriority, fd, n,
@@ -1494,7 +1516,9 @@ def q_chi2_event_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHI2_SQL = """
 WITH cells AS (
   SELECT event_type AS a, hour(ts) AS b, count(*) AS o
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE event_type IS NOT NULL AND hour(ts) IS NOT NULL
+  GROUP BY 1, 2
 ),
 ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
 cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),

@@ -1145,15 +1145,13 @@ ORACLES = {
 }
 
 
-def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank over the symmetrized customer–supplier
-    bipartite trade graph (edges = customer ordered from supplier), top 20
-    nodes.  The iterative join+agg loop Spark-side vs 3 chained CTE
-    iterations in DuckDB; ranks are quantized per iteration (operator
-    docstring) so the fixed point is engine-exact."""
-    from cerebro_spark.operators.cluster import pagerank
-    from cerebro_spark.operators.util import top_k_ranked
-
+def _trade_edges(spark: SparkSession, sf_dir: str, symmetric: bool = False) -> DataFrame:
+    """The shared customer→supplier trade edge list ('c<custkey>' →
+    's<suppkey>', distinct) used by every trade-graph query; with
+    ``symmetric=True`` the reverse edges are unioned on.  The two
+    prefix-disjoint distinct halves make the symmetric union distinct by
+    construction, so callers pass ``assume_distinct=True`` to the graph
+    operators and skip their dedup shuffle."""
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     e0 = (
@@ -1164,10 +1162,29 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # the union of the two prefix-disjoint distinct halves ('c…'->'s…' and
-    # 's…'->'c…') is distinct by construction — skip the operator's dedup
-    # shuffle over the full edge list
+    if not symmetric:
+        return e0
+    return e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _min_customer_seed(spark: SparkSession, sf_dir: str) -> str:
+    """Driver-side literal seed node: the lowest customer key (provably
+    present at every SF).  One tiny min() job — the graph operators take
+    seeds as driver-side literals by contract."""
+    orders = load_table(spark, "orders", sf_dir)
+    return "c" + str(orders.agg(F.min("o_custkey")).first()[0])
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetrized customer–supplier
+    bipartite trade graph (edges = customer ordered from supplier), top 20
+    nodes.  The iterative join+agg loop Spark-side vs 3 chained CTE
+    iterations in DuckDB; ranks are quantized per iteration (operator
+    docstring) so the fixed point is engine-exact."""
+    from cerebro_spark.operators.cluster import pagerank
+    from cerebro_spark.operators.util import top_k_ranked
+
+    edges = _trade_edges(spark, sf_dir, symmetric=True)
     ranks = pagerank(edges, iterations=3, damping=0.85, assume_distinct=True).select(
         "node", F.col("rank").alias("pagerank")
     )
@@ -1384,16 +1401,7 @@ def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.cluster import kcore
     from cerebro_spark.operators.util import top_k_ranked
 
-    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    e0 = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
+    e0 = _trade_edges(spark, sf_dir)
     # materialize the edge list once — the m/n scalar counts and the peel
     # loop would otherwise each recompute the orders⋈lineitem join+distinct
     if spark.sparkContext.getCheckpointDir():
@@ -1540,18 +1548,8 @@ def q_ppr_trade_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.cluster import pagerank
     from cerebro_spark.operators.util import top_k_ranked
 
-    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    seed = "c" + str(orders.agg(F.min("o_custkey")).first()[0])
-    e0 = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seed = _min_customer_seed(spark, sf_dir)
+    edges = _trade_edges(spark, sf_dir, symmetric=True)
     ranks = (
         pagerank(edges, iterations=3, assume_distinct=True, seeds=[seed])
         .filter(F.col("node") != seed)
@@ -1616,16 +1614,7 @@ def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.cluster import hits
     from cerebro_spark.operators.util import top_k_ranked
 
-    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    edges = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _trade_edges(spark, sf_dir)
     auths, hubs = hits(edges, iterations=2, assume_distinct=True)
     top_a = top_k_ranked(
         auths.select("node", (F.col("authority") / F.lit(1.0e9)).alias("score")),
@@ -1697,18 +1686,8 @@ def q_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance (a value probe on the membership, not just the size)."""
     from cerebro_spark.operators.cluster import bounded_reach
 
-    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    seed = "c" + str(orders.agg(F.min("o_custkey")).first()[0])
-    e0 = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seed = _min_customer_seed(spark, sf_dir)
+    edges = _trade_edges(spark, sf_dir, symmetric=True)
     reached = bounded_reach(edges, [seed], max_hops=3)
     return (
         reached.groupBy("dist")

@@ -761,3 +761,16 @@ def test_gini_matches_hand_formula_and_single_bucket(spark):
     for nb in (1, 1024):  # degenerate single bucket must agree
         out = gini_concentration(df, "v", "k", n_buckets=nb).collect()[0]
         assert abs(out["gini"] - expect) < 1e-12, nb
+
+
+def test_chi2_independence_excludes_null_categories(spark):
+    from cerebro_spark.operators.profile import chi2_independence
+
+    # NULL categories are excluded up front (complete-case chi2): without
+    # the filter the grid equi-join reads NULL cells as o=0 while their
+    # mass stays in n and the marginals, corrupting the statistic.
+    base = [("x", 0)] * 4 + [("x", 1)] * 4 + [("y", 0)] * 4 + [("y", 1)] * 4
+    with_nulls = base + [(None, 1)] * 4 + [("x", None)] * 3
+    df = spark.createDataFrame(with_nulls, "a string, b int")
+    out = chi2_independence(df, "a", "b").collect()[0]
+    assert out["n"] == 16 and out["chi2"] == 0.0 and out["dof"] == 1
