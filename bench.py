@@ -127,6 +127,7 @@ HEADLINE = [
     "chi2_event_hour",        # chi-square independence (full grid)
     "revenue_gini",           # two-level distributed-rank Gini
     "funnel_latency",         # per-level time-to-advance
+    "prefix_dup_pairs",       # AllPairs prefix-filtered exact Jaccard join
 ]
 
 

@@ -997,3 +997,99 @@ def query_lsh_index(
         .filter(F.col("est_jaccard") >= threshold)
         .select("probe_id", "match_id", "est_jaccard")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join by PREFIX FILTERING (the
+    AllPairs family, Bayardo et al. WWW'07): every pair with
+    ``jaccard ≥ threshold`` is returned, with no false negatives — the
+    exactness complement to the probabilistic MinHash-LSH candidate join.
+
+    Why this scales where the full inverted-index join
+    (:func:`ngram_jaccard_pairs`) pays for every shared token: under a
+    global token order (rarest df first), a pair at Jaccard ≥ t MUST share
+    a token inside each side's first ``|d| − ⌈t·|d|⌉ + 1`` tokens — so only
+    that prefix is indexed.  At t=0.9 a 100-token doc indexes 11 tokens
+    instead of 100, and because prefixes are the RAREST tokens, posting
+    lists stay short exactly where the full index blows up (stopwords).
+    Candidates additionally pass the length filter
+    ``t·max(|a|,|b|) ≤ min(|a|,|b|)`` in-array before materializing.
+
+    Candidate generation is a superset; the true intersection is then
+    recomputed by joining candidates back onto the token table, so the
+    OUTPUT is independent of the prefix heuristics — jaccard =
+    ``|∩| / (|a|+|b|−|∩|)`` is a single division of exact integers
+    (engine-deterministic, no rounding).
+
+    Plan: one distinct tokenization, two combinable groupBys (df, sizes),
+    one bounded per-doc window for the rarity rank (partitioned BY DOC),
+    posting-list pair explosion over PREFIX postings only, and one
+    re-join on (candidate, token) for verification.
+
+    Reference parity: no reference counterpart — dedup extension family
+    (driver brief).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(content_col)), r"\s+")).alias("w"),
+    ).distinct()
+    tok = tok.cache()  # read by the prefix build AND the verification join
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+    sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("w").asc())
+    ranked = (
+        tok.join(dfreq, "w")
+        .join(sz, "id")
+        .select("id", "n", "w", F.row_number().over(wdoc).alias("__r"))
+    )
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    members = F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("n"))))
+    posting = prefix.groupBy("w").agg(members.alias("m"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["n"].alias("n_a"),
+                        y["n"].alias("n_b"),
+                    ),
+                ),
+                lambda p: F.lit(threshold)
+                * F.greatest(p["n_a"], p["n_b"])
+                <= F.least(p["n_a"], p["n_b"]),
+            ),
+        )
+    )
+    cand = (
+        posting.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "w")
+    tb = tok.select(F.col("id").alias("id_b"), "w")
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+    return verified

@@ -1734,3 +1734,38 @@ FROM allv GROUP BY dist ORDER BY dist
 
 QUERIES["reach_3hop"] = q_reach_3hop
 ORACLES["reach_3hop"] = _REACH_SQL
+
+
+def q_prefix_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-Jaccard≥0.95 near-dup pairs over the English slice via
+    prefix filtering (dedup.prefix_jaccard_pairs, AllPairs WWW'07): only
+    each doc's rarest ``|d|−⌈t|d|⌉+1`` tokens are indexed, candidates are
+    length-filtered in-array, then the TRUE intersection is recomputed —
+    the oracle is the full brute-force inverted-index join, so a hash
+    match empirically proves the prefix filter's no-false-negative
+    guarantee on this corpus."""
+    from cerebro_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("lang") == "en")
+    return prefix_jaccard_pairs(docs, "text", "doc_id", threshold=0.95)
+
+
+_PREFIX_DUP_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE lang = 'en'
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.95
+"""
+
+QUERIES["prefix_dup_pairs"] = q_prefix_dup_pairs
+ORACLES["prefix_dup_pairs"] = _PREFIX_DUP_SQL

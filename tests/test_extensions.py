@@ -412,3 +412,55 @@ def test_audio_non_wav_optional_dependency():
     if _soundfile_module() is None:
         with pytest.raises(NotImplementedError, match="soundfile"):
             decode_audio(b"OggS\x00not-really-ogg")
+
+
+# --- prefix-filtering exact Jaccard join -----------------------------------
+
+
+def _prefix_pairs(spark, docs, t):
+    from cerebro_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = prefix_jaccard_pairs(df, "text", "doc_id", threshold=t)
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+
+
+def test_prefix_jaccard_finds_boundary_pair(spark):
+    # 9 shared of 10 tokens each: J = 9/11 ≈ 0.818 — must be found at
+    # t=0.8 (boundary-ish) and dropped at t=0.9
+    a = " ".join(f"w{i}" for i in range(10))
+    b = " ".join(f"w{i}" for i in range(1, 10)) + " z9"
+    docs = [(1, a), (2, b), (3, "completely different tokens here xyz")]
+    got = _prefix_pairs(spark, docs, 0.8)
+    assert set(got) == {(1, 2)} and abs(got[(1, 2)] - 9 / 11) < 1e-15
+    assert _prefix_pairs(spark, docs, 0.9) == {}
+
+
+def test_prefix_jaccard_matches_bruteforce_exactly(spark):
+    # randomized-ish corpus (deterministic construction): prefix filtering
+    # must return EXACTLY the brute-force pair set — no false negatives
+    import itertools
+
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for d in range(25):
+        toks = [vocab[(d * 7 + k * 3) % 30] for k in range(8 + d % 5)]
+        docs.append((d, " ".join(toks)))
+    t = 0.6
+    sets = {d: set(s.split()) for d, s in docs}
+    brute = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[x] & sets[y])
+        j = inter / len(sets[x] | sets[y])
+        if j >= t:
+            brute[(x, y)] = j
+    got = _prefix_pairs(spark, docs, t)
+    assert got.keys() == brute.keys()
+    for k in brute:
+        assert abs(got[k] - brute[k]) < 1e-15
+
+
+def test_prefix_jaccard_identical_docs(spark):
+    docs = [(1, "a b c"), (2, "c b a"), (3, "a b c d e f g h i j")]
+    got = _prefix_pairs(spark, docs, 0.99)
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
