@@ -20,6 +20,13 @@ Stages (each one an oracle-checked operator — see QUERIES.md):
     fusion of the BM25 and embedding-cosine rankings)
 15. governance gate  — `profile.k_anonymity` (round 6: quasi-identifier
     class-size risk summary before release)
+16. exact-dup sweep  — `dedup.prefix_jaccard_pairs` (round 6: AllPairs
+    prefix-filtered EXACT Jaccard join over the train split — the
+    no-false-negative audit behind the probabilistic LSH pass)
+17. drift gate       — `tsdb.psi_drift` over the events feed (round 6:
+    block the run when the upstream telemetry distribution shifted)
+18. concentration    — `profile.gini_concentration` of tokens per source
+    (round 6: is one source dominating the training mix?)
 """
 
 import sys
@@ -158,6 +165,32 @@ def main() -> None:
         f"k-anonymity:       {risk['n_risky_rows']}/{risk['n_rows']} rows in "
         f"sub-k classes (share {risk['risky_row_share']:.3f})"
     )
+
+    # 16. exact-dup sweep: AllPairs prefix-filtered token-Jaccard over the
+    # train split — exact (no false negatives), so anything LSH missed at
+    # this threshold surfaces here
+    from cerebro_spark.operators.dedup import prefix_jaccard_pairs
+
+    exact_dups = prefix_jaccard_pairs(train, "text", "doc_id", threshold=0.95)
+    print(f"exact-jaccard dups: {exact_dups.count()} pairs ≥0.95 in train")
+
+    # 17. drift gate on the upstream telemetry feed: PSI between the early
+    # and late half of each series — a shifted feed taints tomorrow's batch
+    from cerebro_spark.operators.tsdb import psi_drift
+
+    ev = load_table(spark, "events", SF_DIR)
+    drift = psi_drift(ev, "value", "ts", keys=["event_type"]).collect()
+    worst = max(drift, key=lambda r: r["psi"])
+    print(f"psi drift:         worst {worst['event_type']}={worst['psi']:.4f} "
+          f"({'OK' if worst['psi'] < 0.25 else 'SHIFTED — gate the run'})")
+
+    # 18. mix concentration: Gini of per-source character mass — a skewed
+    # training mix (one source dominating) shows as G → 1
+    from cerebro_spark.operators.profile import gini_concentration
+
+    src_mass = docs.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    gini = gini_concentration(src_mass, "chars", "source").first()
+    print(f"source-mix gini:   {gini['gini']:.4f} over {gini['n']} sources")
 
 
 if __name__ == "__main__":
