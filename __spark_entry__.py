@@ -546,6 +546,8 @@ _SNAPSHOT_PRIORITY = [
     # (frontier expansion with anti-join settling) over the trade graph;
     # SCD2 interval build, Benford first-digit audit, PSI drift,
     # Theil–Sen robust trend, inverted-index postings.
+    "phrase_match",
+    "purchase_attribution",
     "prefix_dup_pairs",
     "revenue_gini",
     "funnel_latency",

@@ -128,6 +128,8 @@ HEADLINE = [
     "revenue_gini",           # two-level distributed-rank Gini
     "funnel_latency",         # per-level time-to-advance
     "prefix_dup_pairs",       # AllPairs prefix-filtered exact Jaccard join
+    "phrase_match",           # positional phrase search (top bigram)
+    "purchase_attribution",   # last-touch attribution window
 ]
 
 

@@ -1663,3 +1663,77 @@ FROM lat GROUP BY level
 
 QUERIES["funnel_latency"] = q_funnel_latency
 ORACLES["funnel_latency"] = _FUNNEL_LATENCY_SQL
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRECEDING non-purchase event within 1 h ('none' if the
+    purchase opens cold).  One carried window per user —
+    ``last(non-purchase, ignorenulls)`` over rows up to the previous
+    event — then a combinable groupBy; the avg gap is a division of
+    exact integer microsecond sums (unrounded)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_type")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.select("user_id", "ts", "event_id", "event_type", prev.alias("__p"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("__p").isNotNull()
+                & (F.unix_micros(F.col("ts")) - F.col("__p.us") <= 3600 * 1_000_000),
+                F.col("__p.event_type"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("attributed_to"),
+            F.when(
+                F.col("__p").isNotNull()
+                & (F.unix_micros(F.col("ts")) - F.col("__p.us") <= 3600 * 1_000_000),
+                F.unix_micros(F.col("ts")) - F.col("__p.us"),
+            ).alias("gap_us"),
+        )
+    )
+    return purchases.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        ((F.sum("gap_us").cast("double") / F.count("gap_us")) / F.lit(1.0e6)).alias(
+            "avg_gap_s"
+        ),
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+    last_value(
+      CASE WHEN event_type <> 'purchase'
+           THEN struct_pack(us := epoch_us(ts), et := event_type) END
+      IGNORE NULLS
+    ) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p
+  FROM events
+),
+purchases AS (
+  SELECT
+    CASE WHEN p IS NOT NULL AND epoch_us(ts) - p.us <= 3600000000
+         THEN p.et ELSE 'none' END AS attributed_to,
+    CASE WHEN p IS NOT NULL AND epoch_us(ts) - p.us <= 3600000000
+         THEN epoch_us(ts) - p.us END AS gap_us
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT attributed_to, count(*) AS n_purchases,
+  (CAST(sum(gap_us) AS DOUBLE) / count(gap_us)) / 1e6 AS avg_gap_s
+FROM purchases GROUP BY attributed_to
+"""
+
+QUERIES["purchase_attribution"] = q_purchase_attribution
+ORACLES["purchase_attribution"] = _ATTRIBUTION_SQL

@@ -1257,3 +1257,86 @@ SELECT term, df, pos, doc_id FROM (
 
 QUERIES["inverted_postings"] = q_inverted_postings
 ORACLES["inverted_postings"] = _INVERTED_POSTINGS_SQL
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: find the corpus's most frequent bigram
+    in-plan (1-row TakeOrdered broadcast — the 'query'), then match it
+    POSITIONALLY (token at pos, token at pos+1) over the positional
+    posting table and return the top-20 docs by occurrence count.  The
+    positional index is (doc, pos, term) rows — the structure a phrase
+    query needs beyond inverted_postings' doc-level lists; matching is
+    one self-equi-join on (doc, pos+1), no Python, exact integer counts."""
+    from pyspark.sql import Window
+    from cerebro_spark.operators.util import top_k_ranked
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    toks = toks.cache()  # read by the bigram ranking AND both match sides
+    bi = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = top_k_ranked(bi, [("n", "desc"), ("w1", "asc"), ("w2", "asc")], k=1).select(
+        "w1", "w2"
+    )
+    hits = (
+        toks.alias("a")
+        .join(F.broadcast(top), F.col("a.w") == F.col("w1"))
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .filter(F.col("b.w") == F.col("w2"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"), "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return top_k_ranked(hits, [("n_occ", "desc"), ("doc_id", "asc")], k=20).select(
+        "doc_id", "w1", "w2", "n_occ", F.col("rank").alias("pos")
+    )
+
+
+_PHRASE_MATCH_SQL = """
+WITH split AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM split, generate_series(1, 1024) AS g(i)
+  WHERE i <= len(t)
+),
+bi AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT w1, w2 FROM bi
+  ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1
+),
+hits AS (
+  SELECT a.doc_id, top.w1, top.w2, count(*) AS n_occ
+  FROM toks a
+  JOIN top ON a.w = top.w1
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.w = top.w2
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, w1, w2, n_occ, pos FROM (
+  SELECT doc_id, w1, w2, n_occ,
+    CAST(row_number() OVER (ORDER BY n_occ DESC, doc_id ASC) AS INT) AS pos
+  FROM hits
+) WHERE pos <= 20
+"""
+
+QUERIES["phrase_match"] = q_phrase_match
+ORACLES["phrase_match"] = _PHRASE_MATCH_SQL
