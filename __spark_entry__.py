@@ -541,11 +541,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # Born round 6, fourth batch — newest first: HITS hubs/authorities
-    # (exact-bigint L1-normalized iterations) and bounded-BFS blast radius
-    # (frontier expansion with anti-join settling) over the trade graph;
-    # SCD2 interval build, Benford first-digit audit, PSI drift,
-    # Theil–Sen robust trend, inverted-index postings.
+    # HEAD-50 TRIAGE (r6, session 3): 54 queries have never had a driver
+    # CORRECTNESS row (the 14-query r01-r05 rotation debt + the 40 born
+    # this round) but the snapshot covers exactly 50.  Priority order:
+    # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
+    #     163/163 driver-gated coverage of the pre-r6 registry;
+    # (2) the 7 streaming gates — ask #2 (stateful-twin equivalence) plus
+    #     the stream-stream join class, whose evidence pytest alone
+    #     cannot replace;
+    # (3) the round-6 births, newest first.
+    # The 4 that slide to the r07 head (triangle_parts, dsir_topk,
+    # rfm_segments, event_transitions) all carry local-oracle green at
+    # sf0.01+sf0.001, pytest, and (triangle) a property test + soak.
+    #
+    # (1) ROTATION — no driver row across r01-r05:
+    "approx_top_terms",
+    "asof_join_nearest",
+    "bollinger_20",
+    "bpe_merge_candidates",
+    "error_burn_rate",
+    "hard_negatives",
+    "packing_efficiency",
+    "rsi_14",
+    "seasonal_decompose",
+    "session_stats",
+    "stochastic_14",
+    "temperature_mix",
+    "value_corr_matrix",
+    "value_heatmap",
+    # (2) STREAMING GATES — stateful twins (ask #2) + stream-stream joins:
+    "streaming_ohlc_6h",
+    "streaming_percentiles_check",
+    "streaming_sessionize_closed",
+    "streaming_cusum_check",
+    "streaming_dedup_check",
+    "streaming_outer_join_check",
+    "streaming_join_check",
+    # (3a) Born round 6, session 3 — newest first: positional phrase
+    # search, last-touch attribution, AllPairs exact Jaccard join, Gini
+    # concentration, funnel latency, chi-square independence, ordered
+    # window funnel, EWMA, HITS, bounded BFS, SCD2, Benford, PSI,
+    # Theil-Sen, inverted postings.
     "phrase_match",
     "purchase_attribution",
     "prefix_dup_pairs",
@@ -561,10 +597,8 @@ _SNAPSHOT_PRIORITY = [
     "psi_drift",
     "theil_sen_trend",
     "inverted_postings",
-    # Born round 6, third batch — newest first: link-prediction /
-    # association-rule graph analytics (common-neighbor Jaccard over the
-    # supplier–customer bipartite graph; market-basket lift over order
-    # baskets).
+    # (3b) Born round 6, third batch — graph analytics / hybrid retrieval /
+    # governance / versioning:
     "ppr_trade_recs",
     "incremental_rollup_check",
     "textrank_keywords",
@@ -575,14 +609,8 @@ _SNAPSHOT_PRIORITY = [
     "lpa_communities",
     "supplier_overlap",
     "part_affinity",
-    # Born round 6, second batch — newest first: stream-stream join gates
-    # (left-outer with per-branch watermark sentinels; inner interval),
-    # the fuzzy-join block-skew diagnostic, then the retrieval /
-    # record-linkage / graph / selection operators (BM25 top-k, blocked
-    # fuzzy join, fixed-iteration PageRank, triangles, DSIR, RFM,
-    # event transitions).
-    "streaming_outer_join_check",
-    "streaming_join_check",
+    # (3c) Born round 6, second batch — retrieval / record linkage / graph /
+    # selection (the last 4 here are the ones that slide to r07):
     "fuzzy_block_stats",
     "bm25_topk",
     "fuzzy_part_pairs",
@@ -591,35 +619,6 @@ _SNAPSHOT_PRIORITY = [
     "dsir_topk",
     "rfm_segments",
     "event_transitions",
-    # Born round 6 (gate in the round they are born — the post-rotation
-    # policy): streaming-twin batch-equivalence gates, including the
-    # applyInPandasWithState operators (sessionize/CUSUM) and the
-    # at-least-once dedup — previously pytest-only evidence.
-    "streaming_ohlc_6h",
-    "streaming_percentiles_check",
-    "streaming_sessionize_closed",
-    "streaming_cusum_check",
-    "streaming_dedup_check",
-    # ROUND-6 ROTATION (executed per the note above): the 14 queries with no
-    # driver CORRECTNESS row across r01-r05, moved to the front so the r06
-    # snapshot gates them -> cumulative 163/163 driver-gated.  Precondition
-    # re-verified at r6 start: CORRECTNESS_r05 keys == the previous head-50,
-    # all 50 green.  New queries born after this point go ABOVE this block so
-    # they gate in the round they are born.
-    "approx_top_terms",
-    "asof_join_nearest",
-    "bollinger_20",
-    "bpe_merge_candidates",
-    "error_burn_rate",
-    "hard_negatives",
-    "packing_efficiency",
-    "rsi_14",
-    "seasonal_decompose",
-    "session_stats",
-    "stochastic_14",
-    "temperature_mix",
-    "value_corr_matrix",
-    "value_heatmap",
     # ROUND-4 ROTATION: the 61 queries with no driver CORRECTNESS row in
     # r01-r03 (VERDICT r3 ask #1).  Driver snapshots the FIRST 50.
     "zscore_outliers",
