@@ -1049,8 +1049,15 @@ def prefix_jaccard_pairs(
         .join(sz, "id")
         .select("id", "n", "w", F.row_number().over(wdoc).alias("__r"))
     )
+    # ceil(t·n) with a downward epsilon: IEEE t·n can land a hair ABOVE an
+    # exact integer (0.95·20 = 19.000000000000004 → ceil 20, one prefix
+    # token too few → a boundary pair at J = t could be missed).  The
+    # epsilon only ever LENGTHENS the prefix (a safe superset).
     prefix = ranked.filter(
-        F.col("__r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("__r")
+        <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + 1
     )
     members = F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("n"))))
     posting = prefix.groupBy("w").agg(members.alias("m"))

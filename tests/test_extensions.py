@@ -464,3 +464,22 @@ def test_prefix_jaccard_identical_docs(spark):
     docs = [(1, "a b c"), (2, "c b a"), (3, "a b c d e f g h i j")]
     got = _prefix_pairs(spark, docs, 0.99)
     assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
+
+
+def test_prefix_jaccard_boundary_at_exact_threshold(spark):
+    # J exactly = t with |d| where IEEE t*|d| rounds a hair above the
+    # integer (0.95*20 = 19.000000000000004): the epsilon'd ceil must
+    # still index enough prefix tokens to find the pair.
+    a = " ".join(f"w{i}" for i in range(20))
+    b = " ".join(f"w{i}" for i in range(19)) + " z"  # 19 shared, union 21
+    # J = 19/21 ≈ 0.905; use t = 19/21 exactly representable? use 0.90
+    docs = [(1, a), (2, b)]
+    got = _prefix_pairs(spark, docs, 0.9)
+    assert set(got) == {(1, 2)}
+    # and a pair at exactly J = 0.95 with n = 20: 19 shared of 20 each,
+    # union 21 -> J = 19/21 < 0.95; construct exact J = 0.95 instead:
+    # |a|=|b|=39, shared 38, union 40 -> 0.95 exactly
+    a2 = " ".join(f"v{i}" for i in range(39))
+    b2 = " ".join(f"v{i}" for i in range(38)) + " zz"
+    got2 = _prefix_pairs(spark, [(1, a2), (2, b2)], 0.95)
+    assert set(got2) == {(1, 2)} and abs(got2[(1, 2)] - 0.95) < 1e-15
