@@ -550,9 +550,11 @@ _SNAPSHOT_PRIORITY = [
     #     the stream-stream join class, whose evidence pytest alone
     #     cannot replace;
     # (3) the round-6 births, newest first.
-    # The 4 that slide to the r07 head (triangle_parts, dsir_topk,
-    # rfm_segments, event_transitions) all carry local-oracle green at
-    # sf0.01+sf0.001, pytest, and (triangle) a property test + soak.
+    # The 5 that slide to the r07 head (pagerank_trade, triangle_parts,
+    # dsir_topk, rfm_segments, event_transitions) all carry local-oracle
+    # green at sf0.01+sf0.001, pytest, and (triangle/pagerank) property
+    # tests + soaks; pagerank's quantized-iteration oracle structure IS
+    # driver-gated this round via ppr_trade_recs.
     #
     # (1) ROTATION — no driver row across r01-r05:
     "approx_top_terms",
@@ -575,6 +577,7 @@ _SNAPSHOT_PRIORITY = [
     "streaming_sessionize_closed",
     "streaming_cusum_check",
     "streaming_dedup_check",
+    "streaming_deadband_check",
     "streaming_outer_join_check",
     "streaming_join_check",
     # (3a) Born round 6, session 3 — newest first: positional phrase

@@ -130,6 +130,7 @@ HEADLINE = [
     "prefix_dup_pairs",       # AllPairs prefix-filtered exact Jaccard join
     "phrase_match",           # positional phrase search (top bigram)
     "purchase_attribution",   # last-touch attribution window
+    "streaming_deadband_check",  # one-float-state filter vs recursive-CTE twin
 ]
 
 

@@ -544,3 +544,71 @@ GROUP BY 1, 2
 
 QUERIES["streaming_outer_join_check"] = q_streaming_outer_join_check
 ORACLES["streaming_outer_join_check"] = _STREAMING_OUTER_JOIN_SQL
+
+
+def q_streaming_deadband_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadband compression gate — the last stateful operator that had
+    pytest-only evidence: the streamed per-key one-float-state filter
+    (emit when |value − last_emitted| ≥ δ) replayed availableNow, then
+    summarized as (n_keys, total_kept, kept_qsum_e6).  The oracle
+    computes the SAME recursion independently with a DuckDB RECURSIVE
+    CTE over (user, rn) — a real independent twin, not a pinned
+    constant — so the value hash proves the streamed recursion step for
+    step.  Determinism: (user_id, ts) is unique in the testdata (ties
+    would make the walk order ambiguous), the replay is a single ordered
+    batch, kept values are e6-quantized BIGINTs summed exactly."""
+    from cerebro_spark.streaming.stateful import streaming_deadband
+
+    delta = 50.0
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    streamed = _run_available_now(
+        ev,
+        lambda s: streaming_deadband(s, key_col="user_id", delta=delta),
+        output_mode="append",
+        ordered_single_batch=True,
+    )
+    per_key = streamed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("kept").alias("total_kept"),
+        F.sum("q").alias("kept_qsum_e6"),
+    )
+
+
+_STREAMING_DEADBAND_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, rn, value AS last,
+    1 AS kept, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qsum
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn,
+    CASE WHEN abs(o.value - w.last) >= 50.0 THEN o.value ELSE w.last END,
+    w.kept + CASE WHEN abs(o.value - w.last) >= 50.0 THEN 1 ELSE 0 END,
+    w.qsum + CASE WHEN abs(o.value - w.last) >= 50.0
+                  THEN CAST(floor(o.value * 1e6 + 0.5) AS BIGINT)
+                  ELSE 0 END
+  FROM walk w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+),
+final AS (
+  SELECT user_id, kept, qsum,
+    row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS r
+  FROM walk
+)
+SELECT count(*) AS n_keys,
+  CAST(sum(kept) AS BIGINT) AS total_kept,
+  CAST(sum(qsum) AS BIGINT) AS kept_qsum_e6
+FROM final WHERE r = 1
+"""
+
+QUERIES["streaming_deadband_check"] = q_streaming_deadband_check
+ORACLES["streaming_deadband_check"] = _STREAMING_DEADBAND_SQL
