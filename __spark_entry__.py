@@ -613,10 +613,17 @@ _SNAPSHOT_PRIORITY = [
     "supplier_overlap",
     "part_affinity",
     # (3c) Born round 6, second batch — retrieval / record linkage / graph /
-    # selection (the last 4 here are the ones that slide to r07):
+    # selection; the flagship retrieval/linkage pair (bm25, fuzzy join)
+    # outranks the newest stats queries for the last head slots:
     "fuzzy_block_stats",
     "bm25_topk",
     "fuzzy_part_pairs",
+    # --- r06 head-50 cutoff falls here: everything below gates in r07 ---
+    # (all local-oracle green at sf0.01+sf0.001 with pytest evidence;
+    # moments/mann_kendall were born last and deliberately yield their
+    # head slots to bm25/fuzzy above)
+    "moments_by_type",
+    "mann_kendall_trend",
     "pagerank_trade",
     "triangle_parts",
     "dsir_topk",

@@ -131,6 +131,8 @@ HEADLINE = [
     "phrase_match",           # positional phrase search (top bigram)
     "purchase_attribution",   # last-touch attribution window
     "streaming_deadband_check",  # one-float-state filter vs recursive-CTE twin
+    "moments_by_type",        # exact two-pass skewness/kurtosis
+    "mann_kendall_trend",     # nonparametric trend significance
 ]
 
 

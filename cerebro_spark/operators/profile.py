@@ -440,3 +440,71 @@ def gini_concentration(
         F.col("__n").alias("n"),
         F.col("__s0").alias("total"),
     )
+
+
+def moments_profile(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-key distribution moments — ``(keys…, n, mean, var_pop,
+    skewness, kurtosis)`` — with ENGINE-EXACT values, unlike
+    ``F.skewness``/``F.kurtosis`` whose one-pass float accumulation is
+    summation-order-dependent.
+
+    Two passes: the exact 1e-6 fixed-point mean first, then per-row
+    central deviations ``d = value − mean`` (a deterministic double since
+    the mean is) raised to powers and quantized to BIGINTs at
+    power-matched scales (d²·1e6, d³·1e3, d⁴·1e0 — coarser for higher
+    powers so the per-row terms stay far from 2^63; bound: |d| ≤ ~500
+    and ≤ ~1e7 rows/key at these scales, shrink the factors for wilder
+    data).  Exact integer sums → every downstream op is a fixed chain of
+    single IEEE ops (one sqrt, IEEE-correctly-rounded), mirrored by the
+    SQL oracle.
+
+    Plan: two combinable groupBys over the fact table with a broadcast
+    keyed-mean join between them — the same two-pass shape as ks_drift's
+    span join.  skewness = m3/(m2·√m2), kurtosis = m4/m2² (population
+    forms, Fisher −3 NOT applied).
+
+    Reference parity: no reference counterpart — statistical-profiling
+    extension next to chi2_independence/gini (driver brief).
+    """
+    keys = keys or []
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+    base = df.select(*keys, v.alias("__v"), q.alias("__q"))
+    means = base.groupBy(*keys).agg(
+        ((F.sum("__q").cast("double") / F.count(F.lit(1))) / F.lit(1.0e6)).alias(
+            "__mean"
+        )
+    )
+    if keys:
+        d0 = base.join(F.broadcast(means), on=keys)
+    else:
+        d0 = base.crossJoin(F.broadcast(means))
+    d = F.col("__v") - F.col("__mean")
+    terms = d0.select(
+        *keys,
+        F.col("__mean"),
+        F.floor(d * d * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias("__t2"),
+        F.floor(d * d * d * F.lit(1.0e3) + F.lit(0.5)).cast("long").alias("__t3"),
+        F.floor(d * d * d * d + F.lit(0.5)).cast("long").alias("__t4"),
+    )
+    agg = terms.groupBy(*keys, "__mean").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__t2").alias("__s2"),
+        F.sum("__t3").alias("__s3"),
+        F.sum("__t4").alias("__s4"),
+    )
+    m2 = (F.col("__s2").cast("double") / F.col("n")) / F.lit(1.0e6)
+    m3 = (F.col("__s3").cast("double") / F.col("n")) / F.lit(1.0e3)
+    m4 = F.col("__s4").cast("double") / F.col("n")
+    return agg.select(
+        *keys,
+        F.col("n"),
+        F.col("__mean").alias("mean"),
+        m2.alias("var_pop"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2)).alias("kurtosis"),
+    )

@@ -1329,3 +1329,72 @@ def theil_sen(
         (F.sum("__s") / F.count(F.lit(1))).alias("slope_med"),
         F.max("__n").alias("n_pairs"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per series over time-bucket
+    means — ``(keys…, s_stat, n_buckets, var_s, z)``.  The nonparametric
+    companion to ``theil_sen``: S = Σ_{i<j} sign(m_j − m_i) counts
+    concordant minus discordant bucket pairs (a pure INTEGER, so the test
+    statistic itself is trivially engine-exact); the normal approximation
+    ``Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18`` (tie-corrected)
+    and ``z = (S∓1)/√Var(S)`` are fixed chains of single IEEE ops over
+    exact integers (sqrt is IEEE-correctly-rounded), mirrored in the SQL
+    oracle.
+
+    Ties group on the EXACT bucket means, which are themselves
+    deterministic (``bucket_means``' fixed-point contract), so both
+    engines see identical tie multiplicities.
+
+    Scale shape: same contract as ``theil_sen`` — quadratic in BUCKETS
+    per key (bounded grid), never in rows; one combinable groupBy, one
+    keyed self-join, one tie groupBy.
+    """
+    keys = keys or []
+    daily = bucket_means(df, value_col, time_col, keys, bucket_seconds)
+    a = daily.select(*keys, F.col("__b").alias("__ba"), F.col("__m").alias("__ma"))
+    b = daily.select(*keys, F.col("__b").alias("__bb"), F.col("__m").alias("__mb"))
+    pairs = (a.join(b, keys) if keys else a.crossJoin(b)).filter(
+        F.col("__ba") < F.col("__bb")
+    )
+    s = pairs.groupBy(*keys).agg(
+        F.sum(F.signum(F.col("__mb") - F.col("__ma")).cast("long")).alias("s_stat")
+    )
+    nb = daily.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_buckets"))
+    ties = (
+        daily.groupBy(*keys, "__m")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .filter(F.col("__t") > 1)
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tc")
+        )
+    )
+    joined = (
+        nb.join(s, keys) if keys else nb.crossJoin(s)
+    )
+    joined = joined.join(ties, keys, "left") if keys else joined.crossJoin(
+        F.broadcast(ties.select(F.col("__tc")))
+    )
+    n = F.col("n_buckets")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("__tc"), F.lit(0)))
+        .cast("double")
+        / F.lit(18.0)
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        *keys, "s_stat", "n_buckets", var_s.alias("var_s"), z.alias("z")
+    )

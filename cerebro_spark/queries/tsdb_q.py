@@ -1764,3 +1764,103 @@ FROM daily GROUP BY event_type
 
 QUERIES["ewma_level"] = q_ewma_level
 ORACLES["ewma_level"] = _EWMA_SQL
+
+
+def q_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact distribution moments per event_type
+    (profile.moments_profile): two-pass central moments with
+    power-matched fixed-point integer sums — the deterministic twin of
+    F.skewness/F.kurtosis, whose float accumulation order is not."""
+    from cerebro_spark.operators.profile import moments_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return moments_profile(ev, "value", keys=["event_type"])
+
+
+_MOMENTS_SQL = """
+WITH means AS (
+  SELECT event_type,
+    (CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+     / count(*)) / 1e6 AS mean
+  FROM events GROUP BY 1
+),
+terms AS (
+  SELECT e.event_type, m.mean,
+    CAST(floor((e.value - m.mean) * (e.value - m.mean) * 1e6 + 0.5)
+         AS BIGINT) AS t2,
+    CAST(floor((e.value - m.mean) * (e.value - m.mean) * (e.value - m.mean)
+               * 1e3 + 0.5) AS BIGINT) AS t3,
+    CAST(floor((e.value - m.mean) * (e.value - m.mean) * (e.value - m.mean)
+               * (e.value - m.mean) + 0.5) AS BIGINT) AS t4
+  FROM events e JOIN means m USING (event_type)
+),
+agg AS (
+  SELECT event_type, mean, count(*) AS n,
+    sum(t2) AS s2, sum(t3) AS s3, sum(t4) AS s4
+  FROM terms GROUP BY 1, 2
+)
+SELECT event_type, n, mean,
+  (CAST(s2 AS DOUBLE) / n) / 1e6 AS var_pop,
+  ((CAST(s3 AS DOUBLE) / n) / 1e3)
+    / (((CAST(s2 AS DOUBLE) / n) / 1e6)
+       * sqrt((CAST(s2 AS DOUBLE) / n) / 1e6)) AS skewness,
+  (CAST(s4 AS DOUBLE) / n)
+    / (((CAST(s2 AS DOUBLE) / n) / 1e6)
+       * ((CAST(s2 AS DOUBLE) / n) / 1e6)) AS kurtosis
+FROM agg
+"""
+
+QUERIES["moments_by_type"] = q_moments_by_type
+ORACLES["moments_by_type"] = _MOMENTS_SQL
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event_type over daily-bucket
+    means (tsdb.mann_kendall): S is a pure integer pair count, the
+    tie-corrected variance and z are fixed IEEE chains over exact
+    integers — the nonparametric significance companion to
+    theil_sen_trend's slope magnitude."""
+    from cerebro_spark.operators.tsdb import mann_kendall
+
+    ev = load_table(spark, "events", sf_dir)
+    return mann_kendall(ev, "value", "ts", keys=["event_type"], bucket_seconds=86400)
+
+
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b,
+    (CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+     / count(*)) / 1e6 AS m
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+    CAST(sum(CAST(sign(b.m - a.m) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.b < b.b
+  GROUP BY 1
+),
+nb AS (SELECT event_type, count(*) AS n_buckets FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tc FROM (
+    SELECT event_type, m, count(*) AS t FROM daily GROUP BY 1, 2
+  ) WHERE t > 1 GROUP BY 1
+)
+SELECT nb.event_type, s.s_stat, CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+  CAST(nb.n_buckets * (nb.n_buckets - 1) * (2 * nb.n_buckets + 5)
+       - coalesce(ties.tc, 0) AS DOUBLE) / 18.0 AS var_s,
+  CASE
+    WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+      / sqrt(CAST(nb.n_buckets * (nb.n_buckets - 1) * (2 * nb.n_buckets + 5)
+                  - coalesce(ties.tc, 0) AS DOUBLE) / 18.0)
+    WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+      / sqrt(CAST(nb.n_buckets * (nb.n_buckets - 1) * (2 * nb.n_buckets + 5)
+                  - coalesce(ties.tc, 0) AS DOUBLE) / 18.0)
+    ELSE 0.0
+  END AS z
+FROM nb JOIN s USING (event_type)
+LEFT JOIN ties USING (event_type)
+"""
+
+QUERIES["mann_kendall_trend"] = q_mann_kendall_trend
+ORACLES["mann_kendall_trend"] = _MANN_KENDALL_SQL

@@ -566,3 +566,55 @@ def test_theil_sen_even_pair_count_median_is_middle_average(spark):
     out = theil_sen(df, "v", "ts", keys=[]).collect()[0]
     assert out["n_pairs"] == 6
     assert abs(out["slope_med"] - (5.0 / 3.0 + 2.0) / 2) < 1e-12
+
+
+def test_mann_kendall_exact_small_cases(spark):
+    import datetime as dt
+
+    from cerebro_spark.operators.tsdb import mann_kendall
+
+    t = lambda d: dt.datetime(2024, 1, 1) + dt.timedelta(days=d)  # noqa: E731
+    # strictly increasing 5 buckets: S = C(5,2) = 10, Var = 5*4*15/18
+    inc = spark.createDataFrame(
+        [(t(d), float(d)) for d in range(5)], "ts timestamp, value double"
+    )
+    r = mann_kendall(inc, "value", "ts", keys=[]).collect()[0]
+    assert r["s_stat"] == 10 and abs(r["var_s"] - 300 / 18) < 1e-12
+    assert abs(r["z"] - 9 / (300 / 18) ** 0.5) < 1e-12
+    # tie pair: means [1,1,2] -> S=2, Var = (66 - 18)/18
+    tie = spark.createDataFrame(
+        [(t(0), 1.0), (t(1), 1.0), (t(2), 2.0)], "ts timestamp, value double"
+    )
+    r2 = mann_kendall(tie, "value", "ts", keys=[]).collect()[0]
+    assert r2["s_stat"] == 2 and abs(r2["var_s"] - 48 / 18) < 1e-12
+    # decreasing -> symmetric negative z
+    dec = spark.createDataFrame(
+        [(t(d), float(-d)) for d in range(5)], "ts timestamp, value double"
+    )
+    r3 = mann_kendall(dec, "value", "ts", keys=[]).collect()[0]
+    assert r3["s_stat"] == -10 and abs(r3["z"] + r["z"]) < 1e-12
+
+
+def test_moments_profile_matches_hand_moments(spark):
+    from cerebro_spark.operators.profile import moments_profile
+
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = moments_profile(df, "value", keys=[]).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    assert out["mean"] == mean and abs(out["var_pop"] - m2) < 1e-5
+    assert abs(out["skewness"] - m3 / (m2 * m2**0.5)) < 1e-4
+    assert abs(out["kurtosis"] - m4 / (m2 * m2)) < 1e-4
+
+
+def test_moments_profile_symmetric_distribution_zero_skew(spark):
+    from cerebro_spark.operators.profile import moments_profile
+
+    vals = [-2.0, -1.0, 0.0, 1.0, 2.0] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = moments_profile(df, "value", keys=[]).collect()[0]
+    assert out["skewness"] == 0.0 and out["mean"] == 0.0
