@@ -1040,7 +1040,11 @@ def prefix_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(content_col)), r"\s+")).alias("w"),
     ).distinct()
-    tok = tok.cache()  # read by the prefix build AND the verification join
+    # read by the prefix build AND the verification join; MEMORY_AND_DISK
+    # and LRU-evictable, left persisted like pagerank's edge cache
+    # (release is the session's LRU policy, not the operator's — an eager
+    # unpersist here would force the re-tokenization on every consumer)
+    tok = tok.cache()
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
     sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     wdoc = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("w").asc())
@@ -1050,7 +1054,7 @@ def prefix_jaccard_pairs(
         .select("id", "n", "w", F.row_number().over(wdoc).alias("__r"))
     )
     # ceil(t·n) with a downward epsilon: IEEE t·n can land a hair ABOVE an
-    # exact integer (0.95·20 = 19.000000000000004 → ceil 20, one prefix
+    # exact integer (0.28·25 = 7.000000000000001 → ceil 8, one prefix
     # token too few → a boundary pair at J = t could be missed).  The
     # epsilon only ever LENGTHENS the prefix (a safe superset).
     prefix = ranked.filter(
@@ -1074,8 +1078,13 @@ def prefix_jaccard_pairs(
                         y["n"].alias("n_b"),
                     ),
                 ),
+                # same downward epsilon as the prefix-length ceil below:
+                # IEEE t·max can land a hair above an exact integer
+                # (0.28·25 = 7.000000000000001 > 7) and silently drop a
+                # TRUE boundary pair at J = t before verification
                 lambda p: F.lit(threshold)
                 * F.greatest(p["n_a"], p["n_b"])
+                - F.lit(1e-9)
                 <= F.least(p["n_a"], p["n_b"]),
             ),
         )

@@ -1275,7 +1275,10 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
     )
-    toks = toks.cache()  # read by the bigram ranking AND both match sides
+    # read by the bigram ranking AND both match sides; MEMORY_AND_DISK,
+    # LRU-evictable, left persisted (same policy note as
+    # dedup.prefix_jaccard_pairs' token cache)
+    toks = toks.cache()
     bi = (
         toks.alias("a")
         .join(

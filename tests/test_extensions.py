@@ -483,3 +483,15 @@ def test_prefix_jaccard_boundary_at_exact_threshold(spark):
     b2 = " ".join(f"v{i}" for i in range(38)) + " zz"
     got2 = _prefix_pairs(spark, [(1, a2), (2, b2)], 0.95)
     assert set(got2) == {(1, 2)} and abs(got2[(1, 2)] - 0.95) < 1e-15
+
+
+def test_prefix_jaccard_ieee_uprounding_boundary(spark):
+    # GENUINELY-triggering IEEE case (empirically verified): at t=0.28,
+    # 0.28*25 = 7.000000000000001 — without the downward epsilons BOTH
+    # the prefix-length ceil (one token short) and the in-array length
+    # filter (7-token doc vs 25-token doc rejected) drop this true
+    # boundary pair at exactly J = 7/25 = 0.28.
+    a = " ".join(f"w{i}" for i in range(25))
+    b = " ".join(f"w{i}" for i in range(7))  # contained: inter=7, union=25
+    got = _prefix_pairs(spark, [(1, a), (2, b)], 0.28)
+    assert set(got) == {(1, 2)} and abs(got[(1, 2)] - 0.28) < 1e-15
