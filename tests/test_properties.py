@@ -573,3 +573,126 @@ def test_triangle_participation_matches_bruteforce(spark, raw_edges):
             for x in (a, b, c):
                 ref[x] = ref.get(x, 0) + 1
     assert got == ref
+
+
+# -- window_funnel vs a Python reference of the anchored-greedy semantics ----
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),             # user
+            st.integers(0, 120),           # seconds offset
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_window_funnel_matches_python_reference(spark, events):
+    from cerebro_spark.operators.timeops import window_funnel
+
+    window_s = 60
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, t0 + dt.timedelta(seconds=s), e)
+        for i, (u, s, e) in enumerate(events)
+    ]
+
+    def reference():
+        out = {}
+        by_user = {}
+        for u, eid, ts, e in rows:
+            by_user.setdefault(u, []).append((ts, eid, e))
+        for u, evs in by_user.items():
+            evs.sort()
+            t1 = next((ts for ts, _, e in evs if e == "view"), None)
+            if t1 is None:
+                continue
+            limit = t1 + dt.timedelta(seconds=window_s)
+            t2 = next(
+                (ts for ts, _, e in evs if e == "click" and t1 < ts <= limit),
+                None,
+            )
+            t3 = (
+                next(
+                    (ts for ts, _, e in evs
+                     if e == "purchase" and t2 < ts <= limit),
+                    None,
+                )
+                if t2 is not None
+                else None
+            )
+            out[u] = 3 if t3 else 2 if t2 else 1
+        return out
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(
+            df,
+            [
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            keys=["user_id"],
+            window_seconds=window_s,
+        ).collect()
+    }
+    assert got == reference()
+
+
+# -- theil_sen / mann_kendall vs brute-force references over bucket means ----
+
+
+@given(
+    days=st.lists(
+        st.tuples(st.integers(0, 12), st.floats(-100, 100, allow_nan=False)),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_trend_estimators_match_bruteforce(spark, days):
+    import statistics
+
+    from cerebro_spark.operators.tsdb import mann_kendall, theil_sen
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(days=d, seconds=i), float(v))
+        for i, (d, v) in enumerate(days)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    # brute-force reference over the SAME fixed-point bucket means
+    buckets = {}
+    for (d, v), _ in zip(days, rows):
+        buckets.setdefault(d, []).append(
+            __import__("math").floor(float(v) * 1e6 + 0.5)
+        )
+    means = {d: (sum(qs) / len(qs)) / 1e6 for d, qs in buckets.items()}
+    ds = sorted(means)
+    if len(ds) >= 2:
+        slopes = sorted(
+            (means[b] - means[a]) / (b - a)
+            for i, a in enumerate(ds)
+            for b in ds[i + 1:]
+        )
+        n = len(slopes)
+        med = (slopes[(n + 1) // 2 - 1] + slopes[n // 2]) / 2
+        out = theil_sen(df, "value", "ts", keys=[]).collect()[0]
+        assert out["n_pairs"] == n
+        assert abs(out["slope_med"] - med) < 1e-12
+
+        s_ref = sum(
+            (means[b] > means[a]) - (means[b] < means[a])
+            for i, a in enumerate(ds)
+            for b in ds[i + 1:]
+        )
+        mk = mann_kendall(df, "value", "ts", keys=[]).collect()[0]
+        assert mk["s_stat"] == s_ref and mk["n_buckets"] == len(ds)
