@@ -386,9 +386,14 @@ def gini_concentration(
     one bucket (documented bound — raise ``n_buckets`` for heavy skew).
 
     Determinism: ``value_col`` must already be an exact integer (cents,
-    token counts); ranks/sums are then exact BIGINTs (Σ rank·x must stay
-    under 2^63: fine to ~1e9 keys of 1e7-unit values) and the final
+    token counts); ranks/sums are then exact BIGINTs and the final
     formula is a fixed chain of single IEEE ops, mirrored in the oracle.
+    Overflow bound (the REAL constraint, soak-measured): ``Σ i·xᵢ ≈
+    n²·mean/2`` must stay under 2^63 ≈ 9.2e18 — e.g. 10M keys support a
+    mean value up to ~1.8e5 units, 1M keys up to ~1.8e7.  For bigger
+    populations rescale the unit (Gini is scale-invariant: dividing
+    every value by a constant before quantization leaves it unchanged
+    up to the quantization error of the division).
     Ties order by ``key_col`` — any tie order gives the same Σ i·xᵢ for
     equal x, so the tiebreak is for plan stability, not the statistic.
 
