@@ -627,6 +627,7 @@ _SNAPSHOT_PRIORITY = [
     # head slots to bm25/fuzzy above)
     "moments_by_type",
     "mann_kendall_trend",
+    "holt_forecast_check",
     "pagerank_trade",
     "triangle_parts",
     "dsir_topk",

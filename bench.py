@@ -133,6 +133,7 @@ HEADLINE = [
     "streaming_deadband_check",  # one-float-state filter vs recursive-CTE twin
     "moments_by_type",        # exact two-pass skewness/kurtosis
     "mann_kendall_trend",     # nonparametric trend significance
+    "holt_forecast_check",    # double-exponential forecast vs recursive-CTE twin
 ]
 
 

@@ -1864,3 +1864,80 @@ LEFT JOIN ties USING (event_type)
 
 QUERIES["mann_kendall_trend"] = q_mann_kendall_trend
 ORACLES["mann_kendall_trend"] = _MANN_KENDALL_SQL
+
+
+def q_holt_forecast_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the LAST previously pytest-only operator
+    (tsdb.holt_winters_forecast, the Flux holtWinters() parity verb):
+    the coupled level/trend recurrence is mirrored by a DuckDB RECURSIVE
+    CTE walking the same buckets — a genuine independent second
+    implementation (same pattern as streaming_deadband_check).
+
+    Bit-parity recipe: the operator is fed PRE-BUCKETED exact hourly
+    means (tsdb.bucket_means fixed-point contract), so its internal
+    downsample's avg sees ONE row per bucket and is exact; both engines
+    then execute the identical float op sequence (α=0.5 and 1−α=0.5,
+    β=0.3 and 1−β=0.7 are all exactly representable / correctly-rounded
+    literals), so every forecast double matches bit-for-bit with no
+    output rounding."""
+    from cerebro_spark.operators.tsdb import bucket_means, holt_winters_forecast
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = bucket_means(ev, "value", "ts", ["event_type"], 3600)
+    pre = hourly.select(
+        "event_type",
+        F.timestamp_seconds(F.col("__b") * 3600).alias("ts"),
+        F.col("__m").alias("value"),
+    )
+    return holt_winters_forecast(
+        pre,
+        "value",
+        "ts",
+        keys=["event_type"],
+        bucket_seconds=3600,
+        alpha=0.5,
+        beta=0.3,
+        horizon=5,
+    )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE buckets AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+    (CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+     / count(*)) / 1e6 AS y
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, y,
+    row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn,
+    max(b) OVER (PARTITION BY event_type) AS maxb,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM buckets
+),
+walk AS (
+  SELECT o1.event_type, CAST(1 AS BIGINT) AS rn,
+    o1.y AS level, o2.y - o1.y AS trend, o1.n, o1.maxb
+  FROM ordered o1 JOIN ordered o2
+    ON o1.event_type = o2.event_type AND o1.rn = 1 AND o2.rn = 2
+  UNION ALL
+  SELECT w.event_type, o.rn,
+    CAST(0.5 AS DOUBLE) * o.y
+      + CAST(0.5 AS DOUBLE) * (w.level + w.trend),
+    CAST(0.3 AS DOUBLE)
+      * ((CAST(0.5 AS DOUBLE) * o.y
+          + CAST(0.5 AS DOUBLE) * (w.level + w.trend)) - w.level)
+      + CAST(0.7 AS DOUBLE) * w.trend,
+    w.n, w.maxb
+  FROM walk w JOIN ordered o
+    ON o.event_type = w.event_type AND o.rn = w.rn + 1
+),
+final AS (SELECT * FROM walk WHERE rn = n)
+SELECT f.event_type, CAST(h.step AS INT) AS step,
+  make_timestamp((f.maxb + h.step) * 3600 * 1000000) AS forecast_ts,
+  f.level + f.trend * h.step AS yhat
+FROM final f, generate_series(1, 5) AS h(step)
+"""
+
+QUERIES["holt_forecast_check"] = q_holt_forecast_check
+ORACLES["holt_forecast_check"] = _HOLT_SQL
