@@ -628,6 +628,8 @@ _SNAPSHOT_PRIORITY = [
     "moments_by_type",
     "mann_kendall_trend",
     "holt_forecast_check",
+    "ab_test_ztest",
+    "survival_km",
     "pagerank_trade",
     "triangle_parts",
     "dsir_topk",

@@ -134,6 +134,8 @@ HEADLINE = [
     "moments_by_type",        # exact two-pass skewness/kurtosis
     "mann_kendall_trend",     # nonparametric trend significance
     "holt_forecast_check",    # double-exponential forecast vs recursive-CTE twin
+    "ab_test_ztest",          # two-proportion experiment significance
+    "survival_km",            # Kaplan-Meier over the lifetime grid
 ]
 
 

@@ -1737,3 +1737,214 @@ FROM purchases GROUP BY attributed_to
 
 QUERIES["purchase_attribution"] = q_purchase_attribution
 ORACLES["purchase_attribution"] = _ATTRIBUTION_SQL
+
+
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (variant = user_id parity):
+    did variant B's view→purchase conversion rate differ?  One row:
+    per-variant exposed/converted counts, rates, and the pooled-variance
+    z statistic — every input an exact integer, every downstream op a
+    single IEEE step (sqrt correctly rounded), mirrored in the oracle.
+    Plan: one combinable per-user aggregate, one 1-row reduce."""
+    ev = load_table(spark, "events", sf_dir)
+    # conversion = purchase within 1 h of the FIRST view (lifetime
+    # conversion saturates at ~1.0 in this corpus → pooled variance 0)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("__t1"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("__tp")
+    )
+    per_user = (
+        views.join(purch, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    F.col("__tp").isNotNull()
+                    & (F.col("__tp") > F.col("__t1"))
+                    & (F.col("__tp") <= F.col("__t1") + 3600 * 1_000_000)
+                ).cast("int")
+            ).alias("conv")
+        )
+        .select(F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "conv")
+    )
+    agg = per_user.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return agg.select(
+        "n_a", "c_a", "n_b", "c_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        # degenerate pools (0% or 100% conversion everywhere) have zero
+        # pooled variance — the test is undefined, emit NULL not a crash
+        F.when(se > 0, (p_b - p_a) / se).alias("z"),
+    )
+
+
+_AB_ZTEST_SQL = """
+WITH views AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+per_user AS (
+  SELECT v.user_id % 2 AS variant,
+    max(CASE WHEN p.ts IS NOT NULL
+              AND epoch_us(p.ts) > v.t1
+              AND epoch_us(p.ts) <= v.t1 + 3600000000
+             THEN 1 ELSE 0 END) AS conv
+  FROM views v
+  LEFT JOIN events p
+    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+  GROUP BY v.user_id
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+  FROM per_user
+)
+SELECT n_a, c_a, n_b, c_b,
+  CAST(c_a AS DOUBLE) / n_a AS rate_a,
+  CAST(c_b AS DOUBLE) / n_b AS rate_b,
+  CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+  THEN (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+  END AS z
+FROM agg
+"""
+
+QUERIES["ab_test_ztest"] = q_ab_test_ztest
+ORACLES["ab_test_ztest"] = _AB_ZTEST_SQL
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over user lifetimes (days from first to last
+    event; users still active on the corpus' final day are CENSORED, not
+    events): per distinct event-time, the at-risk count, event count, and
+    the KM survival estimate.  Determinism: d/n are exact integers, each
+    factor's ln is libm-identical, per-step log terms quantized to 1e-9
+    BIGINTs and summed exactly in a cumulative window over the ≤31-row
+    lifetime grid, survival = exp(logsum) — same libm exp both engines.
+    Plan: one per-user aggregate, one combinable lifetime groupBy, two
+    windows over the day-grid-sized frame."""
+    ev = load_table(spark, "events", sf_dir)
+    corpus_max = ev.agg(F.max(F.col("ts").cast("long")).alias("__cm"))
+    lives = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("__first"),
+            F.max(F.col("ts").cast("long")).alias("__last"),
+        )
+        .crossJoin(F.broadcast(corpus_max))
+        .select(
+            F.floor((F.col("__last") - F.col("__first")) / 86400)
+            .cast("long")
+            .alias("t"),
+            # censored = still active in the corpus' final day
+            (F.col("__last") >= F.col("__cm") - 86400).cast("int").alias("censored"),
+        )
+    )
+    grid = lives.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.lit(1) - F.col("censored")).alias("d_events"),
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # lifetime grid is calendar-bounded (≤ span days) — keyless windows OK
+    at_risk = F.sum("n_ending").over(wtot) - F.coalesce(
+        F.sum("n_ending").over(wcum), F.lit(0)
+    )
+    staged = grid.select(
+        "t",
+        "n_ending",
+        "d_events",
+        at_risk.alias("n_at_risk"),
+    ).select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("d_events")).cast("double")
+                / F.col("n_at_risk")
+            )
+            * F.lit(1.0e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__l9"),
+    )
+    wkm = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.exp(F.sum("__l9").over(wkm) / F.lit(1.0e9)).alias("survival"),
+    )
+
+
+_SURVIVAL_KM_SQL = """
+WITH cm AS (SELECT max(floor(epoch(ts))) AS corpus_max FROM events),
+lives AS (
+  SELECT
+    CAST(floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 86400)
+         AS BIGINT) AS t,
+    CASE WHEN max(floor(epoch(ts))) >= (SELECT corpus_max FROM cm) - 86400
+         THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT t, count(*) AS n_ending,
+    CAST(sum(1 - censored) AS BIGINT) AS d_events
+  FROM lives GROUP BY t
+),
+staged AS (
+  SELECT t, n_ending, d_events,
+    sum(n_ending) OVER () - coalesce(sum(n_ending) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_at_risk
+  FROM grid
+),
+logs AS (
+  SELECT t, n_at_risk, d_events,
+    CAST(floor(ln(CAST(n_at_risk - d_events AS DOUBLE) / n_at_risk) * 1e9
+               + 0.5) AS BIGINT) AS l9
+  FROM staged
+)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,
+  exp(sum(l9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) / 1e9) AS survival
+FROM logs
+"""
+
+QUERIES["survival_km"] = q_survival_km
+ORACLES["survival_km"] = _SURVIVAL_KM_SQL

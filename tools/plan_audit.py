@@ -120,6 +120,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the (min,max) value span crossJoined onto the
     # per-customer revenue frame for range bucketing (r6 fourth batch)
     "revenue_gini",
+    # 1-row scalar broadcast: the corpus-max timestamp (censoring anchor)
+    # crossJoined onto the per-user lifetime aggregate (r6 fourth batch)
+    "survival_km",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -136,6 +139,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # count frame — the two-level distributed ranking's bounded metadata
     # pass; the per-row rank window partitions BY BUCKET (r6 fourth batch)
     "revenue_gini",
+    # Kaplan–Meier at-risk/survival windows run over the LIFETIME-DAY grid
+    # (≤ span/86400 rows — calendar-bounded like the gapfill summaries),
+    # never the per-user rows (r6 fourth batch)
+    "survival_km",
 }
 
 
