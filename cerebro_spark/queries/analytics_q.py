@@ -1792,11 +1792,14 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n_a", "c_a", "n_b", "c_b",
-        p_a.alias("rate_a"),
-        p_b.alias("rate_b"),
+        # empty-arm guard: Spark 0/0 gives NaN, DuckDB float /0 gives NULL
+        # — emit NULL on both engines when an arm has no exposed users
+        F.when(F.col("n_a") > 0, p_a).alias("rate_a"),
+        F.when(F.col("n_b") > 0, p_b).alias("rate_b"),
         # degenerate pools (0% or 100% conversion everywhere) have zero
         # pooled variance — the test is undefined, emit NULL not a crash
-        F.when(se > 0, (p_b - p_a) / se).alias("z"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0), (p_b - p_a) / se)
+        .alias("z"),
     )
 
 
@@ -1825,9 +1828,10 @@ agg AS (
   FROM per_user
 )
 SELECT n_a, c_a, n_b, c_b,
-  CAST(c_a AS DOUBLE) / n_a AS rate_a,
-  CAST(c_b AS DOUBLE) / n_b AS rate_b,
-  CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+  CASE WHEN n_a > 0 THEN CAST(c_a AS DOUBLE) / n_a END AS rate_a,
+  CASE WHEN n_b > 0 THEN CAST(c_b AS DOUBLE) / n_b END AS rate_b,
+  CASE WHEN n_a > 0 AND n_b > 0
+        AND sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
   THEN (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
@@ -1892,15 +1896,23 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "n_at_risk",
         "d_events",
-        F.floor(
-            F.log(
-                (F.col("n_at_risk") - F.col("d_events")).cast("double")
-                / F.col("n_at_risk")
-            )
-            * F.lit(1.0e9)
-            + F.lit(0.5)
+        # a grid row where EVERYONE at risk events (n_at_risk == d_events)
+        # has factor 0 → survival drops to exactly 0 from here on.  ln(0)
+        # is NULL in Spark but an error in DuckDB, so both sides use a
+        # −1e12 sentinel instead: exp((−1e12 + anything)/1e9) ≤ exp(−990)
+        # underflows to IEEE +0.0 deterministically on both engines.
+        F.when(
+            F.col("n_at_risk") > F.col("d_events"),
+            F.floor(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d_events")).cast("double")
+                    / F.col("n_at_risk")
+                )
+                * F.lit(1.0e9)
+                + F.lit(0.5)
+            ).cast("long"),
         )
-        .cast("long")
+        .otherwise(F.lit(-1_000_000_000_000))
         .alias("__l9"),
     )
     wkm = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
@@ -1936,8 +1948,11 @@ staged AS (
 ),
 logs AS (
   SELECT t, n_at_risk, d_events,
-    CAST(floor(ln(CAST(n_at_risk - d_events AS DOUBLE) / n_at_risk) * 1e9
-               + 0.5) AS BIGINT) AS l9
+    CASE WHEN n_at_risk > d_events
+      THEN CAST(floor(ln(CAST(n_at_risk - d_events AS DOUBLE) / n_at_risk)
+                      * 1e9 + 0.5) AS BIGINT)
+      ELSE CAST(-1000000000000 AS BIGINT)
+    END AS l9
   FROM staged
 )
 SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,

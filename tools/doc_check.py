@@ -50,10 +50,18 @@ def main() -> int:
               f"{phantom}")
         ok = False
 
+    n_oracles = len(entry.oracle_sql())
     m = re.search(r"(\d+) queries; (\d+) verified", queries_md)
-    if not m or int(m.group(1)) != n or int(m.group(2)) != n:
+    # the "verified" count asserts ORACLE coverage — compare it against
+    # oracle_sql(), not queries(), or a future oracle-less registration
+    # would force the header to state a false claim
+    if not m or int(m.group(1)) != n or int(m.group(2)) != n_oracles:
         print(f"DOCS STALE: QUERIES.md header says {m.groups() if m else None}, "
-              f"registry has {n}")
+              f"registry has {n} queries / {n_oracles} oracles")
+        ok = False
+    if n_oracles != n:
+        print(f"ORACLE GAP: {n} queries but only {n_oracles} oracle_sql "
+              f"entries — {sorted(qs - set(entry.oracle_sql()))}")
         ok = False
 
     readme = open("/root/repo/README.md").read()

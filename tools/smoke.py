@@ -140,6 +140,7 @@ def main() -> int:
     )
     if proc.returncode != 0:
         print(f"SMOKE FAIL: doc_check: {proc.stdout.strip()}", file=sys.stderr)
+        print(proc.stderr[-2000:], file=sys.stderr)
         return 1
     print(f"smoke 5/5: {proc.stdout.strip()}")
     print("SMOKE GREEN")

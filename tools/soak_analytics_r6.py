@@ -74,7 +74,10 @@ def run_scd2():
         F.count(F.lit(1)).alias("intervals"),
     ).first()
     assert agg["rows"] == N, agg
-    assert agg["open"] == USERS, agg
+    # exactly one open interval per user WITH EVENTS (at scale < 1 the
+    # fixed 100k-user space leaves some users empty)
+    active_users = ev.select("user_id").distinct().count()
+    assert agg["open"] == active_users, (agg, active_users)
     return {"intervals": agg["intervals"]}
 
 
