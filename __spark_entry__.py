@@ -541,9 +541,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, session 3): 57 queries have never had a driver
-    # CORRECTNESS row (the 14-query r01-r05 rotation debt + the 43 born
-    # this round) but the snapshot covers exactly 50, so 7 sit below the
+    # HEAD-50 TRIAGE (r6, session 3): 60 queries have never had a driver
+    # CORRECTNESS row (the 14-query r01-r05 rotation debt + the 46 born
+    # this round) but the snapshot covers exactly 50, so 10 sit below the
     # cutoff and gate in r07.  Priority order:
     # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
     #     163/163 driver-gated coverage of the pre-r6 registry;
@@ -551,13 +551,15 @@ _SNAPSHOT_PRIORITY = [
     #     the stream-stream join class, whose evidence pytest alone
     #     cannot replace;
     # (3) the round-6 births, newest first.
-    # The 7 that slide to the r07 head (moments_by_type,
-    # mann_kendall_trend, pagerank_trade, triangle_parts, dsir_topk,
+    # The 10 that slide to the r07 head (moments_by_type,
+    # mann_kendall_trend, holt_forecast_check, ab_test_ztest,
+    # survival_km, pagerank_trade, triangle_parts, dsir_topk,
     # rfm_segments, event_transitions — listed below the cutoff marker)
     # all carry local-oracle green at sf0.01+sf0.001, pytest, and
     # (triangle/pagerank) property tests + soaks; pagerank's
     # quantized-iteration oracle structure IS driver-gated this round
-    # via ppr_trade_recs.  R07: gate these 7 FIRST, before any new birth.
+    # via ppr_trade_recs.  R07: gate these 10 FIRST, before any new
+    # birth.
     #
     # (1) ROTATION — no driver row across r01-r05:
     "approx_top_terms",
