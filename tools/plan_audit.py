@@ -39,6 +39,10 @@ ARROW_ALLOWED = {
     "semantic_dedup",
     "ann_cosine_ivf",
     "pq_recall",
+    # holt_winters_forecast's coupled level/trend recurrence is the one
+    # justified dense-recurrence Python path (operator docstring) — ONE
+    # Arrow group per series over the calendar-bounded bucket grid
+    "holt_forecast_check",
 }
 
 #: queries where a broadcast nested-loop join is the intended plan; every
