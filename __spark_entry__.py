@@ -561,6 +561,8 @@ _SNAPSHOT_PRIORITY = [
     # via ppr_trade_recs.  R07: gate these 10 FIRST, before any new
     # birth.
     #
+    # (0) Born round 6, session 4 — newest first (same policy):
+    "clean_text_roundtrip",
     # (1) ROTATION — no driver row across r01-r05:
     "approx_top_terms",
     "asof_join_nearest",

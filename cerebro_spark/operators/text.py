@@ -98,6 +98,48 @@ def fingerprint(col: Column, modulus: int = 2147483647, base: int = 31) -> Colum
     )
 
 
+def normalize_text(col: Column) -> Column:
+    """C4/CCNet-style text normalization as one JVM regexp chain (the
+    cleaning pass every corpus-prep pipeline runs before filtering/dedup;
+    reference has no text layer — driver-mandated extension):
+
+    1. strip control characters (C0 except ``\\t``/``\\n``/``\\r``, plus DEL),
+    2. strip zero-width/format marks (ZWSP/ZWNJ/ZWJ/BOM),
+    3. map exotic Unicode spaces (NBSP, en/em/thin/ideographic…) to ASCII
+       space,
+    4. collapse ``[ \\t\\n\\r]+`` runs to one space and trim.
+
+    Unicode NFC/NFKC folding is deliberately NOT attempted — Spark has no
+    built-in normalizer and a per-row Python stage is not worth it for the
+    hot path; run it upstream at ingest if the corpus needs it.
+
+    Every rule is a whole-stage-codegen ``regexp_replace``; the same
+    hex/class escapes are valid RE2, so the DuckDB oracle mirrors the
+    chain literally (cross-engine parity tested on control chars,
+    zero-width marks, NBSP and empty strings).
+    """
+    c = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"[\x{200B}-\x{200D}\x{FEFF}]", "")
+    c = F.regexp_replace(c, r"[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]", " ")
+    c = F.regexp_replace(c, r"[ \t\n\r]+", " ")
+    return F.trim(c)
+
+
+def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply :func:`normalize_text` and surface per-document audit columns:
+    the cleaned text, how many characters were removed, and whether the row
+    changed at all — the downstream filter/monitoring hooks (e.g. "alert if
+    >1% of a source's bytes are control characters").  Pure projection: no
+    shuffle, no Python."""
+    c = F.col(text_col)
+    cleaned = normalize_text(c)
+    return df.withColumn("__clean", cleaned).select(
+        "*",
+        (F.length(c) - F.length(F.col("__clean"))).alias("chars_removed"),
+        (F.col("__clean") != c).alias("was_dirty"),
+    ).withColumnRenamed("__clean", "clean_text")
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text metrics as added columns (the one-pass profiling operator)."""
     from cerebro_spark.operators.util import ensure_parallelism

@@ -1343,3 +1343,66 @@ SELECT doc_id, w1, w2, n_occ, pos FROM (
 
 QUERIES["phrase_match"] = q_phrase_match
 ORACLES["phrase_match"] = _PHRASE_MATCH_SQL
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass (``text.normalize_text``) over a deterministically
+    dirtied twin of ``documents``: ``doc_id % 5`` picks the injected dirt
+    (space inflation / tab+CRLF tail / zero-width + BEL / NBSP words /
+    untouched) so the DuckDB oracle reproduces the dirty input exactly, then
+    both engines run the SAME 4-rule regexp chain.  Gates the cleaned text,
+    removed-char count and dirty flag per document."""
+    from cerebro_spark.operators.text import clean_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    variant = F.pmod(F.col("doc_id"), F.lit(5))
+    dirty = (
+        F.when(variant == 0,
+               F.concat(F.lit("  "),
+                        F.regexp_replace(F.col("text"), " ", "   "),
+                        F.lit(" ")))
+        .when(variant == 1,
+              F.concat(F.col("text"), F.lit("\t\r\n"), F.lit("tail")))
+        .when(variant == 2,
+              F.concat(F.lit(chr(0x200B)), F.col("text"), F.lit(chr(7))))
+        .when(variant == 3,
+              F.regexp_replace(F.col("text"), " ", chr(0x00A0)))
+        .otherwise(F.col("text"))
+    )
+    dirtied = docs.select("doc_id", "source", dirty.alias("text"))
+    out = clean_text(dirtied)
+    return out.select("doc_id", "source", "clean_text", "chars_removed",
+                      "was_dirty")
+
+
+_CLEAN_TEXT_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id, source,
+    CASE doc_id % 5
+      WHEN 0 THEN '  ' || replace(text, ' ', '   ') || ' '
+      WHEN 1 THEN text || chr(9) || chr(13) || chr(10) || 'tail'
+      WHEN 2 THEN chr(8203) || text || chr(7)
+      WHEN 3 THEN replace(text, ' ', chr(160))
+      ELSE text
+    END AS text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, source, text,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+      '[ \t\n\r]+', ' ', 'g')) AS clean_text
+  FROM dirty
+)
+SELECT doc_id, source, clean_text,
+  CAST(length(text) - length(clean_text) AS BIGINT) AS chars_removed,
+  clean_text <> text AS was_dirty
+FROM cleaned
+"""
+
+QUERIES["clean_text_roundtrip"] = q_clean_text
+ORACLES["clean_text_roundtrip"] = _CLEAN_TEXT_SQL

@@ -172,3 +172,29 @@ def test_weighted_sample_extremes(spark):
         df.withColumn("wh", F.lit(0.5)), "wh", "id"
     ).count()
     assert 200 < half < 300  # hash-uniform ≈ 50%
+
+
+def test_normalize_text_rules(spark):
+    from cerebro_spark.operators.text import clean_text
+
+    rows = [
+        Row(doc_id=1, text="  hello   world  "),            # space inflation
+        Row(doc_id=2, text="tabbed\ttext\r\nwith lines"),    # tab/CRLF -> space
+        Row(doc_id=3, text="​zero‌width﻿m\x07b"),  # strips
+        Row(doc_id=4, text="nbsp and em　ideo"),    # space map
+        Row(doc_id=5, text="plain text"),                    # untouched
+        Row(doc_id=6, text=""),                              # empty survives
+        Row(doc_id=7, text="ctrl\x00\x01\x1fchars\x7fdel"),  # C0 + DEL strip
+    ]
+    out = {r["doc_id"]: r for r in
+           clean_text(spark.createDataFrame(rows)).collect()}
+    assert out[1]["clean_text"] == "hello world"
+    assert out[2]["clean_text"] == "tabbed text with lines"
+    assert out[3]["clean_text"] == "zerowidthmb"
+    assert out[4]["clean_text"] == "nbsp and em ideo"
+    assert out[5]["clean_text"] == "plain text" and not out[5]["was_dirty"]
+    assert out[6]["clean_text"] == "" and not out[6]["was_dirty"]
+    assert out[7]["clean_text"] == "ctrlcharsdel"
+    # audit columns: removed count is the length delta, flag marks changes
+    assert out[1]["chars_removed"] == len("  hello   world  ") - len("hello world")
+    assert out[7]["chars_removed"] == 4 and out[7]["was_dirty"]
