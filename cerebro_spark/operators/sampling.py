@@ -342,3 +342,33 @@ def temperature_mixture_weights(
             ).alias("boost"),
         )
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep AT MOST ``k`` rows per key, chosen by deterministic hash rank —
+    the "cap documents per domain/host" step of crawl-corpus mixing (a
+    single over-represented host must not dominate the training mix).
+
+    Survivors are the k smallest ``md5(id)`` values within each key: no RNG
+    (retry-stable, engine-reproducible) and no bias toward input order.  The
+    rank is a per-key ``row_number`` — the window partitions on the key, so
+    at 100 TB it shuffles once on the key and never builds a global
+    ordering; skew is bounded because every partition emits at most k rows
+    after the filter.  The md5 tiebreak falls back to the id itself
+    (collisions are not expected; determinism must not depend on that).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .withColumnRenamed("__r", "key_rank")
+    )

@@ -1406,3 +1406,31 @@ FROM cleaned
 
 QUERIES["clean_text_roundtrip"] = q_clean_text
 ORACLES["clean_text_roundtrip"] = _CLEAN_TEXT_SQL
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (sampling.cap_per_key): at most 40 docs per
+    source survive, picked by deterministic md5 rank — the anti-dominance
+    guard of crawl-corpus mixing.  One shuffle on the key; every partition
+    emits ≤ k rows."""
+    from cerebro_spark.operators.sampling import cap_per_key
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cap_per_key(docs, "source", k=40).select(
+        "doc_id", "source", "key_rank"
+    )
+
+
+_DOMAIN_CAP_SQL = """
+SELECT doc_id, source, key_rank FROM (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+    ) AS INT) AS key_rank
+  FROM documents
+) WHERE key_rank <= 40
+"""
+
+QUERIES["domain_cap_sample"] = q_domain_cap_sample
+ORACLES["domain_cap_sample"] = _DOMAIN_CAP_SQL

@@ -168,3 +168,28 @@ def test_epoch_shuffle_reshuffles_between_epochs(spark):
         assert sum(len(v) for v in by_shard.values()) == 200
         for v in by_shard.values():
             assert sorted(v) == list(range(len(v)))
+
+
+def test_cap_per_key(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.sampling import cap_per_key
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(30)]
+    out = cap_per_key(spark.createDataFrame(rows), "source", k=4)
+    got = out.collect()
+    # every key capped at exactly k (each key has 10 candidates)
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r["source"], []).append(r)
+    assert set(per_key) == {"s0", "s1", "s2"}
+    assert all(len(v) == 4 for v in per_key.values())
+    # ranks are 1..k and the kept set is hash-determined, not input-order
+    for v in per_key.values():
+        assert sorted(r["key_rank"] for r in v) == [1, 2, 3, 4]
+    again = {r["doc_id"] for r in
+             cap_per_key(spark.createDataFrame(rows[::-1]), "source", 4).collect()}
+    assert again == {r["doc_id"] for r in got}
+    # keys with fewer than k rows keep everything
+    small = spark.createDataFrame([Row(doc_id=1, source="only")])
+    assert cap_per_key(small, "source", 4).count() == 1
