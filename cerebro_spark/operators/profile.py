@@ -513,3 +513,100 @@ def moments_profile(
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2)).alias("kurtosis"),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds on a uniform integer in [0, 1e6):
+#: u < _POISSON_T[k]  ⇒  weight k (w = 8 beyond the table, cum P ≈ 1-1e-5).
+#: Shared literal constants with the SQL oracle — floor(cum_pmf * 1e6).
+POISSON1_THRESHOLDS = (
+    367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989,
+)
+
+
+def poisson_bootstrap_weight(id_col: "F.Column", replicate: "F.Column") -> "F.Column":
+    """Deterministic Poisson(1) bootstrap weight for (row, replicate):
+    u = md5(id:replicate) mod 1e6 → inverse-CDF lookup.  The standard
+    resampling trick at data-parallel scale (a true n-out-of-n resample
+    needs global coordination; per-row independent Poisson(1) weights
+    approximate it with ZERO coordination — Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams", Google TR) — and
+    hash-determinism makes every replicate retry-stable and
+    engine-reproducible, like every sampler in this package."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", id_col.cast("string"),
+                                  replicate.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 1_000_000
+    )
+    w = F.lit(8)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < POISSON1_THRESHOLDS[k], k).otherwise(w)
+    return w
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 100,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for ``mean(value_col)``:
+    ``(n, b, mean, ci_lo, ci_hi)`` in one row, every value engine-exact.
+
+    Each of the ``b`` replicates reweights every row by an independent
+    hash-deterministic Poisson(1) draw; the replicate mean is an exact
+    integer ratio (values fixed-point-quantized at ``scale``), and the CI
+    is the percentile bootstrap with exact-rank selection (ranks
+    ⌊0.025·b⌋+1 and b−⌊0.025·b⌋ of the sorted replicate means — no
+    interpolation, so both engines pick the same two doubles).
+
+    Plan: explode ``b`` replicate ids per row (map-side, no shuffle), one
+    combinable ``groupBy(replicate)`` → b rows, then a b-row global sort —
+    bounded by the replicate count, never by data (allowlisted like the
+    other sketch-sized windows).  Overflow bound: Σ w·q per replicate must
+    stay under 2^63 — w ≤ 8, so |value|·scale·n_rows ≲ 1e18 (at scale=1e4:
+    ~2e10 rows of |value|≤500 per replicate; shrink ``scale`` for wilder
+    data).
+    """
+    from pyspark.sql import Window
+
+    q = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), q.alias("__q")
+    )
+    rep = base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(b - 1))))
+    w = poisson_bootstrap_weight(F.col("__id"), F.col("r"))
+    reps = rep.groupBy("r").agg(
+        F.sum(w.cast("long") * F.col("__q")).alias("__s"),
+        F.sum(w.cast("long")).alias("__c"),
+    )
+    means = reps.select(
+        "r",
+        F.when(F.col("__c") > 0,
+               F.col("__s").cast("double") / (F.lit(float(scale)) * F.col("__c"))
+               ).alias("__m"),
+    )
+    lo_rank = b // 40 + 1          # floor(0.025 b) + 1
+    hi_rank = b - b // 40
+    # b rows total: the global window is replicate-count-sized, not data-sized
+    ranked = means.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.col("__m").asc_nulls_last(), F.col("r").asc())
+        ),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rk") == lo_rank, F.col("__m"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rk") == hi_rank, F.col("__m"))).alias("ci_hi"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("__q").cast("double") / (F.lit(float(scale)) * F.count(F.lit(1))))
+        .alias("mean"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n", F.lit(b).alias("b"), "mean", "ci_lo", "ci_hi"
+    )

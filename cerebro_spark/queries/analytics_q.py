@@ -1963,3 +1963,69 @@ FROM logs
 
 QUERIES["survival_km"] = q_survival_km
 ORACLES["survival_km"] = _SURVIVAL_KM_SQL
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean purchase value
+    (profile.bootstrap_ci, Chamandy et al. 2012): 100 hash-deterministic
+    Poisson(1) reweightings, exact integer replicate sums, exact-rank
+    percentile endpoints — the zero-coordination uncertainty estimate for
+    data-parallel metrics."""
+    from cerebro_spark.operators.profile import bootstrap_ci
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return bootstrap_ci(ev, "value", "event_id", b=100)
+
+
+def _bootstrap_sql() -> str:
+    from cerebro_spark.operators.profile import POISSON1_THRESHOLDS
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    u = (
+        _hex2long_sql(
+            "md5(CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))", 8
+        )
+        + " % 1000000"
+    )
+    w = "CASE "
+    for k, t in enumerate(POISSON1_THRESHOLDS):
+        w += f"WHEN {u} < {t} THEN {k} "
+    w += "ELSE 8 END"
+    return f"""
+WITH base AS (
+  SELECT event_id, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS q
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+reps AS (
+  SELECT r,
+    CAST(sum(({w}) * q) AS BIGINT) AS s,
+    CAST(sum({w}) AS BIGINT) AS c
+  FROM base, generate_series(0, 99) AS g(r)
+  GROUP BY r
+),
+means AS (
+  SELECT r, CASE WHEN c > 0 THEN CAST(s AS DOUBLE) / (10000.0 * c) END AS m
+  FROM reps
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC NULLS LAST, r ASC) AS rk
+  FROM means
+),
+ci AS (
+  SELECT max(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+         max(CASE WHEN rk = 98 THEN m END) AS ci_hi
+  FROM ranked
+),
+point AS (
+  SELECT count(*) AS n,
+    CAST(sum(q) AS DOUBLE) / (10000.0 * count(*)) AS mean
+  FROM base
+)
+SELECT n, 100 AS b, mean, ci_lo, ci_hi FROM point, ci
+"""
+
+
+QUERIES["bootstrap_ci_mean"] = q_bootstrap_ci_mean
+ORACLES["bootstrap_ci_mean"] = _bootstrap_sql()

@@ -774,3 +774,46 @@ def test_chi2_independence_excludes_null_categories(spark):
     df = spark.createDataFrame(with_nulls, "a string, b int")
     out = chi2_independence(df, "a", "b").collect()[0]
     assert out["n"] == 16 and out["chi2"] == 0.0 and out["dof"] == 1
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.profile import bootstrap_ci
+
+    # 500 values uniform-ish via hash, true mean well inside the CI
+    rows = [Row(id=i, v=float((i * 2654435761) % 1000) / 10.0)
+            for i in range(500)]
+    out = bootstrap_ci(spark.createDataFrame(rows), "v", "id", b=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 500 and r["b"] == 100
+    true_mean = sum(x["v"] for x in rows) / 500
+    # the point estimate is the exact fixed-point mean
+    assert abs(r["mean"] - true_mean) < 1e-3
+    # percentile CI brackets the estimate and is non-degenerate
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] > 0
+    # ~ ±2·σ/√n wide: σ(U[0,100)) ≈ 28.9 → full width ≈ 5.2; sanity band
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 2.0 < width < 12.0
+    # hash-deterministic: identical on re-run
+    again = bootstrap_ci(spark.createDataFrame(rows), "v", "id", b=100).collect()[0]
+    assert (again["ci_lo"], again["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+
+
+def test_poisson_bootstrap_weight_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.profile import poisson_bootstrap_weight
+
+    df = spark.range(20000).select(
+        poisson_bootstrap_weight(F.col("id"), F.lit(0)).alias("w")
+    )
+    stats = df.agg(F.avg("w").alias("m"),
+                   F.avg(F.when(F.col("w") == 0, 1.0).otherwise(0.0)).alias("p0"),
+                   F.max("w").alias("mx")).collect()[0]
+    # Poisson(1): mean 1, P(0) = e^-1 ≈ 0.368, capped at 8
+    assert abs(stats["m"] - 1.0) < 0.03
+    assert abs(stats["p0"] - 0.3679) < 0.02
+    assert stats["mx"] <= 8

@@ -70,6 +70,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: corpus totals (N_all, N_tgt, vocab) crossJoined
     # onto the vocab-sized counts frame — keeps DSIR one job (r6)
     "dsir_topk",
+    # 1-row × 1-row crossJoin: the point-estimate aggregate broadcast onto
+    # the 1-row CI-endpoint aggregate (r6 session 4)
+    "bootstrap_ci_mean",
     # 1-row scalar broadcast: the positive-balance average crossJoined onto
     # customer before the anti join (Q22 shape)
     "idle_customers",
@@ -147,6 +150,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # (≤ span/86400 rows — calendar-bounded like the gapfill summaries),
     # never the per-user rows (r6 fourth batch)
     "survival_km",
+    # percentile-rank window over the REPLICATE-MEAN frame — exactly b
+    # (=100) rows regardless of data size; the fact table only passes
+    # through a combinable groupBy(replicate) (r6 session 4)
+    "bootstrap_ci_mean",
 }
 
 
