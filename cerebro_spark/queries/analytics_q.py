@@ -2029,3 +2029,99 @@ SELECT n, 100 AS b, mean, ci_lo, ci_hi FROM point, ci
 
 QUERIES["bootstrap_ci_mean"] = q_bootstrap_ci_mean
 ORACLES["bootstrap_ci_mean"] = _bootstrap_sql()
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B split (Deng et al., WSDM'13):
+    covariate X = each user's pre-period value mass (events before the
+    corpus-midpoint timestamp), metric Y = post-period mass, variant =
+    user parity.  θ = cov(X,Y)/var(X) from EXACT fixed-point integer sums
+    (e2 per-event quantization); the adjusted lift is
+    (Ȳ_b − θ·X̄_b) − (Ȳ_a − θ·X̄_a) and var_reduction = ρ²(X,Y).  Every
+    double is derived from the shared integers by an identical IEEE chain.
+
+    Plan: 1-row midpoint scalar broadcast onto the scan, one combinable
+    per-user groupBy, one 1-row reduce.  Overflow bound: n·Σx·y must stay
+    representable — sums leave BIGINT for double before the θ products
+    (exact through 2^53, identically rounded past it on both engines).
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long").alias("__mid")
+    )
+    q = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    t = F.unix_micros("ts")
+    from cerebro_spark.operators.profile import cuped_lift
+
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(t < F.col("__mid"), q).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(t >= F.col("__mid"), q).otherwise(F.lit(0))).alias("y"),
+        )
+        .select(F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "x", "y")
+    )
+    return cuped_lift(per_user, scale=100)
+
+
+_CUPED_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+),
+mid AS (
+  SELECT CAST(floor((min(t) + max(t)) / 2.0) AS BIGINT) AS mid FROM ev
+),
+per_user AS (
+  SELECT user_id % 2 AS variant,
+    CAST(sum(CASE WHEN t < mid THEN q ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN t >= mid THEN q ELSE 0 END) AS BIGINT) AS y
+  FROM ev, mid GROUP BY user_id
+),
+agg AS (
+  SELECT count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM per_user
+)
+SELECT n, n_a, n_b,
+  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+       THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+  END AS theta,
+  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+       THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+          * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+  END AS var_reduction,
+  (CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / (100.0 * n_b) END
+   - CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / (100.0 * n_a) END)
+  AS diff_raw,
+  ((CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / (100.0 * n_b) END
+    - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END)
+      * CASE WHEN n_b > 0 THEN CAST(sx_b AS DOUBLE) / (100.0 * n_b) END)
+   - (CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / (100.0 * n_a) END
+    - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END)
+      * CASE WHEN n_a > 0 THEN CAST(sx_a AS DOUBLE) / (100.0 * n_a) END))
+  AS diff_cuped
+FROM agg
+"""
+
+QUERIES["cuped_adjust"] = q_cuped_adjust
+ORACLES["cuped_adjust"] = _CUPED_SQL

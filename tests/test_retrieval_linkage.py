@@ -817,3 +817,26 @@ def test_poisson_bootstrap_weight_distribution(spark):
     assert abs(stats["m"] - 1.0) < 0.03
     assert abs(stats["p0"] - 0.3679) < 0.02
     assert stats["mx"] <= 8
+
+
+def test_cuped_lift_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.profile import cuped_lift
+
+    # y = 2x + variant with x ⟂ variant (both arms see the same x set):
+    # cov(x,v)=0 so theta is exactly 2, the covariate explains ~all
+    # variance, and the adjusted lift equals the true +1 effect
+    rows = [Row(variant=v, x=x, y=2 * x + v)
+            for v in (0, 1) for x in (10, 20, 30)]
+    out = cuped_lift(spark.createDataFrame(rows)).collect()[0]
+    assert out["n"] == 6 and out["n_a"] == 3 and out["n_b"] == 3
+    assert abs(out["theta"] - 2.0) < 1e-12
+    assert abs(out["diff_raw"] - 1.0) < 1e-9
+    assert abs(out["diff_cuped"] - 1.0) < 1e-9
+    assert out["var_reduction"] > 0.99
+    # degenerate covariate: var(X)=0 -> NULL theta, no crash
+    flat = [Row(variant=i % 2, x=5, y=i) for i in range(4)]
+    out2 = cuped_lift(spark.createDataFrame(flat)).collect()[0]
+    assert out2["theta"] is None and out2["diff_cuped"] is None
+    assert out2["diff_raw"] is not None

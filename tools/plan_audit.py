@@ -73,6 +73,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row × 1-row crossJoin: the point-estimate aggregate broadcast onto
     # the 1-row CI-endpoint aggregate (r6 session 4)
     "bootstrap_ci_mean",
+    # 1-row scalar broadcast: the corpus-midpoint timestamp (the relative_
+    # range pattern) crossJoined onto the scan before the per-user groupBy
+    "cuped_adjust",
     # 1-row scalar broadcast: the positive-balance average crossJoined onto
     # customer before the anti join (Q22 shape)
     "idle_customers",
