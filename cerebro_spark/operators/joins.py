@@ -326,3 +326,58 @@ def fuzzy_block_stats(
             ).cast("long").alias("candidate_pairs"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join (closed intervals:
+    ``l_start <= r_end AND r_start <= l_end``), optionally also matching
+    ``by`` keys — the two-big-sides companion of :func:`range_join`
+    (point-in-interval).
+
+    Both sides explode into every ``bucket_seconds`` bucket they span and
+    equi-join on (by…, bucket) — no inequality join, so no nested-loop
+    fallback at any scale.  A pair overlapping several shared buckets must
+    be emitted ONCE: the match is kept only in the bucket containing
+    ``max(l_start, r_start)`` (the overlap's first instant), which both
+    rows provably explode to — exactly-once without a distinct.
+
+    Cost: each row is replicated span/bucket_seconds times and each bucket
+    pairs its residents — pick the bucket near the TYPICAL interval length
+    so replication stays O(1) and per-bucket membership stays small; very
+    long intervals are the skew to watch (cap or split them upstream).
+    Start/end columns are integer epochs (any engine-agnostic integer
+    domain works); column names must be disjoint across the two frames.
+    """
+    by = by or []
+    b = float(bucket_seconds)
+
+    def burst(s: str, e: str) -> "F.Column":
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(s) / b).cast("long"),
+                F.floor(F.col(e) / b).cast("long"),
+            )
+        )
+
+    lhs = left.select("*", burst(l_start, l_end).alias("__bkt"))
+    rhs = right.select("*", burst(r_start, r_end).alias("__bkt"))
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    first_bucket = F.col("__bkt") == F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / b
+    ).cast("long")
+    return (
+        lhs.join(rhs, on=by + ["__bkt"], how="inner")
+        .filter(overlap & first_bucket)
+        .drop("__bkt")
+    )

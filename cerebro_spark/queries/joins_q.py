@@ -255,3 +255,85 @@ FROM sizes GROUP BY 1
 
 QUERIES["fuzzy_block_stats"] = q_fuzzy_block_stats
 ORACLES["fuzzy_block_stats"] = _FUZZY_BLOCK_STATS_SQL
+
+
+def q_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (joins.interval_overlap_join): user
+    sessions (30-min-gap islands) × error "incident windows" (error ts
+    ±10 min) — which sessions ran during an incident, and how many.  Both
+    sides explode to 30-min buckets and equi-join; a pair is emitted once,
+    at the bucket of max(start, start) — no inequality join, no distinct.
+    Oracle: DuckDB's native inequality (IE) join over the same islands."""
+    from pyspark.sql import Window
+
+    from cerebro_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn(
+            "__new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s_start"),
+            F.max(F.col("ts").cast("long")).alias("s_end"),
+        )
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts").cast("long") - 600).alias("i_start"),
+        (F.col("ts").cast("long") + 600).alias("i_end"),
+    )
+    pairs = interval_overlap_join(
+        sess, incidents, "s_start", "s_end", "i_start", "i_end",
+        bucket_seconds=1800,
+    )
+    return pairs.groupBy("user_id", "session_id").agg(
+        F.min("s_start").alias("s_start"),
+        F.count(F.lit(1)).alias("n_incidents"),
+    )
+
+
+_SESSION_INCIDENT_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, session_id, min(t) AS s_start, max(t) AS s_end
+  FROM sess GROUP BY 1, 2
+),
+incidents AS (
+  SELECT event_id AS incident_id,
+    CAST(floor(epoch(ts)) AS BIGINT) - 600 AS i_start,
+    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS i_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_id, min(s.s_start) AS s_start,
+  count(*) AS n_incidents
+FROM intervals s JOIN incidents i
+  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+GROUP BY 1, 2
+"""
+
+QUERIES["session_incident_overlap"] = q_session_incident_overlap
+ORACLES["session_incident_overlap"] = _SESSION_INCIDENT_SQL

@@ -182,3 +182,49 @@ def test_asof_keyless_two_level_matches_keyed(spark):
     # the merged-row window partitions by __b; the only unkeyed Window
     # runs over the per-bucket summaries (calendar-sized by construction)
     assert "__b" in plan
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.joins import interval_overlap_join
+
+    # intervals engineered around bucket edges (bucket=100): long spans,
+    # shared multi-bucket overlaps, touching endpoints, disjoint pairs
+    left = spark.createDataFrame([
+        Row(lid=1, ls=0, le=350),      # spans buckets 0..3
+        Row(lid=2, ls=120, le=130),    # inside bucket 1
+        Row(lid=3, ls=500, le=500),    # zero-length
+    ])
+    right = spark.createDataFrame([
+        Row(rid=10, rs=90, re_=210),   # overlaps lid1 (buckets 0..2), lid2
+        Row(rid=11, rs=350, re_=600),  # touches lid1 at 350; covers lid3
+        Row(rid=12, rs=700, re_=800),  # disjoint
+    ])
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re_", bucket_seconds=100
+    ).select("lid", "rid").collect()
+    pairs = {(r["lid"], r["rid"]) for r in got}
+    # brute-force reference
+    want = set()
+    for l in [(1, 0, 350), (2, 120, 130), (3, 500, 500)]:
+        for r in [(10, 90, 210), (11, 350, 600), (12, 700, 800)]:
+            if l[1] <= r[2] and r[1] <= l[2]:
+                want.add((l[0], r[0]))
+    assert pairs == want
+    # EXACTLY once: multi-bucket overlaps must not duplicate
+    assert len(got) == len(pairs)
+
+
+def test_interval_overlap_join_by_keys(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([Row(k="a", ls=0, le=100),
+                                  Row(k="b", ls=0, le=100)])
+    right = spark.createDataFrame([Row(k="a", rs=50, re_=60)])
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re_", by=["k"], bucket_seconds=50
+    ).collect()
+    assert len(got) == 1 and got[0]["k"] == "a"
