@@ -669,3 +669,61 @@ def cuped_lift(
         (adj("sy_b", "sx_b", "n_b") - adj("sy_a", "sx_a", "n_a"))
         .alias("diff_cuped"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer: per equal-width
+    score bin, ``(bin, n, conf, acc, gap, gap_num)`` where conf is the mean
+    predicted score, acc the empirical positive rate and gap = acc − conf
+    (the miscalibration the diagram plots; ECE = Σ n_b·|gap_b| / N).
+
+    Engine-exact: scores are e6-quantized, so conf = S/(1e6·n) and
+    gap share the EXACT integer numerator ``gap_num = 1e6·c − S`` — any
+    engine binning and summing the same integers reproduces every double
+    via one division.  ``expected_calibration_error`` folds the same
+    numerators into the exact scalar ECE.
+
+    Plan: one combinable groupBy over ≤ ``bins`` groups — calibration
+    monitoring is free at any scale once the scan is paid.
+    """
+    s = F.col(score_col).cast("double")
+    q = F.floor(s * 1_000_000 + F.lit(0.5)).cast("long")
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    lab = F.col(label_col).cast("int").cast("long")
+    agg = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("__s"),
+        F.sum(lab).alias("__c"),
+    )
+    return agg.select(
+        "bin", "n",
+        (F.col("__s").cast("double") / (F.lit(1e6) * F.col("n"))).alias("conf"),
+        (F.col("__c").cast("double") / F.col("n")).alias("acc"),
+        ((F.lit(1_000_000) * F.col("__c") - F.col("__s")).cast("double")
+         / (F.lit(1e6) * F.col("n"))).alias("gap"),
+        (F.lit(1_000_000) * F.col("__c") - F.col("__s")).alias("gap_num"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Exact scalar ECE from :func:`calibration_bins`' integer numerators:
+    ECE = Σ_b |1e6·c_b − S_b| / (1e6·N) — the absolute sum is over exact
+    BIGINTs, so the result is ORDER-INDEPENDENT and engine-exact (a naive
+    Σ n_b·|gap_b|/N of doubles is neither).  One row: (n, bins, ece)."""
+    binned = calibration_bins(df, score_col, label_col, bins)
+    return binned.agg(
+        F.sum("n").alias("n"),
+        F.lit(bins).alias("bins"),
+        (F.sum(F.abs(F.col("gap_num"))).cast("double")
+         / (F.lit(1e6) * F.sum("n"))).alias("ece"),
+    )

