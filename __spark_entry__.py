@@ -562,6 +562,7 @@ _SNAPSHOT_PRIORITY = [
     # birth.
     #
     # (0) Born round 6, session 4 — newest first (same policy):
+    "mmr_rerank",
     "calibration_events",
     "session_incident_overlap",
     "cuped_adjust",

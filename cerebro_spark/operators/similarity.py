@@ -1035,3 +1035,100 @@ def cosine_topk_ivf_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): per query, greedily select ``k`` of the top
+    ``n_candidates`` results maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` — relevance-plus-
+    diversity, the standard retrieval de-redundancy pass (and the
+    diversified-sampling step of embedding-curated training mixes).
+
+    Output: ``(query_id, neighbor_id, mmr_rank, cosine)`` — mmr_rank is
+    the greedy pick order (1 = pure relevance; ties broken by neighbor
+    id), cosine the relevance that got the row shortlisted.
+
+    Scale shape: the EXPENSIVE part (corpus scan) is the candidate
+    top-k, delegated to :func:`cosine_topk_bruteforce` (swap in the
+    IVF/LSH variants upstream for billion-vector corpora).  Everything
+    after is bounded by queries×n_candidates rows: one pairwise-sim
+    self-join (n_candidates² per query) and k−1 driver iterations of
+    anti-join + max-penalty + per-query argmax over that bounded frame —
+    each iteration eagerly localCheckpoint'ed so the plan stays linear
+    in k instead of doubling per step (selected_i feeds selected_{i+1}
+    twice).  JVM-side throughout: the sequential-fold cosine matches any
+    engine's list_cosine_similarity bit-for-bit, so the greedy argmax —
+    including λ·rel−(1−λ)·pen — is engine-reproducible (pick λ with an
+    exactly-representable 1−λ, e.g. 0.5, when an external oracle must
+    agree).
+    """
+    cand = cosine_topk_bruteforce(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    vecs = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).cast("array<double>").alias("__nv"),
+    )
+    cand_v = cand.join(vecs, cand["neighbor_id"] == vecs["__nid"]).drop("__nid")
+    a = cand_v.select("query_id", F.col("neighbor_id").alias("ia"),
+                      F.col("__nv").alias("__va"))
+    b = cand_v.select("query_id", F.col("neighbor_id").alias("ib"),
+                      F.col("__nv").alias("__vb"))
+    pairs = (
+        a.join(b, on="query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "query_id", "ia", "ib",
+            (_dot(F.col("__va"), F.col("__vb"))
+             / (_norm(F.col("__va")) * _norm(F.col("__vb")))).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cand.filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("mmr_rank"),
+                "cosine")
+        .localCheckpoint(eager=True)
+    )
+    sel_ids = lambda: selected.select("query_id", "neighbor_id")  # noqa: E731
+    for i in range(2, k + 1):
+        remaining = cand.join(
+            sel_ids(), on=["query_id", "neighbor_id"], how="left_anti"
+        )
+        pen = (
+            pairs.join(
+                sel_ids().select(
+                    "query_id", F.col("neighbor_id").alias("ib")
+                ),
+                on=["query_id", "ib"],
+            )
+            .groupBy("query_id", "ia")
+            .agg(F.max("sim").alias("__pen"))
+        )
+        scored = remaining.join(
+            pen,
+            (remaining["query_id"] == pen["query_id"])
+            & (remaining["neighbor_id"] == pen["ia"]),
+        ).select(remaining["query_id"], "neighbor_id", "cosine", "__pen")
+        w = Window.partitionBy("query_id").orderBy(
+            (F.lit(lam) * F.col("cosine")
+             - F.lit(1.0 - lam) * F.col("__pen")).desc(),
+            F.col("neighbor_id").asc(),
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "neighbor_id", F.lit(i).alias("mmr_rank"),
+                    "cosine")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected

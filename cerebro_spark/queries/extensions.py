@@ -1769,3 +1769,79 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.95
 
 QUERIES["prefix_dup_pairs"] = q_prefix_dup_pairs
 ORACLES["prefix_dup_pairs"] = _PREFIX_DUP_SQL
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 (similarity.mmr_rerank, SIGIR'98) for 5 query
+    vectors over the embedding corpus: λ=0.5 (1−λ exactly representable →
+    the greedy argmax is engine-reproducible), 50-candidate shortlist.
+    Oracle: the SAME greedy unrolled as 10 chained CTE steps."""
+    from cerebro_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_candidates=50, lam=0.5
+    )
+
+
+def _mmr_sql(k: int = 10, nc: int = 50) -> str:
+    cos = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+           "CAST(c.embedding AS DOUBLE[]))")
+    parts = [f"""
+WITH cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      {cos} AS cosine,
+      row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
+      ) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= {nc}
+),
+pair AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                           CAST(eb.embedding AS DOUBLE[])) AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+),
+acc1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, 1 AS mmr_rank, cosine
+  FROM cand WHERE rank = 1
+)"""]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(f""",
+score{i} AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, c.cosine, max(p.sim) AS pen
+  FROM cand c
+  JOIN pair p ON p.query_id = c.query_id AND p.ia = c.neighbor_id
+  JOIN acc{p} s ON s.query_id = p.query_id AND s.neighbor_id = p.ib
+  LEFT JOIN acc{p} d
+    ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+  WHERE d.neighbor_id IS NULL
+  GROUP BY 1, 2, 3
+),
+acc{i} AS MATERIALIZED (
+  SELECT * FROM acc{p}
+  UNION ALL
+  SELECT query_id, neighbor_id, {i} AS mmr_rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(0.5 AS DOUBLE) * cosine - CAST(0.5 AS DOUBLE) * pen DESC,
+               neighbor_id ASC
+    ) AS rn
+    FROM score{i}
+  ) WHERE rn = 1
+)""")
+    parts.append(
+        f"\nSELECT query_id, neighbor_id, mmr_rank, cosine FROM acc{k}"
+    )
+    return "".join(parts)
+
+
+QUERIES["mmr_rerank"] = q_mmr_rerank
+ORACLES["mmr_rerank"] = _mmr_sql()

@@ -878,3 +878,95 @@ def test_calibration_bins_and_ece(spark):
     top = spark.createDataFrame([Row(score=1.0, label=True)] * 3)
     t = calibration_bins(top, "score", "label").collect()[0]
     assert t["bin"] == 9 and abs(t["gap"]) < 1e-9 + 0.0  # acc=1, conf=1
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+def _mmr_ref(vecs, query_ids, k, nc, lam):
+    """Greedy MMR in pure Python with the operator's exact arithmetic:
+    sequential-fold dot/norm (IEEE order matches F.aggregate), id tiebreaks."""
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    def cos(a, b):
+        return dot(a, b) / (norm(a) * norm(b))
+
+    out = {}
+    for q in query_ids:
+        rel = sorted(
+            ((cos(vecs[q], v), -i) for i, v in vecs.items() if i != q),
+            reverse=True,
+        )[:nc]
+        cand = {-ni: c for c, ni in rel}
+        first = max(cand.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        sel = [first]
+        while len(sel) < min(k, len(cand)):
+            best = None
+            for i, c in cand.items():
+                if i in sel:
+                    continue
+                pen = max(cos(vecs[i], vecs[s]) for s in sel)
+                score = lam * c - (1.0 - lam) * pen
+                key = (score, -i)
+                if best is None or key > best[0]:
+                    best = (key, i)
+            sel.append(best[1])
+        out[q] = [(i, r + 1) for r, i in enumerate(sel)]
+    return out
+
+
+def test_mmr_rerank_matches_greedy_reference(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.similarity import mmr_rerank
+
+    # 8 deterministic 4-d vectors incl. a planted near-duplicate pair
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.99, 0.01, 0.0, 0.0],   # near-dup of 0
+        2: [0.98, 0.02, 0.01, 0.0],  # near-dup of 0/1
+        3: [0.5, 0.5, 0.5, 0.5],
+        4: [0.0, 1.0, 0.0, 0.0],
+        5: [0.0, 0.0, 1.0, 0.0],
+        6: [0.3, 0.3, 0.9, 0.1],
+        7: [0.7, 0.1, 0.1, 0.7],
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    got = {}
+    for r in mmr_rerank(df, df.filter(F.col("vec_id") == 0),
+                        k=4, n_candidates=7, lam=0.5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["mmr_rank"])
+        )
+    ref = _mmr_ref(vecs, [0], k=4, nc=7, lam=0.5)
+    assert sorted(got[0], key=lambda t: t[1]) == ref[0]
+    # diversity really kicked in: pure relevance would rank the planted
+    # near-dups 1-2; MMR demotes the second one below a diverse pick
+    picked = [i for i, _ in sorted(got[0], key=lambda t: t[1])]
+    assert not ({1, 2} <= set(picked[:2]))
+    assert picked[1] not in (1, 2)
+
+
+def test_mmr_rerank_k_exceeding_candidates(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.similarity import mmr_rerank
+
+    vecs = {0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0]}
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    out = mmr_rerank(df, df.filter(F.col("vec_id") == 0),
+                     k=10, n_candidates=5).collect()
+    # only 2 candidates exist (self excluded): emits 2 rows, ranks 1..2
+    assert sorted(r["mmr_rank"] for r in out) == [1, 2]
