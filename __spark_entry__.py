@@ -541,25 +541,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, session 3): 60 queries have never had a driver
-    # CORRECTNESS row (the 14-query r01-r05 rotation debt + the 46 born
-    # this round) but the snapshot covers exactly 50, so 10 sit below the
-    # cutoff and gate in r07.  Priority order:
+    # HEAD-50 TRIAGE (r6, final: session 4): 67 queries have never had a
+    # driver CORRECTNESS row (the 14-query r01-r05 rotation debt + the 46
+    # born in sessions 1-3 + the 7 born in session 4) but the snapshot
+    # covers exactly 50, so 17 sit below the cutoff and gate in r07.
+    # Priority order:
+    # (0) the session-4 births — the newest-first policy below;
     # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
     #     163/163 driver-gated coverage of the pre-r6 registry;
-    # (2) the 7 streaming gates — ask #2 (stateful-twin equivalence) plus
+    # (2) the 8 streaming gates — ask #2 (stateful-twin equivalence) plus
     #     the stream-stream join class, whose evidence pytest alone
     #     cannot replace;
-    # (3) the round-6 births, newest first.
-    # The 10 that slide to the r07 head (moments_by_type,
-    # mann_kendall_trend, holt_forecast_check, ab_test_ztest,
-    # survival_km, pagerank_trade, triangle_parts, dsir_topk,
-    # rfm_segments, event_transitions — listed below the cutoff marker)
-    # all carry local-oracle green at sf0.01+sf0.001, pytest, and
-    # (triangle/pagerank) property tests + soaks; pagerank's
-    # quantized-iteration oracle structure IS driver-gated this round
-    # via ppr_trade_recs.  R07: gate these 10 FIRST, before any new
-    # birth.
+    # (3) the earlier round-6 births, newest first.
+    # The 17 that slide to the r07 head (kcore_trade, lpa_communities,
+    # supplier_overlap, part_affinity, fuzzy_block_stats, bm25_topk,
+    # fuzzy_part_pairs, moments_by_type, mann_kendall_trend,
+    # holt_forecast_check, ab_test_ztest, survival_km, pagerank_trade,
+    # triangle_parts, dsir_topk, rfm_segments, event_transitions — below
+    # the cutoff marker) all carry local-oracle green at sf0.01+sf0.001
+    # plus pytest evidence, and the graph family adds property tests +
+    # soaks; pagerank's quantized-iteration oracle structure IS
+    # driver-gated this round via ppr_trade_recs.  R07: gate these 17
+    # FIRST, before any new birth.
     #
     # (0) Born round 6, session 4 — newest first (same policy):
     "mmr_rerank",
@@ -621,20 +624,18 @@ _SNAPSHOT_PRIORITY = [
     "order_snapshot_diff",
     "k_anonymity_events",
     "hybrid_rrf_topk",
+    # --- r06 head-50 cutoff falls here: everything below gates in r07 ---
+    # (all local-oracle green at sf0.01+sf0.001 with pytest evidence; the
+    # session-4 births above displaced the graph/retrieval tail, which
+    # moves to the front of the r07 debt)
     "kcore_trade",
     "lpa_communities",
     "supplier_overlap",
     "part_affinity",
-    # (3c) Born round 6, second batch — retrieval / record linkage / graph /
-    # selection; the flagship retrieval/linkage pair (bm25, fuzzy join)
-    # outranks the newest stats queries for the last head slots:
+    # (3c) Born round 6, second batch — retrieval / record linkage / graph:
     "fuzzy_block_stats",
     "bm25_topk",
     "fuzzy_part_pairs",
-    # --- r06 head-50 cutoff falls here: everything below gates in r07 ---
-    # (all local-oracle green at sf0.01+sf0.001 with pytest evidence;
-    # moments/mann_kendall were born last and deliberately yield their
-    # head slots to bm25/fuzzy above)
     "moments_by_type",
     "mann_kendall_trend",
     "holt_forecast_check",

@@ -136,6 +136,14 @@ HEADLINE = [
     "holt_forecast_check",    # double-exponential forecast vs recursive-CTE twin
     "ab_test_ztest",          # two-proportion experiment significance
     "survival_km",            # Kaplan-Meier over the lifetime grid
+    # round-6 session 4: corpus prep / uncertainty / retrieval diversity
+    "clean_text_roundtrip",   # regexp-chain text normalization
+    "domain_cap_sample",      # per-key cap (window, <=k out per key)
+    "bootstrap_ci_mean",      # Poisson-bootstrap CI (100 replicates)
+    "cuped_adjust",           # CUPED variance-reduced A/B lift
+    "session_incident_overlap",  # interval x interval overlap join
+    "calibration_events",     # reliability bins (exact ECE numerators)
+    "mmr_rerank",             # greedy diversified top-k re-rank
 ]
 
 
