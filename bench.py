@@ -144,6 +144,9 @@ HEADLINE = [
     "session_incident_overlap",  # interval x interval overlap join
     "calibration_events",     # reliability bins (exact ECE numerators)
     "mmr_rerank",             # greedy diversified top-k re-rank
+    "winsorized_value",       # value-grid exact winsorized mean
+    "conformal_value",        # split-conformal intervals + coverage
+    "embedding_drift",        # exact-numerator half-centroid drift
 ]
 
 

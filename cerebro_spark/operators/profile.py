@@ -727,3 +727,171 @@ def expected_calibration_error(
         (F.sum(F.abs(F.col("gap_num"))).cast("double")
          / (F.lit(1e6) * F.sum("n"))).alias("ece"),
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    lo_num: int = 5,
+    hi_num: int = 95,
+    den: int = 100,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key winsorized mean — the robust metric that survives the fat
+    tails raw ``avg`` drowns in: values below the lo-quantile are clamped
+    up to it, above the hi-quantile clamped down, then averaged.
+
+    EXACT at any scale via a value-grid histogram instead of a per-key
+    sort: values quantize to ``scale`` fixed-point, one combinable
+    ``groupBy(keys, grid_value)``, a cumulative window over the GRID (its
+    row count is bounded by value-span·scale — the data volume never
+    passes through a window), exact-rank quantile picks
+    (smallest grid value with cum ≥ ⌈p·n⌉, integer arithmetic — no float
+    ceil, no interpolation), and an exact integer clamp-sum.  Output per
+    key: ``(keys…, n, p_lo, p_hi, win_mean, raw_mean)``.
+
+    Quantile fractions are RATIONALS (lo_num/den, hi_num/den) so the rank
+    computation stays in BIGINTs — a float ``ceil(0.05·n)`` diverges
+    between engines when the product lands on an exact integer.
+    """
+    from pyspark.sql import Window
+
+    keys = keys or []
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * scale + F.lit(0.5)).cast("long")
+    grid = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, q.alias("__q"))
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum(q).alias("__s"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grid = grid.withColumn("__cum", F.sum("__c").over(w))
+    totals = grid.groupBy(*keys).agg(
+        F.sum("__c").alias("__n"), F.sum("__s").alias("__raw")
+    )
+    g = grid.join(totals, on=keys) if keys else grid.crossJoin(
+        F.broadcast(totals)
+    )
+    # exact-rank targets in integers: ceil(p*n) = (p_num*n + den - 1) div den
+    lo_rank = F.floor((F.lit(lo_num) * F.col("__n") + (den - 1)) / den).cast("long")
+    hi_rank = F.floor((F.lit(hi_num) * F.col("__n") + (den - 1)) / den).cast("long")
+    bounds = g.groupBy(*keys).agg(
+        F.min(F.when(F.col("__cum") >= lo_rank, F.col("__q"))).alias("__lo"),
+        F.min(F.when(F.col("__cum") >= hi_rank, F.col("__q"))).alias("__hi"),
+        F.first("__n").alias("n"),
+        F.first("__raw").alias("__rawsum"),
+    )
+    gb = grid.join(bounds, on=keys) if keys else grid.crossJoin(
+        F.broadcast(bounds)
+    )
+    clamped = F.greatest(F.least(F.col("__q"), F.col("__hi")), F.col("__lo"))
+    out = gb.groupBy(*keys).agg(
+        F.first("n").alias("n"),
+        (F.first("__lo").cast("double") / scale).alias("p_lo"),
+        (F.first("__hi").cast("double") / scale).alias("p_hi"),
+        (F.sum(clamped * F.col("__c")).cast("double")
+         / (F.lit(float(scale)) * F.first("n"))).alias("win_mean"),
+        (F.first("__rawsum").cast("double")
+         / (F.lit(float(scale)) * F.first("n"))).alias("raw_mean"),
+    )
+    return out
+
+
+def conformal_interval(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    calib_cap: int = 1000,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group (Vovk; Angelopoulos &
+    Bates 2023 tutorial form): a 50/25/25 hash split trains a per-group
+    mean predictor, calibrates the residual quantile
+    q̂ = the ⌈(n+1)(1−α)⌉-th smallest |y − ŷ| on held-out data, and
+    reports empirical test coverage of ŷ ± q̂ — the distribution-free
+    ≥ 1−α guarantee every model-driven filter (quality scorers, toxicity
+    thresholds) should ship with.
+
+    Engine-exact and scale-safe by construction: the predictor is an
+    exact fixed-point ratio; the rank ⌈(n+1)(1−α)⌉ is computed in BIGINTs
+    from the RATIONAL α = alpha_num/alpha_den (a float ceil diverges
+    between engines when the product lands on an integer); and the
+    calibration set is capped per group (``sampling.cap_per_key``,
+    deterministic md5 rank) so the per-group residual sort is bounded by
+    ``calib_cap`` — the statistically honest move (conformal validity
+    needs only exchangeable calibration draws, and a few hundred rows
+    already pin q̂) that also keeps the window off the data volume.
+
+    Output per group: ``(group, n_train, n_calib, n_test, pred, qhat,
+    coverage)`` — coverage is an exact count ratio; NULL pred/qhat on
+    empty splits.
+    """
+    from pyspark.sql import Window
+
+    from cerebro_spark.operators.sampling import cap_per_key
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * scale + F.lit(0.5)).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    base = df.filter(v.isNotNull()).select(
+        g.alias("grp"), F.col(id_col).alias("__id"), v.alias("__v"),
+        q.alias("__q"), bucket.alias("__b"),
+    )
+    train = base.filter(F.col("__b") < 50)
+    calib = base.filter((F.col("__b") >= 50) & (F.col("__b") < 75))
+    test = base.filter(F.col("__b") >= 75)
+
+    pred = train.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        (F.sum("__q").cast("double")
+         / (F.lit(float(scale)) * F.count(F.lit(1)))).alias("pred"),
+    )
+    # (residual column named __res: cap_per_key claims __r internally)
+    cal = calib.join(pred, on="grp").withColumn(
+        "__res", F.abs(F.col("__v") - F.col("pred"))
+    )
+    cal = cap_per_key(cal, "grp", calib_cap, id_col="__id")
+    n_cal = cal.groupBy("grp").agg(F.count(F.lit(1)).alias("n_calib"))
+    # target rank ⌈(n+1)(1−α)⌉ in pure integer arithmetic, clamped to n
+    keep_num = alpha_den - alpha_num
+    target = F.least(
+        F.floor(((F.col("n_calib") + 1) * keep_num + (alpha_den - 1))
+                / alpha_den).cast("long"),
+        F.col("n_calib"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("__res").asc(),
+                                          F.col("__id").asc())
+    qhat = (
+        cal.withColumn("__rn", F.row_number().over(w))
+        .join(n_cal.select("grp", target.alias("__tgt"), "n_calib"), on="grp")
+        .filter(F.col("__rn") == F.col("__tgt"))
+        .select("grp", "n_calib", F.col("__res").alias("qhat"))
+    )
+    scored = test.join(pred, on="grp").join(qhat, on="grp")
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.first("n_train").alias("n_train"),
+            F.first("n_calib").alias("n_calib"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.first("pred").alias("pred"),
+            F.first("qhat").alias("qhat"),
+            (F.sum(
+                (F.abs(F.col("__v") - F.col("pred")) <= F.col("qhat"))
+                .cast("long")
+            ).cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

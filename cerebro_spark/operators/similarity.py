@@ -1132,3 +1132,71 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected
+
+
+def embedding_half_drift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label embedding drift between two deterministic halves of the
+    corpus (id parity — swap in a time/batch split in production): the
+    model-monitoring alarm for "did this label's representation move
+    between snapshots".  Output per label: ``(label, n_even, n_odd,
+    l1_drift, max_dim, max_dim_drift)`` — L1 distance between half
+    centroids plus the single most-drifted dimension (the actionable bit).
+
+    ENGINE-EXACT without rounding the centroids: per (label, dim) the
+    e6-quantized element sums are exact BIGINTs, and
+    ``mean_e − mean_o = (sₑ·n_o − s_o·nₑ) / (scale·nₑ·n_o)`` shares one
+    exact integer numerator — so the per-dim |numerator|s add as integers
+    (order-independent) and every emitted double is a single division.
+    Compare ``label_centroids``, which must round to 6 dp because it sums
+    raw doubles.
+
+    Plan: one combinable groupBy over (label, dim) — 64·|labels| rows —
+    then a |labels|-bounded argmax window.  NULL drift when a half is
+    empty for a label (never ±Inf).
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.pmod(F.col(id_col), F.lit(2)).alias("__half"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    ).withColumn("__q", F.floor(F.col("x") * scale + F.lit(0.5)).cast("long"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("__half") == 0, 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("__half") == 0, F.col("__q")).otherwise(0)).alias("se"),
+        F.sum(F.when(F.col("__half") == 1, 1).otherwise(0)).alias("co"),
+        F.sum(F.when(F.col("__half") == 1, F.col("__q")).otherwise(0)).alias("so"),
+    )
+    num = F.abs(F.col("se") * F.col("co") - F.col("so") * F.col("ce"))
+    w = Window.partitionBy("label").orderBy(
+        num.desc(), F.col("dim").asc()
+    )
+    ranked = per_dim.withColumn("__num", num).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    denom = (
+        F.lit(float(scale))
+        * F.col("n_even").cast("double")
+        * F.col("n_odd").cast("double")
+    )
+    agg = ranked.groupBy("label").agg(
+        F.max("ce").alias("n_even"),
+        F.max("co").alias("n_odd"),
+        F.sum("__num").alias("__l1num"),
+        F.max(F.when(F.col("__rn") == 1, F.col("dim"))).alias("max_dim"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__num"))).alias("__maxnum"),
+    )
+    ok = (F.col("n_even") > 0) & (F.col("n_odd") > 0)
+    return agg.select(
+        "label", "n_even", "n_odd",
+        F.when(ok, F.col("__l1num").cast("double") / denom).alias("l1_drift"),
+        "max_dim",
+        F.when(ok, F.col("__maxnum").cast("double") / denom)
+        .alias("max_dim_drift"),
+    )

@@ -2175,3 +2175,114 @@ FROM agg
 
 QUERIES["calibration_events"] = q_calibration_events
 ORACLES["calibration_events"] = _calibration_sql()
+
+
+def q_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorized mean of value per event_type
+    (profile.winsorized_mean): exact-rank quantiles and clamp-sums over a
+    VALUE-GRID histogram — the data volume never passes through a window;
+    rank arithmetic stays in BIGINTs (rational quantile fractions)."""
+    from cerebro_spark.operators.profile import winsorized_mean
+
+    ev = load_table(spark, "events", sf_dir)
+    return winsorized_mean(ev, "value", keys=["event_type"])
+
+
+_WINSORIZED_SQL = """
+WITH grid AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS q,
+    count(*) AS c, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, CAST(sum(c) OVER (PARTITION BY event_type ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+  FROM grid
+),
+tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS rawsum
+  FROM grid GROUP BY 1
+),
+bounds AS (
+  SELECT g.event_type,
+    min(CASE WHEN g.cumc >= CAST(floor((5 * t.n + 99) / 100.0) AS BIGINT) THEN g.q END) AS lo,
+    min(CASE WHEN g.cumc >= CAST(floor((95 * t.n + 99) / 100.0) AS BIGINT) THEN g.q END) AS hi,
+    min(t.n) AS n, min(t.rawsum) AS rawsum
+  FROM cum g JOIN tot t USING (event_type)
+  GROUP BY 1
+)
+SELECT b.event_type, b.n AS n,
+  CAST(b.lo AS DOUBLE) / 100 AS p_lo,
+  CAST(b.hi AS DOUBLE) / 100 AS p_hi,
+  CAST(sum(greatest(least(g.q, b.hi), b.lo) * g.c) AS DOUBLE)
+    / (100.0 * b.n) AS win_mean,
+  CAST(b.rawsum AS DOUBLE) / (100.0 * b.n) AS raw_mean
+FROM grid g JOIN bounds b USING (event_type)
+GROUP BY 1, 2, 3, 4, b.rawsum
+"""
+
+QUERIES["winsorized_value"] = q_winsorized_value
+ORACLES["winsorized_value"] = _WINSORIZED_SQL
+
+
+def q_conformal_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction intervals for value per event_type
+    (profile.conformal_interval): 50/25/25 md5 split, exact fixed-point
+    group-mean predictor, integer-rank q̂ = ⌈(n+1)·0.9⌉-th residual over a
+    cap_per_key-bounded calibration set, exact test coverage."""
+    from cerebro_spark.operators.profile import conformal_interval
+
+    ev = load_table(spark, "events", sf_dir)
+    return conformal_interval(ev, "value", "event_type", "event_id")
+
+
+def _conformal_sql() -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    b = _hex2long_sql("md5(CAST(event_id AS VARCHAR))", 8) + " % 100"
+    return f"""
+WITH base AS (
+  SELECT event_type AS grp, event_id AS id, value AS v,
+    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS q,
+    {b} AS b
+  FROM events WHERE value IS NOT NULL
+),
+pred AS (
+  SELECT grp, count(*) AS n_train,
+    CAST(sum(q) AS DOUBLE) / (10000.0 * count(*)) AS pred
+  FROM base WHERE b < 50 GROUP BY 1
+),
+cal_all AS (
+  SELECT c.grp, c.id, abs(c.v - p.pred) AS res,
+    row_number() OVER (
+      PARTITION BY c.grp
+      ORDER BY md5(CAST(c.id AS VARCHAR)) ASC, c.id ASC
+    ) AS cap_rank
+  FROM base c JOIN pred p USING (grp)
+  WHERE c.b >= 50 AND c.b < 75
+),
+cal AS (SELECT * FROM cal_all WHERE cap_rank <= 1000),
+ncal AS (SELECT grp, count(*) AS n_calib FROM cal GROUP BY 1),
+qhat AS (
+  SELECT grp, n_calib, res AS qhat FROM (
+    SELECT c.grp, n.n_calib, c.res,
+      row_number() OVER (PARTITION BY c.grp ORDER BY c.res ASC, c.id ASC) AS rn,
+      least(CAST(floor(((n.n_calib + 1) * 9 + 9) / 10.0) AS BIGINT),
+            n.n_calib) AS tgt
+    FROM cal c JOIN ncal n USING (grp)
+  ) WHERE rn = tgt
+)
+SELECT t.grp AS event_type,
+  min(p.n_train) AS n_train, min(h.n_calib) AS n_calib,
+  count(*) AS n_test, min(p.pred) AS pred, min(h.qhat) AS qhat,
+  CAST(sum(CASE WHEN abs(t.v - p.pred) <= h.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS coverage
+FROM base t JOIN pred p USING (grp) JOIN qhat h ON h.grp = t.grp
+WHERE t.b >= 75
+GROUP BY 1
+"""
+
+
+QUERIES["conformal_value"] = q_conformal_value
+ORACLES["conformal_value"] = _conformal_sql()

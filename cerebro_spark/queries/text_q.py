@@ -1434,3 +1434,59 @@ SELECT doc_id, source, key_rank FROM (
 
 QUERIES["domain_cap_sample"] = q_domain_cap_sample
 ORACLES["domain_cap_sample"] = _DOMAIN_CAP_SQL
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between corpus halves
+    (similarity.embedding_half_drift): exact shared-BIGINT-numerator L1
+    drift + the most-drifted dimension — unrounded, unlike the 6-dp
+    label_centroids gate."""
+    from cerebro_spark.operators.similarity import embedding_half_drift
+
+    return embedding_half_drift(load_table(spark, "embeddings", sf_dir))
+
+
+_EMBEDDING_DRIFT_SQL = """
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+per_dim AS (
+  SELECT label, dim,
+    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+    CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS se,
+    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS co,
+    CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS so
+  FROM ex GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, abs(se * co - so * ce) AS num,
+    row_number() OVER (
+      PARTITION BY label ORDER BY abs(se * co - so * ce) DESC, dim ASC
+    ) AS rn
+  FROM per_dim
+),
+agg AS (
+  SELECT label,
+    max(ce) AS n_even, max(co) AS n_odd,
+    CAST(sum(num) AS BIGINT) AS l1num,
+    max(CASE WHEN rn = 1 THEN dim END) AS max_dim,
+    max(CASE WHEN rn = 1 THEN num END) AS maxnum
+  FROM ranked GROUP BY 1
+)
+SELECT label, n_even, n_odd,
+  CASE WHEN n_even > 0 AND n_odd > 0
+       THEN CAST(l1num AS DOUBLE)
+            / (1000000.0 * CAST(n_even AS DOUBLE) * CAST(n_odd AS DOUBLE))
+  END AS l1_drift,
+  CAST(max_dim AS INTEGER) AS max_dim,
+  CASE WHEN n_even > 0 AND n_odd > 0
+       THEN CAST(maxnum AS DOUBLE)
+            / (1000000.0 * CAST(n_even AS DOUBLE) * CAST(n_odd AS DOUBLE))
+  END AS max_dim_drift
+FROM agg
+"""
+
+QUERIES["embedding_drift"] = q_embedding_drift
+ORACLES["embedding_drift"] = _EMBEDDING_DRIFT_SQL

@@ -970,3 +970,92 @@ def test_mmr_rerank_k_exceeding_candidates(spark):
                      k=10, n_candidates=5).collect()
     # only 2 candidates exist (self excluded): emits 2 rows, ranks 1..2
     assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+
+def test_winsorized_mean_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.profile import winsorized_mean
+
+    # 20 values 1..19 plus one absurd outlier; 5/95 winsorization clamps
+    # exactly one value at each end (ceil(0.05*20)=1, ceil(0.95*20)=19)
+    vals = list(range(1, 20)) + [10_000]
+    rows = [Row(k="a", v=float(x)) for x in vals]
+    out = winsorized_mean(spark.createDataFrame(rows), "v", ["k"]).collect()[0]
+    assert out["n"] == 20
+    # p_lo = 1st smallest = 1; p_hi = 19th smallest = 19
+    assert out["p_lo"] == 1.0 and out["p_hi"] == 19.0
+    # clamp: 10000 -> 19; everything else unchanged
+    want = (sum(range(1, 20)) + 19) / 20
+    assert abs(out["win_mean"] - want) < 1e-9
+    # the raw mean is destroyed by the outlier; winsorized is not
+    assert out["raw_mean"] > 500 and out["win_mean"] < 20
+
+    # keyless mode + all-equal values: p_lo == p_hi == mean
+    flat = spark.createDataFrame([Row(k="x", v=7.0)] * 5)
+    o = winsorized_mean(flat, "v").collect()[0]
+    assert o["p_lo"] == o["p_hi"] == 7.0 and o["win_mean"] == 7.0
+
+
+def test_conformal_interval_coverage_guarantee(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.profile import conformal_interval
+
+    # hash-uniform noise around a per-group constant: split conformal must
+    # deliver >= 1 - alpha coverage in expectation (check with slack)
+    rows = []
+    for i in range(4000):
+        g = "a" if i % 2 == 0 else "b"
+        center = 100.0 if g == "a" else 200.0
+        noise = float((i * 2654435761) % 1000) / 100.0  # U[0, 10)
+        rows.append(Row(id=i, g=g, v=center + noise))
+    out = {r["g"]: r for r in conformal_interval(
+        spark.createDataFrame(rows), "v", "g", "id"
+    ).collect()}
+    assert set(out) == {"a", "b"}
+    for g, center in (("a", 100.0), ("b", 200.0)):
+        r = out[g]
+        # predictor recovers the group center + mean noise (~5)
+        assert abs(r["pred"] - (center + 5.0)) < 0.3
+        # calibration capped at 1000 per key
+        assert 0 < r["n_calib"] <= 1000
+        # distribution-free guarantee: coverage >= 0.9 (small-sample slack)
+        assert r["coverage"] >= 0.85
+        # and the interval is not vacuous (qhat < full noise span)
+        assert 0 < r["qhat"] <= 10.0
+    # degenerate: a constant group -> qhat 0, coverage 1
+    const = spark.createDataFrame(
+        [Row(id=i, g="c", v=5.0) for i in range(400)]
+    )
+    rc = conformal_interval(const, "v", "g", "id").collect()[0]
+    assert rc["qhat"] == 0.0 and rc["coverage"] == 1.0
+
+
+def test_embedding_half_drift_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.similarity import embedding_half_drift
+
+    # label "m": even half centered at [0,0], odd half at [1, 0.5]
+    rows = [
+        Row(vec_id=0, label="m", embedding=[0.0, 0.0]),
+        Row(vec_id=2, label="m", embedding=[0.0, 0.0]),
+        Row(vec_id=1, label="m", embedding=[1.0, 0.5]),
+        Row(vec_id=3, label="m", embedding=[1.0, 0.5]),
+        # label "s": identical halves -> zero drift
+        Row(vec_id=4, label="s", embedding=[0.25, 0.75]),
+        Row(vec_id=5, label="s", embedding=[0.25, 0.75]),
+        # label "e": only one half present -> NULL drift, never Inf
+        Row(vec_id=6, label="e", embedding=[0.5, 0.5]),
+    ]
+    out = {r["label"]: r for r in
+           embedding_half_drift(spark.createDataFrame(rows)).collect()}
+    m = out["m"]
+    assert m["n_even"] == 2 and m["n_odd"] == 2
+    assert abs(m["l1_drift"] - 1.5) < 1e-9          # |1-0| + |0.5-0|
+    assert m["max_dim"] == 0 and abs(m["max_dim_drift"] - 1.0) < 1e-9
+    s = out["s"]
+    assert s["l1_drift"] == 0.0 and s["max_dim_drift"] == 0.0
+    e = out["e"]
+    assert e["l1_drift"] is None and e["max_dim_drift"] is None
