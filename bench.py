@@ -147,6 +147,7 @@ HEADLINE = [
     "winsorized_value",       # value-grid exact winsorized mean
     "conformal_value",        # split-conformal intervals + coverage
     "embedding_drift",        # exact-numerator half-centroid drift
+    "golden_user_record",     # MDM survivorship merge (max_by structs)
 ]
 
 

@@ -795,3 +795,39 @@ def bounded_reach(
             break
     e.unpersist()
     return visited
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship merge — the "golden record" step after entity
+    resolution: per cluster, each attribute independently takes its most
+    recent NON-NULL value (freshest-wins per column, the standard MDM
+    rule), with (ts, id) as the deterministic recency key.  Completes the
+    dedup pipeline: ``*_pairs`` → ``connected_components`` →
+    ``golden_record`` instead of ``resolve_duplicates`` when the cluster's
+    members should be FUSED rather than one member kept.
+
+    Output: one row per cluster — ``(cluster, n_members, last_ts,
+    <attr…>)``.  One combinable groupBy over the cluster key: per column
+    ``max_by(attr, struct(attr IS NOT NULL, ts, id))`` — the NULL flag
+    sorts non-null above null, so a column goes NULL only when the whole
+    cluster is null in it.  No window, no per-cluster sort; skew-safe
+    because max_by state is one value per column regardless of cluster
+    size.
+    """
+    ts = F.col(ts_col)
+    recency = lambda a: F.struct(  # noqa: E731
+        F.col(a).isNotNull().alias("nn"),
+        ts.alias("ts"),
+        F.col(id_col).alias("id"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(ts).alias("last_ts"),
+    ] + [F.max_by(F.col(a), recency(a)).alias(a) for a in attr_cols]
+    return df.groupBy(F.col(cluster_col).alias("cluster")).agg(*aggs)

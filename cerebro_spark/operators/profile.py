@@ -831,8 +831,9 @@ def conformal_interval(
     already pin q̂) that also keeps the window off the data volume.
 
     Output per group: ``(group, n_train, n_calib, n_test, pred, qhat,
-    coverage)`` — coverage is an exact count ratio; NULL pred/qhat on
-    empty splits.
+    coverage)`` — coverage is an exact count ratio.  A group missing any
+    split entirely is OMITTED (inner joins — no interval can honestly be
+    reported for it), mirrored by the oracle.
     """
     from pyspark.sql import Window
 

@@ -2286,3 +2286,48 @@ GROUP BY 1
 
 QUERIES["conformal_value"] = q_conformal_value
 ORACLES["conformal_value"] = _conformal_sql()
+
+
+def q_golden_user_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge per user (cluster.golden_record): each attribute
+    independently takes its most recent NON-NULL value (freshest-wins,
+    (ts, event_id) recency key) over an event log with deterministically
+    synthesized NULL holes — the MDM golden-record step after entity
+    resolution.  One combinable max_by groupBy; no window, skew-safe."""
+    from cerebro_spark.operators.cluster import golden_record
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props")).alias("props"),
+        "event_type",
+    )
+    out = golden_record(
+        ev, "user_id", "ts", ["value", "props", "event_type"],
+        id_col="event_id",
+    )
+    return out.withColumnRenamed("cluster", "user_id")
+
+
+_GOLDEN_RECORD_SQL = """
+WITH holes AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+    CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props,
+    event_type
+  FROM events
+)
+SELECT user_id, count(*) AS n_members, max(ts) AS last_ts,
+  (max({'nn': value IS NOT NULL, 'ts': ts, 'id': event_id, 'a': value})).a
+    AS value,
+  (max({'nn': props IS NOT NULL, 'ts': ts, 'id': event_id, 'a': props})).a
+    AS props,
+  (max({'nn': event_type IS NOT NULL, 'ts': ts, 'id': event_id,
+        'a': event_type})).a AS event_type
+FROM holes GROUP BY 1
+"""
+
+QUERIES["golden_user_record"] = q_golden_user_record
+ORACLES["golden_user_record"] = _GOLDEN_RECORD_SQL

@@ -142,3 +142,30 @@ def test_bounded_reach_min_dist_and_multiseed(spark):
     got = {r["node"]: r["dist"] for r in rows}
     assert len(rows) == len(got)  # one row per node
     assert got == {"s": 0, "t": 0, "x": 1, "y": 1, "z": 2}
+
+
+def test_golden_record_survivorship(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.cluster import golden_record
+
+    rows = [
+        # cluster 1: freshest name is NULL -> falls back to freshest
+        # NON-NULL ('beta', ts=20); city only set on the oldest row
+        Row(doc_id=1, c=1, ts=10, name="alpha", city="rome"),
+        Row(doc_id=2, c=1, ts=20, name="beta", city=None),
+        Row(doc_id=3, c=1, ts=30, name=None, city=None),
+        # cluster 2: all-null column stays NULL
+        Row(doc_id=4, c=2, ts=5, name=None, city=None),
+        # tie on ts -> larger id wins
+        Row(doc_id=5, c=3, ts=7, name="x", city=None),
+        Row(doc_id=6, c=3, ts=7, name="y", city=None),
+    ]
+    out = {r["cluster"]: r for r in golden_record(
+        spark.createDataFrame(rows), "c", "ts", ["name", "city"]
+    ).collect()}
+    r1 = out[1]
+    assert r1["n_members"] == 3 and r1["last_ts"] == 30
+    assert r1["name"] == "beta" and r1["city"] == "rome"
+    assert out[2]["name"] is None and out[2]["n_members"] == 1
+    assert out[3]["name"] == "y"
