@@ -192,6 +192,37 @@ def main() -> None:
     gini = gini_concentration(src_mass, "chars", "source").first()
     print(f"source-mix gini:   {gini['gini']:.4f} over {gini['n']} sources")
 
+    # 19. normalization pass FIRST in a real run (session 4): the cleaning
+    # every crawl needs before quality/dedup — here audited on the raw corpus
+    from cerebro_spark.operators.text import clean_text
+
+    cleaned = clean_text(docs)
+    n_dirty = cleaned.filter(F.col("was_dirty")).count()
+    print(f"clean_text:        {n_dirty}/{n_raw} docs had removable chars")
+
+    # 20. per-domain cap: no host may dominate the mix (deterministic md5
+    # rank — retry-stable)
+    from cerebro_spark.operators.sampling import cap_per_key
+
+    capped = cap_per_key(train, "source", k=25)
+    print(f"domain cap 25:     {train.count()} -> {capped.count()} train docs")
+
+    # 21. diversified retrieval pool: MMR over the embedding candidates —
+    # the near-dup-aware version of the rrf pool above
+    from cerebro_spark.operators.similarity import mmr_rerank
+
+    diverse = mmr_rerank(emb, emb.filter(F.col("vec_id") == 0),
+                         k=5, n_candidates=25, lam=0.5)
+    print(f"mmr pool:          {diverse.count()} diversified picks")
+
+    # 22. uncertainty on the run's headline metric: Poisson-bootstrap CI of
+    # mean doc length (would feed the run-log dashboard)
+    from cerebro_spark.operators.profile import bootstrap_ci
+
+    ci = bootstrap_ci(train, "n_chars", "doc_id", b=100).first()
+    print(f"len CI (95%):      {ci['mean']:.1f} in "
+          f"[{ci['ci_lo']:.1f}, {ci['ci_hi']:.1f}] over {ci['n']} docs")
+
 
 if __name__ == "__main__":
     main()
