@@ -148,6 +148,7 @@ HEADLINE = [
     "conformal_value",        # split-conformal intervals + coverage
     "embedding_drift",        # exact-numerator half-centroid drift
     "golden_user_record",     # MDM survivorship merge (max_by structs)
+    "srm_check",              # sample-ratio-mismatch guardrail
 ]
 
 

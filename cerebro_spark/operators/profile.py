@@ -570,6 +570,12 @@ def bootstrap_ci(
     stay under 2^63 — w ≤ 8, so |value|·scale·n_rows ≲ 1e18 (at scale=1e4:
     ~2e10 rows of |value|≤500 per replicate; shrink ``scale`` for wilder
     data).
+
+    CLUSTER bootstrap for free: pass the grouping key (e.g. user_id) as
+    ``id_col`` — the weight is a pure function of (id, replicate), so all
+    of a unit's rows share one draw per replicate, which is exactly the
+    block/cluster bootstrap the within-unit correlation of event data
+    demands (a row-level bootstrap understates the variance there).
     """
     from pyspark.sql import Window
 

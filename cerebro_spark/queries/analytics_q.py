@@ -2331,3 +2331,51 @@ FROM holes GROUP BY 1
 
 QUERIES["golden_user_record"] = q_golden_user_record
 ORACLES["golden_user_record"] = _GOLDEN_RECORD_SQL
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the user-parity A/B split: a
+    50/50 assignment with traffic counts (n_a, n_b) has goodness-of-fit
+    χ² = (n_a−n_b)²/n EXACTLY (the two-cell Pearson statistic collapses
+    algebraically) — one integer-sum reduce and a single division, with
+    the 95% flag against the literal 3.841 df=1 critical value.  SRM is
+    the first thing to check before reading ab_test_ztest/cuped_adjust:
+    a mismatched split invalidates both."""
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.select("user_id").distinct()
+    agg = users.groupBy().agg(
+        F.sum(F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, 1)
+              .otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.pmod(F.col("user_id"), F.lit(2)) == 1, 1)
+              .otherwise(0)).alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = F.when(n > 0, (d * d).cast("double") / n.cast("double"))
+    return agg.select(
+        "n_a", "n_b",
+        chi2.alias("chi2"),
+        F.when(n > 0, chi2 > 3.841458820694124).alias("srm"),
+    )
+
+
+_SRM_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM users
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a + n_b > 0
+       THEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE) END AS chi2,
+  CASE WHEN n_a + n_b > 0
+       THEN (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE)) > 3.841458820694124 END AS srm
+FROM agg
+"""
+
+QUERIES["srm_check"] = q_srm_check
+ORACLES["srm_check"] = _SRM_SQL
