@@ -696,3 +696,72 @@ def test_trend_estimators_match_bruteforce(spark, days):
         )
         mk = mann_kendall(df, "value", "ts", keys=[]).collect()[0]
         assert mk["s_stat"] == s_ref and mk["n_buckets"] == len(ds)
+
+
+# -- interval-overlap join: bucket-exploded equi-join == brute force ---------
+
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 200)),
+        min_size=1, max_size=12,
+    ),
+    jvs=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 200)),
+        min_size=1, max_size=12,
+    ),
+    bucket=st.sampled_from([1, 7, 100, 1000]),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_join_matches_bruteforce(spark, ivs, jvs, bucket):
+    from cerebro_spark.operators.joins import interval_overlap_join
+
+    left = [(i, s, s + w) for i, (s, w) in enumerate(ivs)]
+    right = [(j, s, s + w) for j, (s, w) in enumerate(jvs)]
+    ldf = spark.createDataFrame(left, "lid long, ls long, le long")
+    rdf = spark.createDataFrame(right, "rid long, rs long, re_ long")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re_", bucket_seconds=bucket
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, ls, le in left
+        for j, rs, re_ in right
+        if ls <= re_ and rs <= le
+    }
+    assert got == want
+    # exactly-once: the collected rows equal the distinct pair set
+    n_rows = interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re_", bucket_seconds=bucket
+    ).count()
+    assert n_rows == len(want)
+
+
+# -- winsorized mean: grid-histogram path == numpy-free reference ------------
+
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_winsorized_mean_matches_reference(spark, vals):
+    from cerebro_spark.operators.profile import winsorized_mean
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = winsorized_mean(df, "v").collect()[0]
+
+    # reference: quantize like the operator (floor(v*100 + 0.5), not
+    # round-half-even), exact-rank pick, clamp, mean
+    import math as m
+    q = sorted(m.floor(v * 100 + 0.5) for v in vals)
+    n = len(q)
+    lo = q[(5 * n + 99) // 100 - 1]
+    hi = q[(95 * n + 99) // 100 - 1]
+    win = sum(min(max(x, lo), hi) for x in q) / (100.0 * n)
+    assert got["n"] == n
+    assert got["p_lo"] == lo / 100.0 and got["p_hi"] == hi / 100.0
+    assert abs(got["win_mean"] - win) < 1e-12
