@@ -149,6 +149,7 @@ HEADLINE = [
     "embedding_drift",        # exact-numerator half-centroid drift
     "golden_user_record",     # MDM survivorship merge (max_by structs)
     "srm_check",              # sample-ratio-mismatch guardrail
+    "streaming_enrich_check", # stream-stream metadata enrichment gate
 ]
 
 

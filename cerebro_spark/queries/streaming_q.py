@@ -612,3 +612,57 @@ FROM final WHERE r = 1
 
 QUERIES["streaming_deadband_check"] = q_streaming_deadband_check
 ORACLES["streaming_deadband_check"] = _STREAMING_DEADBAND_SQL
+
+
+def q_streaming_enrich_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence gate for ``streaming_enrich_join`` — the stream-
+    stream metadata-enrichment primitive (the streaming counterpart of the
+    batch as-of join), previously pytest-only.  Views are the point stream,
+    signups the metadata stream keyed by user; each view matches metadata
+    updates in the 6 h before it (watermark + range condition = evictable
+    state on BOTH sides).  Inner matches emit as they join, so the
+    availableNow replay hashes against the plain batch interval join."""
+    from cerebro_spark.streaming.ingest import streaming_enrich_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+    def twin(stream: DataFrame) -> DataFrame:
+        points = stream.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", "ts"
+        )
+        meta = stream.filter(F.col("event_type") == "signup").select(
+            "user_id",
+            F.col("event_id").alias("meta_id"),
+            F.col("ts").alias("updated_at"),
+        )
+        out = streaming_enrich_join(
+            points, meta, key="user_id", points_ts="ts",
+            meta_ts="updated_at", tolerance="6 hours",
+            watermark="10 minutes", how="inner",
+        )
+        return out.select(
+            "view_id", "user_id", "meta_id",
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("updated_at")))
+            .alias("staleness_us"),
+        )
+
+    return _run_available_now(
+        ev, twin, output_mode="append", ordered_single_batch=True
+    )
+
+
+_STREAMING_ENRICH_SQL = """
+SELECT p.event_id AS view_id, p.user_id, m.event_id AS meta_id,
+  epoch_us(p.ts) - epoch_us(m.ts) AS staleness_us
+FROM events p
+JOIN events m
+  ON m.user_id = p.user_id
+ AND m.ts <= p.ts
+ AND m.ts >= p.ts - INTERVAL 6 HOUR
+WHERE p.event_type = 'view' AND m.event_type = 'signup'
+"""
+
+QUERIES["streaming_enrich_check"] = q_streaming_enrich_check
+ORACLES["streaming_enrich_check"] = _STREAMING_ENRICH_SQL
