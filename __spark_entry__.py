@@ -541,10 +541,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, final: session 4): 73 queries have never had a
+    # HEAD-50 TRIAGE (r6, final: session 4): 74 queries have never had a
     # driver CORRECTNESS row (the 14-query r01-r05 rotation debt + the 46
-    # born in sessions 1-3 + the 13 born in session 4) but the snapshot
-    # covers exactly 50, so 23 sit below the cutoff and gate in r07.
+    # born in sessions 1-3 + the 14 born in session 4) but the snapshot
+    # covers exactly 50, so 24 sit below the cutoff and gate in r07.
     # Priority order:
     # (0) the session-4 births — the newest-first policy below;
     # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
@@ -553,7 +553,8 @@ _SNAPSHOT_PRIORITY = [
     #     the stream-stream join class, whose evidence pytest alone
     #     cannot replace;
     # (3) the earlier round-6 births, newest first.
-    # The 23 that slide to the r07 head (ppr_trade_recs, incremental_rollup_check,
+    # The 24 that slide to the r07 head (inverted_postings, ppr_trade_recs,
+    # incremental_rollup_check,
     # textrank_keywords, order_snapshot_diff,
     # k_anonymity_events, hybrid_rrf_topk, kcore_trade, lpa_communities,
     # supplier_overlap, part_affinity, fuzzy_block_stats, bm25_topk,
@@ -563,10 +564,11 @@ _SNAPSHOT_PRIORITY = [
     # the cutoff marker) all carry local-oracle green at sf0.01+sf0.001
     # plus pytest evidence, and the graph family adds property tests +
     # soaks; pagerank's quantized-iteration oracle structure IS
-    # driver-gated this round via ppr_trade_recs.  R07: gate these 23
+    # driver-gated this round via ppr_trade_recs.  R07: gate these 24
     # FIRST, before any new birth.
     #
     # (0) Born round 6, session 4 — newest first (same policy):
+    "interval_bucket_stats",
     "streaming_enrich_check",
     "srm_check",
     "golden_user_record",
@@ -623,10 +625,10 @@ _SNAPSHOT_PRIORITY = [
     "benford_profile",
     "psi_drift",
     "theil_sen_trend",
+    # --- r06 head-50 cutoff falls here: everything below gates in r07 ---
     "inverted_postings",
     # (3b) Born round 6, third batch — graph analytics / hybrid retrieval /
     # governance / versioning:
-    # --- r06 head-50 cutoff falls here: everything below gates in r07 ---
     # (all local-oracle green at sf0.01+sf0.001 with pytest evidence; the
     # session-4 births above displaced the graph/retrieval tail, which
     # moves to the front of the r07 debt)

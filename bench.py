@@ -150,6 +150,7 @@ HEADLINE = [
     "golden_user_record",     # MDM survivorship merge (max_by structs)
     "srm_check",              # sample-ratio-mismatch guardrail
     "streaming_enrich_check", # stream-stream metadata enrichment gate
+    "interval_bucket_stats",  # pre-join skew histogram (interval family)
 ]
 
 

@@ -381,3 +381,55 @@ def interval_overlap_join(
         .filter(overlap & first_bucket)
         .drop("__bkt")
     )
+
+
+def interval_bucket_stats(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    top: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnostic for :func:`interval_overlap_join` — the
+    same contract as ``lsh_bucket_stats``/``fuzzy_block_stats``: run it
+    BEFORE the join to see where the candidate mass lands and pick
+    ``bucket_seconds`` from data instead of folklore.  Output: the ``top``
+    buckets by pair mass ``(by…, bucket, n_left, n_right, pair_mass)`` —
+    pair_mass = n_left·n_right is exactly the rows that bucket's equi-join
+    will materialize before the overlap filter.
+
+    One exploded projection per side, one combinable groupBy each, a
+    TakeOrdered over the bucket counts — strictly cheaper than the join it
+    sizes.
+    """
+    by = by or []
+    b = float(bucket_seconds)
+
+    def side(df: DataFrame, s: str, e: str, out: str) -> DataFrame:
+        return (
+            df.select(
+                *by,
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(s) / b).cast("long"),
+                        F.floor(F.col(e) / b).cast("long"),
+                    )
+                ).alias("bucket"),
+            )
+            .groupBy(*by, "bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    lhs = side(left, l_start, l_end, "n_left")
+    rhs = side(right, r_start, r_end, "n_right")
+    stats = lhs.join(rhs, on=by + ["bucket"], how="inner").select(
+        *by, "bucket", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pair_mass"),
+    )
+    return stats.orderBy(
+        F.col("pair_mass").desc(), F.col("bucket").asc()
+    ).limit(top)

@@ -337,3 +337,88 @@ GROUP BY 1, 2
 
 QUERIES["session_incident_overlap"] = q_session_incident_overlap
 ORACLES["session_incident_overlap"] = _SESSION_INCIDENT_SQL
+
+
+def q_interval_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew histogram for the session×incident overlap join
+    (joins.interval_bucket_stats): top-20 buckets by candidate pair mass —
+    run before interval_overlap_join to pick the bucket width, same
+    contract as lsh_bucket_stats/fuzzy_block_stats."""
+    from pyspark.sql import Window
+
+    from cerebro_spark.operators.joins import interval_bucket_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn(
+            "__new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s_start"),
+            F.max(F.col("ts").cast("long")).alias("s_end"),
+        )
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        (F.col("ts").cast("long") - 600).alias("i_start"),
+        (F.col("ts").cast("long") + 600).alias("i_end"),
+    )
+    return interval_bucket_stats(
+        sess, incidents, "s_start", "s_end", "i_start", "i_end",
+        bucket_seconds=1800, top=20,
+    )
+
+
+_INTERVAL_BUCKET_STATS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM flagged
+),
+intervals AS (
+  SELECT min(t) AS s_start, max(t) AS s_end
+  FROM sess GROUP BY user_id, session_id
+),
+lhs AS (
+  SELECT b AS bucket, count(*) AS n_left FROM intervals,
+    LATERAL unnest(generate_series(CAST(floor(s_start / 1800.0) AS BIGINT),
+                                   CAST(floor(s_end / 1800.0) AS BIGINT))) AS u(b)
+  GROUP BY 1
+),
+incidents AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) - 600 AS i_start,
+    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS i_end
+  FROM events WHERE event_type = 'error'
+),
+rhs AS (
+  SELECT b AS bucket, count(*) AS n_right FROM incidents,
+    LATERAL unnest(generate_series(CAST(floor(i_start / 1800.0) AS BIGINT),
+                                   CAST(floor(i_end / 1800.0) AS BIGINT))) AS u(b)
+  GROUP BY 1
+)
+SELECT bucket, n_left, n_right, n_left * n_right AS pair_mass
+FROM lhs JOIN rhs USING (bucket)
+ORDER BY pair_mass DESC, bucket ASC
+LIMIT 20
+"""
+
+QUERIES["interval_bucket_stats"] = q_interval_bucket_stats
+ORACLES["interval_bucket_stats"] = _INTERVAL_BUCKET_STATS_SQL
