@@ -228,3 +228,26 @@ def test_interval_overlap_join_by_keys(spark):
         left, right, "ls", "le", "rs", "re_", by=["k"], bucket_seconds=50
     ).collect()
     assert len(got) == 1 and got[0]["k"] == "a"
+
+
+def test_interval_bucket_stats_pair_mass(spark):
+    from pyspark.sql import Row
+
+    from cerebro_spark.operators.joins import interval_bucket_stats
+
+    left = spark.createDataFrame([
+        Row(ls=0, le=199),    # buckets 0, 1
+        Row(ls=100, le=150),  # bucket 1
+    ])
+    right = spark.createDataFrame([
+        Row(rs=110, re_=130),  # bucket 1
+        Row(rs=120, re_=140),  # bucket 1
+        Row(rs=250, re_=260),  # bucket 2 (no left rows -> absent)
+    ])
+    got = {r["bucket"]: r for r in interval_bucket_stats(
+        left, right, "ls", "le", "rs", "re_", bucket_seconds=100
+    ).collect()}
+    # bucket 1: 2 left x 2 right = mass 4; bucket 0/2 have an empty side
+    assert set(got) == {1}
+    assert got[1]["n_left"] == 2 and got[1]["n_right"] == 2
+    assert got[1]["pair_mass"] == 4

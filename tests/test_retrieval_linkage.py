@@ -1059,3 +1059,14 @@ def test_embedding_half_drift_hand_computed(spark):
     assert s["l1_drift"] == 0.0 and s["max_dim_drift"] == 0.0
     e = out["e"]
     assert e["l1_drift"] is None and e["max_dim_drift"] is None
+
+
+def test_srm_chi2_collapse_identity(spark):
+    # the srm_check gate relies on the two-cell Pearson chi2 collapsing to
+    # (n_a - n_b)^2 / n — verify the algebra against the textbook form
+    for n_a, n_b in [(500, 500), (520, 480), (10, 0), (1, 2)]:
+        n = n_a + n_b
+        e = n / 2
+        textbook = (n_a - e) ** 2 / e + (n_b - e) ** 2 / e
+        collapsed = (n_a - n_b) ** 2 / n
+        assert abs(textbook - collapsed) < 1e-12
