@@ -541,10 +541,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, final: session 4): 74 queries have never had a
+    # HEAD-50 TRIAGE (r6, final: session 4): 75 queries have never had a
     # driver CORRECTNESS row (the 14-query r01-r05 rotation debt + the 46
-    # born in sessions 1-3 + the 14 born in session 4) but the snapshot
-    # covers exactly 50, so 24 sit below the cutoff and gate in r07.
+    # born in sessions 1-3 + the 15 born in session 4) but the snapshot
+    # covers exactly 50, so 25 sit below the cutoff and gate in r07.
     # Priority order:
     # (0) the session-4 births — the newest-first policy below;
     # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
@@ -553,7 +553,8 @@ _SNAPSHOT_PRIORITY = [
     #     the stream-stream join class, whose evidence pytest alone
     #     cannot replace;
     # (3) the earlier round-6 births, newest first.
-    # The 24 that slide to the r07 head (inverted_postings, ppr_trade_recs,
+    # The 25 that slide to the r07 head (theil_sen_trend,
+    # inverted_postings, ppr_trade_recs,
     # incremental_rollup_check,
     # textrank_keywords, order_snapshot_diff,
     # k_anonymity_events, hybrid_rrf_topk, kcore_trade, lpa_communities,
@@ -564,10 +565,11 @@ _SNAPSHOT_PRIORITY = [
     # the cutoff marker) all carry local-oracle green at sf0.01+sf0.001
     # plus pytest evidence, and the graph family adds property tests +
     # soaks; pagerank's quantized-iteration oracle structure IS
-    # driver-gated this round via ppr_trade_recs.  R07: gate these 24
+    # driver-gated this round via ppr_trade_recs.  R07: gate these 25
     # FIRST, before any new birth.
     #
     # (0) Born round 6, session 4 — newest first (same policy):
+    "vocab_coverage",
     "interval_bucket_stats",
     "streaming_enrich_check",
     "srm_check",
@@ -624,8 +626,8 @@ _SNAPSHOT_PRIORITY = [
     "scd2_intervals",
     "benford_profile",
     "psi_drift",
-    "theil_sen_trend",
     # --- r06 head-50 cutoff falls here: everything below gates in r07 ---
+    "theil_sen_trend",
     "inverted_postings",
     # (3b) Born round 6, third batch — graph analytics / hybrid retrieval /
     # governance / versioning:

@@ -151,6 +151,7 @@ HEADLINE = [
     "srm_check",              # sample-ratio-mismatch guardrail
     "streaming_enrich_check", # stream-stream metadata enrichment gate
     "interval_bucket_stats",  # pre-join skew histogram (interval family)
+    "vocab_coverage",         # Good-Turing / Chao1 vocabulary saturation
 ]
 
 

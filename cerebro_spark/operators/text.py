@@ -891,3 +891,38 @@ def dsir_weights(
     return top_k_ranked(weights, [("weight", "desc"), ("id", "asc")], k=k).select(
         F.col("id").alias(id_col), "weight", "rank"
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary-saturation profile — one row: token count N,
+    distinct vocabulary V, singleton/doubleton counts n1/n2, the
+    Good–Turing unseen-mass estimate ``p_unseen = n1/N`` (the probability
+    the NEXT token is a new word — the "will more data still add
+    vocabulary" curation signal) and the Chao1 richness estimate
+    ``V + n1²/(2·n2)`` (a lower bound on the true vocabulary size;
+    NULL when n2 = 0, where Chao1 is undefined).
+
+    Everything is an exact integer until the two final divisions, so any
+    engine reproduces the row bit-for-bit.  Plan: one tokenize-explode
+    projection, one combinable groupBy(word), one 1-row reduce — the same
+    two-aggregate shape as build_vocab.
+    """
+    toks = df.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy().agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+    ).select(
+        "n_tokens", "vocab", "n1", "n2",
+        (F.col("n1").cast("double") / F.col("n_tokens")).alias("p_unseen"),
+        F.when(
+            F.col("n2") > 0,
+            F.col("vocab")
+            + (F.col("n1") * F.col("n1")).cast("double")
+            / (F.lit(2.0) * F.col("n2")),
+        ).alias("chao1"),
+    )

@@ -1490,3 +1490,38 @@ FROM agg
 
 QUERIES["embedding_drift"] = q_embedding_drift
 ORACLES["embedding_drift"] = _EMBEDDING_DRIFT_SQL
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-saturation profile (text.vocab_coverage): Good–Turing
+    unseen mass n1/N and Chao1 richness from exact integer frequency-of-
+    frequency counts — does more crawl still buy new vocabulary?"""
+    from cerebro_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(load_table(spark, "documents", sf_dir))
+
+
+_VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+    count(*) AS vocab,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM counts
+)
+SELECT n_tokens, vocab, n1, n2,
+  CAST(n1 AS DOUBLE) / n_tokens AS p_unseen,
+  CASE WHEN n2 > 0
+       THEN vocab + CAST(n1 * n1 AS DOUBLE) / (2.0 * n2) END AS chao1
+FROM agg
+"""
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+ORACLES["vocab_coverage"] = _VOCAB_COVERAGE_SQL

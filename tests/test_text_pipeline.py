@@ -198,3 +198,21 @@ def test_normalize_text_rules(spark):
     # audit columns: removed count is the length delta, flag marks changes
     assert out[1]["chars_removed"] == len("  hello   world  ") - len("hello world")
     assert out[7]["chars_removed"] == 4 and out[7]["was_dirty"]
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from cerebro_spark.operators.text import vocab_coverage
+
+    # corpus: a appears 3x, b 2x, c 1x, d 1x -> N=7 V=4 n1=2 n2=1
+    rows = [Row(doc_id=1, text="a a b c"), Row(doc_id=2, text="a b d")]
+    out = vocab_coverage(spark.createDataFrame(rows)).collect()[0]
+    assert out["n_tokens"] == 7 and out["vocab"] == 4
+    assert out["n1"] == 2 and out["n2"] == 1
+    assert abs(out["p_unseen"] - 2 / 7) < 1e-12
+    # chao1 = V + n1^2/(2 n2) = 4 + 4/2 = 6
+    assert abs(out["chao1"] - 6.0) < 1e-12
+    # n2 = 0 -> chao1 undefined (NULL), never a crash
+    solo = spark.createDataFrame([Row(doc_id=1, text="x y")])
+    o2 = vocab_coverage(solo).collect()[0]
+    assert o2["n2"] == 0 and o2["chao1"] is None
+    assert o2["p_unseen"] == 1.0
