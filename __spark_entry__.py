@@ -568,6 +568,8 @@ _SNAPSHOT_PRIORITY = [
     # driver-gated this round via ppr_trade_recs.  R07: gate these 25
     # FIRST, before any new birth.
     #
+    # (-1) Born round 6, session 5 — newest first (same policy):
+    "mi_event_hour",
     # (0) Born round 6, session 4 — newest first (same policy):
     "vocab_coverage",
     "interval_bucket_stats",

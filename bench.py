@@ -152,6 +152,8 @@ HEADLINE = [
     "streaming_enrich_check", # stream-stream metadata enrichment gate
     "interval_bucket_stats",  # pre-join skew histogram (interval family)
     "vocab_coverage",         # Good-Turing / Chao1 vocabulary saturation
+    # round-6 session 5
+    "mi_event_hour",          # mutual information / NMI effect size
 ]
 
 

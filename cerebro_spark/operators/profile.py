@@ -902,3 +902,87 @@ def conformal_interval(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def mutual_info(
+    df: DataFrame,
+    col_a,
+    col_b,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — returns
+    ONE row ``(n, mi_nats, h_a, h_b, nmi)``.
+
+    The information-theoretic sibling of :func:`chi2_independence`: chi²
+    answers "is the dependence statistically significant", MI answers "how
+    MANY bits of one column the other actually carries" — the quantity a
+    feature-selection or leakage audit ranks columns by.  ``nmi`` is the
+    symmetric normalization MI / sqrt(H(A)·H(B)) in [0, 1].
+
+    Complete-case (NULL in either column excluded up front), same rationale
+    as chi².  Only OBSERVED cells contribute (lim p→0 of p·ln p = 0), so no
+    grid materialization is needed — unlike chi², zero cells carry no mass.
+
+    Cross-engine determinism: every term's inputs are exact integers (cell
+    count, marginals, total); the term is one fixed IEEE chain ending in
+    ``ln``; each term is quantized to a 1e-6 BIGINT and summed exactly, so
+    summation order cannot perturb the result.  ``ln`` is not required to
+    be correctly rounded by IEEE 754, but a last-ulp difference flips a
+    1e-6 floor boundary with probability ~1e-10 per term — the same
+    accepted residual as ``bigram_pmi``'s 6-dp round (text.py).
+
+    Scale shape: one combinable groupBy to the contingency cells (state =
+    |A|×|B|, independent of row count), two category-sized marginal
+    aggregates joined back broadcast-sized, one 1-row reduce.  No windows,
+    no per-row Python.
+
+    Reference parity: no reference counterpart — statistical-profiling
+    extension next to chi2_independence/ks_drift (driver brief).
+    """
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    cells = (
+        df.select(a.alias("__a"), b.alias("__b"))
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+
+    def _q6(term):
+        return F.floor(term * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+
+    # MI = sum over observed cells of (o/n) * ln(o*n / (ra*cb))
+    scored = (
+        cells.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(cb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("__o").cast("double") / F.col("__n")) * F.log(
+        (F.col("__o") * F.col("__n")).cast("double")
+        / (F.col("__ra") * F.col("__cb")).cast("double")
+    )
+    mi6 = scored.agg(F.sum(_q6(mi_term)).alias("__mi6"))
+
+    # H(X) = -sum (m/n) ln(m/n), per marginal, same quantized-sum scheme
+    def _entropy6(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        t = -(F.col(cnt).cast("double") / F.col("__n")) * F.log(
+            F.col(cnt).cast("double") / F.col("__n")
+        )
+        return marg.crossJoin(F.broadcast(tot)).agg(F.sum(_q6(t)).alias(out))
+
+    ha6 = _entropy6(ra, "__ra", "__ha6")
+    hb6 = _entropy6(cb, "__cb", "__hb6")
+
+    out = mi6.crossJoin(ha6).crossJoin(hb6).crossJoin(F.broadcast(tot))
+    mi = F.col("__mi6") / F.lit(1.0e6)
+    h_a = F.col("__ha6") / F.lit(1.0e6)
+    h_b = F.col("__hb6") / F.lit(1.0e6)
+    return out.select(
+        F.col("__n").alias("n"),
+        mi.alias("mi_nats"),
+        h_a.alias("h_a"),
+        h_b.alias("h_b"),
+        F.when((h_a > 0) & (h_b > 0), mi / F.sqrt(h_a * h_b)).alias("nmi"),
+    )

@@ -2379,3 +2379,56 @@ FROM agg
 
 QUERIES["srm_check"] = q_srm_check
 ORACLES["srm_check"] = _SRM_SQL
+
+
+def q_mi_event_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (profile.mutual_info): how many nats of the
+    event-type distribution does the hour of day carry?  The effect-SIZE
+    companion to chi2_event_hour's significance test — e6-quantized ln
+    terms summed exactly (operator docstring), single-row engine-exact
+    summary with the symmetric NMI normalization."""
+    from cerebro_spark.operators.profile import mutual_info
+
+    ev = load_table(spark, "events", sf_dir)
+    return mutual_info(ev, F.col("event_type"), F.hour(F.col("ts")))
+
+
+_MI_SQL = """
+WITH cells AS (
+  SELECT event_type AS a, hour(ts) AS b, count(*) AS o
+  FROM events
+  WHERE event_type IS NOT NULL AND hour(ts) IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM cells),
+mi AS (
+  SELECT sum(CAST(floor(
+    (CAST(o AS DOUBLE) / n) * ln(CAST(o * n AS DOUBLE) / CAST(ra * cb AS DOUBLE))
+    * 1e6 + 0.5) AS BIGINT)) AS mi6
+  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+),
+ha AS (
+  SELECT sum(CAST(floor(
+    -(CAST(ra AS DOUBLE) / n) * ln(CAST(ra AS DOUBLE) / n) * 1e6 + 0.5)
+    AS BIGINT)) AS ha6
+  FROM ra, tot
+),
+hb AS (
+  SELECT sum(CAST(floor(
+    -(CAST(cb AS DOUBLE) / n) * ln(CAST(cb AS DOUBLE) / n) * 1e6 + 0.5)
+    AS BIGINT)) AS hb6
+  FROM cb, tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+  mi6 / 1e6 AS mi_nats,
+  ha6 / 1e6 AS h_a,
+  hb6 / 1e6 AS h_b,
+  CASE WHEN ha6 > 0 AND hb6 > 0
+       THEN (mi6 / 1e6) / sqrt((ha6 / 1e6) * (hb6 / 1e6)) END AS nmi
+FROM mi, ha, hb, tot
+"""
+
+QUERIES["mi_event_hour"] = q_mi_event_hour
+ORACLES["mi_event_hour"] = _MI_SQL

@@ -1,0 +1,60 @@
+"""Round-6 session-5 operator batch: mutual information, exact audience
+overlap, Bloom-filter semi-join pruning, SAX motif discovery, generalized-ESD
+anomalies, Markov removal-effect attribution.
+
+Cross-engine value checks live in the oracle gates (``mi_event_hour`` etc.);
+these tests pin SEMANTICS on hand-built inputs where the right answer is
+computable by hand or a tiny pure-Python reference.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerebro_spark.operators.profile import mutual_info
+
+
+# ---------------------------------------------------------------------------
+# mutual information
+# ---------------------------------------------------------------------------
+
+def test_mutual_info_independent_is_zero(spark):
+    # product distribution: every (a, b) cell = ra*cb/n exactly -> MI = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(4)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = mutual_info(df, "a", "b").collect()[0]
+    assert out["n"] == 16
+    assert out["mi_nats"] == 0.0
+    assert out["nmi"] == 0.0
+    assert abs(out["h_a"] - math.log(2)) < 1e-5
+
+
+def test_mutual_info_perfect_dependence(spark):
+    # a determines b (and vice versa) -> MI = H(A) = H(B), NMI = 1
+    rows = [("x", "u")] * 5 + [("y", "v")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = mutual_info(df, "a", "b").collect()[0]
+    assert abs(out["mi_nats"] - math.log(2)) < 1e-5
+    assert abs(out["nmi"] - 1.0) < 1e-5
+
+
+def test_mutual_info_textbook_value(spark):
+    # hand-computed asymmetric 2x2: cells (3,1),(1,3); n=8
+    rows = (
+        [("x", "u")] * 3 + [("x", "v")] * 1 + [("y", "u")] * 1 + [("y", "v")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = mutual_info(df, "a", "b").collect()[0]
+    expect = sum(
+        (o / 8.0) * math.log((o * 8.0) / (4.0 * 4.0)) for o in (3, 1, 1, 3)
+    )
+    assert abs(out["mi_nats"] - expect) < 1e-5
+    assert out["nmi"] is not None and 0.0 < out["nmi"] < 1.0
+
+
+def test_mutual_info_null_rows_excluded(spark):
+    rows = [("x", "u"), ("y", None), (None, "v"), ("x", "u")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = mutual_info(df, "a", "b").collect()[0]
+    assert out["n"] == 2  # complete cases only

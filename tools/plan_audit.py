@@ -133,6 +133,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the corpus-max timestamp (censoring anchor)
     # crossJoined onto the per-user lifetime aggregate (r6 fourth batch)
     "survival_km",
+    # 1-row × 1-row crossJoins: the three quantized-term sums (MI, H(A),
+    # H(B)) and the 1-row total — all single-row aggregates by construction
+    # (r6 session 5; same bounded-scalar contract as chi2_event_hour)
+    "mi_event_hour",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
