@@ -154,6 +154,7 @@ HEADLINE = [
     "vocab_coverage",         # Good-Turing / Chao1 vocabulary saturation
     # round-6 session 5
     "mi_event_hour",          # mutual information / NMI effect size
+    "audience_overlap",       # per-key set-explode pairwise intersections
 ]
 
 

@@ -2432,3 +2432,36 @@ FROM mi, ha, hb, tot
 
 QUERIES["mi_event_hour"] = q_mi_event_hour
 ORACLES["mi_event_hour"] = _MI_SQL
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap (profile.audience_overlap): distinct-user
+    intersection + Jaccard for every co-occurring event-type pair, via the
+    per-user sorted-set pair explode (one distinct + one combinable
+    pair count — no fact self-join; operator docstring)."""
+    from cerebro_spark.operators.profile import audience_overlap
+
+    ev = load_table(spark, "events", sf_dir)
+    return audience_overlap(ev, "user_id", "event_type")
+
+
+_AUDIENCE_OVERLAP_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id AS k, event_type AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (SELECT c, count(*) AS n FROM ut GROUP BY 1),
+ov AS (
+  SELECT x.c AS cat_a, y.c AS cat_b, count(*) AS overlap
+  FROM ut x JOIN ut y ON x.k = y.k AND x.c < y.c
+  GROUP BY 1, 2
+)
+SELECT cat_a, cat_b,
+  CAST(pa.n AS BIGINT) AS keys_a, CAST(pb.n AS BIGINT) AS keys_b,
+  CAST(overlap AS BIGINT) AS overlap,
+  CAST(overlap AS DOUBLE) / (pa.n + pb.n - overlap) AS jaccard
+FROM ov JOIN per pa ON ov.cat_a = pa.c JOIN per pb ON ov.cat_b = pb.c
+"""
+
+QUERIES["audience_overlap"] = q_audience_overlap
+ORACLES["audience_overlap"] = _AUDIENCE_OVERLAP_SQL

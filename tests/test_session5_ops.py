@@ -58,3 +58,47 @@ def test_mutual_info_null_rows_excluded(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     out = mutual_info(df, "a", "b").collect()[0]
     assert out["n"] == 2  # complete cases only
+
+
+# ---------------------------------------------------------------------------
+# audience overlap
+# ---------------------------------------------------------------------------
+
+def test_audience_overlap_hand_computed(spark):
+    from cerebro_spark.operators.profile import audience_overlap
+
+    # users 1,2 in both A and B; user 3 only A; user 4 only C; user 2 dup rows
+    rows = [
+        (1, "A"), (1, "B"), (2, "A"), (2, "B"), (2, "B"),
+        (3, "A"), (4, "C"), (1, "C"),
+    ]
+    df = spark.createDataFrame(rows, "u long, c string")
+    out = {
+        (r["cat_a"], r["cat_b"]): r
+        for r in audience_overlap(df, "u", "c").collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["overlap"] == 2 and ab["keys_a"] == 3 and ab["keys_b"] == 2
+    assert abs(ab["jaccard"] - 2.0 / 3.0) < 1e-12
+    ac = out[("A", "C")]
+    assert ac["overlap"] == 1 and ac["keys_b"] == 2
+    assert ("B", "C") in out and out[("B", "C")]["overlap"] == 1
+    # ordered pairs only, no self-pairs
+    assert all(a < b for a, b in out)
+
+
+def test_audience_overlap_disjoint_absent(spark):
+    from cerebro_spark.operators.profile import audience_overlap
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "u long, c string")
+    assert audience_overlap(df, "u", "c").count() == 0
+
+
+def test_audience_overlap_null_keys_excluded(spark):
+    from cerebro_spark.operators.profile import audience_overlap
+
+    df = spark.createDataFrame(
+        [(None, "A"), (None, "B"), (1, "A"), (1, "B")], "u long, c string"
+    )
+    out = audience_overlap(df, "u", "c").collect()
+    assert len(out) == 1 and out[0]["overlap"] == 1
