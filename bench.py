@@ -155,6 +155,7 @@ HEADLINE = [
     # round-6 session 5
     "mi_event_hour",          # mutual information / NMI effect size
     "audience_overlap",       # per-key set-explode pairwise intersections
+    "bloom_semijoin",         # Bloom runtime filter build + zero-shuffle probe
 ]
 
 

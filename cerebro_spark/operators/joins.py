@@ -433,3 +433,140 @@ def interval_bucket_stats(
     return stats.orderBy(
         F.col("pair_mass").desc(), F.col("bucket").asc()
     ).limit(top)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (the distributed runtime filter)
+# ---------------------------------------------------------------------------
+
+#: bits used per 64-bit word.  62, not 64: the DuckDB oracle's BIGINT
+#: left-shift refuses 1<<62..63 (signed-overflow checked), and portability
+#: of the EXACT word values across engines is what makes the filter
+#: oracle-checkable.  3% capacity loss, zero semantic difference.
+BLOOM_BITS_PER_WORD = 62
+
+
+def _bloom_pos(key_col, i: int, num_words: int):
+    """i-th bit position for a key: 16-bit slice of md5 hex, mod capacity.
+
+    md5 (not xxhash/crc) because both engines expose byte-identical md5 of
+    the decimal string rendering of the key — the repo-wide portable-hash
+    idiom (minhash/weighted_sample/conformal all pin to it)."""
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1 + 4 * i, 4), 16, 10)
+        .cast("long") % (num_words * BLOOM_BITS_PER_WORD)
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_words: int = 1024,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as ``(word, bits)`` rows —
+    the distributed runtime filter that prunes a big probe scan down to
+    rows whose join key MIGHT match, before the shuffle.
+
+    The 100 TB join-pruning story: a selective dimension/build side (say
+    10⁶ surviving keys after filters) against a 100 TB probe fact.  A real
+    semi-join shuffles the probe; a Bloom filter is ~``num_words``·8 bytes
+    (default 8 KB) — build it with ONE combinable aggregation (explode k
+    bit positions per key, ``bit_or`` per word: partial aggregation makes
+    every executor contribute one ≤num_words-row fragment), broadcast it,
+    and the probe prunes in a pure projection with NO shuffle and no join.
+    False-positive rate ≈ (1 − e^(−k·n/m))^k with m = num_words·62 bits:
+    8 KB holds 10⁴ keys at ~0.1%; size num_words ≈ 2.3·n/62 for ~1%.
+    False negatives are IMPOSSIBLE by construction — the semi-join answer
+    is never lost, pruning is only ever conservative.
+
+    Spark's own runtime row-group filters do this transparently for plain
+    equi-joins; this operator makes the structure a first-class value you
+    can persist, ship across jobs/days, OR into an incremental filter, or
+    probe in a STREAM (the broadcast-side analog of the persisted LSH
+    index in dedup.py) — none of which the planner-internal filter offers.
+
+    Engine-portable: bit positions are 16-bit md5 hex slices of the key's
+    string rendering mod capacity, 62 bits per word (see
+    BLOOM_BITS_PER_WORD) — the DuckDB oracle reproduces the words exactly.
+
+    Returns ≤``num_words`` rows ``(word BIGINT, bits BIGINT)``; absent
+    words are all-zero.  NULL keys are ignored (SQL semantics: NULL never
+    equi-joins).
+    """
+    key = F.col(key_col)
+    keys = df.select(key.alias("__k")).filter(key.isNotNull()).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(*[
+                _bloom_pos(F.col("__k"), i, num_words)
+                for i in range(num_hashes)
+            ])
+        ).alias("__p")
+    )
+    return (
+        pos.select(
+            (F.col("__p") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__p % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(__m)").alias("bits"))
+    )
+
+
+def bloom_words_literal(bloom: DataFrame, num_words: int = 1024) -> list:
+    """Collect a built filter into a dense ``num_words``-long Python list
+    (index = word, value = bits) for the literal-array probe path.
+
+    Driver-side but BOUNDED metadata: ≤num_words rows (8 KB at the
+    default), the same contract as the k-means centroid / IVF coarse-
+    centroid collects — never data-sized.
+    """
+    dense = [0] * num_words
+    for r in bloom.collect():
+        dense[int(r["word"])] = int(r["bits"])
+    return dense
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    words: list,
+    num_hashes: int = 3,
+    keep_col: str = "bloom_pass",
+) -> DataFrame:
+    """Annotate ``df`` with ``keep_col``: True iff ``key_col`` MIGHT be in
+    the filter (all k bits set), False = definitely absent.
+
+    Pure projection against the 8 KB literal word array — whole-stage
+    codegen, zero shuffle, zero join: the probe side of the runtime-filter
+    pattern.  Filter with ``.filter(F.col('bloom_pass'))`` before the real
+    join; the join itself then discards the surviving false positives, so
+    end-to-end results are exact.
+
+    NULL keys probe False (they cannot equi-join anyway).
+    """
+    num_words = len(words)
+    arr = F.lit(words)
+    key = F.col(key_col)
+    checks = []
+    for i in range(num_hashes):
+        p = _bloom_pos(key, i, num_words)
+        word_val = F.element_at(arr, (p / BLOOM_BITS_PER_WORD).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST("
+            f"(CAST(conv(substring(md5(CAST({key_col} AS STRING)), "
+            f"{1 + 4 * i}, 4), 16, 10) AS BIGINT) "
+            f"% {num_words * BLOOM_BITS_PER_WORD})"
+            f" % {BLOOM_BITS_PER_WORD} AS INT))"
+        )
+        checks.append(word_val.bitwiseAND(mask) != 0)
+    passed = checks[0]
+    for c in checks[1:]:
+        passed = passed & c
+    return df.withColumn(
+        keep_col, F.when(key.isNotNull(), passed).otherwise(F.lit(False))
+    )

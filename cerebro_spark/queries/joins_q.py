@@ -422,3 +422,119 @@ LIMIT 20
 
 QUERIES["interval_bucket_stats"] = q_interval_bucket_stats
 ORACLES["interval_bucket_stats"] = _INTERVAL_BUCKET_STATS_SQL
+
+
+def _hexslice_sql(hexexpr: str, offset: int) -> str:
+    """DuckDB BIGINT from 4 hex chars of ``hexexpr`` starting at 1-based
+    ``offset`` (the 16-bit md5 slice the Bloom operators use)."""
+    terms = [
+        f"CAST((strpos('0123456789abcdef', substr({hexexpr}, {offset + j}, 1)) - 1) AS BIGINT) * {16 ** (3 - j)}"
+        for j in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime semi-join pruning (joins.bloom_build /
+    bloom_probe): build an 8 KB filter over HIGH-VALUE purchase users
+    (value > 150 — a selective build side, so the filter genuinely
+    prunes), probe the
+    distinct view users in a zero-shuffle projection, and emit the audit
+    row — probe count, bloom-pass count, exact semi-join truth, the
+    true∧pass count (== truth ⟺ no false negatives, the Bloom guarantee),
+    and the false-positive count.  The oracle reconstructs the EXACT word
+    values bit-for-bit (engine-portable md5 slice positions), so the hash
+    gate checks the filter itself, not just the counts."""
+    from cerebro_spark.operators.joins import (
+        bloom_build,
+        bloom_probe,
+        bloom_words_literal,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    build = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    )
+    probe = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    words = bloom_words_literal(bloom_build(build, "user_id"), 1024)
+    truth = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(F.col("user_id").alias("__bk"))
+        .filter(F.col("__bk").isNotNull())
+        .distinct()
+    )
+    annotated = bloom_probe(probe, "user_id", words).join(
+        truth, probe.user_id == truth.__bk, "left"
+    )
+    return annotated.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("__bk").isNotNull().cast("long")).alias("n_true"),
+        F.sum(
+            (F.col("bloom_pass") & F.col("__bk").isNotNull()).cast("long")
+        ).alias("n_true_pass"),
+        F.sum(
+            (F.col("bloom_pass") & F.col("__bk").isNull()).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
+_BLOOM_MD5 = "md5(CAST(k AS VARCHAR))"
+_BLOOM_SEMIJOIN_SQL = f"""
+WITH bk AS (
+  SELECT DISTINCT user_id AS k FROM events
+  WHERE event_type = 'purchase' AND value > 150 AND user_id IS NOT NULL
+),
+pk AS (
+  SELECT DISTINCT user_id AS k FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+bpos AS (
+  SELECT ({_hexslice_sql(_BLOOM_MD5, 1)}) % 63488 AS p FROM bk
+  UNION ALL
+  SELECT ({_hexslice_sql(_BLOOM_MD5, 5)}) % 63488 FROM bk
+  UNION ALL
+  SELECT ({_hexslice_sql(_BLOOM_MD5, 9)}) % 63488 FROM bk
+),
+words AS (
+  SELECT p // 62 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1
+),
+ppos AS (
+  SELECT k, ({_hexslice_sql(_BLOOM_MD5, 1)}) % 63488 AS p FROM pk
+  UNION ALL
+  SELECT k, ({_hexslice_sql(_BLOOM_MD5, 5)}) % 63488 FROM pk
+  UNION ALL
+  SELECT k, ({_hexslice_sql(_BLOOM_MD5, 9)}) % 63488 FROM pk
+),
+probe AS (
+  SELECT ppos.k,
+    count(*) FILTER (
+      WHERE (coalesce(w.bits, 0)
+             & (CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER))) <> 0
+    ) = 3 AS pass,
+    max(CASE WHEN bk.k IS NOT NULL THEN 1 ELSE 0 END) = 1 AS is_true
+  FROM ppos
+  LEFT JOIN words w ON (p // 62) = w.word
+  LEFT JOIN bk ON ppos.k = bk.k
+  GROUP BY ppos.k
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_probe,
+  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN pass AND is_true THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_true_pass,
+  CAST(sum(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos
+FROM probe
+"""
+
+QUERIES["bloom_semijoin"] = q_bloom_semijoin
+ORACLES["bloom_semijoin"] = _BLOOM_SEMIJOIN_SQL

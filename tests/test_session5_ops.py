@@ -102,3 +102,67 @@ def test_audience_overlap_null_keys_excluded(spark):
     )
     out = audience_overlap(df, "u", "c").collect()
     assert len(out) == 1 and out[0]["overlap"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+def _bloom_ref_words(keys, num_words=1024, num_hashes=3):
+    """Pure-Python twin of joins.bloom_build's md5-slice scheme."""
+    import hashlib
+
+    words = [0] * num_words
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        for i in range(num_hashes):
+            p = int(h[4 * i : 4 * i + 4], 16) % (num_words * 62)
+            words[p // 62] |= 1 << (p % 62)
+    return words
+
+
+def test_bloom_build_matches_python_reference(spark):
+    from cerebro_spark.operators.joins import bloom_build, bloom_words_literal
+
+    keys = list(range(50))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = bloom_words_literal(bloom_build(df, "k", 1024, 3), 1024)
+    assert words == _bloom_ref_words(keys)
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    from cerebro_spark.operators.joins import (
+        bloom_build, bloom_probe, bloom_words_literal,
+    )
+
+    df = spark.createDataFrame([(k,) for k in range(1000)], "k long")
+    words = bloom_words_literal(bloom_build(df, "k"), 1024)
+    out = bloom_probe(df, "k", words).filter("NOT bloom_pass").count()
+    assert out == 0  # every inserted key must pass — the Bloom guarantee
+
+
+def test_bloom_probe_prunes_absent_keys(spark):
+    from cerebro_spark.operators.joins import (
+        bloom_build, bloom_probe, bloom_words_literal,
+    )
+
+    build = spark.createDataFrame([(k,) for k in range(1000)], "k long")
+    probe = spark.createDataFrame(
+        [(k,) for k in range(1_000_000, 1_002_000)], "k long"
+    )
+    words = bloom_words_literal(bloom_build(build, "k"), 1024)
+    fp = bloom_probe(probe, "k", words).filter("bloom_pass").count()
+    # theoretical fp ~ (1 - e^(-3*1000/63488))^3 ~ 1e-4; allow 1%
+    assert fp <= 20
+
+
+def test_bloom_probe_null_key_fails_closed(spark):
+    from cerebro_spark.operators.joins import (
+        bloom_build, bloom_probe, bloom_words_literal,
+    )
+
+    build = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame([(1,), (None,)], "k long")
+    words = bloom_words_literal(bloom_build(build, "k"), 1024)
+    rows = {r["k"]: r["bloom_pass"] for r in bloom_probe(probe, "k", words).collect()}
+    assert rows[1] is True and rows[None] is False
