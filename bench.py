@@ -156,6 +156,7 @@ HEADLINE = [
     "mi_event_hour",          # mutual information / NMI effect size
     "audience_overlap",       # per-key set-explode pairwise intersections
     "bloom_semijoin",         # Bloom runtime filter build + zero-shuffle probe
+    "sax_motifs",             # PAA + SAX rank-band motif discovery
 ]
 
 

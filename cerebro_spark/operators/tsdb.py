@@ -1398,3 +1398,97 @@ def mann_kendall(
     return joined.select(
         *keys, "s_stat", "n_buckets", var_s.alias("var_s"), z.alias("z")
     )
+
+
+def sax_motifs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: "list[str] | None" = None,
+    bucket: str = "1 hour",
+    word_len: int = 4,
+    alphabet: int = 4,
+    top: int = 5,
+) -> DataFrame:
+    """SAX motif discovery: which short value-shape patterns RECUR in a
+    series?  PAA-downsample to per-bucket means, discretize each key's
+    buckets into ``alphabet`` rank bands (SAX symbolization — Lin et al.
+    2003, the public SAX paper), slide a ``word_len``-symbol window, and
+    return each key's ``top`` most frequent words —
+    ``(*keys, motif, n_occurrences, rank)``.
+
+    The motif answers "does this telemetry channel have a repeating daily
+    ramp / sawtooth / spike-recover signature?" without any FFT or model
+    fit — the classic cheap motif detector over billions of points.
+
+    Symbolization here uses per-key RANK bands (``ntile``) instead of the
+    paper's Gaussian breakpoints: breakpoints adapt to each key's actual
+    distribution, and rank bands are ORDER-determined — no float equality
+    across engines, just a total order (see below).  Words span sequence-
+    consecutive buckets; a gap in the series simply joins its neighbors
+    (documented semantics — gapfill first if strict hourly adjacency
+    matters).
+
+    Cross-engine determinism: the PAA mean is CAST(sum_q AS DOUBLE)/cnt
+    of e6-quantized BIGINT sums — one correctly-rounded IEEE division of
+    exact integers, so both engines order identical doubles; ntile and
+    the word/lead windows order by (mean, bucket_ts) — a total order; the
+    final per-key rank orders by (count DESC, motif ASC) — total again.
+
+    Scale shape: the data-sized stage is ONE combinable groupBy down to
+    (key, bucket) rows.  Every window after it is partitioned BY KEY over
+    bucket-count rows (bounded by time-range/bucket, never by row count)
+    — the repo's standard two-level pattern for per-key sequence ops.
+
+    Reference parity: no reference counterpart — TSDB analytics extension
+    next to seasonal_decompose/value_autocorr (driver brief).
+    """
+    keys = key_cols or []
+    paa = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.window(F.col(ts_col), bucket)["start"].alias("bucket_ts"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(1.0e6) + F.lit(0.5))
+                .cast("long")
+            ).alias("__sq"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .select(
+            *keys,
+            "bucket_ts",
+            (F.col("__sq").cast("double") / F.col("__c")).alias("__mean"),
+        )
+    )
+    wsym = Window.partitionBy(*keys).orderBy(
+        F.col("__mean").asc(), F.col("bucket_ts").asc()
+    )
+    sym = paa.select(
+        *keys, "bucket_ts", F.ntile(alphabet).over(wsym).alias("__s")
+    )
+    wseq = Window.partitionBy(*keys).orderBy(F.col("bucket_ts").asc())
+    parts = [
+        F.lead(F.col("__s"), i).over(wseq).cast("string")
+        for i in range(1, word_len)
+    ]
+    words = sym.select(
+        *keys,
+        F.concat_ws("", F.col("__s").cast("string"), *parts).alias("motif"),
+        parts[-1].isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    counts = words.groupBy(*keys, "motif").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    wrank = Window.partitionBy(*keys).orderBy(
+        F.col("n_occurrences").desc(), F.col("motif").asc()
+    )
+    return (
+        counts.select(
+            *keys, "motif", "n_occurrences",
+            F.row_number().over(wrank).alias("rank"),
+        )
+        .filter(F.col("rank") <= top)
+    )

@@ -1941,3 +1941,58 @@ FROM final f, generate_series(1, 5) AS h(step)
 
 QUERIES["holt_forecast_check"] = q_holt_forecast_check
 ORACLES["holt_forecast_check"] = _HOLT_SQL
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery (tsdb.sax_motifs): per event_type, the 3 most
+    recurrent 4-symbol PAA-rank words over hourly bucket means — e6-exact
+    bucket means, ntile rank-band symbolization, total-order tie-breaks
+    throughout (operator docstring)."""
+    from cerebro_spark.operators.tsdb import sax_motifs
+
+    ev = load_table(spark, "events", sf_dir)
+    return sax_motifs(
+        ev, "ts", "value", ["event_type"],
+        bucket="1 hour", word_len=4, alphabet=4, top=3,
+    )
+
+
+_SAX_MOTIFS_SQL = """
+WITH paa AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      / count(*) AS m
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT event_type, bucket_ts,
+    ntile(4) OVER (PARTITION BY event_type
+                   ORDER BY m ASC, bucket_ts ASC) AS s
+  FROM paa
+),
+words AS (
+  SELECT event_type,
+    CAST(s AS VARCHAR)
+      || CAST(lead(s, 1) OVER w AS VARCHAR)
+      || CAST(lead(s, 2) OVER w AS VARCHAR)
+      || CAST(lead(s, 3) OVER w AS VARCHAR) AS motif,
+    lead(s, 3) OVER w IS NOT NULL AS isfull
+  FROM sym
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts ASC)
+),
+counts AS (
+  SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM words WHERE isfull GROUP BY 1, 2
+)
+SELECT event_type, motif, n_occurrences, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY n_occurrences DESC, motif ASC) AS rank
+  FROM counts
+)
+WHERE rank <= 3
+"""
+
+QUERIES["sax_motifs"] = q_sax_motifs
+ORACLES["sax_motifs"] = _SAX_MOTIFS_SQL

@@ -166,3 +166,57 @@ def test_bloom_probe_null_key_fails_closed(spark):
     words = bloom_words_literal(bloom_build(build, "k"), 1024)
     rows = {r["k"]: r["bloom_pass"] for r in bloom_probe(probe, "k", words).collect()}
     assert rows[1] is True and rows[None] is False
+
+
+# ---------------------------------------------------------------------------
+# SAX motifs
+# ---------------------------------------------------------------------------
+
+def test_sax_motifs_planted_sawtooth(spark):
+    from datetime import datetime, timedelta
+
+    from cerebro_spark.operators.tsdb import sax_motifs
+
+    # 40 hourly points cycling 10,20,30,40 -> ntile(4) bands are exactly
+    # the 4 levels -> the dominant 4-word is "1234" (and rotations)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("k", t0 + timedelta(hours=i), float(10 * (i % 4 + 1)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = sax_motifs(df, "ts", "value", ["key"], word_len=4, alphabet=4, top=1)
+    top = out.collect()[0]
+    assert top["motif"] == "1234" and top["rank"] == 1
+    # 10 full cycles: positions 0,4,8,... start "1234" -> 10 occurrences
+    assert top["n_occurrences"] == 10
+
+
+def test_sax_motifs_word_count_arithmetic(spark):
+    from datetime import datetime, timedelta
+
+    from cerebro_spark.operators.tsdb import sax_motifs
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(hours=i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = sax_motifs(df, "ts", "value", ["key"], word_len=3, alphabet=2, top=99)
+    # 10 buckets -> 8 complete 3-words total
+    assert sum(r["n_occurrences"] for r in out.collect()) == 8
+
+
+def test_sax_motifs_multi_key_isolation(spark):
+    from datetime import datetime, timedelta
+
+    from cerebro_spark.operators.tsdb import sax_motifs
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0 + timedelta(hours=i), float(i % 2)) for i in range(8)]
+    rows += [("b", t0 + timedelta(hours=i), float(-(i % 2))) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = sax_motifs(df, "ts", "value", ["key"], word_len=2, alphabet=2, top=1)
+    got = {r["key"]: r["motif"] for r in out.collect()}
+    # key a starts low (0,1,0,1,...): 4 of 7 words are "12"; key b starts
+    # HIGH (0,-1,0,-1 — zero is its top band): 4 of 7 words are "21".
+    # Keys symbolize independently — the mirror flips the dominant word.
+    assert got["a"] == "12" and got["b"] == "21"
