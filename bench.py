@@ -157,6 +157,7 @@ HEADLINE = [
     "audience_overlap",       # per-key set-explode pairwise intersections
     "bloom_semijoin",         # Bloom runtime filter build + zero-shuffle probe
     "sax_motifs",             # PAA + SAX rank-band motif discovery
+    "esd_anomalies",          # generalized-ESD rounds, one scan + closed form
 ]
 
 

@@ -1996,3 +1996,101 @@ WHERE rank <= 3
 
 QUERIES["sax_motifs"] = q_sax_motifs
 ORACLES["sax_motifs"] = _SAX_MOTIFS_SQL
+
+
+def q_esd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD anomaly rounds (tsdb.esd_outliers): per event_type,
+    the k=3 Rosner removal rounds — one scan + closed-form updates over
+    the bounded extreme-candidate pivot (operator docstring).  The oracle
+    unrolls the identical integer-exact recurrence in SQL."""
+    from cerebro_spark.operators.tsdb import esd_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    return esd_outliers(ev, "value", ["event_type"], k=3)
+
+
+def _esd_sql(k: int = 3) -> str:
+    """Unrolled DuckDB twin of tsdb.esd_outliers (identical integer
+    decision arithmetic; HUGEINT plays DECIMAL(38,0)'s role)."""
+    rounds = []
+    prev = "state0"
+    for r in range(1, k + 1):
+        rounds.append(f"""
+r{r} AS (
+  SELECT *,
+    (CASE ilo {" ".join(f"WHEN {i} THEN lo{i}" for i in range(1, k + 1))} END) AS loq_{r},
+    (CASE ihi {" ".join(f"WHEN {i} THEN hi{i}" for i in range(1, k + 1))} END) AS hiq_{r}
+  FROM {prev}
+),
+r{r}b AS (
+  SELECT *,
+    (s - loq_{r} * n) AS devlo_{r},
+    (hiq_{r} * n - s) AS devhi_{r},
+    (hiq_{r} * n - s) >= (s - loq_{r} * n) AS takehi_{r},
+    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      AS varnum_{r},
+    (n >= 3 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0)
+      AS ok_{r}
+  FROM r{r}
+),
+r{r}c AS (
+  SELECT *,
+    CASE WHEN takehi_{r} THEN hiq_{r} ELSE loq_{r} END AS remq_{r},
+    CASE WHEN ok_{r} THEN round(
+      (CAST(greatest(devhi_{r}, devlo_{r}) AS DOUBLE) / n)
+      / sqrt(varnum_{r} / (n - 1)), 6) END AS rstat_{r},
+    n AS nbefore_{r}
+  FROM r{r}b
+),
+s{r} AS (
+  SELECT event_type, lo1, lo2, lo3, hi1, hi2, hi3,
+    CASE WHEN ok_{r} THEN n - 1 ELSE n END AS n,
+    CASE WHEN ok_{r} THEN s - remq_{r} ELSE s END AS s,
+    CASE WHEN ok_{r} THEN ss - remq_{r} * remq_{r} ELSE ss END AS ss,
+    CASE WHEN ok_{r} AND NOT takehi_{r} THEN ilo + 1 ELSE ilo END AS ilo,
+    CASE WHEN ok_{r} AND takehi_{r} THEN ihi + 1 ELSE ihi END AS ihi,
+    {", ".join(f"ok_{j}, remq_{j}, rstat_{j}, nbefore_{j}" for j in range(1, r + 1))}
+  FROM r{r}c
+)""")
+        prev = f"s{r}"
+    emits = "\nUNION ALL\n".join(
+        f"SELECT event_type, {r} AS round, "
+        f"CAST(remq_{r} AS DOUBLE) / 1e3 AS value, rstat_{r} AS r_stat, "
+        f"CAST(nbefore_{r} AS BIGINT) AS n_before FROM s{k} WHERE ok_{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+),
+aggs AS (
+  SELECT event_type, count(*) AS n, sum(q) AS s, sum(q * q) AS ss
+  FROM base GROUP BY 1
+),
+ranked AS (
+  SELECT event_type, q,
+    row_number() OVER (PARTITION BY event_type ORDER BY q ASC) AS rlo,
+    row_number() OVER (PARTITION BY event_type ORDER BY q DESC) AS rhi
+  FROM base
+),
+cpivot AS (
+  SELECT event_type,
+    {", ".join(f"max(CASE WHEN rlo = {i} THEN q END) AS lo{i}" for i in range(1, k + 1))},
+    {", ".join(f"max(CASE WHEN rhi = {i} THEN q END) AS hi{i}" for i in range(1, k + 1))}
+  FROM ranked WHERE rlo <= {k} OR rhi <= {k}
+  GROUP BY 1
+),
+state0 AS (
+  SELECT aggs.event_type, lo1, lo2, lo3, hi1, hi2, hi3, n, s, ss,
+    1 AS ilo, 1 AS ihi
+  FROM aggs JOIN cpivot USING (event_type)
+),{",".join(rounds)}
+SELECT round, event_type, value, r_stat, n_before FROM ({emits})
+"""
+
+
+_ESD_SQL = _esd_sql(3)
+
+QUERIES["esd_anomalies"] = q_esd_anomalies
+ORACLES["esd_anomalies"] = _ESD_SQL

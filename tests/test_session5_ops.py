@@ -220,3 +220,73 @@ def test_sax_motifs_multi_key_isolation(spark):
     # HIGH (0,-1,0,-1 — zero is its top band): 4 of 7 words are "21".
     # Keys symbolize independently — the mirror flips the dominant word.
     assert got["a"] == "12" and got["b"] == "21"
+
+
+# ---------------------------------------------------------------------------
+# generalized ESD
+# ---------------------------------------------------------------------------
+
+def _esd_ref(values, k=3):
+    """Textbook sequential Rosner ESD on e3-quantized values."""
+    import statistics
+
+    qs = [round(v * 1000) for v in values]
+    out = []
+    for r in range(1, k + 1):
+        if len(qs) < 3:
+            break
+        m = sum(qs) / len(qs)
+        sd = statistics.stdev(qs)
+        if sd == 0:
+            break
+        x = max(qs, key=lambda q: abs(q - m))
+        # operator tie rule: equal deviation picks the high side
+        hi, lo = max(qs), min(qs)
+        x = hi if (hi - m) >= (m - lo) else lo
+        out.append((r, x / 1000.0, round(abs(x - m) / sd, 6), len(qs)))
+        qs.remove(x)
+    return out
+
+
+def test_esd_outliers_matches_textbook(spark):
+    from cerebro_spark.operators.tsdb import esd_outliers
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 100.0, -80.0, 10.3, 50.0]
+    df = spark.createDataFrame([("k", v) for v in vals], "key string, value double")
+    got = sorted(
+        (r["round"], r["value"], r["r_stat"], r["n_before"])
+        for r in esd_outliers(df, "value", ["key"], k=3).collect()
+    )
+    assert got == _esd_ref(vals)
+    # the three planted extremes go, most-deviant first (-80 deviates
+    # more from the ~14 mean than 100 does)
+    assert [g[1] for g in got] == [-80.0, 100.0, 50.0]
+
+
+def test_esd_outliers_constant_series_emits_nothing(spark):
+    from cerebro_spark.operators.tsdb import esd_outliers
+
+    df = spark.createDataFrame([("k", 5.0)] * 10, "key string, value double")
+    assert esd_outliers(df, "value", ["key"], k=3).count() == 0
+
+
+def test_esd_outliers_tiny_series_emits_nothing(spark):
+    from cerebro_spark.operators.tsdb import esd_outliers
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", 99.0)], "key string, value double"
+    )
+    assert esd_outliers(df, "value", ["key"], k=3).count() == 0
+
+
+def test_esd_outliers_alternating_sides(spark):
+    from cerebro_spark.operators.tsdb import esd_outliers
+
+    vals = [0.0] * 20 + [90.0, -100.0, 80.0]
+    df = spark.createDataFrame([("k", v) for v in vals], "key string, value double")
+    got = [
+        r["value"]
+        for r in esd_outliers(df, "value", ["key"], k=3)
+        .orderBy("round").collect()
+    ]
+    assert got == [-100.0, 90.0, 80.0]
