@@ -569,6 +569,7 @@ _SNAPSHOT_PRIORITY = [
     # FIRST, before any new birth.
     #
     # (-1) Born round 6, session 5 — newest first (same policy):
+    "markov_attribution",
     "esd_anomalies",
     "sax_motifs",
     "bloom_semijoin",

@@ -158,6 +158,7 @@ HEADLINE = [
     "bloom_semijoin",         # Bloom runtime filter build + zero-shuffle probe
     "sax_motifs",             # PAA + SAX rank-band motif discovery
     "esd_anomalies",          # generalized-ESD rounds, one scan + closed form
+    "markov_attribution",     # absorbing-chain removal-effect attribution
 ]
 
 

@@ -1056,3 +1056,176 @@ def audience_overlap(
             / (F.col("keys_a") + F.col("keys_b") - F.col("overlap"))
         ).alias("jaccard"),
     )
+
+
+MARKOV_SCALE = 10**12  # fixed-point scale for absorption probabilities
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """First-order journey transition counts for Markov attribution —
+    ``(src, dst, c)`` rows over states {start, channels..., conv, null}.
+
+    Per user, events order by (ts, id); the journey TRUNCATES at the
+    first conversion (post-conversion behavior is a different journey);
+    ``start`` precedes the first event; a journey without conversion
+    terminates in the absorbing ``null`` state.
+
+    This is the DATA-SIZED half of attribution: one per-user window pass
+    (partitioned by user, the standard sequence shape) plus a combinable
+    pair count whose key space is (|channels|+1)·(|channels|+2) — tiny.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        df.filter(F.col(user_col).isNotNull() & F.col(type_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__t"),
+            F.col(id_col).alias("__i"),
+            F.col(type_col).alias("__ty"),
+        )
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("__u").orderBy(
+                F.col("__t").asc(), F.col("__i").asc()
+            )
+        ))
+    )
+    wconv = Window.partitionBy("__u")
+    ev = ev.withColumn(
+        "__conv_rn",
+        F.min(F.when(F.col("__ty") == conv_type, F.col("__rn"))).over(wconv),
+    ).withColumn("__max_rn", F.max("__rn").over(wconv))
+    kept = ev.filter(
+        F.col("__conv_rn").isNull() | (F.col("__rn") <= F.col("__conv_rn"))
+    )
+    wseq = Window.partitionBy("__u").orderBy(F.col("__rn").asc())
+    steps = kept.select(
+        F.coalesce(F.lag("__ty").over(wseq), F.lit("start")).alias("src"),
+        F.when(F.col("__ty") == conv_type, F.lit("conv"))
+        .otherwise(F.col("__ty")).alias("dst"),
+        "__ty", "__rn", "__conv_rn", "__max_rn",
+    )
+    trans = steps.select("src", "dst")
+    terminal = steps.filter(
+        F.col("__conv_rn").isNull() & (F.col("__rn") == F.col("__max_rn"))
+    ).select(F.col("__ty").alias("src"), F.lit("null").alias("dst"))
+    return (
+        trans.unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _markov_absorption(
+    trans: "list[tuple[str, str, int]]",
+    iterations: int,
+) -> "dict[str, dict[str, int]]":
+    """Exact fixed-point absorption probabilities per run ('full' plus one
+    run per removed channel) from collected transition counts.
+
+    Pure-Python ARBITRARY-PRECISION integer recurrence (no floats, no
+    overflow): a_{k+1}(s) = (SCALE·c(s,conv)) // tot(s)
+    + Σ_ch (a_k(ch)·c(s,ch)) // tot(s), per-edge floor — the DuckDB
+    oracle unrolls the identical HUGEINT recurrence, so the values match
+    exactly.  The input is BOUNDED metadata (≤ (|channels|+1)·
+    (|channels|+2) rows), never data-sized.
+    """
+    tot: dict[str, int] = {}
+    for s, _, c in trans:
+        tot[s] = tot.get(s, 0) + c
+    states = sorted(tot)
+    channels = [s for s in states if s != "start"]
+    runs = ["full"] + channels
+    out: dict[str, dict[str, int]] = {}
+    for run in runs:
+        edges = [
+            (s, d, c) for s, d, c in trans
+            if not (run != "full" and d == run)
+        ]
+        a = {s: 0 for s in states}
+        for _ in range(iterations):
+            nxt = {}
+            for s in states:
+                acc = 0
+                for src, dst, c in edges:
+                    if src != s:
+                        continue
+                    if dst == "conv":
+                        acc += (MARKOV_SCALE * c) // tot[s]
+                    elif dst in a:
+                        acc += (a[dst] * c) // tot[s]
+                nxt[s] = acc
+            a = nxt
+        out[run] = a
+    return out
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    iterations: int = 25,
+) -> DataFrame:
+    """Markov removal-effect attribution: how much of the conversion
+    probability does each channel actually CARRY?  Returns one row per
+    channel — ``(channel, p_conv, p_conv_removed, removal_effect,
+    attribution_share)``.
+
+    The data-driven alternative to last-touch (``purchase_attribution``):
+    model journeys as a first-order absorbing Markov chain
+    (start → channels → conv/null), compute P(conv | start), then re-run
+    with each channel REMOVED (its incoming transitions route to null —
+    the standard removal-effect construction from the marketing-
+    attribution literature); a channel's attribution share is its
+    normalized drop in conversion probability.
+
+    Scale shape: the 100 TB work is :func:`markov_transitions` (per-user
+    window + combinable pair count).  The chain solve itself runs on the
+    COLLECTED transition matrix — bounded metadata, ≤ a few dozen rows —
+    as ``iterations`` exact fixed-point integer power iterations
+    (``MARKOV_SCALE`` = 1e12; per-edge floor; arbitrary-precision Python
+    ints, HUGEINT in the oracle — identical values, no float drift).
+    The iteration count only bounds path LENGTH: contributions decay
+    geometrically and both engines run the same K, so exactness across
+    engines holds for any K.
+
+    Reference parity: no reference counterpart — journey-analytics
+    extension next to purchase_attribution/window_funnel (driver brief).
+    """
+    spark = df.sparkSession
+    trans_rows = [
+        (r["src"], r["dst"], int(r["c"]))
+        for r in markov_transitions(
+            df, user_col, ts_col, type_col, id_col, conv_type
+        ).collect()
+    ]
+    runs = _markov_absorption(trans_rows, iterations)
+    a_full = runs["full"].get("start", 0)
+    channels = sorted(k for k in runs if k != "full")
+    re = {c: max(a_full - runs[c].get("start", 0), 0) for c in channels}
+    tot_re = sum(re.values())
+    rows = [
+        (
+            c,
+            float(a_full) / MARKOV_SCALE,
+            float(runs[c].get("start", 0)) / MARKOV_SCALE,
+            float(re[c]) / MARKOV_SCALE,
+            (float(re[c]) / float(tot_re)) if tot_re > 0 else None,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv double, p_conv_removed double, "
+        "removal_effect double, attribution_share double",
+    )

@@ -2465,3 +2465,106 @@ FROM ov JOIN per pa ON ov.cat_a = pa.c JOIN per pb ON ov.cat_b = pb.c
 
 QUERIES["audience_overlap"] = q_audience_overlap
 ORACLES["audience_overlap"] = _AUDIENCE_OVERLAP_SQL
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (profile.markov_attribution):
+    absorbing-chain conversion probability with each channel knocked out,
+    normalized into attribution shares — transitions computed in Spark,
+    the bounded matrix solved by exact fixed-point integer iterations
+    (operator docstring); the oracle unrolls the identical HUGEINT
+    recurrence."""
+    from cerebro_spark.operators.profile import markov_attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    return markov_attribution(ev, iterations=25)
+
+
+def _markov_sql(k: int = 25) -> str:
+    """DuckDB twin of profile.markov_attribution (identical per-edge-floor
+    integer recurrence on HUGEINT)."""
+    its = []
+    for j in range(1, k + 1):
+        its.append(f"""
+a{j} AS MATERIALIZED (
+  SELECT g.run, g.s,
+    coalesce(sum(
+      CASE WHEN t.dst = 'conv'
+             THEN (CAST(1000000000000 AS HUGEINT) * t.c) // t.tot
+           WHEN ap.a IS NOT NULL THEN (ap.a * t.c) // t.tot
+           ELSE CAST(0 AS HUGEINT) END
+    ), 0) AS a
+  FROM grid g
+  LEFT JOIN tr t ON t.run = g.run AND t.src = g.s
+  LEFT JOIN a{j - 1} ap ON ap.run = g.run AND ap.s = t.dst
+  GROUP BY 1, 2
+)""")
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS ty,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+ev2 AS (
+  SELECT *,
+    min(CASE WHEN ty = 'purchase' THEN rn END)
+      OVER (PARTITION BY u) AS conv_rn,
+    max(rn) OVER (PARTITION BY u) AS max_rn
+  FROM ev
+),
+kept AS (SELECT * FROM ev2 WHERE conv_rn IS NULL OR rn <= conv_rn),
+steps AS (
+  SELECT coalesce(lag(ty) OVER (PARTITION BY u ORDER BY rn ASC), 'start')
+      AS src,
+    CASE WHEN ty = 'purchase' THEN 'conv' ELSE ty END AS dst,
+    ty, rn, conv_rn, max_rn
+  FROM kept
+),
+trans AS (
+  SELECT src, dst, count(*) AS c FROM (
+    SELECT src, dst FROM steps
+    UNION ALL
+    SELECT ty AS src, 'null' AS dst FROM steps
+    WHERE conv_rn IS NULL AND rn = max_rn
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT src AS s, sum(c) AS tot FROM trans GROUP BY 1),
+states AS (SELECT s FROM tot),
+runs AS (
+  SELECT 'full' AS run UNION ALL SELECT s FROM states WHERE s <> 'start'
+),
+grid AS MATERIALIZED (SELECT run, s FROM runs, states),
+tr AS MATERIALIZED (
+  SELECT g.run, t.src, t.dst, t.c, tt.tot
+  FROM runs g JOIN trans t ON NOT (g.run <> 'full' AND t.dst = g.run)
+  JOIN tot tt ON tt.s = t.src
+),
+a0 AS (SELECT run, s, CAST(0 AS HUGEINT) AS a FROM grid),{",".join(its)},
+fullrun AS (
+  SELECT a AS a_full FROM a{k} WHERE run = 'full' AND s = 'start'
+),
+rem AS (
+  SELECT run AS channel, a AS a_rem FROM a{k}
+  WHERE run <> 'full' AND s = 'start'
+),
+re AS (
+  SELECT channel, a_full, a_rem,
+    greatest(a_full - a_rem, CAST(0 AS HUGEINT)) AS re
+  FROM rem, fullrun
+),
+tre AS (SELECT sum(re) AS t FROM re)
+SELECT channel,
+  CAST(a_full AS DOUBLE) / 1e12 AS p_conv,
+  CAST(a_rem AS DOUBLE) / 1e12 AS p_conv_removed,
+  CAST(re AS DOUBLE) / 1e12 AS removal_effect,
+  CASE WHEN t > 0 THEN CAST(re AS DOUBLE) / CAST(t AS DOUBLE) END
+    AS attribution_share
+FROM re, tre
+"""
+
+
+_MARKOV_SQL = _markov_sql(25)
+
+QUERIES["markov_attribution"] = q_markov_attribution
+ORACLES["markov_attribution"] = _MARKOV_SQL

@@ -290,3 +290,92 @@ def test_esd_outliers_alternating_sides(spark):
         .orderBy("round").collect()
     ]
     assert got == [-100.0, 90.0, 80.0]
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+def _mk_events(spark, journeys):
+    """journeys: list of event-type sequences, one per user."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, seq in enumerate(journeys):
+        for j, ty in enumerate(seq):
+            rows.append((eid, u, t0 + timedelta(minutes=j), ty))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_markov_transitions_truncate_and_terminal(spark):
+    from cerebro_spark.operators.profile import markov_transitions
+
+    df = _mk_events(spark, [
+        ["click", "purchase", "view"],   # post-conversion view dropped
+        ["view"],                        # no conversion -> view->null
+    ])
+    got = {
+        (r["src"], r["dst"]): r["c"]
+        for r in markov_transitions(df).collect()
+    }
+    assert got == {
+        ("start", "click"): 1,
+        ("click", "conv"): 1,
+        ("start", "view"): 1,
+        ("view", "null"): 1,
+    }
+
+
+def test_markov_attribution_single_channel_carries_all(spark):
+    from cerebro_spark.operators.profile import markov_attribution
+
+    # every conversion flows through click; removing click zeroes p_conv
+    df = _mk_events(spark, [["click", "purchase"]] * 3 + [["view"]] * 2)
+    out = {r["channel"]: r for r in markov_attribution(df).collect()}
+    assert abs(out["click"]["p_conv"] - 0.6) < 1e-9   # 3 of 5 journeys
+    assert out["click"]["p_conv_removed"] == 0.0
+    assert abs(out["click"]["attribution_share"] - 1.0) < 1e-9
+    assert out["view"]["removal_effect"] == 0.0
+
+
+def test_markov_attribution_matches_linear_solve(spark):
+    import numpy as np
+
+    from cerebro_spark.operators.profile import markov_attribution
+
+    # mixed journeys: compare the K=25 fixed-point against the exact
+    # linear-system absorption probability a = (I - Q)^-1 r
+    journeys = (
+        [["click", "view", "purchase"]] * 4
+        + [["view", "click"]] * 3
+        + [["click", "purchase"]] * 2
+        + [["view"]] * 1
+    )
+    df = _mk_events(spark, journeys)
+    out = {r["channel"]: r for r in markov_attribution(df).collect()}
+
+    # exact solve on the full chain: states [start, click, view]
+    # transition counts from the journeys above:
+    # start: click 6, view 4 / click: view 4, purchase 2, null 3
+    # view: purchase 4, click 3, null 1
+    Q = np.array([
+        [0, 6 / 10, 4 / 10],      # start
+        [0, 0, 4 / 9],            # click
+        [0, 3 / 8, 0],            # view
+    ])
+    r = np.array([0, 2 / 9, 4 / 8])
+    a = np.linalg.solve(np.eye(3) - Q, r)
+    assert abs(out["click"]["p_conv"] - a[0]) < 1e-6
+
+
+def test_markov_attribution_no_conversions(spark):
+    from cerebro_spark.operators.profile import markov_attribution
+
+    df = _mk_events(spark, [["click", "view"], ["view"]])
+    out = markov_attribution(df).collect()
+    assert all(r["p_conv"] == 0.0 for r in out)
+    assert all(r["attribution_share"] is None for r in out)
