@@ -447,13 +447,17 @@ BLOOM_BITS_PER_WORD = 62
 
 
 def _bloom_pos(key_col, i: int, num_words: int):
-    """i-th bit position for a key: 16-bit slice of md5 hex, mod capacity.
+    """i-th bit position for a key: 32-bit slice of md5 hex, mod capacity.
 
     md5 (not xxhash/crc) because both engines expose byte-identical md5 of
     the decimal string rendering of the key — the repo-wide portable-hash
-    idiom (minhash/weighted_sample/conformal all pin to it)."""
+    idiom (minhash/weighted_sample/conformal all pin to it).  Slices are
+    8 hex chars (32 bits): the position space must COVER the filter, and
+    32 bits addresses up to 4.3G bits ≈ 0.5 GB of filter — a 16-bit slice
+    silently caps the filter at 65,536 bits and the false-positive rate
+    explodes past ~10⁴ keys (caught by tools/soak_session5.py)."""
     return (
-        F.conv(F.substring(F.md5(key_col.cast("string")), 1 + 4 * i, 4), 16, 10)
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1 + 8 * i, 8), 16, 10)
         .cast("long") % (num_words * BLOOM_BITS_PER_WORD)
     )
 
@@ -541,32 +545,98 @@ def bloom_probe(
     """Annotate ``df`` with ``keep_col``: True iff ``key_col`` MIGHT be in
     the filter (all k bits set), False = definitely absent.
 
-    Pure projection against the 8 KB literal word array — whole-stage
-    codegen, zero shuffle, zero join: the probe side of the runtime-filter
+    Pure projection against the literal word array — whole-stage codegen,
+    zero shuffle, zero join: the probe side of the runtime-filter
     pattern.  Filter with ``.filter(F.col('bloom_pass'))`` before the real
     join; the join itself then discards the surviving false positives, so
     end-to-end results are exact.
+
+    SIZE BOUND: the word array is inlined into the plan, so this variant
+    is for SMALL filters (≤ ~4096 words / 32 KB — beyond that the
+    generated code balloons and codegen falls back to interpreted mode;
+    tools/soak_session5.py measured the cliff).  For big filters use
+    :func:`bloom_probe_join`, which broadcast-hash-joins the word table
+    instead — still shuffle-free on the probe side.
 
     NULL keys probe False (they cannot equi-join anyway).
     """
     num_words = len(words)
     arr = F.lit(words)
     key = F.col(key_col)
+    # materialize the k positions ONCE as columns (md5 is the probe's
+    # dominant per-row cost — don't evaluate it twice per hash)
+    pos_cols = {
+        f"__bloom_p{i}": _bloom_pos(key, i, num_words)
+        for i in range(num_hashes)
+    }
+    out = df.withColumns(pos_cols)
     checks = []
     for i in range(num_hashes):
-        p = _bloom_pos(key, i, num_words)
+        p = F.col(f"__bloom_p{i}")
         word_val = F.element_at(arr, (p / BLOOM_BITS_PER_WORD).cast("int") + 1)
         mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST("
-            f"(CAST(conv(substring(md5(CAST({key_col} AS STRING)), "
-            f"{1 + 4 * i}, 4), 16, 10) AS BIGINT) "
-            f"% {num_words * BLOOM_BITS_PER_WORD})"
-            f" % {BLOOM_BITS_PER_WORD} AS INT))"
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__bloom_p{i} % {BLOOM_BITS_PER_WORD} AS INT))"
         )
         checks.append(word_val.bitwiseAND(mask) != 0)
     passed = checks[0]
     for c in checks[1:]:
         passed = passed & c
-    return df.withColumn(
+    return out.withColumn(
         keep_col, F.when(key.isNotNull(), passed).otherwise(F.lit(False))
-    )
+    ).drop(*pos_cols)
+
+
+def bloom_probe_join(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    num_words: int,
+    num_hashes: int = 3,
+    keep_col: str = "bloom_pass",
+) -> DataFrame:
+    """Big-filter probe: annotate ``df`` with ``keep_col`` by broadcast-
+    hash-joining the ``(word, bits)`` table once per hash function.
+
+    Same semantics as :func:`bloom_probe` but the filter stays a
+    DataFrame: k broadcast joins on the word index — map-side lookups
+    against the broadcast hash table, NO shuffle of the probe — so filter
+    size is bounded by the broadcast limit (a 1M-word / 8 MB filter
+    holding ~25M keys at 1% fp is routine), not by plan size.  Missing
+    word rows read as all-zero via coalesce.
+    """
+    key = F.col(key_col)
+    out = df.withColumns({
+        f"__bloom_p{i}": _bloom_pos(key, i, num_words)
+        for i in range(num_hashes)
+    })
+    checks = []
+    for i in range(num_hashes):
+        w = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"__bw{i}"),
+                F.col("bits").alias(f"__bb{i}"),
+            )
+        )
+        out = out.join(
+            w,
+            (F.col(f"__bloom_p{i}") / BLOOM_BITS_PER_WORD).cast("long")
+            == F.col(f"__bw{i}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__bloom_p{i} % {BLOOM_BITS_PER_WORD} AS INT))"
+        )
+        checks.append(
+            F.coalesce(F.col(f"__bb{i}"), F.lit(0)).bitwiseAND(mask) != 0
+        )
+    passed = checks[0]
+    for c in checks[1:]:
+        passed = passed & c
+    drop = [f"__bloom_p{i}" for i in range(num_hashes)]
+    drop += [f"__bw{i}" for i in range(num_hashes)]
+    drop += [f"__bb{i}" for i in range(num_hashes)]
+    return out.withColumn(
+        keep_col, F.when(key.isNotNull(), passed).otherwise(F.lit(False))
+    ).drop(*drop)

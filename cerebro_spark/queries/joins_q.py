@@ -425,11 +425,11 @@ ORACLES["interval_bucket_stats"] = _INTERVAL_BUCKET_STATS_SQL
 
 
 def _hexslice_sql(hexexpr: str, offset: int) -> str:
-    """DuckDB BIGINT from 4 hex chars of ``hexexpr`` starting at 1-based
-    ``offset`` (the 16-bit md5 slice the Bloom operators use)."""
+    """DuckDB BIGINT from 8 hex chars of ``hexexpr`` starting at 1-based
+    ``offset`` (the 32-bit md5 slice the Bloom operators use)."""
     terms = [
-        f"CAST((strpos('0123456789abcdef', substr({hexexpr}, {offset + j}, 1)) - 1) AS BIGINT) * {16 ** (3 - j)}"
-        for j in range(4)
+        f"CAST((strpos('0123456789abcdef', substr({hexexpr}, {offset + j}, 1)) - 1) AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -497,9 +497,9 @@ pk AS (
 bpos AS (
   SELECT ({_hexslice_sql(_BLOOM_MD5, 1)}) % 63488 AS p FROM bk
   UNION ALL
-  SELECT ({_hexslice_sql(_BLOOM_MD5, 5)}) % 63488 FROM bk
-  UNION ALL
   SELECT ({_hexslice_sql(_BLOOM_MD5, 9)}) % 63488 FROM bk
+  UNION ALL
+  SELECT ({_hexslice_sql(_BLOOM_MD5, 17)}) % 63488 FROM bk
 ),
 words AS (
   SELECT p // 62 AS word,
@@ -509,9 +509,9 @@ words AS (
 ppos AS (
   SELECT k, ({_hexslice_sql(_BLOOM_MD5, 1)}) % 63488 AS p FROM pk
   UNION ALL
-  SELECT k, ({_hexslice_sql(_BLOOM_MD5, 5)}) % 63488 FROM pk
-  UNION ALL
   SELECT k, ({_hexslice_sql(_BLOOM_MD5, 9)}) % 63488 FROM pk
+  UNION ALL
+  SELECT k, ({_hexslice_sql(_BLOOM_MD5, 17)}) % 63488 FROM pk
 ),
 probe AS (
   SELECT ppos.k,

@@ -116,7 +116,7 @@ def _bloom_ref_words(keys, num_words=1024, num_hashes=3):
     for k in keys:
         h = hashlib.md5(str(k).encode()).hexdigest()
         for i in range(num_hashes):
-            p = int(h[4 * i : 4 * i + 4], 16) % (num_words * 62)
+            p = int(h[8 * i : 8 * i + 8], 16) % (num_words * 62)
             words[p // 62] |= 1 << (p % 62)
     return words
 
