@@ -541,11 +541,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, final: session 4): 75 queries have never had a
+    # HEAD-50 TRIAGE (r6, final: session 6): 87 queries have never had a
     # driver CORRECTNESS row (the 14-query r01-r05 rotation debt + the 46
-    # born in sessions 1-3 + the 15 born in session 4) but the snapshot
-    # covers exactly 50, so 25 sit below the cutoff and gate in r07.
+    # born in sessions 1-3 + the 15 born in session 4 + the 6 born in
+    # session 5 + the 6 born in session 6) but the snapshot covers exactly
+    # 50, so 37 sit below the cutoff and gate in r07+ (the 25 listed below
+    # plus the 12 that the session-5/6 births displace from the former
+    # head-50 tail: clean_text_roundtrip and the rotation-14 tail).
     # Priority order:
+    # (-2) the session-6 births — the newest-first policy below;
+    # (-1) the session-5 births;
     # (0) the session-4 births — the newest-first policy below;
     # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
     #     163/163 driver-gated coverage of the pre-r6 registry;
@@ -568,6 +573,13 @@ _SNAPSHOT_PRIORITY = [
     # driver-gated this round via ppr_trade_recs.  R07: gate these 25
     # FIRST, before any new birth.
     #
+    # (-2) Born round 6, session 6 — newest first (same policy):
+    "msprt_monitor",
+    "jl_distortion",
+    "target_encode_oof",
+    "adamic_adar_links",
+    "lead_lag_corr",
+    "changepoints_value",
     # (-1) Born round 6, session 5 — newest first (same policy):
     "markov_attribution",
     "esd_anomalies",

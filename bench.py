@@ -159,6 +159,12 @@ HEADLINE = [
     "sax_motifs",             # PAA + SAX rank-band motif discovery
     "esd_anomalies",          # generalized-ESD rounds, one scan + closed form
     "markov_attribution",     # absorbing-chain removal-effect attribution
+    "changepoints_value",     # depth-2 binary-segmentation changepoints
+    "lead_lag_corr",          # bucket-grid lead-lag Pearson sweep
+    "adamic_adar_links",      # inverted-index AA link prediction
+    "target_encode_oof",      # leakage-safe K-fold target encoding
+    "jl_distortion",          # 64->16 JL sign projection + norm audit
+    "msprt_monitor",          # always-valid sequential A/B p-values
 ]
 
 

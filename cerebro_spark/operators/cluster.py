@@ -831,3 +831,75 @@ def golden_record(
         F.max(ts).alias("last_ts"),
     ] + [F.max_by(F.col(a), recency(a)).alias(a) for a in attr_cols]
     return df.groupBy(F.col(cluster_col).alias("cluster")).agg(*aggs)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    node: str = "node",
+    via: str = "via",
+    max_degree: int = 200,
+    top_k: int = 20,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003): score every node
+    pair by their shared neighbors, each neighbor w weighted 1/ln(deg(w))
+    — rare bridges count more than ubiquitous hubs.  Returns the top-k
+    ``(node_a, node_b, common, score)`` with ``node_a < node_b``.
+
+    Pair enumeration is the inverted-index wedge pattern (same as
+    neighbor_jaccard/cooccurrence_lift): per shared neighbor w the sorted
+    DISTINCT node list, pairs emitted as a projection-side array
+    transform — Σ_w deg(w)² wedges, never |nodes|².  ``max_degree`` drops
+    hub neighbors above the cap BEFORE pair generation (an Adamic–Adar
+    weight of 1/ln(10⁶) ≈ 0.07 carries ~zero signal at 10¹² wedges of
+    cost); degree-1 neighbors produce no pairs and are skipped.
+
+    Exactness: 1/ln(deg) is quantized to an e9 BIGINT per NEIGHBOR (a
+    handful of distinct small-integer degrees), the pair score is then an
+    EXACT integer sum in any order; the top-k orders by that integer
+    (ties → node ids).  ``score`` reports the e9 sum / 1e9.
+
+    Scale shape: one distinct, one neighbor-degree agg, one pair
+    explode feeding a combinable sum, one TakeOrdered(top_k).
+    """
+    e = edges.select(
+        F.col(node).alias("__n"), F.col(via).alias("__w")
+    ).filter(F.col(node).isNotNull() & F.col(via).isNotNull()).distinct()
+    deg = e.groupBy("__w").agg(F.count(F.lit(1)).alias("__d")).filter(
+        (F.col("__d") >= 2) & (F.col("__d") <= max_degree)
+    )
+    we9 = F.floor(
+        F.lit(1.0e9) / F.log(F.col("__d").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    lists = (
+        e.join(deg, "__w")
+        .groupBy("__w", we9.alias("__we9"))
+        .agg(F.array_sort(F.collect_set("__n")).alias("__arr"))
+    )
+    pairs = lists.select(
+        "__we9",
+        F.explode(
+            F.expr(
+                "flatten(transform(__arr, (x, i) -> "
+                "transform(slice(__arr, i + 2, size(__arr)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("__p"),
+    )
+    scored = pairs.groupBy(
+        F.col("__p.a").alias("node_a"), F.col("__p.b").alias("node_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("common"),
+        F.sum("__we9").alias("__sw"),
+    )
+    return (
+        scored.orderBy(
+            F.col("__sw").desc(), F.col("node_a").asc(), F.col("node_b").asc()
+        )
+        .limit(top_k)
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            F.round(F.col("__sw").cast("double") / F.lit(1.0e9), 6).alias("score"),
+        )
+    )

@@ -1229,3 +1229,142 @@ def markov_attribution(
         "channel string, p_conv double, p_conv_removed double, "
         "removal_effect double, attribution_share double",
     )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str = "value",
+    time_col: str = "ts",
+    tau2: float = 25.0,
+    day_seconds: int = 86400,
+    arm_a=None,
+    arm_b=None,
+) -> DataFrame:
+    """Always-valid sequential A/B monitoring — the mixture SPRT of
+    Johari, Pekelis & Walsh (2017, "Peeking at A/B tests").  Per day d,
+    using everything observed SO FAR: the mean difference
+    ``delta = x̄_A − x̄_B``, its estimated variance ``V = s²_A/n_A +
+    s²_B/n_B``, the mixture log likelihood ratio against H0: Δ=0 with a
+    N(0, τ²) prior on the true lift
+
+        logΛ = ½·ln(V/(V+τ²)) + Δ²·τ² / (2·V·(V+τ²))
+
+    and the ALWAYS-VALID p-value ``p_d = min_{e ≤ d} min(1, 1/Λ_e)`` —
+    monotone by construction, so the experimenter may peek every day and
+    stop the first day it crosses α without inflating false positives
+    (the fixed-n z-test ``ab_test_ztest`` is invalid under peeking).
+    Arms are ``arm_a``/``arm_b`` (pass them explicitly — the fallback
+    discovers the two smallest distinct labels with an extra scan, fine
+    interactively but not on a 100 TB fact).
+    Returns ``(day, n_a, n_b, delta, log_lambda, p_always)`` for days
+    where both arms have n ≥ 2 and positive variance (both variances
+    must be > 0 so V is strictly positive).
+
+    Exactness: values are e6-quantized; the per-day CUMULATIVE counts,
+    sums and sums-of-squares are exact integers (DECIMAL(38,0)); delta,
+    V and logΛ are then one fixed IEEE chain per day with logΛ rounded
+    to 6 dp BEFORE exp(−·), so the p-value chain is bit-reproducible.
+
+    Scale shape: one combinable per-day aggregate over the fact (arms
+    pivot into conditional sums — no join), then every window runs over
+    the DAY-count grid (≤ 10⁴ rows for a 30-year experiment) — the
+    keyless running windows here are grid-sized, never data-sized.
+    """
+    from pyspark.sql import Window
+
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    day = F.floor(F.col(time_col).cast("double") / day_seconds).cast("long")
+    if arm_a is None or arm_b is None:
+        arms = (
+            df.select(F.col(arm_col).alias("__arm"))
+            .filter(F.col("__arm").isNotNull())
+            .distinct()
+            .orderBy("__arm")
+            .limit(2)
+            .collect()
+        )  # bounded metadata (2 rows) but costs a scan — pass arms at scale
+        if len(arms) < 2:
+            raise ValueError("msprt_monitor needs two arms in arm_col")
+        arm_a, arm_b = arms[0][0], arms[1][0]
+    dec = "decimal(38,0)"
+    is_a = F.col("__arm") == F.lit(arm_a)
+    is_b = F.col("__arm") == F.lit(arm_b)
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(day.alias("day"), F.col(arm_col).alias("__arm"), q.alias("__q"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("__na"),
+            F.sum(F.when(is_a, F.col("__q")).otherwise(0)).alias("__sa"),
+            F.sum(
+                F.when(is_a, (F.col("__q").cast(dec) * F.col("__q"))).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("__ssa"),
+            F.sum(F.when(is_b, 1).otherwise(0)).alias("__nb"),
+            F.sum(F.when(is_b, F.col("__q")).otherwise(0)).alias("__sb"),
+            F.sum(
+                F.when(is_b, (F.col("__q").cast(dec) * F.col("__q"))).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("__ssb"),
+        )
+    )
+    # cumulative state over the bounded day grid (keyless by design:
+    # one experiment = one timeline; rows = #days, never data-sized)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.select(
+        "day",
+        F.sum("__na").over(wcum).alias("na"),
+        F.sum("__sa").over(wcum).alias("sa"),
+        F.sum("__ssa").over(wcum).alias("ssa"),
+        F.sum("__nb").over(wcum).alias("nb"),
+        F.sum("__sb").over(wcum).alias("sb"),
+        F.sum("__ssb").over(wcum).alias("ssb"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    sa_d = F.col("sa").cast("double")
+    sb_d = F.col("sb").cast("double")
+    # fixed IEEE chains over exact integers (÷1e6 de-quantizes)
+    delta = (sa_d / na_d - sb_d / nb_d) / F.lit(1.0e6)
+    va = (
+        (F.col("ssa").cast("double") - sa_d * sa_d / na_d)
+        / (na_d - F.lit(1.0))
+        / F.lit(1.0e12)
+    )
+    vb = (
+        (F.col("ssb").cast("double") - sb_d * sb_d / nb_d)
+        / (nb_d - F.lit(1.0))
+        / F.lit(1.0e12)
+    )
+    v = va / na_d + vb / nb_d
+    t2 = F.lit(float(tau2))
+    log_lambda = F.round(
+        F.lit(0.5) * F.log(v / (v + t2))
+        + delta * delta * t2 / (F.lit(2.0) * v * (v + t2)),
+        6,
+    )
+    stat = c.filter(
+        (F.col("na") >= 2) & (F.col("nb") >= 2)
+    ).select(
+        "day",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(delta, 6).alias("delta"),
+        log_lambda.alias("log_lambda"),
+        ((va > 0) & (vb > 0)).alias("__okv"),
+    ).filter(F.col("__okv")).drop("__okv")
+    p_raw = F.round(F.least(F.lit(1.0), F.exp(-F.col("log_lambda"))), 6)
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return stat.select(
+        "day",
+        "n_a",
+        "n_b",
+        "delta",
+        "log_lambda",
+        F.min(p_raw).over(wrun).alias("p_always"),
+    )

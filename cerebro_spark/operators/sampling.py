@@ -372,3 +372,73 @@ def cap_per_key(
         .filter(F.col("__r") <= k)
         .withColumnRenamed("__r", "key_rank")
     )
+
+
+def kfold_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    folds: int = 5,
+    prior_weight: int = 20,
+) -> DataFrame:
+    """Leakage-safe K-fold (out-of-fold) target encoding — the grid
+    ``(category, fold, n_fold, enc)`` where ``enc`` is the smoothed mean
+    of ``target_col`` over every OTHER fold's rows of that category:
+
+        enc = ((S_cat − S_cat,fold) + w·μ_global) / ((n_cat − n_cat,fold) + w)
+
+    (Micci-Barreca 2001 smoothing; w = ``prior_weight`` pseudo-counts of
+    the global mean, so rare categories shrink toward it and a category
+    seen in only one fold still encodes as the prior).  Rows are assigned
+    folds by the portable md5 bucket of ``id_col`` — deterministic in any
+    engine, and the SAME assignment a train/val split would use, which is
+    exactly what makes the encoding leakage-safe: a row's own target
+    never reaches its own feature value.
+
+    Exactness: targets are e6-quantized BIGINTs; putting the prior over
+    the common denominator n_global makes the encoding ONE exact rational
+    ``((S−S_f)·n_g + w·S_g) / (((n−n_f)+w)·n_g)`` — both sides exact
+    DECIMAL(38,0) integers (overflow-free to ~10⁹ rows at |target| ≤ 10⁵),
+    divided in ONE correctly-rounded IEEE step and rounded to 6 dp.
+
+    Scale shape: one combinable (cat, fold) aggregate over the fact, then
+    everything runs on the |cats|·folds grid (re-aggregation for the cat
+    marginals, a 1-row global reduce broadcast in — bounded metadata).
+    To encode a frame, broadcast-join this grid on (cat, fold).
+    """
+    q = F.floor(
+        F.col(target_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    fold = _portable_bucket(F.col(id_col), folds)
+    base = df.filter(
+        F.col(target_col).isNotNull() & F.col(cat_col).isNotNull()
+    ).select(F.col(cat_col).alias("category"), fold.alias("fold"), q.alias("__q"))
+    cell = base.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("__nf"), F.sum("__q").alias("__sf")
+    )
+    cat = cell.groupBy("category").agg(
+        F.sum("__nf").alias("__nc"), F.sum("__sf").alias("__sc")
+    )
+    glob = cell.agg(
+        F.sum("__nf").alias("__ng"), F.sum("__sf").alias("__sg")
+    )
+    dec = "decimal(38,0)"
+    g = cell.join(F.broadcast(cat), "category").crossJoin(F.broadcast(glob))
+    num = (
+        (F.col("__sc") - F.col("__sf")).cast(dec) * F.col("__ng")
+        + F.lit(prior_weight).cast(dec) * F.col("__sg")
+    )
+    den = (
+        (F.col("__nc") - F.col("__nf") + F.lit(prior_weight)).cast(dec)
+        * F.col("__ng")
+    )
+    enc = F.round(
+        num.cast("double") / den.cast("double") / F.lit(1.0e6), 6
+    )
+    return g.select(
+        "category",
+        "fold",
+        F.col("__nf").cast("long").alias("n_fold"),
+        enc.alias("enc"),
+    )

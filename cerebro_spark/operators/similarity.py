@@ -1200,3 +1200,61 @@ def embedding_half_drift(
         F.when(ok, F.col("__maxnum").cast("double") / denom)
         .alias("max_dim_drift"),
     )
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: int = 0) -> "list[list[int]]":
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix — entry (i, j)
+    is +1 iff the md5 of ``"{seed}:{i}:{j}"`` has an even first-32-bit
+    word.  Any engine (or the SQL oracle) reproduces it from the same
+    hash, so the projection is a pure function of the data."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16
+            ) % 2 == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(in_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 0,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003):
+    append ``out_col`` = the ``out_dim``-d projection y with
+    ``y_j = (1/√k)·Σᵢ s_ij·x_i`` over the deterministic ±1 matrix from
+    :func:`jl_sign_matrix`.  Norms (hence pairwise distances) are
+    preserved in expectation — the cheap dimensionality-reduction front
+    end for brute-force cosine / LSH when 64-d is still too wide to scan.
+
+    Exactness: each y_j is a LEFT FOLD over the array in index order
+    (``aggregate(zip_with(...))``) of float→double exact products — a
+    fixed IEEE chain any engine reproduces term-for-term (the oracle
+    unrolls the identical left-associated sum).  No shuffle, no Python:
+    out_dim·in_dim codegen'd multiply-adds per row."""
+    signs = jl_sign_matrix(in_dim, out_dim, seed)
+    import math
+
+    inv = 1.0 / math.sqrt(float(out_dim))
+    comps = []
+    for j in range(out_dim):
+        scol = F.array(*[F.lit(float(signs[i][j])) for i in range(in_dim)])
+        z = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), scol, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda a, y: a + y,
+        )
+        comps.append(z * F.lit(inv))
+    return df.withColumn(out_col, F.array(*comps))

@@ -1615,3 +1615,223 @@ def esd_outliers(
         F.col("__e.r_stat").alias("r_stat"),
         F.col("__e.n_before").alias("n_before"),
     )
+
+
+def _int_bucket_means(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    keys: "list[str]",
+    bucket_seconds: int,
+) -> DataFrame:
+    """Per-(key, bucket) INTEGER e6 means — ``(keys…, __b, __m BIGINT)``.
+
+    Like :func:`bucket_means` but the mean itself is an integer (the e6
+    sum divided with truncation toward zero), so downstream prefix sums
+    and squared terms stay engine-exact.  The truncating division is
+    spelled sign-safely (``sign · (|s| DIV c)``) because Spark's ``DIV``
+    truncates toward zero while other engines' integer division may
+    floor — on non-negative operands every engine agrees.
+    """
+    t = F.col(time_col).cast("double")
+    q = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            F.floor(t / bucket_seconds).cast("long").alias("__b"),
+            q.alias("__q"),
+        )
+        .groupBy(*keys, "__b")
+        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__c"))
+    )
+    m = F.when(
+        F.col("__s") < 0, -F.expr("(-__s) DIV __c")
+    ).otherwise(F.expr("__s DIV __c"))
+    return g.select(*keys, "__b", m.alias("__m"))
+
+
+def _best_split(grid: DataFrame, part: "list[str]", min_seg: int) -> DataFrame:
+    """Best single changepoint per partition of the integer-mean grid:
+    ``(part…, split_bucket, n_left, n_right, gain)``.
+
+    For a split after position i the SSE reduction is
+    ``P_i²/i + (S−P_i)²/(T−i) − S²/T``; the argmax over i needs only
+    ``A(i) = P_i²(T−i) + (S−P_i)²·i`` over denominator ``i(T−i)``.  Both
+    are computed from EXACT integer prefix sums (DECIMAL(38,0) squares —
+    overflow-free to ~10⁴ buckets at |mean| ≤ 10³), and the comparison
+    key ``A/d`` is ONE IEEE division of exactly-cast operands — correctly
+    rounded, so every engine orders candidates identically; ties take the
+    earliest split.  All windows run over bucket-count rows per key.
+    """
+    wseq = Window.partitionBy(*part).orderBy("__b")
+    wall = Window.partitionBy(*part)
+    g = (
+        grid.withColumn("__i", F.row_number().over(wseq))
+        .withColumn(
+            "__P",
+            F.sum("__m").over(
+                wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__T", F.count(F.lit(1)).over(wall))
+        .withColumn("__S", F.sum("__m").over(wall))
+    )
+    cand = g.filter(
+        (F.col("__i") >= min_seg) & (F.col("__i") <= F.col("__T") - min_seg)
+    )
+    pd_ = F.col("__P").cast("decimal(38,0)")
+    rd = (F.col("__S") - F.col("__P")).cast("decimal(38,0)")
+    a = pd_ * pd_ * (F.col("__T") - F.col("__i")).cast("decimal(38,0)") + (
+        rd * rd * F.col("__i").cast("decimal(38,0)")
+    )
+    d = (F.col("__i") * (F.col("__T") - F.col("__i"))).cast("double")
+    scored = cand.withColumn("__score", a.cast("double") / d)
+    wpick = Window.partitionBy(*part).orderBy(
+        F.col("__score").desc(), F.col("__i").asc()
+    )
+    best = scored.withColumn("__r", F.row_number().over(wpick)).filter(
+        F.col("__r") == 1
+    )
+    sdbl = F.col("__S").cast("double")
+    gain = F.round(
+        (F.col("__score") - sdbl * sdbl / F.col("__T").cast("double"))
+        / F.lit(1.0e12),
+        6,
+    )
+    return best.select(
+        *part,
+        F.col("__b").alias("split_bucket"),
+        F.col("__i").cast("long").alias("n_left"),
+        (F.col("__T") - F.col("__i")).cast("long").alias("n_right"),
+        gain.alias("gain"),
+    )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: "list[str] | None" = None,
+    bucket_seconds: int = 3600,
+    min_seg: int = 2,
+) -> DataFrame:
+    """Binary-segmentation changepoint detection (Scott & Knott 1974 —
+    the classic top-down CPD) per key over the bucketed mean series —
+    ``(keys…, level, segment, split_bucket, n_left, n_right, gain)``.
+
+    Level 1 is the best mean-shift split of the whole series; level 2
+    re-splits each resulting half (segment 0 = left, 1 = right) — three
+    changepoints max, the standard depth-2 unroll.  ``gain`` is the SSE
+    reduction of the bucket-mean series in value² units (e6 quantization
+    divided back out), rounded to 6 dp.
+
+    Exactness: the series is the INTEGER e6 bucket mean, prefix sums are
+    exact BIGINTs, the argmax key is one IEEE division of exactly-cast
+    DECIMAL(38,0) operands — deterministic in any engine, ties to the
+    earliest position.  Scale shape: one fact scan → combinable
+    per-bucket agg (the grid is localCheckpoint'ed so level 2 reuses it
+    without a second scan); every window is per-key over BUCKET-count
+    rows (hours/days), never data-sized.
+
+    Reference parity: no reference counterpart — changepoint extension
+    next to cusum/esd_outliers (driver brief).
+    """
+    keys = keys or []
+    grid = _int_bucket_means(df, value_col, time_col, keys, bucket_seconds)
+    grid = grid.localCheckpoint(eager=True)
+    l1 = _best_split(grid, keys, min_seg)
+    out1 = l1.select(
+        *keys,
+        F.lit(1).alias("level"),
+        F.lit(0).alias("segment"),
+        "split_bucket",
+        "n_left",
+        "n_right",
+        "gain",
+    )
+    splits = l1.select(*keys, F.col("split_bucket").alias("__cut"))
+    segged = grid.join(F.broadcast(splits), keys, "inner").withColumn(
+        "__seg", F.when(F.col("__b") <= F.col("__cut"), F.lit(0)).otherwise(F.lit(1))
+    )
+    l2 = _best_split(segged, [*keys, "__seg"], min_seg)
+    out2 = l2.select(
+        *keys,
+        F.lit(2).alias("level"),
+        F.col("__seg").alias("segment"),
+        "split_bucket",
+        "n_left",
+        "n_right",
+        "gain",
+    )
+    return out1.unionByName(out2)
+
+
+def cross_corr(
+    df: DataFrame,
+    series_col: str,
+    series_a: str,
+    series_b: str,
+    value_col: str = "value",
+    time_col: str = "ts",
+    bucket_seconds: int = 3600,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two series of one long table:
+    Pearson r between bucket means of ``series_a`` at time t and
+    ``series_b`` at time t+lag, for every lag in [−max_lag, +max_lag] —
+    ``(lag, n_overlap, corr)``.  A positive best lag means A LEADS B —
+    the does-views-today-predict-purchases-tomorrow question.
+
+    Exactness: bucket means are INTEGER e6 (see ``_int_bucket_means``);
+    per lag the Pearson pieces (n, Σa, Σb, Σab, Σa², Σb²) are exact
+    integer sums (products in DECIMAL(38,0)); r is then numerator /
+    (√da·√db) — three correctly-rounded IEEE ops over exactly-cast
+    integers, identical in any engine, rounded to 6 dp.  Zero-variance
+    lags yield NULL.
+
+    Scale shape: the fact collapses to two bucket grids first; the lag
+    join and the Pearson agg run over BUCKET-count rows (the 7-way lag
+    fan-out is on the grid, not the fact).
+    """
+    base = df.filter(F.col(series_col).isin([series_a, series_b]))
+    ga = _int_bucket_means(
+        base.filter(F.col(series_col) == series_a),
+        value_col, time_col, [], bucket_seconds,
+    ).select(F.col("__b").alias("__ba"), F.col("__m").alias("__ma"))
+    gb = _int_bucket_means(
+        base.filter(F.col(series_col) == series_b),
+        value_col, time_col, [], bucket_seconds,
+    ).select(F.col("__b").alias("__bb"), F.col("__m").alias("__mb"))
+    lags = ga.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    j = ga.crossJoin(F.broadcast(lags)).join(
+        gb, F.col("__bb") == F.col("__ba") + F.col("lag"), "inner"
+    )
+    dec = "decimal(38,0)"
+    agg = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__ma").alias("__sa"),
+        F.sum("__mb").alias("__sb"),
+        F.sum((F.col("__ma").cast(dec) * F.col("__mb"))).alias("__sab"),
+        F.sum((F.col("__ma").cast(dec) * F.col("__ma"))).alias("__saa"),
+        F.sum((F.col("__mb").cast(dec) * F.col("__mb"))).alias("__sbb"),
+    )
+    n = F.col("__n").cast(dec)
+    num = n * F.col("__sab") - F.col("__sa").cast(dec) * F.col("__sb")
+    da = n * F.col("__saa") - F.col("__sa").cast(dec) * F.col("__sa")
+    db = n * F.col("__sbb") - F.col("__sb").cast(dec) * F.col("__sb")
+    corr = F.when(
+        (da > 0) & (db > 0),
+        F.round(
+            num.cast("double")
+            / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+            6,
+        ),
+    )
+    return agg.select(
+        "lag", F.col("__n").cast("long").alias("n_overlap"), corr.alias("corr")
+    ).orderBy("lag")

@@ -2568,3 +2568,75 @@ _MARKOV_SQL = _markov_sql(25)
 
 QUERIES["markov_attribution"] = q_markov_attribution
 ORACLES["markov_attribution"] = _MARKOV_SQL
+
+
+def q_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitor (profile.msprt_monitor): the
+    mixture-SPRT log likelihood ratio and monotone always-valid p-value
+    per day, arms = user_id parity, τ² = 25 — the peeking-safe companion
+    to ab_test_ztest.  Exact cumulative integer moments, one fixed IEEE
+    chain per day with logΛ rounded before exp (operator docstring); the
+    oracle replays the identical chain."""
+    from cerebro_spark.operators.profile import msprt_monitor
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "arm", F.pmod(F.col("user_id"), F.lit(2))
+    )
+    return msprt_monitor(
+        ev, "arm", "value", "ts", tau2=25.0, arm_a=0, arm_b=1
+    )
+
+
+_MSPRT_SQL = """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         user_id % 2 AS arm,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+),
+daily AS (
+  SELECT day,
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na_d,
+    SUM(CASE WHEN arm = 0 THEN q ELSE 0 END) AS sa_d,
+    SUM(CASE WHEN arm = 0 THEN CAST(q AS HUGEINT) * q ELSE 0 END) AS ssa_d,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb_d,
+    SUM(CASE WHEN arm = 1 THEN q ELSE 0 END) AS sb_d,
+    SUM(CASE WHEN arm = 1 THEN CAST(q AS HUGEINT) * q ELSE 0 END) AS ssb_d
+  FROM base GROUP BY 1
+),
+c AS (
+  SELECT day,
+    SUM(na_d) OVER w AS na, SUM(sa_d) OVER w AS sa, SUM(ssa_d) OVER w AS ssa,
+    SUM(nb_d) OVER w AS nb, SUM(sb_d) OVER w AS sb, SUM(ssb_d) OVER w AS ssb
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+chain AS (
+  SELECT day, na, nb,
+    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+     - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 1e6 AS delta_raw,
+    (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+      / (CAST(na AS DOUBLE) - 1.0) / 1e12 AS va,
+    (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+      / (CAST(nb AS DOUBLE) - 1.0) / 1e12 AS vb
+  FROM c WHERE na >= 2 AND nb >= 2
+),
+stat AS (
+  SELECT day, na, nb, delta_raw,
+    round(0.5 * ln((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+                   / ((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) + 25.0))
+          + delta_raw * delta_raw * 25.0
+            / (2.0 * (va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+               * ((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) + 25.0)),
+          6) AS log_lambda
+  FROM chain WHERE va > 0 AND vb > 0
+)
+SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, round(delta_raw, 6) AS delta, log_lambda,
+  MIN(round(least(1.0, exp(-log_lambda)), 6))
+    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS p_always
+FROM stat
+"""
+
+QUERIES["msprt_monitor"] = q_msprt_monitor
+ORACLES["msprt_monitor"] = _MSPRT_SQL

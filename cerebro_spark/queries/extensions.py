@@ -1845,3 +1845,44 @@ acc{i} AS MATERIALIZED (
 
 QUERIES["mmr_rerank"] = q_mmr_rerank
 ORACLES["mmr_rerank"] = _mmr_sql()
+
+
+def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (cluster.adamic_adar): part pairs
+    scored by shared orders, each order weighted 1/ln(parts in it) —
+    top-20 predicted part-affinity links.  Inverted-index wedge pairs,
+    e9-integer weight sums, integer-exact top-k (operator docstring).
+    The oracle rebuilds the same weights with a plain self-join."""
+    from cerebro_spark.operators.cluster import adamic_adar
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return adamic_adar(li, "l_partkey", "l_orderkey", max_degree=200, top_k=20)
+
+
+_ADAMIC_ADAR_SQL = """
+WITH e AS (SELECT DISTINCT l_orderkey AS w, l_partkey AS n FROM lineitem),
+deg AS (
+  SELECT w, COUNT(*) AS d FROM e GROUP BY 1
+  HAVING COUNT(*) BETWEEN 2 AND 200
+),
+wt AS (
+  SELECT w,
+    CAST(floor(1e9 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT) AS we9
+  FROM deg
+),
+p AS (
+  SELECT e1.n AS node_a, e2.n AS node_b, wt.we9
+  FROM e e1 JOIN e e2 ON e1.w = e2.w AND e1.n < e2.n
+  JOIN wt ON wt.w = e1.w
+),
+s AS (
+  SELECT node_a, node_b, COUNT(*) AS common, SUM(we9) AS sw
+  FROM p GROUP BY 1, 2
+)
+SELECT node_a, node_b, common,
+       round(CAST(sw AS DOUBLE) / 1e9, 6) AS score
+FROM s ORDER BY sw DESC, node_a ASC, node_b ASC LIMIT 20
+"""
+
+QUERIES["adamic_adar_links"] = q_adamic_adar_links
+ORACLES["adamic_adar_links"] = _ADAMIC_ADAR_SQL

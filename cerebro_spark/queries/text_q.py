@@ -1525,3 +1525,117 @@ FROM agg
 
 QUERIES["vocab_coverage"] = q_vocab_coverage
 ORACLES["vocab_coverage"] = _VOCAB_COVERAGE_SQL
+
+
+def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding (sampling.kfold_target_encode):
+    event_type encoded by the out-of-fold smoothed mean of value, folds
+    assigned by the portable md5 bucket of event_id — the grid a feature
+    pipeline broadcast-joins back onto the fact.  One exact rational per
+    cell (operator docstring); the oracle rebuilds it with HUGEINT
+    arithmetic."""
+    from cerebro_spark.operators.sampling import kfold_target_encode
+
+    ev = load_table(spark, "events", sf_dir)
+    return kfold_target_encode(ev, "event_type", "value", "event_id", 5, 20)
+
+
+def _target_encode_sql() -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    fold = f"({_hex2long_sql('md5(CAST(event_id AS STRING))', 8)}) % 5"
+    return f"""
+WITH base AS (
+  SELECT event_type AS category, {fold} AS fold,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+cell AS (
+  SELECT category, fold, COUNT(*) AS nf, SUM(q) AS sf
+  FROM base GROUP BY 1, 2
+),
+cat AS (
+  SELECT category, SUM(nf) AS nc, SUM(sf) AS sc FROM cell GROUP BY 1
+),
+gtot AS (SELECT SUM(nf) AS ng, SUM(sf) AS sg FROM cell)
+SELECT cell.category, cell.fold, nf AS n_fold,
+  round(
+    CAST(CAST(sc - sf AS HUGEINT) * ng + CAST(20 AS HUGEINT) * sg AS DOUBLE)
+    / CAST(CAST(nc - nf + 20 AS HUGEINT) * ng AS DOUBLE) / 1e6, 6) AS enc
+FROM cell JOIN cat USING (category) CROSS JOIN gtot
+"""
+
+
+QUERIES["target_encode_oof"] = q_target_encode_oof
+ORACLES["target_encode_oof"] = _target_encode_sql()
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-projection distortion audit (similarity.jl_project): per
+    label, how well the deterministic 64→16 projection preserves squared
+    norms — n, mean/min/max of ‖y‖²/‖x‖² (e6-quantized per row so the
+    aggregate is order-free).  The per-row arithmetic is a fixed
+    left-fold IEEE chain; the oracle unrolls the identical
+    left-associated sums term-for-term."""
+    from cerebro_spark.operators.similarity import jl_project
+
+    em = load_table(spark, "embeddings", sf_dir)
+    pr = jl_project(em, "embedding", 64, 16, 0, "proj")
+    pn = F.aggregate(F.col("proj"), F.lit(0.0), lambda a, x: a + x * x)
+    xn = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    re6 = F.floor(pn / xn * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+    rows = pr.select("label", xn.alias("__xn"), re6.alias("__r")).filter(
+        F.col("__xn") > 0
+    )
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("__r").cast("double") / F.count(F.lit(1)) / F.lit(1.0e6), 6
+        ).alias("mean_ratio"),
+        F.round(F.min("__r").cast("double") / F.lit(1.0e6), 6).alias("min_ratio"),
+        F.round(F.max("__r").cast("double") / F.lit(1.0e6), 6).alias("max_ratio"),
+    )
+
+
+def _jl_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 0) -> str:
+    from cerebro_spark.operators.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix(in_dim, out_dim, seed)
+    inv = repr(1.0 / (out_dim ** 0.5))
+    zcols = ", ".join(
+        "("
+        + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(signs[i][j])!r}"
+            for i in range(in_dim)
+        )
+        + f") AS z{j}"
+        for j in range(out_dim)
+    )
+    xn = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(in_dim)
+    )
+    pn = " + ".join(f"(z{j} * {inv}) * (z{j} * {inv})" for j in range(out_dim))
+    return f"""
+WITH z AS (
+  SELECT label, {zcols}, ({xn}) AS xn FROM embeddings
+),
+r AS (
+  SELECT label, xn,
+    CAST(floor(({pn}) / xn * 1e6 + 0.5) AS BIGINT) AS re6
+  FROM z WHERE xn > 0
+)
+SELECT label, COUNT(*) AS n,
+  round(CAST(SUM(re6) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_ratio,
+  round(CAST(MIN(re6) AS DOUBLE) / 1e6, 6) AS min_ratio,
+  round(CAST(MAX(re6) AS DOUBLE) / 1e6, 6) AS max_ratio
+FROM r GROUP BY 1
+"""
+
+
+QUERIES["jl_distortion"] = q_jl_distortion
+ORACLES["jl_distortion"] = _jl_sql()

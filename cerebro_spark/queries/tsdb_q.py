@@ -2094,3 +2094,134 @@ _ESD_SQL = _esd_sql(3)
 
 QUERIES["esd_anomalies"] = q_esd_anomalies
 ORACLES["esd_anomalies"] = _ESD_SQL
+
+
+def q_changepoints_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoints (tsdb.binseg_changepoints): per
+    event_type the depth-2 mean-shift splits of the hourly value series —
+    exact integer prefix sums, one correctly-rounded IEEE division as the
+    argmax key (operator docstring).  The oracle replays the identical
+    window arithmetic in SQL."""
+    from cerebro_spark.operators.tsdb import binseg_changepoints
+
+    ev = load_table(spark, "events", sf_dir)
+    return binseg_changepoints(ev, "value", "ts", ["event_type"], 3600, 2)
+
+
+_BINSEG_LEVEL_SQL = """
+  SELECT {part}, b,
+    ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY b) AS i,
+    SUM(m) OVER (PARTITION BY {part} ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+    COUNT(*) OVER (PARTITION BY {part}) AS t,
+    SUM(m) OVER (PARTITION BY {part}) AS s
+  FROM {src}
+"""
+
+_BINSEG_SQL = f"""
+WITH grid AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS sq, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, b,
+         CASE WHEN sq < 0 THEN -((-sq) // c) ELSE sq // c END AS m
+  FROM grid
+),
+l1 AS ({_BINSEG_LEVEL_SQL.format(part="event_type", src="g")}),
+sc1 AS (
+  SELECT *,
+    CAST(CAST(p AS HUGEINT) * p * (t - i)
+         + CAST(s - p AS HUGEINT) * (s - p) * i AS DOUBLE)
+      / (i * (t - i)) AS score
+  FROM l1 WHERE i >= 2 AND i <= t - 2
+),
+b1 AS (
+  SELECT event_type, b AS cut, i, t, s, score FROM sc1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY score DESC, i ASC) = 1
+),
+g2 AS (
+  SELECT g.event_type, g.b, g.m,
+         CASE WHEN g.b <= b1.cut THEN 0 ELSE 1 END AS seg
+  FROM g JOIN b1 USING (event_type)
+),
+l2 AS ({_BINSEG_LEVEL_SQL.format(part="event_type, seg", src="g2")}),
+sc2 AS (
+  SELECT *,
+    CAST(CAST(p AS HUGEINT) * p * (t - i)
+         + CAST(s - p AS HUGEINT) * (s - p) * i AS DOUBLE)
+      / (i * (t - i)) AS score
+  FROM l2 WHERE i >= 2 AND i <= t - 2
+),
+b2 AS (
+  SELECT event_type, seg, b AS cut, i, t, s, score FROM sc2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, seg
+                             ORDER BY score DESC, i ASC) = 1
+)
+SELECT event_type, 1 AS level, 0 AS segment, cut AS split_bucket,
+  i AS n_left, t - i AS n_right,
+  round((score - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / t) / 1e12, 6) AS gain
+FROM b1
+UNION ALL
+SELECT event_type, 2 AS level, seg AS segment, cut AS split_bucket,
+  i AS n_left, t - i AS n_right,
+  round((score - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / t) / 1e12, 6) AS gain
+FROM b2
+"""
+
+QUERIES["changepoints_value"] = q_changepoints_value
+ORACLES["changepoints_value"] = _BINSEG_SQL
+
+
+def q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation (tsdb.cross_corr): Pearson r between
+    hourly view means at t and purchase means at t+lag for lag −3..+3 —
+    exact integer Pearson pieces, √·√ denominator as two correctly-
+    rounded IEEE sqrts (operator docstring)."""
+    from cerebro_spark.operators.tsdb import cross_corr
+
+    ev = load_table(spark, "events", sf_dir)
+    return cross_corr(ev, "event_type", "view", "purchase", "value", "ts", 3600, 3)
+
+
+_LEAD_LAG_SQL = """
+WITH qa AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS sq, COUNT(*) AS c
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
+),
+ga AS (SELECT b, CASE WHEN sq < 0 THEN -((-sq) // c) ELSE sq // c END AS ma FROM qa),
+qb AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS sq, COUNT(*) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+),
+gb AS (SELECT b, CASE WHEN sq < 0 THEN -((-sq) // c) ELSE sq // c END AS mb FROM qb),
+lags AS (SELECT CAST(x AS BIGINT) AS lag FROM range(-3, 4) t(x)),
+j AS (
+  SELECT lag, ma, mb
+  FROM ga CROSS JOIN lags JOIN gb ON gb.b = ga.b + lags.lag
+),
+a AS (
+  SELECT lag, COUNT(*) AS n, SUM(ma) AS sa, SUM(mb) AS sb,
+         SUM(CAST(ma AS HUGEINT) * mb) AS sab,
+         SUM(CAST(ma AS HUGEINT) * ma) AS saa,
+         SUM(CAST(mb AS HUGEINT) * mb) AS sbb
+  FROM j GROUP BY 1
+)
+SELECT lag, n AS n_overlap,
+  CASE WHEN (n * saa - CAST(sa AS HUGEINT) * sa) > 0
+        AND (n * sbb - CAST(sb AS HUGEINT) * sb) > 0
+  THEN round(
+    CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+    / (sqrt(CAST(n * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+       * sqrt(CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE))), 6)
+  END AS corr
+FROM a ORDER BY lag
+"""
+
+QUERIES["lead_lag_corr"] = q_lead_lag_corr
+ORACLES["lead_lag_corr"] = _LEAD_LAG_SQL

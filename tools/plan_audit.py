@@ -137,6 +137,13 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # H(B)) and the 1-row total — all single-row aggregates by construction
     # (r6 session 5; same bounded-scalar contract as chi2_event_hour)
     "mi_event_hour",
+    # bounded-grid crossJoin: the 7-row lag frame fanned over the hourly
+    # BUCKET grid (the fact already collapsed to bucket means) — ≤ 7×8 760
+    # rows/year regardless of data size (r6 session 6)
+    "lead_lag_corr",
+    # 1-row scalar broadcast: the global (n, Σ) target totals crossJoined
+    # onto the |categories|×folds grid (r6 session 6)
+    "target_encode_oof",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -161,6 +168,11 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # (=100) rows regardless of data size; the fact table only passes
     # through a combinable groupBy(replicate) (r6 session 4)
     "bootstrap_ci_mean",
+    # cumulative-moment and running-min windows over the DAY grid (one
+    # experiment = one timeline; ≤ 10⁴ rows for a 30-year test) — the
+    # fact only passes through a combinable per-day aggregate
+    # (r6 session 6)
+    "msprt_monitor",
 }
 
 
