@@ -573,6 +573,8 @@ _SNAPSHOT_PRIORITY = [
     # driver-gated this round via ppr_trade_recs.  R07: gate these 25
     # FIRST, before any new birth.
     #
+    # (-3) Born round 6, session 7 — newest first (same policy):
+    "spatial_pairs",
     # (-2) Born round 6, session 6 — newest first (same policy):
     "msprt_monitor",
     "jl_distortion",

@@ -165,6 +165,7 @@ HEADLINE = [
     "target_encode_oof",      # leakage-safe K-fold target encoding
     "jl_distortion",          # 64->16 JL sign projection + norm audit
     "msprt_monitor",          # always-valid sequential A/B p-values
+    "spatial_pairs",          # grid-bucketed spatial radius join
 ]
 
 

@@ -640,3 +640,80 @@ def bloom_probe_join(
     return out.withColumn(
         keep_col, F.when(key.isNotNull(), passed).otherwise(F.lit(False))
     ).drop(*drop)
+
+
+def spatial_grid_join(
+    left: DataFrame,
+    right: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: float = 1.0,
+    max_cell_size: "int | None" = None,
+) -> DataFrame:
+    """Spatial radius join: every (left, right) pair within Euclidean
+    distance ≤ ``radius`` — the grid-bucketed distributed spatial join
+    (the standard cell + 3×3-neighborhood decomposition every geo engine
+    uses at scale).  Column name collisions are the caller's problem —
+    alias before joining; appends ``dist``.
+
+    How: both sides key by their ``radius``-sized grid cell
+    ``(⌊x/r⌋, ⌊y/r⌋)``; the RIGHT side is exploded to its cell's 3×3
+    neighborhood, so any pair within r shares exactly ONE (left-cell =
+    exploded-right-cell) key — an equi-join, no cross product, and no
+    post-dedup because the left point lives in exactly one cell.  The
+    exact distance predicate then discards corner false candidates.
+
+    Exactness: cell ids are floor divisions and the predicate
+    ``(Δx)²+(Δy)² ≤ r²`` is pure IEEE arithmetic — identical in any
+    engine; ``dist`` is one correctly-rounded sqrt, 6 dp.
+
+    Scale shape: one 9× projection-side explode of the right side, one
+    equi-join shuffle on cell keys.  Candidate mass is Σ_cells
+    |L_c|·|R_c3×3| — a dense hot cell is the skew risk, so
+    ``max_cell_size`` (counted on the LEFT side's own cells, pre-join)
+    drops cells above the cap, same contract as the LSH/fuzzy-join
+    frequency caps.  Pick ``radius`` so typical cells hold O(1–100)
+    points; the operator does not repartition beyond the join shuffle.
+
+    Reference parity: no reference counterpart — geospatial extension
+    (driver brief: joins a large-scale pipeline needs).
+    """
+    r = float(radius)
+    lx, ly = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    l = left.withColumn("__cx", F.floor(lx / r).cast("long")).withColumn(
+        "__cy", F.floor(ly / r).cast("long")
+    )
+    if max_cell_size is not None:
+        heavy = (
+            l.groupBy("__cx", "__cy")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_cell_size)
+            .select("__cx", "__cy")
+        )
+        l = l.join(F.broadcast(heavy), ["__cx", "__cy"], "left_anti")
+    rx, ry = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    rr = (
+        right.withColumn("__rcx", F.floor(rx / r).cast("long"))
+        .withColumn("__rcy", F.floor(ry / r).cast("long"))
+        .withColumn("__dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__cx", F.col("__rcx") + F.col("__dx"))
+        .withColumn("__cy", F.col("__rcy") + F.col("__dy"))
+        .drop("__rcx", "__rcy", "__dx", "__dy")
+    )
+    lq = l.alias("l")
+    rq = rr.alias("r")
+    dx = F.col(f"l.{x_col}").cast("double") - F.col(f"r.{x_col}").cast("double")
+    dy = F.col(f"l.{y_col}").cast("double") - F.col(f"r.{y_col}").cast("double")
+    d2 = dx * dx + dy * dy
+    out = (
+        lq.join(
+            rq,
+            (F.col("l.__cx") == F.col("r.__cx"))
+            & (F.col("l.__cy") == F.col("r.__cy")),
+            "inner",
+        )
+        .filter(d2 <= F.lit(r * r))
+        .withColumn("dist", F.round(F.sqrt(d2), 6))
+    )
+    return out.drop("__cx", "__cy")

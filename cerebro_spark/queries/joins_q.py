@@ -538,3 +538,51 @@ FROM probe
 
 QUERIES["bloom_semijoin"] = q_bloom_semijoin
 ORACLES["bloom_semijoin"] = _BLOOM_SEMIJOIN_SQL
+
+
+def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join (joins.spatial_grid_join):
+    customer/supplier sites on a synthetic 100×100 plane (coordinates
+    derived deterministically from the keys — the tables carry no geo
+    columns), all pairs within distance 3 — cell + 3×3-neighborhood
+    equi-join, exact IEEE distance predicate (operator docstring).  The
+    oracle is the brute-force cross join with the same predicate."""
+    from cerebro_spark.operators.joins import spatial_grid_join
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 1000).cast("double") / 10.0).alias("x"),
+        (((F.col("c_custkey") * 61) % 1000).cast("double") / 10.0).alias("y"),
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 43) % 1000).cast("double") / 10.0).alias("x"),
+        (((F.col("s_suppkey") * 53) % 1000).cast("double") / 10.0).alias("y"),
+    )
+    return spatial_grid_join(cust, supp, "x", "y", 3.0).select(
+        "c_custkey", "s_suppkey", "dist"
+    )
+
+
+_SPATIAL_PAIRS_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 37) % 1000 AS DOUBLE) / 10.0 AS x,
+         CAST((c_custkey * 61) % 1000 AS DOUBLE) / 10.0 AS y
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         CAST((s_suppkey * 43) % 1000 AS DOUBLE) / 10.0 AS x,
+         CAST((s_suppkey * 53) % 1000 AS DOUBLE) / 10.0 AS y
+  FROM supplier
+)
+SELECT c_custkey, s_suppkey,
+       round(sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)), 6)
+         AS dist
+FROM c CROSS JOIN s
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 9.0
+"""
+
+QUERIES["spatial_pairs"] = q_spatial_pairs
+ORACLES["spatial_pairs"] = _SPATIAL_PAIRS_SQL

@@ -1,0 +1,71 @@
+"""Round-6 session-7 operator batch tests."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerebro_spark.operators.joins import spatial_grid_join
+
+
+def _pts(spark, rows, schema="id long, x double, y double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_spatial_grid_join_matches_bruteforce(spark):
+    # deterministic scatter incl. cell-border and corner cases
+    left = [(i, float((i * 7) % 50) / 3.0, float((i * 13) % 50) / 3.0) for i in range(60)]
+    right = [(j, float((j * 11) % 50) / 3.0, float((j * 17) % 50) / 3.0) for j in range(60)]
+    r = 1.5
+    got = {
+        (row["l_id"], row["r_id"])
+        for row in spatial_grid_join(
+            _pts(spark, left).withColumnRenamed("id", "l_id"),
+            _pts(spark, right).withColumnRenamed("id", "r_id"),
+            "x", "y", r,
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for (i, xi, yi) in left
+        for (j, xj, yj) in right
+        if (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r
+    }
+    assert got == expect and len(expect) > 50
+
+
+def test_spatial_grid_join_exact_radius_boundary(spark):
+    # distance exactly r is INCLUDED (<=); just beyond excluded
+    left = [(1, 0.0, 0.0)]
+    right = [(10, 3.0, 4.0), (11, 3.0, 4.0001)]
+    out = spatial_grid_join(
+        _pts(spark, left).withColumnRenamed("id", "l_id"),
+        _pts(spark, right).withColumnRenamed("id", "r_id"),
+        "x", "y", 5.0,
+    ).collect()
+    assert [(r["r_id"], r["dist"]) for r in out] == [(10, 5.0)]
+
+
+def test_spatial_grid_join_each_pair_once(spark):
+    # points sharing a location: every pair exactly once, dist 0
+    left = [(i, 2.0, 2.0) for i in range(3)]
+    right = [(j, 2.0, 2.0) for j in range(4)]
+    out = spatial_grid_join(
+        _pts(spark, left).withColumnRenamed("id", "l_id"),
+        _pts(spark, right).withColumnRenamed("id", "r_id"),
+        "x", "y", 1.0,
+    ).collect()
+    assert len(out) == 12
+    assert all(r["dist"] == 0.0 for r in out)
+
+
+def test_spatial_grid_join_hot_cell_cap(spark):
+    dense = [(i, 5.0, 5.0) for i in range(100)]
+    sparse = [(1000, 50.0, 50.0)]
+    right = [(2000, 5.1, 5.1), (2001, 50.1, 50.1)]
+    out = spatial_grid_join(
+        _pts(spark, dense + sparse).withColumnRenamed("id", "l_id"),
+        _pts(spark, right).withColumnRenamed("id", "r_id"),
+        "x", "y", 1.0, max_cell_size=10,
+    ).collect()
+    # the 100-point cell is dropped; the sparse cell survives
+    assert [(r["l_id"], r["r_id"]) for r in out] == [(1000, 2001)]
