@@ -166,6 +166,7 @@ HEADLINE = [
     "jl_distortion",          # 64->16 JL sign projection + norm audit
     "msprt_monitor",          # always-valid sequential A/B p-values
     "spatial_pairs",          # grid-bucketed spatial radius join
+    "top_paths",              # first-4-event journey discovery
 ]
 
 

@@ -375,3 +375,63 @@ def ewma(
     return folded.select(
         *keys, smoothed.alias("ewma"), "n_buckets", "last_bucket"
     )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    max_len: int = 4,
+    day_seconds: int = 86400,
+    top_k: int = 20,
+) -> DataFrame:
+    """Most common user journeys: per (user, day) the first ``max_len``
+    events joined into a ``a>b>c`` path string, counted across all
+    user-days — the top-k ``(path, n_sessions)``.  The "what do people
+    actually DO first" view behind every onboarding/funnel redesign;
+    ``window_funnel`` checks ONE hypothesized order, this discovers the
+    orders that exist.
+
+    Determinism: events order by (ts, id) — the id tiebreak makes
+    same-timestamp rows unambiguous in any engine; the top-k orders by
+    (count desc, path asc), a total order.
+
+    Scale shape: one per-(user, day) window (row_number, keyed — the
+    standard sessionize sort; a pathological mega-user-day sorts its own
+    partition only), rows beyond ``max_len`` dropped BEFORE the
+    collect_list, so the per-group state is ≤ max_len structs; then a
+    combinable path count.  No self-joins, no data-sized global state.
+
+    Reference parity: no reference counterpart — product-analytics
+    extension next to window_funnel/purchase_attribution (driver brief).
+    """
+    day = F.floor(F.col(time_col).cast("double") / day_seconds).cast("long")
+    w = Window.partitionBy(user_col, "__day").orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    seq = (
+        df.select(
+            user_col, event_col, time_col, id_col, day.alias("__day")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_len)
+    )
+    paths = seq.groupBy(user_col, "__day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__rn"), F.col(event_col).alias("e")))
+                ),
+                lambda x: x["e"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

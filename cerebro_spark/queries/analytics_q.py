@@ -2640,3 +2640,34 @@ FROM stat
 
 QUERIES["msprt_monitor"] = q_msprt_monitor
 ORACLES["msprt_monitor"] = _MSPRT_SQL
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common first-4-event user journeys per user-day
+    (timeops.top_paths): deterministic (ts, event_id) ordering, path
+    strings counted combinably, integer-exact top-20 (operator
+    docstring)."""
+    from cerebro_spark.operators.timeops import top_paths
+
+    ev = load_table(spark, "events", sf_dir)
+    return top_paths(ev, "user_id", "event_type", "ts", "event_id", 4, 86400, 20)
+
+
+_TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM seq WHERE rn <= 4 GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+QUERIES["top_paths"] = q_top_paths
+ORACLES["top_paths"] = _TOP_PATHS_SQL

@@ -69,3 +69,35 @@ def test_spatial_grid_join_hot_cell_cap(spark):
     ).collect()
     # the 100-point cell is dropped; the sparse cell survives
     assert [(r["l_id"], r["r_id"]) for r in out] == [(1000, 2001)]
+
+
+# ---------------------------------------------------------------------------
+# top_paths
+# ---------------------------------------------------------------------------
+
+def test_top_paths_orders_and_truncates(spark):
+    from cerebro_spark.operators.timeops import top_paths
+
+    rows = []
+    # user 1 day 0: a,b,c,d,e (5 events -> truncated to a>b>c>d)
+    for i, e in enumerate("abcde"):
+        rows.append((1, e, float(i), i))
+    # user 2 day 0: same first four in SAME timestamps but shuffled ids ->
+    # id tiebreak must order deterministically
+    rows += [(2, "b", 0.0, 11), (2, "a", 0.0, 10), (2, "d", 1.0, 13), (2, "c", 1.0, 12)]
+    # user 1 day 1: x alone
+    rows.append((1, "x", 86400.0 + 5, 99))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double, event_id long")
+    out = {r["path"]: r["n_sessions"] for r in top_paths(df).collect()}
+    assert out == {"a>b>c>d": 2, "x": 1}
+
+
+def test_top_paths_topk_total_order(spark):
+    from cerebro_spark.operators.timeops import top_paths
+
+    rows = []
+    for u in range(6):
+        rows.append((u, "z" if u % 2 else "a", 0.0, u))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double, event_id long")
+    out = top_paths(df, top_k=1).collect()
+    assert [(r["path"], r["n_sessions"]) for r in out] == [("a", 3)]
