@@ -574,6 +574,7 @@ _SNAPSHOT_PRIORITY = [
     # FIRST, before any new birth.
     #
     # (-3) Born round 6, session 7 — newest first (same policy):
+    "l_diversity_events",
     "top_paths",
     "spatial_pairs",
     # (-2) Born round 6, session 6 — newest first (same policy):

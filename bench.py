@@ -167,6 +167,7 @@ HEADLINE = [
     "msprt_monitor",          # always-valid sequential A/B p-values
     "spatial_pairs",          # grid-bucketed spatial radius join
     "top_paths",              # first-4-event journey discovery
+    "l_diversity_events",     # entropy l-diversity governance audit
 ]
 
 

@@ -1368,3 +1368,76 @@ def msprt_monitor(
         "log_lambda",
         F.min(p_raw).over(wrun).alias("p_always"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    worst_k: int = 20,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the privacy
+    check k-anonymity misses: a group of 50 "anonymous" rows that all
+    share ONE sensitive value still discloses it.  Per quasi-identifier
+    group: ``n``, ``l_distinct`` (distinct sensitive values — the basic
+    l), and ``l_entropy`` = exp(H) over the group's sensitive-value
+    distribution (the effective number of values an attacker must choose
+    among; equals l_distinct only when uniform).  Returns the
+    ``worst_k`` most disclosing groups — lowest l_distinct, then lowest
+    entropy, then group key.
+
+    Exactness: the per-(group, value) and per-group counts are exact
+    integers; H sums e6-quantized ``c·ln(c/n)`` terms (one quantized ln
+    per DISTINCT count pair — same contract as mutual_info), and
+    ``l_entropy = round(exp(H), 6)`` is one fixed IEEE chain.
+
+    Scale shape: one combinable (QI, sensitive) aggregate over the fact,
+    one combinable QI re-aggregation on top — group count rows, never
+    the fact, pass the second stage.  No windows, no self-joins.
+
+    Reference parity: no reference counterpart — governance extension
+    next to k_anonymity (driver brief).
+    """
+    names = [f"qi_{i}" for i in range(len(qi_cols))]
+    cells = (
+        df.select(
+            *[c.alias(n) for c, n in zip(qi_cols, names)],
+            F.col(sensitive_col).alias("__s"),
+        )
+        .filter(F.col("__s").isNotNull())
+        .groupBy(*names, "__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # e6-quantized c*ln(c/n) per cell needs n first: re-aggregate counts,
+    # then a second pass over the cell frame (group-count rows, not fact)
+    totals = cells.groupBy(*names).agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+    )
+    j = cells.join(totals, names)
+    term = (
+        F.col("__c")
+        * F.floor(
+            F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
+            * F.lit(1.0e6)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    ent = j.groupBy(*names).agg(F.sum(term).alias("__hsum"))
+    out = totals.join(ent, names).select(
+        *names,
+        F.col("__n").cast("long").alias("n"),
+        "l_distinct",
+        F.round(
+            F.exp(
+                -(F.col("__hsum").cast("double") / F.col("__n").cast("double"))
+                / F.lit(1.0e6)
+            ),
+            6,
+        ).alias("l_entropy"),
+    )
+    return out.orderBy(
+        F.col("l_distinct").asc(),
+        F.col("l_entropy").asc(),
+        *[F.col(n).asc() for n in names],
+    ).limit(worst_k)

@@ -2671,3 +2671,49 @@ ORDER BY n_sessions DESC, path ASC LIMIT 20
 
 QUERIES["top_paths"] = q_top_paths
 ORACLES["top_paths"] = _TOP_PATHS_SQL
+
+
+def q_l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (profile.l_diversity): for the (event_type, day)
+    quasi-identifier groups, how diverse the sensitive value-bucket is —
+    the 20 most disclosing groups by distinct-l then entropy-l.  The
+    privacy check k_anonymity_events misses (operator docstring);
+    e6-quantized entropy terms, exact counts."""
+    from cerebro_spark.operators.profile import l_diversity
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value_bucket", F.floor(F.col("value") / 100).cast("long")
+    )
+    return l_diversity(
+        ev,
+        [F.col("event_type"), F.date_trunc("day", F.col("ts"))],
+        "value_bucket",
+        worst_k=20,
+    )
+
+
+_L_DIVERSITY_SQL = """
+WITH cells AS (
+  SELECT event_type AS qi_0, date_trunc('day', ts) AS qi_1,
+         CAST(floor(value / 100) AS BIGINT) AS s, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT qi_0, qi_1, SUM(c) AS n, COUNT(*) AS l_distinct
+  FROM cells GROUP BY 1, 2
+),
+ent AS (
+  SELECT cells.qi_0, cells.qi_1,
+    SUM(c * CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT)) AS hsum
+  FROM cells JOIN tot USING (qi_0, qi_1) GROUP BY 1, 2
+)
+SELECT tot.qi_0, tot.qi_1, CAST(n AS BIGINT) AS n, l_distinct,
+  round(exp(-(CAST(hsum AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6), 6) AS l_entropy
+FROM tot JOIN ent USING (qi_0, qi_1)
+ORDER BY l_distinct ASC, l_entropy ASC, qi_0 ASC, qi_1 ASC LIMIT 20
+"""
+
+QUERIES["l_diversity_events"] = q_l_diversity_events
+ORACLES["l_diversity_events"] = _L_DIVERSITY_SQL

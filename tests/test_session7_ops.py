@@ -101,3 +101,44 @@ def test_top_paths_topk_total_order(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts double, event_id long")
     out = top_paths(df, top_k=1).collect()
     assert [(r["path"], r["n_sessions"]) for r in out] == [("a", 3)]
+
+
+# ---------------------------------------------------------------------------
+# l_diversity
+# ---------------------------------------------------------------------------
+
+def test_l_diversity_uniform_group_entropy_equals_distinct(spark):
+    from cerebro_spark.operators.profile import l_diversity
+
+    # group g1: 4 values x 3 rows each (uniform) -> l_distinct=4, l_entropy=4
+    # group g2: one value only -> l=1, entropy-l=1 (fully disclosing, ranks first)
+    rows = [("g1", v) for v in [1, 2, 3, 4] * 3] + [("g2", 9)] * 5
+    df = spark.createDataFrame(rows, "g string, s long")
+    out = l_diversity(df, [F.col("g")], "s").collect()
+    assert [r["qi_0"] for r in out] == ["g2", "g1"]
+    g2, g1 = out[0], out[1]
+    assert (g2["l_distinct"], g2["l_entropy"]) == (1, 1.0)
+    assert g1["l_distinct"] == 4
+    assert g1["l_entropy"] == pytest.approx(4.0, abs=1e-4)
+
+
+def test_l_diversity_skewed_entropy_below_distinct(spark):
+    from cerebro_spark.operators.profile import l_diversity
+
+    # 97 of one value, 1 each of three others: distinct 4, effective ~1.2
+    rows = [("g", 0)] * 97 + [("g", 1), ("g", 2), ("g", 3)]
+    df = spark.createDataFrame(rows, "g string, s long")
+    r = l_diversity(df, [F.col("g")], "s").collect()[0]
+    assert r["l_distinct"] == 4
+    h = -(0.97 * math.log(0.97) + 3 * 0.01 * math.log(0.01))
+    assert r["l_entropy"] == pytest.approx(math.exp(h), abs=1e-3)
+    assert r["l_entropy"] < 2.0
+
+
+def test_l_diversity_null_sensitive_excluded(spark):
+    from cerebro_spark.operators.profile import l_diversity
+
+    rows = [("g", 1), ("g", None), ("g", 2)]
+    df = spark.createDataFrame(rows, "g string, s string")
+    r = l_diversity(df, [F.col("g")], "s").collect()[0]
+    assert r["n"] == 2 and r["l_distinct"] == 2
