@@ -168,6 +168,7 @@ HEADLINE = [
     "spatial_pairs",          # grid-bucketed spatial radius join
     "top_paths",              # first-4-event journey discovery
     "l_diversity_events",     # entropy l-diversity governance audit
+    "time_decay_attribution", # exponential-decay multi-touch credit
 ]
 
 

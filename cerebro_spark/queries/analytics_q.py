@@ -2717,3 +2717,43 @@ ORDER BY l_distinct ASC, l_entropy ASC, qi_0 ASC, qi_1 ASC LIMIT 20
 
 QUERIES["l_diversity_events"] = q_l_diversity_events
 ORACLES["l_diversity_events"] = _L_DIVERSITY_SQL
+
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (timeops.time_decay_attribution):
+    view/click touches within 7 days of a purchase earn 2^(-dt/1d)
+    credit — per-pair e9-quantized decay, exact channel sums, bucket-
+    exploded interval equi-join (operator docstring)."""
+    from cerebro_spark.operators.timeops import time_decay_attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    return time_decay_attribution(
+        ev, "user_id", "event_type", "ts", "purchase", ["view", "click"],
+        604800, 86400, 86400,
+    )
+
+
+_TIME_DECAY_SQL = """
+WITH conv AS (
+  SELECT user_id, epoch(ts) AS tp FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type AS channel, epoch(ts) AS tt
+  FROM events WHERE event_type IN ('view', 'click')
+),
+w AS (
+  SELECT channel,
+    CAST(floor(exp(-(tp - tt) * 0.6931471805599453 / 86400.0) * 1e9 + 0.5)
+         AS BIGINT) AS we9
+  FROM touch JOIN conv USING (user_id)
+  WHERE tt >= tp - 604800.0 AND tt <= tp
+),
+agg AS (SELECT channel, COUNT(*) AS touches, SUM(we9) AS sw FROM w GROUP BY 1)
+SELECT channel, touches,
+  round(CAST(sw AS DOUBLE) / 1e9, 6) AS weight,
+  round(CAST(sw AS DOUBLE) / CAST(SUM(sw) OVER () AS DOUBLE), 6) AS share
+FROM agg
+"""
+
+QUERIES["time_decay_attribution"] = q_time_decay_attribution
+ORACLES["time_decay_attribution"] = _TIME_DECAY_SQL

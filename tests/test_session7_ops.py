@@ -142,3 +142,55 @@ def test_l_diversity_null_sensitive_excluded(spark):
     df = spark.createDataFrame(rows, "g string, s string")
     r = l_diversity(df, [F.col("g")], "s").collect()[0]
     assert r["n"] == 2 and r["l_distinct"] == 2
+
+
+# ---------------------------------------------------------------------------
+# time_decay_attribution
+# ---------------------------------------------------------------------------
+
+def test_time_decay_attribution_halflife_weights(spark):
+    from cerebro_spark.operators.timeops import time_decay_attribution
+
+    # purchase at t=2d; view 1 halflife before (w=0.5), click 2 before (w=0.25)
+    rows = [
+        (1, "view", 86400.0),
+        (1, "click", 0.0),
+        (1, "purchase", 2 * 86400.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+    out = {r["channel"]: r for r in time_decay_attribution(df).collect()}
+    assert out["view"]["weight"] == pytest.approx(0.5, abs=1e-6)
+    assert out["click"]["weight"] == pytest.approx(0.25, abs=1e-6)
+    assert out["view"]["share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["click"]["share"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_time_decay_attribution_lookback_and_future_excluded(spark):
+    from cerebro_spark.operators.timeops import time_decay_attribution
+
+    rows = [
+        (1, "view", 0.0),                 # 8 days before -> outside lookback
+        (1, "click", 9 * 86400.0),        # after the purchase -> excluded
+        (1, "view", 8 * 86400.0 - 10.0),  # just inside
+        (1, "purchase", 8 * 86400.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+    out = time_decay_attribution(df).collect()
+    assert len(out) == 1
+    assert out[0]["channel"] == "view" and out[0]["touches"] == 1
+    assert out[0]["share"] == 1.0
+
+
+def test_time_decay_attribution_multi_conversion_touch_counted_per_pair(spark):
+    from cerebro_spark.operators.timeops import time_decay_attribution
+
+    # one touch before TWO purchases earns credit twice (pair-level model)
+    rows = [
+        (1, "view", 0.0),
+        (1, "purchase", 86400.0),
+        (1, "purchase", 2 * 86400.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+    out = time_decay_attribution(df).collect()[0]
+    assert out["touches"] == 2
+    assert out["weight"] == pytest.approx(0.75, abs=1e-6)
