@@ -574,6 +574,7 @@ _SNAPSHOT_PRIORITY = [
     # FIRST, before any new birth.
     #
     # (-3) Born round 6, session 7 — newest first (same policy):
+    "js_drift",
     "time_decay_attribution",
     "l_diversity_events",
     "top_paths",

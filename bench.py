@@ -169,6 +169,7 @@ HEADLINE = [
     "top_paths",              # first-4-event journey discovery
     "l_diversity_events",     # entropy l-diversity governance audit
     "time_decay_attribution", # exponential-decay multi-touch credit
+    "js_drift",               # Jensen-Shannon source-vs-corpus drift
 ]
 
 

@@ -1441,3 +1441,70 @@ def l_diversity(
         F.col("l_entropy").asc(),
         *[F.col(n).asc() for n in names],
     ).limit(worst_k)
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence of each group's distribution of a
+    BUCKETED feature against the whole corpus — ``(group, n, js)`` in
+    nats, largest drift first.  Symmetric and bounded (≤ ln 2), so it
+    ranks sources comparably where PSI (mass movement vs a reference
+    window) and KS (CDF shape) answer adjacent questions; the natural
+    "which source looks least like the corpus" curation signal.
+
+    JS(p‖q) = ½Σ_b [p·ln(2p/(p+q)) + q·ln(2q/(p+q))] over the full
+    observed bucket grid (buckets a group lacks still contribute the
+    q·ln2 mass — materialized via the groups × buckets cross join).
+    The corpus distribution q INCLUDES the group itself (the standard
+    one-vs-corpus monitoring framing; at many similar-sized groups the
+    self-mass dilution is uniform across groups).
+
+    Exactness: p and q are single IEEE divisions of exact integer
+    counts; each bucket's term is one fixed chain quantized to an e9
+    BIGINT, so per-group totals are exact integer sums over the bounded
+    grid; js divides once and rounds to 6 dp.
+
+    Scale shape: one combinable (group, bucket) aggregate over the
+    fact; everything after runs on |groups|·|buckets| grid rows (the
+    cross join is bounded metadata, the chi2_event_hour contract).
+
+    Reference parity: no reference counterpart — drift-monitor
+    extension next to psi_drift/ks_drift (driver brief).
+    """
+    cells = (
+        df.filter(F.col(group_col).isNotNull() & F.col(bucket_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), F.col(bucket_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    srcn = cells.groupBy("__g").agg(F.sum("__c").alias("__ns"))
+    gb = cells.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    gt = cells.agg(F.sum("__c").alias("__ng"))
+    grid = (
+        srcn.crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(gt))
+        .join(cells, ["__g", "__b"], "left")
+        .withColumn("__csb", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    p = F.col("__csb").cast("double") / F.col("__ns").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__ng").cast("double")
+    term = (
+        F.when(
+            F.col("__csb") > 0,
+            p * F.log(F.lit(2.0) * p / (p + q)),
+        ).otherwise(F.lit(0.0))
+        + q * F.log(F.lit(2.0) * q / (p + q))
+    )
+    te9 = F.floor(term * F.lit(1.0e9) + F.lit(0.5)).cast("long")
+    out = grid.select("__g", "__ns", te9.alias("__t")).groupBy(
+        "__g", "__ns"
+    ).agg(F.sum("__t").alias("__s"))
+    return out.select(
+        F.col("__g").alias("group"),
+        F.col("__ns").cast("long").alias("n"),
+        F.round(
+            F.col("__s").cast("double") / F.lit(2.0) / F.lit(1.0e9), 6
+        ).alias("js"),
+    ).orderBy(F.col("js").desc(), F.col("group").asc())

@@ -1639,3 +1639,56 @@ FROM r GROUP BY 1
 
 QUERIES["jl_distortion"] = q_jl_distortion
 ORACLES["jl_distortion"] = _jl_sql()
+
+
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon source drift (profile.js_divergence): each source's
+    doc-length (n_chars/100 buckets) distribution vs the corpus — the
+    symmetric bounded drift rank next to psi_drift/ks_drift.  Exact
+    integer counts, e9-quantized per-bucket terms (operator
+    docstring)."""
+    from cerebro_spark.operators.profile import js_divergence
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    return js_divergence(docs, "source", "len_bucket")
+
+
+_JS_DRIFT_SQL = """
+WITH cells AS (
+  SELECT source AS g, CAST(floor(n_chars / 100) AS BIGINT) AS b, COUNT(*) AS c
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+srcn AS (SELECT g, SUM(c) AS ns FROM cells GROUP BY 1),
+gb AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY 1),
+gt AS (SELECT SUM(c) AS ng FROM cells),
+x AS (
+  SELECT srcn.g, srcn.ns, gb.b, gb.cb, gt.ng, COALESCE(cells.c, 0) AS csb
+  FROM srcn CROSS JOIN gb CROSS JOIN gt
+  LEFT JOIN cells ON cells.g = srcn.g AND cells.b = gb.b
+),
+t AS (
+  SELECT g, ns,
+    CAST(floor((
+      CASE WHEN csb > 0
+        THEN (CAST(csb AS DOUBLE) / CAST(ns AS DOUBLE))
+             * ln(2.0 * (CAST(csb AS DOUBLE) / CAST(ns AS DOUBLE))
+                  / ((CAST(csb AS DOUBLE) / CAST(ns AS DOUBLE))
+                     + (CAST(cb AS DOUBLE) / CAST(ng AS DOUBLE))))
+        ELSE 0.0 END
+      + (CAST(cb AS DOUBLE) / CAST(ng AS DOUBLE))
+        * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(ng AS DOUBLE))
+             / ((CAST(csb AS DOUBLE) / CAST(ns AS DOUBLE))
+                + (CAST(cb AS DOUBLE) / CAST(ng AS DOUBLE))))
+    ) * 1e9 + 0.5) AS BIGINT) AS te9
+  FROM x
+)
+SELECT g AS "group", CAST(ns AS BIGINT) AS n,
+  round(CAST(SUM(te9) AS DOUBLE) / 2.0 / 1e9, 6) AS js
+FROM t GROUP BY 1, 2 ORDER BY js DESC, "group" ASC
+"""
+
+QUERIES["js_drift"] = q_js_drift
+ORACLES["js_drift"] = _JS_DRIFT_SQL

@@ -194,3 +194,48 @@ def test_time_decay_attribution_multi_conversion_touch_counted_per_pair(spark):
     out = time_decay_attribution(df).collect()[0]
     assert out["touches"] == 2
     assert out["weight"] == pytest.approx(0.75, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# js_divergence
+# ---------------------------------------------------------------------------
+
+def test_js_divergence_identical_groups_zero(spark):
+    from cerebro_spark.operators.profile import js_divergence
+
+    rows = [(g, b) for g in ("s1", "s2") for b in (0, 1) for _ in range(10)]
+    df = spark.createDataFrame(rows, "g string, b long")
+    out = js_divergence(df, "g", "b").collect()
+    assert all(r["js"] == 0.0 for r in out)
+
+
+def test_js_divergence_disjoint_supports_textbook_value(spark):
+    from cerebro_spark.operators.profile import js_divergence
+
+    # s1 only bucket 0, s2 only bucket 1, equal sizes: q = (1/2, 1/2);
+    # JS(p||q) for p=(1,0): 1/2*[1*ln(2*1/1.5) + 1/2*ln(2*.5/1.5) + 1/2*ln(2*.5/.5)]
+    rows = [("s1", 0)] * 10 + [("s2", 1)] * 10
+    df = spark.createDataFrame(rows, "g string, b long")
+    out = {r["group"]: r["js"] for r in js_divergence(df, "g", "b").collect()}
+    expect = 0.5 * (
+        1.0 * math.log(2 * 1.0 / 1.5)
+        + 0.5 * math.log(2 * 0.5 / 1.5)
+        + 0.5 * math.log(2 * 0.5 / 0.5)
+    )
+    for g in ("s1", "s2"):
+        assert out[g] == pytest.approx(expect, abs=1e-6)
+    assert expect > 0.2  # bounded by ln2, meaningfully large here
+
+
+def test_js_divergence_orders_most_drifted_first(spark):
+    from cerebro_spark.operators.profile import js_divergence
+
+    rows = (
+        [("norm", b % 4) for b in range(40)]        # uniform over 0-3
+        + [("same", b % 4) for b in range(40)]      # also uniform
+        + [("odd", 9)] * 10                          # all in its own bucket
+    )
+    df = spark.createDataFrame(rows, "g string, b long")
+    out = js_divergence(df, "g", "b").collect()
+    assert out[0]["group"] == "odd"
+    assert out[0]["js"] > out[1]["js"]

@@ -144,6 +144,11 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the global (n, Σ) target totals crossJoined
     # onto the |categories|×folds grid (r6 session 6)
     "target_encode_oof",
+    # bounded-grid crossJoin: |sources| × |length-buckets| grid (every
+    # group must carry the buckets it LACKS — they contribute q·ln2
+    # mass) plus the 1-row corpus total; the chi2_event_hour contract
+    # (r6 session 7)
+    "js_drift",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
