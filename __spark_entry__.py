@@ -573,7 +573,8 @@ _SNAPSHOT_PRIORITY = [
     # driver-gated this round via ppr_trade_recs.  R07: gate these 25
     # FIRST, before any new birth.
     #
-    # (-3) Born round 6, session 7 — newest first (same policy):
+    # (-3) Born round 6, sessions 7-8 — newest first (same policy):
+    "info_gain_ranking",
     "js_drift",
     "time_decay_attribution",
     "l_diversity_events",

@@ -170,6 +170,7 @@ HEADLINE = [
     "l_diversity_events",     # entropy l-diversity governance audit
     "time_decay_attribution", # exponential-decay multi-touch credit
     "js_drift",               # Jensen-Shannon source-vs-corpus drift
+    "info_gain_ranking",      # one-scan multi-feature MI shortlist
 ]
 
 

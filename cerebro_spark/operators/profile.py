@@ -1508,3 +1508,90 @@ def js_divergence(
             F.col("__s").cast("double") / F.lit(2.0) / F.lit(1.0e9), 6
         ).alias("js"),
     ).orderBy(F.col("js").desc(), F.col("group").asc())
+
+
+def info_gain_ranking(
+    df: DataFrame,
+    features: "dict[str, object]",
+    label_col: str,
+) -> DataFrame:
+    """Feature ranking by information gain: MI(label; feature) for MANY
+    candidate features in ONE fact scan — ``(feature, n, mi_nats,
+    h_feature, gain_ratio)`` ordered by gain.  ``gain_ratio`` is
+    Quinlan's MI / H(feature) (penalizes high-cardinality features that
+    memorize rather than generalize) — the feature-selection shortlist
+    a training pipeline ranks candidate columns by.  ``features`` maps
+    name → Column expression (values cast to string).
+
+    How the one-scan works: each row explodes into |features| (name,
+    value) structs — a projection-side melt, no self-union, so the fact
+    is read once; everything after runs on contingency-cell frames
+    (Σ_f |V_f|·|L| rows).  Complete-case per feature (a NULL in feature
+    f drops the row for f only); NULL labels drop everywhere.
+
+    Exactness: the mutual_info contract — every term's inputs are exact
+    integer counts, each term is one fixed IEEE chain ending in ln,
+    e6-quantized and summed exactly; the final ordering key is the
+    INTEGER quantized MI (ties → feature name).
+
+    Reference parity: no reference counterpart — feature-selection
+    extension generalizing mutual_info (driver brief).
+    """
+    lab = F.col(label_col).cast("string")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("f"),
+                (expr if not isinstance(expr, str) else F.col(expr))
+                .cast("string")
+                .alias("v"),
+            )
+            for name, expr in features.items()
+        ]
+    )
+    base = (
+        df.filter(lab.isNotNull())
+        .select(F.explode(arr).alias("__fv"), lab.alias("__l"))
+        .select(
+            F.col("__fv.f").alias("__f"), F.col("__fv.v").alias("__v"), "__l"
+        )
+        .filter(F.col("__v").isNotNull())
+    )
+    cells = base.groupBy("__f", "__v", "__l").agg(F.count(F.lit(1)).alias("__o"))
+    rv = cells.groupBy("__f", "__v").agg(F.sum("__o").alias("__rv"))
+    cl = cells.groupBy("__f", "__l").agg(F.sum("__o").alias("__cl"))
+    nf = cells.groupBy("__f").agg(F.sum("__o").alias("__n"))
+
+    def _q6(term):
+        return F.floor(term * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+
+    scored = (
+        cells.join(F.broadcast(rv), ["__f", "__v"])
+        .join(F.broadcast(cl), ["__f", "__l"])
+        .join(F.broadcast(nf), "__f")
+    )
+    mi_term = (F.col("__o").cast("double") / F.col("__n")) * F.log(
+        (F.col("__o") * F.col("__n")).cast("double")
+        / (F.col("__rv") * F.col("__cl")).cast("double")
+    )
+    mi6 = scored.groupBy("__f").agg(F.sum(_q6(mi_term)).alias("__mi6"))
+    h_term = -(F.col("__rv").cast("double") / F.col("__n")) * F.log(
+        F.col("__rv").cast("double") / F.col("__n")
+    )
+    hf6 = (
+        rv.join(F.broadcast(nf), "__f")
+        .groupBy("__f")
+        .agg(F.sum(_q6(h_term)).alias("__hf6"))
+    )
+    out = mi6.join(hf6, "__f").join(F.broadcast(nf), "__f")
+    return out.select(
+        F.col("__f").alias("feature"),
+        F.col("__n").cast("long").alias("n"),
+        (F.col("__mi6") / F.lit(1.0e6)).alias("mi_nats"),
+        (F.col("__hf6") / F.lit(1.0e6)).alias("h_feature"),
+        F.when(
+            F.col("__hf6") > 0,
+            F.round(F.col("__mi6").cast("double") / F.col("__hf6").cast("double"), 6),
+        ).alias("gain_ratio"),
+        F.col("__mi6").alias("__k"),
+    ).orderBy(F.col("__k").desc(), F.col("feature").asc()).drop("__k")

@@ -2757,3 +2757,76 @@ FROM agg
 
 QUERIES["time_decay_attribution"] = q_time_decay_attribution
 ORACLES["time_decay_attribution"] = _TIME_DECAY_SQL
+
+
+def q_info_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature shortlist (profile.info_gain_ranking):
+    four candidate features ranked by MI against the value-bucket label
+    in ONE events scan (projection-side melt) — e6-quantized terms, the
+    mutual_info contract, integer ordering key (operator docstring)."""
+    from cerebro_spark.operators.profile import info_gain_ranking
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    t = F.col("ts").cast("double")
+    return info_gain_ranking(
+        ev.withColumn("label", F.floor(F.col("value") / 250).cast("long")),
+        {
+            "event_type": F.col("event_type"),
+            "hour": F.floor(t / 3600) % 24,
+            "weekday": F.floor(t / 86400) % 7,
+            "user_mod10": F.pmod(F.col("user_id"), F.lit(10)),
+        },
+        "label",
+    )
+
+
+_INFO_GAIN_SQL = """
+WITH melted AS (
+  SELECT * FROM (
+    SELECT 'event_type' AS f, CAST(event_type AS VARCHAR) AS v,
+           CAST(CAST(floor(value / 250) AS BIGINT) AS VARCHAR) AS l
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT 'hour', CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS VARCHAR),
+           CAST(CAST(floor(value / 250) AS BIGINT) AS VARCHAR)
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT 'weekday', CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS VARCHAR),
+           CAST(CAST(floor(value / 250) AS BIGINT) AS VARCHAR)
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT 'user_mod10', CAST(user_id % 10 AS VARCHAR),
+           CAST(CAST(floor(value / 250) AS BIGINT) AS VARCHAR)
+    FROM events WHERE value IS NOT NULL
+  ) WHERE v IS NOT NULL AND l IS NOT NULL
+),
+cells AS (SELECT f, v, l, COUNT(*) AS o FROM melted GROUP BY 1, 2, 3),
+rv AS (SELECT f, v, SUM(o) AS rv FROM cells GROUP BY 1, 2),
+cl AS (SELECT f, l, SUM(o) AS cl FROM cells GROUP BY 1, 2),
+nf AS (SELECT f, SUM(o) AS n FROM cells GROUP BY 1),
+mi AS (
+  SELECT cells.f,
+    SUM(CAST(floor(
+      (CAST(o AS DOUBLE) / n) * ln(CAST(o * n AS DOUBLE) / CAST(rv.rv * cl.cl AS DOUBLE))
+      * 1e6 + 0.5) AS BIGINT)) AS mi6
+  FROM cells JOIN rv USING (f, v) JOIN cl USING (f, l) JOIN nf USING (f)
+  GROUP BY 1
+),
+hf AS (
+  SELECT rv.f,
+    SUM(CAST(floor(
+      -(CAST(rv AS DOUBLE) / n) * ln(CAST(rv AS DOUBLE) / n) * 1e6 + 0.5)
+      AS BIGINT)) AS hf6
+  FROM rv JOIN nf USING (f)
+  GROUP BY 1
+)
+SELECT mi.f AS feature, CAST(n AS BIGINT) AS n,
+  mi6 / 1e6 AS mi_nats, hf6 / 1e6 AS h_feature,
+  CASE WHEN hf6 > 0
+       THEN round(CAST(mi6 AS DOUBLE) / CAST(hf6 AS DOUBLE), 6) END AS gain_ratio
+FROM mi JOIN hf USING (f) JOIN nf USING (f)
+ORDER BY mi6 DESC, feature ASC
+"""
+
+QUERIES["info_gain_ranking"] = q_info_gain_ranking
+ORACLES["info_gain_ranking"] = _INFO_GAIN_SQL

@@ -239,3 +239,39 @@ def test_js_divergence_orders_most_drifted_first(spark):
     out = js_divergence(df, "g", "b").collect()
     assert out[0]["group"] == "odd"
     assert out[0]["js"] > out[1]["js"]
+
+
+# ---------------------------------------------------------------------------
+# info_gain_ranking
+# ---------------------------------------------------------------------------
+
+def test_info_gain_perfect_vs_independent_feature(spark):
+    from cerebro_spark.operators.profile import info_gain_ranking
+
+    # f_good determines the label exactly; f_noise is independent of it
+    rows = [(i, "L%d" % (i % 2), "G%d" % (i % 2), "N%d" % ((i // 2) % 2))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, label string, good string, noise string")
+    out = {r["feature"]: r for r in info_gain_ranking(
+        df, {"good": F.col("good"), "noise": F.col("noise")}, "label"
+    ).collect()}
+    assert out["good"]["mi_nats"] == pytest.approx(math.log(2), abs=1e-5)
+    assert out["good"]["gain_ratio"] == pytest.approx(1.0, abs=1e-5)
+    assert out["noise"]["mi_nats"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_info_gain_orders_by_mi_and_handles_feature_nulls(spark):
+    from cerebro_spark.operators.profile import info_gain_ranking
+
+    rows = []
+    for i in range(32):
+        label = "L%d" % (i % 4)
+        full = "F%d" % (i % 4)          # 2 bits
+        half = "H%d" % (i % 2)          # 1 bit
+        rows.append((label, full, half if i % 8 else None))
+    df = spark.createDataFrame(rows, "label string, full string, half string")
+    out = info_gain_ranking(df, {"full": F.col("full"), "half": F.col("half")}, "label").collect()
+    assert [r["feature"] for r in out] == ["full", "half"]
+    # the half feature's complete-case n excludes its NULL rows only
+    assert out[0]["n"] == 32
+    assert out[1]["n"] == 28
