@@ -171,6 +171,7 @@ HEADLINE = [
     "time_decay_attribution", # exponential-decay multi-touch credit
     "js_drift",               # Jensen-Shannon source-vs-corpus drift
     "info_gain_ranking",      # one-scan multi-feature MI shortlist
+    "quantile_normalize_check",  # value-grid exact quantile mapping
 ]
 
 

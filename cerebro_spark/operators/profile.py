@@ -1595,3 +1595,92 @@ def info_gain_ranking(
         ).alias("gain_ratio"),
         F.col("__mi6").alias("__k"),
     ).orderBy(F.col("__k").desc(), F.col("feature").asc()).drop("__k")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid_scale: float = 100.0,
+) -> DataFrame:
+    """Exact quantile normalization: map each group's value distribution
+    onto the CORPUS distribution — ``(group, q, n_cell, rank_target,
+    mapped_value)`` where every distinct (group, grid-value) cell lands
+    on the global value at the same quantile.  The cross-source feature
+    alignment step (microarray heritage, Bolstad 2003): after it, every
+    group's feature has the SAME marginal distribution, so downstream
+    thresholds mean the same thing for every source.  Broadcast-join the
+    grid back on (group, q) to rewrite a fact column.
+
+    Exactness, end to end in integers: values quantize to the
+    ``grid_scale`` grid; a cell's midrank numerator is ``2·cum − cnt + 1``
+    over denominator ``2·n_g``; its target global rank is
+    ``R = ⌈r·n/(2·n_g)⌉`` computed as one DECIMAL(38,0) integral
+    division; the global value at rank R is found with the repo's own
+    as-of join (largest interval-start ≤ R) — no floats until the final
+    mapped value de-quantizes.
+
+    Scale shape: one combinable (group, grid) aggregate over the fact;
+    every window after runs over VALUE-GRID rows (winsorized_mean's
+    histogram contract — grid size is value-cardinality-bounded, not
+    data-bounded; the one keyless cumulative window is over the global
+    grid).  The as-of join is the one-shuffle union-merge, grid-sized
+    on both sides.
+
+    Reference parity: no reference counterpart — feature-normalization
+    extension next to winsorized_mean (driver brief).
+    """
+    from cerebro_spark.operators.joins import asof_join
+    from pyspark.sql import Window
+
+    scale = float(grid_scale)
+    q = F.floor(F.col(value_col).cast("double") * F.lit(scale) + F.lit(0.5)).cast(
+        "long"
+    )
+    cells = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("group"), q.alias("q"))
+        .groupBy("group", "q")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+    )
+    wg = Window.partitionBy("group").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall_g = Window.partitionBy("group")
+    probe = cells.withColumn("__cum", F.sum("n_cell").over(wg)).withColumn(
+        "__ng", F.sum("n_cell").over(wall_g)
+    )
+    # global grid: keyless windows over VALUE-GRID rows (bounded by value
+    # cardinality, never by data size — the winsorized_mean contract)
+    grid = cells.groupBy("q").agg(F.sum("n_cell").alias("__gc"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid = grid.withColumn("__gcum", F.sum("__gc").over(wq)).withColumn(
+        "__n", F.sum("__gc").over(Window.partitionBy())
+    )
+    dec = "decimal(38,0)"
+    rnum = (F.lit(2) * F.col("__cum") - F.col("n_cell") + 1).cast(dec)
+    # R = ceil(rnum*n / (2*ng)), all-positive integral arithmetic
+    n_total = F.broadcast(grid.select(F.max("__n").alias("__n")))
+    probe = probe.crossJoin(n_total)
+    probe = probe.withColumn(
+        "__rk",
+        F.expr(
+            "CAST((CAST(2 * __cum - n_cell + 1 AS DECIMAL(38,0)) * __n"
+            " + 2 * __ng - 1) AS DECIMAL(38,0)) DIV (2 * __ng)"
+        ),
+    ).select("group", "q", "n_cell", "__rk")
+    glookup = grid.select(
+        (F.col("__gcum") - F.col("__gc") + 1).alias("__rk"),
+        F.col("q").alias("__gq"),
+    )
+    j = asof_join(
+        probe, glookup, time_col="__rk", right_cols=["__gq"],
+        direction="backward",
+    )
+    return j.select(
+        "group",
+        "q",
+        "n_cell",
+        F.col("__rk").cast("long").alias("rank_target"),
+        (F.col("__gq_right").cast("double") / F.lit(scale)).alias("mapped_value"),
+    )

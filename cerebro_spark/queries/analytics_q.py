@@ -2830,3 +2830,52 @@ ORDER BY mi6 DESC, feature ASC
 
 QUERIES["info_gain_ranking"] = q_info_gain_ranking
 ORACLES["info_gain_ranking"] = _INFO_GAIN_SQL
+
+
+def q_quantile_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile normalization grid (profile.quantile_normalize):
+    each event_type's value distribution mapped onto the corpus
+    quantiles over the width-50 value grid — integer midranks, one
+    DECIMAL integral division per cell, the repo's as-of join for the
+    value-at-rank lookup (operator docstring)."""
+    from cerebro_spark.operators.profile import quantile_normalize
+
+    ev = load_table(spark, "events", sf_dir)
+    return quantile_normalize(ev, "event_type", "value", 0.02)
+
+
+_QUANTILE_NORMALIZE_SQL = """
+WITH cells AS (
+  SELECT event_type AS "group", CAST(floor(value * 0.02 + 0.5) AS BIGINT) AS q,
+         COUNT(*) AS n_cell
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT "group", q, n_cell,
+    SUM(n_cell) OVER (PARTITION BY "group" ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(n_cell) OVER (PARTITION BY "group") AS ng
+  FROM cells
+),
+grid AS (SELECT q, SUM(n_cell) AS gc FROM cells GROUP BY 1),
+g2 AS (
+  SELECT q, gc,
+    SUM(gc) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS gcum
+  FROM grid
+),
+total AS (SELECT SUM(n_cell) AS n FROM cells),
+pr AS (
+  SELECT "group", q, n_cell,
+    (CAST(2 * cum - n_cell + 1 AS HUGEINT) * n + 2 * ng - 1) // (2 * ng) AS rk
+  FROM probe CROSS JOIN total
+)
+SELECT pr."group", pr.q, pr.n_cell,
+  CAST(rk AS BIGINT) AS rank_target,
+  CAST(g2.q AS DOUBLE) / 0.02 AS mapped_value
+FROM pr JOIN g2 ON rk BETWEEN g2.gcum - g2.gc + 1 AND g2.gcum
+"""
+
+QUERIES["quantile_normalize_check"] = q_quantile_normalize_check
+ORACLES["quantile_normalize_check"] = _QUANTILE_NORMALIZE_SQL

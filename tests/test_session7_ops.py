@@ -275,3 +275,47 @@ def test_info_gain_orders_by_mi_and_handles_feature_nulls(spark):
     # the half feature's complete-case n excludes its NULL rows only
     assert out[0]["n"] == 32
     assert out[1]["n"] == 28
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_identical_groups_map_to_self(spark):
+    from cerebro_spark.operators.profile import quantile_normalize
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in (1, 2, 3, 4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize(df, "g", "v", 1.0).collect()
+    # both groups already share the corpus distribution -> identity map
+    assert all(r["mapped_value"] == float(r["q"]) for r in out)
+
+
+def test_quantile_normalize_shifted_group_aligns(spark):
+    from cerebro_spark.operators.profile import quantile_normalize
+
+    # group a holds {0,1,2,3}, group b the same shape shifted +100:
+    # after normalization b's cells land on corpus quantiles, and the
+    # two groups map rank-for-rank to the SAME values
+    rows = [("a", float(v)) for v in range(4) for _ in range(10)]
+    rows += [("b", float(v + 100)) for v in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["group"], r["q"]): r for r in quantile_normalize(df, "g", "v", 1.0).collect()}
+    for i in range(4):
+        assert out[("a", i)]["rank_target"] == out[("b", i + 100)]["rank_target"]
+        assert out[("a", i)]["mapped_value"] == out[("b", i + 100)]["mapped_value"]
+
+
+def test_quantile_normalize_midrank_formula(spark):
+    from cerebro_spark.operators.profile import quantile_normalize
+
+    # single group: cell with cnt=4 starting at cum_before=0 of ng=10,
+    # corpus n=10 -> midrank (2*4-4+1+ ... ) -> r=(2*cum-cnt+1)/2 = 2.5,
+    # R = ceil(2.5/10*10) = ceil(2.5) = 3
+    rows = [("a", 0.0)] * 4 + [("a", 1.0)] * 6
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["q"]: r for r in quantile_normalize(df, "g", "v", 1.0).collect()}
+    assert out[0]["rank_target"] == 3
+    # second cell: cum=10, cnt=6 -> rnum=2*10-6+1=15 -> R=ceil(7.5)=8 -> maps to q=1
+    assert out[1]["rank_target"] == 8
+    assert out[1]["mapped_value"] == 1.0

@@ -149,6 +149,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # mass) plus the 1-row corpus total; the chi2_event_hour contract
     # (r6 session 7)
     "js_drift",
+    # 1-row scalar broadcast: the corpus row total crossJoined onto the
+    # (group, grid-value) cell frame (r6 session 8)
+    "quantile_normalize_check",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -178,6 +181,11 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # fact only passes through a combinable per-day aggregate
     # (r6 session 6)
     "msprt_monitor",
+    # keyless cumulative window over the global VALUE-GRID frame
+    # (value-cardinality-bounded, the winsorized_mean histogram
+    # contract) — the fact only passes through a combinable
+    # (group, grid) aggregate (r6 session 8)
+    "quantile_normalize_check",
 }
 
 
