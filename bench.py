@@ -172,6 +172,7 @@ HEADLINE = [
     "js_drift",               # Jensen-Shannon source-vs-corpus drift
     "info_gain_ranking",      # one-scan multi-feature MI shortlist
     "quantile_normalize_check",  # value-grid exact quantile mapping
+    "streaming_msprt_check",  # stateful sequential-test twin gate
 ]
 
 

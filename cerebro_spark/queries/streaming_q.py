@@ -666,3 +666,142 @@ WHERE p.event_type = 'view' AND m.event_type = 'signup'
 
 QUERIES["streaming_enrich_check"] = q_streaming_enrich_check
 ORACLES["streaming_enrich_check"] = _STREAMING_ENRICH_SQL
+
+
+def q_streaming_msprt_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed sequential-test state (streaming_msprt: six cumulative
+    integer moments carried in per-group state, emitted per day) vs the
+    batch cumulative window over the SAME e2-quantized inputs — integer
+    moments must agree exactly (mismatches pinned at 0), and the
+    always-valid p chain computed from the streamed moments must land on
+    the oracle's replay."""
+    from pyspark.sql import Window
+
+    from cerebro_spark.streaming.stateful import streaming_msprt
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    t = F.col("ts").cast("double")
+    points = ev.select(
+        "ts",
+        F.floor(t / 86400).cast("long").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("arm"),
+        F.floor(F.col("value").cast("double") * F.lit(1.0e2) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    streamed = _run_available_now(
+        points,
+        lambda s: streaming_msprt(s, arm_a=0, arm_b=1),
+        output_mode="append",
+        ordered_single_batch=True,
+    )
+
+    daily = points.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_d"),
+        F.sum(F.when(F.col("arm") == 0, F.col("q")).otherwise(0)).alias("sa_d"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("q") * F.col("q")).otherwise(F.lit(0))
+        ).alias("ssa_d"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("q")).otherwise(0)).alias("sb_d"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("q") * F.col("q")).otherwise(F.lit(0))
+        ).alias("ssb_d"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    batch = daily.select(
+        "day",
+        F.sum("na_d").over(wcum).alias("bna"),
+        F.sum("sa_d").over(wcum).alias("bsa"),
+        F.sum("ssa_d").over(wcum).alias("bssa"),
+        F.sum("nb_d").over(wcum).alias("bnb"),
+        F.sum("sb_d").over(wcum).alias("bsb"),
+        F.sum("ssb_d").over(wcum).alias("bssb"),
+    )
+    j = streamed.join(batch, "day", "full_outer")
+    mism = F.when(
+        (F.col("na") != F.col("bna")) | (F.col("sa") != F.col("bsa"))
+        | (F.col("ssa") != F.col("bssa")) | (F.col("nb") != F.col("bnb"))
+        | (F.col("sb") != F.col("bsb")) | (F.col("ssb") != F.col("bssb"))
+        | F.col("na").isNull() | F.col("bna").isNull(),
+        1,
+    ).otherwise(0)
+
+    # the always-valid p chain from the STREAMED moments (e2 quantization
+    # -> /1e2 means, /1e4 variances), identical to profile.msprt_monitor
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    sa_d = F.col("sa").cast("double")
+    sb_d = F.col("sb").cast("double")
+    delta = (sa_d / na_d - sb_d / nb_d) / F.lit(1.0e2)
+    va = (F.col("ssa").cast("double") - sa_d * sa_d / na_d) / (na_d - 1.0) / F.lit(1.0e4)
+    vb = (F.col("ssb").cast("double") - sb_d * sb_d / nb_d) / (nb_d - 1.0) / F.lit(1.0e4)
+    v = va / na_d + vb / nb_d
+    t2 = F.lit(25.0)
+    ll = F.round(
+        F.lit(0.5) * F.log(v / (v + t2))
+        + delta * delta * t2 / (F.lit(2.0) * v * (v + t2)),
+        6,
+    )
+    p = F.round(F.least(F.lit(1.0), F.exp(-ll)), 6)
+    qual = (F.col("na") >= 2) & (F.col("nb") >= 2) & (va > 0) & (vb > 0)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(mism).cast("long").alias("moment_mismatches"),
+        F.round(F.min(F.when(qual, p)), 6).alias("p_final"),
+    )
+
+
+_STREAMING_MSPRT_SQL = """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         user_id % 2 AS arm,
+         CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+),
+daily AS (
+  SELECT day,
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na_d,
+    SUM(CASE WHEN arm = 0 THEN q ELSE 0 END) AS sa_d,
+    SUM(CASE WHEN arm = 0 THEN q * q ELSE 0 END) AS ssa_d,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb_d,
+    SUM(CASE WHEN arm = 1 THEN q ELSE 0 END) AS sb_d,
+    SUM(CASE WHEN arm = 1 THEN q * q ELSE 0 END) AS ssb_d
+  FROM base GROUP BY 1
+),
+c AS (
+  SELECT day,
+    SUM(na_d) OVER w AS na, SUM(sa_d) OVER w AS sa, SUM(ssa_d) OVER w AS ssa,
+    SUM(nb_d) OVER w AS nb, SUM(sb_d) OVER w AS sb, SUM(ssb_d) OVER w AS ssb
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+chain AS (
+  SELECT day, na, nb,
+    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+     - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 1e2 AS delta_raw,
+    (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+      / (CAST(na AS DOUBLE) - 1.0) / 1e4 AS va,
+    (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+      / (CAST(nb AS DOUBLE) - 1.0) / 1e4 AS vb
+  FROM c
+),
+stat AS (
+  SELECT day,
+    round(least(1.0, exp(-round(
+      0.5 * ln((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+               / ((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) + 25.0))
+      + delta_raw * delta_raw * 25.0
+        / (2.0 * (va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+           * ((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) + 25.0)), 6))), 6)
+      AS p
+  FROM chain
+  WHERE na >= 2 AND nb >= 2 AND va > 0 AND vb > 0
+)
+SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+       CAST(0 AS BIGINT) AS moment_mismatches,
+       round((SELECT MIN(p) FROM stat), 6) AS p_final
+"""
+
+QUERIES["streaming_msprt_check"] = q_streaming_msprt_check
+ORACLES["streaming_msprt_check"] = _STREAMING_MSPRT_SQL

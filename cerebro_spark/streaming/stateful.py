@@ -403,3 +403,88 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _msprt_fn(arm_a, arm_b):
+    """Exact integer cumulative-moment carrier for streaming_msprt: the
+    per-group state is six BIGINTs (n, Σq, Σq² per arm) updated with
+    unbounded Python ints and emitted per day — no floats anywhere, so
+    the streamed moments are BIT-identical to the batch cumulative
+    window over the same quantized inputs."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            na, sa, ssa, nb, sb, ssb = (int(x) for x in state.get)
+        else:
+            na = sa = ssa = nb = sb = ssb = 0
+        rows = pd.concat(list(pdfs))
+        out = []
+        if len(rows):
+            rows = rows.sort_values("day", kind="mergesort")
+            for day, grp in rows.groupby("day", sort=True):
+                a = grp[grp["arm"] == arm_a]["q"]
+                b = grp[grp["arm"] == arm_b]["q"]
+                na += int(len(a)); sa += int(a.sum()) if len(a) else 0
+                ssa += int((a.astype("object") ** 2).sum()) if len(a) else 0
+                nb += int(len(b)); sb += int(b.sum()) if len(b) else 0
+                ssb += int((b.astype("object") ** 2).sum()) if len(b) else 0
+                out.append((int(day), na, sa, ssa, nb, sb, ssb))
+        state.update((na, sa, ssa, nb, sb, ssb))
+        yield pd.DataFrame(
+            out,
+            columns=["day", "na", "sa", "ssa", "nb", "sb", "ssb"],
+        )
+
+    return fn
+
+
+def streaming_msprt(
+    events: DataFrame,
+    arm_a=0,
+    arm_b=1,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``profile.msprt_monitor``: carries the six
+    cumulative integer moments (n, Σq, Σq² per arm) in state and emits
+    them per day — the always-valid p-value chain is then pure column
+    arithmetic downstream, exactly as in the batch operator.  Input
+    needs (``ts`` timestamp, ``day`` long, ``arm`` long, ``q`` long —
+    pre-quantized by the caller so the Python stage touches only
+    integers; unbounded Python ints make Σq² exact at any scale, which
+    LongType state then bounds at ~10⁹ rows for e2 quantization —
+    documented like esd_outliers' overflow envelope).
+
+    ONE state group per experiment (a single monitoring timeline, the
+    same scope as the batch operator) — sequential by nature, like the
+    Holt recurrence; the fact-sized work (quantize, day-bucket) happens
+    in codegen BEFORE the Arrow stage.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("day", LongType()),
+            StructField("na", LongType()),
+            StructField("sa", LongType()),
+            StructField("ssa", LongType()),
+            StructField("nb", LongType()),
+            StructField("sb", LongType()),
+            StructField("ssb", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField(c, LongType()) for c in ("na", "sa", "ssa", "nb", "sb", "ssb")]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("__exp", F.lit(1))
+        .groupBy("__exp")
+        .applyInPandasWithState(
+            _msprt_fn(0 if arm_a is None else arm_a, 1 if arm_b is None else arm_b),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -319,3 +319,48 @@ def test_quantile_normalize_midrank_formula(spark):
     # second cell: cum=10, cnt=6 -> rnum=2*10-6+1=15 -> R=ceil(7.5)=8 -> maps to q=1
     assert out[1]["rank_target"] == 8
     assert out[1]["mapped_value"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# streaming_msprt (batch-side semantics of the state function)
+# ---------------------------------------------------------------------------
+
+def test_msprt_state_fn_cumulates_exactly():
+    import pandas as pd
+
+    from cerebro_spark.streaming.stateful import _msprt_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    fn = _msprt_fn(0, 1)
+    st = FakeState()
+    pdf = pd.DataFrame({
+        "day": [0, 0, 1, 1, 1],
+        "arm": [0, 1, 0, 1, 0],
+        "q": [100, 200, 300, 400, 500],
+        "ts": pd.to_datetime([0, 1, 2, 3, 4], unit="s"),
+        "__exp": [1] * 5,
+    })
+    out = pd.concat(list(fn((1,), iter([pdf]), st)))
+    assert list(out["day"]) == [0, 1]
+    d1 = out[out["day"] == 1].iloc[0]
+    assert (d1["na"], d1["sa"], d1["ssa"]) == (3, 900, 350000)
+    assert (d1["nb"], d1["sb"], d1["ssb"]) == (2, 600, 200000)
+    # second batch resumes from state
+    pdf2 = pd.DataFrame({
+        "day": [2], "arm": [1], "q": [10],
+        "ts": pd.to_datetime([5], unit="s"), "__exp": [1],
+    })
+    out2 = pd.concat(list(fn((1,), iter([pdf2]), st)))
+    d2 = out2.iloc[0]
+    assert (d2["nb"], d2["sb"], d2["ssb"]) == (3, 610, 200100)
+    assert (d2["na"], d2["sa"], d2["ssa"]) == (3, 900, 350000)

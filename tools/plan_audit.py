@@ -186,6 +186,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # contract) — the fact only passes through a combinable
     # (group, grid) aggregate (r6 session 8)
     "quantile_normalize_check",
+    # the batch-twin side's cumulative window over the DAY grid (the
+    # msprt_monitor contract: one experiment = one timeline) — the fact
+    # only passes through a combinable per-day aggregate (r6 session 8)
+    "streaming_msprt_check",
 }
 
 
