@@ -173,6 +173,7 @@ HEADLINE = [
     "info_gain_ranking",      # one-scan multi-feature MI shortlist
     "quantile_normalize_check",  # value-grid exact quantile mapping
     "streaming_msprt_check",  # stateful sequential-test twin gate
+    "scd2_snapshot",          # SCD2 point-in-time reconstruction
 ]
 
 

@@ -1684,3 +1684,29 @@ def quantile_normalize(
         F.col("__rk").cast("long").alias("rank_target"),
         (F.col("__gq_right").cast("double") / F.lit(scale)).alias("mapped_value"),
     )
+
+
+def scd2_snapshot_at(
+    intervals: DataFrame,
+    at,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time reconstruction from SCD Type-2 intervals — the
+    time-travel verb over :func:`scd2_collapse`'s output: the rows
+    valid AT instant ``at`` (``valid_from ≤ at < valid_to``, open
+    current rows qualify).  ``at`` is a Column (epoch seconds double or
+    a scalar 1-row broadcast) — with half-open intervals every instant
+    matches EXACTLY one version per key, so the snapshot is a plain
+    scan-time filter: no join, no window, pushdown-eligible when the
+    interval table is stored partitioned.
+
+    Reference parity: no reference counterpart — the warehouse
+    time-travel companion of scd2_collapse/order_snapshot_diff.
+    """
+    at_c = at if not isinstance(at, (int, float)) else F.lit(float(at))
+    vf = F.col(valid_from).cast("double")
+    vt = F.col(valid_to).cast("double")
+    return intervals.filter(
+        (vf <= at_c) & (F.col(valid_to).isNull() | (vt > at_c))
+    )

@@ -2879,3 +2879,43 @@ FROM pr JOIN g2 ON rk BETWEEN g2.gcum - g2.gc + 1 AND g2.gcum
 
 QUERIES["quantile_normalize_check"] = q_quantile_normalize_check
 ORACLES["quantile_normalize_check"] = _QUANTILE_NORMALIZE_SQL
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 snapshot (profile.scd2_snapshot_at): the
+    dimension state AS OF the corpus-midpoint instant — every sampled
+    user resolves to exactly ONE current version (half-open intervals).
+    The time-travel verb over scd2_intervals; same deterministic run
+    boundaries (operator docstrings)."""
+    from cerebro_spark.operators.profile import scd2_collapse, scd2_snapshot_at
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") % 5 == 0)
+    t = F.col("ts").cast("double")
+    mid = ev.agg(((F.min(t) + F.max(t)) / 2).alias("__mid"))
+    iv = scd2_collapse(
+        ev, key_cols=["user_id"], attr_cols=["event_type"],
+        ts_col="ts", tiebreak_cols=["event_id"],
+    )
+    snap = scd2_snapshot_at(iv.crossJoin(F.broadcast(mid)), F.col("__mid"))
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("event_type_at"),
+        F.col("valid_from").alias("since"),
+        "n_events",
+    )
+
+
+_SCD2_SNAPSHOT_SQL = f"""
+WITH ivals AS ({_SCD2_SQL}),
+mid AS (
+  SELECT (epoch(MIN(ts)) + epoch(MAX(ts))) / 2 AS m
+  FROM events WHERE user_id % 5 = 0
+)
+SELECT user_id, event_type AS event_type_at, valid_from AS since, n_events
+FROM ivals CROSS JOIN mid
+WHERE epoch(valid_from) <= m
+  AND (valid_to IS NULL OR epoch(valid_to) > m)
+"""
+
+QUERIES["scd2_snapshot"] = q_scd2_snapshot
+ORACLES["scd2_snapshot"] = _SCD2_SNAPSHOT_SQL

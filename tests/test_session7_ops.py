@@ -364,3 +364,27 @@ def test_msprt_state_fn_cumulates_exactly():
     d2 = out2.iloc[0]
     assert (d2["nb"], d2["sb"], d2["ssb"]) == (3, 610, 200100)
     assert (d2["na"], d2["sa"], d2["ssa"]) == (3, 900, 350000)
+
+
+# ---------------------------------------------------------------------------
+# scd2_snapshot_at
+# ---------------------------------------------------------------------------
+
+def test_scd2_snapshot_exactly_one_version_per_key(spark):
+    from cerebro_spark.operators.profile import scd2_collapse, scd2_snapshot_at
+
+    rows = [
+        (1, "a", 0.0, 1), (1, "b", 100.0, 2), (1, "c", 200.0, 3),
+        (2, "x", 50.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts double, id long")
+    iv = scd2_collapse(df, ["k"], ["attr"], "ts", ["id"])
+    # at t=150: user 1 is in version b (100 <= 150 < 200); user 2 in x
+    snap = {r["k"]: r["attr"] for r in scd2_snapshot_at(iv, 150.0).collect()}
+    assert snap == {1: "b", 2: "x"}
+    # boundary: at exactly t=200 the interval is half-open -> version c
+    snap2 = {r["k"]: r["attr"] for r in scd2_snapshot_at(iv, 200.0).collect()}
+    assert snap2[1] == "c"
+    # before any history for key 2
+    snap3 = {r["k"]: r["attr"] for r in scd2_snapshot_at(iv, 10.0).collect()}
+    assert snap3 == {1: "a"}

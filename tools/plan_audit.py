@@ -152,6 +152,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the corpus row total crossJoined onto the
     # (group, grid-value) cell frame (r6 session 8)
     "quantile_normalize_check",
+    # 1-row scalar broadcast: the corpus-midpoint instant crossJoined
+    # onto the interval-count-sized SCD2 frame (the cuped_adjust /
+    # relative_range pattern) (r6 session 8)
+    "scd2_snapshot",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
