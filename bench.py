@@ -174,6 +174,7 @@ HEADLINE = [
     "quantile_normalize_check",  # value-grid exact quantile mapping
     "streaming_msprt_check",  # stateful sequential-test twin gate
     "scd2_snapshot",          # SCD2 point-in-time reconstruction
+    "ols_trend",              # one-agg per-key least-squares trend
 ]
 
 

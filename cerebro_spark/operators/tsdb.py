@@ -1835,3 +1835,87 @@ def cross_corr(
     return agg.select(
         "lag", F.col("__n").cast("long").alias("n_overlap"), corr.alias("corr")
     ).orderBy("lag")
+
+
+def ols_trend(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line — ``(keys…, n, slope,
+    intercept, r2)`` with slope in value-units per DAY.  The classic
+    "fit a trend per series" verb: theil_sen is the robust/outlier-proof
+    sibling, mann_kendall the significance test; OLS is what dashboards
+    draw.
+
+    Exactness: x is the exact integer SECOND within the key's own span
+    (epoch − per-key min, so the x² sums stay small), y the e6-quantized
+    value; the five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    DECIMAL(38,0) integers (overflow-free to ~10⁹ rows/key over a
+    30-year span), and slope/intercept/R² are fixed IEEE chains over
+    their exact-cast values, rounded to 6 dp.  Degenerate keys (n < 2 or
+    zero x-variance) yield NULL slope/intercept/r2.
+
+    Scale shape: one keyed min-aggregate broadcast back (the span
+    anchor), then ONE combinable groupBy — no window, no sort, no
+    second scan of the fact beyond the anchor join.
+    """
+    keys = keys or []
+    t = F.col(time_col).cast("double")
+    qy = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, t.alias("__t"), qy.alias("__y")
+    )
+    if keys:
+        anchor = base.groupBy(*keys).agg(F.min("__t").alias("__t0"))
+        base = base.join(F.broadcast(anchor), keys)
+    else:
+        anchor = base.agg(F.min("__t").alias("__t0"))
+        base = base.crossJoin(F.broadcast(anchor))
+    x = F.floor(F.col("__t") - F.col("__t0")).cast("long")
+    dec = "decimal(38,0)"
+    agg = base.select(*keys, x.alias("__x"), "__y").groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y").cast(dec) * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("__n").cast(dec)
+    dxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    dxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ok = (F.col("__n") >= 2) & (dxx > 0)
+    slope_sec = dxy.cast("double") / dxx.cast("double")  # e6-units per second
+    slope = F.when(ok, F.round(slope_sec * F.lit(86400.0) / F.lit(1.0e6), 6))
+    intercept = F.when(
+        ok,
+        F.round(
+            (
+                F.col("__sy").cast("double") / F.col("__n").cast("double")
+                - slope_sec
+                * (F.col("__sx").cast("double") / F.col("__n").cast("double"))
+            )
+            / F.lit(1.0e6),
+            6,
+        ),
+    )
+    r2 = F.when(
+        ok & (dyy > 0),
+        F.round(
+            (dxy.cast("double") * dxy.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

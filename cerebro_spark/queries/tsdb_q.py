@@ -2225,3 +2225,62 @@ FROM a ORDER BY lag
 
 QUERIES["lead_lag_corr"] = q_lead_lag_corr
 ORACLES["lead_lag_corr"] = _LEAD_LAG_SQL
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend line (tsdb.ols_trend): slope per day,
+    intercept, R² from ONE combinable aggregate of exact integer moment
+    sums — the dashboard companion of theil_sen_trend (robust) and
+    mann_kendall_trend (significance)."""
+    from cerebro_spark.operators.tsdb import ols_trend
+
+    ev = load_table(spark, "events", sf_dir)
+    return ols_trend(ev, "value", "ts", ["event_type"])
+
+
+_OLS_TREND_SQL = """
+WITH base AS (
+  SELECT event_type, epoch(ts) AS t,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+anchored AS (
+  SELECT event_type,
+         CAST(floor(t - MIN(t) OVER (PARTITION BY event_type)) AS BIGINT) AS x,
+         y
+  FROM base
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+    SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM anchored GROUP BY 1
+),
+d AS (
+  SELECT event_type, n,
+    CAST(n AS HUGEINT) * sxx - sx * sx AS dxx,
+    CAST(n AS HUGEINT) * syy - sy * sy AS dyy,
+    CAST(n AS HUGEINT) * sxy - sx * sy AS dxy,
+    sx, sy
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 2 AND dxx > 0
+    THEN round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE) * 86400.0 / 1e6, 6)
+  END AS slope_per_day,
+  CASE WHEN n >= 2 AND dxx > 0
+    THEN round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6, 6)
+  END AS intercept,
+  CASE WHEN n >= 2 AND dxx > 0 AND dyy > 0
+    THEN round((CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE))
+               / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+  END AS r2
+FROM d
+"""
+
+QUERIES["ols_trend"] = q_ols_trend
+ORACLES["ols_trend"] = _OLS_TREND_SQL

@@ -388,3 +388,45 @@ def test_scd2_snapshot_exactly_one_version_per_key(spark):
     # before any history for key 2
     snap3 = {r["k"]: r["attr"] for r in scd2_snapshot_at(iv, 10.0).collect()}
     assert snap3 == {1: "a"}
+
+
+# ---------------------------------------------------------------------------
+# ols_trend
+# ---------------------------------------------------------------------------
+
+def test_ols_trend_exact_line(spark):
+    from cerebro_spark.operators.tsdb import ols_trend
+
+    # y = 2*day + 5 exactly -> slope 2/day, intercept 5, r2 = 1
+    rows = [("k", float(d * 86400), 2.0 * d + 5.0) for d in range(10)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    r = ols_trend(df, "v", "t", ["k"]).collect()[0]
+    assert r["slope_per_day"] == pytest.approx(2.0, abs=1e-6)
+    assert r["intercept"] == pytest.approx(5.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ols_trend_textbook_scatter(spark):
+    from cerebro_spark.operators.tsdb import ols_trend
+
+    # x in seconds 0..4, y = [1, 3, 2, 5, 4]: verify vs numpy polyfit
+    ys = [1.0, 3.0, 2.0, 5.0, 4.0]
+    rows = [("k", float(i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    r = ols_trend(df, "v", "t", ["k"]).collect()[0]
+    import numpy as np
+
+    slope_sec, intercept = np.polyfit(np.arange(5.0), np.array(ys), 1)
+    assert r["slope_per_day"] == pytest.approx(slope_sec * 86400, abs=1e-4)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-5)
+    assert 0 < r["r2"] < 1
+
+
+def test_ols_trend_degenerate_null(spark):
+    from cerebro_spark.operators.tsdb import ols_trend
+
+    rows = [("one", 0.0, 1.0), ("flatx", 5.0, 1.0), ("flatx", 5.0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = {r["k"]: r for r in ols_trend(df, "v", "t", ["k"]).collect()}
+    assert out["one"]["slope_per_day"] is None      # n < 2
+    assert out["flatx"]["slope_per_day"] is None    # zero x-variance
