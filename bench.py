@@ -175,6 +175,7 @@ HEADLINE = [
     "streaming_msprt_check",  # stateful sequential-test twin gate
     "scd2_snapshot",          # SCD2 point-in-time reconstruction
     "ols_trend",              # one-agg per-key least-squares trend
+    "table_fingerprint",      # order-independent reconciliation checksum
 ]
 
 

@@ -1710,3 +1710,47 @@ def scd2_snapshot_at(
     return intervals.filter(
         (vf <= at_c) & (F.col(valid_to).isNull() | (vt > at_c))
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: "list",
+    buckets: int = 256,
+) -> DataFrame:
+    """Order-independent table checksum for cheap reconciliation —
+    ``(bucket, n, checksum)`` where each row hashes portably (md5 of the
+    sentinel-joined column strings), lands in ``h % buckets``, and the
+    bucket checksum is the exact integer SUM of the 60-bit hashes.  Two
+    tables are equal iff all buckets match; a migration/backfill diff
+    narrows to the few buckets that differ (then re-runs keyed diff —
+    ``order_snapshot_diff`` — on just those), instead of shipping either
+    table.  Commutative sums make the checksum partition-order-proof and
+    combinable: one groupBy over ``buckets`` keys is the entire cost.
+
+    ``cols`` must be STRING-STABLE expressions (strings, integers — NOT
+    raw doubles: engines format floats differently; e6-quantize to
+    BIGINT first).  NULLs encode as a sentinel (concat_ws drops them
+    silently otherwise — that would make (NULL,'x') collide with
+    ('x',NULL)).  ``checksum`` is returned as a STRING so exact integer
+    equality survives any client's number type.
+
+    Reference parity: no reference counterpart — reconciliation
+    extension next to order_snapshot_diff (driver brief).
+    """
+    parts = [
+        F.coalesce(
+            (c if not isinstance(c, str) else F.col(c)).cast("string"),
+            F.lit("\x00NULL"),
+        )
+        for c in cols
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
+    ).cast("long")
+    rows = df.select(
+        (h % buckets).alias("bucket"), h.alias("__h")
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )

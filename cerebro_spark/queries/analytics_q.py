@@ -2919,3 +2919,50 @@ WHERE epoch(valid_from) <= m
 
 QUERIES["scd2_snapshot"] = q_scd2_snapshot
 ORACLES["scd2_snapshot"] = _SCD2_SNAPSHOT_SQL
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent events-table checksum (profile.table_fingerprint):
+    256 bucket checksums over (event_id, user_id, event_type, e6 value,
+    epoch second) — the reconciliation primitive that proves a
+    migration/backfill byte-equal without shipping either table
+    (operator docstring)."""
+    from cerebro_spark.operators.profile import table_fingerprint
+
+    ev = load_table(spark, "events", sf_dir)
+    return table_fingerprint(
+        ev,
+        [
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.floor(F.col("value").cast("double") * F.lit(1.0e6) + F.lit(0.5))
+            .cast("long"),
+            F.floor(F.col("ts").cast("double")).cast("long"),
+        ],
+        buckets=256,
+    )
+
+
+def _table_fingerprint_sql() -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    row = (
+        "CONCAT_WS(chr(31), "
+        "COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL'), "
+        "COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'NULL'), "
+        "COALESCE(CAST(event_type AS VARCHAR), chr(0) || 'NULL'), "
+        "COALESCE(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR), chr(0) || 'NULL'), "
+        "COALESCE(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), chr(0) || 'NULL'))"
+    )
+    h = _hex2long_sql(f"md5({row})", 15)
+    return f"""
+WITH hashed AS (SELECT {h} AS h FROM events)
+SELECT h % 256 AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS checksum
+FROM hashed GROUP BY 1
+"""
+
+
+QUERIES["table_fingerprint"] = q_table_fingerprint
+ORACLES["table_fingerprint"] = _table_fingerprint_sql()

@@ -430,3 +430,40 @@ def test_ols_trend_degenerate_null(spark):
     out = {r["k"]: r for r in ols_trend(df, "v", "t", ["k"]).collect()}
     assert out["one"]["slope_per_day"] is None      # n < 2
     assert out["flatx"]["slope_per_day"] is None    # zero x-variance
+
+
+# ---------------------------------------------------------------------------
+# table_fingerprint
+# ---------------------------------------------------------------------------
+
+def test_table_fingerprint_order_and_partition_invariant(spark):
+    from cerebro_spark.operators.profile import table_fingerprint
+
+    rows = [(i, "v%d" % (i % 3)) for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string").repartition(7)
+    fa = {r["bucket"]: (r["n"], r["checksum"]) for r in table_fingerprint(a, ["id", "v"], 16).collect()}
+    fb = {r["bucket"]: (r["n"], r["checksum"]) for r in table_fingerprint(b, ["id", "v"], 16).collect()}
+    assert fa == fb and sum(n for n, _ in fa.values()) == 100
+
+
+def test_table_fingerprint_detects_single_row_change(spark):
+    from cerebro_spark.operators.profile import table_fingerprint
+
+    rows = [(i, "x") for i in range(50)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(rows[:-1] + [(49, "y")], "id long, v string")
+    fa = {r["bucket"]: r["checksum"] for r in table_fingerprint(a, ["id", "v"], 8).collect()}
+    fb = {r["bucket"]: r["checksum"] for r in table_fingerprint(b, ["id", "v"], 8).collect()}
+    diff = {k for k in set(fa) | set(fb) if fa.get(k) != fb.get(k)}
+    assert 1 <= len(diff) <= 2  # the old row's bucket and/or the new row's
+
+
+def test_table_fingerprint_null_vs_empty_distinct(spark):
+    from cerebro_spark.operators.profile import table_fingerprint
+
+    a = spark.createDataFrame([(None, "x")], "a string, b string")
+    b = spark.createDataFrame([("", "x")], "a string, b string")
+    fa = table_fingerprint(a, ["a", "b"], 1).collect()[0]["checksum"]
+    fb = table_fingerprint(b, ["a", "b"], 1).collect()[0]["checksum"]
+    assert fa != fb  # the NULL sentinel keeps them apart
