@@ -176,6 +176,7 @@ HEADLINE = [
     "scd2_snapshot",          # SCD2 point-in-time reconstruction
     "ols_trend",              # one-agg per-key least-squares trend
     "table_fingerprint",      # order-independent reconciliation checksum
+    "column_profile",         # one-scan completeness/cardinality audit
 ]
 
 

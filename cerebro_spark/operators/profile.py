@@ -1754,3 +1754,48 @@ def table_fingerprint(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+def column_profile(
+    df: DataFrame,
+    cols: "dict[str, object]",
+) -> DataFrame:
+    """One-pass data-profiling summary — per column ``(column, n_rows,
+    n_nonnull, n_null, n_distinct, min_value, max_value)`` with values
+    rendered as strings (pass STRING-STABLE expressions: strings /
+    integers, not raw doubles — same contract as table_fingerprint).
+    The Deequ-style completeness/cardinality audit every onboarding of
+    a new source starts with, exact instead of approximate.
+
+    How the one-pass works: each row explodes into |cols| (name, value)
+    structs — a projection-side melt like info_gain_ranking, so the fact
+    is read ONCE for any number of columns; per column the stats reduce
+    in one groupBy (count_distinct keeps per-column state, min/max on
+    the binary-collated string render so every engine orders them
+    identically).
+
+    Reference parity: no reference counterpart — governance extension
+    next to k_anonymity/l_diversity (driver brief).
+    """
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("c"),
+                (e if not isinstance(e, str) else F.col(e))
+                .cast("string")
+                .alias("v"),
+            )
+            for name, e in cols.items()
+        ]
+    )
+    melted = df.select(F.explode(arr).alias("__cv")).select(
+        F.col("__cv.c").alias("column"), F.col("__cv.v").alias("__v")
+    )
+    return melted.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("__v").cast("long").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("__v")).cast("long").alias("n_null"),
+        F.countDistinct("__v").cast("long").alias("n_distinct"),
+        F.min("__v").alias("min_value"),
+        F.max("__v").alias("max_value"),
+    )

@@ -2966,3 +2966,43 @@ FROM hashed GROUP BY 1
 
 QUERIES["table_fingerprint"] = q_table_fingerprint
 ORACLES["table_fingerprint"] = _table_fingerprint_sql()
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (profile.column_profile): completeness,
+    cardinality and string-stable min/max for five events columns from
+    a single scan via the projection-side melt (operator docstring)."""
+    from cerebro_spark.operators.profile import column_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    t = F.col("ts").cast("double")
+    return column_profile(
+        ev,
+        {
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "event_type": F.col("event_type"),
+            "value_e6": F.floor(F.col("value").cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast("long"),
+            "epoch_s": F.floor(t).cast("long"),
+        },
+    )
+
+
+_COLUMN_PROFILE_SQL = """
+WITH melted AS (
+  SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS v FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL SELECT 'event_type', CAST(event_type AS VARCHAR) FROM events
+  UNION ALL SELECT 'value_e6',
+    CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR) FROM events
+  UNION ALL SELECT 'epoch_s',
+    CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) FROM events
+)
+SELECT col AS "column", COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,
+  COUNT(*) - COUNT(v) AS n_null, COUNT(DISTINCT v) AS n_distinct,
+  MIN(v) AS min_value, MAX(v) AS max_value
+FROM melted GROUP BY 1
+"""
+
+QUERIES["column_profile"] = q_column_profile
+ORACLES["column_profile"] = _COLUMN_PROFILE_SQL

@@ -467,3 +467,25 @@ def test_table_fingerprint_null_vs_empty_distinct(spark):
     fa = table_fingerprint(a, ["a", "b"], 1).collect()[0]["checksum"]
     fb = table_fingerprint(b, ["a", "b"], 1).collect()[0]["checksum"]
     assert fa != fb  # the NULL sentinel keeps them apart
+
+
+# ---------------------------------------------------------------------------
+# column_profile
+# ---------------------------------------------------------------------------
+
+def test_column_profile_counts_and_extremes(spark):
+    from cerebro_spark.operators.profile import column_profile
+
+    rows = [(1, "a"), (2, None), (3, "c"), (3, "a")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {r["column"]: r for r in column_profile(
+        df, {"id": F.col("id"), "s": F.col("s")}
+    ).collect()}
+    assert out["id"]["n_rows"] == 4
+    assert out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 3
+    assert (out["id"]["min_value"], out["id"]["max_value"]) == ("1", "3")
+    assert out["s"]["n_nonnull"] == 3
+    assert out["s"]["n_null"] == 1
+    assert out["s"]["n_distinct"] == 2
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "c")
