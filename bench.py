@@ -177,6 +177,7 @@ HEADLINE = [
     "ols_trend",              # one-agg per-key least-squares trend
     "table_fingerprint",      # order-independent reconciliation checksum
     "column_profile",         # one-scan completeness/cardinality audit
+    "log_templates",          # exact Drain-style template mining
 ]
 
 

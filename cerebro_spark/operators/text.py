@@ -926,3 +926,74 @@ def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
             / (F.lit(2.0) * F.col("n2")),
         ).alias("chao1"),
     )
+
+
+def log_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+    max_tokens: int = 200,
+) -> DataFrame:
+    """Log-template mining (the Drain idea, made exact and order-free):
+    group messages by (token count, first token) — Drain's tree prefix —
+    and within each group keep a position's token verbatim iff EVERY
+    message agrees on it, else mask it ``<*>``; return the ``top_k``
+    ``(template, n_messages)``.  The "what is this service actually
+    logging" view that turns a terabyte of text into a hundred shapes —
+    and the preprocessing step before counting, ratelimiting or
+    anomaly-scoring by template.
+
+    Deterministic by construction: the mask decision is a per-position
+    DISTINCT count (no sampling, no similarity threshold, no insertion
+    order — unlike online Drain, two engines always produce the same
+    templates).  Messages longer than ``max_tokens`` are dropped (one
+    pathological line would otherwise fan out its whole length).
+
+    Scale shape: one posexplode of the fact (Σ tokens rows — the same
+    mass a tokenizer already touches), one combinable (group, pos)
+    aggregate, then everything runs on group×position rows; the
+    per-group collect is bounded by ``max_tokens`` structs.
+
+    Reference parity: no reference counterpart — log-analytics
+    extension next to text_profile/top_paths (driver brief).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            toks.alias("__t"),
+            F.size(toks).alias("__n"),
+        )
+        .filter((F.col("__n") >= 1) & (F.col("__n") <= max_tokens))
+        .withColumn("__first", F.col("__t").getItem(0))
+    )
+    pos = base.select(
+        "__n", "__first", "__id", F.posexplode("__t").alias("__p", "__tok")
+    )
+    cell = pos.groupBy("__n", "__first", "__p").agg(
+        F.countDistinct("__tok").alias("__d"),
+        F.min("__tok").alias("__m"),
+    )
+    rendered = cell.withColumn(
+        "__r", F.when(F.col("__d") == 1, F.col("__m")).otherwise(F.lit("<*>"))
+    )
+    tpl = rendered.groupBy("__n", "__first").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__r"))),
+                lambda x: x["__r"],
+            ),
+            " ",
+        ).alias("template")
+    )
+    counts = base.groupBy("__n", "__first").agg(
+        F.count(F.lit(1)).cast("long").alias("n_messages")
+    )
+    return (
+        tpl.join(counts, ["__n", "__first"])
+        .select("template", "n_messages")
+        .orderBy(F.col("n_messages").desc(), F.col("template").asc())
+        .limit(top_k)
+    )

@@ -1692,3 +1692,47 @@ FROM t GROUP BY 1, 2 ORDER BY js DESC, "group" ASC
 
 QUERIES["js_drift"] = q_js_drift
 ORACLES["js_drift"] = _JS_DRIFT_SQL
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact log-template mining (text.log_templates): messages grouped
+    by (token count, first token), positions masked <*> unless every
+    message agrees — deterministic Drain, top-20 shapes (operator
+    docstring)."""
+    from cerebro_spark.operators.text import log_templates
+
+    docs = load_table(spark, "documents", sf_dir)
+    return log_templates(docs, "text", "doc_id", top_k=20)
+
+
+_LOG_TEMPLATES_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+ok AS (
+  SELECT doc_id, t, n, t[1] AS first FROM base WHERE n >= 1 AND n <= 200
+),
+pos AS (
+  SELECT n, first, doc_id, s.u - 1 AS p, t[s.u] AS tok
+  FROM ok, UNNEST(generate_series(1, n)) AS s(u)
+),
+cell AS (
+  SELECT n, first, p, COUNT(DISTINCT tok) AS d, MIN(tok) AS m
+  FROM pos GROUP BY 1, 2, 3
+),
+tpl AS (
+  SELECT n, first,
+    string_agg(CASE WHEN d = 1 THEN m ELSE '<*>' END, ' ' ORDER BY p)
+      AS template
+  FROM cell GROUP BY 1, 2
+),
+cnt AS (SELECT n, first, COUNT(*) AS n_messages FROM ok GROUP BY 1, 2)
+SELECT template, n_messages
+FROM tpl JOIN cnt USING (n, first)
+ORDER BY n_messages DESC, template ASC LIMIT 20
+"""
+
+QUERIES["log_templates"] = q_log_templates
+ORACLES["log_templates"] = _LOG_TEMPLATES_SQL

@@ -489,3 +489,43 @@ def test_column_profile_counts_and_extremes(spark):
     assert out["s"]["n_null"] == 1
     assert out["s"]["n_distinct"] == 2
     assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "c")
+
+
+# ---------------------------------------------------------------------------
+# log_templates
+# ---------------------------------------------------------------------------
+
+def test_log_templates_masks_varying_positions(spark):
+    from cerebro_spark.operators.text import log_templates
+
+    rows = [
+        (1, "GET /users/1 200"),
+        (2, "GET /users/7 200"),
+        (3, "GET /users/9 500"),
+        (4, "POST /login ok done"),   # different (n, first) group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["template"]: r["n_messages"] for r in log_templates(df).collect()}
+    assert out == {"GET <*> <*>": 3, "POST /login ok done": 1}
+
+
+def test_log_templates_groups_by_count_and_first(spark):
+    from cerebro_spark.operators.text import log_templates
+
+    rows = [
+        (1, "a x"),
+        (2, "a x y"),   # same first token, different length -> other group
+        (3, "b x"),     # same length, different first token -> other group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["template"] for r in log_templates(df).collect()}
+    assert out == {"a x", "a x y", "b x"}
+
+
+def test_log_templates_caps_pathological_lines(spark):
+    from cerebro_spark.operators.text import log_templates
+
+    rows = [(1, "short line"), (2, " ".join(["t"] * 500))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = log_templates(df, max_tokens=100).collect()
+    assert [r["template"] for r in out] == ["short line"]
