@@ -578,6 +578,7 @@ _SNAPSHOT_PRIORITY = [
     # FIRST, before any new birth.
     #
     # (-3) Born round 6, sessions 7-8 — newest first (same policy):
+    "change_contribution",
     "log_templates",
     "column_profile",
     "table_fingerprint",

@@ -178,6 +178,7 @@ HEADLINE = [
     "table_fingerprint",      # order-independent reconciliation checksum
     "column_profile",         # one-scan completeness/cardinality audit
     "log_templates",          # exact Drain-style template mining
+    "change_contribution",    # early-vs-late slice decomposition
 ]
 
 

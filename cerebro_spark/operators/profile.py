@@ -1799,3 +1799,90 @@ def column_profile(
         F.min("__v").alias("min_value"),
         F.max("__v").alias("max_value"),
     )
+
+
+def change_contribution(
+    df: DataFrame,
+    dims: "dict[str, object]",
+    value_col: str = "value",
+    time_col: str = "ts",
+    top_k: int = 20,
+) -> DataFrame:
+    """Root-cause contribution analysis: the metric moved between the
+    early and late half of the window — WHICH dimension values drove
+    it?  For every (dimension, value) slice: the early/late metric
+    sums, the slice delta, and its share of the total change —
+    ``(dimension, dim_value, early_sum, late_sum, delta, share)``, the
+    ``top_k`` slices by |delta|.  Within one dimension the slice deltas
+    sum EXACTLY to the total delta (a partition of the rows), so the
+    readout is an honest decomposition, not a correlation.
+
+    All ``dims`` melt through one projection-side struct explode (the
+    info_gain_ranking pattern) — ONE fact scan for any number of
+    candidate dimensions.  Sums are e6-quantized exact integers;
+    ``share`` divides two exact integers (NULL when the total delta is
+    zero); ordering is by the INTEGER |delta| (ties → dimension,
+    value).  The split instant is each row's position vs the global
+    (min+max)/2 midpoint — one 1-row scalar broadcast.
+
+    Reference parity: no reference counterpart — diagnostics extension
+    next to psi_drift/key_skew_report (driver brief).
+    """
+    t = F.col(time_col).cast("double")
+    q = F.floor(F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("d"),
+                (e if not isinstance(e, str) else F.col(e))
+                .cast("string")
+                .alias("v"),
+            )
+            for name, e in dims.items()
+        ]
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        t.alias("__t"), q.alias("__q"), F.explode(arr).alias("__dv")
+    )
+    span = base.agg(
+        ((F.min("__t") + F.max("__t")) / 2).alias("__mid")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(span))
+        .filter(F.col("__dv.v").isNotNull())
+        .groupBy(
+            F.col("__dv.d").alias("dimension"),
+            F.col("__dv.v").alias("dim_value"),
+        )
+        .agg(
+            F.sum(F.when(F.col("__t") <= F.col("__mid"), F.col("__q")).otherwise(0))
+            .alias("__e"),
+            F.sum(F.when(F.col("__t") > F.col("__mid"), F.col("__q")).otherwise(0))
+            .alias("__l"),
+        )
+    )
+    # per-dimension total delta: dimension-count rows, broadcast back
+    tot = cells.groupBy("dimension").agg(
+        (F.sum("__l") - F.sum("__e")).alias("__tot")
+    )
+    j = cells.join(F.broadcast(tot), "dimension")
+    delta_i = F.col("__l") - F.col("__e")
+    return (
+        j.select(
+            "dimension",
+            "dim_value",
+            F.round(F.col("__e").cast("double") / F.lit(1.0e6), 6).alias("early_sum"),
+            F.round(F.col("__l").cast("double") / F.lit(1.0e6), 6).alias("late_sum"),
+            F.round(delta_i.cast("double") / F.lit(1.0e6), 6).alias("delta"),
+            F.when(
+                F.col("__tot") != 0,
+                F.round(delta_i.cast("double") / F.col("__tot").cast("double"), 6),
+            ).alias("share"),
+            F.abs(delta_i).alias("__k"),
+        )
+        .orderBy(F.col("__k").desc(), F.col("dimension").asc(), F.col("dim_value").asc())
+        .limit(top_k)
+        .drop("__k")
+    )

@@ -3006,3 +3006,65 @@ FROM melted GROUP BY 1
 
 QUERIES["column_profile"] = q_column_profile
 ORACLES["column_profile"] = _COLUMN_PROFILE_SQL
+
+
+def q_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause contribution analysis (profile.change_contribution):
+    which event_type / user-decile / weekday slices drove the
+    early-vs-late value change — exact integer slice deltas that sum to
+    the total per dimension, top-20 by |delta| (operator docstring)."""
+    from cerebro_spark.operators.profile import change_contribution
+
+    ev = load_table(spark, "events", sf_dir)
+    t = F.col("ts").cast("double")
+    return change_contribution(
+        ev,
+        {
+            "event_type": F.col("event_type"),
+            "user_decile": F.pmod(F.col("user_id"), F.lit(10)),
+            "weekday": F.floor(t / 86400) % 7,
+        },
+        "value",
+        "ts",
+        top_k=20,
+    )
+
+
+_CHANGE_CONTRIBUTION_SQL = """
+WITH base AS (
+  SELECT epoch(ts) AS t, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q,
+         event_type,
+         CAST(user_id % 10 AS VARCHAR) AS user_decile,
+         CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS VARCHAR) AS weekday
+  FROM events WHERE value IS NOT NULL
+),
+mid AS (SELECT (MIN(t) + MAX(t)) / 2 AS m FROM base),
+melted AS (
+  SELECT 'event_type' AS dimension, CAST(event_type AS VARCHAR) AS dim_value, t, q FROM base
+  UNION ALL SELECT 'user_decile', user_decile, t, q FROM base
+  UNION ALL SELECT 'weekday', weekday, t, q FROM base
+),
+cells AS (
+  SELECT dimension, dim_value,
+    SUM(CASE WHEN t <= m THEN q ELSE 0 END) AS e,
+    SUM(CASE WHEN t > m THEN q ELSE 0 END) AS l
+  FROM melted CROSS JOIN mid
+  WHERE dim_value IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT dimension, SUM(l) - SUM(e) AS total_delta FROM cells GROUP BY 1
+)
+SELECT dimension, dim_value,
+  round(CAST(e AS DOUBLE) / 1e6, 6) AS early_sum,
+  round(CAST(l AS DOUBLE) / 1e6, 6) AS late_sum,
+  round(CAST(l - e AS DOUBLE) / 1e6, 6) AS delta,
+  CASE WHEN total_delta != 0
+       THEN round(CAST(l - e AS DOUBLE) / CAST(total_delta AS DOUBLE), 6)
+  END AS share
+FROM cells JOIN tot USING (dimension)
+ORDER BY abs(l - e) DESC, dimension ASC, dim_value ASC LIMIT 20
+"""
+
+QUERIES["change_contribution"] = q_change_contribution
+ORACLES["change_contribution"] = _CHANGE_CONTRIBUTION_SQL

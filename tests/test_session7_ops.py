@@ -529,3 +529,37 @@ def test_log_templates_caps_pathological_lines(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = log_templates(df, max_tokens=100).collect()
     assert [r["template"] for r in out] == ["short line"]
+
+
+# ---------------------------------------------------------------------------
+# change_contribution
+# ---------------------------------------------------------------------------
+
+def test_change_contribution_slices_sum_to_total(spark):
+    from cerebro_spark.operators.profile import change_contribution
+
+    # early half: a=10/day, b=10/day; late half: a=30/day (a drove it all)
+    rows = []
+    for d in range(10):
+        early = d < 5
+        rows.append((float(d * 86400), "a", 10.0 if early else 30.0))
+        rows.append((float(d * 86400), "b", 10.0))
+    df = spark.createDataFrame(rows, "t double, g string, v double")
+    out = {r["dim_value"]: r for r in change_contribution(
+        df, {"g": F.col("g")}, "v", "t", top_k=10
+    ).collect()}
+    assert out["a"]["delta"] == pytest.approx(100.0, abs=1e-6)
+    assert out["b"]["delta"] == pytest.approx(0.0, abs=1e-6)
+    assert out["a"]["share"] == pytest.approx(1.0, abs=1e-6)
+    assert out["b"]["share"] == pytest.approx(0.0, abs=1e-6)
+    # decomposition identity: slice deltas sum to the total change
+    assert sum(r["delta"] for r in out.values()) == pytest.approx(100.0, abs=1e-6)
+
+
+def test_change_contribution_zero_total_share_null(spark):
+    from cerebro_spark.operators.profile import change_contribution
+
+    rows = [(0.0, "a", 5.0), (86400.0, "a", 5.0)]
+    df = spark.createDataFrame(rows, "t double, g string, v double")
+    r = change_contribution(df, {"g": F.col("g")}, "v", "t").collect()[0]
+    assert r["delta"] == 0.0 and r["share"] is None

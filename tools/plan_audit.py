@@ -156,6 +156,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # onto the interval-count-sized SCD2 frame (the cuped_adjust /
     # relative_range pattern) (r6 session 8)
     "scd2_snapshot",
+    # 1-row scalar broadcast: the corpus-midpoint instant crossJoined
+    # onto the melted scan before the combinable slice aggregate
+    # (r6 session 9)
+    "change_contribution",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
