@@ -578,6 +578,8 @@ _SNAPSHOT_PRIORITY = [
     # FIRST, before any new birth.
     #
     # (-3) Born round 6, sessions 7-8 — newest first (same policy):
+    "weighted_pick_k",
+    "trending_daily",
     "change_contribution",
     "log_templates",
     "column_profile",

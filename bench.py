@@ -179,6 +179,8 @@ HEADLINE = [
     "column_profile",         # one-scan completeness/cardinality audit
     "log_templates",          # exact Drain-style template mining
     "change_contribution",    # early-vs-late slice decomposition
+    "trending_daily",         # per-bucket top-k with rank/share
+    "weighted_pick_k",        # exact-k weighted sample (ES 2006)
 ]
 
 

@@ -442,3 +442,43 @@ def kfold_target_encode(
         F.col("__nf").cast("long").alias("n_fold"),
         enc.alias("enc"),
     )
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows
+    (Efraimidis & Spirakis 2006): each row draws the deterministic
+    uniform ``u = (md5(id) 52-bit mantissa + 1) / 2^52`` and survives
+    iff its key ``ln(u)/w`` ranks in the top-k (the A-Res key
+    ``u^(1/w)``, compared in log space — same order, no overflow).
+    ``weighted_sample`` keeps each row independently (Bernoulli —
+    output SIZE varies); this returns exactly k, the "pick k docs
+    proportional to quality" selection step.
+
+    Deterministic: u comes from the portable md5 of the id (the repo's
+    no-RNG contract), the key is one fixed IEEE chain, and ties are
+    impossible in practice (distinct ids → distinct 52-bit u) with the
+    id itself as the final tiebreak.  Non-positive/NULL weights are
+    excluded (they can never be sampled).
+
+    Scale shape: one projection + TakeOrderedAndProject(k) — no
+    shuffle beyond the top-k reduction.
+    """
+    w = F.col(weight_col).cast("double")
+    u_bits = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+    )
+    u = (u_bits + F.lit(1.0)) / F.lit(float(2 ** 52))
+    key = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__es_key")
+    )

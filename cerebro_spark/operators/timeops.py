@@ -516,3 +516,50 @@ def time_decay_attribution(
             6,
         ).alias("share"),
     )
+
+
+def trending_topk(
+    df: DataFrame,
+    item_col: str,
+    time_col: str = "ts",
+    bucket_seconds: int = 86400,
+    k: int = 3,
+) -> DataFrame:
+    """Per-bucket trending items — for every time bucket the top-k items
+    by count with rank and share: ``(bucket, rank, item, n, share)``.
+    The "what's hot today" feed behind every trending panel; the
+    global-top-N family (top_suppliers, approx_top_terms) answers the
+    all-time question, this answers it per period.
+
+    Exactness: counts are exact integers; rank orders by (count desc,
+    item asc) — a total order, so rank-k cutoffs are engine-identical;
+    share divides two exact integers, 6 dp.
+
+    Scale shape: one combinable (bucket, item) aggregate over the fact,
+    then a rank window PARTITIONED BY BUCKET over item-count rows and a
+    bucket-count-sized totals join — nothing data-sized passes a window.
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(time_col).cast("double") / bucket_seconds).cast("long")
+    cells = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(b.alias("bucket"), F.col(item_col).alias("item"))
+        .groupBy("bucket", "item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("bucket").agg(F.sum("n").alias("__t"))
+    w = Window.partitionBy("bucket").orderBy(F.col("n").desc(), F.col("item").asc())
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(tot), "bucket")
+        .select(
+            "bucket",
+            "rank",
+            "item",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("__t").cast("double"), 6)
+            .alias("share"),
+        )
+    )

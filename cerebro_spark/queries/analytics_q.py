@@ -3068,3 +3068,36 @@ ORDER BY abs(l - e) DESC, dimension ASC, dim_value ASC LIMIT 20
 
 QUERIES["change_contribution"] = q_change_contribution
 ORACLES["change_contribution"] = _CHANGE_CONTRIBUTION_SQL
+
+
+def q_trending_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day trending event types (timeops.trending_topk): top-3 by
+    exact count with rank and share — total-order ranks, bucket-
+    partitioned window over item-count rows (operator docstring)."""
+    from cerebro_spark.operators.timeops import trending_topk
+
+    ev = load_table(spark, "events", sf_dir)
+    return trending_topk(ev, "event_type", "ts", 86400, 3)
+
+
+_TRENDING_DAILY_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket, event_type AS item,
+         COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT bucket, SUM(n) AS t FROM cells GROUP BY 1),
+ranked AS (
+  SELECT bucket, item, n,
+    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, item ASC) AS rank
+  FROM cells
+)
+SELECT bucket, rank, item, n,
+       round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM ranked JOIN tot USING (bucket)
+WHERE rank <= 3
+"""
+
+QUERIES["trending_daily"] = q_trending_daily
+ORACLES["trending_daily"] = _TRENDING_DAILY_SQL

@@ -1736,3 +1736,33 @@ ORDER BY n_messages DESC, template ASC LIMIT 20
 
 QUERIES["log_templates"] = q_log_templates
 ORACLES["log_templates"] = _LOG_TEMPLATES_SQL
+
+
+def q_weighted_pick_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement
+    (sampling.weighted_sample_exact_k, Efraimidis–Spirakis): 50 docs
+    drawn proportional to n_chars via deterministic md5 uniforms — the
+    fixed-size counterpart of weighted_sample (operator docstring)."""
+    from cerebro_spark.operators.sampling import weighted_sample_exact_k
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return weighted_sample_exact_k(docs, "n_chars", "doc_id", 50)
+
+
+def _weighted_pick_sql() -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    u = f"(({_hex2long_sql('md5(CAST(doc_id AS STRING))', 13)}) + 1.0) / {float(2 ** 52)!r}"
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY ln({u}) / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+QUERIES["weighted_pick_k"] = q_weighted_pick_k
+ORACLES["weighted_pick_k"] = _weighted_pick_sql()

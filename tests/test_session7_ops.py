@@ -563,3 +563,48 @@ def test_change_contribution_zero_total_share_null(spark):
     df = spark.createDataFrame(rows, "t double, g string, v double")
     r = change_contribution(df, {"g": F.col("g")}, "v", "t").collect()[0]
     assert r["delta"] == 0.0 and r["share"] is None
+
+
+# ---------------------------------------------------------------------------
+# trending_topk / weighted_sample_exact_k
+# ---------------------------------------------------------------------------
+
+def test_trending_topk_rank_and_share(spark):
+    from cerebro_spark.operators.timeops import trending_topk
+
+    rows = [(0.0, "a")] * 5 + [(0.0, "b")] * 3 + [(0.0, "c")] * 2 + [(86400.0, "b")]
+    df = spark.createDataFrame(rows, "t double, item string")
+    out = {(r["bucket"], r["rank"]): r for r in trending_topk(df, "item", "t", 86400, 2).collect()}
+    assert out[(0, 1)]["item"] == "a" and out[(0, 1)]["share"] == 0.5
+    assert out[(0, 2)]["item"] == "b" and out[(0, 2)]["n"] == 3
+    assert (0, 3) not in out                     # k=2 cutoff
+    assert out[(1, 1)]["item"] == "b" and out[(1, 1)]["share"] == 1.0
+
+
+def test_weighted_sample_exact_k_properties(spark):
+    import hashlib
+    import math
+
+    from cerebro_spark.operators.sampling import weighted_sample_exact_k
+
+    rows = [(i, float((i % 10) + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in weighted_sample_exact_k(df, "w", "id", 20).collect()]
+    assert len(got) == len(set(got)) == 20       # exactly k, no replacement
+
+    # matches the pure-Python Efraimidis-Spirakis ranking
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1.0) / 2.0 ** 52
+        return math.log(u) / w
+
+    expect = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:20]
+    assert sorted(got) == sorted(i for i, _ in expect)
+
+
+def test_weighted_sample_exact_k_excludes_nonpositive(spark):
+    from cerebro_spark.operators.sampling import weighted_sample_exact_k
+
+    rows = [(1, 0.0), (2, -1.0), (3, None), (4, 5.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_exact_k(df, "w", "id", 10).collect()
+    assert [r["id"] for r in out] == [4]
