@@ -541,17 +541,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
 # a driver CORRECTNESS row in the same round it is born.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, final: session 9 — verified by recomputation
-    # against CORRECTNESS_r01..r05): the registry holds 248 queries, 149
-    # are driver-gated from r01-r05, 99 have never had a driver row (the
-    # rotation-14 debt + 46 born in sessions 1-3 + 15 in session 4 + 24
+    # HEAD-50 TRIAGE (r6, final — verified by recomputation against
+    # CORRECTNESS_r01..r05): the registry holds 252 queries, 149 are
+    # driver-gated from r01-r05, 103 have never had a driver row (the
+    # rotation-14 debt + 46 born in sessions 1-3 + 15 in session 4 + 28
     # in sessions 5-9).  The snapshot covers exactly 50, ALL of them
-    # never-gated: the 24 session-5..9 births, the 15 session-4 births,
-    # clean_text_roundtrip, and the first 10 of the rotation-14.  The 49
-    # never-gated below the cutoff (the rotation tail + the session-1..3
-    # births listed further down) gate in r07+; every one carries local
-    # oracle green at sf0.001+sf0.01 plus pytest evidence, and the
-    # rotation-14 additionally carried judge-verified local green in r5.
+    # never-gated (asserted by recomputation): the 28 session-5..9
+    # births, the 15 session-4 births, clean_text_roundtrip, and the
+    # head of the rotation-14.  The 53 never-gated below the cutoff
+    # (the rotation tail + the session-1..3 births listed further down)
+    # gate in r07+; every one carries local oracle green at
+    # sf0.001+sf0.01 plus pytest evidence, and the rotation-14
+    # additionally carried judge-verified local green in r5.
     # Priority order:
     # (-4)..(-2) the session-6..9 births — the newest-first policy below;
     # (-1) the session-5 births;
