@@ -608,3 +608,69 @@ def test_weighted_sample_exact_k_excludes_nonpositive(spark):
     df = spark.createDataFrame(rows, "id long, w double")
     out = weighted_sample_exact_k(df, "w", "id", 10).collect()
     assert [r["id"] for r in out] == [4]
+
+
+# ---------------------------------------------------------------------------
+# property tests: binseg vs brute-force argmax; spatial join vs brute force
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HYP = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_HYP)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=4, max_size=40),
+)
+def test_binseg_level1_matches_bruteforce(spark, vals):
+    from cerebro_spark.operators.tsdb import binseg_changepoints
+
+    rows = [("k", float(h * 3600), float(v)) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = [r for r in binseg_changepoints(df, "v", "t", ["k"], 3600, 2).collect()
+           if r["level"] == 1]
+    # brute force over the integer e6 bucket means (one reading per bucket)
+    m = [v * 10**6 for v in vals]
+    T, S = len(m), sum(m)
+    best = None
+    for i in range(2, T - 1):
+        P = sum(m[:i])
+        a = P * P * (T - i) + (S - P) ** 2 * i
+        score = a / (i * (T - i))
+        # exact IEEE comparison: python computes the identical double
+        if best is None or score > best[0]:
+            best = (score, i)
+    if best is None:
+        assert out == []
+        return
+    assert len(out) == 1
+    assert out[0]["n_left"] == best[1]
+
+
+@settings(**_HYP)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    ),
+    r10=st.integers(5, 40),
+)
+def test_spatial_grid_join_bruteforce_parity(spark, pts, r10):
+    from cerebro_spark.operators.joins import spatial_grid_join
+
+    r = r10 / 10.0
+    left = [(i, x / 3.0, y / 3.0) for i, (x, y) in enumerate(pts)]
+    right = [(j + 1000, y / 3.0, x / 3.0) for j, (x, y) in enumerate(pts)]
+    ldf = spark.createDataFrame(left, "l_id long, x double, y double")
+    rdf = spark.createDataFrame(right, "r_id long, x double, y double")
+    got = {(row["l_id"], row["r_id"])
+           for row in spatial_grid_join(ldf, rdf, "x", "y", r).collect()}
+    expect = {(i, j) for (i, xi, yi) in left for (j, xj, yj) in right
+              if (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r}
+    assert got == expect
