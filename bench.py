@@ -152,7 +152,8 @@ HEADLINE = [
     "streaming_enrich_check", # stream-stream metadata enrichment gate
     "interval_bucket_stats",  # pre-join skew histogram (interval family)
     "vocab_coverage",         # Good-Turing / Chao1 vocabulary saturation
-    # round-6 session 5
+    # round-6 sessions 5-10: every new operator family benches the round
+    # it is born (same rule as the correctness gate)
     "mi_event_hour",          # mutual information / NMI effect size
     "audience_overlap",       # per-key set-explode pairwise intersections
     "bloom_semijoin",         # Bloom runtime filter build + zero-shuffle probe
