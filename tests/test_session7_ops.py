@@ -674,3 +674,57 @@ def test_spatial_grid_join_bruteforce_parity(spark, pts, r10):
     expect = {(i, j) for (i, xi, yi) in left for (j, xj, yj) in right
               if (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r}
     assert got == expect
+
+
+@settings(**_HYP)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+        min_size=2, max_size=60,
+    ),
+)
+def test_quantile_normalize_matches_python_midrank_reference(spark, vals):
+    from cerebro_spark.operators.profile import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in vals], "g string, v double"
+    )
+    got = {(r["group"], r["q"]): (r["rank_target"], r["mapped_value"])
+           for r in quantile_normalize(df, "g", "v", 1.0).collect()}
+
+    # pure-Python reference: integer midranks -> ceil target rank ->
+    # global value at that rank
+    from collections import Counter
+
+    by_g = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    gcnt = Counter(v for _, v in vals)
+    gvals = sorted(gcnt)
+    n = len(vals)
+    # global rank ranges
+    lo = {}
+    c = 0
+    for q in gvals:
+        lo[q] = c + 1
+        c += gcnt[q]
+
+    def value_at_rank(r):
+        for q in gvals:
+            if lo[q] <= r <= lo[q] + gcnt[q] - 1:
+                return q
+        raise AssertionError(r)
+
+    import math
+
+    expect = {}
+    for g, xs in by_g.items():
+        cnt = Counter(xs)
+        ng = len(xs)
+        cum = 0
+        for q in sorted(cnt):
+            cum += cnt[q]
+            rnum = 2 * cum - cnt[q] + 1
+            rk = math.ceil(rnum * n / (2 * ng))
+            expect[(g, q)] = (rk, float(value_at_rank(rk)))
+    assert got == expect
