@@ -534,48 +534,103 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-1 snapshot).  Rotate queries that have never had a hard-gate row to the
 # FRONT of the registry so they get driver-checked this round; the
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
-# ROTATION HISTORY: r04 gated zero (import crash); r05 gated the head-50 of
-# the round-4 rotation list (all green); r06 executed the staged rotation —
-# the 14 queries never gated in r01-r05 now lead the list, completing
-# 163/163 cumulative driver-gated coverage.  POLICY from here on: any NEW
-# query must be inserted at the very front of _SNAPSHOT_PRIORITY so it gets
-# a driver CORRECTNESS row in the same round it is born.
+# ROTATION HISTORY (recompute from CORRECTNESS_r*.json before trusting):
+# r04 gated zero (import crash); r05 gated the head-50 of the round-4
+# rotation list (all green); r06 gated its staged head-50 (all green) —
+# but the round's ~90 births displaced 7 of the rotation-14 below the
+# cutoff, so r06 closed at 156/163 of the pre-r6 registry and 199/252
+# cumulative, leaving 53 registry queries with no driver row.  r07
+# executes the debt-first rotation staged below.  POLICY: new queries
+# normally enter at the very front so they gate the round they are born —
+# EXCEPT while never-gated debt exceeds one 50-query snapshot (the r06
+# lesson): then births register BELOW the cutoff with local-oracle +
+# pytest evidence and gate the following round.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r6, final — verified by recomputation against
-    # CORRECTNESS_r01..r05): the registry holds 252 queries, 149 are
-    # driver-gated from r01-r05, 103 have never had a driver row (the
-    # rotation-14 debt + 46 born in sessions 1-3 + 15 in session 4 + 28
-    # in sessions 5-9).  The snapshot covers exactly 50, ALL of them
-    # never-gated (asserted by recomputation): the 28 session-5..9
-    # births, the 15 session-4 births, clean_text_roundtrip, and the
-    # head of the rotation-14.  The 53 never-gated below the cutoff
-    # (the rotation tail + the session-1..3 births listed further down)
-    # gate in r07+; every one carries local oracle green at
-    # sf0.001+sf0.01 plus pytest evidence, and the rotation-14
-    # additionally carried judge-verified local green in r5.
-    # Priority order:
-    # (-4)..(-2) the session-6..9 births — the newest-first policy below;
-    # (-1) the session-5 births;
-    # (0) the session-4 births — the newest-first policy below;
-    # (1) the rotation 14 — VERDICT r5 ask #1, completing cumulative
-    #     163/163 driver-gated coverage of the pre-r6 registry;
-    # (2) the 8 streaming gates — ask #2 (stateful-twin equivalence) plus
-    #     the stream-stream join class, whose evidence pytest alone
-    #     cannot replace;
-    # (3) the earlier round-6 births, newest first.
-    # R07 PROCEDURE (the r5→r6 staged-rotation pattern, judge-endorsed):
-    # after CORRECTNESS_r06.json lands, verify its key set equals the
-    # head-50 below, then MOVE those 50 names to the tail of this list —
-    # the 53 still-ungated queries (already in priority order from the
-    # cutoff marker down: the streaming-gate class first, then the
-    # rotation tail and the session-1..3 births) become the r07 head and
-    # gate next round with NO further triage.  New births keep going to
-    # the very front.  Every below-cutoff query carries local-oracle
-    # green at sf0.01+sf0.001 plus pytest evidence; the graph family
-    # adds property tests + soaks, and pagerank's quantized-iteration
-    # oracle structure is driver-gated via ppr_trade_recs.
+    # HEAD-50 TRIAGE (r07 — verified by recomputation against
+    # CORRECTNESS_r01..r06): the registry holds 252 queries; 199 are
+    # driver-gated green from r01-r06 (r06's 50 keys == the prior head-50,
+    # asserted); 53 have never had a driver row.  This head is those 53 in
+    # the judge-endorsed debt-first order — (A) the 8 streaming
+    # equivalence gates, whose evidence pytest alone cannot replace;
+    # (B) the 7-query rotation tail, r01-era debt displaced twice;
+    # (C) the round-6 session-1..3 births, oldest debt last.  50 slots
+    # cover all of (A)+(B) and 35 of the 38 in (C); the last 3 of (C)
+    # sit just below the cutoff and gate in r08.  Every head query
+    # carries local-oracle green at sf0.001+sf0.01 plus pytest evidence.
+    # R08 PROCEDURE (same staged pattern): after CORRECTNESS_r07.json
+    # lands, verify its key set equals the head-50 below, then MOVE those
+    # 50 names to the tail — the 3 remaining debt queries (marked below)
+    # plus any r07 below-cutoff births become the r08 head.
     #
-    # (-3) Born round 6, sessions 7-8 — newest first (same policy):
+    # (A) STREAMING GATES — stateful twins + stream-stream joins:
+    "streaming_ohlc_6h",
+    "streaming_percentiles_check",
+    "streaming_sessionize_closed",
+    "streaming_cusum_check",
+    "streaming_dedup_check",
+    "streaming_deadband_check",
+    "streaming_outer_join_check",
+    "streaming_join_check",
+    # (B) ROTATION TAIL — no driver row across r01-r06 (r01-era debt):
+    "rsi_14",
+    "seasonal_decompose",
+    "session_stats",
+    "stochastic_14",
+    "temperature_mix",
+    "value_corr_matrix",
+    "value_heatmap",
+    # (C1) Born round 6, session 3 — positional phrase search, last-touch
+    # attribution, AllPairs exact Jaccard join, Gini concentration,
+    # funnel latency, chi-square independence, ordered window funnel,
+    # EWMA, HITS, bounded BFS, SCD2, Benford, PSI, Theil-Sen, postings.
+    "phrase_match",
+    "purchase_attribution",
+    "prefix_dup_pairs",
+    "revenue_gini",
+    "funnel_latency",
+    "chi2_event_hour",
+    "window_funnel",
+    "ewma_level",
+    "hits_trade",
+    "reach_3hop",
+    "scd2_intervals",
+    "benford_profile",
+    "psi_drift",
+    "theil_sen_trend",
+    "inverted_postings",
+    # (C2) Born round 6, third batch — graph analytics / hybrid retrieval /
+    # governance / versioning:
+    "ppr_trade_recs",
+    "incremental_rollup_check",
+    "textrank_keywords",
+    "order_snapshot_diff",
+    "k_anonymity_events",
+    "hybrid_rrf_topk",
+    "kcore_trade",
+    "lpa_communities",
+    "supplier_overlap",
+    "part_affinity",
+    # (C3) Born round 6, second batch — retrieval / record linkage / graph:
+    "fuzzy_block_stats",
+    "bm25_topk",
+    "fuzzy_part_pairs",
+    "moments_by_type",
+    "mann_kendall_trend",
+    "holt_forecast_check",
+    "ab_test_ztest",
+    "survival_km",
+    "pagerank_trade",
+    "triangle_parts",
+    # --- r07 head-50 cutoff falls here (entry #50 = triangle_parts;
+    # recompute with _SNAPSHOT_PRIORITY[:50] before trusting a comment) ---
+    # REMAINING DEBT (3, gate in r08 with any r07 below-cutoff births):
+    "dsir_topk",
+    "rfm_segments",
+    "event_transitions",
+    # --- everything below here is driver-gated green (r01-r06) and keeps
+    # local-oracle coverage via tools/check.py ---
+    # r06 head-50, gated green in CORRECTNESS_r06 (moved to tail per the
+    # staged procedure):
     "weighted_pick_k",
     "trending_daily",
     "change_contribution",
@@ -592,21 +647,18 @@ _SNAPSHOT_PRIORITY = [
     "l_diversity_events",
     "top_paths",
     "spatial_pairs",
-    # (-2) Born round 6, session 6 — newest first (same policy):
     "msprt_monitor",
     "jl_distortion",
     "target_encode_oof",
     "adamic_adar_links",
     "lead_lag_corr",
     "changepoints_value",
-    # (-1) Born round 6, session 5 — newest first (same policy):
     "markov_attribution",
     "esd_anomalies",
     "sax_motifs",
     "bloom_semijoin",
     "audience_overlap",
     "mi_event_hour",
-    # (0) Born round 6, session 4 — newest first (same policy):
     "vocab_coverage",
     "interval_bucket_stats",
     "streaming_enrich_check",
@@ -622,7 +674,6 @@ _SNAPSHOT_PRIORITY = [
     "bootstrap_ci_mean",
     "domain_cap_sample",
     "clean_text_roundtrip",
-    # (1) ROTATION — no driver row across r01-r05:
     "approx_top_terms",
     "asof_join_nearest",
     "bollinger_20",
@@ -630,74 +681,6 @@ _SNAPSHOT_PRIORITY = [
     "error_burn_rate",
     "hard_negatives",
     "packing_efficiency",
-    # --- r06 head-50 cutoff falls here (entry #50 = packing_efficiency;
-    # recompute with _SNAPSHOT_PRIORITY[:50] before trusting a comment) —
-    # everything below gates in r07 via the procedure above ---
-    "rsi_14",
-    "seasonal_decompose",
-    "session_stats",
-    "stochastic_14",
-    "temperature_mix",
-    "value_corr_matrix",
-    "value_heatmap",
-    # (2) STREAMING GATES — stateful twins (ask #2) + stream-stream joins:
-    "streaming_ohlc_6h",
-    "streaming_percentiles_check",
-    "streaming_sessionize_closed",
-    "streaming_cusum_check",
-    "streaming_dedup_check",
-    "streaming_deadband_check",
-    "streaming_outer_join_check",
-    "streaming_join_check",
-    # (3a) Born round 6, session 3 — newest first: positional phrase
-    # search, last-touch attribution, AllPairs exact Jaccard join, Gini
-    # concentration, funnel latency, chi-square independence, ordered
-    # window funnel, EWMA, HITS, bounded BFS, SCD2, Benford, PSI,
-    # Theil-Sen, inverted postings.
-    "phrase_match",
-    "purchase_attribution",
-    "prefix_dup_pairs",
-    "revenue_gini",
-    "funnel_latency",
-    "chi2_event_hour",
-    "window_funnel",
-    "ewma_level",
-    "hits_trade",
-    "reach_3hop",
-    "scd2_intervals",
-    "benford_profile",
-    "psi_drift",
-    "theil_sen_trend",
-    "inverted_postings",
-    # (3b) Born round 6, third batch — graph analytics / hybrid retrieval /
-    # governance / versioning:
-    # (all local-oracle green at sf0.01+sf0.001 with pytest evidence; the
-    # session-4 births above displaced the graph/retrieval tail, which
-    # moves to the front of the r07 debt)
-    "ppr_trade_recs",
-    "incremental_rollup_check",
-    "textrank_keywords",
-    "order_snapshot_diff",
-    "k_anonymity_events",
-    "hybrid_rrf_topk",
-    "kcore_trade",
-    "lpa_communities",
-    "supplier_overlap",
-    "part_affinity",
-    # (3c) Born round 6, second batch — retrieval / record linkage / graph:
-    "fuzzy_block_stats",
-    "bm25_topk",
-    "fuzzy_part_pairs",
-    "moments_by_type",
-    "mann_kendall_trend",
-    "holt_forecast_check",
-    "ab_test_ztest",
-    "survival_km",
-    "pagerank_trade",
-    "triangle_parts",
-    "dsir_topk",
-    "rfm_segments",
-    "event_transitions",
     # ROUND-4 ROTATION: the 61 queries with no driver CORRECTNESS row in
     # r01-r03 (VERDICT r3 ask #1).  Driver snapshots the FIRST 50.
     "zscore_outliers",

@@ -1,6 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints, as the
+FINAL stdout line, ONE constant-size JSON record:
+{"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": N}.
+Per-query timings and all raw runs are printed on earlier "detail" lines
+(consumed by tools/bench_diff.py) — the driver tail-captures only the last
+2000 chars, so the final line must never grow with the query count.
 
 Execution is materialized JVM-side via the noop sink (no Python collect
 overhead in the measurement) — the measured cost is scan + transform + shuffle,
@@ -257,25 +261,39 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    total = round(sum(timings.values()), 4)
     # The driver tail-captures only the LAST stdout line and its buffer is
-    # finite (BENCH_r03 recorded parsed:null when the runs arrays pushed the
-    # line past it).  Emit the full per-run detail on an EARLIER line for
-    # humans/diffs, and keep the final line a compact record well under 2 KB:
-    # timings rounded to ms, no runs arrays.
+    # 2000 chars (BENCH_r03 recorded parsed:null from runs arrays; BENCH_r06
+    # recorded parsed:null again when the per-query dict itself crossed 2 KB
+    # at 142 headline queries).  The final line is now CONSTANT-SIZE — no
+    # per-query content at all (tests/test_plan_shapes.py pins it <1800
+    # chars even at 10x the query count); the per-run and per-query detail
+    # both move to earlier lines for humans and tools/bench_diff.py.
     print(json.dumps({"detail": "all_runs", "runs": runs}))
-    compact = {n: round(t, 3) for n, t in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": compact,
-                "sf": float(sf),
-            },
-            separators=(",", ":"),
-        )
+    print(json.dumps(
+        {
+            "detail": "timings",
+            "queries": {n: round(t, 3) for n, t in timings.items()},
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
+    ))
+    print(headline_line(timings, float(sf)))
+
+
+def headline_line(timings: "dict[str, float]", sf: float) -> str:
+    """The ONE driver-parsed stdout line.  Constant-size by construction:
+    carries only the total, never per-query content — the driver's tail
+    buffer is 2000 chars and per-query dicts outgrew it twice (r03, r06).
+    """
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+        },
+        separators=(",", ":"),
     )
 
 

@@ -446,6 +446,23 @@ def interval_bucket_stats(
 BLOOM_BITS_PER_WORD = 62
 
 
+#: md5 hex is 32 chars = four disjoint 8-char (32-bit) slices.  num_hashes
+#: beyond that would slice past the digest: conv('') yields NULL positions,
+#: the probe's AND chain goes NULL, and filter(bloom_pass) would silently
+#: DROP matching rows — a false NEGATIVE, violating the filter's core
+#: guarantee.  Reject loudly instead.
+_BLOOM_MAX_HASHES = 4
+
+
+def _check_num_hashes(num_hashes: int) -> None:
+    if not 1 <= num_hashes <= _BLOOM_MAX_HASHES:
+        raise ValueError(
+            f"num_hashes must be in 1..{_BLOOM_MAX_HASHES} (each hash is a "
+            f"disjoint 8-hex-char slice of the 32-char md5 digest; "
+            f"got {num_hashes})"
+        )
+
+
 def _bloom_pos(key_col, i: int, num_words: int):
     """i-th bit position for a key: 32-bit slice of md5 hex, mod capacity.
 
@@ -490,7 +507,7 @@ def bloom_build(
     probe in a STREAM (the broadcast-side analog of the persisted LSH
     index in dedup.py) — none of which the planner-internal filter offers.
 
-    Engine-portable: bit positions are 16-bit md5 hex slices of the key's
+    Engine-portable: bit positions are 32-bit md5 hex slices of the key's
     string rendering mod capacity, 62 bits per word (see
     BLOOM_BITS_PER_WORD) — the DuckDB oracle reproduces the words exactly.
 
@@ -498,6 +515,7 @@ def bloom_build(
     words are all-zero.  NULL keys are ignored (SQL semantics: NULL never
     equi-joins).
     """
+    _check_num_hashes(num_hashes)
     key = F.col(key_col)
     keys = df.select(key.alias("__k")).filter(key.isNotNull()).distinct()
     pos = keys.select(
@@ -560,6 +578,7 @@ def bloom_probe(
 
     NULL keys probe False (they cannot equi-join anyway).
     """
+    _check_num_hashes(num_hashes)
     num_words = len(words)
     arr = F.lit(words)
     key = F.col(key_col)
@@ -605,6 +624,7 @@ def bloom_probe_join(
     holding ~25M keys at 1% fp is routine), not by plan size.  Missing
     word rows read as all-zero via coalesce.
     """
+    _check_num_hashes(num_hashes)
     key = F.col(key_col)
     out = df.withColumns({
         f"__bloom_p{i}": _bloom_pos(key, i, num_words)

@@ -1397,7 +1397,11 @@ def l_diversity(
 
     Reference parity: no reference counterpart — governance extension
     next to k_anonymity (driver brief).
+
+    ``qi_cols`` accepts column names or Column objects, same contract as
+    the sibling k_anonymity.
     """
+    qi_cols = [F.col(c) if isinstance(c, str) else c for c in qi_cols]
     names = [f"qi_{i}" for i in range(len(qi_cols))]
     cells = (
         df.select(

@@ -459,6 +459,16 @@ def streaming_msprt(
     same scope as the batch operator) — sequential by nature, like the
     Holt recurrence; the fact-sized work (quantize, day-bucket) happens
     in codegen BEFORE the Arrow stage.
+
+    ORDERING CONTRACT (same caveat class as sessionize/CUSUM): micro-
+    batches must arrive in event order and each must hold whole days —
+    a day split across batches emits that day twice (with partial then
+    complete cumulative moments; under replay the LAST row per day
+    wins), and out-of-order arrival folds rows into the cumulative
+    moments in the wrong sequence, corrupting every later day's values.
+    The equivalence gate replays with ordered_single_batch=True; a
+    production feed must be a time-ordered log (e.g. a date-partitioned
+    spool) or must dedup on day downstream, keeping the max-n row.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 

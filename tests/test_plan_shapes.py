@@ -106,3 +106,28 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# bench.py driver contract
+# ---------------------------------------------------------------------------
+
+def test_bench_headline_line_is_constant_size_and_parseable():
+    # The driver tail-captures only the LAST 2000 stdout chars.  BENCH_r03
+    # and BENCH_r06 both recorded parsed:null when per-query content pushed
+    # the final line past that; the final line is now constant-size — pin
+    # it well under the buffer even at 10x the current headline count.
+    import json
+
+    import bench
+
+    timings = {f"a_very_long_query_name_{i:04d}": 123.4567 for i in range(1500)}
+    line = bench.headline_line(timings, 0.1)
+    assert len(line) < 1800
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["n_queries"] == 1500
+    assert parsed["value"] == round(123.4567 * 1500, 4)
+    assert "queries" not in parsed  # per-query detail lives on earlier lines

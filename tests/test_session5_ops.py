@@ -156,6 +156,29 @@ def test_bloom_probe_prunes_absent_keys(spark):
     assert fp <= 20
 
 
+def test_bloom_num_hashes_over_four_rejected(spark):
+    # 5 hashes would slice past the 32-char md5 digest: conv('') -> NULL
+    # positions -> a NULL AND chain -> silent FALSE NEGATIVES.  All three
+    # entry points must reject loudly instead (ADVICE r6).
+    from cerebro_spark.operators.joins import (
+        bloom_build, bloom_probe, bloom_probe_join, bloom_words_literal,
+    )
+
+    df = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    for bad in (0, 5):
+        with pytest.raises(ValueError, match="num_hashes"):
+            bloom_build(df, "k", num_hashes=bad)
+        with pytest.raises(ValueError, match="num_hashes"):
+            bloom_probe(df, "k", [0] * 64, num_hashes=bad)
+        with pytest.raises(ValueError, match="num_hashes"):
+            bloom_probe_join(df, "k", df, 64, num_hashes=bad)
+    # k=4 is the max: uses hex chars 1..32 exactly, still no false negatives
+    words = bloom_words_literal(bloom_build(df, "k", 1024, 4), 1024)
+    assert bloom_probe(df, "k", words, num_hashes=4).filter(
+        "NOT bloom_pass"
+    ).count() == 0
+
+
 def test_bloom_probe_null_key_fails_closed(spark):
     from cerebro_spark.operators.joins import (
         bloom_build, bloom_probe, bloom_words_literal,

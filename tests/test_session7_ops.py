@@ -135,6 +135,17 @@ def test_l_diversity_skewed_entropy_below_distinct(spark):
     assert r["l_entropy"] < 2.0
 
 
+def test_l_diversity_accepts_string_colnames(spark):
+    # qi_cols takes names or Columns, same contract as k_anonymity (ADVICE r6)
+    from cerebro_spark.operators.profile import l_diversity
+
+    rows = [("g1", v) for v in [1, 2, 3, 4] * 3] + [("g2", 9)] * 5
+    df = spark.createDataFrame(rows, "g string, s long")
+    by_name = l_diversity(df, ["g"], "s").collect()
+    by_col = l_diversity(df, [F.col("g")], "s").collect()
+    assert by_name == by_col
+
+
 def test_l_diversity_null_sensitive_excluded(spark):
     from cerebro_spark.operators.profile import l_diversity
 

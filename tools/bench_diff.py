@@ -58,6 +58,15 @@ def load_queries(path: str) -> dict[str, float]:
             name: min(float(t) for t in vals.split(","))
             for name, vals in trials
         }
+    if not queries and tail:
+        # r07+ format: the headline line is constant-size (no queries at
+        # all) and the per-query timings live on the compact "timings"
+        # detail line ("name":1.234,...).  The driver tail keeps only the
+        # last 2000 chars, so this recovers the timings line's suffix —
+        # a PARTIAL set; diffs against it compare the shared subset only.
+        meta = {"sf", "value", "n_queries"}
+        pairs = re.findall(r'"(\w+)":([0-9]+(?:\.[0-9]+)?)[,}]', tail)
+        queries = {k: float(v) for k, v in pairs if k not in meta}
     if not queries:
         raise ValueError(f"{path}: no per-query timings found")
     return {k: float(v) for k, v in queries.items()}
