@@ -181,11 +181,95 @@ def real_audio_features(payload: bytes, dim: int = 8) -> list[float]:
     return [b / total for b in bands]
 
 
+def _decode_avi_frames(payload: bytes, every_ms: int) -> "list | None":
+    """Stdlib decoder for UNCOMPRESSED RIFF/AVI (24-bit BI_RGB DIB frames)
+    — the video twin of the dependency-free WAV path in ``decode_audio``:
+    a ``struct``-walked RIFF chunk tree plus numpy, no codec library.
+
+    Returns ``[(ts_ms, grayscale uint8 ndarray), ...]`` sampled every
+    ``every_ms`` (same cadence contract as the PyAV path), or ``None``
+    when the payload is not an AVI this parser can decode (not RIFF/AVI,
+    compressed fourcc, non-24-bit) — the caller then falls through to the
+    optional PyAV/OpenCV decoders.  Grayscale is BT.601 luma
+    (0.299R + 0.587G + 0.114B, rounded to uint8), the same matrix PyAV's
+    ``format="gray"`` uses.  Handles bottom-up (positive biHeight, the DIB
+    default) and top-down (negative) row order and 4-byte row padding.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    state = {"usec": 33333, "w": None, "h": None, "bits": None, "comp": None}
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data = pos + 8
+            if data + size > len(payload):  # truncated chunk — stop
+                return
+            if fourcc == b"LIST":
+                walk(data + 4, data + size)  # skip the 4-byte list type
+            elif fourcc == b"avih" and size >= 4:
+                state["usec"] = (
+                    struct.unpack("<I", payload[data : data + 4])[0]
+                    or state["usec"]
+                )
+            elif fourcc == b"strf" and size >= 20 and state["w"] is None:
+                # BITMAPINFOHEADER: biSize, biWidth, biHeight, biPlanes,
+                # biBitCount, biCompression, ...
+                _sz, w, h = struct.unpack("<Iii", payload[data : data + 12])
+                bits = struct.unpack("<H", payload[data + 14 : data + 16])[0]
+                comp = struct.unpack("<I", payload[data + 16 : data + 20])[0]
+                state.update(w=w, h=h, bits=bits, comp=comp)
+            elif fourcc[2:4] in (b"db", b"dc"):
+                raw_frames.append(payload[data : data + size])
+            pos = data + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    w, h, bits, comp = state["w"], state["h"], state["bits"], state["comp"]
+    if w is None or not raw_frames:
+        return None
+    if comp != 0 or bits != 24:  # BI_RGB 24-bit only — else defer to PyAV
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    frames, next_ts = [], 0
+    for i, raw in enumerate(raw_frames):
+        ts_ms = i * state["usec"] // 1000
+        if ts_ms < next_ts:
+            continue
+        if len(raw) < stride * h:
+            continue  # malformed frame chunk — skip, keep the cadence
+        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8)
+        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            bgr = bgr[::-1]  # DIBs are bottom-up by default
+        gray = np.clip(
+            np.round(
+                0.299 * bgr[:, :, 2].astype(np.float64)
+                + 0.587 * bgr[:, :, 1]
+                + 0.114 * bgr[:, :, 0]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        frames.append((ts_ms, gray))
+        next_ts += every_ms
+    return frames
+
+
 def _video_module():
     """Import-try for a video decoder — OPTIONAL: PyAV preferred (container
-    demux + frame decode), OpenCV as fallback.  This container has neither,
-    so the fake path is the tested default; the plumbing (payload bytes in,
-    fixed-width vector out, frame-sample cadence) is identical."""
+    demux + frame decode), OpenCV as fallback.  Uncompressed RIFF/AVI needs
+    NEITHER (``_decode_avi_frames`` is stdlib+numpy); compressed codecs
+    fall back to the fake path when both libraries are absent — the
+    plumbing (payload bytes in, fixed-width vector out, frame-sample
+    cadence) is identical either way."""
     try:
         import av  # type: ignore[import-not-found]
 
@@ -203,15 +287,21 @@ def _video_module():
 def decode_video_frames(payload: bytes, every_ms: int = 1000) -> "list":
     """Decode a video payload to ``[(ts_ms, grayscale ndarray), ...]``
     sampled every ``every_ms`` — the decode stage the metadata-only
-    ``frame_sample_plan`` defers.  Requires PyAV or OpenCV; raises
-    ``NotImplementedError`` with guidance otherwise (the
-    ``decode_image``/``decode_audio`` pattern)."""
+    ``frame_sample_plan`` defers.  Uncompressed RIFF/AVI decodes with NO
+    dependency (stdlib ``struct`` + numpy, see ``_decode_avi_frames`` —
+    the pattern ``decode_audio`` uses for WAV); other containers/codecs
+    need PyAV or OpenCV and raise ``NotImplementedError`` with guidance
+    otherwise (the ``decode_image`` pattern)."""
+    avi = _decode_avi_frames(payload, every_ms)
+    if avi is not None:
+        return avi
     mod = _video_module()
     if mod is None:
         raise NotImplementedError(
-            "video decode requires PyAV (pip install av) or OpenCV "
-            "(pip install opencv-python-headless); use fake_video_features "
-            "for plumbing tests"
+            "compressed-video decode requires PyAV (pip install av) or "
+            "OpenCV (pip install opencv-python-headless); uncompressed "
+            "RIFF/AVI decodes dependency-free, and fake_video_features "
+            "covers plumbing tests"
         )
     kind, lib = mod
     import numpy as np
@@ -260,9 +350,10 @@ def decode_video_frames(payload: bytes, every_ms: int = 1000) -> "list":
 def real_video_features(
     payload: bytes, dim: int = 8, every_ms: int = 1000
 ) -> list[float]:
-    """Feature vector from a REAL video decode (PyAV/OpenCV): mean
-    luminance histogram over the sampled frames, folded to ``dim`` buckets
-    and L1-normalized — drop-in ``features_fn`` with the fakes' contract."""
+    """Feature vector from a REAL video decode (dependency-free for
+    uncompressed AVI, PyAV/OpenCV for compressed codecs): mean luminance
+    histogram over the sampled frames, folded to ``dim`` buckets and
+    L1-normalized — drop-in ``features_fn`` with the fakes' contract."""
     import numpy as np
 
     if not payload:

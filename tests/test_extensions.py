@@ -397,6 +397,92 @@ def test_video_optional_dependency():
             real_video_features(b"\x00\x00\x00\x18ftypmp42")
 
 
+def _make_avi(frames, fps=2, top_down=False):
+    """Minimal uncompressed 24-bit RIFF/AVI writer (stdlib struct): frames
+    are numpy uint8 arrays (h, w, 3) in BGR order — the video analog of
+    ``_make_wav``."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    usec = int(1_000_000 / fps)
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = chunk(b"avih", struct.pack(
+        "<14I", usec, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    ))
+    strh = chunk(b"strh", b"vids" + b"DIB " + struct.pack("<IHH", 0, 0, 0)
+                 + struct.pack("<8I", 0, 1, fps, 0, len(frames), 0, 0, 0)
+                 + struct.pack("<4h", 0, 0, w, h))
+    bi_h = -h if top_down else h
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, w, bi_h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    ))
+    movi = b""
+    for f in frames:
+        rows = f if top_down else f[::-1]  # DIB default is bottom-up
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = np.ascontiguousarray(rows).reshape(h, w * 3)
+        movi += chunk(b"00db", padded.tobytes())
+    body = lst(b"hdrl", avih + lst(b"strl", strh + strf)) + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
+def test_real_video_features_avi_needs_no_dependency(spark):
+    """Video's real-decode twin: uncompressed RIFF/AVI decodes via stdlib
+    struct + numpy — runnable in THIS container, not just a deployment —
+    with exact BT.601 luma, DIB row order, 4-byte row padding, and the
+    every_ms sampling cadence all pinned on hand-built frames."""
+    import numpy as np
+
+    from cerebro_spark.operators.multimodal import (
+        decode_video_frames,
+        extract_features,
+        real_video_features,
+    )
+
+    white = np.full((2, 3, 3), 255, dtype=np.uint8)
+    red = np.zeros((2, 3, 3), dtype=np.uint8)
+    red[:, :, 2] = 255  # BGR order: pure red
+    avi = _make_avi([white, red], fps=2)  # frame times 0 ms, 500 ms
+
+    frames = decode_video_frames(avi, every_ms=500)
+    assert [ts for ts, _ in frames] == [0, 500]
+    assert frames[0][1].shape == (2, 3)
+    assert frames[0][1].tolist() == [[255] * 3] * 2
+    assert frames[1][1].tolist() == [[76] * 3] * 2  # round(0.299*255)
+
+    # sampling cadence: every_ms=1000 drops the 500 ms frame
+    assert len(decode_video_frames(avi, every_ms=1000)) == 1
+
+    # luminance histogram: 6 px at 255 (bucket 7) + 6 px at 76 (bucket 2)
+    feats = real_video_features(avi, dim=8, every_ms=500)
+    assert feats == pytest.approx([0, 0, 0.5, 0, 0, 0, 0, 0.5])
+
+    # bottom-up (positive biHeight) and top-down (negative) row order
+    # decode to the SAME image: white top row, black bottom row
+    grad = np.zeros((2, 3, 3), dtype=np.uint8)
+    grad[0, :, :] = 255
+    up = decode_video_frames(_make_avi([grad]), every_ms=500)[0][1]
+    down = decode_video_frames(
+        _make_avi([grad], top_down=True), every_ms=500
+    )[0][1]
+    assert up.tolist() == down.tolist() == [[255] * 3, [0] * 3]
+
+    # the same Arrow mapInPandas plumbing carries the real video kernel
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(avi))])
+    row = extract_features(df, features_fn=real_video_features).collect()[0]
+    assert row["features"] == pytest.approx(real_video_features(avi))
+
+
 def test_audio_non_wav_optional_dependency():
     """Non-WAV payloads route to the optional soundfile decoder; without it
     the error carries install guidance (the Pillow pattern)."""
