@@ -627,6 +627,12 @@ _SNAPSHOT_PRIORITY = [
     "dsir_topk",
     "rfm_segments",
     "event_transitions",
+    # R07 BIRTHS — registered BELOW the cutoff per the debt-clearance
+    # policy above (local-oracle green at sf0.001+sf0.01, pytest +
+    # plan-audit evidence; gate in the r08 head with the 3 debt queries):
+    "haversine_pairs",
+    "url_canonical_dedup",
+    "zipf_slope",
     # --- everything below here is driver-gated green (r01-r06) and keeps
     # local-oracle coverage via tools/check.py ---
     # r06 head-50, gated green in CORRECTNESS_r06 (moved to tail per the

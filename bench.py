@@ -186,6 +186,10 @@ HEADLINE = [
     "change_contribution",    # early-vs-late slice decomposition
     "trending_daily",         # per-bucket top-k with rank/share
     "weighted_pick_k",        # exact-k weighted sample (ES 2006)
+    # round-7 births (born-benched rule)
+    "haversine_pairs",        # great-circle radius join (modular lon grid)
+    "url_canonical_dedup",    # URL canonicalization + keyed dedup
+    "zipf_slope",             # corpus rank-frequency power-law fit
 ]
 
 

@@ -737,3 +737,140 @@ def spatial_grid_join(
         .withColumn("dist", F.round(F.sqrt(d2), 6))
     )
     return out.drop("__cx", "__cy")
+
+
+#: IAU nominal mean Earth radius, km — the constant every geo engine uses.
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_grid_join(
+    left: DataFrame,
+    right: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    radius_km: float = 100.0,
+    max_abs_lat: float = 66.0,
+    max_cell_size: "int | None" = None,
+) -> DataFrame:
+    """Great-circle radius join: every (left, right) pair within haversine
+    distance ≤ ``radius_km`` — the lat/lon sibling of
+    :func:`spatial_grid_join` for real geographic coordinates, where a
+    flat Euclidean grid is wrong (longitude degrees shrink by cos(lat)
+    and the grid must wrap at the antimeridian).
+
+    How: both sides key by a (lat-band, lon-band) cell; the RIGHT side
+    explodes to its 3×3 neighborhood with the lon neighbor taken MODULO
+    the band count, so pairs straddling ±180° still share a key.  Cell
+    sizes are chosen so the 3×3 coverage is PROVABLY sufficient inside
+    ``|lat| ≤ max_abs_lat``: Δlat of any pair within r is ≤ r/R rad
+    (central angle ≥ |Δφ|), and from the haversine identity
+    sin(Δλ/2) ≤ sin(r/2R)/cos(φmax), so the lat band is r/R rad and the
+    lon band is 2·asin(sin(r/2R)/cos(max_abs_lat)) — rounded DOWN to an
+    integer number of equal bands so modular wraparound stays exact.
+    Rows beyond ``max_abs_lat`` are EXCLUDED (documented contract: polar
+    caps need a second pass with a higher bound or a polar sweep — at
+    66° the default covers every inhabited latitude).  The exact
+    haversine predicate then discards corner candidates, so results are
+    exact within the band; ``dist_km`` is the haversine distance (one
+    fixed IEEE chain: sin/cos/asin on doubles), rounded to 3 dp (meter
+    precision — coarse enough that engine ulp noise cannot move it).
+
+    Scale shape: identical to spatial_grid_join — one ≤9× explode of the
+    right side, ONE equi-join shuffle on cell keys, no cross product;
+    ``max_cell_size`` caps hot cells (megacities) with the same
+    drop-the-cell contract as the LSH/fuzzy caps.
+
+    Reference parity: no reference counterpart — geospatial extension
+    next to spatial_grid_join (driver brief).
+    """
+    import math
+
+    r = float(radius_km)
+    if not 0 < max_abs_lat < 90:
+        raise ValueError(f"max_abs_lat must be in (0, 90); got {max_abs_lat}")
+    lat_band_deg = math.degrees(r / EARTH_RADIUS_KM)
+    s = math.sin(r / (2 * EARTH_RADIUS_KM)) / math.cos(math.radians(max_abs_lat))
+    if s >= 1.0:
+        n_lon = 1
+    else:
+        n_lon = max(1, int(360.0 // math.degrees(2 * math.asin(s))))
+    if n_lon <= 2:  # ±1 neighbors would alias onto the same band twice
+        n_lon = 1
+    lon_band_deg = 360.0 / n_lon
+
+    def with_cells(df: DataFrame) -> DataFrame:
+        lat = F.col(lat_col).cast("double")
+        lon = F.col(lon_col).cast("double")
+        return (
+            df.filter((lat >= -max_abs_lat) & (lat <= max_abs_lat))
+            .withColumn(
+                "__la", F.floor(lat / F.lit(lat_band_deg)).cast("long")
+            )
+            .withColumn(
+                "__lo",
+                F.least(
+                    F.floor(
+                        F.pmod(lon, F.lit(360.0)) / F.lit(lon_band_deg)
+                    ).cast("long"),
+                    F.lit(n_lon - 1),
+                ),
+            )
+        )
+
+    l = with_cells(left)
+    if max_cell_size is not None:
+        heavy = (
+            l.groupBy("__la", "__lo")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_cell_size)
+            .select("__la", "__lo")
+        )
+        l = l.join(F.broadcast(heavy), ["__la", "__lo"], "left_anti")
+    rr = (
+        with_cells(right)
+        .withColumnRenamed("__la", "__rla")
+        .withColumnRenamed("__lo", "__rlo")
+        .withColumn("__da", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__la", F.col("__rla") + F.col("__da"))
+    )
+    if n_lon == 1:
+        rr = rr.withColumn("__lo", F.col("__rlo"))
+    else:
+        rr = rr.withColumn(
+            "__dl", F.explode(F.sequence(F.lit(-1), F.lit(1)))
+        ).withColumn(
+            "__lo", F.pmod(F.col("__rlo") + F.col("__dl"), F.lit(n_lon))
+        )
+    rr = rr.drop("__rla", "__rlo", "__da", "__dl")
+    lq, rq = l.alias("l"), rr.alias("r")
+    lat1 = F.radians(F.col(f"l.{lat_col}").cast("double"))
+    lat2 = F.radians(F.col(f"r.{lat_col}").cast("double"))
+    sp = F.sin(
+        F.radians(
+            F.col(f"r.{lat_col}").cast("double")
+            - F.col(f"l.{lat_col}").cast("double")
+        )
+        / F.lit(2.0)
+    )
+    sl = F.sin(
+        F.radians(
+            F.col(f"r.{lon_col}").cast("double")
+            - F.col(f"l.{lon_col}").cast("double")
+        )
+        / F.lit(2.0)
+    )
+    h = sp * sp + F.cos(lat1) * F.cos(lat2) * (sl * sl)
+    dkm = F.lit(2 * EARTH_RADIUS_KM) * F.asin(
+        F.least(F.lit(1.0), F.sqrt(h))
+    )
+    out = (
+        lq.join(
+            rq,
+            (F.col("l.__la") == F.col("r.__la"))
+            & (F.col("l.__lo") == F.col("r.__lo")),
+            "inner",
+        )
+        .filter(dkm <= F.lit(r))
+        .withColumn("dist_km", F.round(dkm, 3))
+    )
+    return out.drop("__la", "__lo")

@@ -997,3 +997,154 @@ def log_templates(
         .orderBy(F.col("n_messages").desc(), F.col("template").asc())
         .limit(top_k)
     )
+
+
+#: query parameters that never change page identity — the tracking/session
+#: junk every crawl pipeline strips before URL-keyed dedup (utm_* is the
+#: Google Analytics family; the rest are the big ad/social click ids).
+TRACKING_PARAM_RE = (
+    "utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src"
+)
+
+#: second-level labels under which 2-letter ccTLDs host registrations
+#: (co.uk, com.au, ...) — the small-profile public-suffix heuristic.
+_SECOND_LEVEL_RE = "co|com|net|org|gov|ac|edu"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL as one JVM regexp chain — the normalization every
+    crawl pipeline runs before URL-keyed dedup, so ``http://WWW.X.com/a/``
+    and ``https://x.com:443/a?utm_source=feed`` collapse to one key:
+
+    1. trim, drop the ``#fragment``,
+    2. strip the scheme (``anything://``),
+    3. lowercase the HOST only (path/query case is page identity),
+    4. strip an explicit ``:port`` and a leading ``www.``,
+    5. drop tracking query params (:data:`TRACKING_PARAM_RE`), repairing
+       the separator (a surviving first param regains its ``?``),
+    6. drop a trailing ``?``/``&``, a ``/`` directly before the ``?``
+       (``path/?q`` ≡ ``path?q``), and trailing ``/``.
+
+    Conservative by design: surviving param ORDER is preserved (sorting
+    params can change identity on pathological sites), percent-encoding
+    is untouched.  Every rule is a whole-stage-codegen ``regexp_replace``
+    with RE2-safe syntax (no lookarounds), so a DuckDB oracle mirrors the
+    chain literally with the ``'g'`` flag.
+
+    Reference parity: no reference counterpart — corpus-prep extension
+    next to normalize_text (driver brief).
+    """
+    u = F.trim(col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    host = F.regexp_extract(u, r"^([^/?]+)", 1)
+    u = F.concat(F.lower(host), F.substring(u, F.length(host) + 1, F.lit(2147483647)))
+    u = F.regexp_replace(u, r"^([^/?:]+):[0-9]+", r"$1")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?&](" + TRACKING_PARAM_RE + r")=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/+\?", "?")
+    u = F.regexp_replace(u, r"/+$", "")
+    return u
+
+
+def registered_domain(col: Column) -> Column:
+    """Registered (pay-level) domain of a CANONICAL url/host — the key
+    crawl pipelines group by for per-site caps and train/test splits
+    (splitting by full host leaks ``en.wikipedia.org`` vs
+    ``de.wikipedia.org``).  Small-profile public-suffix heuristic: last
+    two labels, or last THREE when the middle label is a known
+    second-level registrar under a 2-letter ccTLD (``example.co.uk``).
+    Hosts with no dot (``localhost``) return themselves.  Alternation
+    order (3-label form first) is leftmost-preferred in both Java regex
+    and RE2, so the DuckDB oracle mirrors it."""
+    host = F.regexp_extract(col, r"^([^/?:]+)", 1)
+    dom = F.regexp_extract(
+        host,
+        r"([a-z0-9-]+\.(?:" + _SECOND_LEVEL_RE + r")\.[a-z][a-z]|[a-z0-9-]+\.[a-z0-9-]+)$",
+        1,
+    )
+    return F.when(dom == "", host).otherwise(dom)
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Rank-frequency power-law fit over the corpus vocabulary — ONE row
+    ``(n_terms, zipf_slope, r2, top_term, top_count)`` from an OLS of
+    ln(count) on ln(rank) over the ``top_n`` most frequent terms.  A
+    natural corpus sits near slope −1 (Zipf's law); a much flatter slope
+    flags template/boilerplate floods, a much steeper one a collapsed
+    vocabulary — the one-number corpus-health diagnostic next to
+    vocab_coverage's saturation view.
+
+    Exactness: ranks are exact integers (ties broken by term, so the
+    ranking is engine-independent); ln(rank)/ln(count) are e6-quantized
+    BIGINTs; the five moment sums are exact DECIMAL(38,0); slope and R²
+    are fixed IEEE chains over their exact-cast values, rounded to 6 dp
+    (the ols_trend discipline).
+
+    Scale shape: one combinable term-count aggregate over the corpus
+    (the only fact-sized stage), then everything runs on the vocab frame:
+    a global top-``top_n`` (orderBy+limit — Spark's TakeOrdered, no full
+    sort), one row_number window over ≤``top_n`` rows (bounded, never
+    data-sized), one final single-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(top_n)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("term").asc())
+        ),
+    )
+    qx = F.floor(
+        F.log(F.col("rank").cast("double")) * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    qy = F.floor(
+        F.log(F.col("c").cast("double")) * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    agg = ranked.select(
+        qx.alias("__x"), qy.alias("__y"), "term", "c", "rank"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y").cast(dec) * F.col("__y")).alias("__syy"),
+        F.min_by("term", "rank").alias("top_term"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    n = F.col("__n").cast(dec)
+    dxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    dxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ok = (F.col("__n") >= 2) & (dxx > 0)
+    slope = F.when(ok, F.round(dxy.cast("double") / dxx.cast("double"), 6))
+    r2 = F.when(
+        ok & (dyy > 0),
+        F.round(
+            (dxy.cast("double") * dxy.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        r2.alias("r2"),
+        "top_term",
+        "top_count",
+    )

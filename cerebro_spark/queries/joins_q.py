@@ -586,3 +586,66 @@ WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 9.0
 
 QUERIES["spatial_pairs"] = q_spatial_pairs
 ORACLES["spatial_pairs"] = _SPATIAL_PAIRS_SQL
+
+
+def q_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle radius join (joins.haversine_grid_join): customer/
+    supplier sites at synthetic lat/lon (derived deterministically from
+    the keys — the tables carry no geo columns), all pairs within 250 km
+    — lat-band + modular-lon-band equi-join with the exact haversine
+    predicate; the oracle is the brute-force cross join with the same
+    IEEE chain."""
+    from cerebro_spark.operators.joins import haversine_grid_join
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 1200).cast("double") / 10.0 - 60.0)
+        .alias("lat"),
+        (((F.col("c_custkey") * 61) % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 43) % 1200).cast("double") / 10.0 - 60.0)
+        .alias("lat"),
+        (((F.col("s_suppkey") * 53) % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+    )
+    return haversine_grid_join(
+        cust, supp, "lat", "lon", radius_km=250.0
+    ).select("c_custkey", "s_suppkey", "dist_km")
+
+
+_HAVERSINE_PAIRS_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 37) % 1200 AS DOUBLE) / 10.0 - 60.0 AS lat,
+         CAST((c_custkey * 61) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         CAST((s_suppkey * 43) % 1200 AS DOUBLE) / 10.0 - 60.0 AS lat,
+         CAST((s_suppkey * 53) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+  FROM supplier
+),
+p AS (
+  SELECT c_custkey, s_suppkey,
+         sin(radians(s.lat - c.lat) / 2) AS sp,
+         sin(radians(s.lon - c.lon) / 2) AS sl,
+         cos(radians(c.lat)) AS c1,
+         cos(radians(s.lat)) AS c2
+  FROM c CROSS JOIN s
+),
+d AS (
+  SELECT c_custkey, s_suppkey,
+         2 * 6371.0088 * asin(least(1.0, sqrt(sp * sp + c1 * c2 * (sl * sl))))
+           AS dkm
+  FROM p
+)
+SELECT c_custkey, s_suppkey, round(dkm, 3) AS dist_km
+FROM d WHERE dkm <= 250.0
+"""
+
+QUERIES["haversine_pairs"] = q_haversine_pairs
+ORACLES["haversine_pairs"] = _HAVERSINE_PAIRS_SQL

@@ -1766,3 +1766,173 @@ LIMIT 50
 
 QUERIES["weighted_pick_k"] = q_weighted_pick_k
 ORACLES["weighted_pick_k"] = _weighted_pick_sql()
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency power-law fit (text.zipf_slope): ln-ln OLS
+    over the top-200 terms — one combinable term count over the fact,
+    then vocab-frame-only work (bounded top-k + ≤200-row window)."""
+    from cerebro_spark.operators.text import zipf_slope
+
+    return zipf_slope(load_table(spark, "documents", sf_dir), top_n=200)
+
+
+_ZIPF_SLOPE_SQL = """
+WITH terms AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, count(*) AS c FROM terms WHERE term <> '' GROUP BY 1
+),
+top AS (
+  SELECT term, c,
+         row_number() OVER (ORDER BY c DESC, term ASC) AS rank
+  FROM counts ORDER BY c DESC, term ASC LIMIT 200
+),
+q AS (
+  SELECT term, c, rank,
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS qx,
+    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS qy
+  FROM top
+),
+m AS (
+  SELECT count(*) AS n,
+    sum(CAST(qx AS HUGEINT)) AS sx, sum(CAST(qy AS HUGEINT)) AS sy,
+    sum(CAST(qx AS HUGEINT) * qy) AS sxy,
+    sum(CAST(qx AS HUGEINT) * qx) AS sxx,
+    sum(CAST(qy AS HUGEINT) * qy) AS syy,
+    arg_min(term, rank) AS top_term,
+    CAST(max(c) AS BIGINT) AS top_count
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE),
+        6) AS zipf_slope,
+  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        / (CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2,
+  top_term, top_count
+FROM m
+"""
+
+QUERIES["zipf_slope"] = q_zipf_slope
+ORACLES["zipf_slope"] = _ZIPF_SLOPE_SQL
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup after canonicalization (text.canonicalize_url +
+    registered_domain): synthetic crawl URLs derived deterministically
+    from documents (the tables carry no URL column) exercise scheme/www/
+    port/fragment/tracking-param/trailing-slash normalization; the dedup
+    is one combinable groupBy on the canonical key."""
+    from cerebro_spark.operators.text import canonicalize_url, registered_domain
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 3 == 0, F.lit("https://"))
+        .when(k % 3 == 1, F.lit("http://www."))
+        .otherwise(F.lit("HTTPS://WWW.")),
+        F.col("source"),
+        F.when(k % 4 == 0, F.lit(".example.co.uk")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.when(k % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (k % 40).cast("string"),
+        F.when(k % 2 == 0, F.lit("/?utm_source=feed&utm_campaign=x&id="))
+        .otherwise(F.lit("?id=")),
+        (k % 40).cast("string"),
+        F.when(k % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(
+            canonicalize_url(url).alias("canonical_url"), "doc_id"
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            "canonical_url",
+            registered_domain(F.col("canonical_url")).alias("domain"),
+            "n_dups",
+            "first_doc",
+        )
+    )
+
+
+_URL_CANONICAL_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'https://'
+          WHEN doc_id % 3 = 1 THEN 'http://www.'
+          ELSE 'HTTPS://WWW.' END)
+    || source
+    || (CASE WHEN doc_id % 4 = 0 THEN '.example.co.uk'
+             ELSE '.example.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+    || '/Page/' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '/?utm_source=feed&utm_campaign=x&id='
+             ELSE '?id=' END)
+    || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, regexp_replace(regexp_replace(trim(url),
+           '#.*$', '', 'g'),
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://', '', 'g') AS u
+  FROM raw
+),
+s2 AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([^/?]+)', 1))
+      || substr(u, length(regexp_extract(u, '^([^/?]+)', 1)) + 1) AS u
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(u,
+      '^([^/?:]+):[0-9]+', '\\1', 'g'),
+      '^www\\.', '', 'g') AS u
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, regexp_replace(u,
+    '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src)=[^&#]*',
+    '', 'g') AS u
+  FROM s3
+),
+s5 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+      '^([^?&]*)&', '\\1?', 'g'),
+      '[?&]+$', '', 'g'),
+      '/+\\?', '?', 'g'),
+      '/+$', '', 'g') AS canonical_url
+  FROM s4
+),
+g AS (
+  SELECT canonical_url,
+    CAST(count(*) AS BIGINT) AS n_dups,
+    min(doc_id) AS first_doc
+  FROM s5 GROUP BY 1
+)
+SELECT canonical_url,
+  (CASE WHEN regexp_extract(regexp_extract(canonical_url, '^([^/?:]+)', 1),
+     '([a-z0-9-]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z]|[a-z0-9-]+\\.[a-z0-9-]+)$',
+     1) = ''
+   THEN regexp_extract(canonical_url, '^([^/?:]+)', 1)
+   ELSE regexp_extract(regexp_extract(canonical_url, '^([^/?:]+)', 1),
+     '([a-z0-9-]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z]|[a-z0-9-]+\\.[a-z0-9-]+)$',
+     1) END) AS domain,
+  n_dups, first_doc
+FROM g
+"""
+
+QUERIES["url_canonical_dedup"] = q_url_canonical_dedup
+ORACLES["url_canonical_dedup"] = _URL_CANONICAL_SQL

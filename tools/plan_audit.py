@@ -198,6 +198,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # msprt_monitor contract: one experiment = one timeline) — the fact
     # only passes through a combinable per-day aggregate (r6 session 8)
     "streaming_msprt_check",
+    # rank window over the POST-LIMIT top-200 term frame (≤ top_n rows by
+    # construction — the approx_top_terms contract); the fact only passes
+    # through a combinable term-count aggregate (r7)
+    "zipf_slope",
 }
 
 
