@@ -3,6 +3,9 @@
     python examples/training_data_prep.py [sf_dir]
 
 Stages (each one an oracle-checked operator — see QUERIES.md):
+0. URL-keyed dedup   — `text.canonicalize_url` + `registered_domain`
+   (round 7: collapse scheme/www/tracking-param variants to one canonical
+   key, keep the first doc per key — the crawl pipeline's first pass)
 1. quality gate      — `text.quality_score` columnar filter
 2. near-dup pairs    — `dedup.minhash_lsh_pairs` (banded LSH)
 3. cluster + resolve — `cluster.connected_components` → one canonical doc
@@ -64,6 +67,31 @@ def main() -> None:
     docs = load_table(spark, "documents", SF_DIR)
     n_raw = docs.count()
 
+    # 0. URL-keyed dedup: canonicalize the crawl URL (synthetic here — the
+    # test corpus carries none) and keep the FIRST doc per canonical key;
+    # min_by avoids a window over the fact (the dedup_by_second shape)
+    from cerebro_spark.operators.text import canonicalize_url
+
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://www.")).otherwise(
+            F.lit("http://")
+        ),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=crawl")).otherwise(
+            F.lit("")
+        ),
+    )
+    keep = (
+        docs.withColumn("__canon", canonicalize_url(url))
+        .groupBy("__canon")
+        .agg(F.min_by("doc_id", "doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep, "doc_id")
+    n_url = docs.count()
+
     # 1. quality gate (all three criteria)
     quality = docs.filter(quality_score(F.col("text")) >= 0.999)
 
@@ -93,6 +121,7 @@ def main() -> None:
     ).first()
 
     print(f"raw docs:          {n_raw}")
+    print(f"after url dedup:   {n_url}")
     print(f"after quality:     {quality.count()}")
     print(f"after dedup:       {unique.count()}")
     print(f"train/test:        {train.count()} / {test.count()}")
