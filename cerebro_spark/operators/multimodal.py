@@ -225,7 +225,9 @@ def _decode_avi_frames(payload: bytes, every_ms: int) -> "list | None":
                 bits = struct.unpack("<H", payload[data + 14 : data + 16])[0]
                 comp = struct.unpack("<I", payload[data + 16 : data + 20])[0]
                 state.update(w=w, h=h, bits=bits, comp=comp)
-            elif fourcc[2:4] in (b"db", b"dc"):
+            elif fourcc[:2] == b"00" and fourcc[2:4] in (b"db", b"dc"):
+                # stream 00 only — the stream whose strf we parsed above;
+                # a second stream's frames must not mix into the timeline
                 raw_frames.append(payload[data : data + size])
             pos = data + size + (size & 1)  # chunks are word-aligned
 
