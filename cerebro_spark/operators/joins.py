@@ -786,6 +786,8 @@ def haversine_grid_join(
     import math
 
     r = float(radius_km)
+    if not r > 0:
+        raise ValueError(f"radius_km must be positive; got {radius_km}")
     if not 0 < max_abs_lat < 90:
         raise ValueError(f"max_abs_lat must be in (0, 90); got {max_abs_lat}")
     lat_band_deg = math.degrees(r / EARTH_RADIUS_KM)

@@ -1020,10 +1020,12 @@ def canonicalize_url(col: Column) -> Column:
     2. strip the scheme (``anything://``),
     3. lowercase the HOST only (path/query case is page identity),
     4. strip an explicit ``:port`` and a leading ``www.``,
-    5. drop tracking query params (:data:`TRACKING_PARAM_RE`), repairing
-       the separator (a surviving first param regains its ``?``),
-    6. drop a trailing ``?``/``&``, a ``/`` directly before the ``?``
-       (``path/?q`` ≡ ``path?q``), and trailing ``/``.
+    5. split at the FIRST ``?`` and, in the QUERY part only, drop
+       tracking params (:data:`TRACKING_PARAM_RE`) and repair the
+       separator (a surviving first param regains its ``?``) — the split
+       keeps a literal ``&`` in the PATH (a legal RFC 3986 sub-delim)
+       untouched, so ``/a&b`` never collapses onto ``/a?b``,
+    6. drop a trailing ``/`` on the path and a now-empty ``?``.
 
     Conservative by design: surviving param ORDER is preserved (sorting
     params can change identity on pathological sites), percent-encoding
@@ -1034,19 +1036,25 @@ def canonicalize_url(col: Column) -> Column:
     Reference parity: no reference counterpart — corpus-prep extension
     next to normalize_text (driver brief).
     """
+    big = F.lit(2147483647)
     u = F.trim(col)
     u = F.regexp_replace(u, r"#.*$", "")
     u = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     host = F.regexp_extract(u, r"^([^/?]+)", 1)
-    u = F.concat(F.lower(host), F.substring(u, F.length(host) + 1, F.lit(2147483647)))
+    u = F.concat(F.lower(host), F.substring(u, F.length(host) + 1, big))
     u = F.regexp_replace(u, r"^([^/?:]+):[0-9]+", r"$1")
     u = F.regexp_replace(u, r"^www\.", "")
-    u = F.regexp_replace(u, r"[?&](" + TRACKING_PARAM_RE + r")=[^&#]*", "")
-    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
-    u = F.regexp_replace(u, r"[?&]+$", "")
-    u = F.regexp_replace(u, r"/+\?", "?")
-    u = F.regexp_replace(u, r"/+$", "")
-    return u
+    # path/query split at the FIRST '?': query-only rules can never touch
+    # a literal '&' or '?'-free tracking-lookalike in the path
+    path = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.substring(u, F.length(path) + 1, big)  # '' or leading '?'
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_replace(
+        query, r"[?&](" + TRACKING_PARAM_RE + r")=[^&]*", ""
+    )
+    query = F.regexp_replace(query, r"[?&]+$", "")
+    query = F.regexp_replace(query, r"^&", "?")
+    return F.concat(path, query)
 
 
 def registered_domain(col: Column) -> Column:

@@ -1902,18 +1902,18 @@ s3 AS (
   FROM s2
 ),
 s4 AS (
-  SELECT doc_id, regexp_replace(u,
-    '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src)=[^&#]*',
-    '', 'g') AS u
+  SELECT doc_id,
+    regexp_replace(regexp_extract(u, '^([^?]*)', 1), '/+$', '', 'g') AS p,
+    substr(u, length(regexp_extract(u, '^([^?]*)', 1)) + 1) AS q
   FROM s3
 ),
 s5 AS (
   SELECT doc_id,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
-      '^([^?&]*)&', '\\1?', 'g'),
+    p || regexp_replace(regexp_replace(regexp_replace(q,
+      '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src)=[^&]*',
+      '', 'g'),
       '[?&]+$', '', 'g'),
-      '/+\\?', '?', 'g'),
-      '/+$', '', 'g') AS canonical_url
+      '^&', '?', 'g') AS canonical_url
   FROM s4
 ),
 g AS (

@@ -86,7 +86,7 @@ def main() -> None:
     keep = (
         docs.withColumn("__canon", canonicalize_url(url))
         .groupBy("__canon")
-        .agg(F.min_by("doc_id", "doc_id").alias("doc_id"))
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     docs = docs.join(keep, "doc_id")

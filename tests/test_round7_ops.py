@@ -51,8 +51,29 @@ def test_canonicalize_url_edge_cases(spark):
         "ftp://Files.Example.org/",                   # non-http scheme, bare /
         "localhost:9000/x",                           # schemeless host:port
         "  https://x.com/a  ",                        # whitespace
+        "https://x.com/p?utm_a=1&",                   # dangling separator
     ])
-    assert out == ["x.com/p", "files.example.org", "localhost/x", "x.com/a"]
+    assert out == [
+        "x.com/p", "files.example.org", "localhost/x", "x.com/a", "x.com/p",
+    ]
+
+
+def test_canonicalize_url_path_ampersand_is_identity(spark):
+    # '&' is a legal RFC 3986 path sub-delim: /a&b is a DIFFERENT page
+    # from /a?b, and path segments must never be eaten as tracking params
+    out = _canon(spark, [
+        "https://x.com/a&b",
+        "https://x.com/a?b",
+        "https://x.com/a&ref=1/file",
+        "https://x.com/section/a&b?id=1&utm_c=2",
+    ])
+    assert out == [
+        "x.com/a&b",
+        "x.com/a?b",
+        "x.com/a&ref=1/file",
+        "x.com/section/a&b?id=1",
+    ]
+    assert out[0] != out[1]
 
 
 def test_canonicalize_url_idempotent(spark):
@@ -146,8 +167,10 @@ def test_haversine_join_matches_bruteforce(spark):
                 want[(li, ri)] = round(d, 3)
     assert got == want
     assert want, "planted set must produce at least one pair"
-    # the antimeridian straddle pair (~10 km apart across ±180) is found
-    assert (120, 90) in got and got[(120, 90)] < 15.0
+    # the antimeridian STRADDLE pairs — left (64.0, 179.95) with right
+    # (64.05, -179.95) and vice versa, ~11 km apart ACROSS ±180 — are found
+    assert (120, 91) in got and 0.0 < got[(120, 91)] < 15.0
+    assert (121, 90) in got and 0.0 < got[(121, 90)] < 15.0
 
 
 def test_haversine_join_excludes_polar_rows(spark):
@@ -195,6 +218,9 @@ def test_haversine_rejects_bad_band(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "i long, lat double, lon double")
     with pytest.raises(ValueError, match="max_abs_lat"):
         haversine_grid_join(df, df, radius_km=10.0, max_abs_lat=90.0)
+    for bad_r in (0.0, -5.0):
+        with pytest.raises(ValueError, match="radius_km"):
+            haversine_grid_join(df, df, radius_km=bad_r)
 
 
 # ---------------------------------------------------------------------------
