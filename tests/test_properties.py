@@ -765,3 +765,42 @@ def test_winsorized_mean_matches_reference(spark, vals):
     assert got["n"] == n
     assert got["p_lo"] == lo / 100.0 and got["p_hi"] == hi / 100.0
     assert abs(got["win_mean"] - win) < 1e-12
+
+
+# -- URL canonicalization: idempotence over adversarial URL-ish strings -----
+
+url_chars = st.text(
+    "abXY09-._~/?&=:#%+", min_size=0, max_size=40
+)
+url_strings = st.one_of(
+    url_chars,
+    st.builds(
+        lambda scheme, host, rest: scheme + host + rest,
+        st.sampled_from(["", "http://", "HTTPS://", "ftp://", "x+y://"]),
+        st.sampled_from(
+            ["WWW.Ex-1.COM", "a.co.uk:8080", "localhost", "x.org", ""]
+        ),
+        url_chars,
+    ),
+)
+
+
+@given(st.lists(url_strings, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_canonicalize_url_idempotent_property(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for arbitrary
+    URL-alphabet strings (schemes, ports, fragments, tracking params,
+    stray separators) — the property that makes the dedup KEY stable
+    under re-ingestion of an already-canonical crawl.  Also: the result
+    never retains a fragment and never ends in '/' or '?' (a trailing
+    path '&' is legal — path ampersands are page identity)."""
+    from cerebro_spark.operators.text import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    out = df.select(
+        canonicalize_url(F.col("u")).alias("c1")
+    ).select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    for r in out.collect():
+        assert r["c2"] == r["c1"]
+        assert "#" not in r["c1"]
+        assert not r["c1"].endswith(("/", "?"))
