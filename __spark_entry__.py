@@ -633,6 +633,10 @@ _SNAPSHOT_PRIORITY = [
     "haversine_pairs",
     "url_canonical_dedup",
     "zipf_slope",
+    "auc_purchase_value",
+    "lang_id_kappa",
+    "w1_chars_drift",
+    "source_ndcg",
     # --- everything below here is driver-gated green (r01-r06) and keeps
     # local-oracle coverage via tools/check.py ---
     # r06 head-50, gated green in CORRECTNESS_r06 (moved to tail per the

@@ -190,6 +190,10 @@ HEADLINE = [
     "haversine_pairs",        # great-circle radius join (modular lon grid)
     "url_canonical_dedup",    # URL canonicalization + keyed dedup
     "zipf_slope",             # corpus rank-frequency power-law fit
+    "auc_purchase_value",     # exact midrank ROC-AUC (score-grid window)
+    "lang_id_kappa",          # Cohen's kappa: heuristic vs recorded label
+    "w1_chars_drift",         # Wasserstein-1 drift (integral CDF gap)
+    "source_ndcg",            # nDCG@10 ranking evaluation
 ]
 
 

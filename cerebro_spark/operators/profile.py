@@ -1890,3 +1890,263 @@ def change_contribution(
         .limit(top_k)
         .drop("__k")
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    quant: int = 100,
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` as a ranker for boolean ``label_col``
+    — ONE row ``(n_pos, n_neg, auc)`` via the rank (Mann–Whitney U)
+    identity, with ties midranked.  The classifier-evaluation companion
+    of calibration_bins: calibration asks "are the probabilities honest",
+    AUC asks "does the score order positives above negatives at all".
+
+    Scores are quantized to ``1/quant`` units first (ties WITHIN a
+    quantum are midranked — the documented metric is "AUC at quantized
+    scores", identical in any engine).  With per-quantum counts
+    ``(n_s, p_s)`` and exclusive cumulative ``c_s`` over the ascending
+    score grid: ``2·Σ midranks(pos) = Σ p_s·(2c_s + n_s + 1)`` is an
+    EXACT integer, and ``auc = (S2 − P(P+1)) / (2PN)`` is one IEEE
+    division of exact DECIMAL operands, rounded 6 dp.  Degenerate inputs
+    (no positives or no negatives) yield NULL.
+
+    Scale shape: one combinable (quantized-score) aggregate over the
+    fact; the only window is the exclusive cumulative count over the
+    SCORE GRID, whose size is bounded by ``(max−min)·quant + 1`` —
+    quantization-bounded, never data-sized (the winsorized_mean /
+    quantile_normalize value-grid contract).
+
+    Reference parity: no reference counterpart — evaluation extension
+    next to calibration_bins (driver brief).
+    """
+    from pyspark.sql import Window
+
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    qs = F.floor(
+        F.col(score_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .select(qs.alias("__s"), lab.cast("int").alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").cast("long").alias("__p"),
+        )
+    )
+    wc = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    # score-grid-sized keyless window: bounded by quantization, not data
+    dec = "decimal(38,0)"
+    g = cells.withColumn(
+        "__c", F.coalesce(F.sum("__n").over(wc), F.lit(0)).cast("long")
+    )
+    agg = g.agg(
+        F.sum(
+            F.col("__p").cast(dec)
+            * (F.lit(2) * F.col("__c") + F.col("__n") + 1).cast(dec)
+        ).alias("__s2"),
+        F.sum("__p").cast("long").alias("__pos"),
+        F.sum("__n").cast("long").alias("__tot"),
+    )
+    pos = F.col("__pos").cast(dec)
+    neg = (F.col("__tot") - F.col("__pos")).cast(dec)
+    ok = (F.col("__pos") > 0) & (F.col("__tot") > F.col("__pos"))
+    auc = F.when(
+        ok,
+        F.round(
+            (F.col("__s2") - pos * (pos + 1)).cast("double")
+            / (F.lit(2.0) * pos.cast("double") * neg.cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("__pos").alias("n_pos"),
+        (F.col("__tot") - F.col("__pos")).alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical labelings — ONE row
+    ``(n, p_observed, p_expected, kappa)``: chance-corrected agreement,
+    the annotation-QA statistic (raw agreement flatters raters who both
+    spam the majority class).  Typical use: a heuristic labeler vs the
+    recorded ground truth, or two annotator passes over the same corpus.
+
+    Exactness: from the (a, b) contingency cells, ``kappa =
+    (n·diag − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k)`` — BOTH operands
+    exact DECIMAL integers, so kappa is ONE IEEE division, rounded 6 dp
+    (p_o and p_e likewise one division each).  p_e = 1 (a single shared
+    class) yields NULL kappa.  NULL labels are excluded (no agreement
+    semantics for missing ratings).
+
+    Scale shape: one combinable (a, b) aggregate over the fact; every
+    later frame is class-grid-sized (|A|·|B| cells, |A|+|B| marginals).
+
+    Reference parity: no reference counterpart — evaluation extension
+    next to chi2_independence, which tests ASSOCIATION; kappa measures
+    AGREEMENT (a, b must share a label space).
+    """
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    rows = cells.groupBy("__a").agg(F.sum("__c").alias("__r"))
+    colsums = cells.groupBy("__b").agg(F.sum("__c").alias("__k"))
+    rc = (
+        rows.join(colsums, rows["__a"] == colsums["__b"], "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("__r"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("__k"), F.lit(0)).cast("decimal(38,0)")
+            ).alias("__rc")
+        )
+        .agg(F.sum("__rc").alias("__src"))
+    )
+    totals = cells.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(F.lit(0))).cast("long").alias("__diag"),
+    )
+    dec = "decimal(38,0)"
+    j = totals.crossJoin(F.broadcast(rc))  # 1-row x 1-row scalar join
+    n = F.col("__n").cast(dec)
+    num = n * F.col("__diag").cast(dec) - F.col("__src")
+    den = n * n - F.col("__src")
+    return j.select(
+        F.col("__n").alias("n"),
+        F.round(
+            F.col("__diag").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("p_observed"),
+        F.round(
+            F.col("__src").cast("double")
+            / (F.col("__n").cast("double") * F.col("__n").cast("double")),
+            6,
+        ).alias("p_expected"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )
+
+
+def w1_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_buckets: int = 50,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between each group's value
+    distribution and the whole corpus, over a shared equal-width bucket
+    grid — per group ``(n, w1_units, w1_norm)``, most drifted first.
+    Completes the drift family: psi_drift weighs log mass ratios,
+    ks_drift takes the MAX CDF gap, js_drift is information-theoretic;
+    W1 is the INTEGRAL CDF gap — it answers "how far, in value units,
+    did the distribution move", which a max or a divergence cannot.
+
+    Exactness: with exact integer bucket counts, ``Σ_b |cum_g·N −
+    cum_all·n_g|`` is an exact DECIMAL integer; ``w1_norm = that /
+    (n_g·N·n_buckets)`` ∈ [0,1] and ``w1_units = w1_norm·(hi−lo+1)``
+    are fixed IEEE chains, rounded 6 dp.  Buckets come from the global
+    (min,max) span — the ks_drift shared-bin pattern.
+
+    Scale shape: one combinable (group, bucket) aggregate over the fact;
+    the dense groups×buckets grid (absent buckets must still carry the
+    corpus CDF) is a bounded-grid crossJoin (the js_drift contract), the
+    per-group cumulative windows run over bucket-grid rows, and the
+    corpus cumulative is a keyless window over ≤``n_buckets`` rows.
+
+    Reference parity: no reference counterpart — drift extension
+    (driver brief).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    span = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    b = base.crossJoin(F.broadcast(span)).select(
+        "__g",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            ((F.col("__v") - F.col("__lo")) * n_buckets)
+            / (F.col("__hi") - F.col("__lo") + 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__b"),
+        (F.col("__hi") - F.col("__lo") + 1).alias("__span"),
+    )
+    counts = b.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    groups = counts.select("__g").distinct().join(
+        F.broadcast(b.select("__span").limit(1)), F.lit(True)
+    )
+    buckets = counts.sparkSession.range(n_buckets).select(
+        F.col("id").alias("__b")
+    )
+    grid = groups.crossJoin(F.broadcast(buckets))  # bounded |G| x n_buckets
+    dense = grid.join(counts, ["__g", "__b"], "left").select(
+        "__g", "__b", "__span", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    all_counts = buckets.join(
+        counts.groupBy("__b").agg(F.sum("__c").alias("__ac")), "__b", "left"
+    ).select("__b", F.coalesce("__ac", F.lit(0)).alias("__ac"))
+    # DENSE over all n_buckets rows: a bucket with zero corpus mass must
+    # still carry the RUNNING cumulative, not zero
+    wa = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    # keyless window over <= n_buckets corpus rows: grid-bounded
+    all_cum = all_counts.select(
+        "__b", F.sum("__ac").over(wa).alias("__ca")
+    )
+    wg = Window.partitionBy("__g").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(38,0)"
+    terms = (
+        dense.withColumn("__cg", F.sum("__c").over(wg))
+        .join(F.broadcast(all_cum), "__b", "left")
+        .select(
+            "__g",
+            "__span",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            "__cg",
+        )
+    )
+    ng = terms.groupBy("__g", "__span").agg(
+        F.max("__cg").cast("long").alias("__ng"),  # last cum = group total
+        F.max(F.coalesce("__ca", F.lit(0))).cast("long").alias("__N"),
+        F.sum(F.lit(0)).alias("__zero"),
+    ).drop("__zero")
+    num = (
+        terms.join(F.broadcast(ng.select("__g", "__ng", "__N")), "__g")
+        .select(
+            "__g",
+            "__span",
+            F.abs(
+                F.col("__cg").cast(dec) * F.col("__N").cast(dec)
+                - F.col("__ca").cast(dec) * F.col("__ng").cast(dec)
+            ).alias("__t"),
+            "__ng",
+            "__N",
+        )
+        .groupBy("__g", "__span", "__ng", "__N")
+        .agg(F.sum("__t").alias("__num"))
+    )
+    denom = (
+        F.col("__ng").cast("double")
+        * F.col("__N").cast("double")
+        * F.lit(float(n_buckets))
+    )
+    w1n = F.col("__num").cast("double") / denom
+    return num.select(
+        F.col("__g").alias(group_col),
+        F.col("__ng").alias("n"),
+        F.round(w1n * F.col("__span").cast("double"), 6).alias("w1_units"),
+        F.round(w1n, 6).alias("w1_norm"),
+    ).orderBy(F.col("w1_norm").desc(), F.col(group_col).asc())

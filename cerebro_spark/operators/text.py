@@ -1156,3 +1156,91 @@ def zipf_slope(
         "top_term",
         "top_count",
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k of a per-group ranking against BINARY relevance labels —
+    per group ``(n_docs, n_rel, ndcg_at_k)``.  The ranking-evaluation
+    layer for the retrieval stack (bm25_topk / hybrid_rrf_topk produce
+    rankings; this scores them): DCG@k = Σᵢ relᵢ/log₂(i+1) over the
+    predicted top-k, normalized by the ideal DCG of min(k, n_rel)
+    relevant docs ranked first.
+
+    Exactness: the k position weights ``⌊10⁶/log₂(i+1)+½⌋`` and their
+    prefix sums are PYTHON-computed integer literals (k of them), so
+    DCG and IDCG are exact BIGINTs and nDCG is ONE IEEE division,
+    rounded 6 dp.  The predicted order is (score desc, id asc) — a
+    total order, so ranks are engine-independent.  Groups with no
+    relevant doc yield NULL (nDCG undefined).
+
+    Scale shape: one per-group top-k window (WindowGroupLimit prunes
+    beyond rank k before the sort materializes) plus one combinable
+    per-group aggregate for n/n_rel — no global window, no join against
+    a weight table (the weights are inlined literals).
+
+    Reference parity: no reference counterpart — retrieval-evaluation
+    extension next to bm25_topk (driver brief).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    qw = [math.floor(1e6 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+    cum = []
+    s = 0
+    for w_ in qw:
+        s += w_
+        cum.append(s)
+
+    rel = F.col(rel_col).cast("int")
+    base = df.filter(
+        F.col(score_col).isNotNull() & rel.isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        F.col(id_col).alias("__i"),
+        rel.alias("__r"),
+    )
+    wr = Window.partitionBy("__g").orderBy(
+        F.col("__s").desc(), F.col("__i").asc()
+    )
+    topk = base.withColumn("__rn", F.row_number().over(wr)).filter(
+        F.col("__rn") <= k
+    )
+    dcg = topk.groupBy("__g").agg(
+        F.sum(
+            F.col("__r").cast("long")
+            * F.element_at(F.lit(qw), F.col("__rn").cast("int"))
+        ).alias("__dcg2")
+    )
+    tot = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__r").cast("long").alias("n_rel"),
+    )
+    j = tot.join(dcg, "__g", "left")
+    idcg2 = F.when(
+        F.col("n_rel") > 0,
+        F.element_at(
+            F.lit(cum), F.least(F.col("n_rel"), F.lit(k)).cast("int")
+        ),
+    )
+    return j.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.coalesce(F.col("__dcg2"), F.lit(0)).cast("double")
+                / idcg2.cast("double"),
+                6,
+            ),
+        ).alias(f"ndcg_at_{k}"),
+    ).orderBy(F.col(group_col).asc())

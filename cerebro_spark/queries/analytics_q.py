@@ -3101,3 +3101,186 @@ WHERE rank <= 3
 
 QUERIES["trending_daily"] = q_trending_daily
 ORACLES["trending_daily"] = _TRENDING_DAILY_SQL
+
+
+def q_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (profile.roc_auc): does `value` rank purchase events above
+    the rest?  One combinable quantized-score aggregate + a
+    quantization-bounded cumulative window; ties midranked exactly."""
+    from cerebro_spark.operators.profile import roc_auc
+
+    ev = load_table(spark, "events", sf_dir)
+    return roc_auc(ev, "value", F.col("event_type") == "purchase", quant=100)
+
+
+_AUC_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS s,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+g AS (
+  SELECT s, n, p,
+    COALESCE(sum(n) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM cells
+),
+m AS (
+  SELECT sum(CAST(p AS HUGEINT) * (2 * c + n + 1)) AS s2,
+         sum(p) AS pos, sum(n) AS tot
+  FROM g
+)
+SELECT CAST(pos AS BIGINT) AS n_pos,
+       CAST(tot - pos AS BIGINT) AS n_neg,
+  CASE WHEN pos > 0 AND tot > pos THEN
+    round(CAST(s2 - CAST(pos AS HUGEINT) * (pos + 1) AS DOUBLE)
+          / (2.0 * CAST(pos AS DOUBLE) * CAST(tot - pos AS DOUBLE)), 6)
+  END AS auc
+FROM m
+"""
+
+QUERIES["auc_purchase_value"] = q_auc_purchase_value
+ORACLES["auc_purchase_value"] = _AUC_SQL
+
+
+def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (profile.cohens_kappa) between the lang_id heuristic
+    and the recorded lang label — chance-corrected agreement of our own
+    classifier against ground truth; exact integer contingency, one IEEE
+    division per statistic."""
+    from cerebro_spark.operators.profile import cohens_kappa
+    from cerebro_spark.operators.text import lang_id_heuristic
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = docs.filter(F.col("lang").isNotNull()).select(
+        lang_id_heuristic(F.col("text")).alias("pred"), "lang"
+    )
+    return cohens_kappa(pairs, "pred", "lang")
+
+
+def _lang_kappa_sql() -> str:
+    from cerebro_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH pairs AS (
+  SELECT
+    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+         WHEN len(regexp_extract_all(lower(text), '[äöüß]')) >
+              len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]'))
+              + len(regexp_extract_all(lower(text), '[áéíóúñ¿¡]')) THEN 'de'
+         WHEN len(regexp_extract_all(lower(text), '[áéíóúñ¿¡]')) >
+              len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]')) THEN 'es'
+         WHEN len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]')) > 0 THEN 'fr'
+         WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> list_contains([{sw}], t)))
+              >= 0.05 * len(string_split_regex(trim(lower(text)), '\\s+')) THEN 'en'
+         ELSE 'unknown' END AS a,
+    lang AS b
+  FROM documents WHERE lang IS NOT NULL
+),
+cells AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY 1, 2),
+rows_ AS (SELECT a, sum(c) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT b, sum(c) AS k FROM cells GROUP BY 1),
+rc AS (
+  SELECT sum(CAST(COALESCE(r, 0) AS HUGEINT) * COALESCE(k, 0)) AS src
+  FROM rows_ FULL OUTER JOIN cols_ ON rows_.a = cols_.b
+),
+tot AS (
+  SELECT sum(c) AS n,
+         sum(CASE WHEN a = b THEN c ELSE 0 END) AS diag
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+  round(CAST(src AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+    AS p_expected,
+  CASE WHEN CAST(n AS HUGEINT) * n - src > 0 THEN
+    round(CAST(CAST(n AS HUGEINT) * diag - src AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * n - src AS DOUBLE), 6)
+  END AS kappa
+FROM tot, rc
+"""
+
+
+QUERIES["lang_id_kappa"] = q_lang_id_kappa
+ORACLES["lang_id_kappa"] = _lang_kappa_sql()
+
+
+def q_w1_chars_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift (profile.w1_drift): how far, in characters,
+    each source's doc-length distribution sits from the corpus — the
+    integral-CDF companion of psi/ks/js over the shared 50-bucket grid."""
+    from cerebro_spark.operators.profile import w1_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    return w1_drift(docs, "n_chars", "source", n_buckets=50)
+
+
+_W1_SQL = """
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+),
+span AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+bb AS (
+  SELECT g,
+    CASE WHEN hi > lo
+         THEN CAST(floor((v - lo) * 50 / (hi - lo + 1.0)) AS BIGINT)
+         ELSE 0 END AS b,
+    hi - lo + 1 AS span_u
+  FROM base, span
+),
+counts AS (SELECT g, b, count(*) AS c FROM bb GROUP BY 1, 2),
+gs AS (SELECT DISTINCT g, max(span_u) AS span_u FROM bb GROUP BY 1),
+grid AS (
+  SELECT gs.g, gs.span_u, gb.b
+  FROM gs CROSS JOIN (SELECT unnest(range(50)) AS b) gb
+),
+dense AS (
+  SELECT grid.g, grid.span_u, grid.b, COALESCE(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts ON grid.g = counts.g AND grid.b = counts.b
+),
+allc AS (
+  SELECT gb.b, COALESCE(sum(counts.c), 0) AS ac
+  FROM (SELECT unnest(range(50)) AS b) gb
+  LEFT JOIN counts ON gb.b = counts.b
+  GROUP BY 1
+),
+allcum AS (
+  SELECT b, sum(ac) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+  FROM allc
+),
+terms AS (
+  SELECT d.g, d.span_u,
+    sum(d.c) OVER (PARTITION BY d.g ORDER BY d.b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg,
+    COALESCE(allcum.ca, 0) AS ca
+  FROM dense d LEFT JOIN allcum ON d.b = allcum.b
+),
+ng AS (
+  SELECT g, max(span_u) AS span_u, max(cg) AS ngr, max(ca) AS n_all
+  FROM terms GROUP BY 1
+),
+num AS (
+  SELECT t.g, ng.span_u, ng.ngr, ng.n_all,
+    sum(abs(CAST(t.cg AS HUGEINT) * ng.n_all
+            - CAST(t.ca AS HUGEINT) * ng.ngr)) AS nm
+  FROM terms t JOIN ng ON t.g = ng.g
+  GROUP BY 1, 2, 3, 4
+)
+SELECT g AS source, CAST(ngr AS BIGINT) AS n,
+  round(CAST(nm AS DOUBLE)
+        / (CAST(ngr AS DOUBLE) * CAST(n_all AS DOUBLE) * 50.0)
+        * CAST(span_u AS DOUBLE), 6) AS w1_units,
+  round(CAST(nm AS DOUBLE)
+        / (CAST(ngr AS DOUBLE) * CAST(n_all AS DOUBLE) * 50.0), 6) AS w1_norm
+FROM num
+ORDER BY w1_norm DESC, source ASC
+"""
+
+QUERIES["w1_chars_drift"] = q_w1_chars_drift
+ORACLES["w1_chars_drift"] = _W1_SQL

@@ -1936,3 +1936,66 @@ FROM g
 
 QUERIES["url_canonical_dedup"] = q_url_canonical_dedup
 ORACLES["url_canonical_dedup"] = _URL_CANONICAL_SQL
+
+
+def q_source_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 (text.ndcg_at_k): per source, does ranking docs by length
+    put the English docs first?  The retrieval-evaluation layer — exact
+    integer DCG/IDCG from Python-literal position weights, one per-group
+    top-k window."""
+    from cerebro_spark.operators.text import ndcg_at_k
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            "n_chars",
+            "doc_id",
+            (F.col("lang") == "en").alias("rel"),
+        )
+    )
+    return ndcg_at_k(docs, "source", "n_chars", "rel", "doc_id", k=10)
+
+
+def _source_ndcg_sql(k: int = 10) -> str:
+    import math
+
+    qw = [math.floor(1e6 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+    cum, s = [], 0
+    for w_ in qw:
+        s += w_
+        cum.append(s)
+    qw_lit = "[" + ", ".join(str(x) for x in qw) + "]"
+    cum_lit = "[" + ", ".join(str(x) for x in cum) + "]"
+    return f"""
+WITH base AS (
+  SELECT source AS g, n_chars AS s, doc_id AS i,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT g, r,
+         row_number() OVER (PARTITION BY g ORDER BY s DESC, i ASC) AS rn
+  FROM base
+),
+dcg AS (
+  SELECT g, sum(CAST(r AS BIGINT) * ({qw_lit})[rn]) AS dcg2
+  FROM ranked WHERE rn <= {k} GROUP BY 1
+),
+tot AS (
+  SELECT g, count(*) AS n_docs, sum(r) AS n_rel FROM base GROUP BY 1
+)
+SELECT g AS source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_rel AS BIGINT) AS n_rel,
+  CASE WHEN n_rel > 0 THEN
+    round(CAST(COALESCE(dcg2, 0) AS DOUBLE)
+          / CAST(({cum_lit})[CAST(least(n_rel, {k}) AS INT)] AS DOUBLE), 6)
+  END AS ndcg_at_{k}
+FROM tot LEFT JOIN dcg USING (g)
+ORDER BY source ASC
+"""
+
+
+QUERIES["source_ndcg"] = q_source_ndcg
+ORACLES["source_ndcg"] = _source_ndcg_sql()

@@ -1,10 +1,12 @@
-"""Round-7 operator batch: URL canonicalization + registered domain,
-great-circle (haversine) grid join, Zipf rank-frequency slope.
+"""Round-7 operator batches: URL canonicalization + registered domain,
+great-circle (haversine) grid join, Zipf rank-frequency slope, and the
+evaluation layer (ROC-AUC, Cohen's kappa, Wasserstein-1 drift, nDCG@k).
 
 Cross-engine value checks live in the oracle gates (``url_canonical_dedup``,
-``haversine_pairs``, ``zipf_slope``); these tests pin SEMANTICS on
-hand-built inputs where the right answer is computable by hand or a tiny
-pure-Python reference.
+``haversine_pairs``, ``zipf_slope``, ``auc_purchase_value``,
+``lang_id_kappa``, ``w1_chars_drift``, ``source_ndcg``); these tests pin
+SEMANTICS on hand-built inputs where the right answer is computable by
+hand or a tiny pure-Python reference.
 """
 
 import math
@@ -279,3 +281,163 @@ def test_zipf_slope_flat_corpus_is_degenerate_safe(spark):
     assert row["n_terms"] == 4
     assert row["zipf_slope"] == 0.0
     assert row["r2"] is None
+
+
+# ---------------------------------------------------------------------------
+# roc_auc
+# ---------------------------------------------------------------------------
+
+def _auc_ref(pairs, quant=100):
+    """Midrank Mann-Whitney AUC over quantized scores, pure Python."""
+    from collections import Counter
+
+    q = [(math.floor(s * quant + 0.5), y) for s, y in pairs]
+    counts = Counter(s for s, _ in q)
+    pos_at = Counter(s for s, y in q if y)
+    s2 = 0
+    cum = 0
+    for s in sorted(counts):
+        s2 += pos_at.get(s, 0) * (2 * cum + counts[s] + 1)
+        cum += counts[s]
+    P = sum(1 for _, y in q if y)
+    N = len(q) - P
+    return round((s2 - P * (P + 1)) / (2.0 * P * N), 6)
+
+
+def test_roc_auc_matches_python_reference(spark):
+    from cerebro_spark.operators.profile import roc_auc
+
+    # separable + tied block: positives high, one tied clump in the middle
+    pairs = (
+        [(10.0 + i, True) for i in range(5)]
+        + [(5.0, True), (5.0, False), (5.0, False)]
+        + [(1.0 + i * 0.5, False) for i in range(6)]
+    )
+    df = spark.createDataFrame(pairs, "score double, y boolean")
+    row = roc_auc(df, "score", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (6, 8)
+    assert row["auc"] == _auc_ref(pairs)
+    assert 0.9 < row["auc"] < 1.0  # tied clump keeps it below perfect
+
+
+def test_roc_auc_perfect_random_and_degenerate(spark):
+    from cerebro_spark.operators.profile import roc_auc
+
+    perfect = [(float(i), i >= 5) for i in range(10)]
+    df = spark.createDataFrame(perfect, "score double, y boolean")
+    assert roc_auc(df, "score", "y").collect()[0]["auc"] == 1.0
+
+    # all scores identical: AUC = 0.5 exactly (pure midrank ties)
+    flat = [(1.0, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(flat, "score double, y boolean")
+    assert roc_auc(df, "score", "y").collect()[0]["auc"] == 0.5
+
+    # no negatives -> NULL
+    allpos = [(float(i), True) for i in range(5)]
+    df = spark.createDataFrame(allpos, "score double, y boolean")
+    assert roc_auc(df, "score", "y").collect()[0]["auc"] is None
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+def test_cohens_kappa_textbook_case(spark):
+    from cerebro_spark.operators.profile import cohens_kappa
+
+    # classic 2x2: raters agree on 20 yes + 15 no of 50; marginals 25/25
+    # and 30/20 -> p_o = 0.7, p_e = 0.5, kappa = 0.4
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15
+        + [("y", "n")] * 5 + [("n", "y")] * 10
+    )
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r["n"] == 50
+    assert r["p_observed"] == 0.7
+    assert r["p_expected"] == 0.5
+    assert r["kappa"] == pytest.approx(0.4)
+
+
+def test_cohens_kappa_bounds(spark):
+    from cerebro_spark.operators.profile import cohens_kappa
+
+    # perfect agreement -> 1.0
+    rows = [("a", "a")] * 5 + [("b", "b")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] == 1.0
+    # both raters constant (p_e = 1) -> NULL
+    rows = [("a", "a")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] is None
+
+
+# ---------------------------------------------------------------------------
+# w1_drift
+# ---------------------------------------------------------------------------
+
+def test_w1_drift_identical_and_extreme(spark):
+    from cerebro_spark.operators.profile import w1_drift
+
+    # two groups with IDENTICAL distributions -> both w1 = 0
+    rows = [("a", v) for v in range(100)] + [("b", v) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in w1_drift(df, "v", "g", n_buckets=10).collect()}
+    assert out["a"]["w1_norm"] == 0.0 and out["b"]["w1_norm"] == 0.0
+
+    # group at the bottom bucket vs group at the top: each group's CDF
+    # differs from the pooled 50/50 CDF by 0.5 over 9 of 10 buckets
+    rows = [("lo", 0)] * 50 + [("hi", 99)] * 50
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in w1_drift(df, "v", "g", n_buckets=10).collect()}
+    assert out["lo"]["w1_norm"] == pytest.approx(0.45)
+    assert out["hi"]["w1_norm"] == pytest.approx(0.45)
+    assert out["lo"]["w1_units"] == pytest.approx(45.0)
+
+
+def test_w1_drift_shift_is_linear(spark):
+    from cerebro_spark.operators.profile import w1_drift
+
+    # shifting a uniform block by k buckets moves W1 by k/n_buckets
+    rows = [("base", v) for v in range(100)] + [
+        ("shift", v + 200) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in w1_drift(df, "v", "g", n_buckets=30).collect()}
+    # continuous truth: |F_group − F_pool| ramps 0→0.5 over the group's own
+    # block, holds 0.5 across the gap, ramps back — ∫ = (25+50+25)/300 = 1/3,
+    # and the 10-unit buckets tile the piecewise-linear CDFs exactly
+    assert out["shift"]["w1_norm"] == out["base"]["w1_norm"]
+    assert out["shift"]["w1_norm"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ndcg_at_k
+# ---------------------------------------------------------------------------
+
+def test_ndcg_matches_python_reference(spark):
+    from cerebro_spark.operators.text import ndcg_at_k
+
+    def ref(rels_in_rank_order, n_rel, k=10):
+        qw = [math.floor(1e6 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+        dcg = sum(r * qw[i] for i, r in enumerate(rels_in_rank_order[:k]))
+        idcg = sum(qw[: min(k, n_rel)])
+        return round(dcg / idcg, 6)
+
+    # group g1: 12 docs ranked by score desc, relevant at ranks 1,3,11
+    rows = []
+    for i in range(12):
+        rows.append(("g1", float(100 - i), i, i in (0, 2, 10)))
+    # group g2: perfect ranking (both relevant docs on top)
+    rows += [("g2", 9.0, 100, True), ("g2", 8.0, 101, True), ("g2", 7.0, 102, False)]
+    # group g3: no relevant docs
+    rows += [("g3", 1.0, 200, False)]
+    df = spark.createDataFrame(rows, "g string, s double, i long, r boolean")
+    out = {r["g"]: r for r in ndcg_at_k(df, "g", "s", "r", "i", k=10).collect()}
+    g1 = [1 if i in (0, 2, 10) else 0 for i in range(12)]
+    assert out["g1"]["ndcg_at_10"] == ref(g1, 3)
+    assert out["g1"]["ndcg_at_10"] < 1.0  # the rank-11 hit is outside top-10
+    assert out["g2"]["ndcg_at_10"] == 1.0
+    assert out["g3"]["ndcg_at_10"] is None
+    assert (out["g1"]["n_docs"], out["g1"]["n_rel"]) == (12, 3)

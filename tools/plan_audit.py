@@ -160,6 +160,14 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # onto the melted scan before the combinable slice aggregate
     # (r6 session 9)
     "change_contribution",
+    # 1-row × 1-row crossJoin: the (n, diag) totals against the Σ row·col
+    # marginal product — both single-row aggregates by construction (r7)
+    "lang_id_kappa",
+    # bounded-grid crossJoins: the 1-row (min,max) span broadcast onto the
+    # fact scan (the ks_drift pattern) and the |sources| × 50-bucket dense
+    # grid (absent buckets must carry the corpus CDF — the js_drift
+    # contract) (r7)
+    "w1_chars_drift",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -202,6 +210,14 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # construction — the approx_top_terms contract); the fact only passes
     # through a combinable term-count aggregate (r7)
     "zipf_slope",
+    # exclusive-cumulative window over the quantized SCORE GRID — size
+    # bounded by (max−min)·quant + 1 (≤ ~56k at quant=100 for the events
+    # value range), quantization-bounded, never data-sized (the
+    # winsorized_mean / quantile_normalize value-grid contract) (r7)
+    "auc_purchase_value",
+    # keyless cumulative over the ≤n_buckets (50) corpus-bucket frame —
+    # grid-bounded; the per-group CDF windows partition BY GROUP (r7)
+    "w1_chars_drift",
 }
 
 
