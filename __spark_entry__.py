@@ -637,6 +637,8 @@ _SNAPSHOT_PRIORITY = [
     "lang_id_kappa",
     "w1_chars_drift",
     "source_ndcg",
+    "did_launch_value",
+    "neyman_value_alloc",
     # --- everything below here is driver-gated green (r01-r06) and keeps
     # local-oracle coverage via tools/check.py ---
     # r06 head-50, gated green in CORRECTNESS_r06 (moved to tail per the

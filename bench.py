@@ -194,6 +194,8 @@ HEADLINE = [
     "lang_id_kappa",          # Cohen's kappa: heuristic vs recorded label
     "w1_chars_drift",         # Wasserstein-1 drift (integral CDF gap)
     "source_ndcg",            # nDCG@10 ranking evaluation
+    "did_launch_value",       # difference-in-differences (4 exact cells)
+    "neyman_value_alloc",     # Neyman-optimal stratified allocation
 ]
 
 

@@ -2150,3 +2150,80 @@ def w1_drift(
         F.round(w1n * F.col("__span").cast("double"), 6).alias("w1_units"),
         F.round(w1n, 6).alias("w1_norm"),
     ).orderBy(F.col("w1_norm").desc(), F.col(group_col).asc())
+
+
+def did_estimate(
+    df: DataFrame,
+    value_col: str,
+    treat_col,
+    post_col,
+) -> DataFrame:
+    """Difference-in-differences point estimate — ONE row with the four
+    cell means (control/treated × pre/post), cell sizes, and
+    ``did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)`` — the
+    quasi-experimental workhorse for launches WITHOUT randomization
+    (ab_test_ztest / cuped_lift assume a randomized split; DiD nets out
+    a fixed group gap and a shared time trend instead).
+
+    Exactness: values are e6-quantized, so each cell's (n, Σ) is an
+    exact integer pair; every mean is ONE IEEE division, and the DiD is
+    a fixed chain over the four means, rounded 6 dp.  Any empty cell
+    yields NULL did (the design is undefined without all four).
+
+    Scale shape: ONE combinable 1-row aggregate over the fact — the
+    cuped_lift shape; the caller supplies treat/post as boolean columns
+    (e.g. a unit-hash arm and a launch-date cutoff).
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to cuped_lift (driver brief).
+    """
+    t = treat_col if not isinstance(treat_col, str) else F.col(treat_col)
+    p = post_col if not isinstance(post_col, str) else F.col(post_col)
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & t.isNotNull() & p.isNotNull()
+    ).select(t.cast("int").alias("__t"), p.cast("int").alias("__p"), qv.alias("__v"))
+
+    def cell(ti, pi, what):
+        cond = (F.col("__t") == ti) & (F.col("__p") == pi)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        return F.sum(F.when(cond, F.col("__v")).otherwise(F.lit(0))).cast(
+            "decimal(38,0)"
+        )
+
+    agg = base.groupBy().agg(
+        cell(0, 0, "n").alias("n_c_pre"), cell(0, 0, "s").alias("__s_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"), cell(0, 1, "s").alias("__s_c_post"),
+        cell(1, 0, "n").alias("n_t_pre"), cell(1, 0, "s").alias("__s_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"), cell(1, 1, "s").alias("__s_t_post"),
+    )
+
+    def mean(s, n):
+        # guarded: ANSI mode errors on division by a zero count
+        return F.when(
+            F.col(n) > 0,
+            F.col(s).cast("double")
+            / (F.col(n).cast("double") * F.lit(1.0e6)),
+        )
+
+    ok = (
+        (F.col("n_c_pre") > 0) & (F.col("n_c_post") > 0)
+        & (F.col("n_t_pre") > 0) & (F.col("n_t_post") > 0)
+    )
+    m_c_pre = mean("__s_c_pre", "n_c_pre")
+    m_c_post = mean("__s_c_post", "n_c_post")
+    m_t_pre = mean("__s_t_pre", "n_t_pre")
+    m_t_post = mean("__s_t_post", "n_t_post")
+    return agg.select(
+        "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        F.round(m_c_pre, 6).alias("mean_c_pre"),
+        F.round(m_c_post, 6).alias("mean_c_post"),
+        F.round(m_t_pre, 6).alias("mean_t_pre"),
+        F.round(m_t_post, 6).alias("mean_t_post"),
+        F.when(
+            ok, F.round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+        ).alias("did"),
+    )

@@ -482,3 +482,81 @@ def weighted_sample_exact_k(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    k: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — per stratum
+    ``(n, sd, share, n_alloc)`` with ``share ∝ n_h·s_h`` (Neyman 1934:
+    for a fixed budget ``k``, sampling each stratum proportionally to
+    its size×spread minimizes the variance of the stratified mean).
+    The planning half of stratified_sample: THIS decides the per-stratum
+    fractions; stratified_sample executes them.
+
+    Exactness: per-stratum variance comes from exact e6-quantized
+    integer moments (``n·Σv² − (Σv)²`` over ``n(n−1)`` — one IEEE
+    division, one sqrt); the weight ``n_h·s_h`` is e6-quantized back to
+    an exact BIGINT so the cross-stratum total is ORDER-FREE, and
+    ``share`` is one exact-integer division.  ``n_alloc =
+    ⌊share·k + ½⌋`` (documented: Σ n_alloc can differ from k by
+    rounding; largest-remainder correction is the caller's choice).
+    Single-row strata (no variance) get sd NULL and weight 0.
+
+    Scale shape: one combinable per-stratum aggregate over the fact,
+    then a strata-sized frame with a 1-row total broadcast (the
+    temperature_mix contract).
+
+    Reference parity: no reference counterpart — sampling-design
+    extension next to stratified_sample (driver brief).
+    """
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    per = (
+        df.filter(F.col(value_col).isNotNull() & F.col(stratum_col).isNotNull())
+        .select(F.col(stratum_col).alias("__h"), qv.alias("__v"))
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("__v").cast(dec)).alias("__s"),
+            F.sum(F.col("__v").cast(dec) * F.col("__v")).alias("__ss"),
+        )
+    )
+    n = F.col("__n").cast(dec)
+    var_num = n * F.col("__ss") - F.col("__s") * F.col("__s")
+    var_den = n * (n - 1)
+    sd = F.when(
+        (F.col("__n") > 1) & (var_num >= 0),
+        F.sqrt(var_num.cast("double") / var_den.cast("double"))
+        / F.lit(1.0e6),
+    )
+    per = per.withColumn("__sd", sd).withColumn(
+        "__w",
+        F.coalesce(
+            F.floor(
+                F.col("__n").cast("double") * F.col("__sd") * F.lit(1.0e6)
+                + F.lit(0.5)
+            ).cast("long"),
+            F.lit(0),
+        ),
+    )
+    tot = per.agg(F.sum("__w").cast("long").alias("__tw"))
+    out = per.crossJoin(F.broadcast(tot))  # 1-row scalar broadcast
+    share = F.when(
+        F.col("__tw") > 0,
+        F.col("__w").cast("double") / F.col("__tw").cast("double"),
+    )
+    return out.select(
+        F.col("__h").alias(stratum_col),
+        F.col("__n").alias("n"),
+        F.round(F.col("__sd"), 6).alias("sd"),
+        F.round(share, 6).alias("share"),
+        F.floor(share * F.lit(float(k)) + F.lit(0.5))
+        .cast("long")
+        .alias("n_alloc"),
+    ).orderBy(F.col(stratum_col).asc())

@@ -3284,3 +3284,120 @@ ORDER BY w1_norm DESC, source ASC
 
 QUERIES["w1_chars_drift"] = q_w1_chars_drift
 ORACLES["w1_chars_drift"] = _W1_SQL
+
+
+def q_did_launch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (profile.did_estimate): treated = odd
+    user_id, post = events after the corpus-midpoint instant — the
+    launch-without-randomization estimate; exact e6 cell moments, one
+    IEEE division per mean."""
+    from cerebro_spark.operators.profile import did_estimate
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long").alias("__mid")
+    )
+    base = ev.crossJoin(F.broadcast(mid))
+    return did_estimate(
+        base,
+        "value",
+        F.pmod(F.col("user_id"), F.lit(2)) == 1,
+        F.unix_micros("ts") >= F.col("__mid"),
+    )
+
+
+_DID_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+mid AS (
+  SELECT CAST(floor((min(t) + max(t)) / 2.0) AS BIGINT) AS mid FROM ev
+),
+cells AS (
+  SELECT
+    sum(CASE WHEN user_id % 2 = 0 AND t <  mid THEN 1 ELSE 0 END) AS n_c_pre,
+    sum(CASE WHEN user_id % 2 = 0 AND t <  mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_c_pre,
+    sum(CASE WHEN user_id % 2 = 0 AND t >= mid THEN 1 ELSE 0 END) AS n_c_post,
+    sum(CASE WHEN user_id % 2 = 0 AND t >= mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_c_post,
+    sum(CASE WHEN user_id % 2 = 1 AND t <  mid THEN 1 ELSE 0 END) AS n_t_pre,
+    sum(CASE WHEN user_id % 2 = 1 AND t <  mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_t_pre,
+    sum(CASE WHEN user_id % 2 = 1 AND t >= mid THEN 1 ELSE 0 END) AS n_t_post,
+    sum(CASE WHEN user_id % 2 = 1 AND t >= mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_t_post
+  FROM ev, mid
+)
+SELECT
+  CAST(n_c_pre AS BIGINT) AS n_c_pre, CAST(n_c_post AS BIGINT) AS n_c_post,
+  CAST(n_t_pre AS BIGINT) AS n_t_pre, CAST(n_t_post AS BIGINT) AS n_t_post,
+  round(CAST(s_c_pre AS DOUBLE) / (CAST(n_c_pre AS DOUBLE) * 1000000.0), 6) AS mean_c_pre,
+  round(CAST(s_c_post AS DOUBLE) / (CAST(n_c_post AS DOUBLE) * 1000000.0), 6) AS mean_c_post,
+  round(CAST(s_t_pre AS DOUBLE) / (CAST(n_t_pre AS DOUBLE) * 1000000.0), 6) AS mean_t_pre,
+  round(CAST(s_t_post AS DOUBLE) / (CAST(n_t_post AS DOUBLE) * 1000000.0), 6) AS mean_t_post,
+  CASE WHEN n_c_pre > 0 AND n_c_post > 0 AND n_t_pre > 0 AND n_t_post > 0 THEN
+    round(
+      (CAST(s_t_post AS DOUBLE) / (CAST(n_t_post AS DOUBLE) * 1000000.0)
+       - CAST(s_t_pre AS DOUBLE) / (CAST(n_t_pre AS DOUBLE) * 1000000.0))
+      - (CAST(s_c_post AS DOUBLE) / (CAST(n_c_post AS DOUBLE) * 1000000.0)
+         - CAST(s_c_pre AS DOUBLE) / (CAST(n_c_pre AS DOUBLE) * 1000000.0)),
+      6)
+  END AS did
+FROM cells
+"""
+
+QUERIES["did_launch_value"] = q_did_launch_value
+ORACLES["did_launch_value"] = _DID_SQL
+
+
+def q_neyman_value_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation (sampling.neyman_allocation): how a
+    1000-row stratified sample should split across event types
+    (share ∝ n_h·s_h) — exact integer moments per stratum, order-free
+    e6-quantized weights, one division per share."""
+    from cerebro_spark.operators.sampling import neyman_allocation
+
+    ev = load_table(spark, "events", sf_dir)
+    return neyman_allocation(ev, "value", "event_type", k=1000)
+
+
+_NEYMAN_SQL = """
+WITH base AS (
+  SELECT event_type AS h,
+    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (
+  SELECT h, count(*) AS n,
+    sum(CAST(v AS HUGEINT)) AS s,
+    sum(CAST(v AS HUGEINT) * v) AS ss
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT h, n,
+    CASE WHEN n > 1 AND CAST(n AS HUGEINT) * ss - s * s >= 0 THEN
+      sqrt(CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) / 1000000.0
+    END AS sd
+  FROM per
+),
+w2 AS (
+  SELECT h, n, sd,
+    COALESCE(CAST(floor(CAST(n AS DOUBLE) * sd * 1000000.0 + 0.5) AS BIGINT),
+             0) AS wq
+  FROM w
+),
+tot AS (SELECT sum(wq) AS tw FROM w2)
+SELECT h AS event_type, CAST(n AS BIGINT) AS n,
+  round(sd, 6) AS sd,
+  round(CASE WHEN tw > 0
+             THEN CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE) END, 6) AS share,
+  CAST(floor(CASE WHEN tw > 0
+                  THEN CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE) END
+             * 1000.0 + 0.5) AS BIGINT) AS n_alloc
+FROM w2, tot
+ORDER BY event_type ASC
+"""
+
+QUERIES["neyman_value_alloc"] = q_neyman_value_alloc
+ORACLES["neyman_value_alloc"] = _NEYMAN_SQL

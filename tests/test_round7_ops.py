@@ -441,3 +441,64 @@ def test_ndcg_matches_python_reference(spark):
     assert out["g2"]["ndcg_at_10"] == 1.0
     assert out["g3"]["ndcg_at_10"] is None
     assert (out["g1"]["n_docs"], out["g1"]["n_rel"]) == (12, 3)
+
+
+# ---------------------------------------------------------------------------
+# did_estimate
+# ---------------------------------------------------------------------------
+
+def test_did_estimate_hand_cells(spark):
+    from cerebro_spark.operators.profile import did_estimate
+
+    # control: 10 -> 12 (+2); treated: 20 -> 27 (+7) => DiD = +5
+    rows = (
+        [(10.0, False, False)] * 4 + [(12.0, False, True)] * 2
+        + [(20.0, True, False)] * 3 + [(27.0, True, True)] * 5
+    )
+    df = spark.createDataFrame(rows, "value double, t boolean, p boolean")
+    r = did_estimate(df, "value", "t", "p").collect()[0]
+    assert (r["n_c_pre"], r["n_c_post"], r["n_t_pre"], r["n_t_post"]) == (4, 2, 3, 5)
+    assert (r["mean_c_pre"], r["mean_c_post"]) == (10.0, 12.0)
+    assert (r["mean_t_pre"], r["mean_t_post"]) == (20.0, 27.0)
+    assert r["did"] == 5.0
+
+
+def test_did_estimate_empty_cell_is_null(spark):
+    from cerebro_spark.operators.profile import did_estimate
+
+    rows = [(1.0, False, False), (2.0, True, True)]  # no c_post / t_pre
+    df = spark.createDataFrame(rows, "value double, t boolean, p boolean")
+    r = did_estimate(df, "value", "t", "p").collect()[0]
+    assert r["did"] is None
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation
+# ---------------------------------------------------------------------------
+
+def test_neyman_allocation_hand_strata(spark):
+    from cerebro_spark.operators.sampling import neyman_allocation
+
+    # stratum a: n=4, values {0,2,0,2} -> s^2 = 4/3, sd = 1.154701
+    # stratum b: n=8, values {0,6,0,6,...} -> s^2 = 72/7... use {0,6}x4:
+    #   mean 3, ss deviations 9*8 = 72, var = 72/7, sd = 3.207135
+    # stratum c: constant -> sd NULL, weight 0
+    rows = (
+        [("a", 0.0), ("a", 2.0), ("a", 0.0), ("a", 2.0)]
+        + [("b", 0.0), ("b", 6.0)] * 4
+        + [("c", 5.0)] * 3
+        + [("d", 9.0)]
+    )
+    df = spark.createDataFrame(rows, "h string, v double")
+    out = {r["h"]: r for r in neyman_allocation(df, "v", "h", k=1000).collect()}
+    assert out["a"]["sd"] == pytest.approx(math.sqrt(4 / 3), abs=1e-6)
+    assert out["b"]["sd"] == pytest.approx(math.sqrt(72 / 7), abs=1e-6)
+    # constant stratum: sd is truly 0.0 (and earns nothing); single-row
+    # stratum: variance undefined -> NULL sd, zero weight
+    assert out["c"]["sd"] == 0.0 and out["c"]["share"] == 0.0
+    assert out["d"]["sd"] is None and out["d"]["share"] == 0.0
+    wa, wb = 4 * math.sqrt(4 / 3), 8 * math.sqrt(72 / 7)
+    assert out["a"]["share"] == pytest.approx(wa / (wa + wb), abs=1e-5)
+    assert out["b"]["share"] == pytest.approx(wb / (wa + wb), abs=1e-5)
+    assert out["a"]["n_alloc"] + out["b"]["n_alloc"] in (999, 1000, 1001)
+    assert out["b"]["n_alloc"] > out["a"]["n_alloc"]  # bigger and wilder

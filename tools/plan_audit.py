@@ -168,6 +168,12 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # grid (absent buckets must carry the corpus CDF — the js_drift
     # contract) (r7)
     "w1_chars_drift",
+    # 1-row scalar broadcast: the corpus-midpoint instant crossJoined onto
+    # the scan (the cuped_adjust pattern) (r7)
+    "did_launch_value",
+    # 1-row scalar broadcast: the Σ n_h·s_h weight total crossJoined onto
+    # the |strata|-sized frame (the temperature_mix contract) (r7)
+    "neyman_value_alloc",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
