@@ -2081,18 +2081,20 @@ def w1_drift(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("__b"),
-        (F.col("__hi") - F.col("__lo") + 1).alias("__span"),
+    )
+    # the span scalar comes from the 1-row aggregate itself — joining it
+    # back via the fact lineage would rescan the base for a constant
+    span_row = span.select(
+        (F.col("__hi") - F.col("__lo") + 1).alias("__span")
     )
     counts = b.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c"))
-    groups = counts.select("__g").distinct().join(
-        F.broadcast(b.select("__span").limit(1)), F.lit(True)
-    )
+    groups = counts.select("__g").distinct()
     buckets = counts.sparkSession.range(n_buckets).select(
         F.col("id").alias("__b")
     )
     grid = groups.crossJoin(F.broadcast(buckets))  # bounded |G| x n_buckets
     dense = grid.join(counts, ["__g", "__b"], "left").select(
-        "__g", "__b", "__span", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+        "__g", "__b", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
     )
     all_counts = buckets.join(
         counts.groupBy("__b").agg(F.sum("__c").alias("__ac")), "__b", "left"
@@ -2113,21 +2115,18 @@ def w1_drift(
         .join(F.broadcast(all_cum), "__b", "left")
         .select(
             "__g",
-            "__span",
             F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
             "__cg",
         )
     )
-    ng = terms.groupBy("__g", "__span").agg(
+    ng = terms.groupBy("__g").agg(
         F.max("__cg").cast("long").alias("__ng"),  # last cum = group total
         F.max(F.coalesce("__ca", F.lit(0))).cast("long").alias("__N"),
-        F.sum(F.lit(0)).alias("__zero"),
-    ).drop("__zero")
+    )
     num = (
-        terms.join(F.broadcast(ng.select("__g", "__ng", "__N")), "__g")
+        terms.join(F.broadcast(ng), "__g")
         .select(
             "__g",
-            "__span",
             F.abs(
                 F.col("__cg").cast(dec) * F.col("__N").cast(dec)
                 - F.col("__ca").cast(dec) * F.col("__ng").cast(dec)
@@ -2135,8 +2134,9 @@ def w1_drift(
             "__ng",
             "__N",
         )
-        .groupBy("__g", "__span", "__ng", "__N")
+        .groupBy("__g", "__ng", "__N")
         .agg(F.sum("__t").alias("__num"))
+        .crossJoin(F.broadcast(span_row))  # 1-row span scalar
     )
     denom = (
         F.col("__ng").cast("double")
@@ -2190,8 +2190,10 @@ def did_estimate(
         cond = (F.col("__t") == ti) & (F.col("__p") == pi)
         if what == "n":
             return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-        return F.sum(F.when(cond, F.col("__v")).otherwise(F.lit(0))).cast(
-            "decimal(38,0)"
+        # cast BEFORE summing: a LONG accumulator would silently wrap past
+        # 2^63 of e6-quantized cell mass (the oracle sums HUGEINT)
+        return F.sum(
+            F.when(cond, F.col("__v")).otherwise(F.lit(0)).cast("decimal(38,0)")
         )
 
     agg = base.groupBy().agg(

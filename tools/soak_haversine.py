@@ -38,9 +38,16 @@ from cerebro_spark.operators.joins import haversine_grid_join
 from cerebro_spark.session import get_spark
 
 SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-RINGS = max(50, int(650 * SCALE ** 0.5))   # lat rings, 0.2 deg apart
-COLS = max(100, int(1800 * SCALE ** 0.5))  # lon columns, 0.2 deg apart
-COPIES = 5
+# The lattice geometry is BOUNDED by the |lat| <= 66 window and the
+# 0.2-deg spacing (650 rings x 1800 columns fills it); scale <= 1 shrinks
+# the lattice, scale > 1 multiplies the per-position COPIES and the hot
+# sizes instead — rows keep growing without rings/columns ever leaving
+# the window (latitudes past 66 would be excluded by the join and
+# longitudes past 180 would alias onto column 0, breaking the closed form).
+_g = min(SCALE, 1.0)
+RINGS = max(50, int(650 * _g ** 0.5))   # lat rings, 0.2 deg apart
+COLS = max(100, int(1800 * _g ** 0.5))  # lon columns, 0.2 deg apart
+COPIES = max(5, int(5 * SCALE))
 K_SEAM = 600                                # rows per seam band
 HOT_L = int(1_000_000 * SCALE)
 HOT_R = int(200_000 * SCALE)
