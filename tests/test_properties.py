@@ -792,8 +792,9 @@ def test_canonicalize_url_idempotent_property(spark, urls):
     URL-alphabet strings (schemes, ports, fragments, tracking params,
     stray separators) — the property that makes the dedup KEY stable
     under re-ingestion of an already-canonical crawl.  Also: the result
-    never retains a fragment and never ends in '/' or '?' (a trailing
-    path '&' is legal — path ampersands are page identity)."""
+    never retains a fragment, its PATH part never ends in '/', and it
+    never ends in '?' (query-internal characters — including '/' and a
+    trailing path '&' — are opaque page identity and stay untouched)."""
     from cerebro_spark.operators.text import canonicalize_url
 
     df = spark.createDataFrame([(u,) for u in urls], "u string")
@@ -803,4 +804,5 @@ def test_canonicalize_url_idempotent_property(spark, urls):
     for r in out.collect():
         assert r["c2"] == r["c1"]
         assert "#" not in r["c1"]
-        assert not r["c1"].endswith(("/", "?"))
+        assert not r["c1"].split("?", 1)[0].endswith("/")
+        assert not r["c1"].endswith("?")
