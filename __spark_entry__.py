@@ -627,9 +627,11 @@ _SNAPSHOT_PRIORITY = [
     "dsir_topk",
     "rfm_segments",
     "event_transitions",
-    # R07 BIRTHS — registered BELOW the cutoff per the debt-clearance
-    # policy above (local-oracle green at sf0.001+sf0.01, pytest +
-    # plan-audit evidence; gate in the r08 head with the 3 debt queries):
+    # R07 BIRTHS (9) — registered BELOW the cutoff per the debt-clearance
+    # policy above (each local-oracle green at sf0.001+sf0.01 and in the
+    # round-close FULL-registry run, pytest + plan-audit evidence; gate in
+    # the r08 head with the 3 debt queries above => r08 head = 12 staged
+    # + up to 38 front-inserted r08 births):
     "haversine_pairs",
     "url_canonical_dedup",
     "zipf_slope",
