@@ -72,7 +72,7 @@ def main() -> int:
         if not ok:
             print(f"SMOKE FAIL: compileall {t}", file=sys.stderr)
             return 1
-    print("smoke 1/5: compileall ok")
+    print("smoke 1/6: compileall ok")
 
     # 2. import the driver entry and sanity-check the registry
     try:
@@ -96,7 +96,7 @@ def main() -> int:
     if ghost:
         print(f"SMOKE FAIL: _SNAPSHOT_PRIORITY names not in queries(): {ghost}", file=sys.stderr)
         return 1
-    print(f"smoke 2/5: import ok ({len(qs)} queries, {len(oracles)} oracles, "
+    print(f"smoke 2/6: import ok ({len(qs)} queries, {len(oracles)} oracles, "
           f"priority list consistent)")
 
     # 3. one oracle query end-to-end (subprocess: fresh interpreter, like the driver)
@@ -112,7 +112,7 @@ def main() -> int:
         print(f"SMOKE FAIL: check.py {names}: rc={proc.returncode} tail={tail}", file=sys.stderr)
         print(proc.stderr[-2000:], file=sys.stderr)
         return 1
-    print(f"smoke 3/5: check.py {names} ok ({tail[0]})")
+    print(f"smoke 3/6: check.py {names} ok ({tail[0]})")
 
     # 4. plan-shape audit on the §2-parity canary subset
     proc = subprocess.run(
@@ -128,7 +128,7 @@ def main() -> int:
               f"tail={tail}", file=sys.stderr)
         print(proc.stderr[-2000:], file=sys.stderr)
         return 1
-    print(f"smoke 4/5: plan_audit ok ({len(PLAN_CANARIES)} canary plans clean)")
+    print(f"smoke 4/6: plan_audit ok ({len(PLAN_CANARIES)} canary plans clean)")
 
     # 5. doc-consistency gate (QUERIES.md/README counts + table rows vs the
     # live registry — two review passes caught silent drift here)
@@ -142,7 +142,22 @@ def main() -> int:
         print(f"SMOKE FAIL: doc_check: {proc.stdout.strip()}", file=sys.stderr)
         print(proc.stderr[-2000:], file=sys.stderr)
         return 1
-    print(f"smoke 5/5: {proc.stdout.strip()}")
+    print(f"smoke 5/6: {proc.stdout.strip()}")
+
+    # 6. rotation-ledger gate (head-50 vs the recomputed never-gated set —
+    # r05-r07 each had to redo this by hand after a prose comment drifted)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "rotation_check.py")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    if proc.returncode != 0:
+        print(f"SMOKE FAIL: rotation_check: {proc.stdout.strip()}",
+              file=sys.stderr)
+        print(proc.stderr[-2000:], file=sys.stderr)
+        return 1
+    print(f"smoke 6/6: {proc.stdout.strip().splitlines()[0]}")
     print("SMOKE GREEN")
     return 0
 
