@@ -536,33 +536,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # previously-green remainder keeps local-oracle coverage via tools/check.py.
 # ROTATION HISTORY (recompute from CORRECTNESS_r*.json before trusting):
 # r04 gated zero (import crash); r05 gated the head-50 of the round-4
-# rotation list (all green); r06 gated its staged head-50 (all green) —
-# but the round's ~90 births displaced 7 of the rotation-14 below the
-# cutoff, so r06 closed at 156/163 of the pre-r6 registry and 199/252
-# cumulative, leaving 53 registry queries with no driver row.  r07
-# executes the debt-first rotation staged below.  POLICY: new queries
-# normally enter at the very front so they gate the round they are born —
-# EXCEPT while never-gated debt exceeds one 50-query snapshot (the r06
-# lesson): then births register BELOW the cutoff with local-oracle +
-# pytest evidence and gate the following round.
+# rotation list (all green); r06 gated its staged head-50 (all green)
+# but left 53 never-gated; r07 executed the debt-first rotation — its
+# staged head-50 gated ALL GREEN (CORRECTNESS_r07.json keys verified ==
+# that head by tools/rotation_check.py), bringing the cumulative ledger
+# to 249/261 with exactly 12 never-gated (3 staged debt + 9 r07 births).
+# r08 promotes those 12 to the head (below any r08 births) and moves the
+# gated r07 head-50 to the tail.  POLICY: new queries enter at the very
+# front so they gate the round they are born — EXCEPT while never-gated
+# debt exceeds one 50-query snapshot (the r06 lesson): then births
+# register BELOW the cutoff with local-oracle + pytest evidence and gate
+# the following round.  Debt is now 12 < 50, so the front-of-head policy
+# applies again this round.  tools/rotation_check.py (smoke gate step 6)
+# mechanically enforces all of the above — trust it, not this prose.
 _SNAPSHOT_PRIORITY = [
-    # HEAD-50 TRIAGE (r07 — verified by recomputation against
-    # CORRECTNESS_r01..r06): the registry holds 252 queries; 199 are
-    # driver-gated green from r01-r06 (r06's 50 keys == the prior head-50,
-    # asserted); 53 have never had a driver row.  This head is those 53 in
-    # the judge-endorsed debt-first order — (A) the 8 streaming
-    # equivalence gates, whose evidence pytest alone cannot replace;
-    # (B) the 7-query rotation tail, r01-era debt displaced twice;
-    # (C) the round-6 session-1..3 births, oldest debt last.  50 slots
-    # cover all of (A)+(B) and 35 of the 38 in (C); the last 3 of (C)
-    # sit just below the cutoff and gate in r08.  Every head query
-    # carries local-oracle green at sf0.001+sf0.01 plus pytest evidence.
-    # R08 PROCEDURE (same staged pattern): after CORRECTNESS_r07.json
-    # lands, verify its key set equals the head-50 below, then MOVE those
-    # 50 names to the tail — the 3 remaining debt queries (marked below)
-    # plus any r07 below-cutoff births become the r08 head.
+    # R08 HEAD: births first (front-of-head policy), then the 12 staged
+    # never-gated queries.  38 free slots for r08 births at the cutover.
     #
-    # (A) STREAMING GATES — stateful twins + stream-stream joins:
+    # R08 BIRTHS (front-inserted, gate this round):
+    # (staged r08 births are inserted here as they are born)
+    #
+    # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
+    "dsir_topk",
+    "rfm_segments",
+    "event_transitions",
+    # R07 BIRTHS (9) — registered below the r07 cutoff per the
+    # debt-clearance policy; each local-oracle green at sf0.001+sf0.01,
+    # pytest + plan-audit evidence; gate now:
+    "haversine_pairs",
+    "url_canonical_dedup",
+    "zipf_slope",
+    "auc_purchase_value",
+    "lang_id_kappa",
+    "w1_chars_drift",
+    "source_ndcg",
+    "did_launch_value",
+    "neyman_value_alloc",
+    # --- everything below here is driver-gated green (r01-r07) and keeps
+    # local-oracle coverage via tools/check.py ---
+    # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the
+    # staged procedure):
     "streaming_ohlc_6h",
     "streaming_percentiles_check",
     "streaming_sessionize_closed",
@@ -571,7 +584,6 @@ _SNAPSHOT_PRIORITY = [
     "streaming_deadband_check",
     "streaming_outer_join_check",
     "streaming_join_check",
-    # (B) ROTATION TAIL — no driver row across r01-r06 (r01-era debt):
     "rsi_14",
     "seasonal_decompose",
     "session_stats",
@@ -579,10 +591,6 @@ _SNAPSHOT_PRIORITY = [
     "temperature_mix",
     "value_corr_matrix",
     "value_heatmap",
-    # (C1) Born round 6, session 3 — positional phrase search, last-touch
-    # attribution, AllPairs exact Jaccard join, Gini concentration,
-    # funnel latency, chi-square independence, ordered window funnel,
-    # EWMA, HITS, bounded BFS, SCD2, Benford, PSI, Theil-Sen, postings.
     "phrase_match",
     "purchase_attribution",
     "prefix_dup_pairs",
@@ -598,8 +606,6 @@ _SNAPSHOT_PRIORITY = [
     "psi_drift",
     "theil_sen_trend",
     "inverted_postings",
-    # (C2) Born round 6, third batch — graph analytics / hybrid retrieval /
-    # governance / versioning:
     "ppr_trade_recs",
     "incremental_rollup_check",
     "textrank_keywords",
@@ -610,7 +616,6 @@ _SNAPSHOT_PRIORITY = [
     "lpa_communities",
     "supplier_overlap",
     "part_affinity",
-    # (C3) Born round 6, second batch — retrieval / record linkage / graph:
     "fuzzy_block_stats",
     "bm25_topk",
     "fuzzy_part_pairs",
@@ -621,28 +626,6 @@ _SNAPSHOT_PRIORITY = [
     "survival_km",
     "pagerank_trade",
     "triangle_parts",
-    # --- r07 head-50 cutoff falls here (entry #50 = triangle_parts;
-    # recompute with _SNAPSHOT_PRIORITY[:50] before trusting a comment) ---
-    # REMAINING DEBT (3, gate in r08 with any r07 below-cutoff births):
-    "dsir_topk",
-    "rfm_segments",
-    "event_transitions",
-    # R07 BIRTHS (9) — registered BELOW the cutoff per the debt-clearance
-    # policy above (each local-oracle green at sf0.001+sf0.01 and in the
-    # round-close FULL-registry run, pytest + plan-audit evidence; gate in
-    # the r08 head with the 3 debt queries above => r08 head = 12 staged
-    # + up to 38 front-inserted r08 births):
-    "haversine_pairs",
-    "url_canonical_dedup",
-    "zipf_slope",
-    "auc_purchase_value",
-    "lang_id_kappa",
-    "w1_chars_drift",
-    "source_ndcg",
-    "did_launch_value",
-    "neyman_value_alloc",
-    # --- everything below here is driver-gated green (r01-r06) and keeps
-    # local-oracle coverage via tools/check.py ---
     # r06 head-50, gated green in CORRECTNESS_r06 (moved to tail per the
     # staged procedure):
     "weighted_pick_k",

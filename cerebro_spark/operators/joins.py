@@ -777,8 +777,12 @@ def haversine_grid_join(
 
     Scale shape: identical to spatial_grid_join — one ≤9× explode of the
     right side, ONE equi-join shuffle on cell keys, no cross product;
-    ``max_cell_size`` caps hot cells (megacities) with the same
-    drop-the-cell contract as the LSH/fuzzy caps.
+    ``max_cell_size`` caps hot cells (megacities), counted on the LEFT
+    side's own cells pre-join, with the same drop-the-cell contract as
+    the LSH/fuzzy caps.  A hot RIGHT-side cell is NOT capped: it still
+    explodes ≤9× and joins linearly against the (bounded) left cells —
+    the quadratic case needs BOTH sides hot in one cell, and there the
+    left cell drops.  Put the skew-prone side on the left.
 
     Reference parity: no reference counterpart — geospatial extension
     next to spatial_grid_join (driver brief).

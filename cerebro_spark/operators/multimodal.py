@@ -204,34 +204,52 @@ def _decode_avi_frames(payload: bytes, every_ms: int) -> "list | None":
     state = {"usec": 33333, "w": None, "h": None, "bits": None, "comp": None}
     raw_frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
-        while pos + 8 <= end:
-            fourcc = payload[pos : pos + 4]
-            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            data = pos + 8
-            if data + size > len(payload):  # truncated chunk — stop
-                return
-            if fourcc == b"LIST":
-                walk(data + 4, data + size)  # skip the 4-byte list type
-            elif fourcc == b"avih" and size >= 4:
-                state["usec"] = (
-                    struct.unpack("<I", payload[data : data + 4])[0]
-                    or state["usec"]
-                )
-            elif fourcc == b"strf" and size >= 20 and state["w"] is None:
-                # BITMAPINFOHEADER: biSize, biWidth, biHeight, biPlanes,
-                # biBitCount, biCompression, ...
-                _sz, w, h = struct.unpack("<Iii", payload[data : data + 12])
-                bits = struct.unpack("<H", payload[data + 14 : data + 16])[0]
-                comp = struct.unpack("<I", payload[data + 16 : data + 20])[0]
-                state.update(w=w, h=h, bits=bits, comp=comp)
-            elif fourcc[:2] == b"00" and fourcc[2:4] in (b"db", b"dc"):
-                # stream 00 only — the stream whose strf we parsed above;
-                # a second stream's frames must not mix into the timeline
-                raw_frames.append(payload[data : data + size])
-            pos = data + size + (size & 1)  # chunks are word-aligned
-
-    walk(12, len(payload))
+    # Iterative chunk walk (explicit stack): this parser runs on EVERY
+    # payload before the optional decoders, so a malformed/adversarial
+    # RIFF with thousands of nested LISTs must fail soft (return None →
+    # caller falls through to PyAV/fake), never RecursionError a task.
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    try:
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                fourcc = payload[pos : pos + 4]
+                (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                data = pos + 8
+                if data + size > len(payload):  # truncated chunk — stop
+                    break
+                if fourcc == b"LIST":
+                    # resume this level after the list, then descend into
+                    # it (skip the 4-byte list type)
+                    stack.append((data + size + (size & 1), end))
+                    pos, end = data + 4, data + size
+                    continue
+                elif fourcc == b"avih" and size >= 4:
+                    state["usec"] = (
+                        struct.unpack("<I", payload[data : data + 4])[0]
+                        or state["usec"]
+                    )
+                elif fourcc == b"strf" and size >= 20 and state["w"] is None:
+                    # BITMAPINFOHEADER: biSize, biWidth, biHeight,
+                    # biPlanes, biBitCount, biCompression, ...
+                    _sz, w, h = struct.unpack(
+                        "<Iii", payload[data : data + 12]
+                    )
+                    bits = struct.unpack(
+                        "<H", payload[data + 14 : data + 16]
+                    )[0]
+                    comp = struct.unpack(
+                        "<I", payload[data + 16 : data + 20]
+                    )[0]
+                    state.update(w=w, h=h, bits=bits, comp=comp)
+                elif fourcc[:2] == b"00" and fourcc[2:4] in (b"db", b"dc"):
+                    # stream 00 only — the stream whose strf we parsed
+                    # above; a second stream's frames must not mix into
+                    # the timeline
+                    raw_frames.append(payload[data : data + size])
+                pos = data + size + (size & 1)  # chunks are word-aligned
+    except (struct.error, ValueError):
+        return None  # parse blowup on garbage bytes — defer to PyAV/fake
     w, h, bits, comp = state["w"], state["h"], state["bits"], state["comp"]
     if w is None or not raw_frames:
         return None

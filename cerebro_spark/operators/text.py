@@ -1002,8 +1002,12 @@ def log_templates(
 #: query parameters that never change page identity — the tracking/session
 #: junk every crawl pipeline strips before URL-keyed dedup (utm_* is the
 #: Google Analytics family; the rest are the big ad/social click ids).
+#: Bare ``ref`` is deliberately NOT here: it is a functional identity
+#: parameter on common sites (GitHub's ``?ref=<branch>``), so stripping
+#: it would collapse distinct pages onto one dedup key and silently drop
+#: docs; only the Twitter-style ``ref_src`` tracking variant is stripped.
 TRACKING_PARAM_RE = (
-    "utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src"
+    "utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref_src"
 )
 
 #: second-level labels under which 2-letter ccTLDs host registrations
@@ -1011,7 +1015,9 @@ TRACKING_PARAM_RE = (
 _SECOND_LEVEL_RE = "co|com|net|org|gov|ac|edu"
 
 
-def canonicalize_url(col: Column) -> Column:
+def canonicalize_url(
+    col: Column, tracking_params: str = TRACKING_PARAM_RE
+) -> Column:
     """Canonical URL as one JVM regexp chain — the normalization every
     crawl pipeline runs before URL-keyed dedup, so ``http://WWW.X.com/a/``
     and ``https://x.com:443/a?utm_source=feed`` collapse to one key:
@@ -1021,7 +1027,9 @@ def canonicalize_url(col: Column) -> Column:
     3. lowercase the HOST only (path/query case is page identity),
     4. strip an explicit ``:port`` and a leading ``www.``,
     5. split at the FIRST ``?`` and, in the QUERY part only, drop
-       tracking params (:data:`TRACKING_PARAM_RE`) and repair the
+       tracking params (``tracking_params``, default
+       :data:`TRACKING_PARAM_RE` — an alternation regex callers can
+       tune per corpus) and repair the
        separator (a surviving first param regains its ``?``) — the split
        keeps a literal ``&`` in the PATH (a legal RFC 3986 sub-delim)
        untouched, so ``/a&b`` never collapses onto ``/a?b``,
@@ -1050,7 +1058,7 @@ def canonicalize_url(col: Column) -> Column:
     query = F.substring(u, F.length(path) + 1, big)  # '' or leading '?'
     path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_replace(
-        query, r"[?&](" + TRACKING_PARAM_RE + r")=[^&]*", ""
+        query, r"[?&](" + tracking_params + r")=[^&]*", ""
     )
     query = F.regexp_replace(query, r"[?&]+$", "")
     query = F.regexp_replace(query, r"^&", "?")

@@ -1910,7 +1910,7 @@ s4 AS (
 s5 AS (
   SELECT doc_id,
     p || regexp_replace(regexp_replace(regexp_replace(q,
-      '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src)=[^&]*',
+      '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref_src)=[^&]*',
       '', 'g'),
       '[?&]+$', '', 'g'),
       '^&', '?', 'g') AS canonical_url

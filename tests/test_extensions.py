@@ -483,6 +483,25 @@ def test_real_video_features_avi_needs_no_dependency(spark):
     assert row["features"] == pytest.approx(real_video_features(avi))
 
 
+def test_avi_walk_survives_adversarial_nesting():
+    """The RIFF chunk walk runs on EVERY payload before the optional
+    decoders, so a malformed payload with thousands of nested LISTs must
+    return None (fall through), never RecursionError the executor task."""
+    import struct
+
+    from cerebro_spark.operators.multimodal import _decode_avi_frames
+
+    # 5000 nested LIST chunks, each wrapping the next — built innermost-out
+    body = b"xxxx"
+    for _ in range(5000):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"nest" + body
+    payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    assert _decode_avi_frames(payload, every_ms=500) is None
+
+    # garbage bytes after a valid RIFF/AVI magic also fail soft
+    assert _decode_avi_frames(b"RIFF\x10\x00\x00\x00AVI \xff\xfe", 500) is None
+
+
 def test_audio_non_wav_optional_dependency():
     """Non-WAV payloads route to the optional soundfile decoder; without it
     the error carries install guidance (the Pillow pattern)."""

@@ -78,6 +78,30 @@ def test_canonicalize_url_path_ampersand_is_identity(spark):
     assert out[0] != out[1]
 
 
+def test_canonicalize_url_keeps_functional_ref_param(spark):
+    # bare ?ref= is a functional identity param on common sites (GitHub's
+    # ?ref=<branch>) and must survive; only the ref_src tracking variant
+    # (and a custom tracking_params override) strips it
+    from cerebro_spark.operators.text import canonicalize_url
+
+    out = _canon(spark, [
+        "https://github.com/o/r/tree/main?ref=main",
+        "https://github.com/o/r/tree/main?ref=dev",
+        "https://x.com/p?ref_src=twsrc&id=1",
+    ])
+    assert out == [
+        "github.com/o/r/tree/main?ref=main",
+        "github.com/o/r/tree/main?ref=dev",
+        "x.com/p?id=1",
+    ]
+    # the tracking list is caller-tunable per corpus
+    df = spark.createDataFrame([("https://x.com/p?sid=9&id=1",)], "u string")
+    row = df.select(
+        canonicalize_url(F.col("u"), tracking_params="sid").alias("c")
+    ).collect()[0]
+    assert row["c"] == "x.com/p?id=1"
+
+
 def test_canonicalize_url_idempotent(spark):
     from cerebro_spark.operators.text import canonicalize_url
 

@@ -64,8 +64,15 @@ def load_queries(path: str) -> dict[str, float]:
         # detail line ("name":1.234,...).  The driver tail keeps only the
         # last 2000 chars, so this recovers the timings line's suffix —
         # a PARTIAL set; diffs against it compare the shared subset only.
+        # The leading [{,] context requirement discards a first pair whose
+        # query name was cut mid-line by the truncation (e.g. a surviving
+        # `ine_pairs":12.3` suffix would otherwise mint a bogus key); the
+        # trailing delimiter is a lookahead so consecutive pairs sharing a
+        # comma both match.
         meta = {"sf", "value", "n_queries"}
-        pairs = re.findall(r'"(\w+)":([0-9]+(?:\.[0-9]+)?)[,}]', tail)
+        pairs = re.findall(
+            r'[{,]"(\w+)":([0-9]+(?:\.[0-9]+)?)(?=[,}])', tail
+        )
         queries = {k: float(v) for k, v in pairs if k not in meta}
     if not queries:
         raise ValueError(f"{path}: no per-query timings found")
@@ -101,9 +108,24 @@ def main() -> int:
 
     t_old = sum(old[q] for q in shared)
     t_new = sum(new[q] for q in shared)
-    print(f"shared queries: {len(shared)}   "
-          f"total {t_old:.1f} s -> {t_new:.1f} s "
-          f"({t_new / t_old:.2f}x)" if shared else "no shared queries")
+    if shared:
+        # median per-query ratio: the one-number drift-vs-regression call —
+        # whole-host drift moves the median with it, a real per-query
+        # regression moves only its own ratio
+        ratios = sorted(
+            new[q] / old[q] for q in shared if old[q] > 0
+        ) or [float("nan")]
+        mid = len(ratios) // 2
+        median = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2
+        )
+        print(f"shared queries: {len(shared)}   "
+              f"total {t_old:.1f} s -> {t_new:.1f} s "
+              f"({t_new / t_old:.2f}x)   median per-query {median:.2f}x")
+    else:
+        print("no shared queries")
 
     for ratio, q in sorted(regressions, reverse=True):
         print(f"REGRESSION {ratio:5.2f}x  {q}: "

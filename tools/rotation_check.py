@@ -22,16 +22,18 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main() -> int:
     import __spark_entry__ as entry
 
     gated: set[str] = set()
-    rounds = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
         with open(path) as fh:
             data = json.load(fh)
