@@ -554,7 +554,9 @@ _SNAPSHOT_PRIORITY = [
     # never-gated queries.  38 free slots for r08 births at the cutover.
     #
     # R08 BIRTHS (front-inserted, gate this round):
-    # (staged r08 births are inserted here as they are born)
+    "ranker_sign_test",       # paired nDCG sign test (ranker A/B readout)
+    "domain_guarded_split",   # registered-domain leakage-guarded split
+    "decontaminate_eval",     # train×eval near-dup decontamination join
     #
     # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
     "dsir_topk",

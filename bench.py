@@ -196,6 +196,10 @@ HEADLINE = [
     "source_ndcg",            # nDCG@10 ranking evaluation
     "did_launch_value",       # difference-in-differences (4 exact cells)
     "neyman_value_alloc",     # Neyman-optimal stratified allocation
+    # round-8 births
+    "ranker_sign_test",       # paired nDCG sign test (ranker A/B readout)
+    "domain_guarded_split",   # registered-domain leakage-guarded split
+    "decontaminate_eval",     # train×eval near-dup decontamination join
 ]
 
 

@@ -1109,3 +1109,227 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b", "inter", "jaccard")
     )
     return verified
+
+
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT cross-corpus token-Jaccard join: every (left, right) pair
+    with ``jaccard ≥ threshold`` as ``(id_l, id_r, inter, jaccard)`` —
+    the asymmetric twin of :func:`prefix_jaccard_pairs` (AllPairs/PPJoin
+    prefix filtering, Bayardo WWW'07 / Xiao WWW'08) for joins where the
+    two sides are DIFFERENT corpora (train × eval benchmark, corpus ×
+    blocklist).  Unlike unioning both sides into the self-join, no
+    left×left or right×right candidate is ever generated — at a typical
+    decontamination scale (1e9 train × 1e5 eval) that is the whole cost.
+
+    Correctness: under any SHARED total token order, a pair at J ≥ t
+    must share a token within each side's first ``|d| − ⌈t·|d|⌉ + 1``
+    tokens (the prefix theorem's counting argument — if every shared
+    token sat outside d's prefix, the overlap could not reach ⌈t·|d|⌉).
+    The global order here is (document frequency in RIGHT, token) —
+    rarity on the small side keeps its posting lists short; the order
+    choice affects only candidate COUNT, never the result, because every
+    candidate's true intersection is recomputed before the threshold.
+    The same 1e-9 downward epsilon as the self-join guards the IEEE
+    ceil/length-filter boundaries.
+
+    Plan: tokenize both sides (distinct), ONE combinable groupBy each
+    for sizes + right-side doc freq, per-doc bounded windows for rank,
+    one equi-join of prefix tokens (the candidate join), and one
+    verification re-join on (id, token).  No cross product anywhere.
+
+    Reference parity: no reference counterpart — dedup extension family
+    (driver brief).
+    """
+    from pyspark.sql import Window
+
+    def toks(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            F.explode(
+                F.split(F.trim(F.col(content_col)), r"\s+")
+            ).alias("w"),
+        ).distinct()
+
+    tl = toks(left, "id_l").cache()
+    tr = toks(right, "id_r").cache()
+    # shared global token order: (df in RIGHT asc, token asc) — tokens
+    # absent from the right side get df 0 (sorted first; they can't
+    # produce candidates, which only costs prefix slots, never recall)
+    dfreq = tr.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+
+    def prefixes(tok: DataFrame, name: str) -> DataFrame:
+        sz = tok.groupBy(name).agg(F.count(F.lit(1)).alias("n"))
+        wdoc = Window.partitionBy(name).orderBy(
+            F.col("__df").asc(), F.col("w").asc()
+        )
+        ranked = (
+            tok.join(dfreq, "w", "left")
+            .fillna({"__df": 0})
+            .join(sz, name)
+            .select(
+                name, "n", "w", F.row_number().over(wdoc).alias("__r")
+            )
+        )
+        # same epsilon-guarded prefix bound as prefix_jaccard_pairs
+        return ranked.filter(
+            F.col("__r")
+            <= F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + 1
+        )
+
+    pl = prefixes(tl, "id_l").select(
+        "w", "id_l", F.col("n").alias("n_l")
+    )
+    pr = prefixes(tr, "id_r").select(
+        "w", "id_r", F.col("n").alias("n_r")
+    )
+    cand = (
+        pl.join(pr, "w")
+        .filter(
+            # length filter: t·max ≤ min (epsilon as above) — a pair
+            # failing it cannot reach J = t regardless of overlap
+            F.lit(threshold) * F.greatest(F.col("n_l"), F.col("n_r"))
+            - F.lit(1e-9)
+            <= F.least(F.col("n_l"), F.col("n_r"))
+        )
+        .select("id_l", "id_r", "n_l", "n_r")
+        .distinct()
+    )
+    return (
+        cand.join(tl, "id_l")
+        .join(tr, ["id_r", "w"])
+        .groupBy("id_l", "id_r", "n_l", "n_r")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_l") + F.col("n_r") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "inter", "jaccard")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    method: str = "exact",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup-aware decontamination: flag every TRAIN document that is
+    a near-duplicate (token Jaccard ≥ ``threshold``) of ANY document in
+    an EVAL benchmark — the step every training-data pipeline must run
+    before reporting eval numbers, since a contaminated train set
+    memorizes the benchmark.  Returns one row per contaminated train
+    doc: ``(id_col, n_eval_matches, max_jaccard, first_eval_id)`` (the
+    lowest-id matching eval doc, for audit).  Anti-join the result
+    against the corpus to get the clean train set.
+
+    ``method='exact'`` (default, the oracle-gated path) routes through
+    :func:`cross_jaccard_pairs` — prefix filtering, NO false negatives:
+    if a contaminated doc exists, it is flagged.  ``method='minhash'``
+    generates candidates by banded MinHash LSH across the two corpora
+    (same signature family as :func:`minhash_lsh_pairs`, shared hash
+    coefficients so both sides band identically) and then EXACTLY
+    verifies each candidate's true token Jaccard — false positives are
+    impossible, false negatives only where LSH banding misses a pair
+    (P(miss) = (1−s^r)^b, <1e-4 at J=0.9 with 32/8 defaults); use it
+    when the train side is too hot-tokened for prefix postings.
+
+    Scale shape: the eval benchmark is the SMALL side by construction
+    (1e3–1e6 docs vs 1e9 train) — its postings/signatures are cheap, and
+    every join here is an equi-join keyed on token or band bucket; the
+    final per-train-doc rollup is one combinable groupBy.
+
+    Reference parity: no reference counterpart — composes the dedup
+    extension family (driver brief).
+    """
+    if method == "exact":
+        pairs = cross_jaccard_pairs(
+            train, eval_df, content_col, id_col, threshold
+        )
+    elif method == "minhash":
+        sig_t = minhash_signatures(
+            train, content_col, id_col, n, num_hashes
+        )
+        sig_e = minhash_signatures(
+            eval_df, content_col, id_col, n, num_hashes
+        )
+        rows = num_hashes // bands
+
+        def banded(sig: DataFrame, name: str) -> DataFrame:
+            band_cols = [
+                F.concat_ws(
+                    "_",
+                    F.lit(bi),
+                    *[F.col(f"h{bi * rows + r}") for r in range(rows)],
+                )
+                for bi in range(bands)
+            ]
+            return sig.select(
+                F.col("id").alias(name),
+                F.explode(F.array(*band_cols)).alias("bucket"),
+            )
+
+        cand = (
+            banded(sig_t, "id_l")
+            .join(banded(sig_e, "id_r"), "bucket")
+            .select("id_l", "id_r")
+            .distinct()
+        )
+
+        def toks(df: DataFrame, name: str) -> DataFrame:
+            return df.select(
+                F.col(id_col).alias(name),
+                F.explode(
+                    F.split(F.trim(F.col(content_col)), r"\s+")
+                ).alias("w"),
+            ).distinct()
+
+        tl, tr = toks(train, "id_l"), toks(eval_df, "id_r")
+        sl = tl.groupBy("id_l").agg(F.count(F.lit(1)).alias("n_l"))
+        sr = tr.groupBy("id_r").agg(F.count(F.lit(1)).alias("n_r"))
+        pairs = (
+            cand.join(tl, "id_l")
+            .join(tr, ["id_r", "w"])
+            .groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(sl, "id_l")
+            .join(sr, "id_r")
+            .withColumn(
+                "jaccard",
+                F.col("inter")
+                / (F.col("n_l") + F.col("n_r") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_l", "id_r", "inter", "jaccard")
+        )
+    else:
+        raise ValueError(
+            f"method must be 'exact' or 'minhash'; got {method!r}"
+        )
+    return (
+        pairs.groupBy("id_l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.min("id_r").alias("first_eval_id"),
+        )
+        .select(
+            F.col("id_l").alias(id_col),
+            "n_eval_matches",
+            "max_jaccard",
+            "first_eval_id",
+        )
+    )

@@ -51,6 +51,49 @@ def train_val_test_split(
     )
 
 
+def leakage_guarded_split(
+    df: DataFrame,
+    url_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    out_col: str = "split",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Train/val/test split keyed by the REGISTERED (pay-level) domain of
+    a URL column — the leakage guard for web-corpus eval: splitting by
+    doc id (or even by full host) puts ``en.wikipedia.org`` in train and
+    ``de.wikipedia.org`` in test, leaking near-identical site boilerplate
+    and templates across the boundary.  Hashing the registered domain
+    (``text.registered_domain ∘ text.canonicalize_url``) makes host-level
+    leakage structurally impossible: every page of ``*.example.co.uk``
+    lands in exactly ONE split, deterministically.
+
+    Adds ``domain_col`` (the split key, kept for audit joins) and
+    ``out_col`` ('train'/'val'/'test').  Same md5 portable bucket as
+    :func:`train_val_test_split`, so the assignment is reproducible in
+    any engine and stable under retries/re-partitioning.
+
+    Scale shape: pure per-row projection + filter-free map — the
+    canonicalization/domain chain is whole-stage-codegen regexps, the
+    bucket one md5; NO shuffle, no domain dictionary to build or
+    broadcast.  At 100 TB this is a free rider on the scan.
+
+    Reference parity: no reference counterpart — corpus-prep extension
+    composing canonicalize_url/registered_domain with the split
+    (driver brief).
+    """
+    from .text import canonicalize_url, registered_domain
+
+    dom = registered_domain(canonicalize_url(F.col(url_col)))
+    return train_val_test_split(
+        df.withColumn(domain_col, dom),
+        domain_col,
+        val_pct=val_pct,
+        test_pct=test_pct,
+        out_col=out_col,
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -1252,3 +1252,101 @@ def ndcg_at_k(
             ),
         ).alias(f"ndcg_at_{k}"),
     ).orderBy(F.col(group_col).asc())
+
+
+def paired_ndcg_sign_test(
+    df: DataFrame,
+    group_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Paired comparison of TWO rankers on the same queries — the A/B
+    readout for retrieval (``ndcg_at_k`` scores one ranking; this decides
+    whether ranker A beats ranker B): per query group, rank the same docs
+    by ``score_a`` and by ``score_b``, compare their nDCG@k, and run a
+    sign test over the per-query wins.  One row: ``(n_queries, a_wins,
+    b_wins, ties, sum_dcg2_a, sum_dcg2_b, z)``.
+
+    Exactness — the per-query verdict is an EXACT INTEGER comparison:
+    both rankings share the group's relevance set, so IDCG cancels and
+    ``sign(nDCG_a − nDCG_b) = sign(DCG2_a − DCG2_b)`` where DCG2 are the
+    exact BIGINT dot products against the Python-literal position weights
+    (same ``⌊10⁶/log₂(i+1)+½⌋`` table as :func:`ndcg_at_k`).  No IEEE op
+    touches a win/tie decision.  The sign-test statistic
+    ``z = (a_wins − b_wins)/√(a_wins + b_wins)`` (ties dropped, the
+    standard continuity-free normal approximation, same convention as
+    ``ab_test_ztest``'s z) is two correctly-rounded IEEE ops on exact
+    integers — engine-reproducible bit-for-bit.  NULL when every query
+    ties.  Groups with no relevant doc are excluded (nDCG undefined).
+
+    Scale shape: one shuffle on the group key serving two window sorts
+    (rank by A, rank by B — WindowGroupLimit prunes both beyond k), one
+    combinable per-group aggregate, one 1-row reduce.  No join against a
+    weight table (weights are inlined literals), no driver collect.
+
+    Reference parity: no reference counterpart — retrieval-evaluation
+    extension next to ndcg_at_k (driver brief).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    qw = [math.floor(1e6 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+
+    rel = F.col(rel_col).cast("int")
+    base = df.filter(
+        F.col(score_a_col).isNotNull()
+        & F.col(score_b_col).isNotNull()
+        & rel.isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_a_col).alias("__sa"),
+        F.col(score_b_col).alias("__sb"),
+        F.col(id_col).alias("__i"),
+        rel.alias("__r"),
+    )
+    wa = Window.partitionBy("__g").orderBy(
+        F.col("__sa").desc(), F.col("__i").asc()
+    )
+    wb = Window.partitionBy("__g").orderBy(
+        F.col("__sb").desc(), F.col("__i").asc()
+    )
+    ranked = base.select(
+        "__g",
+        "__r",
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    w_at = lambda rn: F.when(  # noqa: E731 — weight lookup, 0 beyond k
+        rn <= k, F.element_at(F.lit(qw), rn.cast("int"))
+    ).otherwise(F.lit(0))
+    per_q = ranked.groupBy("__g").agg(
+        F.sum(F.col("__r").cast("long") * w_at(F.col("__ra"))).alias("__da"),
+        F.sum(F.col("__r").cast("long") * w_at(F.col("__rb"))).alias("__db"),
+        F.sum("__r").cast("long").alias("__nrel"),
+    ).filter(F.col("__nrel") > 0)
+    out = per_q.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("__da") > F.col("__db")).cast("long")).alias("a_wins"),
+        F.sum((F.col("__da") < F.col("__db")).cast("long")).alias("b_wins"),
+        F.sum((F.col("__da") == F.col("__db")).cast("long")).alias("ties"),
+        F.sum("__da").cast("long").alias("sum_dcg2_a"),
+        F.sum("__db").cast("long").alias("sum_dcg2_b"),
+    )
+    m = F.col("a_wins") + F.col("b_wins")
+    return out.select(
+        "n_queries",
+        "a_wins",
+        "b_wins",
+        "ties",
+        "sum_dcg2_a",
+        "sum_dcg2_b",
+        F.when(
+            m > 0,
+            (F.col("a_wins") - F.col("b_wins")).cast("double")
+            / F.sqrt(m.cast("double")),
+        ).alias("z"),
+    )

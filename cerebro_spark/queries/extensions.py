@@ -1771,6 +1771,50 @@ QUERIES["prefix_dup_pairs"] = q_prefix_dup_pairs
 ORACLES["prefix_dup_pairs"] = _PREFIX_DUP_SQL
 
 
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train×eval decontamination (dedup.decontaminate, exact path via
+    the asymmetric prefix-filtered cross_jaccard_pairs): docs with
+    doc_id % 10 == 0 play the held-out eval benchmark; every remaining
+    train doc within token-Jaccard 0.8 of ANY eval doc is flagged with
+    its match count, best Jaccard, and lowest matching eval id.  The
+    oracle is the brute-force cross inverted-index join, so a hash match
+    empirically proves the asymmetric prefix filter's no-false-negative
+    guarantee on this corpus."""
+    from cerebro_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate(train, eval_df, "text", "doc_id", threshold=0.8)
+
+
+_DECONTAMINATE_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+pairs AS (
+  SELECT t.doc_id AS id_l, e.doc_id AS id_r, count(*) AS inter
+  FROM tok t JOIN tok e ON t.w = e.w
+  WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT id_l, id_r,
+    CAST(inter AS DOUBLE) / (sl.n + sr.n - inter) AS jaccard
+  FROM pairs JOIN sz sl ON id_l = sl.doc_id JOIN sz sr ON id_r = sr.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sl.n + sr.n - inter) >= 0.8
+)
+SELECT id_l AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+  max(jaccard) AS max_jaccard, min(id_r) AS first_eval_id
+FROM hits GROUP BY 1
+"""
+
+QUERIES["decontaminate_eval"] = q_decontaminate_eval
+ORACLES["decontaminate_eval"] = _DECONTAMINATE_SQL
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-10 (similarity.mmr_rerank, SIGIR'98) for 5 query
     vectors over the embedding corpus: λ=0.5 (1−λ exactly representable →

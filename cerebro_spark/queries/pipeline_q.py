@@ -48,6 +48,58 @@ GROUP BY 1
 """
 
 
+def q_domain_guarded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded split (sampling.leakage_guarded_split): synthetic
+    crawl URLs (scheme/www/subdomain/tld variants per doc) are keyed by
+    registered domain so every page of a site — including its subdomain
+    twins — lands in ONE split.  The Spark side derives the domain
+    through the full canonicalize_url ∘ registered_domain chain; the
+    oracle computes it ANALYTICALLY from the construction rule, so a
+    hash match proves the whole chain recovers the known ground truth.
+    Output: per split, doc and distinct-domain counts."""
+    from cerebro_spark.operators.sampling import leakage_guarded_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 3 == 0, F.lit("https://"))
+        .when(k % 3 == 1, F.lit("http://www."))
+        .otherwise(F.lit("HTTPS://WWW.")),
+        F.when(k % 2 == 0, F.lit("docs.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(k % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/p/"),
+        k.cast("string"),
+    )
+    out = leakage_guarded_split(
+        docs.select("doc_id", url.alias("url")), "url"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("domain").cast("long").alias("n_domains"),
+    )
+
+
+_DOMAIN_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    source || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+      AS domain
+  FROM documents
+),
+s AS (
+  SELECT doc_id, domain,
+    CASE WHEN {_BUCKET_SQL.format(key="domain")} < 10 THEN 'test'
+         WHEN {_BUCKET_SQL.format(key="domain")} < 20 THEN 'val'
+         ELSE 'train' END AS split
+  FROM d
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+FROM s GROUP BY 1
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         load_table(spark, "documents", sf_dir), chunk_tokens=32, overlap=8
@@ -275,6 +327,7 @@ FROM counts, tot
 QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "train_val_test": q_train_val_test,
+    "domain_guarded_split": q_domain_guarded_split,
     "chunk_documents": q_chunk_documents,
     "redact_pii": q_redact_pii,
     "mixture_sample": q_mixture_sample,
@@ -287,6 +340,7 @@ QUERIES = {
 ORACLES = {
     "deterministic_sample": _SAMPLE_SQL,
     "train_val_test": _SPLIT_SQL,
+    "domain_guarded_split": _DOMAIN_SPLIT_SQL,
     "chunk_documents": _CHUNK_SQL,
     "redact_pii": _REDACT_SQL,
     "mixture_sample": _MIXTURE_SQL,

@@ -1999,3 +1999,74 @@ ORDER BY source ASC
 
 QUERIES["source_ndcg"] = q_source_ndcg
 ORACLES["source_ndcg"] = _source_ndcg_sql()
+
+
+def q_ranker_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired ranker A/B (text.paired_ndcg_sign_test): on each source
+    ('query'), does ranking docs by length (A) beat a hash-order ranking
+    (B) at putting English docs in the top 10?  Win/tie verdicts are
+    exact integer DCG comparisons (shared IDCG cancels); z is the sign
+    test over the 20 sources."""
+    from cerebro_spark.operators.text import paired_ndcg_sign_test
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            F.col("n_chars").alias("score_a"),
+            F.pmod(F.col("doc_id") * 37, F.lit(101)).alias("score_b"),
+            "doc_id",
+            (F.col("lang") == "en").alias("rel"),
+        )
+    )
+    return paired_ndcg_sign_test(
+        docs, "source", "score_a", "score_b", "rel", "doc_id", k=10
+    )
+
+
+def _ranker_sign_test_sql(k: int = 10) -> str:
+    import math
+
+    qw = [math.floor(1e6 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+    qw_lit = "[" + ", ".join(str(x) for x in qw) + "]"
+    return f"""
+WITH base AS (
+  SELECT source AS g, n_chars AS sa, (doc_id * 37) % 101 AS sb,
+         doc_id AS i, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT g, r,
+    row_number() OVER (PARTITION BY g ORDER BY sa DESC, i ASC) AS ra,
+    row_number() OVER (PARTITION BY g ORDER BY sb DESC, i ASC) AS rb
+  FROM base
+),
+per_q AS (
+  SELECT g,
+    sum(CASE WHEN ra <= {k}
+        THEN CAST(r AS BIGINT) * ({qw_lit})[ra] ELSE 0 END) AS da,
+    sum(CASE WHEN rb <= {k}
+        THEN CAST(r AS BIGINT) * ({qw_lit})[rb] ELSE 0 END) AS db,
+    sum(r) AS nrel
+  FROM ranked GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+    CAST(sum(CASE WHEN da > db THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+    CAST(sum(CASE WHEN da < db THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+    CAST(sum(CASE WHEN da = db THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+    CAST(sum(da) AS BIGINT) AS sum_dcg2_a,
+    CAST(sum(db) AS BIGINT) AS sum_dcg2_b
+  FROM per_q WHERE nrel > 0
+)
+SELECT n_queries, a_wins, b_wins, ties, sum_dcg2_a, sum_dcg2_b,
+  CASE WHEN a_wins + b_wins > 0
+       THEN CAST(a_wins - b_wins AS DOUBLE)
+            / sqrt(CAST(a_wins + b_wins AS DOUBLE)) END AS z
+FROM agg
+"""
+
+
+QUERIES["ranker_sign_test"] = q_ranker_sign_test
+ORACLES["ranker_sign_test"] = _ranker_sign_test_sql()
