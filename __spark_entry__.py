@@ -557,6 +557,10 @@ _SNAPSHOT_PRIORITY = [
     "ranker_sign_test",       # paired nDCG sign test (ranker A/B readout)
     "domain_guarded_split",   # registered-domain leakage-guarded split
     "decontaminate_eval",     # train×eval near-dup decontamination join
+    "source_mrr",             # MRR@10 known-item retrieval metric
+    "event_fleiss_kappa",     # multi-rater chance-corrected agreement
+    "mde_value",              # minimum-detectable-effect planning readout
+    "bt_brand_strengths",     # Bradley-Terry preference strengths (MM)
     #
     # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
     "dsir_topk",

@@ -2035,6 +2035,102 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def fleiss_kappa(
+    df: DataFrame,
+    subject_col: str,
+    category_col: str,
+    m: int,
+) -> DataFrame:
+    """Fleiss' kappa for MULTI-rater categorical agreement — ONE row
+    ``(n_subjects, n_ratings, p_observed, p_expected, kappa)``.  Cohen's
+    kappa (:func:`cohens_kappa`) compares exactly two labelings; Fleiss
+    generalizes to ``m`` ratings per subject with no rater identity —
+    the statistic for m-way annotation passes, LLM-judge ensembles, and
+    crowdsourced label QA.  Each input row is one rating; subjects whose
+    rating count differs from ``m`` are EXCLUDED (Fleiss assumes a
+    constant panel size; partial panels would need the Gwet/Krippendorff
+    generalizations), and the excluded count is visible as
+    ``n_subjects·m`` vs the raw row count.
+
+    Exactness: with per-(subject, category) counts n_sc, row margins
+    C_c = Σ_s n_sc, A = Σ_sc n_sc² − n·m and B = Σ_c C_c²,
+
+        kappa = (A·n·m − B·(m−1)) / (((n·m)² − B)·(m−1))
+
+    — both operands exact DECIMAL integers (the algebraic clearing of
+    P̄ = A/(nm(m−1)) and P_e = B/(nm)²), so kappa is ONE IEEE division,
+    rounded 6 dp; P̄ and P_e likewise one division each.  P_e = 1
+    (one shared category) yields NULL.
+
+    Scale shape: one combinable (subject, category) count, one
+    combinable per-subject aggregate (the m filter + A), one combinable
+    per-category aggregate (B), then 1-row scalar joins.  No windows,
+    no collect.
+
+    Reference parity: no reference counterpart — annotation-QA
+    extension next to cohens_kappa (driver brief).
+    """
+    if m < 2:
+        raise ValueError(f"fleiss_kappa needs m >= 2 ratings; got {m}")
+    dec = "decimal(38,0)"
+    sc = (
+        df.filter(
+            F.col(subject_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .select(
+            F.col(subject_col).alias("__s"),
+            F.col(category_col).alias("__c"),
+        )
+        .groupBy("__s", "__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_subj = sc.groupBy("__s").agg(
+        F.sum("__n").alias("__tot"),
+        F.sum(F.col("__n").cast(dec) * F.col("__n")).alias("__sq"),
+    ).filter(F.col("__tot") == m)
+    a_tot = per_subj.agg(
+        F.count(F.lit(1)).cast("long").alias("__nsub"),
+        F.sum("__sq").alias("__sumsq"),
+    )
+    # category margins over COMPLETE subjects only
+    cc = (
+        sc.join(per_subj.select("__s"), "__s")
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__cc"))
+        .select(
+            (F.col("__cc").cast(dec) * F.col("__cc").cast(dec)).alias("__b")
+        )
+        .agg(F.sum("__b").alias("__bb"))
+    )
+    j = a_tot.crossJoin(F.broadcast(cc))  # 1-row x 1-row scalar join
+    n = F.col("__nsub").cast(dec)
+    nm = n * F.lit(m).cast(dec)
+    a = F.col("__sumsq") - nm
+    b = F.col("__bb")
+    num = a * nm - b * F.lit(m - 1).cast(dec)
+    den = (nm * nm - b) * F.lit(m - 1).cast(dec)
+    return j.select(
+        F.col("__nsub").alias("n_subjects"),
+        (F.col("__nsub") * m).cast("long").alias("n_ratings"),
+        F.when(
+            F.col("__nsub") > 0,
+            F.round(
+                a.cast("double")
+                / (nm * F.lit(m - 1).cast(dec)).cast("double"),
+                6,
+            ),
+        ).alias("p_observed"),
+        F.when(
+            F.col("__nsub") > 0,
+            F.round(b.cast("double") / (nm * nm).cast("double"), 6),
+        ).alias("p_expected"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )
+
+
 def w1_drift(
     df: DataFrame,
     value_col: str,
@@ -2228,4 +2324,209 @@ def did_estimate(
         F.when(
             ok, F.round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
         ).alias("did"),
+    )
+
+
+#: two-sided z critical values for the mde_power defaults — Python-literal
+#: constants (Φ⁻¹(0.975), Φ⁻¹(0.8)) so no engine evaluates an inverse CDF.
+Z_ALPHA_025 = 1.959963984540054
+Z_POWER_080 = 0.8416212335729143
+
+
+def mde_power(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    z_alpha: float = Z_ALPHA_025,
+    z_power: float = Z_POWER_080,
+) -> DataFrame:
+    """Minimum detectable effect per stratum — the experiment PLANNING
+    readout (ab_test_ztest/cuped/mSPRT analyze a finished test; this says
+    what a future 50/50 test on the same traffic could even see): per
+    stratum ``(n, mean, sd, mde_abs, mde_rel)`` where
+
+        mde_abs = (z_α/2 + z_power) · √(4·s²/n)
+
+    — the classic two-sample formula with n/2 per arm, α = 5% two-sided
+    and 80% power by default (the z constants are Python literals, no
+    engine evaluates Φ⁻¹).  ``mde_rel`` = mde_abs/|mean| is the lift the
+    test can detect; strata where it exceeds ~0.1 need pooling, CUPED,
+    or more runtime — THE go/no-go number experiment review asks for.
+
+    Exactness: n, Σv, Σv² are exact integers from e6-quantized values
+    (the neyman_allocation discipline); s², mean, and the mde chain are
+    a fixed sequence of IEEE ops on those integers, each rounded 6 dp at
+    the OUTPUT only.  Single-row strata and zero means yield NULLs.
+
+    Scale shape: ONE combinable per-stratum aggregate over the fact;
+    everything after is strata-sized.  No window, no join, no collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to did_estimate/cuped (driver brief).
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(stratum_col).isNotNull()
+        )
+        .select(F.col(stratum_col).alias("__h"), qv.alias("__v"))
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("__v").cast(dec)).alias("__s"),
+            F.sum(F.col("__v").cast(dec) * F.col("__v")).alias("__ss"),
+        )
+    )
+    n = F.col("__n").cast(dec)
+    mean = (
+        F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+        / F.lit(1.0e6)
+    )
+    var_num = n * F.col("__ss") - F.col("__s") * F.col("__s")
+    var_den = n * (n - 1)
+    sd = F.when(
+        (F.col("__n") > 1) & (var_num >= 0),
+        F.sqrt(var_num.cast("double") / var_den.cast("double"))
+        / F.lit(1.0e6),
+    )
+    mde = (
+        F.lit(float(z_alpha) + float(z_power))
+        * F.sqrt(
+            F.lit(4.0) * sd * sd / F.col("__n").cast("double")
+        )
+    )
+    return per.select(
+        F.col("__h").alias(stratum_col),
+        F.col("__n").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(
+            F.abs(F.col("__s").cast("double")) > 0,
+            F.round(mde / F.abs(mean), 6),
+        ).alias("mde_rel"),
+    ).orderBy(F.col(stratum_col).asc())
+
+
+#: Bradley–Terry fixed-point scales: strengths live at ~BT_SCALE, the
+#: per-pair floor terms at BT_SCALE2 — exact integers end to end
+#: (arbitrary-precision Python here, HUGEINT in the oracle).
+BT_SCALE = 10**12
+BT_SCALE2 = 10**18
+
+
+def bradley_terry(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iterations: int = 20,
+) -> DataFrame:
+    """Bradley–Terry strengths from pairwise preference outcomes — the
+    model behind reward-model preference data, ranker A/B aggregation,
+    and match-play ratings: P(i beats j) = s_i/(s_i+s_j), fit by
+    Hunter's (2004) MM algorithm.  Returns one row per item:
+    ``(item, n_wins, n_matches, strength, share)``, item-sorted.
+
+    Exactness — the same fixed-point integer discipline as
+    ``markov_attribution``: strengths are exact integers at
+    ``BT_SCALE``; each MM round computes, in arbitrary-precision ints,
+
+        d_i  = Σ_j ⌊ n_ij·BT_SCALE2 / (s_i + s_j) ⌋
+        r_i  = ⌊ w_i·BT_SCALE2 / d_i ⌋          (0 when w_i = 0)
+        s_i' = ⌊ r_i·|items|·BT_SCALE / Σ r ⌋    (re-normalization pins
+                Σ s ≈ |items|·BT_SCALE, keeping every floor term > 0;
+                items with ≥1 win are additionally pinned to s' ≥ 1, so
+                every PAIR keeps s_i + s_j ≥ 1 — no round divides by 0)
+
+    — the oracle unrolls the identical HUGEINT recurrence, so both
+    engines agree bit-for-bit at every round; ``iterations`` bounds MM
+    refinement identically on both sides (the MM map is monotone in
+    likelihood; 20 rounds is ample at item counts this model is for).
+    ``share`` = s_i/Σs is one IEEE division at the end.  An item with
+    zero wins converges to strength 0 (its true MLE); an item with zero
+    LOSSES is a divergent MLE — bounded iterations keep it finite,
+    identically in both engines.
+
+    Scale shape: the 100 TB work is ONE combinable (winner, loser)
+    aggregate over the match fact; the MM solve runs on the COLLECTED
+    pair-count matrix — bounded metadata, |items|² for a
+    dictionary-sized item set (brands, models, arms), the
+    markov_attribution contract.  Self-matches (winner == loser) are
+    dropped.
+
+    Reference parity: no reference counterpart — preference-data
+    extension next to did_estimate/ab_test (driver brief).
+    """
+    spark = matches.sparkSession
+    counts = (
+        matches.filter(
+            F.col(winner_col).isNotNull()
+            & F.col(loser_col).isNotNull()
+            & (F.col(winner_col) != F.col(loser_col))
+        )
+        .groupBy(
+            F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # bounded metadata: |items|² pair counts (the markov contract)
+    rows = [(r["__w"], r["__l"], int(r["__c"])) for r in counts.collect()]
+    items = sorted({w for w, _, _ in rows} | {l for _, l, _ in rows})
+    if not items:
+        return spark.createDataFrame(
+            [],
+            "item string, n_wins long, n_matches long, "
+            "strength double, share double",
+        )
+    wins = {i: 0 for i in items}
+    nij: dict[tuple, int] = {}
+    for w, l, c in rows:
+        wins[w] += c
+        key = (w, l) if w < l else (l, w)
+        nij[key] = nij.get(key, 0) + c
+    opp = {i: [] for i in items}
+    for (a, b), c in nij.items():
+        opp[a].append((b, c))
+        opp[b].append((a, c))
+    s = {i: BT_SCALE for i in items}
+    k = len(items)
+    for _ in range(iterations):
+        d = {
+            i: sum(c * BT_SCALE2 // (s[i] + s[j]) for j, c in opp[i])
+            for i in items
+        }
+        r = {
+            i: (wins[i] * BT_SCALE2 // d[i]) if d[i] > 0 else 0
+            for i in items
+        }
+        t = sum(r.values())
+        if t == 0:  # no wins anywhere — all strengths collapse
+            s = {i: 0 for i in items}
+            break
+        # floor-of-1 pin for any item with a win: every pair contains a
+        # winner, so s_i + s_j >= 1 and no round can divide by zero
+        s = {
+            i: max(r[i] * k * BT_SCALE // t, 1) if wins[i] > 0
+            else r[i] * k * BT_SCALE // t
+            for i in items
+        }
+    tot = sum(s.values())
+    out = [
+        (
+            i,
+            wins[i],
+            sum(c for _, c in opp[i]),
+            float(s[i]) / BT_SCALE,
+            (float(s[i]) / float(tot)) if tot > 0 else None,
+        )
+        for i in items
+    ]
+    return spark.createDataFrame(
+        out,
+        "item string, n_wins long, n_matches long, "
+        "strength double, share double",
     )

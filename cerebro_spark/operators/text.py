@@ -1254,6 +1254,73 @@ def ndcg_at_k(
     ).orderBy(F.col(group_col).asc())
 
 
+def mrr_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """MRR@k — per group ``(n_docs, n_rel, first_rel_rank, rr_at_k)``:
+    the rank of the FIRST relevant doc under (score desc, id asc) and
+    its reciprocal, 0.0 when no relevant doc lands in the top k, NULL
+    when the group has no relevant doc at all (undefined, same contract
+    as :func:`ndcg_at_k`).  The navigational companion of nDCG: nDCG
+    rewards the whole top-k ordering, MRR only the first hit — the
+    metric for known-item retrieval and agent tool-lookup evals.
+
+    Exactness: the rank is an exact integer from a total order;
+    ``rr_at_k = 1/rank`` is ONE IEEE division (correctly rounded,
+    engine-identical).  Scale shape: one per-group top-k window
+    (WindowGroupLimit prunes beyond rank k before the full sort
+    materializes) + one combinable per-group aggregate.
+
+    Reference parity: no reference counterpart — retrieval-evaluation
+    extension next to ndcg_at_k (driver brief).
+    """
+    from pyspark.sql import Window
+
+    rel = F.col(rel_col).cast("int")
+    base = df.filter(
+        F.col(score_col).isNotNull() & rel.isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        F.col(id_col).alias("__i"),
+        rel.alias("__r"),
+    )
+    wr = Window.partitionBy("__g").orderBy(
+        F.col("__s").desc(), F.col("__i").asc()
+    )
+    topk = base.withColumn("__rn", F.row_number().over(wr)).filter(
+        F.col("__rn") <= k
+    )
+    first = topk.filter(F.col("__r") == 1).groupBy("__g").agg(
+        F.min("__rn").cast("long").alias("first_rel_rank")
+    )
+    tot = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__r").cast("long").alias("n_rel"),
+    )
+    j = tot.join(first, "__g", "left")
+    return j.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "n_rel",
+        F.when(F.col("n_rel") > 0, F.col("first_rel_rank")).alias(
+            "first_rel_rank"
+        ),
+        F.when(
+            F.col("n_rel") > 0,
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+                F.lit(0.0),
+            ),
+        ).alias(f"rr_at_{k}"),
+    ).orderBy(F.col(group_col).asc())
+
+
 def paired_ndcg_sign_test(
     df: DataFrame,
     group_col: str,

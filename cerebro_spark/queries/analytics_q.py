@@ -3401,3 +3401,232 @@ ORDER BY event_type ASC
 
 QUERIES["neyman_value_alloc"] = q_neyman_value_alloc
 ORACLES["neyman_value_alloc"] = _NEYMAN_SQL
+
+
+def q_event_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (profile.fleiss_kappa): consecutive event triples
+    (subject = event_id // 3) act as a 3-rater panel labeling with
+    event_type — chance-corrected m-way agreement from exact integer
+    counts; subjects without exactly 3 ratings drop on both engines."""
+    from cerebro_spark.operators.profile import fleiss_kappa
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.floor(F.col("event_id") / 3).cast("long").alias("subject"),
+        F.col("event_type").alias("category"),
+    )
+    return fleiss_kappa(ev, "subject", "category", m=3)
+
+
+_FLEISS_SQL = """
+WITH base AS (
+  SELECT CAST(floor(event_id / 3) AS BIGINT) AS s, event_type AS c
+  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+),
+sc AS (SELECT s, c, count(*) AS n FROM base GROUP BY 1, 2),
+per AS (
+  SELECT s, sum(n) AS tot, sum(CAST(n AS HUGEINT) * n) AS sq
+  FROM sc GROUP BY 1 HAVING sum(n) = 3
+),
+at AS (
+  SELECT CAST(count(*) AS HUGEINT) AS nsub, sum(sq) AS sumsq FROM per
+),
+cc AS (
+  SELECT COALESCE(sum(CAST(t AS HUGEINT) * t), 0) AS bb FROM (
+    SELECT sum(sc.n) AS t FROM sc JOIN per USING (s) GROUP BY sc.c
+  )
+)
+SELECT CAST(nsub AS BIGINT) AS n_subjects,
+  CAST(nsub * 3 AS BIGINT) AS n_ratings,
+  CASE WHEN nsub > 0 THEN
+    round(CAST(sumsq - nsub * 3 AS DOUBLE)
+          / CAST(nsub * 3 * 2 AS DOUBLE), 6) END AS p_observed,
+  CASE WHEN nsub > 0 THEN
+    round(CAST(bb AS DOUBLE)
+          / CAST(nsub * 3 * nsub * 3 AS DOUBLE), 6) END AS p_expected,
+  CASE WHEN (nsub * 3 * nsub * 3 - bb) * 2 > 0 THEN
+    round(CAST((sumsq - nsub * 3) * nsub * 3 - bb * 2 AS DOUBLE)
+          / CAST((nsub * 3 * nsub * 3 - bb) * 2 AS DOUBLE), 6)
+  END AS kappa
+FROM at, cc
+"""
+
+QUERIES["event_fleiss_kappa"] = q_event_fleiss_kappa
+ORACLES["event_fleiss_kappa"] = _FLEISS_SQL
+
+
+def q_mde_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect (profile.mde_power): per event type,
+    the absolute and relative lift a 50/50 test on this traffic could
+    detect at alpha=5%/power=80% — exact e6 integer moments, z constants
+    as Python literals, a fixed IEEE chain rounded 6 dp."""
+    from cerebro_spark.operators.profile import mde_power
+
+    ev = load_table(spark, "events", sf_dir)
+    return mde_power(ev, "value", "event_type")
+
+
+def _mde_sql() -> str:
+    from cerebro_spark.operators.profile import Z_ALPHA_025, Z_POWER_080
+
+    c = repr(Z_ALPHA_025 + Z_POWER_080)
+    return f"""
+WITH base AS (
+  SELECT event_type AS h,
+    CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (
+  SELECT h, count(*) AS n,
+    sum(CAST(v AS HUGEINT)) AS s,
+    sum(CAST(v AS HUGEINT) * v) AS ss
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT h, n, s,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+    CASE WHEN n > 1 AND CAST(n AS HUGEINT) * ss - s * s >= 0 THEN
+      sqrt(CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) / 1000000.0
+    END AS sd
+  FROM per
+),
+w2 AS (
+  SELECT h, n, s, mean, sd,
+    {c} * sqrt(4.0 * sd * sd / CAST(n AS DOUBLE)) AS mde
+  FROM w
+)
+SELECT h AS event_type, CAST(n AS BIGINT) AS n,
+  round(mean, 6) AS mean, round(sd, 6) AS sd,
+  round(mde, 6) AS mde_abs,
+  CASE WHEN abs(CAST(s AS DOUBLE)) > 0
+       THEN round(mde / abs(mean), 6) END AS mde_rel
+FROM w2
+ORDER BY event_type ASC
+"""
+
+
+QUERIES["mde_value"] = q_mde_value
+ORACLES["mde_value"] = _mde_sql()
+
+
+def q_bt_brand_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry brand strengths (profile.bradley_terry): within each
+    order the brand of the highest-revenue lineitem 'beats' the brand of
+    the lowest — the pairwise-preference fit behind reward-model data.
+    Pair counts are the one distributed aggregate; the MM solve runs 20
+    exact fixed-point HUGEINT rounds on the collected |brands|^2 matrix,
+    unrolled identically in the oracle."""
+    from cerebro_spark.operators.profile import bradley_terry
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pt = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    base = li.join(
+        pt, li["l_partkey"] == pt["p_partkey"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        rev.alias("rev"),
+    )
+    w_hi = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rev").desc(), F.col("l_linenumber").asc()
+    )
+    w_lo = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rev").asc(), F.col("l_linenumber").desc()
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "brand",
+        F.row_number().over(w_hi).alias("__rh"),
+        F.row_number().over(w_lo).alias("__rl"),
+    )
+    winners = ranked.filter(F.col("__rh") == 1).select(
+        "l_orderkey", F.col("brand").alias("winner")
+    )
+    losers = ranked.filter(F.col("__rl") == 1).select(
+        "l_orderkey", F.col("brand").alias("loser")
+    )
+    matches = winners.join(losers, "l_orderkey")
+    return bradley_terry(matches, "winner", "loser", iterations=20)
+
+
+def _bt_sql(k: int = 20) -> str:
+    """DuckDB twin of profile.bradley_terry (identical per-round-floor
+    HUGEINT recurrence, unrolled like _markov_sql)."""
+    s1 = "CAST(1000000000000 AS HUGEINT)"      # BT_SCALE
+    s2 = "CAST(1000000000000000000 AS HUGEINT)"  # BT_SCALE2
+    its = []
+    for j in range(1, k + 1):
+        its.append(f"""
+d{j} AS MATERIALIZED (
+  SELECT p.i AS item, sum(({s2} * p.c) // (si.s + sj.s)) AS d
+  FROM pairs p
+  JOIN s{j - 1} si ON si.item = p.i
+  JOIN s{j - 1} sj ON sj.item = p.j
+  GROUP BY 1
+),
+r{j} AS (
+  SELECT d.item,
+    CASE WHEN d.d > 0
+         THEN (COALESCE(w.w, CAST(0 AS HUGEINT)) * {s2}) // d.d
+         ELSE CAST(0 AS HUGEINT) END AS r
+  FROM d{j} d LEFT JOIN wins w ON w.item = d.item
+),
+t{j} AS (SELECT sum(r) AS t, CAST(count(*) AS HUGEINT) AS k FROM r{j}),
+s{j} AS (
+  SELECT r.item,
+    CASE WHEN t.t = 0 THEN CAST(0 AS HUGEINT)
+         WHEN w.w IS NOT NULL AND w.w > 0
+           THEN greatest((r.r * t.k * {s1}) // t.t, CAST(1 AS HUGEINT))
+         ELSE (r.r * t.k * {s1}) // t.t END AS s
+  FROM r{j} r LEFT JOIN wins w ON w.item = r.item, t{j} t
+)""")
+    return f"""
+WITH base AS (
+  SELECT l_orderkey AS o, l_linenumber AS ln, p_brand AS brand,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+rk AS (
+  SELECT o, brand,
+    row_number() OVER (PARTITION BY o ORDER BY rev DESC, ln ASC) AS rh,
+    row_number() OVER (PARTITION BY o ORDER BY rev ASC, ln DESC) AS rl
+  FROM base
+),
+m AS (
+  SELECT w.brand AS wb, l.brand AS lb
+  FROM (SELECT o, brand FROM rk WHERE rh = 1) w
+  JOIN (SELECT o, brand FROM rk WHERE rl = 1) l USING (o)
+  WHERE w.brand <> l.brand
+),
+wins AS (SELECT wb AS item, CAST(count(*) AS HUGEINT) AS w FROM m GROUP BY 1),
+und AS (
+  SELECT least(wb, lb) AS a, greatest(wb, lb) AS b,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM m GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT a AS i, b AS j, c FROM und
+  UNION ALL
+  SELECT b AS i, a AS j, c FROM und
+),
+items AS (SELECT DISTINCT i AS item FROM pairs),
+nm AS (SELECT i AS item, sum(c) AS n FROM pairs GROUP BY 1),
+s0 AS (SELECT item, {s1} AS s FROM items),{",".join(its)},
+tot AS (SELECT sum(s) AS ts FROM s{k})
+SELECT s.item,
+  CAST(COALESCE(w.w, 0) AS BIGINT) AS n_wins,
+  CAST(nm.n AS BIGINT) AS n_matches,
+  CAST(s.s AS DOUBLE) / 1000000000000.0 AS strength,
+  CASE WHEN tot.ts > 0
+       THEN CAST(s.s AS DOUBLE) / CAST(tot.ts AS DOUBLE) END AS share
+FROM s{k} s
+LEFT JOIN wins w ON w.item = s.item
+JOIN nm ON nm.item = s.item, tot
+ORDER BY s.item ASC
+"""
+
+
+QUERIES["bt_brand_strengths"] = q_bt_brand_strengths
+ORACLES["bt_brand_strengths"] = _bt_sql()

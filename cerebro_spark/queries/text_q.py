@@ -2070,3 +2070,55 @@ FROM agg
 
 QUERIES["ranker_sign_test"] = q_ranker_sign_test
 ORACLES["ranker_sign_test"] = _ranker_sign_test_sql()
+
+
+def q_source_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 (text.mrr_at_k): per source, the rank of the FIRST English
+    doc when ranking by length — the known-item companion of
+    source_ndcg; the rank is an exact integer from a total order, the
+    reciprocal one IEEE division."""
+    from cerebro_spark.operators.text import mrr_at_k
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            "n_chars",
+            "doc_id",
+            (F.col("lang") == "en").alias("rel"),
+        )
+    )
+    return mrr_at_k(docs, "source", "n_chars", "rel", "doc_id", k=10)
+
+
+_SOURCE_MRR_SQL = """
+WITH base AS (
+  SELECT source AS g, n_chars AS s, doc_id AS i,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT g, r,
+         row_number() OVER (PARTITION BY g ORDER BY s DESC, i ASC) AS rn
+  FROM base
+),
+first AS (
+  SELECT g, CAST(min(rn) AS BIGINT) AS fr
+  FROM ranked WHERE r = 1 AND rn <= 10 GROUP BY 1
+),
+tot AS (
+  SELECT g, count(*) AS n_docs, sum(r) AS n_rel FROM base GROUP BY 1
+)
+SELECT g AS source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_rel AS BIGINT) AS n_rel,
+  CASE WHEN n_rel > 0 THEN fr END AS first_rel_rank,
+  CASE WHEN n_rel > 0
+       THEN COALESCE(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE), 0.0)
+  END AS rr_at_10
+FROM tot LEFT JOIN first USING (g)
+ORDER BY source ASC
+"""
+
+QUERIES["source_mrr"] = q_source_mrr
+ORACLES["source_mrr"] = _SOURCE_MRR_SQL

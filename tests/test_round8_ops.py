@@ -258,3 +258,225 @@ def test_decontaminate_rejects_unknown_method(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="method"):
         decontaminate(df, df, method="simhash")
+
+
+# ---------------------------------------------------------------------------
+# mrr_at_k
+# ---------------------------------------------------------------------------
+
+def test_mrr_hand_case(spark):
+    from cerebro_spark.operators.text import mrr_at_k
+
+    rows = [
+        # g1: relevant doc ranked 2nd -> rr = 0.5
+        ("g1", 9.0, 1, False), ("g1", 8.0, 2, True), ("g1", 7.0, 3, False),
+        # g2: relevant exists but outside top-2 -> rr 0.0 at k=2
+        ("g2", 9.0, 1, False), ("g2", 8.0, 2, False), ("g2", 7.0, 3, True),
+        # g3: no relevant at all -> NULLs
+        ("g3", 9.0, 1, False),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, i long, rel boolean")
+    out = {r["g"]: r for r in mrr_at_k(df, "g", "s", "rel", "i", k=2).collect()}
+    assert out["g1"]["first_rel_rank"] == 2
+    assert out["g1"]["rr_at_2"] == pytest.approx(0.5)
+    assert out["g2"]["first_rel_rank"] is None
+    assert out["g2"]["rr_at_2"] == pytest.approx(0.0)
+    assert out["g3"]["first_rel_rank"] is None and out["g3"]["rr_at_2"] is None
+    assert out["g2"]["n_rel"] == 1 and out["g3"]["n_rel"] == 0
+
+
+def test_mrr_tie_break_is_total_order(spark):
+    # equal scores break by id asc, so the rank is engine-independent
+    from cerebro_spark.operators.text import mrr_at_k
+
+    rows = [("g", 5.0, 3, True), ("g", 5.0, 1, False), ("g", 5.0, 2, False)]
+    df = spark.createDataFrame(rows, "g string, s double, i long, rel boolean")
+    out = mrr_at_k(df, "g", "s", "rel", "i", k=10).collect()[0]
+    assert out["first_rel_rank"] == 3
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa
+# ---------------------------------------------------------------------------
+
+def _fleiss_ref(tables):
+    """Pure-python Fleiss from per-subject category-count dicts."""
+    n = len(tables)
+    m = sum(next(iter(tables)).values()) if n else 0
+    cats = sorted({c for t in tables for c in t})
+    a = sum(v * v for t in tables for v in t.values()) - n * m
+    b = sum(sum(t.get(c, 0) for t in tables) ** 2 for c in cats)
+    p_bar = a / (n * m * (m - 1))
+    p_e = b / (n * m) ** 2
+    return (p_bar - p_e) / (1 - p_e)
+
+
+def test_fleiss_kappa_matches_python_reference(spark):
+    from cerebro_spark.operators.profile import fleiss_kappa
+
+    # 10 subjects x 4 raters over 3 categories, deterministic
+    rows, tables = [], []
+    for s in range(10):
+        t = {}
+        for r in range(4):
+            c = f"c{(s * 7 + r * 3) % 3 if s % 4 else 0}"
+            t[c] = t.get(c, 0) + 1
+            rows.append((s, c))
+        tables.append(t)
+    df = spark.createDataFrame(rows, "subject long, category string")
+    out = fleiss_kappa(df, "subject", "category", m=4).collect()[0]
+    assert out["n_subjects"] == 10 and out["n_ratings"] == 40
+    assert out["kappa"] == pytest.approx(round(_fleiss_ref(tables), 6), abs=1e-6)
+
+
+def test_fleiss_kappa_perfect_and_random(spark):
+    from cerebro_spark.operators.profile import fleiss_kappa
+
+    # perfect agreement across two categories -> kappa 1
+    rows = [(s, "a" if s % 2 else "b") for s in range(6) for _ in range(3)]
+    df = spark.createDataFrame(rows, "subject long, category string")
+    assert fleiss_kappa(df, "subject", "category", m=3).collect()[0][
+        "kappa"
+    ] == pytest.approx(1.0)
+    # one shared category: p_e = 1 -> NULL
+    rows = [(s, "only") for s in range(4) for _ in range(3)]
+    df = spark.createDataFrame(rows, "subject long, category string")
+    assert fleiss_kappa(df, "subject", "category", m=3).collect()[0]["kappa"] is None
+
+
+def test_fleiss_kappa_drops_incomplete_subjects(spark):
+    from cerebro_spark.operators.profile import fleiss_kappa
+
+    rows = [(1, "a"), (1, "a"), (1, "b"),
+            (2, "a"), (2, "a"),            # only 2 ratings -> dropped
+            (3, "b"), (3, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "subject long, category string")
+    out = fleiss_kappa(df, "subject", "category", m=3).collect()[0]
+    assert out["n_subjects"] == 2 and out["n_ratings"] == 6
+    with pytest.raises(ValueError, match="m >= 2"):
+        fleiss_kappa(df, "subject", "category", m=1)
+
+
+# ---------------------------------------------------------------------------
+# mde_power
+# ---------------------------------------------------------------------------
+
+def test_mde_power_matches_closed_form(spark):
+    import math
+
+    from cerebro_spark.operators.profile import (
+        Z_ALPHA_025,
+        Z_POWER_080,
+        mde_power,
+    )
+
+    vals = [float(v) for v in [10, 12, 9, 11, 10, 13, 8, 11]]
+    df = spark.createDataFrame([("s", v) for v in vals], "h string, v double")
+    out = mde_power(df, "v", "h").collect()[0]
+    n = len(vals)
+    q = [round(v * 1e6) for v in vals]
+    var = (n * sum(x * x for x in q) - sum(q) ** 2) / (n * (n - 1))
+    sd = math.sqrt(var) / 1e6
+    mde = (Z_ALPHA_025 + Z_POWER_080) * math.sqrt(4.0 * sd * sd / n)
+    assert out["n"] == n
+    assert out["sd"] == pytest.approx(round(sd, 6), abs=1e-6)
+    assert out["mde_abs"] == pytest.approx(round(mde, 6), abs=1e-6)
+    assert out["mde_rel"] == pytest.approx(
+        round(mde / (sum(vals) / n), 6), rel=1e-4
+    )
+
+
+def test_mde_power_single_row_stratum_is_null(spark):
+    from cerebro_spark.operators.profile import mde_power
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 2.0)], "h string, v double"
+    )
+    out = {r["h"]: r for r in mde_power(df, "v", "h").collect()}
+    assert out["a"]["sd"] is None and out["a"]["mde_abs"] is None
+    assert out["b"]["mde_abs"] is not None
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry
+# ---------------------------------------------------------------------------
+
+def _bt_ref(match_list, iterations=20):
+    """Pure-python twin of the integer MM recurrence."""
+    S, S2 = 10**12, 10**18
+    items = sorted({x for m in match_list for x in m})
+    wins = {i: 0 for i in items}
+    nij = {}
+    for w, l in match_list:
+        if w == l:
+            continue
+        wins[w] += 1
+        key = (w, l) if w < l else (l, w)
+        nij[key] = nij.get(key, 0) + 1
+    opp = {i: [] for i in items}
+    for (a, b), c in nij.items():
+        opp[a].append((b, c))
+        opp[b].append((a, c))
+    s = {i: S for i in items}
+    k = len(items)
+    for _ in range(iterations):
+        d = {i: sum(c * S2 // (s[i] + s[j]) for j, c in opp[i]) for i in items}
+        r = {i: (wins[i] * S2 // d[i]) if d[i] > 0 else 0 for i in items}
+        t = sum(r.values())
+        if t == 0:
+            return {i: 0 for i in items}
+        s = {
+            i: max(r[i] * k * S // t, 1) if wins[i] > 0 else r[i] * k * S // t
+            for i in items
+        }
+    return s
+
+
+def test_bradley_terry_recovers_known_ordering(spark):
+    from cerebro_spark.operators.profile import bradley_terry
+
+    # A beats B 9/10, B beats C 9/10, A beats C 9/10 -> s_A > s_B > s_C
+    ms = []
+    for i in range(10):
+        ms.append(("A", "B") if i < 9 else ("B", "A"))
+        ms.append(("B", "C") if i < 9 else ("C", "B"))
+        ms.append(("A", "C") if i < 9 else ("C", "A"))
+    df = spark.createDataFrame(ms, "winner string, loser string")
+    out = {r["item"]: r for r in bradley_terry(df).collect()}
+    assert out["A"]["strength"] > out["B"]["strength"] > out["C"]["strength"]
+    assert out["A"]["n_wins"] == 18 and out["A"]["n_matches"] == 20
+    # strengths equal the integer-recurrence reference exactly
+    ref = _bt_ref(ms)
+    for i in ("A", "B", "C"):
+        assert out[i]["strength"] == ref[i] / 10**12
+    # shares sum to ~1
+    assert sum(r["share"] for r in out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_bradley_terry_symmetric_matches_give_equal_strength(spark):
+    from cerebro_spark.operators.profile import bradley_terry
+
+    ms = [("A", "B"), ("B", "A"), ("A", "B"), ("B", "A")]
+    df = spark.createDataFrame(ms, "winner string, loser string")
+    out = {r["item"]: r["strength"] for r in bradley_terry(df).collect()}
+    assert out["A"] == pytest.approx(out["B"])
+
+
+def test_bradley_terry_zero_win_item_collapses(spark):
+    from cerebro_spark.operators.profile import bradley_terry
+
+    ms = [("A", "B"), ("A", "B"), ("A", "C"), ("C", "B")]
+    df = spark.createDataFrame(ms, "winner string, loser string")
+    out = {r["item"]: r for r in bradley_terry(df).collect()}
+    assert out["B"]["n_wins"] == 0
+    assert out["B"]["strength"] == pytest.approx(0.0)
+    assert out["A"]["strength"] > out["C"]["strength"]
+
+
+def test_bradley_terry_drops_self_matches_and_empty(spark):
+    from cerebro_spark.operators.profile import bradley_terry
+
+    df = spark.createDataFrame(
+        [("A", "A"), ("A", "A")], "winner string, loser string"
+    )
+    assert bradley_terry(df).count() == 0

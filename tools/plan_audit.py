@@ -174,6 +174,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the Σ n_h·s_h weight total crossJoined onto
     # the |strata|-sized frame (the temperature_mix contract) (r7)
     "neyman_value_alloc",
+    # 1-row × 1-row crossJoin: the (n_subjects, Σn²) aggregate against the
+    # Σ category-margin² aggregate — both single-row by construction, the
+    # lang_id_kappa contract (r8)
+    "event_fleiss_kappa",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
