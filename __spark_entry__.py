@@ -561,6 +561,10 @@ _SNAPSHOT_PRIORITY = [
     "event_fleiss_kappa",     # multi-rater chance-corrected agreement
     "mde_value",              # minimum-detectable-effect planning readout
     "bt_brand_strengths",     # Bradley-Terry preference strengths (MM)
+    "cms_top_terms",          # count-min sketch vs exact heavy hitters
+    "readability_by_source",  # Flesch reading-ease text quality
+    "t_closeness_events",     # t-closeness privacy audit (EMD per QI class)
+    "fk_integrity",           # referential-integrity orphan audit
     #
     # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
     "dsir_topk",

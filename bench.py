@@ -204,6 +204,10 @@ HEADLINE = [
     "event_fleiss_kappa",     # multi-rater chance-corrected agreement
     "mde_value",              # minimum-detectable-effect planning readout
     "bt_brand_strengths",     # Bradley-Terry preference strengths (MM)
+    "cms_top_terms",          # count-min sketch vs exact heavy hitters
+    "readability_by_source",  # Flesch reading-ease text quality
+    "t_closeness_events",     # t-closeness privacy audit (EMD per QI class)
+    "fk_integrity",           # referential-integrity orphan audit
 ]
 
 

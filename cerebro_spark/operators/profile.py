@@ -2530,3 +2530,209 @@ def bradley_terry(
         "item string, n_wins long, n_matches long, "
         "strength double, share double",
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of a key column — the ``depth × width`` counter
+    table ``(row, bucket, c)``: row r's bucket is the portable md5 hash
+    of ``'r|key'`` mod width, so the sketch is reproducible in any
+    engine and MERGEABLE by summing cells (the serving-layer property:
+    per-partition/per-day sketches add up).  Estimate a key's count by
+    probing min over rows (:func:`cms_heavy_hitters` does both sides).
+
+    Scale shape: one posexplode (×depth) + ONE combinable groupBy — the
+    sketch is ``depth·width`` rows regardless of data size; at 100 TB
+    you keep the 1 024-row table and drop the fact.
+
+    Reference parity: no reference counterpart — sketch extension next
+    to theta_sketch_rollup (driver brief).
+    """
+    from .sampling import _portable_bucket
+
+    key = F.col(key_col)
+    buckets = F.array(
+        *[
+            _portable_bucket(
+                F.concat_ws("|", F.lit(str(r)), key), width
+            ).cast("long")
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 20,
+) -> DataFrame:
+    """Exact top-k keys with their count-min estimates side by side —
+    ``(key, exact_n, cms_n, overcount)``: the sketch-accuracy readout
+    that decides whether a ``depth × width`` CMS can replace the exact
+    count table in a serving layer.  ``cms_n ≥ exact_n`` ALWAYS (the CMS
+    one-sided error guarantee — every probe hash collides upward, never
+    down); ``overcount`` measures the collision mass at this width.
+
+    Exactness: bucket ids are portable md5 hashes, counts exact
+    integers, the estimate an exact integer MIN over ``depth`` cells —
+    no IEEE op anywhere, both engines agree bit-for-bit.
+
+    Scale shape: the sketch build is one combinable groupBy (bounded
+    ``depth·width`` output); the exact top-k is one combinable groupBy +
+    TakeOrdered; probing joins the k·depth probe rows against the
+    BROADCAST sketch.  Ordering (exact_n desc, key asc) is total.
+
+    Reference parity: no reference counterpart — sketch extension next
+    to theta_sketch_rollup (driver brief).
+    """
+    from .sampling import _portable_bucket
+
+    sketch = count_min_sketch(df, key_col, depth, width)
+    key = F.col(key_col)
+    exact = (
+        df.filter(key.isNotNull())
+        .groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("key").asc())
+        .limit(k)
+    )
+    probes = exact.select(
+        "key",
+        "exact_n",
+        F.posexplode(
+            F.array(
+                *[
+                    _portable_bucket(
+                        F.concat_ws("|", F.lit(str(r)), F.col("key")), width
+                    ).cast("long")
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "key",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), F.col("key").asc())
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    n_buckets: int = 50,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — per
+    quasi-identifier class, the distance between the class's SENSITIVE-
+    attribute distribution and the whole table's, flagged against the
+    privacy budget ``t``: ``(qi_class, n, t_distance, is_violation)``.
+    Completes the governance family: k-anonymity bounds class SIZE,
+    l-diversity bounds sensitive VARIETY; t-closeness bounds what the
+    class reveals about the sensitive VALUE — a class of 50 users all
+    earning the corpus-top decile passes both k and l yet leaks.
+
+    The distance is the ordered-numeric EMD of the paper, computed as
+    :func:`w1_drift`'s integral CDF gap over a shared equal-width grid,
+    normalized to [0, 1] (``w1_norm``) — exact integer cumulative gaps,
+    one IEEE division per class.  The sensitive column should be
+    integer-valued (pre-floor a double on BOTH engines — Spark's
+    long-cast truncates, DuckDB's rounds).
+
+    Scale shape: inherited from w1_drift — one combinable
+    (class, bucket) aggregate, bounded class×bucket grids, grid-sized
+    windows only.
+
+    Reference parity: no reference counterpart — privacy extension next
+    to k_anonymity/l_diversity (driver brief).
+    """
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in qi_cols]
+    )
+    base = df.withColumn("__qi", key)
+    out = w1_drift(base, sensitive_col, "__qi", n_buckets)
+    return out.select(
+        F.col("__qi").alias("qi_class"),
+        "n",
+        F.col("w1_norm").alias("t_distance"),
+        (F.col("w1_norm") >= t).alias("is_violation"),
+    ).orderBy(F.col("t_distance").desc(), F.col("qi_class").asc())
+
+
+def fk_orphan_audit(edges) -> DataFrame:
+    """Referential-integrity audit over FK edges — one row per edge:
+    ``(edge, child_rows, null_fk, orphan_fk, orphan_rate)`` where an
+    orphan is a non-null FK with no matching parent key.  The data-
+    quality gate every warehouse load should publish next to its row
+    counts: silent orphan growth is how a broken upstream join ships.
+
+    ``edges`` is a list of ``(name, child_df, fk_col, parent_df,
+    pk_col)``.  Exactness: three exact integer counts per edge, one
+    IEEE division for the rate (rounded 6 dp).
+
+    Scale shape: per edge, one projection-only scan of the child joined
+    LEFT onto the parent's distinct keys (AQE broadcasts dimension-sized
+    parents; fact-sized parents shuffle on the key — the join IS the
+    audit), then one combinable 1-row aggregate; edges union into a
+    |edges|-row frame.  Run it as the maintenance job's health report.
+
+    Reference parity: no reference counterpart — data-quality extension
+    next to column_profile/table_fingerprint (driver brief).
+    """
+    from functools import reduce
+
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        pkeys = parent.select(F.col(pk).alias("__pk")).distinct()
+        j = child.select(F.col(fk).alias("__fk")).join(
+            pkeys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.sum(F.col("__fk").isNull().cast("long"))
+                .cast("long")
+                .alias("null_fk"),
+                F.sum(
+                    (
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull()
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("orphan_fk"),
+            ).select(F.lit(name).alias("edge"), "*")
+        )
+    u = reduce(DataFrame.unionByName, outs)
+    return u.select(
+        "edge",
+        "child_rows",
+        "null_fk",
+        "orphan_fk",
+        F.when(
+            F.col("child_rows") > 0,
+            F.round(
+                F.col("orphan_fk").cast("double")
+                / F.col("child_rows").cast("double"),
+                6,
+            ),
+        ).alias("orphan_rate"),
+    ).orderBy(F.col("edge").asc())

@@ -3630,3 +3630,170 @@ ORDER BY s.item ASC
 
 QUERIES["bt_brand_strengths"] = q_bt_brand_strengths
 ORACLES["bt_brand_strengths"] = _bt_sql()
+
+
+def q_t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (profile.t_closeness): QI class = event_type ×
+    hour-of-day, sensitive = floor(value) — per class the normalized
+    integral-CDF gap between the class's value distribution and the
+    table's over a shared 50-bucket grid, flagged at t = 0.25.  Value is
+    pre-floored on BOTH engines (Spark's long cast truncates, DuckDB's
+    rounds)."""
+    from cerebro_spark.operators.profile import t_closeness
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour(F.col("ts")).alias("hour"),
+            F.floor(F.col("value")).cast("long").alias("sens_value"),
+        )
+    )
+    return t_closeness(
+        ev, ["event_type", "hour"], "sens_value", n_buckets=50, t=0.25
+    )
+
+
+_T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT event_type || '|' || CAST(hour(ts) AS VARCHAR) AS g,
+    CAST(floor(value) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+span AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+bb AS (
+  SELECT g,
+    CASE WHEN hi > lo
+         THEN CAST(floor((v - lo) * 50 / (hi - lo + 1.0)) AS BIGINT)
+         ELSE 0 END AS b
+  FROM base, span
+),
+counts AS (SELECT g, b, count(*) AS c FROM bb GROUP BY 1, 2),
+gs AS (SELECT DISTINCT g FROM bb),
+grid AS (
+  SELECT gs.g, gb.b
+  FROM gs CROSS JOIN (SELECT unnest(range(50)) AS b) gb
+),
+dense AS (
+  SELECT grid.g, grid.b, COALESCE(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts ON grid.g = counts.g AND grid.b = counts.b
+),
+allc AS (
+  SELECT gb.b, COALESCE(sum(counts.c), 0) AS ac
+  FROM (SELECT unnest(range(50)) AS b) gb
+  LEFT JOIN counts ON gb.b = counts.b
+  GROUP BY 1
+),
+allcum AS (
+  SELECT b, sum(ac) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+  FROM allc
+),
+terms AS (
+  SELECT d.g,
+    sum(d.c) OVER (PARTITION BY d.g ORDER BY d.b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg,
+    COALESCE(allcum.ca, 0) AS ca
+  FROM dense d LEFT JOIN allcum ON d.b = allcum.b
+),
+ng AS (
+  SELECT g, max(cg) AS ngr, max(ca) AS n_all FROM terms GROUP BY 1
+),
+num AS (
+  SELECT t.g, ng.ngr, ng.n_all,
+    sum(abs(CAST(t.cg AS HUGEINT) * ng.n_all
+            - CAST(t.ca AS HUGEINT) * ng.ngr)) AS nm
+  FROM terms t JOIN ng ON t.g = ng.g
+  GROUP BY 1, 2, 3
+)
+SELECT g AS qi_class, CAST(ngr AS BIGINT) AS n,
+  round(CAST(nm AS DOUBLE)
+        / (CAST(ngr AS DOUBLE) * CAST(n_all AS DOUBLE) * 50.0), 6)
+    AS t_distance,
+  round(CAST(nm AS DOUBLE)
+        / (CAST(ngr AS DOUBLE) * CAST(n_all AS DOUBLE) * 50.0), 6) >= 0.25
+    AS is_violation
+FROM num
+ORDER BY t_distance DESC, qi_class ASC
+"""
+
+QUERIES["t_closeness_events"] = q_t_closeness_events
+ORACLES["t_closeness_events"] = _T_CLOSENESS_SQL
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (profile.fk_orphan_audit) over the
+    seven FK edges of the TPC-H-ish schema — per edge the exact child,
+    null-FK and orphan counts plus the orphan rate; the warehouse-load
+    health report next to column_profile/table_fingerprint."""
+    from cerebro_spark.operators.profile import fk_orphan_audit
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    edges = [
+        ("customer.c_nationkey->nation", customer, "c_nationkey",
+         nation, "n_nationkey"),
+        ("lineitem.l_orderkey->orders", li, "l_orderkey",
+         orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         supplier, "s_suppkey"),
+        ("nation.n_regionkey->region", nation, "n_regionkey",
+         region, "r_regionkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey",
+         customer, "c_custkey"),
+        ("supplier.s_nationkey->nation", supplier, "s_nationkey",
+         nation, "n_nationkey"),
+    ]
+    return fk_orphan_audit(edges)
+
+
+def _fk_sql() -> str:
+    edges = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        parts.append(f"""
+SELECT '{name}' AS edge,
+  CAST(count(*) AS BIGINT) AS child_rows,
+  CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_fk,
+  CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p.__pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_fk
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+  ON c.{fk} = p.__pk""")
+    union = "\nUNION ALL".join(parts)
+    return f"""
+WITH u AS ({union})
+SELECT edge, child_rows, null_fk, orphan_fk,
+  CASE WHEN child_rows > 0 THEN
+    round(CAST(orphan_fk AS DOUBLE) / CAST(child_rows AS DOUBLE), 6)
+  END AS orphan_rate
+FROM u
+ORDER BY edge ASC
+"""
+
+
+QUERIES["fk_integrity"] = q_fk_integrity
+ORACLES["fk_integrity"] = _fk_sql()

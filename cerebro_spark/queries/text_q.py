@@ -2122,3 +2122,111 @@ ORDER BY source ASC
 
 QUERIES["source_mrr"] = q_source_mrr
 ORACLES["source_mrr"] = _SOURCE_MRR_SQL
+
+
+def q_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (profile.cms_heavy_hitters): the 20 most
+    frequent corpus tokens with their 4x256 CMS estimates side by side —
+    bucket ids are portable md5 hashes, counts exact integers, the
+    estimate an integer MIN, so cms_n >= exact_n holds bit-for-bit on
+    both engines (the one-sided CMS guarantee, measured)."""
+    from cerebro_spark.operators.profile import cms_heavy_hitters
+
+    tok = load_table(spark, "documents", sf_dir).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    return cms_heavy_hitters(tok, "w", depth=4, width=256, k=20)
+
+
+def _cms_sql(depth: int = 4, width: int = 256, k: int = 20) -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    def bucket(salt: str, key: str) -> str:
+        return (
+            _hex2long_sql(f"md5('{salt}|' || {key})", 8) + f" % {width}"
+        )
+
+    buck = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket(str(r), 'w')} AS bucket FROM tok"
+        for r in range(depth)
+    )
+    probe = "\n  UNION ALL ".join(
+        f"SELECT key, exact_n, {r} AS r, {bucket(str(r), 'key')} AS bucket "
+        "FROM exact"
+        for r in range(depth)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+buck AS (
+  {buck}
+),
+sketch AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM buck GROUP BY 1, 2
+),
+exact AS (
+  SELECT w AS key, CAST(count(*) AS BIGINT) AS exact_n
+  FROM tok GROUP BY 1
+  ORDER BY exact_n DESC, key ASC LIMIT {k}
+),
+probe AS (
+  {probe}
+),
+est AS (
+  SELECT key, exact_n, min(c) AS cms_n
+  FROM probe JOIN sketch USING (r, bucket)
+  GROUP BY 1, 2
+)
+SELECT key, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+  CAST(cms_n - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_n DESC, key ASC
+"""
+
+
+QUERIES["cms_top_terms"] = q_cms_top_terms
+ORACLES["cms_top_terms"] = _cms_sql()
+
+
+def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (text.readability_scores): exact
+    word/sentence/syllable-group regex counts summed per source, one
+    fixed IEEE chain for the score.  This corpus carries no terminal
+    punctuation, so every doc clamps to one sentence — the words/S term
+    degrades to doc length, which is exactly what the clamp documents."""
+    from cerebro_spark.operators.text import readability_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return readability_scores(docs, "text", "source")
+
+
+_READABILITY_SQL = """
+WITH per AS (
+  SELECT source AS g,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(w) AS BIGINT) AS words,
+    CAST(sum(s) AS BIGINT) AS sentences,
+    CAST(sum(y) AS BIGINT) AS syllable_groups
+  FROM per GROUP BY 1
+)
+SELECT g AS source, n_docs, words, sentences, syllable_groups,
+  CASE WHEN words > 0 THEN
+    round(206.835
+          - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+          - 84.6 * (CAST(syllable_groups AS DOUBLE) / CAST(words AS DOUBLE)),
+          6)
+  END AS flesch
+FROM agg
+ORDER BY source ASC
+"""
+
+QUERIES["readability_by_source"] = q_readability_by_source
+ORACLES["readability_by_source"] = _READABILITY_SQL

@@ -480,3 +480,156 @@ def test_bradley_terry_drops_self_matches_and_empty(spark):
         [("A", "A"), ("A", "A")], "winner string, loser string"
     )
     assert bradley_terry(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# count_min_sketch / cms_heavy_hitters
+# ---------------------------------------------------------------------------
+
+def test_cms_overestimates_never_under(spark):
+    from cerebro_spark.operators.profile import cms_heavy_hitters
+
+    # zipf-ish corpus: word i appears 60 - i times
+    rows = [(f"w{i}",) for i in range(30) for _ in range(60 - i)]
+    df = spark.createDataFrame(rows, "w string")
+    out = cms_heavy_hitters(df, "w", depth=4, width=64, k=10).collect()
+    assert len(out) == 10
+    exact = {f"w{i}": 60 - i for i in range(30)}
+    for r in out:
+        assert r["exact_n"] == exact[r["key"]]
+        assert r["cms_n"] >= r["exact_n"]          # one-sided guarantee
+        assert r["overcount"] == r["cms_n"] - r["exact_n"]
+    # top-10 by count, ordered desc
+    assert [r["key"] for r in out] == [f"w{i}" for i in range(10)]
+
+
+def test_cms_sketch_is_mergeable(spark):
+    # sum of two halves' sketches == the whole corpus's sketch, cell-wise
+    from cerebro_spark.operators.profile import count_min_sketch
+
+    rows = [(i, f"k{i % 17}") for i in range(400)]
+    df = spark.createDataFrame(rows, "i long, w string")
+    a = df.filter(F.col("i") < 200)
+    b = df.filter(F.col("i") >= 200)
+    whole = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in count_min_sketch(df, "w", 4, 64).collect()
+    }
+    merged = {}
+    for half in (a, b):
+        for r in count_min_sketch(half, "w", 4, 64).collect():
+            merged[(r["row"], r["bucket"])] = (
+                merged.get((r["row"], r["bucket"]), 0) + r["c"]
+            )
+    assert merged == whole
+
+
+def test_cms_wide_sketch_is_exact_for_distinct_keys(spark):
+    # 5 keys in a 1024-wide sketch: collisions essentially impossible,
+    # estimates equal exact counts
+    from cerebro_spark.operators.profile import cms_heavy_hitters
+
+    rows = [(k,) for k in "abcde" for _ in range(7)]
+    df = spark.createDataFrame(rows, "w string")
+    out = cms_heavy_hitters(df, "w", depth=4, width=1024, k=5).collect()
+    assert all(r["overcount"] == 0 and r["exact_n"] == 7 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# readability_scores
+# ---------------------------------------------------------------------------
+
+def test_readability_hand_counts(spark):
+    from cerebro_spark.operators.text import readability_scores
+
+    docs = [
+        ("g", "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+        ("g", "hello world"),                  # 2 words, clamps to 1 sentence
+    ]
+    df = spark.createDataFrame(docs, "src string, text string")
+    out = readability_scores(df, "text", "src").collect()[0]
+    assert out["n_docs"] == 2 and out["words"] == 8 and out["sentences"] == 3
+    # vowel groups: The(1) cat(1) sat(1) The(1) dog(1) ran(1) = 6;
+    # hello(2: e, o) world(1: o) = 3 -> 9
+    assert out["syllable_groups"] == 9
+    w, s, y = 8.0, 3.0, 9.0
+    expect = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    assert out["flesch"] == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_readability_monotone_in_syllables(spark):
+    # denser syllables -> lower reading ease
+    from cerebro_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [("simple", "a b c d e."), ("dense", "aeiou aeiou aeiou aeiou aeiou.")],
+        "src string, text string",
+    )
+    out = {r["src"]: r["flesch"] for r in
+           readability_scores(df, "text", "src").collect()}
+    assert out["dense"] < out["simple"]
+
+
+# ---------------------------------------------------------------------------
+# t_closeness
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_flags_leaky_class(spark):
+    from cerebro_spark.operators.profile import t_closeness
+
+    # class A values mirror the global spread; class B is pinned to the top
+    rows = [("A", "x", v) for v in range(100)]
+    rows += [("B", "x", 99)] * 50
+    df = spark.createDataFrame(rows, "qa string, qb string, v long")
+    out = {r["qi_class"]: r for r in
+           t_closeness(df, ["qa", "qb"], "v", n_buckets=10, t=0.2).collect()}
+    assert out["B|x"]["t_distance"] > out["A|x"]["t_distance"]
+    assert out["B|x"]["is_violation"] and not out["A|x"]["is_violation"]
+    # identical-to-global class has near-zero distance
+    assert out["A|x"]["t_distance"] < 0.2
+
+
+def test_t_closeness_identical_class_distance_zero(spark):
+    from cerebro_spark.operators.profile import t_closeness
+
+    rows = [("A", v) for v in range(50)] + [("B", v) for v in range(50)]
+    df = spark.createDataFrame(rows, "q string, v long")
+    out = t_closeness(df, ["q"], "v", n_buckets=10, t=0.1).collect()
+    assert all(r["t_distance"] == pytest.approx(0.0) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# fk_orphan_audit
+# ---------------------------------------------------------------------------
+
+def test_fk_orphan_audit_counts(spark):
+    from cerebro_spark.operators.profile import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = fk_orphan_audit(
+        [("child.fk->parent", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert out["edge"] == "child.fk->parent"
+    assert out["child_rows"] == 5
+    assert out["null_fk"] == 1       # NULL fk is not an orphan
+    assert out["orphan_fk"] == 1     # 99 has no parent
+    assert out["orphan_rate"] == pytest.approx(0.2)
+
+
+def test_fk_orphan_audit_multiple_edges_union(spark):
+    from cerebro_spark.operators.profile import fk_orphan_audit
+
+    c1 = spark.createDataFrame([(1,), (2,)], "fk long")
+    p1 = spark.createDataFrame([(1,), (2,)], "pk long")
+    c2 = spark.createDataFrame([(7,)], "fk long")
+    p2 = spark.createDataFrame([(8,)], "pk long")
+    out = {r["edge"]: r for r in fk_orphan_audit([
+        ("clean", c1, "fk", p1, "pk"),
+        ("broken", c2, "fk", p2, "pk"),
+    ]).collect()}
+    assert out["clean"]["orphan_fk"] == 0
+    assert out["broken"]["orphan_fk"] == 1
+    assert out["broken"]["orphan_rate"] == pytest.approx(1.0)

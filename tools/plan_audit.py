@@ -166,8 +166,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # bounded-grid crossJoins: the 1-row (min,max) span broadcast onto the
     # fact scan (the ks_drift pattern) and the |sources| × 50-bucket dense
     # grid (absent buckets must carry the corpus CDF — the js_drift
-    # contract) (r7)
+    # contract) (r7); t_closeness_events composes w1_drift with a QI key,
+    # same shape (r8)
     "w1_chars_drift",
+    "t_closeness_events",
     # 1-row scalar broadcast: the corpus-midpoint instant crossJoined onto
     # the scan (the cuped_adjust pattern) (r7)
     "did_launch_value",
@@ -226,8 +228,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # winsorized_mean / quantile_normalize value-grid contract) (r7)
     "auc_purchase_value",
     # keyless cumulative over the ≤n_buckets (50) corpus-bucket frame —
-    # grid-bounded; the per-group CDF windows partition BY GROUP (r7)
+    # grid-bounded; the per-group CDF windows partition BY GROUP (r7);
+    # t_closeness_events composes w1_drift with a QI key, same shape (r8)
     "w1_chars_drift",
+    "t_closeness_events",
 }
 
 
