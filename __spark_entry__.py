@@ -565,6 +565,8 @@ _SNAPSHOT_PRIORITY = [
     "readability_by_source",  # Flesch reading-ease text quality
     "t_closeness_events",     # t-closeness privacy audit (EMD per QI class)
     "fk_integrity",           # referential-integrity orphan audit
+    "streaming_cms_check",    # CMS operator streamed == batch == oracle
+    "hill_value_tail",        # Hill heavy-tail index (top-k order stats)
     #
     # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
     "dsir_topk",

@@ -208,6 +208,8 @@ HEADLINE = [
     "readability_by_source",  # Flesch reading-ease text quality
     "t_closeness_events",     # t-closeness privacy audit (EMD per QI class)
     "fk_integrity",           # referential-integrity orphan audit
+    "streaming_cms_check",    # CMS operator streamed == batch == oracle
+    "hill_value_tail",        # Hill heavy-tail index (top-k order stats)
 ]
 
 

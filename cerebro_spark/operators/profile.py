@@ -2736,3 +2736,75 @@ def fk_orphan_audit(edges) -> DataFrame:
             ),
         ).alias("orphan_rate"),
     ).orderBy(F.col("edge").asc())
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the heavy-tail index per group — ``(n, k_used,
+    alpha)`` where ``alpha = [ (1/k) Σᵢ (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) ]⁻¹`` over
+    the top k+1 order statistics (Hill 1975).  THE tail diagnostic the
+    moment family can't give: winsorized_mean treats the tail as noise,
+    revenue_gini measures concentration; alpha says whether the tail is
+    even INTEGRABLE — alpha ≤ 1 means the mean itself diverges and every
+    per-group average downstream is meaningless, alpha ≤ 2 kills the
+    variance (and with it the t-test/CUPED machinery).
+
+    Exactness: only values > 0 enter; each top-value's ln is e6-quantized
+    to a BIGINT (the zipf_slope discipline), the Hill numerator
+    ``Σ qᵢ − m·q_last`` is an exact integer, and alpha is ONE IEEE
+    division, rounded 6 dp.  Groups with fewer than 3 positive values or
+    an all-equal top (numerator 0) yield NULL.  The top-(k+1) set is
+    picked under the total order (value desc, id asc) — tie membership
+    at the boundary is engine-independent.
+
+    Scale shape: one per-group top-(k+1) window (WindowGroupLimit prunes
+    beyond k+1 before the sort materializes) + one combinable per-group
+    aggregate; the full-group count rides the same aggregate via a
+    second window-free pass.
+
+    Reference parity: no reference counterpart — heavy-tail extension
+    next to winsorized_mean/esd (driver brief).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & (v > 0)).select(
+        F.col(group_col).alias("__g"),
+        v.alias("__v"),
+        F.col(id_col).alias("__i"),
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__v").desc(), F.col("__i").asc()
+    )
+    topk = base.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k + 1
+    )
+    q = F.floor(F.log(F.col("__v")) * F.lit(1.0e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    per = topk.select("__g", "__rn", q.alias("__q"))
+    agg = per.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum("__q").alias("__sq"),
+        F.min("__q").alias("__qlast"),  # rank-m row has the smallest q
+    )
+    tot = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = tot.join(agg, "__g")
+    m1 = F.col("__m") - 1  # k_used
+    num = F.col("__sq") - F.col("__m") * F.col("__qlast") # Σ(q_i − q_last) over all m rows (the last contributes 0)
+    return j.select(
+        F.col("__g").alias(group_col),
+        "n",
+        m1.cast("long").alias("k_used"),
+        F.when(
+            (F.col("__m") >= 3) & (num > 0),
+            F.round(
+                m1.cast("double") * F.lit(1.0e6) / num.cast("double"), 6
+            ),
+        ).alias("alpha"),
+    ).orderBy(F.col(group_col).asc())

@@ -3797,3 +3797,45 @@ ORDER BY edge ASC
 
 QUERIES["fk_integrity"] = q_fk_integrity
 ORACLES["fk_integrity"] = _fk_sql()
+
+
+def q_hill_value_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail index (profile.hill_tail_index): per event type, is the
+    value distribution's tail integrable?  alpha from the top-101 order
+    statistics under the (value desc, event_id asc) total order — e6-
+    quantized logs, exact integer Hill numerator, one IEEE division."""
+    from cerebro_spark.operators.profile import hill_tail_index
+
+    ev = load_table(spark, "events", sf_dir)
+    return hill_tail_index(ev, "value", "event_type", "event_id", k=100)
+
+
+_HILL_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v, event_id AS i
+  FROM events WHERE value IS NOT NULL AND value > 0
+),
+ranked AS (
+  SELECT g, v,
+    row_number() OVER (PARTITION BY g ORDER BY v DESC, i ASC) AS rn
+  FROM base
+),
+per AS (
+  SELECT g,
+    CAST(count(*) AS BIGINT) AS m,
+    sum(CAST(floor(ln(v) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+    min(CAST(floor(ln(v) * 1000000.0 + 0.5) AS BIGINT)) AS qlast
+  FROM ranked WHERE rn <= 101 GROUP BY 1
+),
+tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+SELECT g AS event_type, n, CAST(m - 1 AS BIGINT) AS k_used,
+  CASE WHEN m >= 3 AND sq - m * qlast > 0 THEN
+    round(CAST(m - 1 AS DOUBLE) * 1000000.0
+          / CAST(sq - m * qlast AS DOUBLE), 6)
+  END AS alpha
+FROM tot JOIN per USING (g)
+ORDER BY event_type ASC
+"""
+
+QUERIES["hill_value_tail"] = q_hill_value_tail
+ORACLES["hill_value_tail"] = _HILL_SQL

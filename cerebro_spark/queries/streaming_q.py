@@ -805,3 +805,53 @@ SELECT (SELECT COUNT(*) FROM daily) AS n_days,
 
 QUERIES["streaming_msprt_check"] = q_streaming_msprt_check
 ORACLES["streaming_msprt_check"] = _STREAMING_MSPRT_SQL
+
+
+def q_streaming_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: profile.count_min_sketch runs UNCHANGED
+    on the stream (posexplode + windowless groupBy in complete mode —
+    bounded depth×width counter state, the serving-layer shape), replayed
+    through availableNow; the oracle is the same portable-md5 sketch SQL
+    the batch cms_top_terms gates against, so a hash match proves
+    streaming == batch == independent engine cell-for-cell."""
+    from cerebro_spark.operators.profile import count_min_sketch
+
+    keys = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value")).cast("long").cast("string").alias("w"),
+            F.col("ts"),
+        )
+    )
+    out = _run_available_now(
+        keys, lambda s: count_min_sketch(s, "w", depth=4, width=256)
+    )
+    return out.select("row", "bucket", "c").orderBy("row", "bucket")
+
+
+def _streaming_cms_sql(depth: int = 4, width: int = 256) -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    buck = "\n  UNION ALL ".join(
+        f"SELECT {r} AS row, "
+        + _hex2long_sql(f"md5('{r}|' || w)", 8)
+        + f" % {width} AS bucket FROM keys"
+        for r in range(depth)
+    )
+    return f"""
+WITH keys AS (
+  SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS w
+  FROM events WHERE value IS NOT NULL
+),
+buck AS (
+  {buck}
+)
+SELECT row, bucket, CAST(count(*) AS BIGINT) AS c
+FROM buck GROUP BY 1, 2
+ORDER BY row, bucket
+"""
+
+
+QUERIES["streaming_cms_check"] = q_streaming_cms_check
+ORACLES["streaming_cms_check"] = _streaming_cms_sql()

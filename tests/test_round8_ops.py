@@ -633,3 +633,79 @@ def test_fk_orphan_audit_multiple_edges_union(spark):
     assert out["clean"]["orphan_fk"] == 0
     assert out["broken"]["orphan_fk"] == 1
     assert out["broken"]["orphan_rate"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index
+# ---------------------------------------------------------------------------
+
+def test_hill_matches_python_reference(spark):
+    from cerebro_spark.operators.profile import hill_tail_index
+
+    # exact pareto(alpha=2) quantile sample: x_q = (1-q)^(-1/2)
+    vals = [(1 - (i + 0.5) / 500) ** -0.5 for i in range(500)]
+    rows = [("g", float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    out = hill_tail_index(df, "v", "g", "i", k=100).collect()[0]
+
+    top = sorted(vals, reverse=True)[:101]
+    q = [math.floor(math.log(x) * 1e6 + 0.5) for x in top]
+    num = sum(q) - len(q) * min(q)
+    expect = round((len(q) - 1) * 1e6 / num, 6)
+    assert out["k_used"] == 100 and out["n"] == 500
+    assert out["alpha"] == pytest.approx(expect, abs=1e-6)
+    # the estimate should sit near the true tail index 2
+    assert 1.5 < out["alpha"] < 2.5
+
+
+def test_hill_small_and_degenerate_groups(spark):
+    from cerebro_spark.operators.profile import hill_tail_index
+
+    rows = [("tiny", 5.0, 1), ("tiny", 3.0, 2),          # m=2 -> NULL
+            ("flat", 7.0, 1), ("flat", 7.0, 2), ("flat", 7.0, 3),  # num=0
+            ("neg", -1.0, 1), ("neg", 2.0, 2), ("neg", 4.0, 3), ("neg", 8.0, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    out = {r["g"]: r for r in hill_tail_index(df, "v", "g", "i", k=100).collect()}
+    assert out["tiny"]["alpha"] is None
+    assert out["flat"]["alpha"] is None
+    # negative value excluded: n counts positives only
+    assert out["neg"]["n"] == 3 and out["neg"]["alpha"] is not None
+
+
+def test_hill_heavier_tail_gives_smaller_alpha(spark):
+    from cerebro_spark.operators.profile import hill_tail_index
+
+    light = [(1 - (i + 0.5) / 400) ** (-1 / 3.0) for i in range(400)]  # a=3
+    heavy = [(1 - (i + 0.5) / 400) ** (-1 / 1.2) for i in range(400)]  # a=1.2
+    rows = [("light", float(v), i) for i, v in enumerate(light)]
+    rows += [("heavy", float(v), i) for i, v in enumerate(heavy)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    out = {r["g"]: r["alpha"] for r in
+           hill_tail_index(df, "v", "g", "i", k=50).collect()}
+    assert out["heavy"] < out["light"]
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch twin
+# ---------------------------------------------------------------------------
+
+def test_streaming_cms_equals_batch(spark):
+    """The CMS operator is streaming-native: the same count_min_sketch
+    call over an availableNow replay must equal the batch sketch
+    cell-for-cell (bounded depth x width counter state)."""
+    from cerebro_spark.operators.profile import count_min_sketch
+    from cerebro_spark.queries.streaming_q import _run_available_now
+
+    rows = [(f"k{i % 13}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "w string, ts long")
+    batch = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in count_min_sketch(df, "w", 4, 64).collect()
+    }
+    streamed = _run_available_now(
+        df, lambda s: count_min_sketch(s, "w", 4, 64)
+    )
+    got = {
+        (r["row"], r["bucket"]): r["c"] for r in streamed.collect()
+    }
+    assert got == batch
