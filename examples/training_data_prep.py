@@ -252,6 +252,52 @@ def main() -> None:
     print(f"len CI (95%):      {ci['mean']:.1f} in "
           f"[{ci['ci_lo']:.1f}, {ci['ci_hi']:.1f}] over {ci['n']} docs")
 
+    # 23. (round 8) domain-leakage-guarded split: the doc_id-hash split in
+    # stage 6 keeps a KEY from leaking, but pages of one site still land on
+    # both sides; keying by registered domain makes host-level leakage
+    # structurally impossible — here audited against the synthetic URLs
+    from cerebro_spark.operators.sampling import leakage_guarded_split
+
+    guarded = leakage_guarded_split(docs.withColumn("url", url), "url")
+    span = (
+        guarded.groupBy("domain")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    print(f"domain split:      {span} domains spanning >1 split (must be 0)")
+
+    # 24. (round 8) near-dup-aware decontamination: contamination_check
+    # (stage 4) catches exact 5-gram leakage; the asymmetric prefix cross
+    # join catches WHOLE-DOC near-dups of the test split hiding in train
+    from cerebro_spark.operators.dedup import decontaminate
+
+    neardup = decontaminate(train, test, "text", "doc_id", threshold=0.8)
+    print(f"near-dup contam:   {neardup.count()} train docs within J>=0.8 "
+          f"of a test doc")
+
+    # 25. (round 8) t-closeness on the released metadata: k-anonymity
+    # (stage 15) bounds class size; this bounds what a class REVEALS about
+    # the sensitive length distribution
+    from cerebro_spark.operators.profile import t_closeness
+
+    tc = t_closeness(
+        train.select("lang", "source", "n_chars"),
+        ["lang", "source"], "n_chars", n_buckets=20, t=0.3,
+    )
+    n_violations = tc.filter(F.col("is_violation")).count()
+    worst_tc = tc.first()
+    print(f"t-closeness:       {n_violations} QI classes over t=0.3 "
+          f"(worst {worst_tc['qi_class']}={worst_tc['t_distance']:.3f})")
+
+    # 26. (round 8) readability profile of the final train split — the
+    # text-quality feature the Gopher gate doesn't cover
+    from cerebro_spark.operators.text import readability_scores
+
+    rd = readability_scores(train, "text", "lang").collect()
+    by_lang = {r["lang"]: r["flesch"] for r in rd}
+    print(f"readability:       flesch by lang {by_lang}")
+
 
 if __name__ == "__main__":
     main()
