@@ -210,6 +210,11 @@ HEADLINE = [
     "fk_integrity",           # referential-integrity orphan audit
     "streaming_cms_check",    # CMS operator streamed == batch == oracle
     "hill_value_tail",        # Hill heavy-tail index (top-k order stats)
+    "clustering_parts",       # local clustering coefficient (LCC)
+    "lang_fertility",         # tokenizer fertility per language
+    "value_dispersion",       # variance-to-mean burstiness per type
+    "mcnemar_langid",         # McNemar paired-classifier test
+    "eb_user_value",          # empirical-Bayes shrunk per-user means
 ]
 
 

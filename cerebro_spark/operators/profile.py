@@ -2808,3 +2808,245 @@ def hill_tail_index(
             ),
         ).alias("alpha"),
     ).orderBy(F.col(group_col).asc())
+
+
+def dispersion_index(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of per-bucket event
+    counts — per key ``(n_buckets, total, mean_count, vmr,
+    overdispersed)``.  A Poisson arrival stream has VMR = 1; VMR ≫ 1 is
+    burstiness (batched upstream flushes, incident storms), VMR ≪ 1 a
+    suspiciously regular (throttled/synthetic) feed — the arrival-
+    process diagnostic ``interarrival_stats`` (gap moments) and
+    ``hourly_seasonality`` (profile shape) don't give.
+
+    Buckets span the key's OBSERVED [min, max] bucket range — silent
+    buckets count as zero (a bursty feed IS one with empty buckets; the
+    dense grid is what makes VMR mean anything).
+
+    Exactness: bucket counts are exact integers on a dense per-key
+    grid; with m buckets, Σc and Σc², ``vmr = ((m·Σc² − S²)·1) /
+    (m·(m−1)) / (S/m) = (m·Σc² − S²) / ((m−1)·S)`` — ONE division of
+    exact DECIMAL integers, rounded 6 dp.  Keys with <2 buckets or
+    S = 0 yield NULL.
+
+    Scale shape: one combinable (key, bucket) count; the dense grid is
+    per-key-span-sized via ``sequence`` (bounded by time range /
+    bucket — calendar-bounded, never data-sized); one combinable
+    per-key aggregate.
+
+    Reference parity: no reference counterpart — arrival-process
+    extension next to interarrival_stats (driver brief).
+    """
+    dec = "decimal(38,0)"
+    b = F.floor(
+        F.col(time_col).cast("double") / F.lit(float(bucket_seconds))
+    ).cast("long")
+    base = df.filter(
+        F.col(time_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(F.col(key_col).alias("__k"), b.alias("__b"))
+    counts = base.groupBy("__k", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    span = counts.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    # dense per-key bucket grid: sequence over the observed span —
+    # calendar-bounded (span/bucket entries), never data-sized
+    grid = span.select(
+        "__k", F.explode(F.sequence("__lo", "__hi")).alias("__b")
+    )
+    dense = grid.join(counts, ["__k", "__b"], "left").select(
+        "__k", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    agg = dense.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum(F.col("__c").cast(dec)).alias("__s"),
+        F.sum(F.col("__c").cast(dec) * F.col("__c")).alias("__ss"),
+    )
+    m = F.col("__m").cast(dec)
+    num = m * F.col("__ss") - F.col("__s") * F.col("__s")
+    den = (m - 1) * F.col("__s")
+    vmr = F.when(
+        (F.col("__m") > 1) & (F.col("__s") > 0),
+        F.round(num.cast("double") / den.cast("double"), 6),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__m").alias("n_buckets"),
+        F.col("__s").cast("long").alias("total"),
+        F.round(
+            F.col("__s").cast("double") / F.col("__m").cast("double"), 6
+        ).alias("mean_count"),
+        vmr.alias("vmr"),
+        (vmr > 1.0).alias("overdispersed"),
+    ).orderBy(F.col(key_col).asc())
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_correct,
+    b_correct,
+) -> DataFrame:
+    """McNemar's test for two PAIRED classifiers on the same examples —
+    ONE row ``(n, n_both, only_a, only_b, n_neither, chi2)``: are A and B
+    actually different, or do they just disagree symmetrically?  The
+    model-comparison statistic accuracy deltas can't give (two models
+    with identical accuracy can still be complementary — ensemble
+    material — and the discordant cells are where that lives); the
+    paired companion of :func:`cohens_kappa` (agreement) and the
+    classifier analogue of the ranker sign test.
+
+    ``chi2 = (only_a − only_b)² / (only_a + only_b)`` (the df=1
+    statistic without continuity correction — the convention the z²
+    identity needs); NULL when the classifiers never disagree.
+
+    Exactness: four exact integer cells from one combinable 1-row
+    aggregate; chi2 is one exact-integer square and ONE IEEE division,
+    rounded 6 dp.
+
+    Reference parity: no reference counterpart — evaluation extension
+    next to cohens_kappa/ab_test (driver brief).
+    """
+    a = a_correct.cast("int")
+    bc = b_correct.cast("int")
+    base = df.select(a.alias("__a"), bc.alias("__b")).filter(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    )
+    agg = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("__a") == 1) & (F.col("__b") == 1)).cast("long")
+        ).alias("n_both"),
+        F.sum(
+            ((F.col("__a") == 1) & (F.col("__b") == 0)).cast("long")
+        ).alias("only_a"),
+        F.sum(
+            ((F.col("__a") == 0) & (F.col("__b") == 1)).cast("long")
+        ).alias("only_b"),
+        F.sum(
+            ((F.col("__a") == 0) & (F.col("__b") == 0)).cast("long")
+        ).alias("n_neither"),
+    )
+    dec = "decimal(38,0)"
+    d = F.col("only_a").cast(dec) - F.col("only_b").cast(dec)
+    disc = F.col("only_a") + F.col("only_b")
+    return agg.select(
+        "n",
+        "n_both",
+        "only_a",
+        "only_b",
+        "n_neither",
+        F.when(
+            disc > 0,
+            F.round((d * d).cast("double") / disc.cast("double"), 6),
+        ).alias("chi2"),
+    )
+
+
+def eb_shrunk_means(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (James–Stein style) shrinkage of per-group means
+    toward the grand mean — per group ``(n, mean, shrunk)`` with
+    ``shrunk = grand + B·(mean − grand)``, ``B = τ²/(τ² + σ²/n)`` from
+    the one-way random-effects method-of-moments fit.  THE serving-layer
+    answer to "this user/item has 3 observations — is their mean real?":
+    small-n groups shrink hard toward the prior, large-n groups keep
+    their own mean.  A raw per-group average table ships noise; this
+    ships the posterior.
+
+    Exactness: values are e6-quantized, per-group (n, Σq, Σq²) exact
+    DECIMAL integers.  The cross-group reductions that are normally
+    order-sensitive rationals are made ORDER-FREE by per-group integer
+    floor division: ``QSᵢ = ⌊sᵢ²/nᵢ⌋`` (exact DECIMAL, error < 1 per
+    group, identical in both engines), so ``SSB = ΣQS − ⌊S²/N⌋`` and
+    ``SSW = ΣSS − ΣQS`` are exact integers.  MSB, MSW, n₀ =
+    (N − ⌊Σn²/N⌋_as-double)/(G−1), τ̂² = max(0, (MSB−MSW)/n₀) and each
+    group's B are then a FIXED IEEE chain mirrored op-for-op in the
+    oracle; shrunk is rounded 6 dp.  Degenerate fits (G < 2, N ≤ G →
+    MSW undefined) return the raw means with NULL shrunk.
+
+    Scale shape: ONE combinable per-group aggregate over the fact, one
+    1-row reduce over the group frame, one broadcast of that scalar row
+    back onto the group frame.  No window, no collect.
+
+    Reference parity: no reference counterpart — hierarchical-stats
+    extension next to target_encode_oof (which smooths the same way
+    with a FIXED prior weight; EB fits the weight from the data)
+    (driver brief).
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(F.col(group_col).alias("__g"), qv.alias("__v"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("__v").cast(dec)).alias("__s"),
+            F.sum(F.col("__v").cast(dec) * F.col("__v")).alias("__ss"),
+        )
+    )
+
+    def idiv(a, b):
+        # exact integer floor division on non-negative DECIMALs (a%b is
+        # exact; (a - a%b)/b divides exactly) — Python's // and
+        # DuckDB's // reproduce it bit-for-bit
+        return (a - F.pmod(a, b)) / b
+
+    n = F.col("__n").cast(dec)
+    per = per.withColumn("__qs", idiv(F.col("__s") * F.col("__s"), n))
+    # NB: glob column names must not collide with per's even
+    # case-insensitively (Spark's default resolution)
+    glob = per.agg(
+        F.count(F.lit(1)).cast("long").alias("__gcnt"),
+        F.sum("__n").cast(dec).alias("__ntot"),
+        F.sum("__s").alias("__stot"),
+        F.sum("__ss").alias("__sstot"),
+        F.sum("__qs").alias("__qstot"),
+        F.sum(n * n).alias("__n2tot"),
+    )
+    gN = F.col("__ntot")
+    ssb = F.col("__qstot") - idiv(F.col("__stot") * F.col("__stot"), gN)
+    ssw = F.col("__sstot") - F.col("__qstot")
+    glob = glob.select(
+        "__gcnt", "__ntot", "__stot",
+        ssb.alias("__ssb"), ssw.alias("__ssw"),
+        idiv(F.col("__n2tot"), gN).alias("__n2overn"),
+    )
+    j = per.crossJoin(F.broadcast(glob))  # 1-row fit scalars
+    G = F.col("__gcnt").cast("double")
+    Nn = F.col("__ntot").cast("double")
+    msb = F.col("__ssb").cast("double") / (G - F.lit(1.0))
+    msw = F.col("__ssw").cast("double") / (Nn - G)
+    n0 = (Nn - F.col("__n2overn").cast("double")) / (G - F.lit(1.0))
+    tau2 = F.greatest((msb - msw) / n0, F.lit(0.0))
+    grand = F.col("__stot").cast("double") / Nn / F.lit(1.0e6)
+    mean = (
+        F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+        / F.lit(1.0e6)
+    )
+    bshrink = tau2 / (tau2 + msw / F.col("__n").cast("double"))
+    ok = (F.col("__gcnt") > 1) & (
+        F.col("__ntot").cast("long") > F.col("__gcnt")
+    )
+    return j.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.when(
+            ok, F.round(grand + bshrink * (mean - grand), 6)
+        ).alias("shrunk"),
+    ).orderBy(F.col(group_col).asc())

@@ -1483,3 +1483,52 @@ def readability_scores(
         "syllable_groups",
         F.when(F.col("words") > 0, F.round(flesch, 6)).alias("flesch"),
     ).orderBy(F.col(group_col).asc())
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    content_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Tokenizer fertility per group — ``(n_docs, ws_tokens, subwords,
+    fertility)`` where fertility = subword tokens per whitespace word
+    (``bpe_ish_token_count`` / ``token_count``).  THE multilingual-
+    corpus budgeting number: a language whose fertility is 2× pays 2×
+    the context window and 2× the training compute per word — the mix
+    designer needs this per language before setting sampling weights.
+
+    Exactness: both counts are exact codegen-regex integers summed per
+    group; fertility is ONE IEEE division, rounded 6 dp (NULL for a
+    group with zero words).
+
+    Scale shape: pure per-row regex counts + ONE combinable per-group
+    aggregate — no window, no join.
+
+    Reference parity: no reference counterpart — tokenization extension
+    next to token_count/vocab_coverage (driver brief).
+    """
+    c = F.col(content_col)
+    per = df.filter(c.isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        token_count(c).cast("long").alias("__w"),
+        bpe_ish_token_count(c).cast("long").alias("__s"),
+    )
+    agg = per.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("ws_tokens"),
+        F.sum("__s").cast("long").alias("subwords"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "ws_tokens",
+        "subwords",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(
+                F.col("subwords").cast("double")
+                / F.col("ws_tokens").cast("double"),
+                6,
+            ),
+        ).alias("fertility"),
+    ).orderBy(F.col(group_col).asc())

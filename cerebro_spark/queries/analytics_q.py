@@ -3839,3 +3839,194 @@ ORDER BY event_type ASC
 
 QUERIES["hill_value_tail"] = q_hill_value_tail
 ORACLES["hill_value_tail"] = _HILL_SQL
+
+
+def q_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (profile.dispersion_index): VMR of daily event
+    counts per type over each type's observed day span (silent days count
+    as zero) — Poisson = 1, bursty >> 1; one combinable count, a
+    calendar-bounded dense grid, one exact-integer division."""
+    from cerebro_spark.operators.profile import dispersion_index
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("ts").cast("double").alias("tsec")
+    )
+    return dispersion_index(ev, "tsec", "event_type", bucket_seconds=86400)
+
+
+_DISPERSION_SQL = """
+WITH base AS (
+  SELECT event_type AS k,
+    CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS b
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+counts AS (SELECT k, b, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+span AS (SELECT k, min(b) AS lo, max(b) AS hi FROM counts GROUP BY 1),
+grid AS (
+  SELECT span.k, lo + g.i AS b
+  FROM span, generate_series(0, 100000) AS g(i)
+  WHERE lo + g.i <= hi
+),
+dense AS (
+  SELECT grid.k, COALESCE(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts ON grid.k = counts.k AND grid.b = counts.b
+),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS m,
+    sum(CAST(c AS HUGEINT)) AS s,
+    sum(CAST(c AS HUGEINT) * c) AS ss
+  FROM dense GROUP BY 1
+)
+SELECT k AS event_type, m AS n_buckets, CAST(s AS BIGINT) AS total,
+  round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean_count,
+  CASE WHEN m > 1 AND s > 0 THEN
+    round(CAST(CAST(m AS HUGEINT) * ss - s * s AS DOUBLE)
+          / CAST((CAST(m AS HUGEINT) - 1) * s AS DOUBLE), 6)
+  END AS vmr,
+  (CASE WHEN m > 1 AND s > 0 THEN
+    round(CAST(CAST(m AS HUGEINT) * ss - s * s AS DOUBLE)
+          / CAST((CAST(m AS HUGEINT) - 1) * s AS DOUBLE), 6)
+  END) > 1.0 AS overdispersed
+FROM agg
+ORDER BY event_type ASC
+"""
+
+QUERIES["value_dispersion"] = q_value_dispersion
+ORACLES["value_dispersion"] = _DISPERSION_SQL
+
+
+def q_mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (profile.mcnemar_test): is the lang_id
+    heuristic actually better than the predict-'en' baseline, or do they
+    just disagree symmetrically?  Four exact discordance cells, one
+    IEEE division — the classifier companion of ranker_sign_test."""
+    from cerebro_spark.operators.profile import mcnemar_test
+    from cerebro_spark.operators.text import lang_id_heuristic
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("lang").isNotNull()
+    )
+    return mcnemar_test(
+        docs,
+        lang_id_heuristic(F.col("text")) == F.col("lang"),
+        F.lit("en") == F.col("lang"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    from cerebro_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH pairs AS (
+  SELECT
+    CAST((CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+         WHEN len(regexp_extract_all(lower(text), '[äöüß]')) >
+              len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]'))
+              + len(regexp_extract_all(lower(text), '[áéíóúñ¿¡]')) THEN 'de'
+         WHEN len(regexp_extract_all(lower(text), '[áéíóúñ¿¡]')) >
+              len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]')) THEN 'es'
+         WHEN len(regexp_extract_all(lower(text), '[àâçéèêëîïôùûœ]')) > 0 THEN 'fr'
+         WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> list_contains([{sw}], t)))
+              >= 0.05 * len(string_split_regex(trim(lower(text)), '\\s+')) THEN 'en'
+         ELSE 'unknown' END) = lang AS INTEGER) AS a,
+    CAST(('en' = lang) AS INTEGER) AS b
+  FROM documents WHERE lang IS NOT NULL
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+  FROM pairs
+)
+SELECT n, n_both, only_a, only_b, n_neither,
+  CASE WHEN only_a + only_b > 0 THEN
+    round(CAST((CAST(only_a AS HUGEINT) - only_b)
+               * (CAST(only_a AS HUGEINT) - only_b) AS DOUBLE)
+          / CAST(only_a + only_b AS DOUBLE), 6)
+  END AS chi2
+FROM agg
+"""
+
+
+QUERIES["mcnemar_langid"] = q_mcnemar_langid
+ORACLES["mcnemar_langid"] = _mcnemar_sql()
+
+
+def q_eb_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage (profile.eb_shrunk_means): per-user mean
+    event value shrunk toward the grand mean with the one-way random-
+    effects MoM weight B = tau2/(tau2 + sigma2/n) — small-n users shrink
+    hard, heavy users keep their mean.  Exact e6 integer moments with
+    order-free integer-floor cross-group sums; the fit chain is mirrored
+    op-for-op in the oracle."""
+    from cerebro_spark.operators.profile import eb_shrunk_means
+
+    ev = load_table(spark, "events", sf_dir)
+    return eb_shrunk_means(ev, "value", "user_id")
+
+
+_EB_SQL = """
+WITH base AS (
+  SELECT user_id AS g,
+    CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(v AS HUGEINT)) AS s,
+    sum(CAST(v AS HUGEINT) * v) AS ss
+  FROM base GROUP BY 1
+),
+per2 AS (
+  SELECT *, (s * s) // CAST(n AS HUGEINT) AS qs FROM per
+),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS gg,
+    sum(CAST(n AS HUGEINT)) AS nn,
+    sum(s) AS ts, sum(ss) AS tss, sum(qs) AS tqs,
+    sum(CAST(n AS HUGEINT) * n) AS n2
+  FROM per2
+),
+fit AS (
+  SELECT gg, nn, ts,
+    tqs - (ts * ts) // nn AS ssb,
+    tss - tqs AS ssw,
+    n2 // nn AS n2overn
+  FROM gtot
+)
+SELECT p.g AS user_id, p.n,
+  round(CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) / 1000000.0, 6) AS mean,
+  CASE WHEN f.gg > 1 AND f.nn > f.gg THEN
+    round(
+      (CAST(f.ts AS DOUBLE) / CAST(f.nn AS DOUBLE) / 1000000.0)
+      + (greatest(
+           (CAST(f.ssb AS DOUBLE) / (CAST(f.gg AS DOUBLE) - 1.0)
+            - CAST(f.ssw AS DOUBLE)
+              / (CAST(f.nn AS DOUBLE) - CAST(f.gg AS DOUBLE)))
+           / ((CAST(f.nn AS DOUBLE) - CAST(f.n2overn AS DOUBLE))
+              / (CAST(f.gg AS DOUBLE) - 1.0)),
+           0.0)
+         / (greatest(
+              (CAST(f.ssb AS DOUBLE) / (CAST(f.gg AS DOUBLE) - 1.0)
+               - CAST(f.ssw AS DOUBLE)
+                 / (CAST(f.nn AS DOUBLE) - CAST(f.gg AS DOUBLE)))
+              / ((CAST(f.nn AS DOUBLE) - CAST(f.n2overn AS DOUBLE))
+                 / (CAST(f.gg AS DOUBLE) - 1.0)),
+              0.0)
+            + CAST(f.ssw AS DOUBLE)
+              / (CAST(f.nn AS DOUBLE) - CAST(f.gg AS DOUBLE))
+              / CAST(p.n AS DOUBLE)))
+        * ((CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) / 1000000.0)
+           - (CAST(f.ts AS DOUBLE) / CAST(f.nn AS DOUBLE) / 1000000.0)),
+      6)
+  END AS shrunk
+FROM per2 p, fit f
+ORDER BY user_id ASC
+"""
+
+QUERIES["eb_user_value"] = q_eb_user_value
+ORACLES["eb_user_value"] = _EB_SQL

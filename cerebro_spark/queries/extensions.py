@@ -1930,3 +1930,69 @@ FROM s ORDER BY sw DESC, node_a ASC, node_b ASC LIMIT 20
 
 QUERIES["adamic_adar_links"] = q_adamic_adar_links
 ORACLES["adamic_adar_links"] = _ADAMIC_ADAR_SQL
+
+
+def q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (cluster.local_clustering_coefficient)
+    on the co-ordered-parts graph: of the pairs of parts that co-occur
+    with part p, how many co-occur with each other?  Exact integer
+    degree/triangle counts, one IEEE division; top 20 by (lcc, node)."""
+    from cerebro_spark.operators.cluster import local_clustering_coefficient
+    from cerebro_spark.operators.util import top_k_ranked
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    lcc = local_clustering_coefficient(e)
+    return top_k_ranked(
+        lcc, [("lcc", "desc"), ("node", "asc")], k=20
+    ).select("node", "degree", "triangles", "lcc", F.col("rank").alias("pos"))
+
+
+_CLUSTERING_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT ta AS node FROM tri
+  UNION ALL SELECT tb FROM tri
+  UNION ALL SELECT tc FROM tri
+),
+tcounts AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY 1),
+lcc AS (
+  SELECT deg.node, deg.degree,
+    COALESCE(tcounts.triangles, 0) AS triangles,
+    CASE WHEN deg.degree > 1 THEN
+      round(2.0 * CAST(COALESCE(tcounts.triangles, 0) AS DOUBLE)
+            / CAST(CAST(deg.degree AS HUGEINT) * (deg.degree - 1) AS DOUBLE),
+            6)
+    END AS lcc
+  FROM deg LEFT JOIN tcounts ON deg.node = tcounts.node
+)
+SELECT node, degree, triangles, lcc,
+  CAST(row_number() OVER (ORDER BY lcc DESC NULLS LAST, node ASC) AS INT)
+    AS pos
+FROM lcc
+QUALIFY pos <= 20
+"""
+
+QUERIES["clustering_parts"] = q_clustering_parts
+ORACLES["clustering_parts"] = _CLUSTERING_SQL

@@ -2230,3 +2230,38 @@ ORDER BY source ASC
 
 QUERIES["readability_by_source"] = q_readability_by_source
 ORACLES["readability_by_source"] = _READABILITY_SQL
+
+
+def q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (text.tokenizer_fertility): subword tokens per
+    whitespace word by language — the multilingual budgeting number
+    (fertility 2x = 2x context and compute per word); exact codegen
+    regex counts, one division."""
+    from cerebro_spark.operators.text import tokenizer_fertility
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("lang").isNotNull()
+    )
+    return tokenizer_fertility(docs, "text", "lang")
+
+
+_FERTILITY_SQL = """
+WITH per AS (
+  SELECT lang AS g,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         AS BIGINT) AS s
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+)
+SELECT g AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(w) AS BIGINT) AS ws_tokens,
+  CAST(sum(s) AS BIGINT) AS subwords,
+  CASE WHEN sum(w) > 0 THEN
+    round(CAST(sum(s) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+  END AS fertility
+FROM per GROUP BY 1
+ORDER BY lang ASC
+"""
+
+QUERIES["lang_fertility"] = q_lang_fertility
+ORACLES["lang_fertility"] = _FERTILITY_SQL

@@ -709,3 +709,162 @@ def test_streaming_cms_equals_batch(spark):
         (r["row"], r["bucket"]): r["c"] for r in streamed.collect()
     }
     assert got == batch
+
+
+# ---------------------------------------------------------------------------
+# local_clustering_coefficient
+# ---------------------------------------------------------------------------
+
+def test_lcc_hand_graph(spark):
+    from cerebro_spark.operators.cluster import local_clustering_coefficient
+
+    # triangle 1-2-3 plus a pendant 4 attached to 1
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in
+           local_clustering_coefficient(df).collect()}
+    # node 1: deg 3, 1 triangle -> lcc = 2/(3*2) = 1/3
+    assert out[1]["degree"] == 3 and out[1]["triangles"] == 1
+    assert out[1]["lcc"] == pytest.approx(round(1 / 3, 6))
+    # nodes 2,3: deg 2, 1 triangle -> lcc 1.0
+    assert out[2]["lcc"] == pytest.approx(1.0)
+    assert out[3]["lcc"] == pytest.approx(1.0)
+    # pendant node 4: degree 1 -> NULL (no neighbor pair exists)
+    assert out[4]["degree"] == 1 and out[4]["lcc"] is None
+
+
+def test_lcc_hollow_star_is_zero(spark):
+    from cerebro_spark.operators.cluster import local_clustering_coefficient
+
+    edges = [(0, i) for i in range(1, 6)]  # star: hub 0, no triangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in
+           local_clustering_coefficient(df).collect()}
+    assert out[0]["degree"] == 5 and out[0]["triangles"] == 0
+    assert out[0]["lcc"] == pytest.approx(0.0)   # hollow, measured not NULL
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+def test_fertility_hand_counts(spark):
+    from cerebro_spark.operators.text import tokenizer_fertility
+
+    docs = [
+        ("en", "hello world"),          # 2 words, 2 subword runs
+        ("en", "don't stop"),           # 2 words, runs: don,',t,stop = 4
+        ("zh", "a1b2"),                 # 1 word, runs: a,1,b,2 = 4
+    ]
+    df = spark.createDataFrame(docs, "lang string, text string")
+    out = {r["lang"]: r for r in
+           tokenizer_fertility(df, "text", "lang").collect()}
+    assert out["en"]["ws_tokens"] == 4 and out["en"]["subwords"] == 6
+    assert out["en"]["fertility"] == pytest.approx(1.5)
+    assert out["zh"]["ws_tokens"] == 1 and out["zh"]["subwords"] == 4
+    assert out["zh"]["fertility"] == pytest.approx(4.0)
+
+
+# ---------------------------------------------------------------------------
+# dispersion_index
+# ---------------------------------------------------------------------------
+
+def test_dispersion_poisson_vs_bursty(spark):
+    from cerebro_spark.operators.profile import dispersion_index
+
+    rows = []
+    # 'steady': exactly 5 events every day for 20 days -> variance 0
+    for d in range(20):
+        rows += [("steady", float(d * 86400 + i)) for i in range(5)]
+    # 'bursty': 100 events on one day, none on the other 19 observed days
+    rows += [("bursty", 0.0)] * 100
+    rows += [("bursty", float(19 * 86400))]  # pin the span to 20 days
+    df = spark.createDataFrame(rows, "k string, t double")
+    out = {r["k"]: r for r in dispersion_index(df, "t", "k").collect()}
+    assert out["steady"]["n_buckets"] == 20
+    assert out["steady"]["vmr"] == pytest.approx(0.0)
+    assert out["steady"]["overdispersed"] is False
+    assert out["bursty"]["n_buckets"] == 20
+    assert out["bursty"]["vmr"] > 10 and out["bursty"]["overdispersed"]
+    # exact integers: m=20, S=101, SS=100^2+1
+    m, s, ss = 20, 101, 100 * 100 + 1
+    assert out["bursty"]["vmr"] == pytest.approx(
+        round((m * ss - s * s) / ((m - 1) * s), 6)
+    )
+
+
+def test_dispersion_counts_silent_days_as_zero(spark):
+    from cerebro_spark.operators.profile import dispersion_index
+
+    # events on day 0 and day 9 only: 10 dense buckets, 8 of them zero
+    rows = [("k", 0.0), ("k", 10.0), ("k", float(9 * 86400))]
+    df = spark.createDataFrame(rows, "k string, t double")
+    out = dispersion_index(df, "t", "k").collect()[0]
+    assert out["n_buckets"] == 10 and out["total"] == 3
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_hand_cells(spark):
+    from cerebro_spark.operators.profile import mcnemar_test
+
+    # 4 both-right, 6 only-A, 2 only-B, 3 neither
+    rows = ([(True, True)] * 4 + [(True, False)] * 6
+            + [(False, True)] * 2 + [(False, False)] * 3)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    out = mcnemar_test(df, F.col("a"), F.col("b")).collect()[0]
+    assert (out["n"], out["n_both"], out["only_a"], out["only_b"],
+            out["n_neither"]) == (15, 4, 6, 2, 3)
+    assert out["chi2"] == pytest.approx(round((6 - 2) ** 2 / 8, 6))
+
+
+def test_mcnemar_no_disagreement_is_null(spark):
+    from cerebro_spark.operators.profile import mcnemar_test
+
+    rows = [(True, True)] * 5 + [(False, False)] * 5
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    assert mcnemar_test(df, F.col("a"), F.col("b")).collect()[0]["chi2"] is None
+
+
+# ---------------------------------------------------------------------------
+# eb_shrunk_means
+# ---------------------------------------------------------------------------
+
+def test_eb_shrinks_small_groups_harder(spark):
+    from cerebro_spark.operators.profile import eb_shrunk_means
+
+    rows = []
+    # 20 groups with 50 obs each around mean g (real between-group spread)
+    for g in range(20):
+        for i in range(50):
+            rows.append((f"g{g}", float(g) + (i % 5 - 2) * 0.1))
+    # one tiny outlier group: 2 obs at 100 — must shrink hard toward grand
+    rows += [("tiny", 100.0), ("tiny", 100.2)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in eb_shrunk_means(df, "v", "g").collect()}
+    grand = sum(v for _, v in rows) / len(rows)
+    tiny = out["tiny"]
+    assert tiny["mean"] == pytest.approx(100.1)
+    # shrunk strictly toward grand, and NOT all the way
+    assert grand < tiny["shrunk"] < tiny["mean"]
+    # a big group barely moves
+    big = out["g10"]
+    assert abs(big["shrunk"] - big["mean"]) < abs(
+        tiny["shrunk"] - tiny["mean"]
+    )
+    # every shrunk value sits between its mean and the grand mean
+    for r in out.values():
+        lo, hi = sorted((r["mean"], grand))
+        assert lo - 1e-6 <= r["shrunk"] <= hi + 1e-6
+
+
+def test_eb_degenerate_single_group_null(spark):
+    from cerebro_spark.operators.profile import eb_shrunk_means
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)], "g string, v double"
+    )
+    out = eb_shrunk_means(df, "v", "g").collect()[0]
+    assert out["mean"] == pytest.approx(2.0) and out["shrunk"] is None

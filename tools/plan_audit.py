@@ -180,6 +180,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # Σ category-margin² aggregate — both single-row by construction, the
     # lang_id_kappa contract (r8)
     "event_fleiss_kappa",
+    # 1-row scalar broadcast: the one-way random-effects fit scalars
+    # (G, N, S, SSB, SSW, Σn²/N) crossJoined back onto the group frame —
+    # the temperature_mix/neyman contract (r8)
+    "eb_user_value",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
