@@ -572,6 +572,10 @@ _SNAPSHOT_PRIORITY = [
     "value_dispersion",       # variance-to-mean burstiness per type
     "mcnemar_langid",         # McNemar paired-classifier test
     "eb_user_value",          # empirical-Bayes shrunk per-user means
+    "streaming_distinct_check",  # HLL windowed distinct: stream == batch
+    "nation_modularity",      # Newman modularity of a metadata partition
+    "parts_assortativity",    # degree assortativity (join-skew structure)
+    "event_transition_entropy",  # H(next|prev) sequence predictability
     #
     # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
     "dsir_topk",

@@ -970,3 +970,173 @@ def local_clustering_coefficient(
             ),
         ).alias("lcc"),
     ).orderBy(F.col("node").asc())
+
+
+def modularity(
+    edges: DataFrame,
+    node_part: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    part_col: str = "part",
+) -> DataFrame:
+    """Newman modularity Q of a node partition — ONE row ``(n_nodes,
+    n_edges, n_parts, modularity)``: does the partition actually capture
+    the graph's community structure?  The QUALITY score for any
+    community assignment (LPA's labels, a metadata partition like
+    region/tenant, a clustering) — Q ≈ 0 means the partition explains
+    nothing beyond chance, Q ≳ 0.3 is real structure, and comparing Q
+    across candidate partitions is how you pick one.
+
+    ``Q = Σ_c [ in_c/m − (deg_c/2m)² ]`` over an undirected simple graph
+    (m edges, in_c intra-community edges, deg_c = Σ degree in c),
+    computed as the exact-integer identity
+
+        Q = ( 4·m·Σ in_c − Σ deg_c² ) / (4·m²)
+
+    — both operands exact DECIMALs, ONE IEEE division, rounded 6 dp.
+    Unassigned nodes (absent from ``node_part``) form an implicit extra
+    community each (their degree mass still penalizes — dropping them
+    silently would inflate Q).
+
+    Scale shape: edge canonicalization + ONE distinct, two combinable
+    aggregates (per-part intra-edge count via a double node-join on the
+    partition map, per-part degree mass), one 1-row reduce.  The
+    partition map joins are key-equi (AQE broadcasts map-sized sides).
+
+    Reference parity: no reference counterpart — graph-analytics
+    extension next to label_propagation (driver brief).
+    """
+    dec = "decimal(38,0)"
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    part = node_part.select(
+        F.col(node_col).alias("__n"), F.col(part_col).alias("__p")
+    ).distinct()
+    pu = part.select(F.col("__n").alias("u"), F.col("__p").alias("__pu"))
+    pv = part.select(F.col("__n").alias("v"), F.col("__p").alias("__pv"))
+    tagged = e.join(pu, "u", "left").join(pv, "v", "left")
+    m = tagged.count()  # bounded metadata: one long
+    if m == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [],
+            "n_nodes long, n_edges long, n_parts long, modularity double",
+        )
+    intra = tagged.filter(
+        F.col("__pu").isNotNull() & (F.col("__pu") == F.col("__pv"))
+    ).agg(F.count(F.lit(1)).cast(dec).alias("__intra"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .join(
+            part.select(F.col("__n").alias("node"), "__p"), "node", "left"
+        )
+        .select(
+            # unassigned nodes: each its own singleton community — keyed
+            # by a per-node label so their degree mass still penalizes
+            F.coalesce(
+                F.col("__p").cast("string"),
+                F.concat(F.lit("__solo_"), F.col("node").cast("string")),
+            ).alias("__pc"),
+            "__d",
+        )
+    )
+    per_part = deg.groupBy("__pc").agg(
+        F.sum(F.col("__d").cast(dec)).alias("__dc")
+    )
+    sums = per_part.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("__dc") * F.col("__dc")).alias("__sumdc2"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    j = (
+        intra.crossJoin(F.broadcast(sums)).crossJoin(F.broadcast(nodes))
+    )  # 1-row x 1-row scalar joins
+    mm = F.lit(m).cast(dec)
+    num = F.lit(4).cast(dec) * mm * F.col("__intra") - F.col("__sumdc2")
+    den = F.lit(4).cast(dec) * mm * mm
+    return j.select(
+        "n_nodes",
+        F.lit(m).cast("long").alias("n_edges"),
+        "n_parts",
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "modularity"
+        ),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient — ONE row ``(n_edges,
+    assortativity)``: the Pearson correlation of endpoint degrees over
+    every edge (both orientations, the standard symmetric convention).
+    Positive = hubs attach to hubs (social/collaboration graphs),
+    negative = hubs attach to leaves (the hub-and-spoke shape that makes
+    hot-key mitigation — degree caps, salting — mandatory downstream);
+    THE one-number answer to "is this graph's join skew structural?".
+
+    Exactness: degrees are exact integers; over the 2m orientation rows
+    the five moments (M, Σx, Σx², Σxy; Σy ≡ Σx by symmetry) are exact
+    DECIMALs, ``r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²)`` (the symmetric
+    case needs no sqrt — both marginals are the same distribution), ONE
+    IEEE division, rounded 6 dp.  NULL when the variance is 0 (regular
+    graph — assortativity undefined).
+
+    Scale shape: one distinct, one combinable degree aggregate, two
+    node-keyed equi-joins to tag the edge endpoints, one 1-row reduce.
+
+    Reference parity: no reference counterpart — graph-analytics
+    extension next to triangle_participation (driver brief).
+    """
+    dec = "decimal(38,0)"
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("__d").alias("__dv"))
+    tagged = e.join(du, "u").join(dv, "v")
+    # both orientations: (du,dv) and (dv,du) — the symmetric convention
+    both = tagged.select(
+        F.col("__du").alias("x"), F.col("__dv").alias("y")
+    ).unionAll(
+        tagged.select(F.col("__dv").alias("x"), F.col("__du").alias("y"))
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("__m2"),
+        F.sum(F.col("x").cast(dec)).alias("__sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("__sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("__sxy"),
+    )
+    mm = F.col("__m2").cast(dec)
+    num = mm * F.col("__sxy") - F.col("__sx") * F.col("__sx")
+    den = mm * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return agg.select(
+        (F.col("__m2") / 2).cast("long").alias("n_edges"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("assortativity"),
+    )

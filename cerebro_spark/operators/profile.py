@@ -3050,3 +3050,83 @@ def eb_shrunk_means(
             ok, F.round(grand + bshrink * (mean - grand), 6)
         ).alias("shrunk"),
     ).orderBy(F.col(group_col).asc())
+
+
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Conditional entropy of the event-sequence transitions — ONE row
+    ``(n_transitions, n_states, cond_entropy_nats)`` with
+    ``H(next | prev) = Σᵢⱼ (cᵢⱼ/N)·ln(rᵢ/cᵢⱼ)``: how predictable is the
+    NEXT event given the current one?  0 = deterministic journeys,
+    ln(k) = memoryless uniform — the sequence-predictability number
+    behind markov_attribution's chain (the chain model is only worth
+    running when H is meaningfully below ln(k)), and the
+    journey-complexity metric funnels can't give.
+
+    Exactness: transition counts cᵢⱼ and row margins rᵢ are exact
+    integers; each cell's ``ln(rᵢ/cᵢⱼ)`` is e6-quantized to a BIGINT
+    (the zipf/hill discipline — ln of a ratio of exact ints, floor+½),
+    the weighted sum ``Σ cᵢⱼ·qᵢⱼ`` is an exact DECIMAL (ORDER-FREE),
+    and H is ONE IEEE division by N·10⁶, rounded 6 dp.
+
+    Scale shape: one per-user ordered window for the (prev, next) pairs
+    (partitioned BY USER — never data-sized), one combinable cell count,
+    one margin join on the state-grid-sized cell frame, one 1-row
+    reduce.
+
+    Reference parity: no reference counterpart — journey-analytics
+    extension next to markov_attribution (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("__u"),
+            F.lag(F.col(type_col)).over(w).alias("__prev"),
+            F.col(type_col).alias("__next"),
+        )
+        .filter(F.col("__prev").isNotNull())
+    )
+    cells = steps.groupBy("__prev", "__next").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    margins = cells.groupBy("__prev").agg(F.sum("__c").alias("__r"))
+    q = F.floor(
+        F.log(F.col("__r").cast("double") / F.col("__c").cast("double"))
+        * F.lit(1.0e6)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = cells.join(margins, "__prev").select(
+        F.col("__c"),
+        (F.col("__c").cast(dec) * q.cast(dec)).alias("__t"),
+        F.col("__next"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("__c").cast(dec)).alias("__N"),
+        F.sum("__t").alias("__T"),
+        F.countDistinct("__next").cast("long").alias("n_states"),
+    )
+    return agg.select(
+        F.col("__N").cast("long").alias("n_transitions"),
+        "n_states",
+        F.when(
+            F.col("__N") > 0,
+            F.round(
+                F.col("__T").cast("double")
+                / (F.col("__N").cast("double") * F.lit(1.0e6)),
+                6,
+            ),
+        ).alias("cond_entropy_nats"),
+    )

@@ -4030,3 +4030,51 @@ ORDER BY user_id ASC
 
 QUERIES["eb_user_value"] = q_eb_user_value
 ORACLES["eb_user_value"] = _EB_SQL
+
+
+def q_event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional transition entropy (profile.transition_entropy): how
+    predictable is a user's NEXT event given the current one?  e6-
+    quantized per-cell logs of exact count ratios, order-free integer
+    weighted sum, one division — the sequence-predictability number
+    behind markov_attribution."""
+    from cerebro_spark.operators.profile import transition_entropy
+
+    ev = load_table(spark, "events", sf_dir)
+    return transition_entropy(ev)
+
+
+_TRANSITION_ENTROPY_SQL = """
+WITH steps AS (
+  SELECT
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS prev,
+    event_type AS next_t
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (
+  SELECT prev, next_t, CAST(count(*) AS BIGINT) AS c
+  FROM steps WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+margins AS (SELECT prev, sum(c) AS r FROM cells GROUP BY 1),
+terms AS (
+  SELECT c, next_t,
+    CAST(c AS HUGEINT)
+      * CAST(floor(ln(CAST(r AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0
+                   + 0.5) AS HUGEINT) AS t
+  FROM cells JOIN margins USING (prev)
+),
+agg AS (
+  SELECT sum(CAST(c AS HUGEINT)) AS n, sum(t) AS tt,
+    CAST(count(DISTINCT next_t) AS BIGINT) AS n_states
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_transitions, n_states,
+  CASE WHEN n > 0 THEN
+    round(CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+  END AS cond_entropy_nats
+FROM agg
+"""
+
+QUERIES["event_transition_entropy"] = q_event_transition_entropy
+ORACLES["event_transition_entropy"] = _TRANSITION_ENTROPY_SQL

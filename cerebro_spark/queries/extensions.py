@@ -1996,3 +1996,132 @@ QUALIFY pos <= 20
 
 QUERIES["clustering_parts"] = q_clustering_parts
 ORACLES["clustering_parts"] = _CLUSTERING_SQL
+
+
+def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity (cluster.modularity) of the supplier co-trade graph
+    (suppliers sharing a customer are adjacent) partitioned by NATION —
+    does trade actually cluster along nations?  One exact-integer
+    identity (4mΣin − Σdeg_c²)/(4m²), one division."""
+    from cerebro_spark.operators.cluster import modularity
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    pe = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a = pe.select(F.col("s").alias("sa"), "c")
+    b = pe.select(F.col("s").alias("sb"), "c")
+    e = (
+        a.join(b, "c")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    part = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("part")
+    )
+    return modularity(e, part)
+
+
+_MODULARITY_SQL = """
+WITH pe AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pe a JOIN pe b ON a.c = b.c AND a.s < b.s
+),
+part AS (SELECT s_suppkey AS n, s_nationkey AS p FROM supplier),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+intra AS (
+  SELECT CAST(count(*) AS HUGEINT) AS i
+  FROM e JOIN part pu ON e.u = pu.n JOIN part pv ON e.v = pv.n
+  WHERE pu.p = pv.p
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+degp AS (
+  SELECT COALESCE(CAST(p AS VARCHAR),
+                  '__solo_' || CAST(node AS VARCHAR)) AS pc, d
+  FROM deg LEFT JOIN part ON deg.node = part.n
+),
+pp AS (SELECT pc, sum(CAST(d AS HUGEINT)) AS dc FROM degp GROUP BY 1),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts, sum(dc * dc) AS sumdc2
+  FROM pp
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, CAST(m AS BIGINT) AS n_edges, n_parts,
+  round(CAST(4 * m * i - sumdc2 AS DOUBLE)
+        / CAST(4 * m * m AS DOUBLE), 6) AS modularity
+FROM mm, intra, sums, nn
+"""
+
+QUERIES["nation_modularity"] = q_nation_modularity
+ORACLES["nation_modularity"] = _MODULARITY_SQL
+
+
+def q_parts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (cluster.degree_assortativity) of the
+    co-ordered-parts graph: do popular parts co-occur with popular
+    parts?  Exact integer moments over both edge orientations, one
+    division (the symmetric case needs no sqrt)."""
+    from cerebro_spark.operators.cluster import degree_assortativity
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return degree_assortativity(e)
+
+
+_ASSORTATIVITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+tagged AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+both_o AS (
+  SELECT du AS x, dv AS y FROM tagged
+  UNION ALL SELECT dv AS x, du AS y FROM tagged
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+    sum(CAST(x AS HUGEINT)) AS sx,
+    sum(CAST(x AS HUGEINT) * x) AS sxx,
+    sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM both_o
+)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+  CASE WHEN CAST(m2 AS HUGEINT) * sxx - sx * sx > 0 THEN
+    round(CAST(CAST(m2 AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+          / CAST(CAST(m2 AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+  END AS assortativity
+FROM agg
+"""
+
+QUERIES["parts_assortativity"] = q_parts_assortativity
+ORACLES["parts_assortativity"] = _ASSORTATIVITY_SQL

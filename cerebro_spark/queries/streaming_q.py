@@ -855,3 +855,62 @@ ORDER BY row, bucket
 
 QUERIES["streaming_cms_check"] = q_streaming_cms_check
 ORACLES["streaming_cms_check"] = _streaming_cms_sql()
+
+
+def q_streaming_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed approx-distinct (stateful.streaming_distinct):
+    HLL++ register-max merges are order-insensitive and bounded, so the
+    availableNow replay must equal the batch aggregate with identical
+    arguments bit-for-bit — encoded as full-outer-join mismatch counts
+    the oracle pins as constants (the percentiles-check pattern; the
+    sketch itself is not DuckDB-reproducible)."""
+    from cerebro_spark.streaming.stateful import streaming_distinct
+
+    streamed = _run_available_now(
+        _events_as_points(spark, sf_dir),
+        lambda s: streaming_distinct(
+            s, window="6 hours", watermark="10 minutes", rsd=0.02
+        ),
+    )
+    v = F.element_at(F.col("fields"), F.lit("value"))
+    batch = (
+        _events_as_points(spark, sf_dir)
+        .groupBy(F.window("time", "6 hours").alias("w"), "measurement")
+        .agg(
+            F.approx_count_distinct(v, 0.02).alias("approx_distinct"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "measurement",
+            "approx_distinct", "n_points",
+        )
+    )
+    j = streamed.alias("s").join(
+        batch.alias("b"), ["window_start", "measurement"], "full_outer"
+    )
+    ok = F.col("s.approx_distinct").eqNullSafe(
+        F.col("b.approx_distinct")
+    ) & F.col("s.n_points").eqNullSafe(F.col("b.n_points"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            (
+                F.col("s.approx_distinct").isNull()
+                | F.col("b.approx_distinct").isNull()
+            ).cast("long")
+        ).alias("missing_windows"),
+        F.sum((~ok).cast("long")).alias("value_mismatches"),
+    )
+
+
+_STREAMING_DISTINCT_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(0 AS BIGINT) AS missing_windows,
+       CAST(0 AS BIGINT) AS value_mismatches
+FROM (
+  SELECT DISTINCT floor(epoch(ts) / {_BUCKET}), event_type FROM events
+)
+"""
+
+QUERIES["streaming_distinct_check"] = q_streaming_distinct_check
+ORACLES["streaming_distinct_check"] = _STREAMING_DISTINCT_SQL

@@ -498,3 +498,38 @@ def streaming_msprt(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_distinct(
+    points: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    time_col: str = "time",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Continuous windowed approximate-distinct of the ``value`` field —
+    the streaming twin of the batch HLL++ distinct rollups
+    (``merged_distinct_check``'s family): per (window, measurement) an
+    ``approx_count_distinct`` plus the exact row count.  HLL++ registers
+    are MERGEABLE and bounded (~1.5 KB at rsd 2%), so window state never
+    grows with cardinality — the property that makes per-window distinct
+    viable on an unbounded stream (exact distinct would hold every key
+    in state).  The register-max merge is ORDER-INSENSITIVE, so the
+    availableNow replay equals the batch aggregate bit-for-bit — the
+    equivalence its gate (``streaming_distinct_check``) pins.
+    """
+    v = F.element_at(F.col("fields"), "value")
+    return (
+        points.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), "measurement")
+        .agg(
+            F.approx_count_distinct(v, rsd).alias("approx_distinct"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "measurement",
+            "approx_distinct",
+            "n_points",
+        )
+    )

@@ -868,3 +868,143 @@ def test_eb_degenerate_single_group_null(spark):
     )
     out = eb_shrunk_means(df, "v", "g").collect()[0]
     assert out["mean"] == pytest.approx(2.0) and out["shrunk"] is None
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+def test_modularity_two_cliques(spark):
+    from cerebro_spark.operators.cluster import modularity
+
+    # two 4-cliques joined by one bridge edge; the clique partition is
+    # strongly modular, the random split is not
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 10))  # bridge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    good = spark.createDataFrame(
+        [(i, "a") for i in range(4)] + [(10 + i, "b") for i in range(4)],
+        "node long, part string",
+    )
+    out = modularity(e, good).collect()[0]
+    assert out["n_edges"] == 13 and out["n_parts"] == 2
+    # exact: m=13, intra=12, deg_a=13, deg_b=13 -> (4*13*12 - 338)/(4*169)
+    assert out["modularity"] == pytest.approx(
+        round((4 * 13 * 12 - 2 * 13 * 13) / (4 * 13 * 13), 6)
+    )
+    # one community holding everything: Q = intra/m - 1 = 0 exactly
+    allone = spark.createDataFrame(
+        [(n, "x") for n in range(4)] + [(10 + n, "x") for n in range(4)],
+        "node long, part string",
+    )
+    assert modularity(e, allone).collect()[0]["modularity"] == pytest.approx(0.0)
+
+
+def test_modularity_unassigned_nodes_penalize(spark):
+    from cerebro_spark.operators.cluster import modularity
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    part = spark.createDataFrame([(1, "a"), (2, "a")], "node long, part string")
+    out = modularity(e, part).collect()[0]
+    # node 3 unassigned -> singleton community; n_parts counts it
+    assert out["n_parts"] == 2 and out["n_nodes"] == 3
+    # intra = 1 (edge 1-2); deg: a holds deg 1+2=3, solo_3 holds 1
+    assert out["modularity"] == pytest.approx(
+        round((4 * 2 * 1 - (9 + 1)) / (4 * 4), 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+def test_assortativity_star_is_negative_path_mixed(spark):
+    from cerebro_spark.operators.cluster import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    out = degree_assortativity(star).collect()[0]
+    assert out["n_edges"] == 5
+    assert out["assortativity"] == pytest.approx(-1.0)  # perfect hub-spoke
+
+    # 4-cycle: every node degree 2 -> zero variance -> NULL
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+def test_assortativity_matches_python_reference(spark):
+    from cerebro_spark.operators.cluster import degree_assortativity
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(40) if i != (i * 7 + 3) % 23]
+    und = {tuple(sorted(p)) for p in edges}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in und:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    m2 = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = round((m2 * sxy - sx * sx) / (m2 * sxx - sx * sx), 6)
+    df = spark.createDataFrame(list(und), "src long, dst long")
+    out = degree_assortativity(df).collect()[0]
+    assert out["assortativity"] == pytest.approx(want, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# transition_entropy
+# ---------------------------------------------------------------------------
+
+def test_transition_entropy_deterministic_is_zero(spark):
+    from cerebro_spark.operators.profile import transition_entropy
+
+    # every user: a -> b -> a -> b ... fully deterministic transitions
+    rows = []
+    for u in range(5):
+        for i in range(10):
+            rows.append((u, i, "a" if i % 2 == 0 else "b", i))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long"
+    )
+    out = transition_entropy(df).collect()[0]
+    assert out["n_transitions"] == 45
+    assert out["cond_entropy_nats"] == pytest.approx(0.0)
+
+
+def test_transition_entropy_uniform_is_ln_k(spark):
+    import math
+
+    from cerebro_spark.operators.profile import transition_entropy
+
+    # from every prev, next is uniform over 3 states (counts engineered)
+    rows, i = [], 0
+    seq = []
+    for a in "abc":
+        for b in "abc":
+            seq += [a, b]
+    # build one long alternating walk hitting each (prev,next) equally:
+    # simpler: per user one transition each, 9 users per (prev,next) pair
+    rows = []
+    uid = 0
+    for a in "abc":
+        for b in "abc":
+            for _ in range(4):
+                rows.append((uid, 0, a, 0))
+                rows.append((uid, 1, b, 1))
+                uid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long"
+    )
+    out = transition_entropy(df).collect()[0]
+    assert out["n_transitions"] == 36 and out["n_states"] == 3
+    assert out["cond_entropy_nats"] == pytest.approx(math.log(3), abs=1e-5)

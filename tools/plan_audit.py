@@ -184,6 +184,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # (G, N, S, SSB, SSW, Σn²/N) crossJoined back onto the group frame —
     # the temperature_mix/neyman contract (r8)
     "eb_user_value",
+    # 1-row × 1-row crossJoins: the intra-edge count, the Σdeg_c² reduce
+    # and the node count — all single-row aggregates by construction (r8)
+    "nation_modularity",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
