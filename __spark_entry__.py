@@ -576,6 +576,9 @@ _SNAPSHOT_PRIORITY = [
     "nation_modularity",      # Newman modularity of a metadata partition
     "parts_assortativity",    # degree assortativity (join-skew structure)
     "event_transition_entropy",  # H(next|prev) sequence predictability
+    "spearman_value_hour",    # Spearman rank correlation (grid midranks)
+    "ips_event_value",        # IPS off-policy value of uniform exploration
+    "qte_value",              # quantile treatment effects per p
     #
     # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
     "dsir_topk",

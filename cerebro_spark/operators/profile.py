@@ -3130,3 +3130,268 @@ def transition_entropy(
             ),
         ).alias("cond_entropy_nats"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quant: int = 100,
+) -> DataFrame:
+    """Spearman rank correlation of two numeric columns — ONE row
+    ``(n, spearman)``: the MONOTONE-association companion of the Pearson
+    family (``value_corr_matrix`` measures linear association; a clean
+    monotone-but-curved relation scores Pearson ≪ 1 and Spearman ≈ 1,
+    and one outlier that shreds Pearson barely moves a rank).
+
+    Both columns are quantized to ``1/quant`` units (the roc_auc
+    contract — the documented metric is "Spearman at quantized values",
+    identical in any engine); ties get midranks via the exclusive
+    cumulative over each VALUE GRID: ``2·midrank = 2c + n + 1`` is an
+    exact integer per quantum, so the five Pearson-of-ranks moments are
+    exact DECIMALs and r is a fixed (two sqrts, one division) IEEE
+    chain, rounded 6 dp.  NULL when either rank variance is 0.
+
+    Overflow envelope: N·Σ(2mr)² ≈ 4N⁴ must stay inside DECIMAL(38) —
+    fine to N ≈ 10⁹ rows; beyond that pre-aggregate or sample.
+
+    Scale shape: two combinable grid aggregates, two quantization-
+    bounded grid windows, two BROADCAST grid joins back onto the fact
+    (the grid is (max−min)·quant+1 rows, never data-sized), one 1-row
+    reduce.
+
+    Reference parity: no reference counterpart — robust-stats extension
+    next to value_corr_matrix (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+
+    def q(c):
+        return F.floor(
+            F.col(c).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+        ).cast("long")
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(q(x_col).alias("__x"), q(y_col).alias("__y"))
+
+    def rank_map(col_name: str, out: str) -> DataFrame:
+        g = base.groupBy(col_name).agg(F.count(F.lit(1)).alias("__n"))
+        wc = Window.orderBy(col_name).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # value-grid-sized keyless window (the roc_auc contract)
+        return g.select(
+            col_name,
+            (
+                F.lit(2) * F.coalesce(F.sum("__n").over(wc), F.lit(0))
+                + F.col("__n")
+                + 1
+            ).alias(out),
+        )
+
+    rx = rank_map("__x", "__rx")
+    ry = rank_map("__y", "__ry")
+    j = base.join(F.broadcast(rx), "__x").join(F.broadcast(ry), "__y")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum(F.col("__rx").cast(dec)).alias("__sx"),
+        F.sum(F.col("__ry").cast(dec)).alias("__sy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry").cast(dec) * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__ry")).alias("__sxy"),
+    )
+    m = F.col("__m").cast(dec)
+    num = m * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = m * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = m * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        F.col("__m").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ),
+        ).alias("spearman"),
+    )
+
+
+def ips_uniform_value(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Inverse-propensity-scored value of the UNIFORM exploration policy
+    from logged bandit feedback — ONE row ``(n, k_actions, logged_mean,
+    ips_uniform, ess)``: what would an agent playing every action
+    equally often have earned on this log?  The off-policy-evaluation
+    primitive behind bandit/RLHF data work: ``logged_mean`` is what the
+    logging policy earned, ``ips_uniform = (1/k)·Σ_a mean_reward(a)``
+    is the balanced counterfactual (they diverge exactly when the
+    logger's action mix is skewed), and ``ess = k²/Σ_a(1/n_a)`` is the
+    effective sample size — a rarely-logged action makes the estimate
+    fragile long before it makes it wrong, and ESS is the number that
+    says so.
+
+    Exactness: per-action ``(n_a, Σr)`` are exact e6 integers; the
+    order-sensitive cross-action rationals are e6-floor-quantized to
+    integers per action (``⌊S_a·10⁶/(k·n_a)⌋``, ``⌊10¹²/n_a⌋`` — the
+    eb_shrunk_means discipline) so their sums are ORDER-FREE, and each
+    output is one final IEEE division, rounded 6 dp.
+
+    Scale shape: ONE combinable per-action aggregate over the log, a
+    1-row reduce over the action frame, one broadcast back.  No window,
+    no collect.
+
+    Reference parity: no reference counterpart — off-policy-evaluation
+    extension next to ab_test/did (driver brief).
+    """
+    dec = "decimal(38,0)"
+    qr = F.floor(
+        F.col(reward_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.filter(
+            F.col(action_col).isNotNull() & F.col(reward_col).isNotNull()
+        )
+        .select(F.col(action_col).alias("__a"), qr.alias("__r"))
+        .groupBy("__a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("__r").cast(dec)).alias("__s"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("__n").cast(dec).alias("__ntot"),
+        F.sum("__s").alias("__stot"),
+    )
+    j = per.crossJoin(F.broadcast(tot))  # 1-row scalar broadcast
+
+    def idiv(a, b):
+        return (a - F.pmod(a, b)) / b
+
+    n = F.col("__n").cast(dec)
+    k = F.col("__k").cast(dec)
+    terms = j.select(
+        "__k",
+        "__ntot",
+        "__stot",
+        idiv(F.col("__s") * F.lit(10**6).cast(dec), k * n).alias("__tq"),
+        idiv(F.lit(10**12).cast(dec), n).alias("__eq"),
+    )
+    agg = terms.groupBy("__k", "__ntot", "__stot").agg(
+        F.sum("__tq").alias("__ips"), F.sum("__eq").alias("__ess")
+    )
+    return agg.select(
+        F.col("__ntot").cast("long").alias("n"),
+        F.col("__k").alias("k_actions"),
+        F.round(
+            F.col("__stot").cast("double")
+            / F.col("__ntot").cast("double")
+            / F.lit(1.0e6),
+            6,
+        ).alias("logged_mean"),
+        F.round(
+            F.col("__ips").cast("double") / F.lit(1.0e12), 6
+        ).alias("ips_uniform"),
+        F.round(
+            F.col("__k").cast("double")
+            * F.col("__k").cast("double")
+            * F.lit(1.0e12)
+            / F.col("__ess").cast("double"),
+            6,
+        ).alias("ess"),
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    value_col: str,
+    treat_col,
+    probs=((1, 4), (1, 2), (3, 4), (9, 10)),
+    quant: int = 100,
+) -> DataFrame:
+    """Quantile treatment effects — per probability p, the difference of
+    the two arms' p-quantiles: ``(p, n_control, n_treat, q_control,
+    q_treat, qte)``.  The distributional readout a mean difference
+    (ab_test/did) hides: a treatment that lifts the median while
+    crushing the p90 has did > 0 and a catastrophic tail, and QTE is
+    where that shows.
+
+    Exactness: values are quantized to ``1/quant`` units (the roc_auc
+    grid contract); each arm's p-quantile is the MINIMUM grid value
+    whose inclusive cumulative count reaches ``⌈p·n⌉`` — an exact
+    integer comparison with p carried as a RATIONAL (pnum, pden), so no
+    IEEE op touches quantile selection; ``qte = (q_t − q_c)/quant`` is
+    one exact integer difference scaled by a literal.
+
+    Scale shape: one combinable (arm, quantum) aggregate, per-arm
+    cumulative windows over the quantization-bounded value grid, the
+    |probs|-row frame fanned over the grid (bounded crossJoin), two tiny
+    aggregates.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to did_estimate (driver brief).
+    """
+    from pyspark.sql import Window
+
+    treat = (
+        treat_col if not isinstance(treat_col, str) else F.col(treat_col)
+    )
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        treat.cast("int").alias("__t"), qv.alias("__v")
+    ).filter(F.col("__t").isNotNull())
+    cells = base.groupBy("__t", "__v").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wc = Window.partitionBy("__t").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # per-arm value-grid window: quantization-bounded, never data-sized
+    cum = cells.withColumn("__c", F.sum("__n").over(wc))
+    totals = cells.groupBy("__t").agg(F.sum("__n").cast("long").alias("__na"))
+    spark = df.sparkSession
+    pf = spark.createDataFrame(
+        [(float(pn) / pd, pn, pd) for pn, pd in probs],
+        "p double, __pn long, __pd long",
+    )
+    fan = cum.join(totals, "__t").crossJoin(F.broadcast(pf))
+    thr = (
+        F.col("__na") * F.col("__pn") + F.col("__pd") - 1
+    ) - F.pmod(
+        F.col("__na") * F.col("__pn") + F.col("__pd") - 1, F.col("__pd")
+    )
+    # thr/pd = ceil(p*n) as exact integers; compare c*pd >= thr instead
+    # of dividing, so no IEEE op touches the selection
+    hit = fan.filter(
+        F.col("__c") * F.col("__pd") >= thr
+    ).groupBy("p", "__t").agg(
+        F.min("__v").alias("__q"), F.min("__na").alias("__narm")
+    )
+    out = hit.groupBy("p").agg(
+        F.min(F.when(F.col("__t") == 0, F.col("__narm"))).alias("n_control"),
+        F.min(F.when(F.col("__t") == 1, F.col("__narm"))).alias("n_treat"),
+        F.min(F.when(F.col("__t") == 0, F.col("__q"))).alias("__qc"),
+        F.min(F.when(F.col("__t") == 1, F.col("__q"))).alias("__qt"),
+    )
+    s = F.lit(float(quant))
+    return out.select(
+        "p",
+        "n_control",
+        "n_treat",
+        F.round(F.col("__qc").cast("double") / s, 6).alias("q_control"),
+        F.round(F.col("__qt").cast("double") / s, 6).alias("q_treat"),
+        F.when(
+            F.col("__qc").isNotNull() & F.col("__qt").isNotNull(),
+            F.round(
+                (F.col("__qt") - F.col("__qc")).cast("double") / s, 6
+            ),
+        ).alias("qte"),
+    ).orderBy(F.col("p").asc())

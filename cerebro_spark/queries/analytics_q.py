@@ -4078,3 +4078,171 @@ FROM agg
 
 QUERIES["event_transition_entropy"] = q_event_transition_entropy
 ORACLES["event_transition_entropy"] = _TRANSITION_ENTROPY_SQL
+
+
+def q_spearman_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (profile.spearman_corr): is event value
+    MONOTONICALLY associated with hour-of-day?  Midranks from exclusive
+    grid cumulatives (2mr = 2c+n+1 exact), exact Pearson-of-ranks
+    moments, two sqrts + one division."""
+    from cerebro_spark.operators.profile import spearman_corr
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "value", F.hour(F.col("ts")).alias("hour")
+    )
+    return spearman_corr(ev, "value", "hour", quant=100)
+
+
+_SPEARMAN_SQL = """
+WITH base AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(CAST(hour(ts) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+gx AS (
+  SELECT x, 2 * COALESCE(sum(count(*)) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + count(*) + 1 AS rx
+  FROM base GROUP BY x
+),
+gy AS (
+  SELECT y, 2 * COALESCE(sum(count(*)) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + count(*) + 1 AS ry
+  FROM base GROUP BY y
+),
+j AS (
+  SELECT rx, ry
+  FROM base JOIN gx USING (x) JOIN gy USING (y)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+    sum(CAST(ry AS HUGEINT) * ry) AS syy,
+    sum(CAST(rx AS HUGEINT) * ry) AS sxy
+  FROM j
+)
+SELECT m AS n,
+  CASE WHEN CAST(m AS HUGEINT) * sxx - sx * sx > 0
+        AND CAST(m AS HUGEINT) * syy - sy * sy > 0 THEN
+    round(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE))),
+          6)
+  END AS spearman
+FROM agg
+"""
+
+QUERIES["spearman_value_hour"] = q_spearman_value_hour
+ORACLES["spearman_value_hour"] = _SPEARMAN_SQL
+
+
+def q_ips_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (profile.ips_uniform_value): treating the
+    event log as bandit feedback (action = event_type, reward = value),
+    what would uniform exploration have earned vs the logged mix, and
+    how fragile is the estimate (ESS)?  Order-free per-action integer
+    quantized terms, one final division each."""
+    from cerebro_spark.operators.profile import ips_uniform_value
+
+    ev = load_table(spark, "events", sf_dir)
+    return ips_uniform_value(ev, "event_type", "value")
+
+
+_IPS_SQL = """
+WITH per AS (
+  SELECT event_type AS a, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             AS HUGEINT)) AS s
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, sum(CAST(n AS HUGEINT)) AS ntot,
+         sum(s) AS stot
+  FROM per
+),
+terms AS (
+  SELECT k, ntot, stot,
+    (s * CAST(1000000 AS HUGEINT)) // (CAST(k AS HUGEINT) * n) AS tq,
+    CAST(1000000000000 AS HUGEINT) // CAST(n AS HUGEINT) AS eq
+  FROM per, tot
+),
+agg AS (
+  SELECT k, ntot, stot, sum(tq) AS ips, sum(eq) AS ess
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT CAST(ntot AS BIGINT) AS n, k AS k_actions,
+  round(CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE) / 1000000.0, 6)
+    AS logged_mean,
+  round(CAST(ips AS DOUBLE) / 1e12, 6) AS ips_uniform,
+  round(CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * 1e12
+        / CAST(ess AS DOUBLE), 6) AS ess
+FROM agg
+"""
+
+QUERIES["ips_event_value"] = q_ips_event_value
+ORACLES["ips_event_value"] = _IPS_SQL
+
+
+def q_qte_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (profile.quantile_treatment_effect):
+    treated = odd user_id (the did_launch_value split) — the arm
+    quantile gaps at p = .25/.5/.75/.9.  Quantile selection is an exact
+    integer comparison against ceil(p*n) with p carried as a rational;
+    no IEEE op touches it."""
+    from cerebro_spark.operators.profile import quantile_treatment_effect
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    return quantile_treatment_effect(
+        ev, "value", F.pmod(F.col("user_id"), F.lit(2)) == 1
+    )
+
+
+_QTE_SQL = """
+WITH base AS (
+  SELECT CAST(user_id % 2 = 1 AS INTEGER) AS t,
+    CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+cells AS (SELECT t, v, count(*) AS n FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT t, v, n,
+    sum(n) OVER (PARTITION BY t ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM cells
+),
+totals AS (SELECT t, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+probs AS (
+  SELECT * FROM (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4),
+                        (0.9, 9, 10)) AS pr(p, pn, pd)
+),
+hit AS (
+  SELECT p, cum.t, min(v) AS q, min(na) AS narm
+  FROM cum JOIN totals USING (t) CROSS JOIN probs
+  WHERE c * pd >= ((na * pn + pd - 1) - (na * pn + pd - 1) % pd)
+  GROUP BY 1, 2
+),
+o AS (
+  SELECT p,
+    min(CASE WHEN t = 0 THEN narm END) AS n_control,
+    min(CASE WHEN t = 1 THEN narm END) AS n_treat,
+    min(CASE WHEN t = 0 THEN q END) AS qc,
+    min(CASE WHEN t = 1 THEN q END) AS qt
+  FROM hit GROUP BY 1
+)
+SELECT CAST(p AS DOUBLE) AS p, n_control, n_treat,
+  round(CAST(qc AS DOUBLE) / 100.0, 6) AS q_control,
+  round(CAST(qt AS DOUBLE) / 100.0, 6) AS q_treat,
+  CASE WHEN qc IS NOT NULL AND qt IS NOT NULL THEN
+    round(CAST(qt - qc AS DOUBLE) / 100.0, 6)
+  END AS qte
+FROM o
+ORDER BY p ASC
+"""
+
+QUERIES["qte_value"] = q_qte_value
+ORACLES["qte_value"] = _QTE_SQL

@@ -1008,3 +1008,128 @@ def test_transition_entropy_uniform_is_ln_k(spark):
     out = transition_entropy(df).collect()[0]
     assert out["n_transitions"] == 36 and out["n_states"] == 3
     assert out["cond_entropy_nats"] == pytest.approx(math.log(3), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+def test_spearman_monotone_curve_is_one(spark):
+    from cerebro_spark.operators.profile import spearman_corr
+
+    # y = x^3: monotone but nonlinear -> spearman 1.0 exactly
+    rows = [(float(x), float(x) ** 3) for x in range(1, 30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_corr(df, "x", "y").collect()[0]
+    assert out["n"] == 29 and out["spearman"] == pytest.approx(1.0)
+    # reversed -> -1
+    df2 = spark.createDataFrame(
+        [(float(x), -float(x) ** 3) for x in range(1, 30)], "x double, y double"
+    )
+    assert spearman_corr(df2, "x", "y").collect()[0][
+        "spearman"
+    ] == pytest.approx(-1.0)
+
+
+def test_spearman_matches_scipy_style_reference(spark):
+    from cerebro_spark.operators.profile import spearman_corr
+
+    xs = [((i * 37) % 101) / 7.0 for i in range(60)]
+    ys = [((i * 59) % 97) / 3.0 for i in range(60)]
+
+    def midranks(vals, quant=100):
+        q = [math.floor(v * quant + 0.5) for v in vals]
+        out = []
+        for v in q:
+            less = sum(1 for o in q if o < v)
+            eq = sum(1 for o in q if o == v)
+            out.append(less + (eq + 1) / 2)
+        return out
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = spark_r = spearman_corr(df, "x", "y").collect()[0]
+    assert out["spearman"] == pytest.approx(round(want, 6), abs=1e-5)
+
+
+def test_spearman_constant_column_is_null(spark):
+    from cerebro_spark.operators.profile import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    assert spearman_corr(df, "x", "y").collect()[0]["spearman"] is None
+
+
+# ---------------------------------------------------------------------------
+# ips_uniform_value
+# ---------------------------------------------------------------------------
+
+def test_ips_uniform_is_balanced_mean(spark):
+    from cerebro_spark.operators.profile import ips_uniform_value
+
+    # action A logged 90x at reward 1, action B logged 10x at reward 9:
+    # logged mean = (90 + 90)/100 = 1.8; uniform value = (1+9)/2 = 5
+    rows = [("A", 1.0)] * 90 + [("B", 9.0)] * 10
+    df = spark.createDataFrame(rows, "a string, r double")
+    out = ips_uniform_value(df, "a", "r").collect()[0]
+    assert out["n"] == 100 and out["k_actions"] == 2
+    assert out["logged_mean"] == pytest.approx(1.8)
+    assert out["ips_uniform"] == pytest.approx(5.0, abs=1e-5)
+    # ESS = k^2 / (1/90 + 1/10) = 4 / (1/90 + 1/10) = 36
+    assert out["ess"] == pytest.approx(36.0, abs=1e-3)
+
+
+def test_ips_balanced_log_equals_logged_mean(spark):
+    from cerebro_spark.operators.profile import ips_uniform_value
+
+    rows = [("A", 2.0)] * 50 + [("B", 4.0)] * 50
+    df = spark.createDataFrame(rows, "a string, r double")
+    out = ips_uniform_value(df, "a", "r").collect()[0]
+    assert out["ips_uniform"] == pytest.approx(out["logged_mean"], abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# quantile_treatment_effect
+# ---------------------------------------------------------------------------
+
+def test_qte_hand_distributions(spark):
+    from cerebro_spark.operators.profile import quantile_treatment_effect
+
+    # control: 1..100; treatment: control + 10 everywhere -> QTE = 10 at
+    # every p (pure location shift)
+    rows = [(0, float(v)) for v in range(1, 101)]
+    rows += [(1, float(v) + 10) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {r["p"]: r for r in
+           quantile_treatment_effect(df, "v", F.col("t") == 1).collect()}
+    assert set(out) == {0.25, 0.5, 0.75, 0.9}
+    for p, r in out.items():
+        assert r["qte"] == pytest.approx(10.0)
+        # type-1 quantile: q_p = ceil(p*100)th smallest = ceil(100p)
+        assert r["q_control"] == pytest.approx(math.ceil(p * 100))
+    assert out[0.5]["n_control"] == 100 and out[0.5]["n_treat"] == 100
+
+
+def test_qte_tail_only_effect(spark):
+    from cerebro_spark.operators.profile import quantile_treatment_effect
+
+    # treatment equals control except the top QUARTILE doubles: median
+    # QTE 0, p90 QTE large (the mean difference would smear both)
+    ctrl = [float(v) for v in range(1, 101)]
+    treat = [v if v <= 75 else v * 2 for v in ctrl]
+    rows = [(0, v) for v in ctrl] + [(1, v) for v in treat]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {r["p"]: r["qte"] for r in
+           quantile_treatment_effect(df, "v", F.col("t") == 1).collect()}
+    assert out[0.5] == pytest.approx(0.0)
+    # q90(ctrl) = 90; q90(treat) = 15th doubled value = 2*(75+15) = 180
+    assert out[0.9] == pytest.approx(90.0)

@@ -187,6 +187,12 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row × 1-row crossJoins: the intra-edge count, the Σdeg_c² reduce
     # and the node count — all single-row aggregates by construction (r8)
     "nation_modularity",
+    # 1-row scalar broadcast: the (k, N, ΣS) action-frame totals
+    # crossJoined back onto the |actions|-row frame (r8)
+    "ips_event_value",
+    # bounded-grid crossJoin: the |probs| (4-row) literal frame fanned
+    # over the quantization-bounded value grid (r8)
+    "qte_value",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -239,6 +245,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # t_closeness_events composes w1_drift with a QI key, same shape (r8)
     "w1_chars_drift",
     "t_closeness_events",
+    # keyless exclusive cumulatives over the two quantization-bounded
+    # value grids ((max−min)·quant+1 rows) — the auc_purchase_value
+    # value-grid contract (r8)
+    "spearman_value_hour",
 }
 
 
