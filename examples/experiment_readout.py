@@ -111,6 +111,37 @@ def main() -> None:
     print(f"   calibration: ECE={ece['ece']:.4f} over {bins} bins "
           f"(baseline scorer — a real model plugs in unchanged)")
 
+    # 7. (round 8) planning: the MDE this traffic could even detect —
+    # the go/no-go number BEFORE the next test ships
+    from cerebro_spark.operators.profile import mde_power
+
+    mde = mde_power(ev, "value", "event_type").collect()
+    worst_m = max(
+        (r for r in mde if r["mde_rel"] is not None),
+        key=lambda r: r["mde_rel"],
+    )
+    print(f"7. MDE: worst stratum {worst_m['event_type']} can only detect "
+          f"{worst_m['mde_rel']:.1%} lifts (n={worst_m['n']:,})")
+
+    # 8. (round 8) distributional readout: quantile treatment effects —
+    # a mean difference hides a tail-only regression; QTE shows it
+    from cerebro_spark.operators.profile import quantile_treatment_effect
+
+    qte = quantile_treatment_effect(ev, "value", variant == 1).collect()
+    qstr = ", ".join(f"p{int(r['p'] * 100)}={r['qte']:+.2f}" for r in qte)
+    print(f"8. QTE by quantile: {qstr}")
+
+    # 9. (round 8) small-sample honesty: EB-shrunk per-user means — the
+    # posterior table to ship instead of raw 3-observation averages
+    from cerebro_spark.operators.profile import eb_shrunk_means
+
+    eb = eb_shrunk_means(ev, "value", "user_id")
+    moved = eb.filter(
+        F.abs(F.col("shrunk") - F.col("mean")) > 1.0
+    ).count()
+    print(f"9. EB shrinkage:    {moved} users moved >1.0 toward the grand "
+          f"mean (of {eb.count()})")
+
 
 if __name__ == "__main__":
     main()
