@@ -931,6 +931,11 @@ def local_clustering_coefficient(
     Reference parity: no reference counterpart — graph-analytics
     extension next to triangle_participation (driver brief).
     """
+    # NOT cached, deliberately: the edge frame is derived twice (degree
+    # branch + triangle branch), but an InMemoryRelation here blocks
+    # AQE's stage re-optimization across the boundary — measured 2.6×
+    # SLOWER cached than recomputed at sf0.1 (27.6 s vs 10.6 s).  Two
+    # fully-pipelined codegen derivations beat one materialization.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -945,7 +950,7 @@ def local_clustering_coefficient(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    tri = triangle_participation(edges, src, dst)
+    tri = triangle_participation(e, "u", "v")
     j = deg.join(tri, "node", "left").select(
         "node",
         "degree",
@@ -1008,6 +1013,9 @@ def modularity(
     extension next to label_propagation (driver brief).
     """
     dec = "decimal(38,0)"
+    # NOT cached, deliberately: e feeds two branches, but caching blocks
+    # AQE re-planning downstream (see local_clustering_coefficient's
+    # measured 2.6× regression) — recompute is fully pipelined codegen
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -1022,16 +1030,17 @@ def modularity(
     pu = part.select(F.col("__n").alias("u"), F.col("__p").alias("__pu"))
     pv = part.select(F.col("__n").alias("v"), F.col("__p").alias("__pv"))
     tagged = e.join(pu, "u", "left").join(pv, "v", "left")
-    m = tagged.count()  # bounded metadata: one long
-    if m == 0:
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            [],
-            "n_nodes long, n_edges long, n_parts long, modularity double",
-        )
-    intra = tagged.filter(
-        F.col("__pu").isNotNull() & (F.col("__pu") == F.col("__pv"))
-    ).agg(F.count(F.lit(1)).cast(dec).alias("__intra"))
+    # ONE combinable aggregate carries both m and the intra count — no
+    # driver-side count() that would force a second edge derivation
+    intra = tagged.agg(
+        F.count(F.lit(1)).cast(dec).alias("__m"),
+        F.sum(
+            (
+                F.col("__pu").isNotNull()
+                & (F.col("__pu") == F.col("__pv"))
+            ).cast("long")
+        ).cast(dec).alias("__intra"),
+    )
     deg = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -1061,16 +1070,17 @@ def modularity(
     j = (
         intra.crossJoin(F.broadcast(sums)).crossJoin(F.broadcast(nodes))
     )  # 1-row x 1-row scalar joins
-    mm = F.lit(m).cast(dec)
+    mm = F.col("__m")
     num = F.lit(4).cast(dec) * mm * F.col("__intra") - F.col("__sumdc2")
     den = F.lit(4).cast(dec) * mm * mm
     return j.select(
         "n_nodes",
-        F.lit(m).cast("long").alias("n_edges"),
+        mm.cast("long").alias("n_edges"),
         "n_parts",
-        F.round(num.cast("double") / den.cast("double"), 6).alias(
-            "modularity"
-        ),
+        F.when(
+            mm > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("modularity"),
     )
 
 
@@ -1101,6 +1111,8 @@ def degree_assortativity(
     extension next to triangle_participation (driver brief).
     """
     dec = "decimal(38,0)"
+    # NOT cached (the local_clustering_coefficient AQE lesson): two
+    # pipelined derivations beat a materialization that blocks AQE
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
