@@ -579,6 +579,7 @@ _SNAPSHOT_PRIORITY = [
     "spearman_value_hour",    # Spearman rank correlation (grid midranks)
     "ips_event_value",        # IPS off-policy value of uniform exploration
     "qte_value",              # quantile treatment effects per p
+    "paired_t_value",         # within-user paired t across the launch
     #
     # STAGED DEBT (3) — below the r07 cutoff, never driver-gated:
     "dsir_topk",

@@ -222,6 +222,7 @@ HEADLINE = [
     "spearman_value_hour",    # Spearman rank correlation (grid midranks)
     "ips_event_value",        # IPS off-policy value of uniform exploration
     "qte_value",              # quantile treatment effects per p
+    "paired_t_value",         # within-user paired t across the launch
 ]
 
 

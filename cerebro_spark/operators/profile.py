@@ -3395,3 +3395,106 @@ def quantile_treatment_effect(
             ),
         ).alias("qte"),
     ).orderBy(F.col("p").asc())
+
+
+def paired_t_prepost(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    post_col,
+) -> DataFrame:
+    """Paired (within-unit) t-test on pre→post mean changes — ONE row
+    ``(n_units, mean_pre, mean_post, mean_diff, t)``: each unit is its
+    own control, so the between-unit variance that drowns ab_test_ztest
+    cancels.  The third leg of the experimentation family — between-arms
+    (ab_test_ztest), quasi-experimental (did_estimate), and WITHIN-unit
+    (this) — for launches where every unit crosses the boundary.
+
+    Only units observed on BOTH sides enter (a pre-only unit has no
+    pair).  With per-unit e6-quantized (n, Σ) on each side, the unit's
+    diff is ``d_u = Σpost/npost − Σpre/npre`` — two exact-integer
+    divisions; d and d² then aggregate as DOUBLES, which is the ONE
+    order-sensitive reduction here, so d_u is e6-floor-REquantized to a
+    BIGINT first (the eb/ips discipline) and Σd, Σd² are exact DECIMALs.
+    ``t = d̄ / √(s²_d/n)`` is a fixed IEEE chain, rounded 6 dp; NULL for
+    n < 2 or zero variance.
+
+    Scale shape: ONE combinable per-unit aggregate (pre/post sums as
+    conditional aggregates — no join), one 1-row reduce.  No window, no
+    collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to did_estimate (driver brief).
+    """
+    dec = "decimal(38,0)"
+    post = post_col if not isinstance(post_col, str) else F.col(post_col)
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(unit_col).isNotNull()
+    ).select(
+        F.col(unit_col).alias("__u"),
+        post.cast("int").alias("__p"),
+        qv.alias("__v"),
+    ).filter(F.col("__p").isNotNull())
+    per = base.groupBy("__u").agg(
+        F.sum(F.when(F.col("__p") == 0, 1).otherwise(0)).alias("__n0"),
+        F.sum(
+            F.when(F.col("__p") == 0, F.col("__v")).otherwise(0).cast(dec)
+        ).alias("__s0"),
+        F.sum(F.when(F.col("__p") == 1, 1).otherwise(0)).alias("__n1"),
+        F.sum(
+            F.when(F.col("__p") == 1, F.col("__v")).otherwise(0).cast(dec)
+        ).alias("__s1"),
+    ).filter((F.col("__n0") > 0) & (F.col("__n1") > 0))
+    # per-unit diff in e6 units, re-quantized to a BIGINT so the
+    # cross-unit sums are order-free (the eb/ips discipline)
+    d = F.floor(
+        F.col("__s1").cast("double") / F.col("__n1").cast("double")
+        - F.col("__s0").cast("double") / F.col("__n0").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    per = per.withColumn("__d", d)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.col("__s0")).alias("__ts0"),
+        F.sum(F.col("__n0").cast(dec)).alias("__tn0"),
+        F.sum(F.col("__s1")).alias("__ts1"),
+        F.sum(F.col("__n1").cast(dec)).alias("__tn1"),
+        F.sum(F.col("__d").cast(dec)).alias("__sd"),
+        F.sum(F.col("__d").cast(dec) * F.col("__d")).alias("__sdd"),
+    )
+    n = F.col("n_units").cast(dec)
+    var_num = n * F.col("__sdd") - F.col("__sd") * F.col("__sd")
+    var_den = n * (n - 1)
+    mean_d = (
+        F.col("__sd").cast("double")
+        / F.col("n_units").cast("double")
+        / F.lit(1.0e6)
+    )
+    se = (
+        F.sqrt(var_num.cast("double") / var_den.cast("double"))
+        / F.lit(1.0e6)
+        / F.sqrt(F.col("n_units").cast("double"))
+    )
+    return agg.select(
+        "n_units",
+        F.round(
+            F.col("__ts0").cast("double")
+            / F.col("__tn0").cast("double")
+            / F.lit(1.0e6),
+            6,
+        ).alias("mean_pre"),
+        F.round(
+            F.col("__ts1").cast("double")
+            / F.col("__tn1").cast("double")
+            / F.lit(1.0e6),
+            6,
+        ).alias("mean_post"),
+        F.round(mean_d, 6).alias("mean_diff"),
+        F.when(
+            (F.col("n_units") > 1) & (var_num > 0),
+            F.round(mean_d / se, 6),
+        ).alias("t"),
+    )

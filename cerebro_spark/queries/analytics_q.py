@@ -4246,3 +4246,75 @@ ORDER BY p ASC
 
 QUERIES["qte_value"] = q_qte_value
 ORACLES["qte_value"] = _QTE_SQL
+
+
+def q_paired_t_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired within-user t-test (profile.paired_t_prepost): did each
+    user's mean value move across the corpus-midpoint launch?  Each user
+    is their own control, so between-user variance cancels; per-user
+    diffs are e6-requantized so the cross-user moments are order-free."""
+    from cerebro_spark.operators.profile import paired_t_prepost
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long").alias("__mid")
+    )
+    base = ev.crossJoin(F.broadcast(mid))
+    return paired_t_prepost(
+        base, "value", "user_id", F.unix_micros("ts") >= F.col("__mid")
+    )
+
+
+_PAIRED_T_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS t,
+    CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+mid AS (
+  SELECT CAST(floor((min(t) + max(t)) / 2.0) AS BIGINT) AS mid FROM ev
+),
+per AS (
+  SELECT u,
+    sum(CASE WHEN t <  mid THEN 1 ELSE 0 END) AS n0,
+    sum(CASE WHEN t <  mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0,
+    sum(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN t >= mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1
+  FROM ev, mid GROUP BY 1
+  HAVING sum(CASE WHEN t < mid THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN t >= mid THEN 1 ELSE 0 END) > 0
+),
+pd AS (
+  SELECT n0, s0, n1, s1,
+    CAST(floor(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 + 0.5)
+         AS HUGEINT) AS d
+  FROM per
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_units,
+    sum(s0) AS ts0, sum(CAST(n0 AS HUGEINT)) AS tn0,
+    sum(s1) AS ts1, sum(CAST(n1 AS HUGEINT)) AS tn1,
+    sum(d) AS sd, sum(d * d) AS sdd
+  FROM pd
+)
+SELECT n_units,
+  round(CAST(ts0 AS DOUBLE) / CAST(tn0 AS DOUBLE) / 1000000.0, 6)
+    AS mean_pre,
+  round(CAST(ts1 AS DOUBLE) / CAST(tn1 AS DOUBLE) / 1000000.0, 6)
+    AS mean_post,
+  round(CAST(sd AS DOUBLE) / CAST(n_units AS DOUBLE) / 1000000.0, 6)
+    AS mean_diff,
+  CASE WHEN n_units > 1
+        AND CAST(n_units AS HUGEINT) * sdd - sd * sd > 0 THEN
+    round(
+      (CAST(sd AS DOUBLE) / CAST(n_units AS DOUBLE) / 1000000.0)
+      / (sqrt(CAST(CAST(n_units AS HUGEINT) * sdd - sd * sd AS DOUBLE)
+              / CAST(CAST(n_units AS HUGEINT) * (n_units - 1) AS DOUBLE))
+         / 1000000.0 / sqrt(CAST(n_units AS DOUBLE))), 6)
+  END AS t
+FROM agg
+"""
+
+QUERIES["paired_t_value"] = q_paired_t_value
+ORACLES["paired_t_value"] = _PAIRED_T_SQL

@@ -1133,3 +1133,59 @@ def test_qte_tail_only_effect(spark):
     assert out[0.5] == pytest.approx(0.0)
     # q90(ctrl) = 90; q90(treat) = 15th doubled value = 2*(75+15) = 180
     assert out[0.9] == pytest.approx(90.0)
+
+
+# ---------------------------------------------------------------------------
+# paired_t_prepost
+# ---------------------------------------------------------------------------
+
+def test_paired_t_matches_python_reference(spark):
+    from cerebro_spark.operators.profile import paired_t_prepost
+
+    rows = []
+    diffs = []
+    for u in range(12):
+        pre = [10.0 + u + (i % 3) for i in range(4)]
+        post = [12.0 + u + (u % 5) * 0.7 + (i % 2) * 0.5 for i in range(3)]
+        for v in pre:
+            rows.append((u, 0, v))
+        for v in post:
+            rows.append((u, 1, v))
+        dq = math.floor(
+            (sum(round(v * 1e6) for v in post) / 3
+             - sum(round(v * 1e6) for v in pre) / 4) + 0.5
+        )
+        diffs.append(dq)
+    df = spark.createDataFrame(rows, "u long, p int, v double")
+    out = paired_t_prepost(df, "v", "u", F.col("p") == 1).collect()[0]
+    n = len(diffs)
+    sd_, sdd = sum(diffs), sum(d * d for d in diffs)
+    mean_d = sd_ / n / 1e6
+    se = math.sqrt((n * sdd - sd_ * sd_) / (n * (n - 1))) / 1e6 / math.sqrt(n)
+    assert out["n_units"] == 12
+    assert out["mean_diff"] == pytest.approx(round(mean_d, 6), abs=1e-6)
+    assert out["t"] == pytest.approx(round(mean_d / se, 6), abs=1e-4)
+
+
+def test_paired_t_drops_unpaired_units(spark):
+    from cerebro_spark.operators.profile import paired_t_prepost
+
+    rows = [(1, 0, 5.0), (1, 1, 7.0),
+            (2, 0, 4.0),              # pre only -> dropped
+            (3, 1, 9.0)]              # post only -> dropped
+    df = spark.createDataFrame(rows, "u long, p int, v double")
+    out = paired_t_prepost(df, "v", "u", F.col("p") == 1).collect()[0]
+    assert out["n_units"] == 1
+    assert out["mean_diff"] == pytest.approx(2.0)
+    assert out["t"] is None  # n < 2
+
+
+def test_paired_t_zero_variance_null_t(spark):
+    from cerebro_spark.operators.profile import paired_t_prepost
+
+    rows = []
+    for u in range(5):
+        rows += [(u, 0, 10.0), (u, 1, 13.0)]  # identical +3 diff everywhere
+    df = spark.createDataFrame(rows, "u long, p int, v double")
+    out = paired_t_prepost(df, "v", "u", F.col("p") == 1).collect()[0]
+    assert out["mean_diff"] == pytest.approx(3.0) and out["t"] is None

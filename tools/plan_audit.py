@@ -193,6 +193,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # bounded-grid crossJoin: the |probs| (4-row) literal frame fanned
     # over the quantization-bounded value grid (r8)
     "qte_value",
+    # 1-row scalar broadcast: the corpus-midpoint instant crossJoined
+    # onto the scan (the cuped_adjust/did_launch_value pattern) (r8)
+    "paired_t_value",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
