@@ -554,6 +554,10 @@ _SNAPSHOT_PRIORITY = [
     # never-gated queries.  38 free slots for r08 births at the cutover.
     #
     # R08 BIRTHS (front-inserted, gate this round):
+    "kendall_tau_value_hour", # Kendall tau-b pairwise concordance
+    "anova_value_type",       # one-way ANOVA F + eta-squared
+    "theil_index_type",       # Theil T inequality (entropy family)
+    "hhi_supplier_share",     # Herfindahl concentration per nation
     "ranker_sign_test",       # paired nDCG sign test (ranker A/B readout)
     "domain_guarded_split",   # registered-domain leakage-guarded split
     "decontaminate_eval",     # train×eval near-dup decontamination join

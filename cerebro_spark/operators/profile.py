@@ -3498,3 +3498,367 @@ def paired_t_prepost(
             F.round(mean_d / se, 6),
         ).alias("t"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_quant: int = 100,
+    y_quant: int = 1,
+) -> DataFrame:
+    """Kendall rank correlation (tau-b, tie-corrected) of two numeric
+    columns — ONE row ``(n, tau_b)``: the PAIRWISE companion of
+    spearman_corr.  Spearman correlates the rank VALUES (one outlier
+    rank still carries weight); tau-b counts concordant vs discordant
+    PAIRS, so it is the probability-scaled "if x goes up, does y go up"
+    reading analysts actually want, and its small-sample distribution is
+    better behaved.
+
+    Both columns are quantized (``1/x_quant`` / ``1/y_quant`` units —
+    the documented metric is "tau-b at quantized values", identical in
+    any engine).  ``y_col`` must be LOW-CARDINALITY after quantization
+    (an hour-of-day, a rating, a bucket id): the dense grid is
+    |x-grid| × |y-grid| rows and the concordance windows partition by
+    one axis, so the frame is quantization-bounded, never data-sized.
+
+    Exact pair counting on the contingency grid: with cells c(x,y) and
+    the exclusive 2-D cumulatives F(x,y) = Σ_{x'<x} c(x',y) and
+    G(x,y) = Σ_{y'<y} F(x,y'), every unordered discordant/concordant
+    pair is counted exactly once through its larger-x cell:
+    ``P = Σ c·G`` (concordant) and ``Q = Σ c·(T − F − G)`` (discordant,
+    T(x) = Σ_y' F(x,y')).  Tie terms come from the exact marginals:
+    ``n1 = Σ_x t_x(t_x−1)/2``, ``n2 = Σ_y t_y(t_y−1)/2``,
+    ``n0 = n(n−1)/2``.  All sums are exact DECIMAL(38,0);
+    ``tau_b = (P−Q)/√((n0−n1)(n0−n2))`` is one fixed IEEE chain,
+    rounded 6 dp; NULL when either axis is constant.
+
+    Scale shape: one combinable cell aggregate over the fact (the only
+    data-sized stage), a |x-grid|×|y-grid| dense grid via a BROADCAST
+    cross of the two distinct-value frames, two bounded grid windows
+    (partitioned by y over the x-grid, then by x over the y-grid), one
+    broadcast-joinable cell→grid equi-join, one 1-row reduce.
+
+    Reference parity: no reference counterpart — robust-stats extension
+    next to spearman_corr (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+
+    def q(c, k):
+        if k == 1:
+            return F.col(c).cast("long")
+        return F.floor(
+            F.col(c).cast("double") * F.lit(float(k)) + F.lit(0.5)
+        ).cast("long")
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(q(x_col, x_quant).alias("__x"), q(y_col, y_quant).alias("__y"))
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    xs = cells.select("__x").distinct()
+    ys = cells.select("__y").distinct()
+    # dense |x-grid| × |y-grid| frame (broadcast the low-cardinality axis)
+    grid = (
+        xs.crossJoin(F.broadcast(ys))
+        .join(cells, ["__x", "__y"], "left")
+        .select("__x", "__y", F.coalesce(F.col("__c"), F.lit(0)).alias("__c0"))
+    )
+    wq = (
+        Window.partitionBy("__y")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # quantization-bounded grid window: |y-grid| partitions × |x-grid| rows
+    grid = grid.withColumn(
+        "__F", F.coalesce(F.sum(F.col("__c0").cast(dec)).over(wq), F.lit(0).cast(dec))
+    )
+    wg = (
+        Window.partitionBy("__x")
+        .orderBy("__y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("__x")
+    # bounded window: |x-grid| partitions × |y-grid| rows
+    grid = grid.withColumn(
+        "__G", F.coalesce(F.sum("__F").over(wg), F.lit(0).cast(dec))
+    ).withColumn("__T", F.sum("__F").over(wt))
+    j = cells.join(grid.select("__x", "__y", "__F", "__G", "__T"), ["__x", "__y"])
+    pq = j.agg(
+        F.sum(F.col("__c").cast(dec) * F.col("__G")).alias("__P"),
+        F.sum(
+            F.col("__c").cast(dec)
+            * (F.col("__T") - F.col("__F") - F.col("__G"))
+        ).alias("__Q"),
+    )
+    tx = (
+        cells.groupBy("__x")
+        .agg(F.sum("__c").cast(dec).alias("__t"))
+        .agg(
+            F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__n1x2"),
+            F.sum("__t").alias("__n"),
+        )
+    )
+    ty = (
+        cells.groupBy("__y")
+        .agg(F.sum("__c").cast(dec).alias("__t"))
+        .agg(F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__n2x2"))
+    )
+    # three 1-row frames → scalar broadcast cross
+    out = pq.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("__n")
+    n0x2 = n * (n - 1)  # 2·n0, matching the 2·n1 / 2·n2 tie terms
+    dx = (n0x2 - F.col("__n1x2")).cast("double")
+    dy = (n0x2 - F.col("__n2x2")).cast("double")
+    diff = (F.col("__P") - F.col("__Q")).cast("double")
+    return out.select(
+        n.cast("long").alias("n"),
+        F.when(
+            (F.col("__n1x2") < n0x2) & (F.col("__n2x2") < n0x2),
+            F.round(F.lit(2.0) * diff / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("tau_b"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA across the groups of ``group_col`` — ONE row
+    ``(n, k_groups, f_stat, eta_sq)``: does the group label explain any
+    of the value's variance?  The k-group generalization of
+    ab_test_ztest's two-arm compare: F is the mean-square ratio
+    SSB/(k−1) ÷ SSW/(n−k), eta² = SSB/SST is the variance-explained
+    effect size (the number that survives when n is huge and F is
+    trivially "significant").
+
+    Exactness: values are e6-quantized BIGINTs, so per-group (n_g, S_g)
+    and the global Σv² are exact DECIMAL(38,0); the order-sensitive
+    cross-group rational Σ S_g²/n_g uses exact integer FLOOR division
+    per group (``(a − a mod b)/b`` ≡ DuckDB ``//`` — the documented
+    metric is floor-quantized ANOVA, identical in any engine; each
+    floor loses <1 e-12 unit).  SSW = Σv² − ΣS_g²/n_g is ≥ 0 by
+    Cauchy–Schwarz even after flooring; SSB is clamped at 0.  F and
+    eta² are fixed IEEE chains over the exact integers, rounded 6 dp;
+    NULL when k < 2, n ≤ k, or SST = 0.
+
+    Overflow envelope: S_g² ≈ (n·v̄·10⁶)² must stay inside DECIMAL(38)
+    — fine to ~10¹² rows at v̄ ≈ 10³; beyond that pre-scale the quant.
+
+    Scale shape: ONE combinable per-group aggregate over the fact, one
+    k-row reduce.  No window, no join, no collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to ab_test_ztest (driver brief).
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), qv.alias("__v"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("__v").cast(dec)).alias("__s"),
+            F.sum(F.col("__v").cast(dec) * F.col("__v")).alias("__ss"),
+        )
+    )
+
+    def idiv(a, b):
+        return (a - F.pmod(a, b)) / b
+
+    ng = F.col("__n").cast(dec)
+    per = per.withColumn("__tq", idiv(F.col("__s") * F.col("__s"), ng))
+    agg = per.agg(
+        F.sum("__n").cast(dec).alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__s").alias("__S"),
+        F.sum("__ss").alias("__SS"),
+        F.sum("__tq").alias("__T"),
+    )
+    N = F.col("__N")
+    k = F.col("k_groups").cast(dec)
+    gmean_term = (F.col("__S") * F.col("__S") - F.pmod(
+        F.col("__S") * F.col("__S"), N
+    )) / N
+    ssb = F.greatest(F.col("__T") - gmean_term, F.lit(0).cast(dec))
+    sst = F.greatest(F.col("__SS") - gmean_term, F.lit(0).cast(dec))
+    ssw = F.col("__SS") - F.col("__T")
+    ok = (F.col("k_groups") >= 2) & (N > k) & (sst > 0) & (ssw > 0)
+    f_stat = F.when(
+        ok,
+        F.round(
+            (ssb.cast("double") / (k - 1).cast("double"))
+            / (ssw.cast("double") / (N - k).cast("double")),
+            6,
+        ),
+    )
+    eta = F.when(
+        F.col("k_groups") >= 1,
+        F.when(sst > 0, F.round(ssb.cast("double") / sst.cast("double"), 6)),
+    )
+    return agg.select(
+        N.cast("long").alias("n"),
+        "k_groups",
+        f_stat.alias("f_stat"),
+        eta.alias("eta_sq"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index per group — ``(group, n, mean,
+    theil_t)``: how concentrated is the value mass inside each group?
+    T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ) is 0 at perfect equality and ln(n) at
+    total concentration — the ENTROPY-family companion of
+    revenue_gini's rank-family view, and unlike Gini it decomposes
+    additively across sub-populations, which is why corpus-composition
+    audits prefer it.  Only POSITIVE values enter (ln); ``n`` counts
+    them.
+
+    Exactness: values are e6-quantized BIGINTs grouped into a
+    per-(group, distinct-value) cell frame, so the per-cell log term is
+    computed ONCE per distinct value — ``L = ⌊ln(v·n/S)·10⁶ + ½⌋`` is
+    the same libm double in any engine (v·n/S written as the identical
+    three-term IEEE chain) — and the order-sensitive Σ x·ln(x/μ)
+    becomes the exact integer Σ c·v·L (the transition_entropy
+    discipline).  T = Σc·v·L / (S·10⁶) is one final IEEE division,
+    rounded 6 dp.
+
+    Scale shape: ONE combinable cell aggregate over the fact (the only
+    data-sized stage), one per-group reduce of the cell frame, one
+    group-keyed equi-join of cells onto the k-row totals (AQE
+    broadcasts it), one per-group reduce.  No window, no collect.
+
+    Reference parity: no reference counterpart — inequality-audit
+    extension next to revenue_gini (driver brief).
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & (F.col(value_col).cast("double") > 0)
+        )
+        .select(F.col(group_col).alias("group"), qv.alias("__v"))
+        .filter(F.col("__v") > 0)
+        .groupBy("group", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    totals = cells.groupBy("group").agg(
+        F.sum(F.col("__c").cast(dec)).alias("__n"),
+        F.sum(F.col("__c").cast(dec) * F.col("__v")).alias("__s"),
+    )
+    j = cells.join(totals, "group")
+    # identical 3-term IEEE chain in the oracle: ln(v·n/S) = ln(v/μ)
+    larg = (
+        F.col("__v").cast("double")
+        * F.col("__n").cast("double")
+        / F.col("__s").cast("double")
+    )
+    L = F.floor(F.log(larg) * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+    terms = j.select(
+        "group",
+        "__n",
+        "__s",
+        (F.col("__c").cast(dec) * F.col("__v") * L).alias("__t"),
+    )
+    agg = terms.groupBy("group").agg(
+        F.max("__n").alias("__n"),
+        F.max("__s").alias("__s"),
+        F.sum("__t").alias("__tt"),
+    )
+    return agg.select(
+        "group",
+        F.col("__n").cast("long").alias("n"),
+        F.round(
+            F.col("__s").cast("double")
+            / F.col("__n").cast("double")
+            / F.lit(1.0e6),
+            6,
+        ).alias("mean"),
+        F.round(
+            F.col("__tt").cast("double")
+            / (F.col("__s").cast("double") * F.lit(1.0e6)),
+            6,
+        ).alias("theil_t"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    market_col: str,
+    firm_col: str,
+    value_col: str,
+    quant: int = 10000,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market —
+    ``(market, n_firms, hhi, top_share)``: Σ of squared value shares,
+    1/n at perfect fragmentation and 1.0 at monopoly.  The antitrust /
+    supply-risk number behind dominant_suppliers' top-k view: HHI is
+    scale-free, so markets of different sizes compare directly, and
+    1/hhi is the "effective number of firms".
+
+    Exactness: per-(market, firm) values are ``1/quant``-quantized
+    BIGINTs, so the market totals R = Σr, Σr² and max r are exact
+    DECIMAL(38,0); hhi = Σr²/R² and top_share = max r/R are single
+    IEEE divisions over exact integers, rounded 6 dp.
+
+    Overflow envelope: Σr² ≈ n_firms·(R/n)² needs R ≲ 10¹⁹ quant units
+    inside DECIMAL(38) — fine to exabyte-scale revenue at e4.
+
+    Scale shape: TWO combinable aggregates (fact → firm cells → market
+    rows).  No window, no join, no collect.
+
+    Reference parity: no reference counterpart — market-structure
+    extension next to dominant_suppliers (driver brief).
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    firms = (
+        df.filter(
+            F.col(market_col).isNotNull()
+            & F.col(firm_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(market_col).alias("market"),
+            F.col(firm_col).alias("__f"),
+            qv.alias("__v"),
+        )
+        .groupBy("market", "__f")
+        .agg(F.sum(F.col("__v").cast(dec)).alias("__r"))
+    )
+    agg = firms.groupBy("market").agg(
+        F.count(F.lit(1)).cast("long").alias("n_firms"),
+        F.sum("__r").alias("__R"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__RR"),
+        F.max("__r").alias("__mx"),
+    )
+    R = F.col("__R").cast("double")
+    return agg.select(
+        "market",
+        "n_firms",
+        F.when(
+            F.col("__R") > 0,
+            F.round(F.col("__RR").cast("double") / (R * R), 6),
+        ).alias("hhi"),
+        F.when(
+            F.col("__R") > 0,
+            F.round(F.col("__mx").cast("double") / R, 6),
+        ).alias("top_share"),
+    )

@@ -4318,3 +4318,220 @@ FROM agg
 
 QUERIES["paired_t_value"] = q_paired_t_value
 ORACLES["paired_t_value"] = _PAIRED_T_SQL
+
+def q_kendall_tau_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (profile.kendall_tau): the pairwise-concordance
+    companion of spearman_value_hour on the same (value, hour) pair.
+    Exact pair counting on the dense contingency grid via exclusive 2-D
+    cumulatives; all pair sums exact DECIMALs."""
+    from cerebro_spark.operators.profile import kendall_tau
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "value", F.hour(F.col("ts")).alias("hour")
+    )
+    return kendall_tau(ev, "value", "hour", x_quant=100, y_quant=1)
+
+
+_KENDALL_SQL = """
+WITH base AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x, y
+),
+grid AS (
+  SELECT xs.x, ys.y, COALESCE(c.c, 0) AS c0
+  FROM (SELECT DISTINCT x FROM cells) xs
+  CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+  LEFT JOIN cells c USING (x, y)
+),
+gf AS (
+  SELECT x, y, c0,
+    COALESCE(sum(CAST(c0 AS HUGEINT)) OVER (PARTITION BY y ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+  FROM grid
+),
+gg AS (
+  SELECT x, y, f,
+    COALESCE(sum(f) OVER (PARTITION BY x ORDER BY y
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g,
+    sum(f) OVER (PARTITION BY x) AS t
+  FROM gf
+),
+pq AS (
+  SELECT sum(CAST(c.c AS HUGEINT) * gg.g) AS p,
+         sum(CAST(c.c AS HUGEINT) * (gg.t - gg.f - gg.g)) AS q
+  FROM cells c JOIN gg USING (x, y)
+),
+tx AS (
+  SELECT sum(t * (t - 1)) AS n1x2, sum(t) AS n
+  FROM (SELECT CAST(sum(c) AS HUGEINT) AS t FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT sum(t * (t - 1)) AS n2x2
+  FROM (SELECT CAST(sum(c) AS HUGEINT) AS t FROM cells GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN n1x2 < n * (n - 1) AND n2x2 < n * (n - 1) THEN
+    round(2.0 * CAST(p - q AS DOUBLE)
+          / (sqrt(CAST(n * (n - 1) - n1x2 AS DOUBLE))
+             * sqrt(CAST(n * (n - 1) - n2x2 AS DOUBLE))), 6)
+  END AS tau_b
+FROM pq, tx, ty
+"""
+
+QUERIES["kendall_tau_value_hour"] = q_kendall_tau_value_hour
+ORACLES["kendall_tau_value_hour"] = _KENDALL_SQL
+
+
+def q_anova_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (profile.anova_oneway): does event_type explain any
+    of value's variance?  Exact e6 moments; floor-division cross-group
+    terms; F and eta-squared as fixed IEEE chains."""
+    from cerebro_spark.operators.profile import anova_oneway
+
+    return anova_oneway(
+        load_table(spark, "events", sf_dir), "event_type", "value"
+    )
+
+
+_ANOVA_SQL = """
+WITH per AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             AS HUGEINT)) AS s,
+    sum(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             AS HUGEINT)
+        * CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+      AS ss
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT sum(CAST(n AS HUGEINT)) AS nn, CAST(count(*) AS BIGINT) AS k,
+    sum(s) AS stot, sum(ss) AS sstot,
+    sum((s * s) // CAST(n AS HUGEINT)) AS t
+  FROM per
+),
+parts AS (
+  SELECT nn, k, sstot, t,
+    greatest(t - (stot * stot) // nn, 0) AS ssb,
+    greatest(sstot - (stot * stot) // nn, 0) AS sst,
+    sstot - t AS ssw
+  FROM agg
+)
+SELECT CAST(nn AS BIGINT) AS n, k AS k_groups,
+  CASE WHEN k >= 2 AND nn > CAST(k AS HUGEINT) AND sst > 0 AND ssw > 0 THEN
+    round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+          / (CAST(ssw AS DOUBLE) / CAST(nn - k AS DOUBLE)), 6)
+  END AS f_stat,
+  CASE WHEN sst > 0 THEN round(CAST(ssb AS DOUBLE) / CAST(sst AS DOUBLE), 6)
+  END AS eta_sq
+FROM parts
+"""
+
+QUERIES["anova_value_type"] = q_anova_value_type
+ORACLES["anova_value_type"] = _ANOVA_SQL
+
+
+def q_theil_index_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality (profile.theil_index) of positive event values
+    within each event_type — the entropy-family companion of
+    revenue_gini.  Per-distinct-value log terms as exact integers."""
+    from cerebro_spark.operators.profile import theil_index
+
+    return theil_index(
+        load_table(spark, "events", sf_dir), "event_type", "value"
+    )
+
+
+_THEIL_SQL = """
+WITH cells AS (
+  SELECT event_type AS "group",
+    CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND CAST(value AS DOUBLE) > 0
+    AND CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) > 0
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT "group", sum(CAST(c AS HUGEINT)) AS n,
+         sum(CAST(c AS HUGEINT) * v) AS s
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT cells."group", n, s,
+    CAST(c AS HUGEINT) * v
+      * CAST(floor(ln(CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+                      / CAST(s AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS t
+  FROM cells JOIN totals USING ("group")
+)
+SELECT "group", CAST(max(n) AS BIGINT) AS n,
+  round(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 1000000.0, 6)
+    AS mean,
+  round(CAST(sum(t) AS DOUBLE) / (CAST(max(s) AS DOUBLE) * 1000000.0), 6)
+    AS theil_t
+FROM terms GROUP BY 1
+"""
+
+QUERIES["theil_index_type"] = q_theil_index_type
+ORACLES["theil_index_type"] = _THEIL_SQL
+
+
+def q_hhi_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation
+    (profile.hhi_concentration): lineitem revenue attributed to the
+    supplier's nation; HHI + top-supplier share from exact e4 revenue
+    integers.  Constant-size dims broadcast."""
+    from cerebro_spark.operators.profile import hhi_concentration
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    j = li.join(sup, li.l_suppkey == sup.s_suppkey).join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    )
+    j = j.select(
+        F.col("n_name"),
+        F.col("s_suppkey"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    return hhi_concentration(j, "n_name", "s_suppkey", "rev", quant=10000)
+
+
+_HHI_SQL = """
+WITH firms AS (
+  SELECT n_name AS market, s_suppkey,
+    sum(CAST(CAST(floor(CAST(l_extendedprice * (1.0 - l_discount) AS DOUBLE)
+                        * 10000.0 + 0.5) AS BIGINT) AS HUGEINT)) AS r
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT market, CAST(count(*) AS BIGINT) AS n_firms,
+    sum(r) AS rr_sum, sum(r * r) AS rr_sq, max(r) AS mx
+  FROM firms GROUP BY 1
+)
+SELECT market, n_firms,
+  CASE WHEN rr_sum > 0 THEN
+    round(CAST(rr_sq AS DOUBLE)
+          / (CAST(rr_sum AS DOUBLE) * CAST(rr_sum AS DOUBLE)), 6)
+  END AS hhi,
+  CASE WHEN rr_sum > 0 THEN
+    round(CAST(mx AS DOUBLE) / CAST(rr_sum AS DOUBLE), 6)
+  END AS top_share
+FROM agg
+"""
+
+QUERIES["hhi_supplier_share"] = q_hhi_supplier_share
+ORACLES["hhi_supplier_share"] = _HHI_SQL

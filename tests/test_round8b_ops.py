@@ -1,0 +1,193 @@
+"""Round-8 second-batch operators: Kendall tau-b, one-way ANOVA, Theil T
+inequality, and HHI market concentration.
+
+Cross-engine value checks live in the oracle gates (``kendall_tau_value_hour``,
+``anova_value_type``, ``theil_index_type``, ``hhi_supplier_share``); these
+tests pin SEMANTICS on hand-built inputs where the right answer is computable
+by hand or a tiny pure-Python reference.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau
+# ---------------------------------------------------------------------------
+
+def _brute_tau_b(pairs):
+    """O(n^2) reference: tau-b with tie correction."""
+    n = len(pairs)
+    p = q = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pairs[i][0] - pairs[j][0]
+            dy = pairs[i][1] - pairs[j][1]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                p += 1
+            else:
+                q += 1
+    n0 = n * (n - 1) / 2
+    den = math.sqrt((n0 - tx) * (n0 - ty))
+    return (p - q) / den
+
+
+def _tau(spark, pairs):
+    from cerebro_spark.operators.profile import kendall_tau
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pairs], "x double, y double"
+    )
+    return kendall_tau(df, "x", "y", x_quant=1, y_quant=1).collect()[0]
+
+
+def test_kendall_matches_bruteforce_with_ties(spark):
+    # deterministic pseudo-data with heavy ties on both axes
+    pairs = [((7 * i * i + 3 * i) % 11, (5 * i + 2) % 4) for i in range(40)]
+    out = _tau(spark, pairs)
+    assert out["n"] == 40
+    assert out["tau_b"] == pytest.approx(_brute_tau_b(pairs), abs=1e-6)
+
+
+def test_kendall_perfect_orders(spark):
+    up = [(i, 2 * i) for i in range(10)]
+    down = [(i, -3 * i) for i in range(10)]
+    assert _tau(spark, up)["tau_b"] == pytest.approx(1.0)
+    assert _tau(spark, down)["tau_b"] == pytest.approx(-1.0)
+
+
+def test_kendall_constant_axis_is_null(spark):
+    out = _tau(spark, [(i, 5) for i in range(6)])
+    assert out["tau_b"] is None
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway
+# ---------------------------------------------------------------------------
+
+def _anova(spark, rows):
+    from cerebro_spark.operators.profile import anova_oneway
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    return anova_oneway(df, "g", "v").collect()[0]
+
+
+def _brute_anova(rows):
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    n = sum(len(vs) for vs in groups.values())
+    k = len(groups)
+    mean = sum(sum(vs) for vs in groups.values()) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - mean) ** 2 for vs in groups.values())
+    ssw = sum(
+        sum((v - sum(vs) / len(vs)) ** 2 for v in vs) for vs in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta = ssb / (ssb + ssw)
+    return f, eta
+
+
+def test_anova_matches_bruteforce(spark):
+    rows = [("a", 1.5), ("a", 2.0), ("a", 2.5), ("b", 4.0), ("b", 5.0),
+            ("b", 4.5), ("c", 8.0), ("c", 7.5), ("c", 9.1)]
+    out = _anova(spark, rows)
+    f, eta = _brute_anova(rows)
+    assert out["n"] == 9 and out["k_groups"] == 3
+    assert out["f_stat"] == pytest.approx(f, rel=1e-5)
+    assert out["eta_sq"] == pytest.approx(eta, rel=1e-5)
+
+
+def test_anova_identical_groups_f_zero(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)]
+    out = _anova(spark, rows)
+    assert out["f_stat"] == pytest.approx(0.0)
+    assert out["eta_sq"] == pytest.approx(0.0)
+
+
+def test_anova_single_group_null(spark):
+    out = _anova(spark, [("a", 1.0), ("a", 2.0)])
+    assert out["f_stat"] is None
+
+
+# ---------------------------------------------------------------------------
+# theil_index
+# ---------------------------------------------------------------------------
+
+def _theil(spark, rows):
+    from cerebro_spark.operators.profile import theil_index
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    return {
+        r["group"]: r
+        for r in theil_index(df, "g", "v").collect()
+    }
+
+
+def test_theil_equality_is_zero(spark):
+    out = _theil(spark, [("a", 5.0)] * 8)
+    assert out["a"]["theil_t"] == pytest.approx(0.0, abs=1e-5)
+    assert out["a"]["n"] == 8 and out["a"]["mean"] == pytest.approx(5.0)
+
+
+def test_theil_matches_bruteforce(spark):
+    vals = [1.0, 2.0, 3.0, 10.0, 0.5]
+    mu = sum(vals) / len(vals)
+    want = sum((v / mu) * math.log(v / mu) for v in vals) / len(vals)
+    out = _theil(spark, [("a", v) for v in vals])
+    assert out["a"]["theil_t"] == pytest.approx(want, abs=1e-4)
+
+
+def test_theil_drops_nonpositive(spark):
+    out = _theil(spark, [("a", 2.0), ("a", 2.0), ("a", 0.0), ("a", -1.0)])
+    assert out["a"]["n"] == 2
+    assert out["a"]["theil_t"] == pytest.approx(0.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# hhi_concentration
+# ---------------------------------------------------------------------------
+
+def _hhi(spark, rows):
+    from cerebro_spark.operators.profile import hhi_concentration
+
+    df = spark.createDataFrame(
+        [(m, f_, float(v)) for m, f_, v in rows],
+        "m string, f string, v double",
+    )
+    return {
+        r["market"]: r
+        for r in hhi_concentration(df, "m", "f", "v").collect()
+    }
+
+
+def test_hhi_monopoly_and_uniform(spark):
+    rows = [("mono", "s1", 10.0)]
+    rows += [("flat", f"s{i}", 2.5) for i in range(4)]
+    out = _hhi(spark, rows)
+    assert out["mono"]["hhi"] == pytest.approx(1.0)
+    assert out["mono"]["top_share"] == pytest.approx(1.0)
+    assert out["flat"]["hhi"] == pytest.approx(0.25)
+    assert out["flat"]["top_share"] == pytest.approx(0.25)
+    assert out["flat"]["n_firms"] == 4
+
+
+def test_hhi_aggregates_firm_rows_before_shares(spark):
+    # s1 appears twice (3 + 3 = 6), s2 once (4): shares 0.6 / 0.4
+    out = _hhi(spark, [("m", "s1", 3.0), ("m", "s1", 3.0), ("m", "s2", 4.0)])
+    assert out["m"]["n_firms"] == 2
+    assert out["m"]["hhi"] == pytest.approx(0.36 + 0.16)
+    assert out["m"]["top_share"] == pytest.approx(0.6)

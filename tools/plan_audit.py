@@ -196,6 +196,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcast: the corpus-midpoint instant crossJoined
     # onto the scan (the cuped_adjust/did_launch_value pattern) (r8)
     "paired_t_value",
+    # bounded-grid crossJoin: the |x-grid| × |y-grid| dense contingency
+    # frame (the chi2_event_hour contract — zero cells must carry the
+    # exclusive 2-D cumulatives) plus two 1-row tie-term broadcasts (r8)
+    "kendall_tau_value_hour",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
