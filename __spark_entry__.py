@@ -554,6 +554,9 @@ _SNAPSHOT_PRIORITY = [
     # never-gated queries.  38 free slots for r08 births at the cutover.
     #
     # R08 BIRTHS (front-inserted, gate this round):
+    "nelson_aalen_hazard",    # cumulative hazard (survival family)
+    "logrank_survival",       # two-sample log-rank test
+    "value_decile_lift",      # gains/lift table (model eval)
     "kendall_tau_value_hour", # Kendall tau-b pairwise concordance
     "anova_value_type",       # one-way ANOVA F + eta-squared
     "theil_index_type",       # Theil T inequality (entropy family)

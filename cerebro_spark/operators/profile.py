@@ -3862,3 +3862,324 @@ def hhi_concentration(
             F.round(F.col("__mx").cast("double") / R, 6),
         ).alias("top_share"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    t_col: str,
+    censored_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over right-censored
+    lifetimes — per distinct event time ``(t, n_at_risk, d_events,
+    cum_hazard)``: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ.  The instantaneous-risk
+    companion of the survival_km query's product-limit view: KM answers
+    "what fraction survives past t", H(t)'s increments answer "how hard
+    does risk bite AT t", and −ln(KM) ≈ H gives a built-in consistency
+    check.  Input is one row per subject: ``t_col`` (time of event or
+    censoring, small integer grid — days/weeks) and ``censored_col``
+    (1 = censored at t, 0 = event at t).
+
+    Exactness: per-time d/n becomes the exact integer floor
+    ``⌊d·10¹²/n⌋`` (DuckDB ``//``), the cumulative is an exact integer
+    sum over the time grid, and H is one final division by 10¹²,
+    rounded 9 dp (each floor loses <10⁻¹² — invisible at 9 dp).
+
+    Scale shape: ONE combinable per-time aggregate over the subjects
+    (the only data-sized stage), then two windows over the TIME-GRID
+    frame (≤ a few hundred rows for day-grid lifetimes — bounded, never
+    data-sized; the survival_km contract).
+
+    Reference parity: no reference counterpart — survival-analysis
+    extension next to the survival_km gate (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    grid = (
+        df.filter(F.col(t_col).isNotNull())
+        .select(
+            F.col(t_col).cast("long").alias("t"),
+            F.col(censored_col).cast("int").alias("__c"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ending"),
+            F.sum(F.lit(1) - F.col("__c")).cast("long").alias("d_events"),
+        )
+    )
+    # bounded time-grid windows (the survival_km contract)
+    w_tot = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_excl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = grid.withColumn(
+        "n_at_risk",
+        (
+            F.sum("__ending").over(w_tot)
+            - F.coalesce(F.sum("__ending").over(w_excl), F.lit(0))
+        ).cast("long"),
+    )
+    term = (
+        F.col("d_events").cast(dec) * F.lit(1000000000000).cast(dec)
+    )
+    n = F.col("n_at_risk").cast(dec)
+    staged = staged.withColumn(
+        "__h12", ((term - F.pmod(term, n)) / n).cast(dec)
+    )
+    return staged.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.round(
+            F.sum("__h12").over(w_cum).cast("double") / F.lit(1.0e12), 9
+        ).alias("cum_hazard"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    t_col: str,
+    censored_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test over right-censored lifetimes — ONE row
+    ``(n1, n2, o1, e1, o2, e2, chi2)``: do the two groups share a
+    survival curve?  The hypothesis-test companion of nelson_aalen /
+    survival_km: at every distinct event time the observed group-1
+    events are compared to the hypergeometric expectation
+    ``e₁ₜ = dₜ·n₁ₜ/nₜ``, and χ² = (O₁−E₁)²/V with
+    ``Vₜ = dₜ·(n₁ₜ/nₜ)·(n₂ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)``.  Input is one row
+    per subject: lifetime, censoring flag, and ``group_col`` ∈ {0, 1}
+    (callers map their arms onto the binary code — it is what makes the
+    conditional aggregates exact).
+
+    Exactness: the per-time rationals are staged exact integer floor
+    divisions at e6 per step (``a = ⌊dₜn₁ₜ10⁶/nₜ⌋``, ``b = ⌊a·n₂ₜ/nₜ⌋``,
+    ``v = ⌊b·(nₜ−dₜ)/(nₜ−1)⌋`` — each an exact DECIMAL op, re-cast to
+    scale 0 between steps so the headroom never shrinks), so ΣE₁ and ΣV
+    are exact integer sums; χ² is one fixed IEEE chain, rounded 6 dp;
+    NULL when V = 0.  Overflow envelope: nₜ³·10⁶ inside DECIMAL(38) —
+    fine to ~10¹⁰ subjects.
+
+    Scale shape: ONE combinable per-(group, time) aggregate over the
+    subjects, a dense 2×|time-grid| frame (per-group exclusive
+    cumulatives need the zero cells), per-group grid windows, one 1-row
+    reduce.  The grid is time-bounded, never data-sized.
+
+    Reference parity: no reference counterpart — survival-analysis
+    extension next to survival_km (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(t_col).isNotNull() & F.col(group_col).isin(0, 1)
+    ).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(censored_col).cast("int").alias("__c"),
+        F.col(group_col).cast("int").alias("__g"),
+    )
+    cells = base.groupBy("__g", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("__ending"),
+        F.sum(F.lit(1) - F.col("__c")).cast("long").alias("__d"),
+    )
+    ts = cells.select("t").distinct()
+    gs = cells.select("__g").distinct()
+    dense = (
+        ts.crossJoin(F.broadcast(gs))
+        .join(cells, ["__g", "t"], "left")
+        .select(
+            "__g",
+            "t",
+            F.coalesce(F.col("__ending"), F.lit(0)).alias("__ending"),
+            F.coalesce(F.col("__d"), F.lit(0)).alias("__d"),
+        )
+    )
+    w_tot = (
+        Window.partitionBy("__g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_excl = (
+        Window.partitionBy("__g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # per-group exclusive cumulatives over the bounded time grid
+    dense = dense.withColumn(
+        "__risk",
+        (
+            F.sum("__ending").over(w_tot)
+            - F.coalesce(F.sum("__ending").over(w_excl), F.lit(0))
+        ).cast("long"),
+    )
+    per_t = dense.groupBy("t").agg(
+        F.sum(F.when(F.col("__g") == 1, F.col("__risk")).otherwise(0))
+        .cast("long")
+        .alias("__n1"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__risk")).otherwise(0))
+        .cast("long")
+        .alias("__n2"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__d")).otherwise(0))
+        .cast("long")
+        .alias("__d1"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__d")).otherwise(0))
+        .cast("long")
+        .alias("__d2"),
+    )
+
+    def idiv(a, b):
+        return ((a - F.pmod(a, b)) / b).cast(dec)
+
+    nt = (F.col("__n1") + F.col("__n2")).cast(dec)
+    dt = (F.col("__d1") + F.col("__d2")).cast(dec)
+    n1 = F.col("__n1").cast(dec)
+    n2 = F.col("__n2").cast(dec)
+    e6 = F.lit(1000000).cast(dec)
+    staged = per_t.filter((F.col("__d1") + F.col("__d2")) > 0).withColumn(
+        "__a", idiv(dt * n1 * e6, nt)
+    )
+    staged = staged.withColumn("__b", idiv(F.col("__a") * n2, nt))
+    staged = staged.withColumn(
+        "__v",
+        F.when(
+            nt > 1, idiv(F.col("__b") * (nt - dt), nt - 1)
+        ).otherwise(F.lit(0).cast(dec)),
+    )
+    # subject totals from the tiny cell frame — no second fact scan
+    counts = cells.groupBy().agg(
+        F.sum(F.when(F.col("__g") == 1, F.col("__ending")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__ending")).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    agg = staged.agg(
+        F.sum("__d1").cast("long").alias("o1"),
+        F.sum("__d2").cast("long").alias("o2"),
+        F.sum("__a").alias("__E1q"),
+        F.sum(dt).alias("__D"),
+        F.sum("__v").alias("__Vq"),
+    )
+    # 1-row × 1-row scalar crossJoin
+    out = agg.crossJoin(F.broadcast(counts))
+    e1 = F.col("__E1q").cast("double") / F.lit(1.0e6)
+    e2 = F.col("__D").cast("double") - e1
+    v = F.col("__Vq").cast("double") / F.lit(1.0e6)
+    diff = F.col("o1").cast("double") - e1
+    return out.select(
+        "n1",
+        "n2",
+        "o1",
+        F.round(e1, 6).alias("e1"),
+        "o2",
+        F.round(e2, 6).alias("e2"),
+        F.when(F.col("__Vq") > 0, F.round(diff * diff / v, 6)).alias(
+            "chi2"
+        ),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quant: int = 1000000,
+) -> DataFrame:
+    """Gains / lift table for a score against a binary outcome — per
+    score decile ``(decile, n_units, n_pos, response_rate, lift,
+    cum_capture)``: the campaign-targeting readout behind every
+    propensity model ("mail the top 2 deciles, capture 60% of the
+    buyers").  ``decile`` 10 is the HIGHEST-score bucket; ``lift`` is
+    the decile's response rate over the base rate; ``cum_capture`` is
+    the fraction of all positives found at this decile or above — the
+    gains curve, read bottom-up.
+
+    NO GLOBAL NTILE (a global ranking is a single-task sort at scale —
+    the length_deciles discipline): scores are ``1/quant``-quantized
+    BIGINTs, the 9 exact-RANK boundaries come from the score-grid
+    inclusive cumulative (bₖ = min grid value with cum ≥ ⌈k·n/10⌉, the
+    qte_value selection rule — exact integer comparisons), and each
+    unit is bucketed by ``1 + #(bₖ < score)``, so boundary ties go DOWN
+    on both engines.  Counts are exact; rate/lift/capture are single
+    IEEE divisions over exact integers, rounded 6 dp.
+
+    Scale shape: one combinable grid aggregate over the units, one
+    quantization-bounded grid window + 1-row total broadcast for the
+    boundaries, a 1-row boundary-array broadcast back onto the units,
+    one 10-row reduce, two ≤10-row windows.  No global sort, no
+    collect.
+
+    Reference parity: no reference counterpart — model-evaluation
+    extension next to roc_auc/calibration (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    qs = F.floor(
+        F.col(score_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    units = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(qs.alias("__s"), F.col(label_col).cast("int").alias("__y"))
+    grid = units.groupBy("__s").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    w_cum = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # quantization-bounded grid window (the qte_value contract)
+    grid = grid.withColumn("__cum", F.sum("__c").over(w_cum))
+    tot = units.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    g = grid.crossJoin(F.broadcast(tot))  # 1-row scalar broadcast
+    ks = [
+        F.min(
+            F.when(
+                F.col("__cum") * 10 >= F.col("__n").cast("long") * k,
+                F.col("__s"),
+            )
+        ).alias(f"__b{k}")
+        for k in range(1, 10)
+    ]
+    bounds = g.agg(*ks)  # one row, the 9 exact-rank boundaries
+    bucketed = units.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + sum(
+                (F.col(f"__b{k}") < F.col("__s")).cast("int")
+                for k in range(1, 10)
+            )
+        ).alias("decile"),
+        "__y",
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    # ≤10-row frame: bounded windows for totals and top-down capture
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_top = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per = per.withColumn("__N", F.sum("n_units").over(w_all)).withColumn(
+        "__P", F.sum("n_pos").over(w_all)
+    ).withColumn("__cp", F.sum("n_pos").over(w_top))
+    rate = F.col("n_pos").cast("double") / F.col("n_units").cast("double")
+    base = F.col("__P").cast("double") / F.col("__N").cast("double")
+    return per.select(
+        "decile",
+        "n_units",
+        "n_pos",
+        F.round(rate, 6).alias("response_rate"),
+        F.when(F.col("__P") > 0, F.round(rate / base, 6)).alias("lift"),
+        F.when(
+            F.col("__P") > 0,
+            F.round(
+                F.col("__cp").cast("double") / F.col("__P").cast("double"), 6
+            ),
+        ).alias("cum_capture"),
+    ).orderBy("decile")

@@ -4535,3 +4535,288 @@ FROM agg
 
 QUERIES["hhi_supplier_share"] = q_hhi_supplier_share
 ORACLES["hhi_supplier_share"] = _HHI_SQL
+
+def _user_lifetimes(spark: SparkSession, sf_dir: str, with_group: bool = False):
+    """User lifetimes in days, censored on the corpus' final day — the
+    survival_km input frame, shared by the hazard/log-rank queries."""
+    ev = load_table(spark, "events", sf_dir)
+    corpus_max = ev.agg(F.max(F.col("ts").cast("long")).alias("__cm"))
+    aggs = [
+        F.min(F.col("ts").cast("long")).alias("__first"),
+        F.max(F.col("ts").cast("long")).alias("__last"),
+    ]
+    lives = (
+        ev.groupBy("user_id")
+        .agg(*aggs)
+        .crossJoin(F.broadcast(corpus_max))
+        .select(
+            F.col("user_id"),
+            F.floor((F.col("__last") - F.col("__first")) / 86400)
+            .cast("long")
+            .alias("t"),
+            (F.col("__last") >= F.col("__cm") - 86400)
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    if with_group:
+        lives = lives.withColumn("grp", F.pmod(F.col("user_id"), F.lit(2)))
+    return lives
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard (profile.nelson_aalen) over the
+    survival_km user lifetimes — exact ⌊d·10¹²/n⌋ increments summed as
+    integers over the bounded day grid."""
+    from cerebro_spark.operators.profile import nelson_aalen
+
+    return nelson_aalen(_user_lifetimes(spark, sf_dir), "t", "censored")
+
+
+_NELSON_AALEN_SQL = """
+WITH cm AS (SELECT max(floor(epoch(ts))) AS corpus_max FROM events),
+lives AS (
+  SELECT
+    CAST(floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 86400)
+         AS BIGINT) AS t,
+    CASE WHEN max(floor(epoch(ts))) >= (SELECT corpus_max FROM cm) - 86400
+         THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS ending,
+    CAST(sum(1 - censored) AS BIGINT) AS d_events
+  FROM lives GROUP BY t
+),
+staged AS (
+  SELECT t, d_events,
+    sum(ending) OVER () - coalesce(sum(ending) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_at_risk
+  FROM grid
+),
+terms AS (
+  SELECT t, n_at_risk, d_events,
+    (CAST(d_events AS HUGEINT) * 1000000000000) // CAST(n_at_risk AS HUGEINT)
+      AS h12
+  FROM staged
+)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,
+  round(CAST(sum(h12) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DOUBLE) / 1e12, 9)
+    AS cum_hazard
+FROM terms
+"""
+
+QUERIES["nelson_aalen_hazard"] = q_nelson_aalen_hazard
+ORACLES["nelson_aalen_hazard"] = _NELSON_AALEN_SQL
+
+
+def q_logrank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (profile.logrank_test): do odd and even
+    user_id cohorts share a lifetime curve?  Hypergeometric expectations
+    and variances as staged exact integer floors over the day grid."""
+    from cerebro_spark.operators.profile import logrank_test
+
+    return logrank_test(
+        _user_lifetimes(spark, sf_dir, with_group=True),
+        "t",
+        "censored",
+        "grp",
+    )
+
+
+_LOGRANK_SQL = """
+WITH cm AS (SELECT max(floor(epoch(ts))) AS corpus_max FROM events),
+lives AS (
+  SELECT user_id % 2 AS g,
+    CAST(floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 86400)
+         AS BIGINT) AS t,
+    CASE WHEN max(floor(epoch(ts))) >= (SELECT corpus_max FROM cm) - 86400
+         THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT g, t, CAST(count(*) AS BIGINT) AS ending,
+    CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM lives GROUP BY g, t
+),
+dense AS (
+  SELECT gs.g, ts.t, COALESCE(c.ending, 0) AS ending, COALESCE(c.d, 0) AS d
+  FROM (SELECT DISTINCT t FROM cells) ts
+  CROSS JOIN (SELECT DISTINCT g FROM cells) gs
+  LEFT JOIN cells c USING (g, t)
+),
+risk AS (
+  SELECT g, t, d,
+    sum(ending) OVER (PARTITION BY g) - coalesce(sum(ending) OVER (
+      PARTITION BY g ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+  FROM dense
+),
+per_t AS (
+  SELECT t,
+    sum(CASE WHEN g = 1 THEN r ELSE 0 END) AS n1,
+    sum(CASE WHEN g = 0 THEN r ELSE 0 END) AS n2,
+    sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+    sum(CASE WHEN g = 0 THEN d ELSE 0 END) AS d2
+  FROM risk GROUP BY t
+),
+staged AS (
+  SELECT d1, d2,
+    (CAST(d1 + d2 AS HUGEINT) * CAST(n1 AS HUGEINT) * 1000000)
+      // CAST(n1 + n2 AS HUGEINT) AS a,
+    n1, n2
+  FROM per_t WHERE d1 + d2 > 0
+),
+staged2 AS (
+  SELECT d1, d2, a, n1, n2,
+    (a * CAST(n2 AS HUGEINT)) // CAST(n1 + n2 AS HUGEINT) AS b
+  FROM staged
+),
+staged3 AS (
+  SELECT d1, d2, a,
+    CASE WHEN n1 + n2 > 1 THEN
+      (b * CAST(n1 + n2 - d1 - d2 AS HUGEINT)) // CAST(n1 + n2 - 1 AS HUGEINT)
+    ELSE 0 END AS v
+  FROM staged2
+),
+counts AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 1 THEN ending ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN g = 0 THEN ending ELSE 0 END) AS BIGINT) AS n2
+  FROM cells
+),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+    sum(a) AS e1q, sum(CAST(d1 + d2 AS HUGEINT)) AS dd, sum(v) AS vq
+  FROM staged3
+)
+SELECT counts.n1, counts.n2, o1,
+  round(CAST(e1q AS DOUBLE) / 1e6, 6) AS e1,
+  o2,
+  round(CAST(dd AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6, 6) AS e2,
+  CASE WHEN vq > 0 THEN
+    round((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6)
+          * (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6)
+          / (CAST(vq AS DOUBLE) / 1e6), 6)
+  END AS chi2
+FROM agg, counts
+"""
+
+QUERIES["logrank_survival"] = q_logrank_survival
+ORACLES["logrank_survival"] = _LOGRANK_SQL
+
+
+def q_value_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table (profile.decile_lift): score = each user's
+    pre-midpoint total value (exact e6 integer), outcome = any
+    post-midpoint purchase — the targeting readout for an RFM-style
+    propensity score.  Exact-rank decile boundaries, no global NTILE."""
+    from cerebro_spark.operators.profile import decile_lift
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("__mid")
+    )
+    v6 = F.floor(F.col("value").cast("double") * 1000000.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    pre = F.unix_micros("ts") < F.col("__mid")
+    users = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(pre & F.col("value").isNotNull(), v6).otherwise(0)
+            )
+            .cast("long")
+            .alias("score"),
+            F.max(
+                (~pre & (F.col("event_type") == "purchase")).cast("int")
+            ).alias("converted"),
+        )
+    )
+    return decile_lift(users, "score", "converted", quant=1)
+
+
+_DECILE_LIFT_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_type,
+    CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v6,
+    value
+  FROM events WHERE user_id IS NOT NULL
+),
+mid AS (SELECT CAST((min(tus) + max(tus)) / 2 AS BIGINT) AS m FROM ev),
+users AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN tus < (SELECT m FROM mid) AND value IS NOT NULL
+                  THEN v6 ELSE 0 END) AS BIGINT) AS s,
+    max(CASE WHEN tus >= (SELECT m FROM mid) AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS y
+  FROM ev GROUP BY user_id
+),
+qs AS (
+  SELECT CAST(floor(CAST(s AS DOUBLE) * 1.0 + 0.5) AS BIGINT) AS s, y
+  FROM users
+),
+grid AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c FROM qs GROUP BY s
+),
+cumg AS (
+  SELECT s, sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM grid
+),
+bounds AS (
+  SELECT
+    min(CASE WHEN cum * 10 >= n * 1 THEN s END) AS b1,
+    min(CASE WHEN cum * 10 >= n * 2 THEN s END) AS b2,
+    min(CASE WHEN cum * 10 >= n * 3 THEN s END) AS b3,
+    min(CASE WHEN cum * 10 >= n * 4 THEN s END) AS b4,
+    min(CASE WHEN cum * 10 >= n * 5 THEN s END) AS b5,
+    min(CASE WHEN cum * 10 >= n * 6 THEN s END) AS b6,
+    min(CASE WHEN cum * 10 >= n * 7 THEN s END) AS b7,
+    min(CASE WHEN cum * 10 >= n * 8 THEN s END) AS b8,
+    min(CASE WHEN cum * 10 >= n * 9 THEN s END) AS b9
+  FROM cumg
+),
+bucketed AS (
+  SELECT 1 + CAST(b1 < s AS INT) + CAST(b2 < s AS INT) + CAST(b3 < s AS INT)
+           + CAST(b4 < s AS INT) + CAST(b5 < s AS INT) + CAST(b6 < s AS INT)
+           + CAST(b7 < s AS INT) + CAST(b8 < s AS INT) + CAST(b9 < s AS INT)
+      AS decile, y
+  FROM qs, bounds
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_units,
+    CAST(sum(y) AS BIGINT) AS n_pos
+  FROM bucketed GROUP BY decile
+),
+tot AS (
+  SELECT decile, n_units, n_pos,
+    sum(n_units) OVER () AS nn, sum(n_pos) OVER () AS pp,
+    sum(n_pos) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cp
+  FROM per
+)
+SELECT decile, n_units, n_pos,
+  round(CAST(n_pos AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+    AS response_rate,
+  CASE WHEN pp > 0 THEN
+    round((CAST(n_pos AS DOUBLE) / CAST(n_units AS DOUBLE))
+          / (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+  END AS lift,
+  CASE WHEN pp > 0 THEN
+    round(CAST(cp AS DOUBLE) / CAST(pp AS DOUBLE), 6)
+  END AS cum_capture
+FROM tot
+"""
+
+QUERIES["value_decile_lift"] = q_value_decile_lift
+ORACLES["value_decile_lift"] = _DECILE_LIFT_SQL

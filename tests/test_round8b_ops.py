@@ -191,3 +191,112 @@ def test_hhi_aggregates_firm_rows_before_shares(spark):
     assert out["m"]["n_firms"] == 2
     assert out["m"]["hhi"] == pytest.approx(0.36 + 0.16)
     assert out["m"]["top_share"] == pytest.approx(0.6)
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen
+# ---------------------------------------------------------------------------
+
+def _na(spark, rows):
+    from cerebro_spark.operators.profile import nelson_aalen
+
+    df = spark.createDataFrame(rows, "t long, censored int")
+    return {r["t"]: r for r in nelson_aalen(df, "t", "censored").collect()}
+
+
+def test_nelson_aalen_hand_case(spark):
+    # classic: events at t=1 (n=5), t=2 two events (n=4), censor at t=3,
+    # event at t=4 (n=1)
+    rows = [(1, 0), (2, 0), (2, 0), (3, 1), (4, 0)]
+    out = _na(spark, rows)
+    assert out[1]["n_at_risk"] == 5 and out[1]["d_events"] == 1
+    assert out[1]["cum_hazard"] == pytest.approx(1 / 5, abs=1e-9)
+    assert out[2]["n_at_risk"] == 4 and out[2]["d_events"] == 2
+    assert out[2]["cum_hazard"] == pytest.approx(1 / 5 + 2 / 4, abs=1e-9)
+    assert out[3]["d_events"] == 0
+    assert out[3]["cum_hazard"] == pytest.approx(1 / 5 + 2 / 4, abs=1e-9)
+    assert out[4]["n_at_risk"] == 1
+    assert out[4]["cum_hazard"] == pytest.approx(1 / 5 + 2 / 4 + 1, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# logrank_test
+# ---------------------------------------------------------------------------
+
+def _brute_logrank(rows):
+    """Pure-python reference: rows = (t, censored, g)."""
+    times = sorted({t for t, c, _ in rows if c == 0})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for tt, _, g in rows if tt >= t and g == 1)
+        n2 = sum(1 for tt, _, g in rows if tt >= t and g == 0)
+        d1 = sum(1 for tt, c, g in rows if tt == t and c == 0 and g == 1)
+        d2 = sum(1 for tt, c, g in rows if tt == t and c == 0 and g == 0)
+        n, d = n1 + n2, d1 + d2
+        if d == 0:
+            continue
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+    return o1, e1, (o1 - e1) ** 2 / v
+
+
+def test_logrank_matches_bruteforce(spark):
+    from cerebro_spark.operators.profile import logrank_test
+
+    # group 1 dies early, group 0 lives long → significant separation
+    rows = [(1, 0, 1), (2, 0, 1), (2, 0, 1), (3, 1, 1), (4, 0, 1),
+            (5, 0, 0), (6, 0, 0), (7, 1, 0), (8, 0, 0), (9, 0, 0)]
+    df = spark.createDataFrame(rows, "t long, c int, g int")
+    out = logrank_test(df, "t", "c", "g").collect()[0]
+    o1, e1, chi2 = _brute_logrank(rows)
+    assert out["n1"] == 5 and out["n2"] == 5
+    assert out["o1"] == o1
+    assert out["e1"] == pytest.approx(e1, abs=1e-4)
+    assert out["chi2"] == pytest.approx(chi2, abs=1e-3)
+
+
+def test_logrank_identical_groups_chi2_zero(spark):
+    from cerebro_spark.operators.profile import logrank_test
+
+    rows = [(t, 0, g) for t in (1, 2, 3, 4) for g in (0, 1)]
+    df = spark.createDataFrame(rows, "t long, c int, g int")
+    out = logrank_test(df, "t", "c", "g").collect()[0]
+    # symmetric groups: O1 == E1 exactly
+    assert out["chi2"] == pytest.approx(0.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# decile_lift
+# ---------------------------------------------------------------------------
+
+def test_decile_lift_separable_scores(spark):
+    from cerebro_spark.operators.profile import decile_lift
+
+    # 20 units, scores 1..20; positives are exactly the top 4 scores
+    rows = [(float(i), 1 if i > 16 else 0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["decile"]: r for r in decile_lift(df, "s", "y").collect()}
+    assert set(out) == set(range(1, 11))
+    assert all(out[d]["n_units"] == 2 for d in out)
+    # top two deciles hold all positives
+    assert out[10]["n_pos"] == 2 and out[9]["n_pos"] == 2
+    assert out[10]["response_rate"] == pytest.approx(1.0)
+    assert out[10]["lift"] == pytest.approx(1.0 / 0.2)
+    assert out[10]["cum_capture"] == pytest.approx(0.5)
+    assert out[9]["cum_capture"] == pytest.approx(1.0)
+    assert out[1]["cum_capture"] == pytest.approx(1.0)
+    assert out[1]["lift"] == pytest.approx(0.0)
+
+
+def test_decile_lift_boundary_ties_go_down(spark):
+    from cerebro_spark.operators.profile import decile_lift
+
+    # all scores identical → single bucket (decile 1) holding everyone
+    rows = [(5.0, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = decile_lift(df, "s", "y").collect()
+    assert len(out) == 1 and out[0]["decile"] == 1
+    assert out[0]["n_units"] == 10 and out[0]["n_pos"] == 5
+    assert out[0]["lift"] == pytest.approx(1.0)

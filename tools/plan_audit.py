@@ -200,6 +200,17 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # frame (the chi2_event_hour contract — zero cells must carry the
     # exclusive 2-D cumulatives) plus two 1-row tie-term broadcasts (r8)
     "kendall_tau_value_hour",
+    # 1-row scalar broadcast: the corpus-max censoring anchor crossJoined
+    # onto the per-user lifetime aggregate (the survival_km contract) (r8)
+    "nelson_aalen_hazard",
+    # survival_km censoring anchor + the 2×|day-grid| dense frame (zero
+    # cells must carry the per-group cumulatives) + the 1-row subject-
+    # count × 1-row test-statistic crossJoin (r8)
+    "logrank_survival",
+    # 1-row scalar broadcasts: the corpus-midpoint instant onto the scan
+    # (cuped_adjust pattern), the unit total onto the score grid, and the
+    # 9-boundary row onto the unit frame (the length_deciles contract) (r8)
+    "value_decile_lift",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -256,6 +267,13 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # value grids ((max−min)·quant+1 rows) — the auc_purchase_value
     # value-grid contract (r8)
     "spearman_value_hour",
+    # keyless cumulatives over the bounded lifetime DAY grid (≤ corpus
+    # span in days) — the survival_km contract (r8)
+    "nelson_aalen_hazard",
+    # keyless cumulative over the quantization-bounded score grid for
+    # the exact-rank boundaries, plus two ≤10-row decile-frame windows
+    # (r8)
+    "value_decile_lift",
 }
 
 
