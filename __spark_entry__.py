@@ -554,6 +554,10 @@ _SNAPSHOT_PRIORITY = [
     # never-gated queries.  38 free slots for r08 births at the cutover.
     #
     # R08 BIRTHS (front-inserted, gate this round):
+    "ttr_by_source",          # type-token + hapax lexical diversity
+    "heaps_law_fit",          # vocabulary-growth exponent (Heaps' law)
+    "good_turing_unseen",     # unseen-mass estimate (corpus coverage)
+    "brier_decomposition",    # Brier reliability/resolution/uncertainty
     "nelson_aalen_hazard",    # cumulative hazard (survival family)
     "logrank_survival",       # two-sample log-rank test
     "value_decile_lift",      # gains/lift table (model eval)

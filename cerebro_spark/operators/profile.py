@@ -4183,3 +4183,104 @@ def decile_lift(
             ),
         ).alias("cum_capture"),
     ).orderBy("decile")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — ONE row ``(n, brier,
+    reliability, resolution, uncertainty)`` with the exact identity
+    ``brier = reliability − resolution + uncertainty`` in quantized
+    space.  The WHY behind calibration_bins' reliability diagram: a bad
+    Brier score can mean miscalibration (reliability ≫ 0, fixable by
+    recalibration) or no discrimination (resolution ≈ 0, a model
+    problem) — this splits them, with uncertainty = ȳ(1−ȳ) as the
+    irreducible floor.
+
+    Forecast groups are the ``1/quant``-quantized probabilities
+    themselves (Murphy's discrete-forecast form — the documented metric
+    is the quantized decomposition, identical in any engine, and the
+    identity is EXACT because f̄ₖ equals the group key).  Per-group
+    (nₖ, posₖ) are exact integers; the order-sensitive rational sums
+    Σ(nₖfₖ − q·posₖ)²/nₖ (reliability) and Σ(posₖ·n − P·nₖ)²/nₖ
+    (resolution) use exact integer floor division per group (DuckDB
+    ``//`` — each floor loses <1 unit in 10⁶·n), so the cross-group
+    sums are order-free; every output is a fixed IEEE chain over exact
+    integers, rounded 6 dp.
+
+    Overflow envelope: (posₖ·n)² must stay inside DECIMAL(38) — fine to
+    ~3·10⁹ rows; beyond that pre-aggregate per forecast group first.
+
+    Scale shape: ONE combinable per-group aggregate over the fact, a
+    1-row total broadcast onto the ≤(quant+1)-row group frame, one
+    1-row reduce.  No window, no collect.
+
+    Reference parity: no reference counterpart — model-evaluation
+    extension next to calibration_bins/roc_auc (driver brief).
+    """
+    dec = "decimal(38,0)"
+    qp = F.floor(
+        F.col(prob_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.filter(F.col(prob_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(qp.alias("__f"), F.col(label_col).cast("int").alias("__y"))
+        .groupBy("__f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__nk"),
+            F.sum("__y").cast("long").alias("__pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("__nk").cast(dec).alias("__n"),
+        F.sum("__pos").cast(dec).alias("__P"),
+    )
+    g = per.crossJoin(F.broadcast(tot))  # 1-row scalar broadcast
+
+    def idiv(a, b):
+        return ((a - F.pmod(a, b)) / b).cast(dec)
+
+    nk = F.col("__nk").cast(dec)
+    fk = F.col("__f").cast(dec)
+    pos = F.col("__pos").cast(dec)
+    n = F.col("__n")
+    P = F.col("__P")
+    q = F.lit(quant).cast(dec)
+    # brier numerator: Σ over rows (f − q·y)² = Σₖ [posₖ(f−q)² + (nₖ−posₖ)f²]
+    brier_q = (
+        pos * (fk - q) * (fk - q) + (nk - pos) * fk * fk
+    )
+    rel_q = idiv((nk * fk - q * pos) * (nk * fk - q * pos), nk)
+    res_q = idiv((pos * n - P * nk) * (pos * n - P * nk), nk)
+    terms = g.select(
+        "__n", "__P",
+        brier_q.alias("__bq"), rel_q.alias("__rq"), res_q.alias("__sq")
+    )
+    agg = terms.groupBy().agg(
+        F.max("__n").alias("__n"),
+        F.max("__P").alias("__P"),
+        F.sum("__bq").alias("__B"),
+        F.sum("__rq").alias("__R"),
+        F.sum("__sq").alias("__S"),
+    )
+    nd = F.col("__n").cast("double")
+    q2 = float(quant) * float(quant)
+    unc = (
+        F.col("__P").cast("double")
+        * (F.col("__n") - F.col("__P")).cast("double")
+        / (nd * nd)
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__B").cast("double") / (nd * q2), 6).alias("brier"),
+        F.round(F.col("__R").cast("double") / (nd * q2), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("__S").cast("double") / (nd * nd * nd), 6).alias(
+            "resolution"
+        ),
+        F.round(unc, 6).alias("uncertainty"),
+    )

@@ -1532,3 +1532,279 @@ def tokenizer_fertility(
             ),
         ).alias("fertility"),
     ).orderBy(F.col(group_col).asc())
+
+
+def type_token_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Lexical-diversity profile per group — ``(group?, n_docs,
+    n_tokens, n_types, ttr, hapax_ratio)``: type-token ratio (distinct
+    terms / total terms) and the hapax share (terms seen exactly once /
+    distinct terms).  The vocabulary-health companion of zipf_slope: a
+    boilerplate-flooded source shows a collapsing TTR, an OCR/noise
+    source an exploding hapax ratio — two numbers that catch both
+    failure modes before training data ships.
+
+    Tokenization: lowercased whitespace split (the zipf_slope /
+    vocab_coverage convention) — the documented metric is whitespace-
+    token TTR, identical in any engine.
+
+    Exactness: every statistic is an exact integer count; ttr and
+    hapax_ratio are single IEEE divisions, rounded 6 dp.
+
+    Scale shape: one combinable (group, term) aggregate over the corpus
+    (the only data-sized stage), one per-group reduce over the vocab
+    frame, one |groups|-row doc-count join (AQE broadcasts it).  No
+    window, no collect.
+
+    Reference parity: no reference counterpart — corpus-analysis
+    extension next to zipf_slope/vocab_coverage (driver brief).
+    """
+    gcols = [F.col(group_col).alias("group")] if group_col else []
+    terms = df.filter(F.col(text_col).isNotNull()).select(
+        *gcols,
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    keys = ["group"] if group_col else []
+    counts = terms.groupBy(*keys, "term").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    vocab = counts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias("__hapax"),
+    )
+    docs = df.filter(F.col(text_col).isNotNull()).select(*gcols).groupBy(
+        *keys
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    j = vocab.join(docs, keys) if keys else vocab.crossJoin(docs)
+    return j.select(
+        *keys,
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("ttr"),
+        F.when(
+            F.col("n_types") > 0,
+            F.round(
+                F.col("__hapax").cast("double")
+                / F.col("n_types").cast("double"),
+                6,
+            ),
+        ).alias("hapax_ratio"),
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — ONE row ``(n_docs, n_tokens,
+    n_types, heaps_beta, heaps_lnk, r2)``: OLS of ln V on ln N over
+    ``n_buckets`` corpus PREFIXES, where V(N) is the distinct-type
+    count after N tokens.  Natural text sits near β ≈ 0.5 (Heaps' law);
+    β → 0 means the vocabulary has saturated (dedup/boilerplate), β →
+    1 means near-random strings (OCR noise) — the GROWTH companion of
+    zipf_slope's static rank view, and together the two-number corpus
+    fingerprint.
+
+    Prefixes WITHOUT a data-sized sort: docs are range-bucketed by
+    ``id_col`` into ``n_buckets`` contiguous ranges (one 1-row max-id
+    broadcast), each type contributes its FIRST bucket (min over a
+    combinable groupBy term), and both V_g and N_g are cumulative sums
+    over the ``n_buckets``-row frame — so "prefix" means "docs with id
+    ≤ the bucket boundary", deterministic in any engine.
+
+    Exactness: all counts are exact integers; ln N / ln V are
+    e6-quantized BIGINTs and the OLS moments exact DECIMAL(38,0) (the
+    zipf_slope discipline); slope/intercept/R² are fixed IEEE chains,
+    rounded 6 dp.
+
+    Scale shape: one combinable (term → first bucket) aggregate and one
+    per-doc token-count aggregate over the corpus (the two data-sized
+    stages), then everything runs on the ``n_buckets``-row frame: two
+    bounded cumulative windows, one 1-row OLS reduce.
+
+    Reference parity: no reference counterpart — corpus-analysis
+    extension next to zipf_slope (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    mx = base.agg(
+        (F.max(F.col(id_col).cast("long")) + 1).alias("__mx"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            F.col(id_col).cast("double")
+            * F.lit(float(n_buckets))
+            / F.col("__mx").cast("double")
+        ).cast("int"),
+    )
+    docs = base.crossJoin(F.broadcast(mx)).select(
+        bucket.alias("__b"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    terms = docs.select(
+        "__b", F.explode("__toks").alias("term")
+    ).filter(F.col("term") != "")
+    # each type counts once, in its FIRST prefix bucket
+    first = terms.groupBy("term").agg(F.min("__b").alias("__b"))
+    v_per = first.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__v")
+    )
+    n_per = terms.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    grid = n_per.join(v_per, "__b", "left").select(
+        "__b",
+        F.col("__t"),
+        F.coalesce(F.col("__v"), F.lit(0)).alias("__v"),
+    )
+    w_cum = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bounded n_buckets-row cumulative frame
+    pts = grid.select(
+        F.sum("__t").over(w_cum).alias("__N"),
+        F.sum("__v").over(w_cum).alias("__V"),
+    ).filter((F.col("__N") > 0) & (F.col("__V") > 0))
+    qx = F.floor(
+        F.log(F.col("__N").cast("double")) * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    qy = F.floor(
+        F.log(F.col("__V").cast("double")) * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    agg = pts.select(
+        qx.alias("__x"), qy.alias("__y"), "__N", "__V"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y").cast(dec) * F.col("__y")).alias("__syy"),
+        F.max("__N").cast("long").alias("n_tokens"),
+        F.max("__V").cast("long").alias("n_types"),
+    )
+    ndc = mx.select(F.col("n_docs"))
+    n = F.col("__n").cast(dec)
+    dxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    dxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ok = (F.col("__n") >= 2) & (dxx > 0)
+    beta = F.when(ok, F.round(dxy.cast("double") / dxx.cast("double"), 6))
+    lnk = F.when(
+        ok,
+        F.round(
+            (
+                F.col("__sy").cast("double")
+                - (dxy.cast("double") / dxx.cast("double"))
+                * F.col("__sx").cast("double")
+            )
+            / F.col("__n").cast("double")
+            / F.lit(1.0e6),
+            6,
+        ),
+    )
+    r2 = F.when(
+        ok & (dyy > 0),
+        F.round(
+            (dxy.cast("double") * dxy.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double")),
+            6,
+        ),
+    )
+    # 1-row × 1-row scalar crossJoin
+    return agg.crossJoin(F.broadcast(ndc)).select(
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        beta.alias("heaps_beta"),
+        lnk.alias("heaps_lnk"),
+        r2.alias("r2"),
+    )
+
+
+def good_turing_unseen(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good–Turing unseen-mass estimate over the corpus vocabulary —
+    ONE row ``(n_tokens, n_types, n_singletons, n_doubletons, p_unseen,
+    gt_r1)``: the probability that the NEXT token is a type never seen
+    before, p₀ = N₁/N (Good 1953), plus the smoothed expected count for
+    once-seen types r₁* = 2·N₂/N₁.  The coverage-planning number for a
+    training corpus: p₀ ≈ 0 means more data adds no new vocabulary;
+    large p₀ means the corpus undersamples its domain — the decision
+    input behind "do we need another crawl?".
+
+    Tokenization: lowercased whitespace split (the zipf_slope
+    convention).  Exactness: N, N₁, N₂ and the type count are exact
+    integers; p_unseen and gt_r1 are single IEEE divisions, rounded
+    6 dp (gt_r1 NULL when N₁ = 0).
+
+    Scale shape: one combinable term-count aggregate over the corpus,
+    one 1-row conditional reduce over the vocab frame.  No window, no
+    join, no collect.
+
+    Reference parity: no reference counterpart — corpus-analysis
+    extension next to vocab_coverage (driver brief).
+    """
+    terms = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias(
+            "n_singletons"
+        ),
+        F.sum((F.col("__c") == 2).cast("long")).cast("long").alias(
+            "n_doubletons"
+        ),
+    )
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "n_singletons",
+        "n_doubletons",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_singletons").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("p_unseen"),
+        F.when(
+            F.col("n_singletons") > 0,
+            F.round(
+                F.lit(2.0)
+                * F.col("n_doubletons").cast("double")
+                / F.col("n_singletons").cast("double"),
+                6,
+            ),
+        ).alias("gt_r1"),
+    )

@@ -4820,3 +4820,73 @@ FROM tot
 
 QUERIES["value_decile_lift"] = q_value_decile_lift
 ORACLES["value_decile_lift"] = _DECILE_LIFT_SQL
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition (profile.brier_decomposition) of the
+    calibration_events baseline scorer against the purchase label —
+    splits Brier into miscalibration (fixable) vs no-discrimination (a
+    model problem); exact identity in quantized space."""
+    from cerebro_spark.operators.profile import brier_decomposition
+
+    ev = load_table(spark, "events", sf_dir)
+    score = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 1_000_000
+    ).cast("double") / 1_000_000.0
+    scored = ev.select(
+        score.alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return brier_decomposition(scored, "score", "label", quant=1000)
+
+
+def _brier_sql() -> str:
+    from cerebro_spark.queries.extensions import _hex2long_sql
+
+    h = _hex2long_sql("md5(CAST(event_id AS VARCHAR))", 8) + " % 1000000"
+    return f"""
+WITH scored AS (
+  SELECT CAST({h} AS DOUBLE) / 1000000.0 AS score,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+per AS (
+  SELECT CAST(floor(score * 1000.0 + 0.5) AS BIGINT) AS f,
+    CAST(count(*) AS BIGINT) AS nk, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT sum(CAST(nk AS HUGEINT)) AS n, sum(CAST(pos AS HUGEINT)) AS p
+  FROM per
+),
+terms AS (
+  SELECT n, p,
+    CAST(pos AS HUGEINT) * (f - 1000) * (f - 1000)
+      + CAST(nk - pos AS HUGEINT) * f * f AS bq,
+    ((CAST(nk AS HUGEINT) * f - 1000 * CAST(pos AS HUGEINT))
+     * (CAST(nk AS HUGEINT) * f - 1000 * CAST(pos AS HUGEINT)))
+      // CAST(nk AS HUGEINT) AS rq,
+    ((CAST(pos AS HUGEINT) * n - p * nk)
+     * (CAST(pos AS HUGEINT) * n - p * nk)) // CAST(nk AS HUGEINT) AS sq
+  FROM per, tot
+),
+agg AS (
+  SELECT max(n) AS n, max(p) AS p,
+    sum(bq) AS b, sum(rq) AS r, sum(sq) AS s
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(CAST(b AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS brier,
+  round(CAST(r AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+    AS reliability,
+  round(CAST(s AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+    AS resolution,
+  round(CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty
+FROM agg
+"""
+
+
+QUERIES["brier_decomposition"] = q_brier_decomposition
+ORACLES["brier_decomposition"] = _brier_sql()

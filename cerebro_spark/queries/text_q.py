@@ -2265,3 +2265,175 @@ ORDER BY lang ASC
 
 QUERIES["lang_fertility"] = q_lang_fertility
 ORACLES["lang_fertility"] = _FERTILITY_SQL
+
+
+def q_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (text.type_token_profile): type-token ratio and
+    hapax share per source — collapsing TTR flags boilerplate floods,
+    exploding hapax flags OCR/noise; exact counts, two divisions."""
+    from cerebro_spark.operators.text import type_token_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return type_token_profile(docs, "text", "source")
+
+
+_TTR_SQL = """
+WITH terms AS (
+  SELECT source AS g, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+    AS term
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT g, term, CAST(count(*) AS BIGINT) AS c
+  FROM terms WHERE term <> '' GROUP BY g, term
+),
+vocab AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM counts GROUP BY g
+),
+docs AS (
+  SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+)
+SELECT g AS "group", n_docs, n_tokens, n_types,
+  CASE WHEN n_tokens > 0 THEN
+    round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+  END AS ttr,
+  CASE WHEN n_types > 0 THEN
+    round(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+  END AS hapax_ratio
+FROM vocab JOIN docs USING (g)
+"""
+
+QUERIES["ttr_by_source"] = q_ttr_by_source
+ORACLES["ttr_by_source"] = _TTR_SQL
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth exponent (text.heaps_law_fit): ln V vs ln N OLS
+    over 32 doc-id-range corpus prefixes — each type counts once at its
+    first bucket, so no data-sized sort; the growth companion of
+    zipf_slope."""
+    from cerebro_spark.operators.text import heaps_law_fit
+
+    return heaps_law_fit(
+        load_table(spark, "documents", sf_dir), "text", "doc_id", 32
+    )
+
+
+_HEAPS_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+mx AS (
+  SELECT max(doc_id) + 1 AS m, CAST(count(*) AS BIGINT) AS n_docs FROM base
+),
+docs AS (
+  SELECT least(31, CAST(floor(CAST(doc_id AS DOUBLE) * 32.0
+                              / CAST((SELECT m FROM mx) AS DOUBLE)) AS INT))
+    AS b,
+    string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM base
+),
+terms AS (
+  SELECT b, unnest(toks) AS term FROM docs
+),
+terms_f AS (SELECT b, term FROM terms WHERE term <> ''),
+first AS (
+  SELECT term, min(b) AS b FROM terms_f GROUP BY term
+),
+v_per AS (SELECT b, CAST(count(*) AS BIGINT) AS v FROM first GROUP BY b),
+n_per AS (SELECT b, CAST(count(*) AS BIGINT) AS t FROM terms_f GROUP BY b),
+grid AS (
+  SELECT n_per.b, t, COALESCE(v, 0) AS v
+  FROM n_per LEFT JOIN v_per USING (b)
+),
+pts AS (
+  SELECT
+    sum(t) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS nn,
+    sum(v) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS vv
+  FROM grid
+),
+q AS (
+  SELECT CAST(floor(ln(CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(vv AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y,
+         nn, vv
+  FROM pts WHERE nn > 0 AND vv > 0
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+    sum(CAST(x AS HUGEINT) * y) AS sxy,
+    sum(CAST(x AS HUGEINT) * x) AS sxx,
+    sum(CAST(y AS HUGEINT) * y) AS syy,
+    CAST(max(nn) AS BIGINT) AS n_tokens, CAST(max(vv) AS BIGINT) AS n_types
+  FROM q
+)
+SELECT (SELECT n_docs FROM mx) AS n_docs, n_tokens, n_types,
+  CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0 THEN
+    round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+  END AS heaps_beta,
+  CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0 THEN
+    round((CAST(sy AS DOUBLE)
+           - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+             * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE) / 1000000.0, 6)
+  END AS heaps_lnk,
+  CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+    round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+          * CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+          / (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+  END AS r2
+FROM agg
+"""
+
+QUERIES["heaps_law_fit"] = q_heaps_law_fit
+ORACLES["heaps_law_fit"] = _HEAPS_SQL
+
+
+def q_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen mass (text.good_turing_unseen): P(next token is
+    a new type) = N1/N plus the smoothed once-seen count 2·N2/N1 — the
+    "do we need another crawl?" number; exact integer counts."""
+    from cerebro_spark.operators.text import good_turing_unseen
+
+    return good_turing_unseen(load_table(spark, "documents", sf_dir), "text")
+
+
+_GOOD_TURING_SQL = """
+WITH terms AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM terms WHERE term <> '' GROUP BY term
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM counts
+)
+SELECT n_tokens, n_types, n1 AS n_singletons, n2 AS n_doubletons,
+  CASE WHEN n_tokens > 0 THEN
+    round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+  END AS p_unseen,
+  CASE WHEN n1 > 0 THEN
+    round(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+  END AS gt_r1
+FROM agg
+"""
+
+QUERIES["good_turing_unseen"] = q_good_turing_unseen
+ORACLES["good_turing_unseen"] = _GOOD_TURING_SQL

@@ -300,3 +300,132 @@ def test_decile_lift_boundary_ties_go_down(spark):
     assert len(out) == 1 and out[0]["decile"] == 1
     assert out[0]["n_units"] == 10 and out[0]["n_pos"] == 5
     assert out[0]["lift"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# type_token_profile / good_turing_unseen / heaps_law_fit
+# ---------------------------------------------------------------------------
+
+def test_ttr_hand_case(spark):
+    from cerebro_spark.operators.text import type_token_profile
+
+    docs = spark.createDataFrame(
+        [("s1", "a b a c"), ("s1", "a d"), ("s2", "x x x x")],
+        "src string, text string",
+    )
+    out = {r["group"]: r for r in
+           type_token_profile(docs, "text", "src").collect()}
+    # s1: tokens a,b,a,c,a,d → 6 tokens, 4 types (a=3,b=1,c=1,d=1), 3 hapax
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["n_tokens"] == 6 and out["s1"]["n_types"] == 4
+    assert out["s1"]["ttr"] == pytest.approx(4 / 6, abs=1e-6)
+    assert out["s1"]["hapax_ratio"] == pytest.approx(3 / 4)
+    # s2: one type seen 4 times → no hapax
+    assert out["s2"]["n_types"] == 1 and out["s2"]["hapax_ratio"] == 0.0
+
+
+def test_ttr_lowercases_and_skips_empty(spark):
+    from cerebro_spark.operators.text import type_token_profile
+
+    docs = spark.createDataFrame(
+        [("s", "The THE the"), ("s", "  ")], "src string, text string"
+    )
+    out = type_token_profile(docs, "text", "src").collect()[0]
+    assert out["n_types"] == 1 and out["n_tokens"] == 3
+
+
+def test_good_turing_hand_case(spark):
+    from cerebro_spark.operators.text import good_turing_unseen
+
+    # counts: a=3, b=1, c=1, d=2 → N=7, N1=2, N2=1
+    docs = spark.createDataFrame(
+        [("a a a b",), ("c d d",)], "text string"
+    )
+    out = good_turing_unseen(docs, "text").collect()[0]
+    assert out["n_tokens"] == 7 and out["n_types"] == 4
+    assert out["n_singletons"] == 2 and out["n_doubletons"] == 1
+    assert out["p_unseen"] == pytest.approx(2 / 7, abs=1e-6)
+    assert out["gt_r1"] == pytest.approx(1.0)
+
+
+def test_heaps_fit_recovers_powerlaw(spark):
+    from cerebro_spark.operators.text import heaps_law_fit
+
+    # synthetic corpus with V(N) = N exactly (every token new): beta = 1
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5))) for i in range(64)],
+        "doc_id long, text string",
+    )
+    out = heaps_law_fit(docs, "text", "doc_id", n_buckets=8).collect()[0]
+    assert out["n_docs"] == 64
+    assert out["n_tokens"] == 320 and out["n_types"] == 320
+    assert out["heaps_beta"] == pytest.approx(1.0, abs=1e-5)
+    assert out["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_heaps_fit_saturated_vocab_beta_zero(spark):
+    from cerebro_spark.operators.text import heaps_law_fit
+
+    # same 3 words in every doc: V saturates instantly → beta ≈ 0
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(64)], "doc_id long, text string"
+    )
+    out = heaps_law_fit(docs, "text", "doc_id", n_buckets=8).collect()[0]
+    assert out["n_types"] == 3
+    assert abs(out["heaps_beta"]) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition
+# ---------------------------------------------------------------------------
+
+def _brute_brier(pairs, quant=1000):
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: [0, 0])
+    for p, y in pairs:
+        f = int(p * quant + 0.5)
+        groups[f][0] += 1
+        groups[f][1] += y
+    n = len(pairs)
+    ybar = sum(y for _, y in pairs) / n
+    brier = sum((int(p * quant + 0.5) / quant - y) ** 2 for p, y in pairs) / n
+    rel = sum(nk * (f / quant - pos / nk) ** 2
+              for f, (nk, pos) in groups.items()) / n
+    res = sum(nk * (pos / nk - ybar) ** 2
+              for f, (nk, pos) in groups.items()) / n
+    unc = ybar * (1 - ybar)
+    return brier, rel, res, unc
+
+
+def test_brier_decomposition_matches_bruteforce(spark):
+    from cerebro_spark.operators.profile import brier_decomposition
+
+    pairs = [((i % 10) / 10.0, 1 if (i * 7) % 10 < (i % 10) else 0)
+             for i in range(200)]
+    df = spark.createDataFrame(
+        [(float(p), int(y)) for p, y in pairs], "p double, y int"
+    )
+    out = brier_decomposition(df, "p", "y").collect()[0]
+    brier, rel, res, unc = _brute_brier(pairs)
+    assert out["n"] == 200
+    assert out["brier"] == pytest.approx(brier, abs=1e-5)
+    assert out["reliability"] == pytest.approx(rel, abs=1e-5)
+    assert out["resolution"] == pytest.approx(res, abs=1e-5)
+    assert out["uncertainty"] == pytest.approx(unc, abs=1e-5)
+    # Murphy identity
+    assert out["brier"] == pytest.approx(
+        out["reliability"] - out["resolution"] + out["uncertainty"], abs=1e-4
+    )
+
+
+def test_brier_perfect_forecaster(spark):
+    from cerebro_spark.operators.profile import brier_decomposition
+
+    rows = [(1.0, 1)] * 5 + [(0.0, 0)] * 5
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = brier_decomposition(df, "p", "y").collect()[0]
+    assert out["brier"] == pytest.approx(0.0)
+    assert out["reliability"] == pytest.approx(0.0)
+    assert out["resolution"] == pytest.approx(0.25)
+    assert out["uncertainty"] == pytest.approx(0.25)

@@ -211,6 +211,13 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # (cuped_adjust pattern), the unit total onto the score grid, and the
     # 9-boundary row onto the unit frame (the length_deciles contract) (r8)
     "value_decile_lift",
+    # 1-row scalar broadcasts: the max-doc-id range-bucket bound onto the
+    # scan, and the 1-row doc count onto the 1-row OLS reduce (r8)
+    "heaps_law_fit",
+    # 1-row scalar broadcast: the (n, P) totals crossJoined onto the
+    # ≤(quant+1)-row forecast-group frame (the temperature_mix contract)
+    # (r8)
+    "brier_decomposition",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -270,6 +277,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # keyless cumulatives over the bounded lifetime DAY grid (≤ corpus
     # span in days) — the survival_km contract (r8)
     "nelson_aalen_hazard",
+    # keyless cumulative over the 32-row prefix-bucket frame (bounded by
+    # the n_buckets constant, never data-sized) (r8)
+    "heaps_law_fit",
     # keyless cumulative over the quantization-bounded score grid for
     # the exact-rank boundaries, plus two ≤10-row decile-frame windows
     # (r8)
