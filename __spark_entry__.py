@@ -554,6 +554,7 @@ _SNAPSHOT_PRIORITY = [
     # never-gated queries.  38 free slots for r08 births at the cutover.
     #
     # R08 BIRTHS (front-inserted, gate this round):
+    "mutual_topk_pairs",      # reciprocal top-1 cosine (MNN alignment)
     "ttr_by_source",          # type-token + hapax lexical diversity
     "heaps_law_fit",          # vocabulary-growth exponent (Heaps' law)
     "good_turing_unseen",     # unseen-mass estimate (corpus coverage)

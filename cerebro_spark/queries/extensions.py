@@ -2125,3 +2125,38 @@ FROM agg
 
 QUERIES["parts_assortativity"] = q_parts_assortativity
 ORACLES["parts_assortativity"] = _ASSORTATIVITY_SQL
+
+
+def q_mutual_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors (similarity.mutual_nn_pairs) within each
+    embedding label block — the reciprocal-top-1 alignment criterion;
+    blocking bounds the self-join the same way semantic_dedup's k-means
+    stage does."""
+    from cerebro_spark.operators.similarity import mutual_nn_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return mutual_nn_pairs(emb, "vec_id", "embedding", "label")
+
+
+_MUTUAL_NN_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT qid, nid AS top1, cos FROM (
+    SELECT qid, nid, cos,
+      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT x.qid AS id_a, x.top1 AS id_b, x.cos AS cosine
+FROM nn x JOIN nn y ON x.top1 = y.qid AND y.top1 = x.qid
+WHERE x.qid < y.qid
+"""
+
+QUERIES["mutual_topk_pairs"] = q_mutual_topk_pairs
+ORACLES["mutual_topk_pairs"] = _MUTUAL_NN_SQL

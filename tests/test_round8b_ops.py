@@ -429,3 +429,47 @@ def test_brier_perfect_forecaster(spark):
     assert out["reliability"] == pytest.approx(0.0)
     assert out["resolution"] == pytest.approx(0.25)
     assert out["uncertainty"] == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------------
+# mutual_nn_pairs
+# ---------------------------------------------------------------------------
+
+def test_mutual_nn_hand_case(spark):
+    from cerebro_spark.operators.similarity import mutual_nn_pairs
+
+    # block A: v1 and v2 point the same way (mutual), v3 is orthogonal-ish
+    # and nearest to v1, but v1's top-1 is v2 → no pair with v3.
+    # block B: v4/v5 mutual.
+    rows = [
+        (1, [1.0, 0.0, 0.0], "A"),
+        (2, [0.9, 0.1, 0.0], "A"),
+        (3, [0.0, 1.0, 0.1], "A"),
+        (4, [0.0, 0.0, 1.0], "B"),
+        (5, [0.1, 0.0, 0.9], "B"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = sorted(
+        (r["id_a"], r["id_b"])
+        for r in mutual_nn_pairs(df, "vec_id", "embedding", "label").collect()
+    )
+    assert out == [(1, 2), (4, 5)]
+
+
+def test_mutual_nn_respects_blocks(spark):
+    from cerebro_spark.operators.similarity import mutual_nn_pairs
+
+    # identical vectors in different blocks never pair
+    rows = [
+        (1, [1.0, 0.0], "A"),
+        (2, [1.0, 0.0], "B"),
+        (3, [0.0, 1.0], "A"),
+        (4, [0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = sorted(
+        (r["id_a"], r["id_b"])
+        for r in mutual_nn_pairs(df, "vec_id", "embedding", "label").collect()
+    )
+    # within each block the two vectors are each other's only neighbor
+    assert out == [(1, 3), (2, 4)]
