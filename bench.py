@@ -223,6 +223,19 @@ HEADLINE = [
     "ips_event_value",        # IPS off-policy value of uniform exploration
     "qte_value",              # quantile treatment effects per p
     "paired_t_value",         # within-user paired t across the launch
+    # round-8 second-session births (born-benched rule)
+    "kendall_tau_value_hour", # tau-b pair counting on the dense grid
+    "anova_value_type",       # one-way ANOVA F + eta-squared
+    "theil_index_type",       # Theil T inequality (entropy family)
+    "hhi_supplier_share",     # Herfindahl concentration per nation
+    "nelson_aalen_hazard",    # cumulative hazard over the day grid
+    "logrank_survival",       # two-sample log-rank test
+    "value_decile_lift",      # gains/lift table (exact-rank deciles)
+    "ttr_by_source",          # type-token + hapax lexical diversity
+    "heaps_law_fit",          # vocabulary-growth exponent (32 prefixes)
+    "good_turing_unseen",     # unseen-mass corpus coverage
+    "brier_decomposition",    # Brier reliability/resolution split
+    "mutual_topk_pairs",      # reciprocal top-1 cosine (MNN pairs)
 ]
 
 

@@ -142,6 +142,63 @@ def main() -> None:
     print(f"9. EB shrinkage:    {moved} users moved >1.0 toward the grand "
           f"mean (of {eb.count()})")
 
+    # 10. (round 8, second session) heterogeneity: one-way ANOVA across
+    # event types — is the metric even one population, or should the
+    # readout stratify?
+    from cerebro_spark.operators.profile import anova_oneway
+
+    an = anova_oneway(ev, "event_type", "value").first()
+    print(f"10. ANOVA: F={an['f_stat']:.1f}, eta^2={an['eta_sq']:.4f} "
+          f"across {an['k_groups']} event types — "
+          f"{'stratify' if an['eta_sq'] > 0.01 else 'pool'}")
+
+    # 11. (round 8, second session) retention: do the arms share a
+    # lifetime curve?  Log-rank on the censored user lifetimes.
+    from cerebro_spark.operators.profile import logrank_test
+
+    cm = ev.agg(F.max(F.col("ts").cast("long")).alias("__cm"))
+    lives = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("__a"),
+             F.max(F.col("ts").cast("long")).alias("__b"))
+        .crossJoin(F.broadcast(cm))
+        .select(
+            F.floor((F.col("__b") - F.col("__a")) / 86400).alias("t"),
+            (F.col("__b") >= F.col("__cm") - 86400).cast("int")
+            .alias("censored"),
+            F.pmod(F.col("user_id"), F.lit(2)).alias("grp"),
+        )
+    )
+    lr = logrank_test(lives, "t", "censored", "grp").first()
+    print(f"11. log-rank: O1={lr['o1']} vs E1={lr['e1']:.1f}, "
+          f"chi2={lr['chi2']:.3f} — arms "
+          f"{'diverge' if (lr['chi2'] or 0) > 3.84 else 'share'} "
+          f"a lifetime curve")
+
+    # 12. (round 8, second session) targeting: the gains table for the
+    # pre-period-value propensity score — "mail which deciles?"
+    from cerebro_spark.operators.profile import decile_lift
+
+    users = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(t < F.col("__mid"), q).otherwise(0)).alias("score"),
+            F.max(
+                (
+                    (t >= F.col("__mid"))
+                    & (F.col("event_type") == "purchase")
+                ).cast("int")
+            ).alias("converted"),
+        )
+    )
+    lift_tab = decile_lift(users, "score", "converted").collect()
+    top = [r for r in lift_tab if r["decile"] >= 9]
+    cap = max((r["cum_capture"] or 0) for r in top) if top else 0.0
+    print(f"12. decile lift: top-2 score deciles capture {cap:.0%} of "
+          f"post-period purchasers "
+          f"(top decile lift {lift_tab[-1]['lift']:.2f}x)")
+
 
 if __name__ == "__main__":
     main()

@@ -298,6 +298,27 @@ def main() -> None:
     by_lang = {r["lang"]: r["flesch"] for r in rd}
     print(f"readability:       flesch by lang {by_lang}")
 
+    # 27. (round 8, second session) vocabulary health: TTR + hapax per
+    # source (boilerplate floods vs OCR noise), the Heaps growth exponent
+    # (is more data still adding vocabulary?), and the Good–Turing unseen
+    # mass (do we need another crawl?)
+    from cerebro_spark.operators.text import (
+        good_turing_unseen,
+        heaps_law_fit,
+        type_token_profile,
+    )
+
+    ttr = type_token_profile(train, "text", "source").collect()
+    worst_src = min(ttr, key=lambda r: r["ttr"] or 1.0)
+    print(f"lexical diversity: lowest TTR source {worst_src['group']} "
+          f"(ttr={worst_src['ttr']:.4f}, hapax={worst_src['hapax_ratio']:.2f})")
+    heaps = heaps_law_fit(train, "text", "doc_id").first()
+    gt = good_turing_unseen(train, "text").first()
+    print(f"vocab growth:      Heaps beta={heaps['heaps_beta']:.3f} "
+          f"(r2={heaps['r2']:.3f}); Good-Turing unseen mass "
+          f"p0={gt['p_unseen']:.4f} — "
+          f"{'more data still pays' if gt['p_unseen'] > 0.01 else 'vocabulary saturated'}")
+
 
 if __name__ == "__main__":
     main()
