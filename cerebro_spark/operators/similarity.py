@@ -1280,8 +1280,9 @@ def mutual_nn_pairs(
     pairs are only discovered WITHIN a block, which is what makes the
     self-join linear in Σ|block|² instead of n²; pick blocks the way
     semantic_dedup does at 100 TB.  Ties break deterministically
-    (cosine desc, neighbor id asc).  ``id_a < id_b`` dedups the
-    symmetric pair.
+    (cosine desc, neighbor id asc — ``id_col`` must be NUMERIC: the
+    tie-break negates it inside the argmax struct).  ``id_a < id_b``
+    dedups the symmetric pair.
 
     Determinism: the cosine chain (array-ordered dot, √ΣΣ norms, one
     division) is the cosine_topk_bruteforce expression, bit-identical

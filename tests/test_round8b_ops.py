@@ -473,3 +473,99 @@ def test_mutual_nn_respects_blocks(spark):
     )
     # within each block the two vectors are each other's only neighbor
     assert out == [(1, 3), (2, 4)]
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): invariances the hand cases can't cover
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 3)),
+        min_size=5,
+        max_size=30,
+    )
+)
+@settings(**_HSET)
+def test_kendall_property_matches_bruteforce(spark, pairs):
+    out = _tau(spark, pairs)
+    want = None
+    n = len(pairs)
+    n0 = n * (n - 1) / 2
+    tx = sum(1 for i in range(n) for j in range(i + 1, n)
+             if pairs[i][0] == pairs[j][0])
+    ty = sum(1 for i in range(n) for j in range(i + 1, n)
+             if pairs[i][1] == pairs[j][1])
+    if tx < n0 and ty < n0:
+        want = _brute_tau_b(pairs)
+    if want is None:
+        assert out["tau_b"] is None
+    else:
+        assert out["tau_b"] == pytest.approx(want, abs=1e-6)
+
+
+@given(
+    st.lists(st.floats(0.01, 100.0, allow_nan=False), min_size=2, max_size=20),
+    st.integers(2, 9),
+)
+@settings(**_HSET)
+def test_theil_scale_invariance(spark, vals, c):
+    # Theil T is scale-free: T(c·x) == T(x) (values quantized to e6, so
+    # compare at the metric's own 6 dp resolution with a quantization slack)
+    base = _theil(spark, [("a", v) for v in vals])["a"]["theil_t"]
+    scaled = _theil(spark, [("a", v * c) for v in vals])["a"]["theil_t"]
+    assert scaled == pytest.approx(base, abs=5e-4)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.floats(0.1, 50.0, allow_nan=False)),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(2, 9),
+)
+@settings(**_HSET)
+def test_hhi_scale_invariance_and_bounds(spark, rows, c):
+    # HHI is share-based: scaling every value by c changes nothing, and
+    # 1/n_firms <= hhi <= 1 always holds
+    base = _hhi(spark, [("m", f"f{f}", v) for f, v in rows])["m"]
+    scaled = _hhi(spark, [("m", f"f{f}", v * c) for f, v in rows])["m"]
+    assert scaled["hhi"] == pytest.approx(base["hhi"], abs=5e-4)
+    assert base["n_firms"] >= 1
+    assert 1.0 / base["n_firms"] - 1e-6 <= base["hhi"] <= 1.0 + 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.booleans()),
+        min_size=3,
+        max_size=20,
+    )
+)
+@settings(**_HSET)
+def test_nelson_aalen_monotone_and_bounded_by_km(spark, rows):
+    # H(t) is nondecreasing, and H >= -ln(KM) pointwise (Jensen: each
+    # -ln(1 - d/n) >= d/n)
+    import math as m
+
+    data = [(t, 0 if not c else 1) for t, c in rows]
+    out = sorted(_na(spark, data).values(), key=lambda r: r["t"])
+    prev = 0.0
+    km = 1.0
+    for r in out:
+        assert r["cum_hazard"] >= prev - 1e-12
+        if r["n_at_risk"] > r["d_events"]:
+            km *= 1 - r["d_events"] / r["n_at_risk"]
+            assert r["cum_hazard"] <= -m.log(km) + 1e-9
+        prev = r["cum_hazard"]
