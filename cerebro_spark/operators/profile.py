@@ -3547,8 +3547,8 @@ def kendall_tau(
     dec = "decimal(38,0)"
 
     def q(c, k):
-        if k == 1:
-            return F.col(c).cast("long")
+        # round-half-up even at k=1 (the decile_lift/roc_auc convention —
+        # a bare cast would TRUNCATE fractional inputs)
         return F.floor(
             F.col(c).cast("double") * F.lit(float(k)) + F.lit(0.5)
         ).cast("long")
