@@ -1332,19 +1332,21 @@ def mutual_nn_pairs(
         F.col("__top.__nid").alias("__top1"),
         F.col("__top.__cos").alias("__cos"),
     )
-    other = nn.select(
-        F.col("__qid").alias("__qid2"), F.col("__top1").alias("__top2")
-    )
+    # reciprocity WITHOUT a self-join (which would re-derive the whole
+    # scoring stage on both sides): each direction contributes one row to
+    # its unordered edge, so an edge with TWO rows is mutual by
+    # construction — one groupBy on the edge key, single derivation.
     return (
-        nn.join(
-            other,
-            (F.col("__top1") == F.col("__qid2"))
-            & (F.col("__top2") == F.col("__qid")),
+        nn.select(
+            F.least(F.col("__qid"), F.col("__top1")).alias("id_a"),
+            F.greatest(F.col("__qid"), F.col("__top1")).alias("id_b"),
+            "__cos",
         )
-        .filter(F.col("__qid") < F.col("__qid2"))
-        .select(
-            F.col("__qid").alias("id_a"),
-            F.col("__qid2").alias("id_b"),
-            F.col("__cos").alias("cosine"),
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__dirs"),
+            F.max("__cos").alias("cosine"),
         )
+        .filter(F.col("__dirs") == 2)
+        .select("id_a", "id_b", "cosine")
     )
