@@ -1050,7 +1050,13 @@ def canonicalize_url(
     u = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     host = F.regexp_extract(u, r"^([^/?]+)", 1)
     u = F.concat(F.lower(host), F.substring(u, F.length(host) + 1, big))
-    u = F.regexp_replace(u, r"^([^/?:]+):[0-9]+", r"$1")
+    # anchored full match: ports must be followed by '/', '?', or end, and
+    # ALL stacked ':digits' groups go in one pass — both properties are
+    # what make the rule IDEMPOTENT (a partial strip like
+    # 'a.co.uk:8080:0' → 'a.co.uk:0', or a mid-token strip gluing new
+    # host:digits adjacencies, made canonicalize(canonicalize(u)) ≠
+    # canonicalize(u); caught by the idempotence property test)
+    u = F.regexp_replace(u, r"^([^/?:]+)(:[0-9]+)+([/?].*)?$", r"$1$3")
     u = F.regexp_replace(u, r"^www\.", "")
     # path/query split at the FIRST '?': query-only rules can never touch
     # a literal '&' or '?'-free tracking-lookalike in the path

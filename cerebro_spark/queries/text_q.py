@@ -1897,7 +1897,7 @@ s2 AS (
 s3 AS (
   SELECT doc_id,
     regexp_replace(regexp_replace(u,
-      '^([^/?:]+):[0-9]+', '\\1', 'g'),
+      '^([^/?:]+)(:[0-9]+)+([/?].*)?$', '\\1\\3', 'g'),
       '^www\\.', '', 'g') AS u
   FROM s2
 ),
