@@ -66,6 +66,17 @@ SHOWCASE = {
     "quantile_normalize_check": "Value-grid quantile mapping — windows run "
     "over grid rows, the value-at-rank lookup is the union-merge as-of "
     "join (one Exchange, no range join).",
+    "kendall_tau_value_hour": "Tau-b pair counting with NO pair "
+    "enumeration — one combinable cell aggregate is the only data-sized "
+    "stage; the dense grid, its two cumulative windows, and the tie-term "
+    "reduces are all quantization-bounded.",
+    "value_decile_lift": "Gains table with NO global NTILE — exact-rank "
+    "boundaries from a grid cumulative, one 9-boundary broadcast back "
+    "onto the units, a 10-row reduce.",
+    "mutual_topk_pairs": "Reciprocal top-1 inside blocks: the block "
+    "equi-join is the only data-sized exchange; the argmax is a "
+    "combinable max_by (no window) and reciprocity is an unordered-edge "
+    "groupBy (count == 2), not a self-join.",
     "bootstrap_ci_mean": "100 bootstrap replicates from ONE scan: explode "
     "is a projection (no shuffle), the only exchange carries 100 "
     "pre-combined partial sums per partition.",
