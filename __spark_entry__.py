@@ -609,6 +609,16 @@ _SNAPSHOT_PRIORITY = [
     "source_ndcg",
     "did_launch_value",
     "neyman_value_alloc",
+    # --- r08 cutoff: the 50 queries above gate in CORRECTNESS_r08 ---
+    # R08 SECOND-SESSION LATE BIRTHS — the head-50 was already exactly
+    # full, so these register BELOW the cutoff per the standing staged-
+    # debt policy (the r07 precedent): each carries local-oracle
+    # (sf0.001 + sf0.01) + pytest + plan-audit evidence and gates at the
+    # FRONT of the r09 head.
+    "mann_whitney_value",     # rank-sum test (outlier-immune A/B)
+    "kruskal_value_type",     # k-group rank ANOVA (H + epsilon-sq)
+    "event_study_weekly",     # DiD parallel-trends validity readout
+    "burrows_delta",          # stylometric source-pair distance
     # --- everything below here is driver-gated green (r01-r07) and keeps
     # local-oracle coverage via tools/check.py ---
     # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the

@@ -4284,3 +4284,297 @@ def brier_decomposition(
         ),
         F.round(unc, 6).alias("uncertainty"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    quant: int = 100,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two arms — ONE
+    row ``(n1, n2, u1, z, rank_biserial)``: does one arm's value
+    distribution stochastically dominate the other's?  The
+    NONPARAMETRIC companion of ab_test_ztest: no normality assumption,
+    immune to the whale outliers that winsorized_value exists to tame,
+    and ``rank_biserial = 1 − 2U₁/(n₁n₂)`` is the effect size (the
+    common-language "P(arm1 > arm2)" recentred to [−1, 1]).
+    ``group_col`` must be 0/1 (the logrank_test convention).
+
+    Exactness: values are quantized to ``1/quant`` units and midranked
+    over the COMBINED value grid (the spearman/auc contract:
+    ``2·midrank = 2c + n + 1`` exact per grid cell), so
+    ``2R₁ = Σᵥ n₁ᵥ·(2mrᵥ)`` is an exact DECIMAL; U₁, the mean n₁n₂/2
+    and the tie-corrected variance
+    ``σ² = (n₁n₂/12)·[(n+1) − Σ(t³−t)/(n(n−1))]`` are exact integer
+    arithmetic carried ×12 (one rational), and z is one fixed IEEE
+    chain, rounded 6 dp; NULL when σ² = 0 (all values tied).
+
+    Scale shape: ONE combinable (grid-value × arm) aggregate over the
+    fact, one quantization-bounded grid window, two 1-row reduces.  No
+    join against the fact, no collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to ab_test_ztest/auc (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & g.isin(0, 1)
+    ).select(qv.alias("__v"), g.cast("int").alias("__g"))
+    grid = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.sum("__g").cast("long").alias("__n1v"),
+    )
+    w_excl = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    # quantization-bounded grid window (the spearman contract)
+    grid = grid.withColumn(
+        "__2mr",
+        F.lit(2) * F.coalesce(F.sum("__t").over(w_excl), F.lit(0))
+        + F.col("__t")
+        + 1,
+    )
+    agg = grid.agg(
+        F.sum("__t").cast(dec).alias("__n"),
+        F.sum("__n1v").cast(dec).alias("__n1"),
+        F.sum(F.col("__n1v").cast(dec) * F.col("__2mr")).alias("__2R1"),
+        F.sum(
+            F.col("__t").cast(dec) * F.col("__t") * F.col("__t")
+            - F.col("__t").cast(dec)
+        ).alias("__ties"),
+    )
+    n = F.col("__n")
+    n1 = F.col("__n1")
+    n2 = n - n1
+    # 2U1 = 2R1 - n1(n1+1)
+    u1x2 = F.col("__2R1") - n1 * (n1 + 1)
+    # 12·n·(n−1)·σ² = n1·n2·[(n+1)·n·(n−1) − Σ(t³−t)] — exact DECIMAL
+    var12 = n1 * n2 * ((n + 1) * n * (n - 1) - F.col("__ties"))
+    mean_x2 = n1 * n2  # 2·μ_U
+    num = (u1x2 - mean_x2).cast("double") / F.lit(2.0)
+    sd = F.sqrt(
+        var12.cast("double") / (F.lit(12.0) * n.cast("double") * (n - 1).cast("double"))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1x2.cast("double") / F.lit(2.0), 1).alias("u1"),
+        F.when(var12 > 0, F.round(num / sd, 6)).alias("z"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            F.round(
+                F.lit(1.0)
+                - u1x2.cast("double") / (n1 * n2).cast("double"),
+                6,
+            ),
+        ).alias("rank_biserial"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quant: int = 100,
+) -> DataFrame:
+    """Kruskal–Wallis H test across k groups — ONE row ``(n, k_groups,
+    h_stat, epsilon_sq)``: the rank-based (outlier-immune) companion of
+    anova_oneway, exactly as mann_whitney_u is of ab_test_ztest.
+    ``epsilon_sq = (H − k + 1)/(n − k)`` is the effect size that stays
+    meaningful when n makes H trivially "significant".
+
+    Exactness: combined-grid midranks (2mr = 2c + n + 1 exact); per
+    group ``2R_g`` is an exact DECIMAL, the cross-group rational
+    Σ(2R_g)²/n_g uses exact integer floor division per group (the
+    anova_oneway discipline), and the tie correction
+    ``1 − Σ(t³−t)/(n³−n)`` is carried as one exact rational pair — H is
+    a single fixed IEEE chain over exact integers, rounded 6 dp; NULL
+    when every value is tied or k < 2.
+
+    Overflow envelope: (2R_g)² ≈ 4n⁴ inside DECIMAL(38) — fine to
+    ~10⁹ rows; beyond that coarsen the quant (ranks shrink with ties).
+
+    Scale shape: one combinable (grid-value × group) cell aggregate
+    over the fact, one quantization-bounded grid window, one broadcast
+    of the grid midranks onto the |grid|×|groups| cell frame, one
+    k-row reduce, one 1-row reduce.  No collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to anova_oneway (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__grp"), qv.alias("__v"))
+        .groupBy("__grp", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    grid = cells.groupBy("__v").agg(F.sum("__c").cast("long").alias("__t"))
+    w_excl = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    grid = grid.withColumn(
+        "__2mr",
+        F.lit(2) * F.coalesce(F.sum("__t").over(w_excl), F.lit(0))
+        + F.col("__t")
+        + 1,
+    )
+    j = cells.join(F.broadcast(grid.select("__v", "__2mr")), "__v")
+    per = j.groupBy("__grp").agg(
+        F.sum("__c").cast(dec).alias("__ng"),
+        F.sum(F.col("__c").cast(dec) * F.col("__2mr")).alias("__2Rg"),
+    )
+
+    def idiv(a, b):
+        return ((a - F.pmod(a, b)) / b).cast(dec)
+
+    per = per.withColumn(
+        "__q", idiv(F.col("__2Rg") * F.col("__2Rg"), F.col("__ng"))
+    )
+    ties = grid.agg(
+        F.sum(
+            F.col("__t").cast(dec) * F.col("__t") * F.col("__t")
+            - F.col("__t").cast(dec)
+        ).alias("__ties")
+    )
+    agg = per.agg(
+        F.sum("__ng").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__q").alias("__Q"),
+    ).crossJoin(F.broadcast(ties))  # 1-row × 1-row scalar crossJoin
+    n = F.col("__n")
+    k = F.col("k_groups").cast(dec)
+    nd = n.cast("double")
+    # H_raw = 3·ΣQ/(n(n+1)) − 3(n+1)   (ΣQ carries the ×4 of (2R)²)
+    h_raw = (
+        F.lit(3.0) * F.col("__Q").cast("double") / (nd * (nd + 1.0))
+        - 3.0 * (nd + 1.0)
+    )
+    tie_frac = F.col("__ties").cast("double") / (nd * nd * nd - nd)
+    ok = (
+        (F.col("k_groups") >= 2)
+        & (n > k)
+        & (F.col("__ties") < n * n * n - n)
+    )
+    h = F.when(ok, F.round(h_raw / (F.lit(1.0) - tie_frac), 6))
+    eps = F.when(
+        ok,
+        F.round(
+            (h_raw / (F.lit(1.0) - tie_frac) - (k - 1).cast("double"))
+            / (n - k).cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        "k_groups",
+        h.alias("h_stat"),
+        eps.alias("epsilon_sq"),
+    )
+
+
+def event_study(
+    df: DataFrame,
+    value_col: str,
+    treated_col,
+    period_col,
+    base_period: int = -1,
+) -> DataFrame:
+    """Event-study coefficients around a launch — per relative period
+    ``(period, n_treated, n_control, mean_treated, mean_control, gap,
+    gap_vs_base)``: the treatment-control mean gap at every lead/lag,
+    re-based to the last pre-period.  THE validity gate for
+    did_estimate: DiD is only believable if the PRE-period gaps are flat
+    (parallel trends), and this is the readout that shows it — plus the
+    post-period dynamics (instant jump vs slow burn) a single DiD
+    number averages away.
+
+    ``treated_col`` is a boolean expression/column; ``period_col`` an
+    integer expression (e.g. weeks relative to the launch instant —
+    negative = pre).  ``base_period`` picks the reference gap
+    (default −1, the standard omitted category).
+
+    Exactness: per-(period, arm) cells are exact e6 (n, Σ) integers —
+    the did_estimate discipline — so each mean and gap is one IEEE
+    division/subtraction over exact integers, rounded 6 dp;
+    ``gap_vs_base`` subtracts the 6-dp-ROUNDED base gap (identical in
+    any engine).  Periods with a missing arm report NULL gaps.
+
+    Scale shape: ONE combinable per-(period, arm) aggregate over the
+    fact, one 1-row base-gap broadcast onto the |periods|-row frame.
+    No window, no collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to did_estimate (driver brief).
+    """
+    dec = "decimal(38,0)"
+    treated = (
+        treated_col if not isinstance(treated_col, str) else F.col(treated_col)
+    )
+    period = (
+        period_col if not isinstance(period_col, str) else F.col(period_col)
+    )
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            period.cast("long").alias("period"),
+            treated.cast("int").alias("__t"),
+            qv.alias("__v"),
+        )
+        .filter(F.col("period").isNotNull() & F.col("__t").isNotNull())
+        .groupBy("period")
+        .agg(
+            F.sum(F.col("__t")).cast("long").alias("n_treated"),
+            F.sum(F.lit(1) - F.col("__t")).cast("long").alias("n_control"),
+            F.sum(F.when(F.col("__t") == 1, F.col("__v")).otherwise(0).cast(dec)).alias("__st"),
+            F.sum(F.when(F.col("__t") == 0, F.col("__v")).otherwise(0).cast(dec)).alias("__sc"),
+        )
+    )
+    mt = F.when(
+        F.col("n_treated") > 0,
+        F.col("__st").cast("double")
+        / F.col("n_treated").cast("double")
+        / F.lit(1.0e6),
+    )
+    mc = F.when(
+        F.col("n_control") > 0,
+        F.col("__sc").cast("double")
+        / F.col("n_control").cast("double")
+        / F.lit(1.0e6),
+    )
+    per = cells.select(
+        "period",
+        "n_treated",
+        "n_control",
+        F.round(mt, 6).alias("mean_treated"),
+        F.round(mc, 6).alias("mean_control"),
+        F.round(mt - mc, 6).alias("gap"),
+    )
+    # always ONE row even when base_period is absent (a filter would make
+    # the crossJoin annihilate the whole output) — gap_vs_base goes NULL
+    base = per.agg(
+        F.max(
+            F.when(F.col("period") == base_period, F.col("gap"))
+        ).alias("__base_gap")
+    )
+    # 1-row scalar broadcast onto the |periods|-row frame
+    return per.crossJoin(F.broadcast(base)).select(
+        "period",
+        "n_treated",
+        "n_control",
+        "mean_treated",
+        "mean_control",
+        "gap",
+        F.round(F.col("gap") - F.col("__base_gap"), 6).alias("gap_vs_base"),
+    )

@@ -4890,3 +4890,196 @@ FROM agg
 
 QUERIES["brier_decomposition"] = q_brier_decomposition
 ORACLES["brier_decomposition"] = _brier_sql()
+
+def q_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (profile.mann_whitney_u): odd vs even user_id value
+    distributions — the outlier-immune companion of ab_test_ztest;
+    combined-grid midranks, exact tie-corrected variance."""
+    from cerebro_spark.operators.profile import mann_whitney_u
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    return mann_whitney_u(
+        ev, F.pmod(F.col("user_id"), F.lit(2)), "value", quant=100
+    )
+
+
+_MWU_SQL = """
+WITH base AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+    CAST(user_id % 2 AS INT) AS g
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+grid AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS t, CAST(sum(g) AS BIGINT) AS n1v
+  FROM base GROUP BY v
+),
+mr AS (
+  SELECT v, t, n1v,
+    2 * COALESCE(sum(t) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+      AS mr2
+  FROM grid
+),
+agg AS (
+  SELECT sum(CAST(t AS HUGEINT)) AS n, sum(CAST(n1v AS HUGEINT)) AS n1,
+    sum(CAST(n1v AS HUGEINT) * mr2) AS r1x2,
+    sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+  FROM mr
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 1) AS u1,
+  CASE WHEN n1 * (n - n1) * ((n + 1) * n * (n - 1) - ties) > 0 THEN
+    round((CAST(r1x2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE) / 2.0)
+          / sqrt(CAST(n1 * (n - n1) * ((n + 1) * n * (n - 1) - ties)
+                      AS DOUBLE)
+                 / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+  END AS z,
+  CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+    round(1.0 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+          / CAST(n1 * (n - n1) AS DOUBLE), 6)
+  END AS rank_biserial
+FROM agg
+"""
+
+QUERIES["mann_whitney_value"] = q_mann_whitney_value
+ORACLES["mann_whitney_value"] = _MWU_SQL
+
+
+def q_kruskal_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (profile.kruskal_wallis) of value across event
+    types — the rank-based companion of anova_value_type; combined-grid
+    midranks, floor-division cross-group terms, exact tie rational."""
+    from cerebro_spark.operators.profile import kruskal_wallis
+
+    return kruskal_wallis(
+        load_table(spark, "events", sf_dir), "event_type", "value", quant=100
+    )
+
+
+_KRUSKAL_SQL = """
+WITH cells AS (
+  SELECT event_type AS g,
+    CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v
+),
+mr AS (
+  SELECT v, t,
+    2 * COALESCE(sum(t) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+      AS mr2
+  FROM grid
+),
+per AS (
+  SELECT g, sum(CAST(c AS HUGEINT)) AS ng,
+    sum(CAST(c AS HUGEINT) * mr.mr2) AS rgx2
+  FROM cells JOIN mr USING (v) GROUP BY g
+),
+perq AS (SELECT g, ng, (rgx2 * rgx2) // ng AS q FROM per),
+ties AS (
+  SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM grid
+),
+agg AS (
+  SELECT sum(ng) AS n, CAST(count(*) AS BIGINT) AS k, sum(q) AS qq
+  FROM perq
+)
+SELECT CAST(n AS BIGINT) AS n, k AS k_groups,
+  CASE WHEN k >= 2 AND n > CAST(k AS HUGEINT)
+        AND ties < n * n * n - n THEN
+    round((3.0 * CAST(qq AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+          / (1.0 - CAST(ties AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE))), 6)
+  END AS h_stat,
+  CASE WHEN k >= 2 AND n > CAST(k AS HUGEINT)
+        AND ties < n * n * n - n THEN
+    round(((3.0 * CAST(qq AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+           / (1.0 - CAST(ties AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE)))
+           - (CAST(k AS DOUBLE) - 1.0))
+          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 6)
+  END AS epsilon_sq
+FROM agg, ties
+"""
+
+QUERIES["kruskal_value_type"] = q_kruskal_value_type
+ORACLES["kruskal_value_type"] = _KRUSKAL_SQL
+
+
+def q_event_study_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study leads/lags (profile.event_study): weekly treated-vs-
+    control value gaps around the corpus-midpoint launch, re-based to
+    week -1 — DiD's parallel-trends validity gate made visible."""
+    from cerebro_spark.operators.profile import event_study
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("__mid")
+    )
+    base = ev.crossJoin(F.broadcast(mid))
+    week = F.floor(
+        (F.unix_micros("ts") - F.col("__mid")).cast("double")
+        / F.lit(604800.0 * 1e6)
+    )
+    return event_study(
+        base,
+        "value",
+        F.pmod(F.col("user_id"), F.lit(2)) == 1,
+        week,
+        base_period=-1,
+    )
+
+
+_EVENT_STUDY_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+    CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+mid AS (SELECT CAST((min(t) + max(t)) / 2 AS BIGINT) AS m FROM ev),
+cells AS (
+  SELECT
+    CAST(floor(CAST(t - (SELECT m FROM mid) AS DOUBLE) / 604800000000.0)
+         AS BIGINT) AS period,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treated,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    sum(CASE WHEN user_id % 2 = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS st,
+    sum(CASE WHEN user_id % 2 = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sc
+  FROM ev GROUP BY 1
+),
+per AS (
+  SELECT period, n_treated, n_control,
+    CASE WHEN n_treated > 0 THEN
+      round(CAST(st AS DOUBLE) / n_treated / 1e6, 6) END AS mean_treated,
+    CASE WHEN n_control > 0 THEN
+      round(CAST(sc AS DOUBLE) / n_control / 1e6, 6) END AS mean_control,
+    CASE WHEN n_treated > 0 AND n_control > 0 THEN
+      round(CAST(st AS DOUBLE) / n_treated / 1e6
+            - CAST(sc AS DOUBLE) / n_control / 1e6, 6) END AS gap
+  FROM cells
+),
+base AS (
+  SELECT max(CASE WHEN period = -1 THEN gap END) AS bg FROM per
+)
+SELECT period, n_treated, n_control, mean_treated, mean_control, gap,
+  round(gap - bg, 6) AS gap_vs_base
+FROM per, base
+"""
+
+QUERIES["event_study_weekly"] = q_event_study_weekly
+ORACLES["event_study_weekly"] = _EVENT_STUDY_SQL

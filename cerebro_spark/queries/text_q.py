@@ -2437,3 +2437,70 @@ FROM agg
 
 QUERIES["good_turing_unseen"] = q_good_turing_unseen
 ORACLES["good_turing_unseen"] = _GOOD_TURING_SQL
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric distance (text.burrows_delta): mean |z-difference| of
+    the top-50 corpus terms' relative rates between source pairs — the
+    'same words, different usage' signal js_drift can't see."""
+    from cerebro_spark.operators.text import burrows_delta
+
+    return burrows_delta(
+        load_table(spark, "documents", sf_dir), "text", "source", top_n=50
+    )
+
+
+_BURROWS_SQL = """
+WITH terms AS (
+  SELECT source AS g,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+cells AS (
+  SELECT g, term, CAST(count(*) AS BIGINT) AS c
+  FROM terms WHERE term <> '' GROUP BY g, term
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, sum(c) AS tot FROM cells GROUP BY term
+    ORDER BY tot DESC, term ASC LIMIT 50
+  )
+),
+gtot AS (
+  SELECT g, sum(CAST(c AS HUGEINT)) AS gt FROM cells GROUP BY g
+),
+dense AS (
+  SELECT gtot.g, vocab.term,
+    (COALESCE(CAST(c.c AS HUGEINT), 0) * 1000000000) // gtot.gt AS f
+  FROM gtot CROSS JOIN vocab
+  LEFT JOIN cells c ON c.g = gtot.g AND c.term = vocab.term
+),
+stats AS (
+  SELECT term, CAST(count(*) AS HUGEINT) AS k,
+    sum(f) AS sf, sum(f * f) AS sff
+  FROM dense GROUP BY term
+),
+z AS (
+  SELECT d.g, d.term,
+    CAST(floor(CAST(s.k * d.f - s.sf AS DOUBLE)
+               / sqrt(CAST(s.k * s.sff - s.sf * s.sf AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS z
+  FROM dense d JOIN stats s USING (term)
+  WHERE s.k * s.sff - s.sf * s.sf > 0
+),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+    CAST(count(*) AS BIGINT) AS n_terms,
+    sum(CAST(abs(a.z - b.z) AS HUGEINT)) AS sd
+  FROM z a JOIN z b ON a.term = b.term AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+  round(CAST(sd AS DOUBLE) / CAST(n_terms AS DOUBLE) / 1000000.0, 6)
+    AS delta,
+  n_terms
+FROM pairs
+"""
+
+QUERIES["burrows_delta"] = q_burrows_delta
+ORACLES["burrows_delta"] = _BURROWS_SQL

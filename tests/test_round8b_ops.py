@@ -569,3 +569,161 @@ def test_nelson_aalen_monotone_and_bounded_by_km(spark, rows):
             km *= 1 - r["d_events"] / r["n_at_risk"]
             assert r["cum_hazard"] <= -m.log(km) + 1e-9
         prev = r["cum_hazard"]
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u / kruskal_wallis
+# ---------------------------------------------------------------------------
+
+def _brute_mwu(vals0, vals1):
+    """Pure-python rank-sum reference with midranks + tie correction."""
+    allv = sorted(vals0 + vals1)
+    # midrank per distinct value
+    mr = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        mr[allv[i]] = (i + 1 + j) / 2
+        i = j
+    n1, n2, n = len(vals1), len(vals0), len(vals0) + len(vals1)
+    r1 = sum(mr[v] for v in vals1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    ties = 0
+    from collections import Counter
+
+    for t in Counter(allv).values():
+        ties += t ** 3 - t
+    var = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    rb = 1 - 2 * u1 / (n1 * n2)
+    return u1, z, rb
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    from cerebro_spark.operators.profile import mann_whitney_u
+
+    vals0 = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 13.0]
+    vals1 = [2.0, 4.0, 6.0, 6.0, 9.0, 14.0]
+    rows = [(v, 0) for v in vals0] + [(v, 1) for v in vals1]
+    df = spark.createDataFrame(rows, "v double, g int")
+    out = mann_whitney_u(df, "g", "v", quant=1).collect()[0]
+    u1, z, rb = _brute_mwu(vals0, vals1)
+    assert out["n1"] == 6 and out["n2"] == 7
+    assert out["u1"] == pytest.approx(u1)
+    assert out["z"] == pytest.approx(z, abs=1e-6)
+    assert out["rank_biserial"] == pytest.approx(rb, abs=1e-6)
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    from cerebro_spark.operators.profile import mann_whitney_u
+
+    df = spark.createDataFrame([(5.0, i % 2) for i in range(8)], "v double, g int")
+    out = mann_whitney_u(df, "g", "v", quant=1).collect()[0]
+    assert out["z"] is None
+    assert out["rank_biserial"] == pytest.approx(0.0)
+
+
+def _brute_kruskal(groups):
+    """Mirrors the operator's documented FLOOR-quantized metric: the
+    cross-group rational (2R_g)^2/n_g is an exact integer floor (at
+    n = 12 the coarseness is visible at the 3rd decimal; at gate scale
+    the relative loss is ~1e-15)."""
+    allv = sorted(v for vs in groups.values() for v in vs)
+    mr2 = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        mr2[allv[i]] = i + 1 + j  # 2·midrank, exact integer
+        i = j
+    n = len(allv)
+    q = sum(
+        (sum(mr2[v] for v in vs)) ** 2 // len(vs) for vs in groups.values()
+    )
+    h_raw = 3 * q / (n * (n + 1)) - 3 * (n + 1)
+    from collections import Counter
+
+    ties = sum(t ** 3 - t for t in Counter(allv).values())
+    return h_raw / (1 - ties / (n ** 3 - n))
+
+
+def test_kruskal_matches_bruteforce(spark):
+    from cerebro_spark.operators.profile import kruskal_wallis
+
+    groups = {"a": [1.0, 2.0, 3.0, 3.0], "b": [3.0, 5.0, 7.0],
+              "c": [6.0, 8.0, 9.0, 9.0, 11.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v", quant=1).collect()[0]
+    want = _brute_kruskal(groups)
+    assert out["n"] == 12 and out["k_groups"] == 3
+    assert out["h_stat"] == pytest.approx(want, abs=1e-5)
+    k, n = 3, 12
+    assert out["epsilon_sq"] == pytest.approx((want - k + 1) / (n - k), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# event_study
+# ---------------------------------------------------------------------------
+
+def test_event_study_hand_case(spark):
+    from cerebro_spark.operators.profile import event_study
+
+    # periods -2,-1,0: constant gap 1.0 pre, jump to 3.0 at launch
+    rows = []
+    for p, (tmean, cmean) in {-2: (5.0, 4.0), -1: (6.0, 5.0),
+                              0: (9.0, 6.0)}.items():
+        rows += [(tmean, 1, p), (cmean, 0, p)]
+    df = spark.createDataFrame(rows, "v double, tr int, p long")
+    out = {r["period"]: r for r in
+           event_study(df, "v", F.col("tr") == 1, "p").collect()}
+    assert out[-2]["gap"] == pytest.approx(1.0)
+    assert out[-2]["gap_vs_base"] == pytest.approx(0.0)  # parallel pre-trend
+    assert out[-1]["gap_vs_base"] == pytest.approx(0.0)
+    assert out[0]["gap"] == pytest.approx(3.0)
+    assert out[0]["gap_vs_base"] == pytest.approx(2.0)
+
+
+def test_event_study_missing_base_period_keeps_rows(spark):
+    from cerebro_spark.operators.profile import event_study
+
+    rows = [(1.0, 1, 0), (2.0, 0, 0)]
+    df = spark.createDataFrame(rows, "v double, tr int, p long")
+    out = event_study(df, "v", F.col("tr") == 1, "p").collect()
+    assert len(out) == 1 and out[0]["gap_vs_base"] is None
+
+
+# ---------------------------------------------------------------------------
+# burrows_delta
+# ---------------------------------------------------------------------------
+
+def test_burrows_delta_styles(spark):
+    from cerebro_spark.operators.text import burrows_delta
+
+    # the Burrows setting: a SHARED vocabulary used at different rates —
+    # s1/s2 have near-identical profiles, s3 overuses 'the' and 'cat';
+    # delta(s1,s2) must sit well below delta(s1,s3) and delta(s2,s3)
+    docs = []
+    for i in range(20):
+        docs.append(("s1", "the cat sat on the mat and the dog ran"))
+        docs.append(("s2", "the cat sat on the rug and the dog hid"))
+        docs.append(("s3", "the the cat cat the cat the the cat the"))
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {(r["group_a"], r["group_b"]): r["delta"]
+           for r in burrows_delta(df, "text", "source", top_n=6).collect()}
+    assert out[("s1", "s2")] < out[("s1", "s3")]
+    assert out[("s1", "s2")] < out[("s2", "s3")]
+
+
+def test_burrows_delta_identical_groups_zero(spark):
+    from cerebro_spark.operators.text import burrows_delta
+
+    docs = [("a", "x y z w"), ("b", "x y z w"), ("c", "x y w q")]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {(r["group_a"], r["group_b"]): r["delta"]
+           for r in burrows_delta(df, "text", "source", top_n=5).collect()}
+    assert out[("a", "b")] == pytest.approx(0.0, abs=1e-5)
+    assert out[("a", "c")] > 0.1

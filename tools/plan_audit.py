@@ -218,6 +218,17 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # ≤(quant+1)-row forecast-group frame (the temperature_mix contract)
     # (r8)
     "brier_decomposition",
+    # 1-row × 1-row crossJoin: the per-group reduce against the 1-row
+    # tie-term aggregate (the mi_event_hour contract) (r8 late births)
+    "kruskal_value_type",
+    # 1-row scalar broadcasts: the corpus-midpoint instant onto the scan
+    # (cuped_adjust pattern) and the 1-row base-gap aggregate onto the
+    # |periods|-row frame (r8 late births)
+    "event_study_weekly",
+    # bounded-grid crossJoin: the |groups| × top-50 vocabulary dense
+    # frame (absent terms must carry rate 0 — the js_drift contract)
+    # (r8 late births)
+    "burrows_delta",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -284,6 +295,11 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # the exact-rank boundaries, plus two ≤10-row decile-frame windows
     # (r8)
     "value_decile_lift",
+    # keyless exclusive cumulatives over the quantization-bounded
+    # combined value grid (the spearman/auc midrank contract) (r8 late
+    # births)
+    "mann_whitney_value",
+    "kruskal_value_type",
 }
 
 
