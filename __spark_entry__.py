@@ -619,6 +619,10 @@ _SNAPSHOT_PRIORITY = [
     "kruskal_value_type",     # k-group rank ANOVA (H + epsilon-sq)
     "event_study_weekly",     # DiD parallel-trends validity readout
     "burrows_delta",          # stylometric source-pair distance
+    "ols_value_hour_dow",     # two-regressor OLS (partial effects)
+    "yuen_trimmed_value",     # Yuen trimmed-mean robust A/B t
+    "doc_novelty",            # per-doc surprisal profile per source
+    "label_silhouette",       # centroid silhouette cluster quality
     # --- everything below here is driver-gated green (r01-r07) and keeps
     # local-oracle coverage via tools/check.py ---
     # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the

@@ -4578,3 +4578,210 @@ def event_study(
         "gap",
         F.round(F.col("gap") - F.col("__base_gap"), 6).alias("gap_vs_base"),
     )
+
+
+def ols_two_factor(
+    df,
+    y_col: str,
+    x1_col,
+    x2_col,
+):
+    """Two-regressor OLS via the normal equations — ONE row ``(n, b0,
+    b1, b2, r2)`` for ``y ~ b0 + b1·x1 + b2·x2``.  The multivariable
+    step past ols_trend's single slope: "is the hour effect real once
+    day-of-week is held fixed?" needs both regressors in ONE fit —
+    two marginal slopes double-count whatever hour and weekday share.
+
+    ``x1_col``/``x2_col`` accept names or integer Column expressions.
+    All three variables are e6-quantized BIGINTs, so the ten raw
+    moments (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²) are
+    exact DECIMAL(38,0); the centered 2×2 system is solved by Cramer's
+    rule as one fixed IEEE chain over their exact-cast values (the
+    determinant can exceed DECIMAL(38) at scale, so the chain runs in
+    doubles — deterministic because every input is the same exact
+    integer in any engine), rounded 6 dp.  NULL when the design is
+    collinear (det ≤ 0 after the Cauchy–Schwarz bound).
+
+    Scale shape: ONE combinable aggregate over the fact.  No window,
+    no join, no collect.
+
+    Reference parity: no reference counterpart — regression extension
+    next to ols_trend (driver brief).
+    """
+    dec = "decimal(38,0)"
+    x1 = F.col(x1_col) if isinstance(x1_col, str) else x1_col
+    x2 = F.col(x2_col) if isinstance(x2_col, str) else x2_col
+
+    def q(c):
+        return F.floor(
+            c.cast("double") * F.lit(1.0e6) + F.lit(0.5)
+        ).cast("long")
+
+    base = df.filter(
+        F.col(y_col).isNotNull() & x1.isNotNull() & x2.isNotNull()
+    ).select(
+        q(F.col(y_col)).alias("__y"), q(x1).alias("__x1"), q(x2).alias("__x2")
+    )
+    c = lambda n: F.col(n).cast(dec)  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c("__x1")).alias("__s1"),
+        F.sum(c("__x2")).alias("__s2"),
+        F.sum(c("__y")).alias("__sy"),
+        F.sum(c("__x1") * F.col("__x1")).alias("__s11"),
+        F.sum(c("__x2") * F.col("__x2")).alias("__s22"),
+        F.sum(c("__x1") * F.col("__x2")).alias("__s12"),
+        F.sum(c("__x1") * F.col("__y")).alias("__s1y"),
+        F.sum(c("__x2") * F.col("__y")).alias("__s2y"),
+        F.sum(c("__y") * F.col("__y")).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    sy = F.col("__sy").cast("double")
+    a11 = F.col("__s11").cast("double") * nd - s1 * s1
+    a22 = F.col("__s22").cast("double") * nd - s2 * s2
+    a12 = F.col("__s12").cast("double") * nd - s1 * s2
+    c1 = F.col("__s1y").cast("double") * nd - s1 * sy
+    c2 = F.col("__s2y").cast("double") * nd - s2 * sy
+    syy = F.col("__syy").cast("double") * nd - sy * sy
+    det = a11 * a22 - a12 * a12
+    b1 = (c1 * a22 - c2 * a12) / det
+    b2 = (c2 * a11 - c1 * a12) / det
+    b0 = (sy - b1 * s1 - b2 * s2) / nd / F.lit(1.0e6)
+    sse_c = syy - b1 * c1 - b2 * c2  # n²·SSE-ish, same scale as syy
+    ok = (F.col("n") >= 3) & (det > 0)
+    return agg.select(
+        "n",
+        F.when(ok, F.round(b0, 6)).alias("b0"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(
+            ok & (syy > 0), F.round(F.lit(1.0) - sse_c / syy, 6)
+        ).alias("r2"),
+    )
+
+
+def yuen_trimmed_t(
+    df,
+    group_col,
+    value_col: str,
+    trim_num: int = 20,
+    trim_den: int = 100,
+    quant: int = 100,
+):
+    """Yuen's trimmed-mean t-test between two arms — ONE row ``(n1, n2,
+    h1, h2, tmean1, tmean2, diff, t)``: compares 20%-trimmed means with
+    winsorized variances (Yuen 1974).  The third robustness leg of the
+    A/B family: ab_test_ztest trusts raw means (whales own it),
+    mann_whitney_u abandons means entirely — Yuen keeps the "how much
+    MONEY" units while bounding any single tail's influence.
+    ``group_col`` must be 0/1.
+
+    EXACT at any scale via the winsorized_mean value-grid discipline —
+    no per-arm sort: per arm, trim counts ``g = ⌊trim·n⌋`` are integer
+    rationals; the trimmed sum adds each grid cell's OVERLAP with the
+    rank window [g+1, n−g] (exact integers from the grid cumulative);
+    winsorization clamps grid values at the window's order statistics
+    and the clamped Σ, Σ² are exact DECIMALs.  t is one fixed IEEE
+    chain (Yuen: d_j = (n_j−1)·s²_wj/(h_j(h_j−1)), t = Δ/√(d₁+d₂)),
+    rounded 6 dp; NULL when either winsorized variance is 0.
+
+    Scale shape: one combinable (arm, grid-value) aggregate over the
+    fact, two quantization-bounded per-arm grid windows, two 2-row
+    reduces, one 1-row pivot.  No collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to winsorized_mean/mann_whitney_u (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    grid = (
+        df.filter(F.col(value_col).isNotNull() & g.isin(0, 1))
+        .select(g.cast("int").alias("__g"), qv.alias("__q"))
+        .groupBy("__g", "__q")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # quantization-bounded per-arm grid window
+    grid = grid.withColumn("__cum", F.sum("__c").over(w))
+    totals = grid.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    gg = grid.join(F.broadcast(totals), "__g")
+    # g = floor(trim·n) as an integer rational; window ranks [g+1, n−g]
+    tcnt = F.floor(
+        (F.lit(trim_num) * F.col("__n")) / F.lit(trim_den)
+    ).cast("long")
+    lo_rank = tcnt + 1
+    hi_rank = F.col("__n") - tcnt
+    bounds = gg.groupBy("__g").agg(
+        F.min(F.when(F.col("__cum") >= lo_rank, F.col("__q"))).alias("__vlo"),
+        F.min(F.when(F.col("__cum") >= hi_rank, F.col("__q"))).alias("__vhi"),
+        F.first("__n").alias("__n"),
+        F.first(lo_rank).alias("__lor"),
+        F.first(hi_rank).alias("__hir"),
+    )
+    gb = gg.drop("__n").join(F.broadcast(bounds), "__g")
+    # trimmed-window overlap of the cell's rank span [cum−c+1, cum]
+    span_lo = F.col("__cum") - F.col("__c") + 1
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__hir"))
+        - F.greatest(span_lo, F.col("__lor"))
+        + 1,
+    )
+    clamped = F.greatest(
+        F.least(F.col("__q"), F.col("__vhi")), F.col("__vlo")
+    ).cast(dec)
+    per = gb.groupBy("__g").agg(
+        F.first("__n").alias("n"),
+        (F.first("__hir") - F.first("__lor") + 1).alias("h"),
+        F.sum(overlap.cast(dec) * F.col("__q")).alias("__tsum"),
+        F.sum(clamped * F.col("__c")).alias("__ws"),
+        F.sum(clamped * clamped * F.col("__c")).alias("__wss"),
+    )
+    p = per.groupBy().pivot("__g", [0, 1]).agg(
+        F.first("n").alias("n"),
+        F.first("h").alias("h"),
+        F.first("__tsum").alias("ts"),
+        F.first("__ws").alias("ws"),
+        F.first("__wss").alias("wss"),
+    )
+
+    def arm(j, c_):
+        return F.col(f"{j}_{c_}")
+
+    out_cols = []
+    parts = {}
+    for j in (0, 1):
+        nd = arm(j, "n").cast("double")
+        h = arm(j, "h").cast("double")
+        tm = arm(j, "ts").cast("double") / h / F.lit(float(quant))
+        ssw = (
+            arm(j, "wss").cast("double")
+            - arm(j, "ws").cast("double") * arm(j, "ws").cast("double") / nd
+        )
+        # (n−1)·s²w/(h(h−1)) algebraically — but computed DIRECTLY as
+        # SSW/(h(h−1)) so the IEEE chain matches the oracle exactly
+        d = ssw / (h * (h - 1)) / F.lit(float(quant * quant))
+        parts[j] = (tm, d)
+    diff = parts[1][0] - parts[0][0]
+    dsum = parts[0][1] + parts[1][1]
+    return p.select(
+        arm(0, "n").alias("n1"),
+        arm(1, "n").alias("n2"),
+        arm(0, "h").cast("long").alias("h1"),
+        arm(1, "h").cast("long").alias("h2"),
+        F.round(parts[0][0], 6).alias("tmean1"),
+        F.round(parts[1][0], 6).alias("tmean2"),
+        F.round(diff, 6).alias("diff"),
+        F.when(dsum > 0, F.round(diff / F.sqrt(dsum), 6)).alias("t"),
+    )

@@ -1350,3 +1350,115 @@ def mutual_nn_pairs(
         .filter(F.col("__dirs") == 2)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Centroid-based silhouette score per cluster — ``(label,
+    n_vectors, mean_silhouette)``: for each vector, a = distance to its
+    OWN label centroid, b = distance to the nearest OTHER centroid,
+    s = (b−a)/max(a,b) ∈ [−1, 1].  The cluster-QUALITY gate the
+    blocking stack was missing: semantic_dedup / ann_cosine_ivf trust
+    their k-means cells, mutual_nn_pairs trusts its blocks — a label
+    with mean s ≈ 0 is a block boundary that near-dup pairs straddle.
+    (Centroid form, i.e. simplified silhouette — the classic all-pairs
+    form is O(n²) and is exactly what blocking exists to avoid.)
+
+    Determinism: centroids are EXACT integer sum vectors (e6-quantized
+    coordinates, one combinable per-(label, dim) aggregate — never a
+    float mean, whose summation order diverges across engines); each
+    squared distance is Σ(pᵢ·n − Sᵢ)² evaluated per dimension from
+    exact ≤2⁵³ integers and summed IN ARRAY ORDER (both engines run
+    the identical IEEE sequence); per-vector s is e6-requantized so
+    the per-label mean is an exact integer sum, one final division,
+    rounded 6 dp.  Singleton-exact ties (a = b = 0) score 0 by the
+    standard convention.
+
+    Scale shape: one combinable per-(label, dim) centroid aggregate,
+    one BROADCAST of the k-row centroid frame onto the vectors (n·k
+    distance rows, k = label count — bounded), one per-vector
+    conditional reduce, one per-label reduce.  No window, no collect.
+
+    Reference parity: no reference counterpart — cluster-evaluation
+    extension next to label_centroids/semantic_dedup (driver brief).
+    """
+    dec = "decimal(38,0)"
+    pts = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__own"),
+        F.monotonically_increasing_id().alias("__pid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1.0e6) + F.lit(0.5)).cast("long"),
+        ).alias("__p"),
+    )
+    ex = pts.select(
+        "__own", F.posexplode("__p").alias("__dim", "__x")
+    )
+    cent = (
+        ex.groupBy("__own", "__dim")
+        .agg(F.sum("__x").cast("long").alias("__s"))
+        .groupBy("__own")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__dim"), F.col("__s")))
+            ).alias("__pairs")
+        )
+        .select(
+            F.col("__own").alias("__clab"),
+            F.transform(F.col("__pairs"), lambda p: p["__s"]).alias("__S"),
+        )
+    )
+    counts = pts.groupBy("__own").agg(
+        F.count(F.lit(1)).cast("long").alias("__cn")
+    )
+    cent = cent.join(
+        counts, cent.__clab == counts.__own
+    ).select("__clab", "__S", "__cn")
+    # k-row centroid broadcast onto the vectors
+    jd = pts.crossJoin(F.broadcast(cent))
+    num = F.aggregate(
+        F.zip_with(
+            F.col("__p"),
+            F.col("__S"),
+            lambda a, b: F.pow(
+                (a * F.col("__cn") - b).cast("double"), F.lit(2.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = F.sqrt(num) / F.col("__cn").cast("double")
+    per = jd.select(
+        "__own",
+        "__pid",
+        F.when(F.col("__own") == F.col("__clab"), d).alias("__da"),
+        F.when(F.col("__own") != F.col("__clab"), d).alias("__db"),
+    ).groupBy("__own", "__pid").agg(
+        F.max("__da").alias("__a"),
+        F.min("__db").alias("__b"),
+    )
+    s = F.when(
+        F.greatest(F.col("__a"), F.col("__b")) > 0,
+        (F.col("__b") - F.col("__a"))
+        / F.greatest(F.col("__a"), F.col("__b")),
+    ).otherwise(F.lit(0.0))
+    sq = F.floor(s * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+    out = per.select("__own", sq.alias("__sq")).groupBy("__own").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("__sq").cast(dec)).alias("__ssum"),
+    )
+    return out.select(
+        F.col("__own").alias("label"),
+        "n_vectors",
+        F.round(
+            F.col("__ssum").cast("double")
+            / F.col("n_vectors").cast("double")
+            / F.lit(1.0e6),
+            6,
+        ).alias("mean_silhouette"),
+    )

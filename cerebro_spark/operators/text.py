@@ -1933,3 +1933,90 @@ def burrows_delta(
         ).alias("delta"),
         "n_terms",
     )
+
+
+def doc_novelty_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group profile of document NOVELTY — ``(group, n_docs,
+    mean_novelty, min_novelty, max_novelty)`` where a document's novelty
+    is its mean token surprisal ``(1/|d|)·Σ ln(N/c_t)`` in nats against
+    the corpus unigram model.  The template-flood detector: a boilerplate
+    page scores near the corpus floor (every token common), an
+    OCR-garbage page near the ceiling (every token rare) — min/max bound
+    the group's extremes, the mean ranks sources by information density.
+    The PER-DOC companion of unigram_nll's corpus number.
+
+    Exactness: per-term surprisal ``⌊ln(N/c_t)·10⁶ + ½⌋`` is computed
+    ONCE per vocabulary entry (same libm double in any engine); a doc's
+    sum is an exact integer, its mean an exact integer FLOOR division
+    (the eb/ips discipline), so the cross-doc group sums are order-free;
+    outputs are single IEEE divisions, rounded 6 dp.
+
+    Scale shape: one combinable term-count aggregate (vocab build), one
+    term-keyed equi-join of the exploded corpus onto the vocab frame
+    (the tfidf shape), one per-doc reduce, one per-group reduce.  No
+    window, no collect.
+
+    Reference parity: no reference counterpart — corpus-analysis
+    extension next to unigram_nll/zipf_slope (driver brief).
+    """
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.monotonically_increasing_id().alias("__doc"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    terms = base.select(
+        "group", "__doc", F.explode("__toks").alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__ct")
+    )
+    tot = vocab.agg(F.sum("__ct").cast("long").alias("__N"))
+    voc = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.col("__N").cast("double") / F.col("__ct").cast("double")
+            )
+            * F.lit(1.0e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__surp"),
+    )
+    j = terms.join(voc, "term")
+    per_doc = j.groupBy("group", "__doc").agg(
+        F.sum(F.col("__surp").cast(dec)).alias("__s"),
+        F.count(F.lit(1)).cast(dec).alias("__nt"),
+    )
+    # per-doc mean as an exact integer floor (order-free group sums)
+    nov = ((F.col("__s") - F.pmod(F.col("__s"), F.col("__nt"))) / F.col("__nt")).cast(dec)
+    per_doc = per_doc.withColumn("__nov", nov)
+    out = per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nov").alias("__sum"),
+        F.min("__nov").alias("__min"),
+        F.max("__nov").alias("__max"),
+    )
+    return out.select(
+        "group",
+        "n_docs",
+        F.round(
+            F.col("__sum").cast("double")
+            / F.col("n_docs").cast("double")
+            / F.lit(1.0e6),
+            6,
+        ).alias("mean_novelty"),
+        F.round(F.col("__min").cast("double") / F.lit(1.0e6), 6).alias(
+            "min_novelty"
+        ),
+        F.round(F.col("__max").cast("double") / F.lit(1.0e6), 6).alias(
+            "max_novelty"
+        ),
+    )

@@ -5083,3 +5083,157 @@ FROM per, base
 
 QUERIES["event_study_weekly"] = q_event_study_weekly
 ORACLES["event_study_weekly"] = _EVENT_STUDY_SQL
+
+def q_ols_value_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS (profile.ols_two_factor): value ~ hour +
+    day-of-week in ONE fit — the partial hour effect with weekday held
+    fixed; ten exact DECIMAL moments, Cramer's-rule IEEE chain."""
+    from cerebro_spark.operators.profile import ols_two_factor
+
+    ev = load_table(spark, "events", sf_dir)
+    return ols_two_factor(
+        ev, "value", F.hour(F.col("ts")), F.dayofweek(F.col("ts"))
+    )
+
+
+_OLS2_SQL = """
+WITH base AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS y,
+    CAST(floor(CAST(hour(ts) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x1,
+    CAST(floor(CAST(dayofweek(ts) + 1 AS DOUBLE) * 1000000.0 + 0.5)
+      AS BIGINT) AS x2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+    sum(CAST(y AS HUGEINT)) AS sy,
+    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+    sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM base
+),
+m AS (
+  SELECT n,
+    CAST(s11 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a11,
+    CAST(s22 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a22,
+    CAST(s12 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a12,
+    CAST(s1y AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1,
+    CAST(s2y AS DOUBLE) * n - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2,
+    CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syc,
+    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+    CAST(sy AS DOUBLE) AS syd
+  FROM agg
+),
+sol AS (
+  SELECT n, a11, a22, a12, c1, c2, syc, s1d, s2d, syd,
+    a11 * a22 - a12 * a12 AS det
+  FROM m
+)
+SELECT n,
+  CASE WHEN n >= 3 AND det > 0 THEN
+    round((syd - ((c1 * a22 - c2 * a12) / det) * s1d
+               - ((c2 * a11 - c1 * a12) / det) * s2d)
+          / CAST(n AS DOUBLE) / 1000000.0, 6)
+  END AS b0,
+  CASE WHEN n >= 3 AND det > 0 THEN
+    round((c1 * a22 - c2 * a12) / det, 6) END AS b1,
+  CASE WHEN n >= 3 AND det > 0 THEN
+    round((c2 * a11 - c1 * a12) / det, 6) END AS b2,
+  CASE WHEN n >= 3 AND det > 0 AND syc > 0 THEN
+    round(1.0 - (syc - ((c1 * a22 - c2 * a12) / det) * c1
+                     - ((c2 * a11 - c1 * a12) / det) * c2) / syc, 6)
+  END AS r2
+FROM sol
+"""
+
+QUERIES["ols_value_hour_dow"] = q_ols_value_hour_dow
+ORACLES["ols_value_hour_dow"] = _OLS2_SQL
+
+
+def q_yuen_trimmed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed t (profile.yuen_trimmed_t): 20%-trimmed means of
+    odd vs even user arms with winsorized variances — whale-immune A/B
+    in money units; exact-rank trims over the value grid."""
+    from cerebro_spark.operators.profile import yuen_trimmed_t
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    return yuen_trimmed_t(
+        ev, F.pmod(F.col("user_id"), F.lit(2)), "value", quant=100
+    )
+
+
+_YUEN_SQL = """
+WITH grid AS (
+  SELECT CAST(user_id % 2 AS INT) AS g,
+    CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS q,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, q, c,
+    sum(c) OVER (PARTITION BY g ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY g) AS n
+  FROM grid
+),
+bounds AS (
+  SELECT g,
+    min(CASE WHEN cum >= (20 * n) // 100 + 1 THEN q END) AS vlo,
+    min(CASE WHEN cum >= n - (20 * n) // 100 THEN q END) AS vhi,
+    max(n) AS n,
+    max((20 * n) // 100 + 1) AS lor,
+    max(n - (20 * n) // 100) AS hir
+  FROM cum GROUP BY g
+),
+cells AS (
+  SELECT cum.g, q, c, cum, b.n, b.vlo, b.vhi, b.lor, b.hir,
+    greatest(CAST(0 AS BIGINT),
+      least(cum, b.hir) - greatest(cum - c + 1, b.lor) + 1) AS ov,
+    greatest(least(q, b.vhi), b.vlo) AS cl
+  FROM cum JOIN bounds b USING (g)
+),
+per AS (
+  SELECT g, max(n) AS n, max(hir) - max(lor) + 1 AS h,
+    sum(CAST(ov AS HUGEINT) * q) AS ts,
+    sum(CAST(cl AS HUGEINT) * c) AS ws,
+    sum(CAST(cl AS HUGEINT) * cl * c) AS wss
+  FROM cells GROUP BY g
+),
+armed AS (
+  SELECT
+    max(CASE WHEN g = 0 THEN n END) AS n1,
+    max(CASE WHEN g = 1 THEN n END) AS n2,
+    max(CASE WHEN g = 0 THEN h END) AS h1,
+    max(CASE WHEN g = 1 THEN h END) AS h2,
+    max(CASE WHEN g = 0 THEN CAST(ts AS DOUBLE) END) AS ts0,
+    max(CASE WHEN g = 1 THEN CAST(ts AS DOUBLE) END) AS ts1,
+    max(CASE WHEN g = 0 THEN CAST(ws AS DOUBLE) END) AS ws0,
+    max(CASE WHEN g = 1 THEN CAST(ws AS DOUBLE) END) AS ws1,
+    max(CASE WHEN g = 0 THEN CAST(wss AS DOUBLE) END) AS wss0,
+    max(CASE WHEN g = 1 THEN CAST(wss AS DOUBLE) END) AS wss1
+  FROM per
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+  round(ts0 / h1 / 100.0, 6) AS tmean1,
+  round(ts1 / h2 / 100.0, 6) AS tmean2,
+  round(ts1 / h2 / 100.0 - ts0 / h1 / 100.0, 6) AS diff,
+  CASE WHEN (wss0 - ws0 * ws0 / n1) / (h1 * (h1 - 1.0)) / 10000.0
+          + (wss1 - ws1 * ws1 / n2) / (h2 * (h2 - 1.0)) / 10000.0 > 0 THEN
+    round((ts1 / h2 / 100.0 - ts0 / h1 / 100.0)
+          / sqrt((wss0 - ws0 * ws0 / n1) / (h1 * (h1 - 1.0)) / 10000.0
+                 + (wss1 - ws1 * ws1 / n2) / (h2 * (h2 - 1.0)) / 10000.0),
+          6)
+  END AS t
+FROM armed
+"""
+
+QUERIES["yuen_trimmed_value"] = q_yuen_trimmed_value
+ORACLES["yuen_trimmed_value"] = _YUEN_SQL

@@ -2160,3 +2160,70 @@ WHERE x.qid < y.qid
 
 QUERIES["mutual_topk_pairs"] = q_mutual_topk_pairs
 ORACLES["mutual_topk_pairs"] = _MUTUAL_NN_SQL
+
+
+def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster quality (similarity.centroid_silhouette): simplified
+    silhouette of the embedding labels — exact-integer centroids,
+    array-ordered IEEE distance sums, e6-requantized scores."""
+    from cerebro_spark.operators.similarity import centroid_silhouette
+
+    return centroid_silhouette(
+        load_table(spark, "embeddings", sf_dir), "embedding", "label"
+    )
+
+
+_SILHOUETTE_SQL = """
+WITH pts AS (
+  SELECT vec_id, label AS own,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS p
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+ex AS (
+  SELECT own, u.dim, u.x
+  FROM pts, LATERAL (
+    SELECT generate_subscripts(p, 1) AS dim, unnest(p) AS x
+  ) u
+),
+cent AS (
+  SELECT own AS clab, list(s ORDER BY dim) AS sv
+  FROM (
+    SELECT own, dim, CAST(sum(x) AS BIGINT) AS s
+    FROM ex GROUP BY own, dim
+  ) GROUP BY own
+),
+counts AS (SELECT own AS clab, CAST(count(*) AS BIGINT) AS cn FROM pts GROUP BY own),
+cj AS (
+  SELECT pts.vec_id, pts.own, pts.p, cent.clab, cent.sv, counts.cn
+  FROM pts CROSS JOIN cent JOIN counts ON counts.clab = cent.clab
+),
+dist AS (
+  SELECT vec_id, own, clab,
+    sqrt(list_aggregate(
+      list_transform(range(1, len(p) + 1),
+        i -> pow(CAST(p[i] * cn - sv[i] AS DOUBLE), 2)),
+      'sum')) / CAST(cn AS DOUBLE) AS d
+  FROM cj
+),
+per AS (
+  SELECT vec_id, own,
+    max(CASE WHEN own = clab THEN d END) AS a,
+    min(CASE WHEN own <> clab THEN d END) AS b
+  FROM dist GROUP BY vec_id, own
+),
+s AS (
+  SELECT own,
+    CAST(floor(CASE WHEN greatest(a, b) > 0
+                    THEN (b - a) / greatest(a, b) ELSE 0.0 END
+               * 1000000.0 + 0.5) AS BIGINT) AS sq
+  FROM per
+)
+SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+  round(CAST(sum(CAST(sq AS HUGEINT)) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_silhouette
+FROM s GROUP BY own
+"""
+
+QUERIES["label_silhouette"] = q_label_silhouette
+ORACLES["label_silhouette"] = _SILHOUETTE_SQL

@@ -2504,3 +2504,51 @@ FROM pairs
 
 QUERIES["burrows_delta"] = q_burrows_delta
 ORACLES["burrows_delta"] = _BURROWS_SQL
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty profile (text.doc_novelty_profile): mean token
+    surprisal per document against the corpus unigram model, aggregated
+    per source — boilerplate floors, OCR-noise ceilings."""
+    from cerebro_spark.operators.text import doc_novelty_profile
+
+    return doc_novelty_profile(
+        load_table(spark, "documents", sf_dir), "text", "source"
+    )
+
+
+_DOC_NOVELTY_SQL = """
+WITH terms AS (
+  SELECT source AS g, doc_id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+tf AS (SELECT g, doc_id, term FROM terms WHERE term <> ''),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS ct FROM tf GROUP BY term
+),
+tot AS (SELECT sum(CAST(ct AS HUGEINT)) AS n FROM vocab),
+voc AS (
+  SELECT term,
+    CAST(floor(ln(CAST((SELECT n FROM tot) AS DOUBLE) / CAST(ct AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS surp
+  FROM vocab
+),
+per_doc AS (
+  SELECT g, doc_id, sum(CAST(surp AS HUGEINT)) AS s,
+    CAST(count(*) AS HUGEINT) AS nt
+  FROM tf JOIN voc USING (term) GROUP BY g, doc_id
+),
+nov AS (
+  SELECT g, s // nt AS nov FROM per_doc
+)
+SELECT g AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(sum(nov) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+    AS mean_novelty,
+  round(CAST(min(nov) AS DOUBLE) / 1000000.0, 6) AS min_novelty,
+  round(CAST(max(nov) AS DOUBLE) / 1000000.0, 6) AS max_novelty
+FROM nov GROUP BY g
+"""
+
+QUERIES["doc_novelty"] = q_doc_novelty
+ORACLES["doc_novelty"] = _DOC_NOVELTY_SQL

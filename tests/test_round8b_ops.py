@@ -727,3 +727,134 @@ def test_burrows_delta_identical_groups_zero(spark):
            for r in burrows_delta(df, "text", "source", top_n=5).collect()}
     assert out[("a", "b")] == pytest.approx(0.0, abs=1e-5)
     assert out[("a", "c")] > 0.1
+
+
+# ---------------------------------------------------------------------------
+# ols_two_factor / yuen_trimmed_t
+# ---------------------------------------------------------------------------
+
+def test_ols_two_factor_recovers_coefficients(spark):
+    from cerebro_spark.operators.profile import ols_two_factor
+
+    # exact plane y = 2 + 3*x1 - 0.5*x2 over a non-collinear design
+    rows = [(2 + 3 * a - 0.5 * b, float(a), float(b))
+            for a in range(6) for b in range(5)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = ols_two_factor(df, "y", "x1", "x2").collect()[0]
+    assert out["n"] == 30
+    assert out["b0"] == pytest.approx(2.0, abs=1e-5)
+    assert out["b1"] == pytest.approx(3.0, abs=1e-5)
+    assert out["b2"] == pytest.approx(-0.5, abs=1e-5)
+    assert out["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ols_two_factor_collinear_null(spark):
+    from cerebro_spark.operators.profile import ols_two_factor
+
+    rows = [(float(i), float(i), float(2 * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = ols_two_factor(df, "y", "x1", "x2").collect()[0]
+    assert out["b1"] is None and out["r2"] is None
+
+
+def test_ols_two_factor_partial_effect(spark):
+    from cerebro_spark.operators.profile import ols_two_factor
+    import numpy as np
+
+    # y depends on x1 only, but x2 correlates with x1: the multivariable
+    # fit must hand the shared variance to x1 (b2 ~ 0) — reference via
+    # numpy lstsq
+    rows = [(3.0 * a + 0.01 * ((a * 7 + b) % 5), float(a),
+             float(a + ((b * 3) % 4)))
+            for a in range(8) for b in range(6)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = ols_two_factor(df, "y", "x1", "x2").collect()[0]
+    X = np.array([[1.0, r[1], r[2]] for r in rows])
+    yv = np.array([r[0] for r in rows])
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    assert out["b1"] == pytest.approx(beta[1], abs=1e-4)
+    assert out["b2"] == pytest.approx(beta[2], abs=1e-4)
+
+
+def test_yuen_outlier_immunity(spark):
+    from cerebro_spark.operators.profile import yuen_trimmed_t
+
+    # identical middles; arm 1 has a massive whale the 20% trim removes
+    rows = [(float(v), 0) for v in range(1, 11)]
+    rows += [(float(v), 1) for v in range(1, 10)] + [(10000.0, 1)]
+    df = spark.createDataFrame(rows, "v double, g int")
+    out = yuen_trimmed_t(df, "g", "v", quant=1).collect()[0]
+    assert out["n1"] == 10 and out["n2"] == 10
+    assert out["h1"] == 6 and out["h2"] == 6
+    # trimmed means: ranks 3..8 of 1..10 = mean(3..8) = 5.5 both arms
+    assert out["tmean1"] == pytest.approx(5.5)
+    assert out["tmean2"] == pytest.approx(5.5)
+    assert out["diff"] == pytest.approx(0.0)
+
+
+def test_yuen_detects_shift(spark):
+    from cerebro_spark.operators.profile import yuen_trimmed_t
+
+    rows = [(float(v), 0) for v in range(1, 21)]
+    rows += [(float(v) + 5.0, 1) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "v double, g int")
+    out = yuen_trimmed_t(df, "g", "v", quant=1).collect()[0]
+    assert out["diff"] == pytest.approx(5.0)
+    # hand check: h=12, SSW_w=385 per arm, d=385/132 → t = 5/√(2d) ≈ 2.0702
+    assert out["t"] == pytest.approx(5.0 / math.sqrt(2 * 385 / 132), abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# doc_novelty_profile / centroid_silhouette
+# ---------------------------------------------------------------------------
+
+def test_doc_novelty_orders_sources(spark):
+    from cerebro_spark.operators.text import doc_novelty_profile
+    import math as m
+
+    # 'template' repeats one common word; 'fresh' docs are all-unique terms
+    docs = [("template", "aaa aaa aaa aaa")] * 5
+    docs += [("fresh", f"u{i}a u{i}b u{i}c u{i}d") for i in range(5)]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {r["group"]: r for r in
+           doc_novelty_profile(df, "text", "source").collect()}
+    # corpus N = 40 tokens; 'aaa' count 20 -> surprisal ln(2); unique
+    # terms count 1 -> ln(40)
+    assert out["template"]["mean_novelty"] == pytest.approx(m.log(2), abs=1e-5)
+    assert out["fresh"]["mean_novelty"] == pytest.approx(m.log(40), abs=1e-5)
+    assert out["template"]["n_docs"] == 5
+
+
+def test_silhouette_separated_vs_mixed(spark):
+    from cerebro_spark.operators.similarity import centroid_silhouette
+
+    # two tight, far-apart clusters -> s near 1; a label whose points sit
+    # ON another centroid -> s near 0 or below
+    rows = []
+    for i in range(10):
+        rows.append((i, [100.0 + (i % 3) * 0.1, 0.0], "a"))
+        rows.append((100 + i, [-100.0 - (i % 3) * 0.1, 0.0], "b"))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["label"]: r["mean_silhouette"] for r in
+           centroid_silhouette(df, "embedding", "label").collect()}
+    assert out["a"] > 0.99 and out["b"] > 0.99
+
+    rows += [(200 + i, [100.0 + (i % 3) * 0.1, 0.0], "c") for i in range(5)]
+    out2 = {r["label"]: r["mean_silhouette"] for r in
+            centroid_silhouette(
+                spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string"),
+                "embedding", "label").collect()}
+    # c sits on top of a's cluster: silhouette collapses toward 0
+    assert out2["c"] < 0.1
+
+
+def test_silhouette_singleton_scores_zero(spark):
+    from cerebro_spark.operators.similarity import centroid_silhouette
+
+    rows = [(1, [1.0, 0.0], "a"), (2, [5.0, 0.0], "b")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["label"]: r["mean_silhouette"] for r in
+           centroid_silhouette(df, "embedding", "label").collect()}
+    # each point IS its centroid: a = 0, b > 0 -> s = 1 by (b-a)/max
+    assert out["a"] == pytest.approx(1.0)
+    assert out["b"] == pytest.approx(1.0)

@@ -229,6 +229,14 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # frame (absent terms must carry rate 0 — the js_drift contract)
     # (r8 late births)
     "burrows_delta",
+    # 1-row scalar broadcast: the corpus token total crossJoined onto the
+    # vocab frame for per-term surprisal (the unigram_nll contract)
+    # (r8 late births)
+    "doc_novelty",
+    # k-row centroid broadcast crossJoined onto the vectors (k = label
+    # count, bounded — the ann_cosine_topk query-batch contract)
+    # (r8 late births)
+    "label_silhouette",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
