@@ -623,6 +623,10 @@ _SNAPSHOT_PRIORITY = [
     "yuen_trimmed_value",     # Yuen trimmed-mean robust A/B t
     "doc_novelty",            # per-doc surprisal profile per source
     "label_silhouette",       # centroid silhouette cluster quality
+    "fightin_words",          # Dirichlet-prior log-odds distinctive terms
+    "hill_diversity",         # Hill-number diversity profile (q=0,1,2)
+    "purchase_hour_trend",    # Cochran-Armitage ordered trend test
+    "seasonality_strength",   # Hyndman seasonal/trend strength readout
     # --- everything below here is driver-gated green (r01-r07) and keeps
     # local-oracle coverage via tools/check.py ---
     # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the

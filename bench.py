@@ -236,6 +236,19 @@ HEADLINE = [
     "good_turing_unseen",     # unseen-mass corpus coverage
     "brier_decomposition",    # Brier reliability/resolution split
     "mutual_topk_pairs",      # reciprocal top-1 cosine (MNN pairs)
+    # round-8 late births (staged below the gate cutoff; born-benched)
+    "mann_whitney_value",     # rank-sum test (combined-grid midranks)
+    "kruskal_value_type",     # k-group rank ANOVA
+    "event_study_weekly",     # DiD parallel-trends readout
+    "burrows_delta",          # stylometric source-pair distance
+    "ols_value_hour_dow",     # two-regressor OLS
+    "yuen_trimmed_value",     # trimmed-mean robust A/B t
+    "doc_novelty",            # per-doc surprisal profile
+    "label_silhouette",       # centroid silhouette cluster quality
+    "fightin_words",          # Dirichlet-prior distinctive terms
+    "hill_diversity",         # Hill-number diversity profile
+    "purchase_hour_trend",    # Cochran-Armitage ordered trend
+    "seasonality_strength",   # seasonal/trend strength readout
 ]
 
 

@@ -4785,3 +4785,76 @@ def yuen_trimmed_t(
         F.round(diff, 6).alias("diff"),
         F.when(dsum > 0, F.round(diff / F.sqrt(dsum), 6)).alias("t"),
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Cochran–Armitage test for TREND in proportions across ordered
+    categories — ONE row ``(n, k_levels, p_pooled, slope_sign, z)``:
+    does a binary outcome's rate rise or fall MONOTONICALLY with an
+    ordered score (hour of day, bucket index, dose)?  The ordered
+    companion of chi2_independence: chi² asks "any association",
+    this asks "a directional one", and it keeps its power when the
+    association is a trend because it spends its single degree of
+    freedom on exactly that.
+
+    ``score_col`` must be an integer category score; ``label_col`` a
+    0/1 outcome.  Z = Σsᵢ(rᵢ − nᵢp̄) / √(p̄(1−p̄)·[Σnᵢsᵢ² − (Σnᵢsᵢ)²/N])
+    with all moments exact DECIMAL integers (the variance bracket is
+    carried ×N to stay integral), one fixed IEEE chain, rounded 6 dp;
+    NULL when p̄ ∈ {0, 1} or the scores are constant.
+
+    Scale shape: ONE combinable per-level aggregate over the fact, one
+    1-row reduce.  No window, no join, no collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to chi2_independence/ab_test_ztest (driver brief).
+    """
+    dec = "decimal(38,0)"
+    s = score_col if not isinstance(score_col, str) else F.col(score_col)
+    y = label_col if not isinstance(label_col, str) else F.col(label_col)
+    per = (
+        df.select(s.cast("long").alias("__s"), y.cast("int").alias("__y"))
+        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__y").cast("long").alias("__r"),
+        )
+    )
+    agg = per.agg(
+        F.sum("__n").cast(dec).alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+        F.sum("__r").cast(dec).alias("__R"),
+        F.sum(F.col("__s").cast(dec) * F.col("__r")).alias("__sr"),
+        F.sum(F.col("__s").cast(dec) * F.col("__n")).alias("__sn"),
+        F.sum(F.col("__s").cast(dec) * F.col("__s") * F.col("__n")).alias(
+            "__ssn"
+        ),
+    )
+    N = F.col("__N")
+    R = F.col("__R")
+    # numerator ×N:  N·Σs·r − R·Σs·n   (exact DECIMAL)
+    num_xn = N * F.col("__sr") - R * F.col("__sn")
+    # variance bracket ×N:  N·Σn·s² − (Σn·s)²   (exact DECIMAL)
+    var_xn = N * F.col("__ssn") - F.col("__sn") * F.col("__sn")
+    p = R.cast("double") / N.cast("double")
+    z = num_xn.cast("double") / N.cast("double") / F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (var_xn.cast("double") / N.cast("double"))
+    )
+    ok = (R > 0) & (R < N) & (var_xn > 0)
+    return agg.select(
+        N.cast("long").alias("n"),
+        "k_levels",
+        F.round(p, 6).alias("p_pooled"),
+        F.when(num_xn > 0, F.lit(1))
+        .when(num_xn < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("slope_sign"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+    )

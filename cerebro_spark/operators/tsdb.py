@@ -1919,3 +1919,90 @@ def ols_trend(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def decomposition_strength(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: "list[str] | None" = None,
+    trend_window_seconds: int = 86400,
+    season_unit: str = "hour",
+) -> DataFrame:
+    """Seasonal / trend STRENGTH per series (Hyndman & Athanasopoulos,
+    FPP3 §4.4) — per key ``(keys…, n, strength_seasonal,
+    strength_trend)``: ``1 − Var(R)/Var(S+R)`` and ``1 − Var(R)/Var(T+R)``
+    clamped at 0, from the seasonal_decompose components.  The one-number
+    readout of the decomposition: strength_seasonal ≈ 0 means the
+    hour-of-day profile is noise (drop the seasonal model), ≈ 1 means the
+    series is all calendar; likewise for trend — the triage that decides
+    between holt_winters_forecast and a flat ewma_level.
+
+    Exactness: the decomposition's seasonal/residual are already
+    4 dp-rounded doubles (exact e4 integers) and its trend chain is
+    bit-deterministic, so (S+R), R and (T+R) are e4-floor-quantized
+    BIGINTs whose variance moments are exact DECIMAL(38,0); each
+    strength is one fixed IEEE chain, rounded 6 dp; NULL when the
+    denominator variance is 0.
+
+    Scale shape: seasonal_decompose's own shape (bucket-grid windows,
+    bounded profiles) plus ONE combinable per-key moment aggregate.
+
+    Reference parity: no reference counterpart — time-series extension
+    next to seasonal_decompose (driver brief).
+    """
+    keys = keys or []
+    dec = "decimal(38,0)"
+    comp = seasonal_decompose(
+        df, value_col, time_col, keys, trend_window_seconds, season_unit
+    )
+
+    def q4(c):
+        return F.floor(c * F.lit(1.0e4) + F.lit(0.5)).cast("long")
+
+    base = comp.select(
+        *keys,
+        q4(F.col("seasonal") + F.col("residual")).alias("__sr"),
+        q4(F.col("residual")).alias("__r"),
+        q4(F.col("trend") + F.col("residual")).alias("__tr"),
+    )
+
+    def moments(c_, pre):
+        return [
+            F.sum(F.col(c_).cast(dec)).alias(f"__{pre}s"),
+            F.sum(F.col(c_).cast(dec) * F.col(c_)).alias(f"__{pre}ss"),
+        ]
+
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *moments("__sr", "a"),
+        *moments("__r", "b"),
+        *moments("__tr", "c"),
+    )
+    n = F.col("n").cast(dec)
+
+    def var_num(pre):
+        return n * F.col(f"__{pre}ss") - F.col(f"__{pre}s") * F.col(
+            f"__{pre}s"
+        )
+
+    def strength(den_pre):
+        den = var_num(den_pre)
+        return F.when(
+            den > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - var_num("b").cast("double") / den.cast("double"),
+                ),
+                6,
+            ),
+        )
+
+    return agg.select(
+        *keys,
+        "n",
+        strength("a").alias("strength_seasonal"),
+        strength("c").alias("strength_trend"),
+    )

@@ -5237,3 +5237,49 @@ FROM armed
 
 QUERIES["yuen_trimmed_value"] = q_yuen_trimmed_value
 ORACLES["yuen_trimmed_value"] = _YUEN_SQL
+
+def q_purchase_hour_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend (profile.cochran_armitage): does purchase
+    propensity trend monotonically across hour-of-day?  Exact DECIMAL
+    moments carried xN; one combinable pass."""
+    from cerebro_spark.operators.profile import cochran_armitage
+
+    ev = load_table(spark, "events", sf_dir)
+    return cochran_armitage(
+        ev,
+        F.hour(F.col("ts")),
+        (F.col("event_type") == "purchase").cast("int"),
+    )
+
+
+_COCHRAN_SQL = """
+WITH per AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS r
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+agg AS (
+  SELECT sum(CAST(n AS HUGEINT)) AS nn, CAST(count(*) AS BIGINT) AS k,
+    sum(CAST(r AS HUGEINT)) AS rr,
+    sum(CAST(s AS HUGEINT) * r) AS sr,
+    sum(CAST(s AS HUGEINT) * n) AS sn,
+    sum(CAST(s AS HUGEINT) * s * n) AS ssn
+  FROM per
+)
+SELECT CAST(nn AS BIGINT) AS n, k AS k_levels,
+  round(CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS p_pooled,
+  CASE WHEN nn * sr - rr * sn > 0 THEN 1
+       WHEN nn * sr - rr * sn < 0 THEN -1 ELSE 0 END AS slope_sign,
+  CASE WHEN rr > 0 AND rr < nn AND nn * ssn - sn * sn > 0 THEN
+    round(CAST(nn * sr - rr * sn AS DOUBLE) / CAST(nn AS DOUBLE)
+          / sqrt((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (CAST(nn * ssn - sn * sn AS DOUBLE)
+                    / CAST(nn AS DOUBLE))), 6)
+  END AS z
+FROM agg
+"""
+
+QUERIES["purchase_hour_trend"] = q_purchase_hour_trend
+ORACLES["purchase_hour_trend"] = _COCHRAN_SQL

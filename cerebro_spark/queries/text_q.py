@@ -2552,3 +2552,104 @@ FROM nov GROUP BY g
 
 QUERIES["doc_novelty"] = q_doc_novelty
 ORACLES["doc_novelty"] = _DOC_NOVELTY_SQL
+
+
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source (text.fightin_words): Dirichlet-prior
+    log-odds z vs the rest of the corpus, top-10 per source — names the
+    words behind a burrows_delta divergence."""
+    from cerebro_spark.operators.text import fightin_words
+
+    return fightin_words(
+        load_table(spark, "documents", sf_dir), "text", "source", top_k=10
+    )
+
+
+_FIGHTIN_SQL = """
+WITH terms AS (
+  SELECT source AS g,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+cells AS (
+  SELECT g, term, CAST(count(*) AS BIGINT) AS c
+  FROM terms WHERE term <> '' GROUP BY g, term
+),
+tterm AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY term),
+gtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY g),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tterm),
+scored AS (
+  SELECT cells.g, cells.term, cells.c,
+    CAST(floor(
+      (ln((CAST(c AS DOUBLE) + 200.0 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(ng AS DOUBLE) + 200.0
+             - CAST(c AS DOUBLE)
+             - 200.0 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+       - ln((CAST(ct - c AS DOUBLE)
+             + 200.0 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(n - ng AS DOUBLE) + 200.0
+               - CAST(ct - c AS DOUBLE)
+               - 200.0 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))))
+      / sqrt(1.0 / (CAST(c AS DOUBLE)
+                    + 200.0 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             + 1.0 / (CAST(ct - c AS DOUBLE)
+                      + 200.0 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+      * 1000000.0 + 0.5) AS BIGINT) AS zq
+  FROM cells JOIN tterm USING (term) JOIN gtot USING (g)
+  CROSS JOIN tot
+),
+ranked AS (
+  SELECT g, term, c, zq,
+    row_number() OVER (PARTITION BY g ORDER BY zq DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT g AS "group", term, c AS count,
+  round(CAST(zq AS DOUBLE) / 1000000.0, 6) AS z_logodds,
+  CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+QUERIES["fightin_words"] = q_fightin_words
+ORACLES["fightin_words"] = _FIGHTIN_SQL
+
+
+def q_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity (text.hill_diversity): richness, effective
+    vocabulary exp(H), and inverse-Simpson per source — the three-point
+    corpus-composition profile."""
+    from cerebro_spark.operators.text import hill_diversity
+
+    return hill_diversity(
+        load_table(spark, "documents", sf_dir), "text", "source"
+    )
+
+
+_HILL_DIVERSITY_SQL = """
+WITH terms AS (
+  SELECT source AS g,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+cells AS (
+  SELECT g, term, CAST(count(*) AS BIGINT) AS c
+  FROM terms WHERE term <> '' GROUP BY g, term
+),
+gtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY g),
+agg AS (
+  SELECT cells.g, max(n) AS n, CAST(count(*) AS BIGINT) AS richness,
+    sum(CAST(c AS HUGEINT)
+        * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT)) AS h6,
+    sum(CAST(c AS HUGEINT) * c) AS cc
+  FROM cells JOIN gtot USING (g) GROUP BY cells.g
+)
+SELECT g AS "group", CAST(n AS BIGINT) AS n_tokens, richness,
+  round(exp(CAST(h6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)), 4)
+    AS hill_q1,
+  round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / CAST(cc AS DOUBLE), 4)
+    AS hill_q2
+FROM agg
+"""
+
+QUERIES["hill_diversity"] = q_hill_diversity
+ORACLES["hill_diversity"] = _HILL_DIVERSITY_SQL

@@ -2284,3 +2284,47 @@ FROM d
 
 QUERIES["ols_trend"] = q_ols_trend
 ORACLES["ols_trend"] = _OLS_TREND_SQL
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal/trend strength (tsdb.decomposition_strength): Hyndman's
+    1 - Var(R)/Var(S+R) per event_type from the seasonal_decompose
+    components - the one-number model-triage readout."""
+    from cerebro_spark.operators.tsdb import decomposition_strength
+
+    ev = load_table(spark, "events", sf_dir)
+    return decomposition_strength(ev, "value", "ts", keys=["event_type"])
+
+
+_STRENGTH_SQL = f"""
+WITH decomp AS ({_SEASONAL_SQL}),
+q AS (
+  SELECT event_type,
+    CAST(floor((seasonal + residual) * 10000.0 + 0.5) AS BIGINT) AS sr,
+    CAST(floor(residual * 10000.0 + 0.5) AS BIGINT) AS r,
+    CAST(floor((trend + residual) * 10000.0 + 0.5) AS BIGINT) AS tr
+  FROM decomp
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(sr AS HUGEINT)) AS sa, sum(CAST(sr AS HUGEINT) * sr) AS saa,
+    sum(CAST(r AS HUGEINT)) AS sb, sum(CAST(r AS HUGEINT) * r) AS sbb,
+    sum(CAST(tr AS HUGEINT)) AS sc, sum(CAST(tr AS HUGEINT) * tr) AS scc
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n,
+  CASE WHEN CAST(n AS HUGEINT) * saa - sa * sa > 0 THEN
+    round(greatest(0.0, 1.0
+      - CAST(CAST(n AS HUGEINT) * sbb - sb * sb AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * saa - sa * sa AS DOUBLE)), 6)
+  END AS strength_seasonal,
+  CASE WHEN CAST(n AS HUGEINT) * scc - sc * sc > 0 THEN
+    round(greatest(0.0, 1.0
+      - CAST(CAST(n AS HUGEINT) * sbb - sb * sb AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * scc - sc * sc AS DOUBLE)), 6)
+  END AS strength_trend
+FROM agg
+"""
+
+QUERIES["seasonality_strength"] = q_seasonality_strength
+ORACLES["seasonality_strength"] = _STRENGTH_SQL

@@ -858,3 +858,94 @@ def test_silhouette_singleton_scores_zero(spark):
     # each point IS its centroid: a = 0, b > 0 -> s = 1 by (b-a)/max
     assert out["a"] == pytest.approx(1.0)
     assert out["b"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# fightin_words / hill_diversity / cochran_armitage / decomposition_strength
+# ---------------------------------------------------------------------------
+
+def test_fightin_words_finds_planted_term(spark):
+    from cerebro_spark.operators.text import fightin_words
+
+    docs = [("s1", "common words here plus zebra zebra zebra")] * 10
+    docs += [("s2", "common words here plus nothing special")] * 10
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = fightin_words(df, "text", "source", top_k=3).collect()
+    top_s1 = [r["term"] for r in out if r["group"] == "s1" and r["rank"] == 1]
+    top_s2 = [r["term"] for r in out if r["group"] == "s2" and r["rank"] == 1]
+    assert top_s1 == ["zebra"]
+    assert top_s2[0] in ("nothing", "special")
+    z1 = [r["z_logodds"] for r in out if r["group"] == "s1" and r["rank"] == 1]
+    assert z1[0] > 2.0
+
+
+def test_hill_diversity_orders(spark):
+    from cerebro_spark.operators.text import hill_diversity
+    import math as m
+
+    # uniform over 4 types: q0 = q1 = q2 = 4; skewed: q0=2, q1 < 2, q2 < q1
+    docs = [("uni", "a b c d")] * 5
+    docs += [("skew", "x x x x x x x x x y")] * 2
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {r["group"]: r for r in hill_diversity(df, "text", "source").collect()}
+    assert out["uni"]["richness"] == 4
+    assert out["uni"]["hill_q1"] == pytest.approx(4.0, abs=1e-3)
+    assert out["uni"]["hill_q2"] == pytest.approx(4.0, abs=1e-3)
+    p = [0.9, 0.1]
+    want_q1 = m.exp(-sum(x * m.log(x) for x in p))
+    assert out["skew"]["richness"] == 2
+    assert out["skew"]["hill_q1"] == pytest.approx(want_q1, abs=1e-3)
+    assert out["skew"]["hill_q2"] == pytest.approx(1 / sum(x * x for x in p), abs=1e-3)
+    assert out["skew"]["hill_q2"] < out["skew"]["hill_q1"] < 2
+
+
+def test_cochran_armitage_trend(spark):
+    from cerebro_spark.operators.profile import cochran_armitage
+
+    # rate rises with score: 10%, 30%, 50%, 70% over scores 0..3
+    rows = []
+    for s_, rate in enumerate([1, 3, 5, 7]):
+        rows += [(s_, 1)] * rate + [(s_, 0)] * (10 - rate)
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = cochran_armitage(df, "s", "y").collect()[0]
+    assert out["n"] == 40 and out["k_levels"] == 4
+    assert out["slope_sign"] == 1
+    # reference: z^2 equals the standard CA chi2 = 8.4-ish for this table
+    n, N = [10] * 4, 40
+    r = [1, 3, 5, 7]
+    R = sum(r)
+    pbar = R / N
+    num = sum(s_ * (r[s_] - 10 * pbar) for s_ in range(4))
+    var = pbar * (1 - pbar) * (sum(10 * s_ * s_ for s_ in range(4))
+                               - sum(10 * s_ for s_ in range(4)) ** 2 / N)
+    want = num / math.sqrt(var)
+    assert out["z"] == pytest.approx(want, abs=1e-5)
+
+
+def test_cochran_armitage_flat_is_zero(spark):
+    from cerebro_spark.operators.profile import cochran_armitage
+
+    rows = [(s_, 1 if i < 3 else 0) for s_ in range(4) for i in range(10)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = cochran_armitage(df, "s", "y").collect()[0]
+    assert out["z"] == pytest.approx(0.0)
+    assert out["slope_sign"] == 0
+
+
+def test_decomposition_strength_seasonal_series(spark):
+    from cerebro_spark.operators.tsdb import decomposition_strength
+    import datetime as dt
+
+    # pure 24h-periodic signal, no noise: seasonal strength near 1
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for d in range(6):
+        for h in range(24):
+            rows.append(
+                ("k", base + dt.timedelta(days=d, hours=h),
+                 10.0 + (5.0 if h in (9, 10, 11) else 0.0))
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = decomposition_strength(df, "value", "ts", keys=["k"]).collect()[0]
+    assert out["strength_seasonal"] is not None
+    assert out["strength_seasonal"] > 0.95

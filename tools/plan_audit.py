@@ -237,6 +237,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # count, bounded — the ann_cosine_topk query-batch contract)
     # (r8 late births)
     "label_silhouette",
+    # 1-row scalar broadcast: the corpus token total crossJoined onto the
+    # vocab cell frame for the Dirichlet prior (the unigram_nll contract)
+    # (r8 late births)
+    "fightin_words",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
