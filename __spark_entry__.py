@@ -627,6 +627,10 @@ _SNAPSHOT_PRIORITY = [
     "hill_diversity",         # Hill-number diversity profile (q=0,1,2)
     "purchase_hour_trend",    # Cochran-Armitage ordered trend test
     "seasonality_strength",   # Hyndman seasonal/trend strength readout
+    "revenue_per_event_ztest",  # ratio-metric A/B (delta method)
+    "levene_value_type",      # Brown-Forsythe equal-variance gate
+    "forecast_backtest",      # seasonal-naive MASE/sMAPE backtest
+    "trade_reciprocity",      # directed-edge reciprocity diagnostic
     # --- everything below here is driver-gated green (r01-r07) and keeps
     # local-oracle coverage via tools/check.py ---
     # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the

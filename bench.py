@@ -249,6 +249,10 @@ HEADLINE = [
     "hill_diversity",         # Hill-number diversity profile
     "purchase_hour_trend",    # Cochran-Armitage ordered trend
     "seasonality_strength",   # seasonal/trend strength readout
+    "revenue_per_event_ztest",  # delta-method ratio-metric A/B
+    "levene_value_type",      # equal-variance assumption gate
+    "forecast_backtest",      # seasonal-naive MASE/sMAPE
+    "trade_reciprocity",      # directed-edge reciprocity
 ]
 
 

@@ -1152,3 +1152,62 @@ def degree_assortativity(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("assortativity"),
     )
+
+
+def graph_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity — ONE row ``(n_edges, n_reciprocal,
+    reciprocity)``: the fraction of directed edges whose reverse edge
+    also exists.  The directionality diagnostic the undirected metrics
+    (clustering_parts, parts_assortativity) can't see: a trade network
+    with reciprocity ≈ 0 is a strict hierarchy (flows never return), ≈ 1
+    an undirected market in disguise — which decides whether pagerank's
+    directed random walk even means anything on this graph.
+
+    Self-loops are excluded; duplicate directed edges collapse first.
+    Reciprocity counting WITHOUT a self-join (the mutual_nn_pairs
+    discipline): each directed edge contributes one row to its
+    unordered pair key, so a pair seen from BOTH directions has count 2
+    — one combinable groupBy, exact integers, one division (rounded
+    6 dp).
+
+    Scale shape: one distinct-edge aggregate, one unordered-pair
+    aggregate, one 1-row reduce.  No join, no window, no collect.
+
+    Reference parity: no reference counterpart — graph-analytics
+    extension next to parts_assortativity (driver brief).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .filter(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & (F.col("__s") != F.col("__d"))
+        )
+        .distinct()
+    )
+    pairs = e.select(
+        F.least(F.col("__s"), F.col("__d")).alias("__a"),
+        F.greatest(F.col("__s"), F.col("__d")).alias("__b"),
+    ).groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__dirs"))
+    agg = pairs.agg(
+        F.sum("__dirs").cast("long").alias("n_edges"),
+        (F.lit(2) * F.sum((F.col("__dirs") == 2).cast("long")))
+        .cast("long")
+        .alias("n_reciprocal"),
+    )
+    return agg.select(
+        "n_edges",
+        "n_reciprocal",
+        F.when(
+            F.col("n_edges") > 0,
+            F.round(
+                F.col("n_reciprocal").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ),
+        ).alias("reciprocity"),
+    )

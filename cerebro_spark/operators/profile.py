@@ -4858,3 +4858,211 @@ def cochran_armitage(
         .alias("slope_sign"),
         F.when(ok, F.round(z, 6)).alias("z"),
     )
+
+
+def ratio_metric_ztest(
+    df: DataFrame,
+    unit_col: str,
+    num_col,
+    den_col,
+    group_col,
+) -> DataFrame:
+    """Two-arm z-test on a RATIO metric (Σnum/Σden per arm) with
+    delta-method variance — ONE row ``(n1, n2, ratio1, ratio2, diff,
+    z)``.  The missing member of the A/B family: CTR, revenue-per-
+    session, tokens-per-request are ratios of SUMS whose denominator
+    varies per unit — treating them as per-unit averages biases the
+    metric, and treating units as independent rows understates the
+    variance (a user's clicks correlate).  Delta method on per-UNIT
+    (X, Y): Var(X̄/Ȳ) ≈ (S²_X − 2R·S_XY + R²·S²_Y)/(n·Ȳ²)
+    (Deng, Knoblich & Lu 2018).  ``group_col`` must be 0/1.
+
+    Exactness: per-unit X, Y are exact e6 integer sums, so the per-arm
+    moments (n, ΣX, ΣY, ΣXX, ΣYY, ΣXY) are exact DECIMAL(38,0); R, the
+    three (co)variances and z are one fixed IEEE chain over their
+    exact-cast values, rounded 6 dp; NULL when either arm's variance
+    term is ≤ 0 or a denominator is 0.
+
+    Scale shape: ONE combinable per-(arm, unit) aggregate over the
+    fact, one 2-row reduce, one 1-row pivot.  No window, no collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to ab_test_ztest/cuped (driver brief).
+    """
+    dec = "decimal(38,0)"
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    num = num_col if not isinstance(num_col, str) else F.col(num_col)
+    den = den_col if not isinstance(den_col, str) else F.col(den_col)
+
+    def q6(c):
+        return F.floor(
+            c.cast("double") * F.lit(1.0e6) + F.lit(0.5)
+        ).cast("long")
+
+    units = (
+        df.filter(g.isin(0, 1) & F.col(unit_col).isNotNull())
+        .select(
+            g.cast("int").alias("__g"),
+            F.col(unit_col).alias("__u"),
+            F.coalesce(q6(num), F.lit(0)).alias("__x"),
+            F.coalesce(q6(den), F.lit(0)).alias("__y"),
+        )
+        .groupBy("__g", "__u")
+        .agg(
+            F.sum(F.col("__x").cast(dec)).alias("__X"),
+            F.sum(F.col("__y").cast(dec)).alias("__Y"),
+        )
+    )
+    per = units.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__X").alias("sx"),
+        F.sum("__Y").alias("sy"),
+        F.sum(F.col("__X") * F.col("__X")).alias("sxx"),
+        F.sum(F.col("__Y") * F.col("__Y")).alias("syy"),
+        F.sum(F.col("__X") * F.col("__Y")).alias("sxy"),
+    )
+    p = per.groupBy().pivot("__g", [0, 1]).agg(
+        F.first("n").alias("n"),
+        F.first("sx").alias("sx"),
+        F.first("sy").alias("sy"),
+        F.first("sxx").alias("sxx"),
+        F.first("syy").alias("syy"),
+        F.first("sxy").alias("sxy"),
+    )
+
+    def arm(j):
+        n = F.col(f"{j}_n").cast("double")
+        sx = F.col(f"{j}_sx").cast("double")
+        sy = F.col(f"{j}_sy").cast("double")
+        r = sx / sy
+        # sample (co)variances ×(n−1)·n — kept as one chain
+        vx = F.col(f"{j}_sxx").cast("double") * n - sx * sx
+        vy = F.col(f"{j}_syy").cast("double") * n - sy * sy
+        vxy = F.col(f"{j}_sxy").cast("double") * n - sx * sy
+        ybar = sy / n
+        # Var(R) ≈ (S²x − 2R·Sxy + R²·S²y) / (n·Ȳ²), with S² = v/(n(n−1))
+        var_r = (vx - 2.0 * r * vxy + r * r * vy) / (
+            n * (n - 1.0) * n * ybar * ybar
+        )
+        return n, r, var_r, sy
+
+    n0, r0, v0, sy0 = arm(0)
+    n1, r1, v1, sy1 = arm(1)
+    ok = (
+        (F.col("0_n") > 1)
+        & (F.col("1_n") > 1)
+        & (F.col("0_sy") > 0)
+        & (F.col("1_sy") > 0)
+    )
+    vsum = v0 + v1
+    return p.select(
+        F.col("0_n").alias("n1"),
+        F.col("1_n").alias("n2"),
+        F.when(F.col("0_sy") > 0, F.round(r0, 6)).alias("ratio1"),
+        F.when(F.col("1_sy") > 0, F.round(r1, 6)).alias("ratio2"),
+        F.when(ok, F.round(r1 - r0, 6)).alias("diff"),
+        F.when(ok & (vsum > 0), F.round((r1 - r0) / F.sqrt(vsum), 6)).alias(
+            "z"
+        ),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quant: int = 100,
+) -> DataFrame:
+    """Brown–Forsythe (median-centred Levene) test for EQUAL VARIANCES
+    across k groups — ONE row ``(n, k_groups, w_stat)``: the
+    assumption gate in front of anova_oneway / the t-family.  W is the
+    one-way ANOVA F computed on |x − median(group)|; centring on the
+    MEDIAN (Brown–Forsythe 1974) keeps the test honest under skew,
+    which is exactly when variance checks matter.
+
+    Exactness: per-group medians are exact-rank grid picks (smallest
+    grid value with cum ≥ ⌈n/2⌉ — the winsorized_mean discipline, no
+    interpolation); |x − med| is an exact integer per grid cell, and
+    the ANOVA moments over those integers follow anova_oneway's exact
+    DECIMAL + floor-division path.  W is one fixed IEEE chain, rounded
+    6 dp; NULL when k < 2 or the deviations are constant.
+
+    Scale shape: one combinable (group, grid-value) cell aggregate over
+    the fact, one quantization-bounded per-group grid window, one
+    k-row median frame joined back onto the CELLS (not the fact), one
+    k-row reduce, one 1-row reduce.  No second fact scan, no collect.
+
+    Reference parity: no reference counterpart — experimentation
+    extension next to anova_oneway (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__grp"), qv.alias("__q"))
+        .groupBy("__grp", "__q")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy("__grp")
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = cells.withColumn("__cum", F.sum("__c").over(w))
+    tot = cells.groupBy("__grp").agg(F.sum("__c").cast("long").alias("__n"))
+    gc = cells.join(F.broadcast(tot), "__grp")
+    med = gc.groupBy("__grp").agg(
+        F.min(
+            F.when(F.col("__cum") * 2 >= F.col("__n"), F.col("__q"))
+        ).alias("__med")
+    )
+    dev = cells.join(F.broadcast(med), "__grp").select(
+        "__grp",
+        F.abs(F.col("__q") - F.col("__med")).alias("__d"),
+        "__c",
+    )
+
+    def idiv(a, b):
+        return ((a - F.pmod(a, b)) / b).cast(dec)
+
+    per = dev.groupBy("__grp").agg(
+        F.sum("__c").cast("long").alias("__ng"),
+        F.sum(F.col("__c").cast(dec) * F.col("__d")).alias("__s"),
+        F.sum(F.col("__c").cast(dec) * F.col("__d") * F.col("__d")).alias(
+            "__ss"
+        ),
+    )
+    per = per.withColumn(
+        "__tq", idiv(F.col("__s") * F.col("__s"), F.col("__ng").cast(dec))
+    )
+    agg = per.agg(
+        F.sum("__ng").cast(dec).alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__s").alias("__S"),
+        F.sum("__ss").alias("__SS"),
+        F.sum("__tq").alias("__T"),
+    )
+    N = F.col("__N")
+    k = F.col("k_groups").cast(dec)
+    gterm = (F.col("__S") * F.col("__S") - F.pmod(
+        F.col("__S") * F.col("__S"), N
+    )) / N
+    ssb = F.greatest(F.col("__T") - gterm, F.lit(0).cast(dec))
+    ssw = F.col("__SS") - F.col("__T")
+    ok = (F.col("k_groups") >= 2) & (N > k) & (ssw > 0)
+    return agg.select(
+        N.cast("long").alias("n"),
+        "k_groups",
+        F.when(
+            ok,
+            F.round(
+                (ssb.cast("double") / (k - 1).cast("double"))
+                / (ssw.cast("double") / (N - k).cast("double")),
+                6,
+            ),
+        ).alias("w_stat"),
+    )

@@ -2006,3 +2006,128 @@ def decomposition_strength(
         strength("a").alias("strength_seasonal"),
         strength("c").alias("strength_trend"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    keys: "list[str] | None" = None,
+    season_buckets: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest per series — per key ``(keys…,
+    n_scored, mae_seasonal, mae_naive, mase, smape)``: score the
+    standard seasonal-naive forecaster (ŷ_b = y_{b−24}) against the
+    hourly bucket actuals, with the plain naive (ŷ_b = y_{b−1}) as the
+    scaling baseline.  MASE = MAE_seasonal/MAE_naive (Hyndman &
+    Koehler 2006) is the scale-free go/no-go: MASE ≥ 1 means the
+    calendar buys nothing and holt_winters_forecast is wasted compute;
+    sMAPE is the percentage-style companion.  Buckets missing either
+    lag are excluded from that metric's numerator AND denominator.
+
+    Exactness: bucket means are exact rationals of e2 integer sums;
+    each per-bucket error term (|e|, the sMAPE ratio) is e6-floor-
+    REquantized from one identical IEEE chain, so the cross-bucket sums
+    are order-free integers; final metrics are single divisions,
+    rounded 6 dp.
+
+    Scale shape: one combinable per-bucket aggregate over the fact (the
+    only data-sized stage), two lag windows over the per-key BUCKET
+    grid (calendar-bounded, never data-sized), one per-key reduce.
+
+    Reference parity: no reference counterpart — forecast-evaluation
+    extension next to holt_forecast_check (driver brief).
+    """
+    from pyspark.sql import Window
+
+    keys = keys or []
+    dec = "decimal(38,0)"
+    sec = F.col(time_col).cast("long")
+    v_e2 = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    hourly = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.floor(sec / 3600).alias("__b"))
+        .agg(
+            F.sum(v_e2).cast(dec).alias("__s"),
+            F.count(F.lit(1)).cast(dec).alias("__c"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("__b")
+    # calendar-bounded per-key bucket grid; lag rows must be the ADJACENT
+    # bucket numbers, not just the previous grid row
+    g = hourly.select(
+        *keys,
+        "__b",
+        (F.col("__s").cast("double") / F.col("__c").cast("double")).alias(
+            "__y"
+        ),
+    )
+    lag1 = F.when(
+        F.lag("__b", 1).over(w) == F.col("__b") - 1,
+        F.lag("__y", 1).over(w),
+    )
+    lagS = F.when(
+        F.lag("__b", season_buckets).over(w)
+        == F.col("__b") - season_buckets,
+        F.lag("__y", season_buckets).over(w),
+    )
+    scored = g.select(
+        *keys,
+        "__y",
+        lag1.alias("__p1"),
+        lagS.alias("__ps"),
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+
+    es = F.when(
+        F.col("__ps").isNotNull(), q6(F.abs(F.col("__y") - F.col("__ps")))
+    )
+    e1 = F.when(
+        F.col("__p1").isNotNull(), q6(F.abs(F.col("__y") - F.col("__p1")))
+    )
+    smape_t = F.when(
+        F.col("__ps").isNotNull()
+        & ((F.abs(F.col("__y")) + F.abs(F.col("__ps"))) > 0),
+        q6(
+            F.lit(2.0)
+            * F.abs(F.col("__y") - F.col("__ps"))
+            / (F.abs(F.col("__y")) + F.abs(F.col("__ps")))
+        ),
+    )
+    agg = scored.groupBy(*keys).agg(
+        F.count("__ps").cast("long").alias("n_scored"),
+        F.sum(es.cast(dec)).alias("__es"),
+        F.count("__p1").cast("long").alias("__n1"),
+        F.sum(e1.cast(dec)).alias("__e1"),
+        F.count(smape_t).cast("long").alias("__nsm"),
+        F.sum(smape_t.cast(dec)).alias("__sm"),
+    )
+    mae_s = F.col("__es").cast("double") / F.col("n_scored").cast(
+        "double"
+    ) / F.lit(1.0e6)
+    mae_1 = F.col("__e1").cast("double") / F.col("__n1").cast(
+        "double"
+    ) / F.lit(1.0e6)
+    return agg.select(
+        *keys,
+        "n_scored",
+        F.when(F.col("n_scored") > 0, F.round(mae_s, 6)).alias(
+            "mae_seasonal"
+        ),
+        F.when(F.col("__n1") > 0, F.round(mae_1, 6)).alias("mae_naive"),
+        F.when(
+            (F.col("n_scored") > 0) & (F.col("__n1") > 0) & (F.col("__e1") > 0),
+            F.round(mae_s / mae_1, 6),
+        ).alias("mase"),
+        F.when(
+            F.col("__nsm") > 0,
+            F.round(
+                F.col("__sm").cast("double")
+                / F.col("__nsm").cast("double")
+                / F.lit(1.0e6),
+                6,
+            ),
+        ).alias("smape"),
+    )

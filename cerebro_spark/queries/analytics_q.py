@@ -5283,3 +5283,142 @@ FROM agg
 
 QUERIES["purchase_hour_trend"] = q_purchase_hour_trend
 ORACLES["purchase_hour_trend"] = _COCHRAN_SQL
+
+def q_revenue_per_event_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric A/B (profile.ratio_metric_ztest): revenue-per-event
+    (Σ purchase value / Σ events per arm) with delta-method variance
+    over per-user (X, Y) — the CTR-style test ab_test_ztest can't do."""
+    from cerebro_spark.operators.profile import ratio_metric_ztest
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    num = F.when(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        F.col("value"),
+    ).otherwise(F.lit(0.0))
+    return ratio_metric_ztest(
+        ev, "user_id", num, F.lit(1.0), F.pmod(F.col("user_id"), F.lit(2))
+    )
+
+
+_RATIO_SQL = """
+WITH units AS (
+  SELECT CAST(user_id % 2 AS INT) AS g, user_id,
+    sum(CAST(floor(CAST(CASE WHEN event_type = 'purchase'
+                              AND value IS NOT NULL
+                         THEN value ELSE 0.0 END AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT)) AS x,
+    sum(CAST(1000000 AS BIGINT)) AS y
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+    sum(CAST(x AS HUGEINT) * x) AS sxx,
+    sum(CAST(y AS HUGEINT) * y) AS syy,
+    sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM units GROUP BY g
+),
+armed AS (
+  SELECT
+    max(CASE WHEN g = 0 THEN n END) AS n0,
+    max(CASE WHEN g = 1 THEN n END) AS n1,
+    max(CASE WHEN g = 0 THEN CAST(sx AS DOUBLE) END) AS sx0,
+    max(CASE WHEN g = 1 THEN CAST(sx AS DOUBLE) END) AS sx1,
+    max(CASE WHEN g = 0 THEN CAST(sy AS DOUBLE) END) AS sy0,
+    max(CASE WHEN g = 1 THEN CAST(sy AS DOUBLE) END) AS sy1,
+    max(CASE WHEN g = 0 THEN CAST(sxx AS DOUBLE) END) AS sxx0,
+    max(CASE WHEN g = 1 THEN CAST(sxx AS DOUBLE) END) AS sxx1,
+    max(CASE WHEN g = 0 THEN CAST(syy AS DOUBLE) END) AS syy0,
+    max(CASE WHEN g = 1 THEN CAST(syy AS DOUBLE) END) AS syy1,
+    max(CASE WHEN g = 0 THEN CAST(sxy AS DOUBLE) END) AS sxy0,
+    max(CASE WHEN g = 1 THEN CAST(sxy AS DOUBLE) END) AS sxy1
+  FROM per
+),
+calc AS (
+  SELECT n0, n1, sy0, sy1,
+    sx0 / sy0 AS r0, sx1 / sy1 AS r1,
+    (sxx0 * n0 - sx0 * sx0
+     - 2.0 * (sx0 / sy0) * (sxy0 * n0 - sx0 * sy0)
+     + (sx0 / sy0) * (sx0 / sy0) * (syy0 * n0 - sy0 * sy0))
+      / (n0 * (n0 - 1.0) * n0 * (sy0 / n0) * (sy0 / n0)) AS v0,
+    (sxx1 * n1 - sx1 * sx1
+     - 2.0 * (sx1 / sy1) * (sxy1 * n1 - sx1 * sy1)
+     + (sx1 / sy1) * (sx1 / sy1) * (syy1 * n1 - sy1 * sy1))
+      / (n1 * (n1 - 1.0) * n1 * (sy1 / n1) * (sy1 / n1)) AS v1
+  FROM armed
+)
+SELECT n0 AS n1, n1 AS n2,
+  CASE WHEN sy0 > 0 THEN round(r0, 6) END AS ratio1,
+  CASE WHEN sy1 > 0 THEN round(r1, 6) END AS ratio2,
+  CASE WHEN n0 > 1 AND n1 > 1 AND sy0 > 0 AND sy1 > 0 THEN
+    round(r1 - r0, 6) END AS diff,
+  CASE WHEN n0 > 1 AND n1 > 1 AND sy0 > 0 AND sy1 > 0
+        AND v0 + v1 > 0 THEN
+    round((r1 - r0) / sqrt(v0 + v1), 6) END AS z
+FROM calc
+"""
+
+QUERIES["revenue_per_event_ztest"] = q_revenue_per_event_ztest
+ORACLES["revenue_per_event_ztest"] = _RATIO_SQL
+
+
+def q_levene_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe equal-variance test (profile.levene_test) of value
+    across event types — the assumption gate in front of
+    anova_value_type; exact-rank medians, exact DECIMAL deviations."""
+    from cerebro_spark.operators.profile import levene_test
+
+    return levene_test(
+        load_table(spark, "events", sf_dir), "event_type", "value", quant=100
+    )
+
+
+_LEVENE_SQL = """
+WITH cells AS (
+  SELECT event_type AS g,
+    CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS q,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, q, c,
+    sum(c) OVER (PARTITION BY g ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY g) AS n
+  FROM cells
+),
+med AS (
+  SELECT g, min(CASE WHEN cum * 2 >= n THEN q END) AS med FROM cum GROUP BY g
+),
+dev AS (
+  SELECT cells.g, abs(q - med) AS d, c
+  FROM cells JOIN med USING (g)
+),
+per AS (
+  SELECT g, CAST(sum(c) AS HUGEINT) AS ng,
+    sum(CAST(c AS HUGEINT) * d) AS s,
+    sum(CAST(c AS HUGEINT) * d * d) AS ss
+  FROM dev GROUP BY g
+),
+perq AS (SELECT g, ng, s, ss, (s * s) // ng AS tq FROM per),
+agg AS (
+  SELECT sum(ng) AS n, CAST(count(*) AS BIGINT) AS k,
+    sum(s) AS stot, sum(ss) AS sstot, sum(tq) AS t
+  FROM perq
+)
+SELECT CAST(n AS BIGINT) AS n, k AS k_groups,
+  CASE WHEN k >= 2 AND n > CAST(k AS HUGEINT)
+        AND sstot - t > 0 THEN
+    round((CAST(greatest(t - (stot * stot) // n, 0) AS DOUBLE)
+           / CAST(k - 1 AS DOUBLE))
+          / (CAST(sstot - t AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+  END AS w_stat
+FROM agg
+"""
+
+QUERIES["levene_value_type"] = q_levene_value_type
+ORACLES["levene_value_type"] = _LEVENE_SQL

@@ -2227,3 +2227,54 @@ FROM s GROUP BY own
 
 QUERIES["label_silhouette"] = q_label_silhouette
 ORACLES["label_silhouette"] = _SILHOUETTE_SQL
+
+
+def q_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity (cluster.graph_reciprocity) of the
+    supplier-nation → customer-nation trade edges — hierarchy (≈0) vs
+    undirected market (≈1); decides whether directed walks mean
+    anything here."""
+    from cerebro_spark.operators.cluster import graph_reciprocity
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    return graph_reciprocity(edges, "src", "dst")
+
+
+_RECIPROCITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT s_nationkey AS s, c_nationkey AS d
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+),
+pairs AS (
+  SELECT least(s, d) AS a, greatest(s, d) AS b,
+    CAST(count(*) AS BIGINT) AS dirs
+  FROM e GROUP BY 1, 2
+)
+SELECT CAST(sum(dirs) AS BIGINT) AS n_edges,
+  CAST(2 * sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_reciprocal,
+  CASE WHEN sum(dirs) > 0 THEN
+    round(CAST(2 * sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(sum(dirs) AS DOUBLE), 6)
+  END AS reciprocity
+FROM pairs
+"""
+
+QUERIES["trade_reciprocity"] = q_trade_reciprocity
+ORACLES["trade_reciprocity"] = _RECIPROCITY_SQL

@@ -2328,3 +2328,73 @@ FROM agg
 
 QUERIES["seasonality_strength"] = q_seasonality_strength
 ORACLES["seasonality_strength"] = _STRENGTH_SQL
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest (tsdb.forecast_backtest): MASE + sMAPE of
+    the 24h-lag forecaster per event_type on the hourly grid — the
+    scale-free 'does the calendar buy anything' readout."""
+    from cerebro_spark.operators.tsdb import forecast_backtest
+
+    ev = load_table(spark, "events", sf_dir)
+    return forecast_backtest(ev, "value", "ts", keys=["event_type"])
+
+
+_BACKTEST_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+    sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS s,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, b, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS y
+  FROM hourly
+),
+lagged AS (
+  SELECT event_type, b, y,
+    CASE WHEN lag(b, 1) OVER w = b - 1 THEN lag(y, 1) OVER w END AS p1,
+    CASE WHEN lag(b, 24) OVER w = b - 24 THEN lag(y, 24) OVER w END AS ps
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+terms AS (
+  SELECT event_type,
+    CASE WHEN ps IS NOT NULL THEN
+      CAST(floor(abs(y - ps) * 1000000.0 + 0.5) AS BIGINT) END AS es,
+    CASE WHEN p1 IS NOT NULL THEN
+      CAST(floor(abs(y - p1) * 1000000.0 + 0.5) AS BIGINT) END AS e1,
+    CASE WHEN ps IS NOT NULL AND abs(y) + abs(ps) > 0 THEN
+      CAST(floor(2.0 * abs(y - ps) / (abs(y) + abs(ps))
+                 * 1000000.0 + 0.5) AS BIGINT) END AS sm
+  FROM lagged
+),
+agg AS (
+  SELECT event_type,
+    CAST(count(es) AS BIGINT) AS n_scored,
+    sum(CAST(es AS HUGEINT)) AS ses,
+    CAST(count(e1) AS BIGINT) AS n1,
+    sum(CAST(e1 AS HUGEINT)) AS se1,
+    CAST(count(sm) AS BIGINT) AS nsm,
+    sum(CAST(sm AS HUGEINT)) AS ssm
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n_scored,
+  CASE WHEN n_scored > 0 THEN
+    round(CAST(ses AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000000.0, 6)
+  END AS mae_seasonal,
+  CASE WHEN n1 > 0 THEN
+    round(CAST(se1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6)
+  END AS mae_naive,
+  CASE WHEN n_scored > 0 AND n1 > 0 AND se1 > 0 THEN
+    round((CAST(ses AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000000.0)
+          / (CAST(se1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0), 6)
+  END AS mase,
+  CASE WHEN nsm > 0 THEN
+    round(CAST(ssm AS DOUBLE) / CAST(nsm AS DOUBLE) / 1000000.0, 6)
+  END AS smape
+FROM agg
+"""
+
+QUERIES["forecast_backtest"] = q_forecast_backtest
+ORACLES["forecast_backtest"] = _BACKTEST_SQL

@@ -949,3 +949,129 @@ def test_decomposition_strength_seasonal_series(spark):
     out = decomposition_strength(df, "value", "ts", keys=["k"]).collect()[0]
     assert out["strength_seasonal"] is not None
     assert out["strength_seasonal"] > 0.95
+
+
+# ---------------------------------------------------------------------------
+# ratio_metric_ztest / levene_test / forecast_backtest / graph_reciprocity
+# ---------------------------------------------------------------------------
+
+def test_ratio_metric_hand_case(spark):
+    from cerebro_spark.operators.profile import ratio_metric_ztest
+
+    # arm 0: every user 2 clicks / 10 views -> ratio 0.2, zero variance
+    # arm 1: every user 3 clicks / 10 views -> ratio 0.3
+    rows = []
+    for u in range(10):
+        rows += [(2 * u, 2.0, 10.0)]          # even user_id -> arm 0
+        rows += [(2 * u + 1, 3.0, 10.0)]      # odd  user_id -> arm 1
+    df = spark.createDataFrame(rows, "u long, x double, y double")
+    out = ratio_metric_ztest(
+        df, "u", "x", "y", F.pmod(F.col("u"), F.lit(2))
+    ).collect()[0]
+    assert out["n1"] == 10 and out["n2"] == 10
+    assert out["ratio1"] == pytest.approx(0.2)
+    assert out["ratio2"] == pytest.approx(0.3)
+    assert out["diff"] == pytest.approx(0.1)
+    assert out["z"] is None  # zero within-arm variance -> undefined z
+
+
+def test_ratio_metric_matches_delta_reference(spark):
+    from cerebro_spark.operators.profile import ratio_metric_ztest
+
+    # heterogeneous units; reference via numpy-free python
+    data = {0: [(2.0, 8.0), (1.0, 12.0), (4.0, 9.0), (3.0, 11.0)],
+            1: [(5.0, 10.0), (2.0, 6.0), (6.0, 14.0), (3.0, 10.0)]}
+    rows = []
+    uid = 0
+    for gg, units in data.items():
+        for x, y in units:
+            u = uid * 2 + gg
+            rows.append((u, x, y))
+            uid += 1
+    df = spark.createDataFrame(rows, "u long, x double, y double")
+    out = ratio_metric_ztest(
+        df, "u", "x", "y", F.pmod(F.col("u"), F.lit(2))
+    ).collect()[0]
+
+    def ref(units):
+        n = len(units)
+        sx = sum(x for x, _ in units)
+        sy = sum(y for _, y in units)
+        r = sx / sy
+        mx, my = sx / n, sy / n
+        vx = sum((x - mx) ** 2 for x, _ in units) / (n - 1)
+        vy = sum((y - my) ** 2 for _, y in units) / (n - 1)
+        vxy = sum((x - mx) * (y - my) for x, y in units) / (n - 1)
+        var_r = (vx - 2 * r * vxy + r * r * vy) / (n * my * my)
+        return r, var_r
+
+    r0, v0 = ref(data[0])
+    r1, v1 = ref(data[1])
+    assert out["ratio1"] == pytest.approx(r0, abs=1e-6)
+    assert out["ratio2"] == pytest.approx(r1, abs=1e-6)
+    assert out["z"] == pytest.approx((r1 - r0) / math.sqrt(v0 + v1), abs=1e-4)
+
+
+def test_levene_equal_vs_unequal_variance(spark):
+    from cerebro_spark.operators.profile import levene_test
+
+    # same spread -> W ~ 0; then one group 10x wider -> W large
+    tight = [("a", float(v)) for v in range(10)]
+    tight += [("b", float(v) + 100.0) for v in range(10)]
+    df = spark.createDataFrame(tight, "g string, v double")
+    w_same = levene_test(df, "g", "v", quant=1).collect()[0]["w_stat"]
+    assert w_same == pytest.approx(0.0, abs=1e-6)
+
+    wide = [("a", float(v)) for v in range(10)]
+    wide += [("b", float(10 * v)) for v in range(10)]
+    df2 = spark.createDataFrame(wide, "g string, v double")
+    w_diff = levene_test(df2, "g", "v", quant=1).collect()[0]["w_stat"]
+    assert w_diff > 10
+
+
+def test_forecast_backtest_perfect_seasonal(spark):
+    from cerebro_spark.operators.tsdb import forecast_backtest
+    import datetime as dt
+
+    # exactly 24h-periodic: seasonal-naive is PERFECT (mae 0, mase 0),
+    # plain naive is not
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for d in range(4):
+        for h in range(24):
+            rows.append(("k", base + dt.timedelta(days=d, hours=h),
+                         float(10 + (h % 24))))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = forecast_backtest(df, "value", "ts", keys=["k"]).collect()[0]
+    assert out["n_scored"] == 72  # 96 buckets - 24 without the lag
+    assert out["mae_seasonal"] == pytest.approx(0.0)
+    assert out["mae_naive"] > 0
+    assert out["mase"] == pytest.approx(0.0)
+    assert out["smape"] == pytest.approx(0.0)
+
+
+def test_forecast_backtest_gap_excludes_bucket(spark):
+    from cerebro_spark.operators.tsdb import forecast_backtest
+    import datetime as dt
+
+    # a missing bucket must not fabricate a lag across the gap
+    base = dt.datetime(2024, 3, 1)
+    hours = [0, 1, 3]  # bucket 2 missing: naive lag invalid at bucket 3
+    rows = [("k", base + dt.timedelta(hours=h), float(h)) for h in hours]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = forecast_backtest(df, "value", "ts", keys=["k"]).collect()[0]
+    assert out["n_scored"] == 0           # no 24h lags exist at all
+    assert out["mae_naive"] is not None   # bucket 1 had a valid 1h lag
+
+
+def test_graph_reciprocity(spark):
+    from cerebro_spark.operators.cluster import graph_reciprocity
+
+    # a<->b reciprocal, a->c and c->d one-way, self-loop and dup dropped
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+             ("a", "a"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = graph_reciprocity(df).collect()[0]
+    assert out["n_edges"] == 4
+    assert out["n_reciprocal"] == 2
+    assert out["reciprocity"] == pytest.approx(0.5)
