@@ -631,6 +631,10 @@ _SNAPSHOT_PRIORITY = [
     "levene_value_type",      # Brown-Forsythe equal-variance gate
     "forecast_backtest",      # seasonal-naive MASE/sMAPE backtest
     "trade_reciprocity",      # directed-edge reciprocity diagnostic
+    "vocab_jaccard",          # pairwise source vocabulary overlap
+    "langid_prf1",            # per-class language-ID precision/recall
+    "dedup_savings",          # exact-dup sizing (docs + bytes saved)
+    "revenue_concentration",  # inverse-Lorenz top-k% concentration
     # --- everything below here is driver-gated green (r01-r07) and keeps
     # local-oracle coverage via tools/check.py ---
     # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the

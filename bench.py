@@ -253,6 +253,10 @@ HEADLINE = [
     "levene_value_type",      # equal-variance assumption gate
     "forecast_backtest",      # seasonal-naive MASE/sMAPE
     "trade_reciprocity",      # directed-edge reciprocity
+    "vocab_jaccard",          # source vocabulary overlap matrix
+    "langid_prf1",            # per-class language-ID P/R/F1
+    "dedup_savings",          # exact-dup sizing
+    "revenue_concentration",  # inverse-Lorenz top-k% readout
 ]
 
 

@@ -1333,3 +1333,65 @@ def decontaminate(
             "first_eval_id",
         )
     )
+
+
+def dedup_savings(
+    df: DataFrame,
+    text_col: str = "text",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-duplicate SAVINGS estimate — ONE row ``(n_docs, n_groups,
+    n_dup_docs, bytes_total, bytes_dup, dup_ratio, max_group)``: how
+    much of the corpus is literal repetition, in documents AND bytes,
+    before anyone runs the dedup.  The sizing number for the dedup
+    stage itself: bytes_dup is the storage/compute a dedup_exact pass
+    recovers, max_group flags a template flood (one page mirrored
+    thousands of times behaves differently from diffuse 2x dups).
+
+    Grouping key is md5(text) (the dedup_exact convention).  All
+    outputs are exact integer counts/sums except dup_ratio — one
+    division, rounded 6 dp.
+
+    Scale shape: one combinable hash-group aggregate over the corpus,
+    one 1-row reduce.  No window, no join, no collect.
+
+    Reference parity: no reference counterpart — dedup-planning
+    extension next to dedup_exact/dedup_groups (driver brief).
+    """
+    dec = "decimal(38,0)"
+    groups = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__c"),
+            F.sum(F.col(size_col).cast(dec)).alias("__bytes"),
+            F.min(F.col(size_col).cast("long")).alias("__sz"),
+        )
+    )
+    agg = groups.agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.when(F.col("__c") > 1, F.col("__c") - 1).otherwise(0)
+        ).cast("long").alias("n_dup_docs"),
+        F.sum("__bytes").alias("__bt"),
+        F.sum(
+            (F.col("__c") - 1).cast(dec) * F.col("__sz")
+        ).alias("__bd"),
+        F.max("__c").alias("max_group"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_groups",
+        "n_dup_docs",
+        F.col("__bt").cast("long").alias("bytes_total"),
+        F.col("__bd").cast("long").alias("bytes_dup"),
+        F.when(
+            F.col("__bt") > 0,
+            F.round(
+                F.col("__bd").cast("double") / F.col("__bt").cast("double"),
+                6,
+            ),
+        ).alias("dup_ratio"),
+        "max_group",
+    )

@@ -5066,3 +5066,105 @@ def levene_test(
             ),
         ).alias("w_stat"),
     )
+
+
+def concentration_at(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    p_num: int = 90,
+    p_den: int = 100,
+) -> DataFrame:
+    """Inverse-Lorenz concentration — ONE row ``(n_units, total,
+    k_units, share_of_units)``: the SMALLEST number of units whose
+    value sum reaches ``p_num/p_den`` of the total ("0.8% of users
+    drive 90% of revenue").  The actionable reading of revenue_gini's
+    abstract coefficient: Gini says "concentrated", this says how many
+    accounts the retention team must call.
+
+    EXACT at any scale via the winsorized_mean value-grid discipline —
+    no per-unit sort: per-unit totals are exact e6 integers, the grid
+    cumulative runs TOP-DOWN, the threshold comparison is the integer
+    rational ``cum·p_den ≥ p_num·total``, and inside the boundary cell
+    (all units there share one value v*) the needed count is the exact
+    ceiling ``⌈(target − sum_above)/v*⌉`` — integer arithmetic end to
+    end; share is one division, rounded 6 dp.  Values must be
+    NON-NEGATIVE; the output is EMPTY when the total is 0 (no positive
+    mass to concentrate).
+
+    Scale shape: one combinable per-unit aggregate, one grid aggregate,
+    one quantization-bounded DESC grid cumulative, one 1-row reduce.
+    No collect.
+
+    Reference parity: no reference counterpart — inequality extension
+    next to revenue_gini/theil_index (driver brief).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(1.0e6) + F.lit(0.5)
+    ).cast("long")
+    units = (
+        df.filter(F.col(unit_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(F.sum(qv.cast(dec)).alias("__v"))
+    )
+    grid = units.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = Window.orderBy(F.col("__v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # quantization-bounded DESC grid cumulative (value sums + unit counts)
+    g = grid.withColumn(
+        "__cumv", F.sum(F.col("__v") * F.col("__c")).over(w)
+    ).withColumn("__cumc", F.sum("__c").over(w))
+    tot = g.agg(
+        F.max("__cumv").alias("__total"),
+        F.max("__cumc").cast("long").alias("n_units"),
+    )
+    gt = g.crossJoin(F.broadcast(tot))  # 1-row scalar broadcast
+    target_hit = (
+        F.col("__cumv").cast(dec) * F.lit(p_den)
+        >= F.col("__total").cast(dec) * F.lit(p_num)
+    )
+    # boundary cell: first (highest-value) cell where the cumulative
+    # crosses the target; exact unit count inside it by integer ceiling
+    boundary = gt.filter(target_hit & (F.col("__v") > 0)).agg(
+        F.max("__v").alias("__bv")
+    )
+    sel = gt.crossJoin(F.broadcast(boundary)).filter(
+        F.col("__v") == F.col("__bv")
+    )
+    above_v = F.col("__cumv").cast(dec) - F.col("__v").cast(dec) * F.col("__c")
+    above_c = (F.col("__cumc") - F.col("__c")).cast(dec)
+    # target = ceil(p·total/p_den) in e6 units (integer rational)
+    tgt = F.col("__total").cast(dec) * F.lit(p_num)
+    need = tgt - above_v * F.lit(p_den)
+    denom = F.col("__v").cast(dec) * F.lit(p_den)
+    k_in_cell = F.when(
+        need <= 0, F.lit(0).cast(dec)
+    ).otherwise(
+        ((need + denom - 1) - F.pmod(need + denom - 1, denom)) / denom
+    )
+    out = sel.select(
+        F.col("n_units"),
+        F.col("__total"),
+        (above_c + k_in_cell).cast("long").alias("k_units"),
+    )
+    return out.select(
+        "n_units",
+        F.round(
+            F.col("__total").cast("double") / F.lit(1.0e6), 6
+        ).alias("total"),
+        "k_units",
+        F.when(
+            F.col("n_units") > 0,
+            F.round(
+                F.col("k_units").cast("double")
+                / F.col("n_units").cast("double"),
+                6,
+            ),
+        ).alias("share_of_units"),
+    )

@@ -2180,3 +2180,145 @@ def hill_diversity(
         F.round(F.exp(h), 4).alias("hill_q1"),
         F.round(q2, 4).alias("hill_q2"),
     )
+
+
+def vocab_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups — ``(group_a, group_b,
+    v_a, v_b, n_shared, jaccard)``: |V_a ∩ V_b| / |V_a ∪ V_b| over the
+    distinct whitespace-token vocabularies.  The SET-overlap companion
+    of burrows_delta (usage rates) and js_drift (distributions): two
+    crawls of the same site show jaccard ≈ 1 (merge them), two domains
+    ≈ 0 (keep both) — the redundancy matrix for corpus mixing.
+
+    Exactness: every statistic is an exact integer count; jaccard is
+    one division, rounded 6 dp.
+
+    Scale shape: one distinct (group, term) aggregate over the corpus
+    (the only data-sized stage), one term-keyed self-join of the vocab
+    frame restricted to co-occurring terms (posting-list style — a term
+    in k groups yields k(k−1)/2 pair rows, bounded by |groups|²), one
+    per-pair reduce joined onto the |groups|-row richness frame twice.
+
+    Reference parity: no reference counterpart — corpus-composition
+    extension next to burrows_delta/audience_overlap (driver brief).
+    """
+    cells = (
+        df.filter(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    rich = cells.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    other = cells.select(F.col("__g").alias("__g2"), "term")
+    inter = (
+        cells.join(other, "term")
+        .filter(F.col("__g") < F.col("__g2"))
+        .groupBy("__g", "__g2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ra = rich.select(F.col("__g"), F.col("__v").alias("v_a"))
+    rb = rich.select(F.col("__g").alias("__g2"), F.col("__v").alias("v_b"))
+    j = inter.join(F.broadcast(ra), "__g").join(F.broadcast(rb), "__g2")
+    union = F.col("v_a") + F.col("v_b") - F.col("n_shared")
+    return j.select(
+        F.col("__g").alias("group_a"),
+        F.col("__g2").alias("group_b"),
+        "v_a",
+        "v_b",
+        "n_shared",
+        F.when(
+            union > 0,
+            F.round(F.col("n_shared").cast("double") / union.cast("double"), 6),
+        ).alias("jaccard"),
+    )
+
+
+def langid_prf1(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Per-class precision / recall / F1 of the lang_id_heuristic
+    against recorded labels — ``(lang, n_true, n_pred, tp, precision,
+    recall, f1)``.  The per-class readout behind lang_confusion's raw
+    matrix and lang_id_kappa's single agreement number: kappa says THE
+    CLASSIFIER is decent, this names the language it fails on (the one
+    whose data a multilingual corpus then under-collects).  Classes are
+    the union of true and predicted labels; a class never predicted
+    reports precision NULL, never true reports recall NULL.
+
+    Exactness: all counts exact integers; P/R are single divisions and
+    F1 = 2·tp/(n_true + n_pred) — the algebraic form that avoids the
+    P·R/(P+R) float roundtrip — rounded 6 dp.
+
+    Scale shape: one combinable (true, pred) confusion aggregate over
+    the corpus, two class-sized marginal reduces, two broadcast joins
+    on the |classes|-row frame.  No window, no collect.
+
+    Reference parity: no reference counterpart — evaluation extension
+    next to lang_confusion/cohens_kappa (driver brief).
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__true"),
+        lang_id_heuristic(F.col(text_col)).alias("__pred"),
+    )
+    cells = base.groupBy("__true", "__pred").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    true_m = cells.groupBy("__true").agg(
+        F.sum("__n").cast("long").alias("n_true")
+    ).select(F.col("__true").alias("lang"), "n_true")
+    pred_m = cells.groupBy("__pred").agg(
+        F.sum("__n").cast("long").alias("n_pred")
+    ).select(F.col("__pred").alias("lang"), "n_pred")
+    tp = cells.filter(F.col("__true") == F.col("__pred")).select(
+        F.col("__true").alias("lang"), F.col("__n").alias("tp")
+    )
+    classes = (
+        true_m.select("lang")
+        .unionByName(pred_m.select("lang"))
+        .distinct()
+    )
+    j = (
+        classes.join(F.broadcast(true_m), "lang", "left")
+        .join(F.broadcast(pred_m), "lang", "left")
+        .join(F.broadcast(tp), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_pred").cast("double"), 6),
+    )
+    rec = F.when(
+        F.col("n_true") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_true").cast("double"), 6),
+    )
+    f1 = F.when(
+        (F.col("n_true") + F.col("n_pred")) > 0,
+        F.round(
+            F.lit(2.0)
+            * F.col("tp").cast("double")
+            / (F.col("n_true") + F.col("n_pred")).cast("double"),
+            6,
+        ),
+    )
+    return j.select(
+        "lang", "n_true", "n_pred", "tp",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )

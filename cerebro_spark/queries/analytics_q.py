@@ -5422,3 +5422,68 @@ FROM agg
 
 QUERIES["levene_value_type"] = q_levene_value_type
 ORACLES["levene_value_type"] = _LEVENE_SQL
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-Lorenz concentration (profile.concentration_at): how many
+    users drive 90% of total event value — exact-rank top-down grid
+    cumulative with an integer-ceiling boundary cell."""
+    from cerebro_spark.operators.profile import concentration_at
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    return concentration_at(ev, "user_id", "value", p_num=90, p_den=100)
+
+
+_CONCENTRATION_SQL = """
+WITH units AS (
+  SELECT user_id,
+    sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+grid AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM units GROUP BY v
+),
+g AS (
+  SELECT v, c,
+    sum(CAST(v AS HUGEINT) * c) OVER (ORDER BY v DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv,
+    sum(c) OVER (ORDER BY v DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM grid
+),
+tot AS (
+  SELECT max(cumv) AS total, CAST(max(cumc) AS BIGINT) AS n_units FROM g
+),
+sel AS (
+  SELECT g.v, g.c, g.cumv, g.cumc, tot.total, tot.n_units
+  FROM g, tot
+  WHERE g.cumv * 100 >= tot.total * 90 AND g.v > 0
+  ORDER BY g.v DESC LIMIT 1
+),
+calc AS (
+  SELECT n_units, total,
+    cumv - CAST(v AS HUGEINT) * c AS above_v,
+    CAST(cumc - c AS HUGEINT) AS above_c,
+    CAST(v AS HUGEINT) AS vb
+  FROM sel
+)
+SELECT n_units,
+  round(CAST(total AS DOUBLE) / 1000000.0, 6) AS total,
+  CAST(above_c
+       + CASE WHEN total * 90 - above_v * 100 <= 0 THEN 0
+              ELSE (total * 90 - above_v * 100 + vb * 100 - 1)
+                   // (vb * 100) END AS BIGINT) AS k_units,
+  CASE WHEN n_units > 0 THEN
+    round(CAST(above_c
+               + CASE WHEN total * 90 - above_v * 100 <= 0 THEN 0
+                      ELSE (total * 90 - above_v * 100 + vb * 100 - 1)
+                           // (vb * 100) END AS DOUBLE)
+          / CAST(n_units AS DOUBLE), 6)
+  END AS share_of_units
+FROM calc
+"""
+
+QUERIES["revenue_concentration"] = q_revenue_concentration
+ORACLES["revenue_concentration"] = _CONCENTRATION_SQL

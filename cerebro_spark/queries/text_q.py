@@ -2653,3 +2653,128 @@ FROM agg
 
 QUERIES["hill_diversity"] = q_hill_diversity
 ORACLES["hill_diversity"] = _HILL_DIVERSITY_SQL
+
+
+def q_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap matrix (text.vocab_jaccard_pairs): distinct-
+    token Jaccard per source pair - the redundancy check for corpus
+    mixing decisions."""
+    from cerebro_spark.operators.text import vocab_jaccard_pairs
+
+    return vocab_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), "text", "source"
+    )
+
+
+_VOCAB_JACCARD_SQL = """
+WITH cells AS (
+  SELECT DISTINCT source AS g,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+cf AS (SELECT g, term FROM cells WHERE term <> ''),
+rich AS (SELECT g, CAST(count(*) AS BIGINT) AS v FROM cf GROUP BY g),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_shared
+  FROM cf a JOIN cf b ON a.term = b.term AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT ga AS group_a, gb AS group_b,
+  ra.v AS v_a, rb.v AS v_b, n_shared,
+  CASE WHEN ra.v + rb.v - n_shared > 0 THEN
+    round(CAST(n_shared AS DOUBLE)
+          / CAST(ra.v + rb.v - n_shared AS DOUBLE), 6)
+  END AS jaccard
+FROM inter
+JOIN rich ra ON ra.g = ga
+JOIN rich rb ON rb.g = gb
+"""
+
+QUERIES["vocab_jaccard"] = q_vocab_jaccard
+ORACLES["vocab_jaccard"] = _VOCAB_JACCARD_SQL
+
+
+def q_langid_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class P/R/F1 (text.langid_prf1) of the lang_id_heuristic vs
+    recorded labels - names the language the classifier fails on."""
+    from cerebro_spark.operators.text import langid_prf1
+
+    return langid_prf1(load_table(spark, "documents", sf_dir), "text", "lang")
+
+
+def _langid_prf1_sql() -> str:
+    from cerebro_spark.queries.extensions import _lang_confusion_sql
+
+    conf = _lang_confusion_sql()
+    return f"""
+WITH conf AS ({conf}),
+true_m AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+pred_m AS (
+  SELECT lang_pred AS lang, CAST(sum(n) AS BIGINT) AS n_pred
+  FROM conf GROUP BY 1
+),
+tp AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS tp
+  FROM conf WHERE lang = lang_pred GROUP BY 1
+),
+classes AS (
+  SELECT lang FROM true_m UNION SELECT lang FROM pred_m
+)
+SELECT c.lang,
+  COALESCE(n_true, 0) AS n_true,
+  COALESCE(n_pred, 0) AS n_pred,
+  COALESCE(tp.tp, 0) AS tp,
+  CASE WHEN COALESCE(n_pred, 0) > 0 THEN
+    round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+  END AS precision,
+  CASE WHEN COALESCE(n_true, 0) > 0 THEN
+    round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+  END AS recall,
+  CASE WHEN COALESCE(n_true, 0) + COALESCE(n_pred, 0) > 0 THEN
+    round(2.0 * CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+          / CAST(COALESCE(n_true, 0) + COALESCE(n_pred, 0) AS DOUBLE), 6)
+  END AS f1
+FROM classes c
+LEFT JOIN true_m USING (lang)
+LEFT JOIN pred_m USING (lang)
+LEFT JOIN tp USING (lang)
+"""
+
+
+QUERIES["langid_prf1"] = q_langid_prf1
+ORACLES["langid_prf1"] = _langid_prf1_sql()
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup sizing (dedup.dedup_savings): documents and bytes an exact
+    dedup pass recovers, plus the max duplicate-group size (template-
+    flood flag)."""
+    from cerebro_spark.operators.dedup import dedup_savings
+
+    return dedup_savings(
+        load_table(spark, "documents", sf_dir), "text", "n_chars"
+    )
+
+
+_DEDUP_SAVINGS_SQL = """
+WITH groups AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS c,
+    sum(CAST(n_chars AS HUGEINT)) AS bytes,
+    CAST(min(n_chars) AS BIGINT) AS sz
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+  CAST(sum(CAST(c - 1 AS HUGEINT) * sz) AS BIGINT) AS bytes_dup,
+  CASE WHEN sum(bytes) > 0 THEN
+    round(CAST(sum(CAST(c - 1 AS HUGEINT) * sz) AS DOUBLE)
+          / CAST(sum(bytes) AS DOUBLE), 6)
+  END AS dup_ratio,
+  CAST(max(c) AS BIGINT) AS max_group
+FROM groups
+"""
+
+QUERIES["dedup_savings"] = q_dedup_savings
+ORACLES["dedup_savings"] = _DEDUP_SAVINGS_SQL

@@ -1075,3 +1075,81 @@ def test_graph_reciprocity(spark):
     assert out["n_edges"] == 4
     assert out["n_reciprocal"] == 2
     assert out["reciprocity"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# vocab_jaccard_pairs / langid_prf1 / dedup_savings / concentration_at
+# ---------------------------------------------------------------------------
+
+def test_vocab_jaccard_hand_case(spark):
+    from cerebro_spark.operators.text import vocab_jaccard_pairs
+
+    docs = [("s1", "a b c"), ("s1", "c d"),       # V1 = {a,b,c,d}
+            ("s2", "c d e"),                       # V2 = {c,d,e}
+            ("s3", "x y")]                         # V3 = {x,y}
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {(r["group_a"], r["group_b"]): r
+           for r in vocab_jaccard_pairs(df, "text", "source").collect()}
+    r12 = out[("s1", "s2")]
+    assert r12["v_a"] == 4 and r12["v_b"] == 3 and r12["n_shared"] == 2
+    assert r12["jaccard"] == pytest.approx(2 / 5)
+    # disjoint vocabularies never co-occur on a term: no pair row at all
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_langid_prf1_hand_case(spark):
+    from cerebro_spark.operators.text import langid_prf1
+
+    # 'zh' text predicted zh (tp); an 'en' text with no stopwords ->
+    # predicted unknown (en recall hit); an 'fr' label on accented text ok
+    docs = [("你好 世界", "zh"),
+            ("the cat and the dog of it", "en"),
+            ("zxqj vvkw ppty", "en"),
+            ("où est la fenêtre", "fr")]
+    df = spark.createDataFrame(docs, "text string, lang string")
+    out = {r["lang"]: r for r in langid_prf1(df, "text", "lang").collect()}
+    assert out["zh"]["tp"] == 1 and out["zh"]["f1"] == pytest.approx(1.0)
+    assert out["en"]["n_true"] == 2 and out["en"]["tp"] == 1
+    assert out["en"]["recall"] == pytest.approx(0.5)
+    assert out["fr"]["f1"] == pytest.approx(1.0)
+    # 'unknown' never true: recall NULL, precision 0
+    assert out["unknown"]["n_true"] == 0
+    assert out["unknown"]["recall"] is None
+    assert out["unknown"]["precision"] == pytest.approx(0.0)
+
+
+def test_dedup_savings_hand_case(spark):
+    from cerebro_spark.operators.dedup import dedup_savings
+
+    docs = [("aaa", 3), ("aaa", 3), ("aaa", 3), ("bb", 2), ("c", 1)]
+    df = spark.createDataFrame(docs, "text string, n_chars long")
+    out = dedup_savings(df, "text", "n_chars").collect()[0]
+    assert out["n_docs"] == 5 and out["n_groups"] == 3
+    assert out["n_dup_docs"] == 2
+    assert out["bytes_total"] == 12 and out["bytes_dup"] == 6
+    assert out["dup_ratio"] == pytest.approx(0.5)
+    assert out["max_group"] == 3
+
+
+def test_concentration_hand_case(spark):
+    from cerebro_spark.operators.profile import concentration_at
+
+    # one whale = 90 of total 100: exactly 1 unit reaches 90%
+    rows = [(1, 90.0)] + [(u, 1.0) for u in range(2, 12)]
+    df = spark.createDataFrame(rows, "u long, v double")
+    out = concentration_at(df, "u", "v", 90, 100).collect()[0]
+    assert out["n_units"] == 11
+    assert out["total"] == pytest.approx(100.0)
+    assert out["k_units"] == 1
+    assert out["share_of_units"] == pytest.approx(round(1 / 11, 6))
+
+
+def test_concentration_uniform(spark):
+    from cerebro_spark.operators.profile import concentration_at
+
+    # 10 equal units: 90% needs ceil(9.0) = 9 units
+    rows = [(u, 5.0) for u in range(10)]
+    df = spark.createDataFrame(rows, "u long, v double")
+    out = concentration_at(df, "u", "v", 90, 100).collect()[0]
+    assert out["k_units"] == 9
+    assert out["share_of_units"] == pytest.approx(0.9)

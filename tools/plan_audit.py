@@ -241,6 +241,9 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # vocab cell frame for the Dirichlet prior (the unigram_nll contract)
     # (r8 late births)
     "fightin_words",
+    # 1-row scalar broadcasts: the (total, n_units) reduce and the 1-row
+    # boundary-cell pick crossJoined onto the value grid (r8 late births)
+    "revenue_concentration",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -312,6 +315,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # births)
     "mann_whitney_value",
     "kruskal_value_type",
+    # keyless DESC cumulative over the quantization-bounded per-unit
+    # revenue grid (the winsorized_mean contract) (r8 late births)
+    "revenue_concentration",
 }
 
 
