@@ -549,6 +549,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the following round.  Debt is now 12 < 50, so the front-of-head policy
 # applies again this round.  tools/rotation_check.py (smoke gate step 6)
 # mechanically enforces all of the above — trust it, not this prose.
+#
+# R08 SECOND SESSION: the head filled to EXACTLY 50 (12 in-session
+# births + the 38 staged), after which 20 more births registered below
+# the cutoff (the r07 staged-debt precedent) — see the "R08
+# SECOND-SESSION LATE BIRTHS" block after the cutoff marker.  R09
+# procedure: move the gated r08 head-50 to the tail, promote the 20
+# staged late births to the head (below any r09 front-of-head births,
+# which have 30 free slots).
 _SNAPSHOT_PRIORITY = [
     # R08 HEAD: births first (front-of-head policy), then the 12 staged
     # never-gated queries.  38 free slots for r08 births at the cutover.
