@@ -199,6 +199,39 @@ def main() -> None:
           f"post-period purchasers "
           f"(top decile lift {lift_tab[-1]['lift']:.2f}x)")
 
+    # 13. (round 8, late) assumption gates + the robust/ratio ladder:
+    # equal variances? (Levene) → robust mean diff (Yuen) → the ratio
+    # metric the business actually tracks (delta method)
+    from cerebro_spark.operators.profile import (
+        levene_test,
+        mann_whitney_u,
+        ratio_metric_ztest,
+        yuen_trimmed_t,
+    )
+
+    lev = levene_test(
+        ev.select(variant.alias("g"), "value"), "g", "value"
+    ).first()
+    mwu = mann_whitney_u(
+        ev.select(variant.alias("g"), "value"), "g", "value"
+    ).first()
+    yt = yuen_trimmed_t(
+        ev.select(variant.alias("g"), "value"), "g", "value"
+    ).first()
+    num = F.when(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        F.col("value"),
+    ).otherwise(F.lit(0.0))
+    rt = ratio_metric_ztest(
+        ev, "user_id", num, F.lit(1.0), variant
+    ).first()
+    print(f"13. robust ladder: Levene W={lev['w_stat']:.2f} "
+          f"({'variances differ' if (lev['w_stat'] or 0) > 3.9 else 'ok'}); "
+          f"MWU z={mwu['z']:+.2f} (rank-biserial "
+          f"{mwu['rank_biserial']:+.3f}); Yuen trimmed diff "
+          f"{yt['diff']:+.2f} (t={yt['t']:+.2f}); revenue/event ratio "
+          f"{rt['ratio1']:.3f} vs {rt['ratio2']:.3f} (z={rt['z']:+.2f})")
+
 
 if __name__ == "__main__":
     main()

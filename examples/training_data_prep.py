@@ -319,6 +319,26 @@ def main() -> None:
           f"p0={gt['p_unseen']:.4f} — "
           f"{'more data still pays' if gt['p_unseen'] > 0.01 else 'vocabulary saturated'}")
 
+    # 28. (round 8, late) corpus-mixing panel: which sources are
+    # redundant (vocab Jaccard), what distinguishes the rest (fightin'
+    # words), and what an exact dedup would recover (savings sizing)
+    from cerebro_spark.operators.dedup import dedup_savings
+    from cerebro_spark.operators.text import fightin_words, vocab_jaccard_pairs
+
+    vj = vocab_jaccard_pairs(train, "text", "source").collect()
+    most = max(vj, key=lambda r: r["jaccard"] or 0) if vj else None
+    if most:
+        print(f"mixing panel:      most-redundant pair "
+              f"{most['group_a']}~{most['group_b']} "
+              f"(vocab J={most['jaccard']:.3f})")
+    fw = fightin_words(train, "text", "source", top_k=1).collect()
+    marks = {r["group"]: r["term"] for r in fw if r["rank"] == 1}
+    print(f"                   signature terms {marks}")
+    sv = dedup_savings(train, "text", "n_chars").first()
+    print(f"dedup sizing:      exact dedup recovers {sv['n_dup_docs']} docs "
+          f"/ {sv['bytes_dup']:,} chars ({sv['dup_ratio']:.1%}); "
+          f"largest dup group {sv['max_group']}")
+
 
 if __name__ == "__main__":
     main()
