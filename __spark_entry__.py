@@ -643,6 +643,7 @@ _SNAPSHOT_PRIORITY = [
     "langid_prf1",            # per-class language-ID precision/recall
     "dedup_savings",          # exact-dup sizing (docs + bytes saved)
     "revenue_concentration",  # inverse-Lorenz top-k% concentration
+    "rmst_lifetime",          # restricted mean survival time at tau
     # --- everything below here is driver-gated green (r01-r07) and keeps
     # local-oracle coverage via tools/check.py ---
     # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the

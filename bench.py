@@ -257,6 +257,7 @@ HEADLINE = [
     "langid_prf1",            # per-class language-ID P/R/F1
     "dedup_savings",          # exact-dup sizing
     "revenue_concentration",  # inverse-Lorenz top-k% readout
+    "rmst_lifetime",          # restricted mean survival time
 ]
 
 

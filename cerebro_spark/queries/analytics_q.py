@@ -5487,3 +5487,81 @@ FROM calc
 
 QUERIES["revenue_concentration"] = q_revenue_concentration
 ORACLES["revenue_concentration"] = _CONCENTRATION_SQL
+
+def q_rmst_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (profile.rmst) of the survival_km
+    user lifetimes at tau = 14 days — average days-active-within-two-
+    weeks, S(14), and the median lifetime; the non-proportional-hazards
+    summary the log-rank number can't give."""
+    from cerebro_spark.operators.profile import rmst
+
+    return rmst(_user_lifetimes(spark, sf_dir), "t", "censored", tau=14)
+
+
+_RMST_SQL = """
+WITH cm AS (SELECT max(floor(epoch(ts))) AS corpus_max FROM events),
+lives AS (
+  SELECT
+    CAST(floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 86400)
+         AS BIGINT) AS t,
+    CASE WHEN max(floor(epoch(ts))) >= (SELECT corpus_max FROM cm) - 86400
+         THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS ending,
+    CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM lives GROUP BY t
+),
+staged AS (
+  SELECT t, d,
+    sum(ending) OVER () - coalesce(sum(ending) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS risk,
+    sum(ending) OVER () AS n
+  FROM grid
+),
+logs AS (
+  SELECT t, n,
+    CASE WHEN risk > d
+      THEN CAST(floor(ln(CAST(risk - d AS DOUBLE) / risk) * 1e9 + 0.5)
+                AS BIGINT)
+      ELSE CAST(-1000000000000 AS BIGINT) END AS l9
+  FROM staged
+),
+surv AS (
+  SELECT t, n,
+    CAST(floor(exp(CAST(sum(l9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+      PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT)
+      AS s9
+  FROM logs
+),
+segs AS (
+  SELECT t, n, s9,
+    COALESCE(lag(s9) OVER (ORDER BY t), 1000000000) AS prev_s,
+    COALESCE(lag(t) OVER (ORDER BY t), 0) AS prev_t
+  FROM surv
+),
+areas AS (
+  SELECT n, s9, t,
+    CAST(prev_s AS HUGEINT) * (least(t, 14) - least(prev_t, 14)) AS a
+  FROM segs
+),
+agg AS (
+  SELECT max(n) AS n, sum(a) AS area,
+    max_by(s9, t) AS slast, max(t) AS tlast,
+    max_by(s9, CASE WHEN t <= 14 THEN t END) AS stau,
+    min(CASE WHEN s9 * 2 <= 1000000000 THEN t END) AS median_t
+  FROM areas
+)
+SELECT CAST(14 AS INT) AS tau, CAST(n AS BIGINT) AS n,
+  round(CAST(area + CASE WHEN tlast < 14
+                         THEN CAST(slast AS HUGEINT) * (14 - tlast)
+                         ELSE 0 END AS DOUBLE) / 1e9, 6) AS rmst,
+  round(CAST(COALESCE(stau, 1000000000) AS DOUBLE) / 1e9, 6) AS km_at_tau,
+  median_t
+FROM agg
+"""
+
+QUERIES["rmst_lifetime"] = q_rmst_lifetime
+ORACLES["rmst_lifetime"] = _RMST_SQL

@@ -1153,3 +1153,42 @@ def test_concentration_uniform(spark):
     out = concentration_at(df, "u", "v", 90, 100).collect()[0]
     assert out["k_units"] == 9
     assert out["share_of_units"] == pytest.approx(0.9)
+
+
+# ---------------------------------------------------------------------------
+# rmst
+# ---------------------------------------------------------------------------
+
+def _rmst(spark, rows, tau):
+    from cerebro_spark.operators.profile import rmst
+
+    df = spark.createDataFrame(rows, "t long, censored int")
+    return rmst(df, "t", "censored", tau=tau).collect()[0]
+
+
+def test_rmst_hand_case(spark):
+    # events at t=2 (2 of 4) and t=5 (1 of 2); censored at t=5
+    # S: [0,2)=1, [2,5)=0.5, [5,..)=0.25
+    rows = [(2, 0), (2, 0), (5, 0), (5, 1)]
+    out = _rmst(spark, rows, tau=8)
+    # area = 1*2 + 0.5*3 + 0.25*3 = 4.25
+    assert out["n"] == 4
+    assert out["rmst"] == pytest.approx(4.25, abs=1e-6)
+    assert out["km_at_tau"] == pytest.approx(0.25, abs=1e-6)
+    assert out["median_t"] == 2  # first time S <= 0.5
+
+
+def test_rmst_tau_before_first_event(spark):
+    rows = [(10, 0), (12, 0)]
+    out = _rmst(spark, rows, tau=5)
+    # nobody dies before tau: S = 1 on [0, 5] -> rmst = tau, S(tau) = 1
+    assert out["rmst"] == pytest.approx(5.0)
+    assert out["km_at_tau"] == pytest.approx(1.0)
+
+
+def test_rmst_all_censored(spark):
+    rows = [(3, 1), (7, 1)]
+    out = _rmst(spark, rows, tau=10)
+    assert out["rmst"] == pytest.approx(10.0)
+    assert out["km_at_tau"] == pytest.approx(1.0)
+    assert out["median_t"] is None

@@ -244,6 +244,10 @@ NESTED_LOOP_ALLOWED: set[str] = {
     # 1-row scalar broadcasts: the (total, n_units) reduce and the 1-row
     # boundary-cell pick crossJoined onto the value grid (r8 late births)
     "revenue_concentration",
+    # 1-row scalar broadcast: the corpus-max censoring anchor crossJoined
+    # onto the per-user lifetime aggregate (the survival_km contract)
+    # (r8 late births)
+    "rmst_lifetime",
 }
 
 #: queries whose windows legitimately run unpartitioned over BOUNDED input
@@ -318,6 +322,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # keyless DESC cumulative over the quantization-bounded per-unit
     # revenue grid (the winsorized_mean contract) (r8 late births)
     "revenue_concentration",
+    # keyless cumulative/lag windows over the bounded lifetime DAY grid
+    # (the survival_km contract) (r8 late births)
+    "rmst_lifetime",
 }
 
 
