@@ -551,17 +551,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # mechanically enforces all of the above — trust it, not this prose.
 #
 # R08 SECOND SESSION: the head filled to EXACTLY 50 (12 in-session
-# births + the 38 staged), after which 20 more births registered below
-# the cutoff (the r07 staged-debt precedent) — see the "R08
-# SECOND-SESSION LATE BIRTHS" block after the cutoff marker.  R09
-# procedure: move the gated r08 head-50 to the tail, promote the 20
-# staged late births to the head (below any r09 front-of-head births,
-# which have 30 free slots).
+# births + the 38 staged), after which 20 more births (plus the
+# post-close rmst_lifetime) registered below the cutoff per the
+# staged-debt precedent.  R09 (this round) executes the move: the
+# gated r08 head-50 goes to the tail, the 21 staged late births are
+# promoted to the head.  Gating them closes the cumulative ledger at
+# 320/320 driver-gated.  R09 births front-insert above them (29 free
+# slots at the cutover).
 _SNAPSHOT_PRIORITY = [
-    # R08 HEAD: births first (front-of-head policy), then the 12 staged
-    # never-gated queries.  38 free slots for r08 births at the cutover.
+    # R09 HEAD: r09 births front-insert here as they land (29 free
+    # slots), followed by the 21 staged r08 late births promoted per the
+    # staged-debt policy — gating them closes the ledger at 320/320.
     #
-    # R08 BIRTHS (front-inserted, gate this round):
+    # R08 LATE BIRTHS (promoted to head, gate this round):
+    "mann_whitney_value",     # rank-sum test (outlier-immune A/B)
+    "kruskal_value_type",     # k-group rank ANOVA (H + epsilon-sq)
+    "event_study_weekly",     # DiD parallel-trends validity readout
+    "burrows_delta",          # stylometric source-pair distance
+    "ols_value_hour_dow",     # two-regressor OLS (partial effects)
+    "yuen_trimmed_value",     # Yuen trimmed-mean robust A/B t
+    "doc_novelty",            # per-doc surprisal profile per source
+    "label_silhouette",       # centroid silhouette cluster quality
+    "fightin_words",          # Dirichlet-prior log-odds distinctive terms
+    "hill_diversity",         # Hill-number diversity profile (q=0,1,2)
+    "purchase_hour_trend",    # Cochran-Armitage ordered trend test
+    "seasonality_strength",   # Hyndman seasonal/trend strength readout
+    "revenue_per_event_ztest",  # ratio-metric A/B (delta method)
+    "levene_value_type",      # Brown-Forsythe equal-variance gate
+    "forecast_backtest",      # seasonal-naive MASE/sMAPE backtest
+    "trade_reciprocity",      # directed-edge reciprocity diagnostic
+    "vocab_jaccard",          # pairwise source vocabulary overlap
+    "langid_prf1",            # per-class language-ID precision/recall
+    "dedup_savings",          # exact-dup sizing (docs + bytes saved)
+    "revenue_concentration",  # inverse-Lorenz top-k% concentration
+    "rmst_lifetime",          # restricted mean survival time at tau
+    # --- r09 cutoff: the queries above plus any r09 front-of-head
+    # births gate in CORRECTNESS_r09 ---
+    # r08 head-50, gated green in CORRECTNESS_r08 (moved to tail per
+    # the staged procedure).  R08 BIRTHS:
     "mutual_topk_pairs",      # reciprocal top-1 cosine (MNN alignment)
     "ttr_by_source",          # type-token + hapax lexical diversity
     "heaps_law_fit",          # vocabulary-growth exponent (Heaps' law)
@@ -617,34 +644,7 @@ _SNAPSHOT_PRIORITY = [
     "source_ndcg",
     "did_launch_value",
     "neyman_value_alloc",
-    # --- r08 cutoff: the 50 queries above gate in CORRECTNESS_r08 ---
-    # R08 SECOND-SESSION LATE BIRTHS — the head-50 was already exactly
-    # full, so these register BELOW the cutoff per the standing staged-
-    # debt policy (the r07 precedent): each carries local-oracle
-    # (sf0.001 + sf0.01) + pytest + plan-audit evidence and gates at the
-    # FRONT of the r09 head.
-    "mann_whitney_value",     # rank-sum test (outlier-immune A/B)
-    "kruskal_value_type",     # k-group rank ANOVA (H + epsilon-sq)
-    "event_study_weekly",     # DiD parallel-trends validity readout
-    "burrows_delta",          # stylometric source-pair distance
-    "ols_value_hour_dow",     # two-regressor OLS (partial effects)
-    "yuen_trimmed_value",     # Yuen trimmed-mean robust A/B t
-    "doc_novelty",            # per-doc surprisal profile per source
-    "label_silhouette",       # centroid silhouette cluster quality
-    "fightin_words",          # Dirichlet-prior log-odds distinctive terms
-    "hill_diversity",         # Hill-number diversity profile (q=0,1,2)
-    "purchase_hour_trend",    # Cochran-Armitage ordered trend test
-    "seasonality_strength",   # Hyndman seasonal/trend strength readout
-    "revenue_per_event_ztest",  # ratio-metric A/B (delta method)
-    "levene_value_type",      # Brown-Forsythe equal-variance gate
-    "forecast_backtest",      # seasonal-naive MASE/sMAPE backtest
-    "trade_reciprocity",      # directed-edge reciprocity diagnostic
-    "vocab_jaccard",          # pairwise source vocabulary overlap
-    "langid_prf1",            # per-class language-ID precision/recall
-    "dedup_savings",          # exact-dup sizing (docs + bytes saved)
-    "revenue_concentration",  # inverse-Lorenz top-k% concentration
-    "rmst_lifetime",          # restricted mean survival time at tau
-    # --- everything below here is driver-gated green (r01-r07) and keeps
+    # --- everything below here is driver-gated green (r01-r08) and keeps
     # local-oracle coverage via tools/check.py ---
     # r07 head-50, gated green in CORRECTNESS_r07 (moved to tail per the
     # staged procedure):
