@@ -38,6 +38,7 @@ from cerebro_spark.queries import analytics_q as _aq
 from cerebro_spark.queries import batch_q as _bq
 from cerebro_spark.queries import extensions as _ext
 from cerebro_spark.queries import joins_q as _jq
+from cerebro_spark.queries import multimodal_q as _mmq
 from cerebro_spark.queries import parsers_q as _pq
 from cerebro_spark.queries import pipeline_q as _plq
 from cerebro_spark.queries import streaming_q as _sq
@@ -563,6 +564,15 @@ _SNAPSHOT_PRIORITY = [
     # slots), followed by the 21 staged r08 late births promoted per the
     # staged-debt policy — gating them closes the ledger at 320/320.
     #
+    # R09 BIRTHS (front-inserted, gate this round) — the multimodal
+    # growth the r8 verdict ordered:
+    "dhash_docs",             # 60-bit byte-dHash perceptual fingerprints
+    "dhash_variant_pairs",    # brightness-shift near-dup banded pairs
+    "cross_modal_dups",       # image near-dup x text-disjoint composition
+    "audio_fingerprints",     # band-energy fp through real WAV round-trip
+    "audio_scale_match",      # gain-invariant clip matching (fp equi-join)
+    "media_sniff_meta",       # real BMP/WAV header write+parse metadata
+    #
     # R08 LATE BIRTHS (promoted to head, gate this round):
     "mann_whitney_value",     # rank-sum test (outlier-immune A/B)
     "kruskal_value_type",     # k-group rank ANOVA (H + epsilon-sq)
@@ -838,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_jq.QUERIES,
         **_aq.QUERIES,
         **_sq.QUERIES,
+        **_mmq.QUERIES,
     })
 
 
@@ -869,4 +880,5 @@ def oracle_sql() -> dict[str, str]:
         **_jq.ORACLES,
         **_aq.ORACLES,
         **_sq.ORACLES,
+        **_mmq.ORACLES,
     })

@@ -475,6 +475,612 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# media header sniffing (real container parsing, stdlib struct only)
+# ---------------------------------------------------------------------------
+
+#: output schema of media_sniff — typed metadata parsed from real headers.
+MEDIA_SNIFF_SCHEMA = (
+    "doc_id long, media_type string, format string, width int, height int, "
+    "duration_ms long, sample_rate int"
+)
+
+
+def sniff_media_meta(payload: bytes) -> dict:
+    """Parse REAL container headers from magic bytes — PNG, GIF, BMP, JPEG,
+    RIFF/WAVE and RIFF/AVI — into the typed metadata dict the
+    ``MEDIA_META_SCHEMA`` struct carries.  Pure stdlib ``struct`` parsing
+    (no decode library), so it runs on every executor with no dependency;
+    unrecognized payloads come back as ``format=None`` rather than raising
+    (a corpus sweep must not die on one corrupt blob).
+
+    Returns ``{"media_type", "format", "width", "height", "duration_ms",
+    "sample_rate"}`` with ``None`` for fields the format does not carry.
+    """
+    import struct
+
+    out = {
+        "media_type": None,
+        "format": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "sample_rate": None,
+    }
+    p = payload or b""
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+            w, h = struct.unpack(">II", p[16:24])
+            out.update(media_type="image", format="png", width=w, height=h)
+        elif p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            w, h = struct.unpack("<HH", p[6:10])
+            out.update(media_type="image", format="gif", width=w, height=h)
+        elif p[:2] == b"BM" and len(p) >= 26:
+            # BITMAPINFOHEADER at offset 14: biSize, biWidth, biHeight
+            w, h = struct.unpack("<ii", p[18:26])
+            out.update(media_type="image", format="bmp", width=w, height=abs(h))
+        elif p[:2] == b"\xff\xd8":
+            # JPEG: walk segments to the first SOFn for dimensions
+            out.update(media_type="image", format="jpeg")
+            pos = 2
+            while pos + 9 <= len(p) and p[pos] == 0xFF:
+                marker, seglen = p[pos + 1], struct.unpack(
+                    ">H", p[pos + 2 : pos + 4]
+                )[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", p[pos + 5 : pos + 9])
+                    out.update(width=w, height=h)
+                    break
+                pos += 2 + seglen
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            # walk chunks for fmt (rate/channels/width) + data (duration)
+            sr = ch = sw = None
+            data_len = None
+            pos = 12
+            while pos + 8 <= len(p):
+                fourcc = p[pos : pos + 4]
+                (size,) = struct.unpack("<I", p[pos + 4 : pos + 8])
+                if fourcc == b"fmt " and size >= 16:
+                    _fmt, ch, sr = struct.unpack(
+                        "<HHI", p[pos + 8 : pos + 16]
+                    )
+                    sw = struct.unpack("<H", p[pos + 22 : pos + 24])[0] // 8
+                elif fourcc == b"data":
+                    data_len = size
+                pos += 8 + size + (size & 1)
+            out.update(media_type="audio", format="wav", sample_rate=sr)
+            if None not in (sr, ch, sw, data_len) and sr and ch and sw:
+                n_frames = data_len // (ch * sw)
+                out["duration_ms"] = n_frames * 1000 // sr
+        elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            out.update(media_type="video", format="avi")
+            # avih usec-per-frame + total frames -> duration; strf dims
+            frames = _decode_avi_header_meta(p)
+            if frames:
+                out.update(frames)
+    except (struct.error, ValueError, IndexError):
+        pass  # corrupt header — report what was sniffed so far
+    return out
+
+
+def _decode_avi_header_meta(p: bytes) -> "dict | None":
+    """Width/height/duration from an AVI's avih + strf headers (iterative
+    chunk walk, same fail-soft contract as ``_decode_avi_frames``)."""
+    import struct
+
+    usec = n_frames = w = h = None
+    stack = [(12, len(p))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            fourcc = p[pos : pos + 4]
+            (size,) = struct.unpack("<I", p[pos + 4 : pos + 8])
+            data = pos + 8
+            if data + size > len(p):
+                break
+            if fourcc == b"LIST":
+                stack.append((data + size + (size & 1), end))
+                pos, end = data + 4, data + size
+                continue
+            if fourcc == b"avih" and size >= 20:
+                usec, _rate, _pad, _flags, n_frames = struct.unpack(
+                    "<IIIII", p[data : data + 20]
+                )
+            elif fourcc == b"strf" and size >= 12 and w is None:
+                _sz, w, h = struct.unpack("<Iii", p[data : data + 12])
+            pos = data + size + (size & 1)
+    if w is None and n_frames is None:
+        return None
+    out: dict = {}
+    if w is not None:
+        out.update(width=w, height=abs(h))
+    if usec and n_frames is not None:
+        out["duration_ms"] = n_frames * usec // 1000
+    return out
+
+
+def media_sniff(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched header sniffing over a binary column: one typed
+    metadata row per payload, parsed from the REAL container headers by
+    ``sniff_media_meta``.  Column pruning keeps this a two-column scan;
+    the parse touches only the first bytes of each payload."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                sniff_media_meta(p if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "media_type": [m["media_type"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, MEDIA_SNIFF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# dependency-free BMP codec (the image twin of the WAV/AVI stdlib paths)
+# ---------------------------------------------------------------------------
+
+def encode_bmp_gray(gray) -> bytes:
+    """Encode a 2-D uint8 grayscale array as a REAL 24-bit BI_RGB BMP
+    (r=g=b), bottom-up rows, 4-byte row padding — the standard DIB layout
+    ``decode_image_gray`` and ``sniff_media_meta`` parse back.  Stdlib
+    ``struct`` + numpy only, mirroring ``_make_wav``-style fixtures but
+    shipped as a library function so pipelines can materialize synthetic
+    image payloads at scale."""
+    import struct
+
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = np.repeat(g, 3, axis=1)  # b=g=r = luma
+    pixel_data = rows[::-1].tobytes()  # bottom-up
+    header_size = 14 + 40
+    file_size = header_size + len(pixel_data)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+        + pixel_data
+    )
+
+
+def decode_image_gray(payload: bytes):
+    """Decode an image payload to a 2-D uint8 grayscale array.  24-bit
+    BI_RGB BMP decodes with NO dependency (stdlib ``struct`` + numpy —
+    BT.601 luma, bottom-up/top-down row order, 4-byte padding: the exact
+    DIB logic ``_decode_avi_frames`` applies per frame); other formats
+    fall back to optional Pillow and raise ``NotImplementedError`` with
+    guidance when it is absent — the ``decode_audio``/WAV pattern."""
+    import struct
+
+    import numpy as np
+
+    p = payload or b""
+    if p[:2] == b"BM" and len(p) >= 54:
+        data_off = struct.unpack("<I", p[10:14])[0]
+        _sz, w, h, _planes, bits, comp = struct.unpack("<IiiHHI", p[14:34])
+        if comp == 0 and bits == 24:
+            top_down = h < 0
+            h = abs(h)
+            stride = (w * 3 + 3) // 4 * 4
+            if len(p) >= data_off + stride * h:
+                rows = np.frombuffer(
+                    p[data_off : data_off + stride * h], dtype=np.uint8
+                )
+                bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                if not top_down:
+                    bgr = bgr[::-1]
+                return np.clip(
+                    np.round(
+                        0.299 * bgr[:, :, 2].astype(np.float64)
+                        + 0.587 * bgr[:, :, 1]
+                        + 0.114 * bgr[:, :, 0]
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)
+    image_mod = _pil_image_module()
+    if image_mod is None:
+        raise NotImplementedError(
+            "non-BMP image decode requires Pillow (pip install pillow); "
+            "24-bit BMP decodes with no dependency"
+        )
+    import io
+
+    return np.asarray(
+        image_mod.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash/aHash) + banded Hamming near-dup join
+# ---------------------------------------------------------------------------
+
+def _grid_sums(gray, rows: int, cols: int):
+    """Exact integer block-reduce of a grayscale array to a (rows, cols)
+    grid: per-cell pixel SUM and COUNT, bucketing pixel (i, j) to cell
+    (i*rows//H, j*cols//W) — the same floor-bucket rule the byte-level
+    twin and its SQL oracle use, so comparisons stay in exact integer
+    arithmetic (no float resampling divergence between engines)."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    ri = (np.arange(h) * rows) // h
+    ci = (np.arange(w) * cols) // w
+    cell = ri[:, None] * cols + ci[None, :]
+    sums = np.bincount(cell.ravel(), weights=g.ravel().astype(np.float64),
+                       minlength=rows * cols).astype(np.int64)
+    cnts = np.bincount(cell.ravel(), minlength=rows * cols).astype(np.int64)
+    return sums.reshape(rows, cols), cnts.reshape(rows, cols)
+
+
+def dhash_from_gray(gray, rows: int = 6, cols: int = 11) -> int:
+    """Difference hash (dHash) of a grayscale array: block-reduce to a
+    (rows, cols) mean grid, then one bit per horizontal gradient —
+    bit ``r*(cols-1)+c`` is set iff ``mean[r][c+1] > mean[r][c]``.
+
+    Default grid 6x11 -> 60 bits: the repo's signed-long fingerprint
+    discipline (``simhash`` caps at 60 for the same reason), which keeps
+    the hash oracle-SQL-expressible and the banded join shift-safe in
+    both engines.  The comparison is the exact cross-product form
+    ``sum_b*cnt_a > sum_a*cnt_b`` — pure integers, so a +k brightness
+    shift provably never flips a bit (both sides gain ``k*cnt_a*cnt_b``).
+    Empty grid cells (tiny inputs) compare 0 > 0 and contribute 0 bits —
+    deterministic, mirrored by the SQL oracle."""
+    assert rows * (cols - 1) <= 60, "fingerprint must fit a signed long"
+    sums, cnts = _grid_sums(gray, rows, cols)
+    h = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            if sums[r, c + 1] * cnts[r, c] > sums[r, c] * cnts[r, c + 1]:
+                h |= 1 << (r * (cols - 1) + c)
+    return h
+
+
+def ahash_from_gray(gray, rows: int = 8, cols: int = 7) -> int:
+    """Average hash (aHash): one bit per grid cell, set iff the cell mean
+    exceeds the global mean (cross-multiplied to exact integers).  Less
+    gradient-robust than dHash but cheaper to reason about; same 60-bit
+    signed-long cap (8x8 = 64 would not band shift-safely in SQL, so the
+    default here is 8x7 = 56 bits)."""
+    assert rows * cols <= 60, "fingerprint must fit a signed long"
+    sums, cnts = _grid_sums(gray, rows, cols)
+    total_s, total_c = int(sums.sum()), int(cnts.sum())
+    h = 0
+    for r in range(rows):
+        for c in range(cols):
+            if sums[r, c] * total_c > total_s * cnts[r, c]:
+                h |= 1 << (r * cols + c)
+    return h
+
+
+def image_dhash(payload: bytes, rows: int = 6, cols: int = 11) -> int:
+    """Perceptual dHash of a REAL image payload: decode (dependency-free
+    for 24-bit BMP, Pillow otherwise) then ``dhash_from_gray``.  Two
+    re-encodes of the same picture — or a brightness-shifted copy — land
+    within a small Hamming distance; pair them with
+    ``hamming_hash_pairs``, the image twin of MinHash/SimHash dedup."""
+    return dhash_from_gray(decode_image_gray(payload), rows, cols)
+
+
+def image_dhash_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    rows: int = 6,
+    cols: int = 11,
+) -> DataFrame:
+    """Arrow-batched ``image_dhash`` over a binary column: (id, dhash).
+    The decode is the slow stage by design — run it once, persist the
+    60-bit fingerprints, and run every dedup pass against those."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "dhash": [
+                        image_dhash(p, rows, cols) if p is not None else 0
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, "id long, dhash long")
+
+
+def byte_dhash_df(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rows: int = 6,
+    cols: int = 11,
+    shift: int = 0,
+) -> DataFrame:
+    """dHash computed JVM-side over a document's BYTES as a 1-D signal:
+    segment the byte sequence into ``rows*cols`` equal spans (span of
+    byte ``pos`` is ``pos*S div n`` — the same floor-bucket rule as
+    ``_grid_sums``), reshape row-major to the (rows, cols) grid, then the
+    identical exact-integer gradient bits as ``dhash_from_gray``.
+
+    This is the oracle-SQL-expressible twin of ``image_dhash``: the same
+    hash machinery, fed by byte segments instead of decoded pixels, so
+    driver-gated queries can verify the grid/gradient/packing logic
+    cell-for-cell in DuckDB while ``image_dhash`` (whose decode SQL
+    cannot express) rides the pytest path on real BMPs.  ``shift`` adds a
+    constant to every byte — the brightness-shift knob the planted
+    near-dup queries use (provably hash-invariant, see
+    ``dhash_from_gray``).
+
+    Returns (id, dhash).  Shape: chars explode -> map-side-combined
+    (id, seg) partial sums (shuffle volume is S rows/doc, not n) -> one
+    wide agg per id.  All JVM built-ins; no Python in the plan.
+    """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    S = rows * cols
+    nbits = rows * (cols - 1)
+    assert nbits <= 60, "fingerprint must fit a signed long"
+    df = ensure_parallelism(df)
+    chars = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.length(content_col).alias("n"),
+            F.posexplode(F.split(F.col(content_col), "")).alias("pos", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select(
+            "id",
+            (F.ascii("ch") + F.lit(shift)).alias("b"),
+            F.expr(f"pos * {S} div n").alias("seg"),
+        )
+    )
+    segs = chars.groupBy("id", "seg").agg(
+        F.sum("b").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    wide = segs.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("seg") == k, F.col("s")).otherwise(0)).alias(f"s{k}")
+            for k in range(S)
+        ],
+        *[
+            F.sum(F.when(F.col("seg") == k, F.col("c")).otherwise(0)).alias(f"c{k}")
+            for k in range(S)
+        ],
+    )
+    fingerprint = None
+    for r in range(rows):
+        for c in range(cols - 1):
+            a, b = r * cols + c, r * cols + c + 1
+            k = r * (cols - 1) + c
+            term = F.when(
+                F.col(f"s{b}") * F.col(f"c{a}") > F.col(f"s{a}") * F.col(f"c{b}"),
+                F.lit(1 << k).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return wide.select("id", fingerprint.alias("dhash"))
+
+
+def hamming_hash_pairs(
+    df: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    blocks: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(hash) <= k over PRE-COMPUTED fingerprints
+    via the pigeonhole block join — the generic twin of
+    ``dedup.simhash_pairs`` (cerebro_spark/operators/dedup.py:565) for
+    hashes produced elsewhere (``image_dhash_df``, ``byte_dhash_df``,
+    audio fingerprints).  Same recall guarantee (``max_hamming < blocks``),
+    same boilerplate-skew cap semantics, same width rule: segment width
+    ``bits // blocks`` must satisfy ``2^width >> N / cap`` (see the sizing
+    notes and tools/soak_simhash_skew.py measurements on simhash_pairs —
+    they transfer unchanged, the join is hash-agnostic).
+
+    Returns (id_a, id_b, hamming).  One equi-join shuffle on
+    (block, segment); the quadratic candidate set is Hamming-filtered
+    before any dedup shuffle, and the uncapped path dedups with the
+    row-local first-matching-block trick (zero extra shuffles).
+    """
+    width = bits // blocks
+    seg = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        (
+                            F.expr(f"shiftright({hash_col}, {bi * width})")
+                            % F.lit(2**width).cast("long")
+                        ).alias("seg"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "h", F.col("bs.blk").alias("blk"), F.col("bs.seg").alias("seg"))
+    if max_bucket_size is not None:
+        small = (
+            seg.groupBy("blk", "seg")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .select("blk", "seg")
+        )
+        seg = seg.join(small, ["blk", "seg"])
+    a = seg.select("blk", "seg", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = seg.select("blk", "seg", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    hamming = F.bit_count(F.expr("h_a ^ h_b"))
+    cand = (
+        a.join(b, ["blk", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming <= max_hamming)
+    )
+    if max_bucket_size is None:
+        seg_eq = [
+            (
+                F.expr(f"shiftright(h_a, {bi * width})")
+                % F.lit(2**width).cast("long")
+                == F.expr(f"shiftright(h_b, {bi * width})")
+                % F.lit(2**width).cast("long")
+            )
+            for bi in range(blocks)
+        ]
+        first_match = F.coalesce(
+            *[F.when(seg_eq[bi], F.lit(bi)) for bi in range(blocks)]
+        )
+        deduped = cand.filter(F.col("blk") == first_match)
+    else:
+        deduped = cand.dropDuplicates(["id_a", "id_b"])
+    return deduped.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (band-energy signature over real PCM decode)
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Encode int16 samples as a REAL RIFF/WAVE PCM16 mono container via
+    the stdlib ``wave`` module — the encoder twin of ``decode_audio``'s
+    dependency-free WAV path, so pipelines can materialize audio payloads
+    (and fingerprint queries can round-trip through a genuine codec)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio_pcm(payload: bytes):
+    """Decode a WAV PCM payload to RAW INTEGER samples ``(mono int64
+    ndarray, sample_rate)`` — unlike ``decode_audio`` (normalized floats),
+    this keeps every sample exact so fingerprints computed from it are
+    integer arithmetic end-to-end (multi-channel input sums channels,
+    preserving integerness).  Stdlib ``wave`` + numpy, WAV-only."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    if sw == 1:
+        x = x - 128  # 8-bit WAV is unsigned
+    if ch > 1:
+        x = x.reshape(-1, ch).sum(axis=1)
+    return x, sr
+
+
+def audio_fingerprint_pcm(samples, frames: int = 33) -> int:
+    """Band-energy delta fingerprint of integer PCM samples: split the
+    signal into ``frames`` equal time spans (floor-bucket rule), per-span
+    energy = exact integer sum of squares, then bit ``k`` is set iff
+    ``energy[k+1] > energy[k]`` — the sign-of-energy-gradient signature.
+
+    ``frames-1`` bits (default 32).  The signature is invariant under
+    amplitude scaling (energies scale by g^2 uniformly — the audio twin
+    of dHash's brightness invariance) and robust to codecs that preserve
+    energy envelope; it is NOT invariant to time reordering, which is the
+    point.  Empty spans (input shorter than ``frames``) compare 0 > 0 —
+    deterministic, mirrored by the SQL oracle."""
+    import numpy as np
+
+    assert frames - 1 <= 60, "fingerprint must fit a signed long"
+    x = np.asarray(samples, dtype=np.int64)
+    n = len(x)
+    if n == 0:
+        return 0
+    seg = (np.arange(n) * frames) // n
+    energy = np.bincount(
+        seg, weights=(x * x).astype(np.float64), minlength=frames
+    ).astype(np.int64)
+    fp = 0
+    for k in range(frames - 1):
+        if energy[k + 1] > energy[k]:
+            fp |= 1 << k
+    return fp
+
+
+def audio_fingerprint(payload: bytes, frames: int = 33) -> int:
+    """``audio_fingerprint_pcm`` over a REAL WAV decode (stdlib codec,
+    exact integer samples) — match clips across gain/re-encode with
+    ``hamming_hash_pairs`` or an exact fingerprint equi-join."""
+    samples, _sr = decode_audio_pcm(payload)
+    return audio_fingerprint_pcm(samples, frames)
+
+
+def audio_fingerprint_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frames: int = 33,
+) -> DataFrame:
+    """Arrow-batched ``audio_fingerprint`` over WAV payloads:
+    (id, fp, n_samples).  Decode once, join fingerprints many times."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, ns = [], []
+            for p in pdf[payload_col]:
+                if p is None:
+                    fps.append(0)
+                    ns.append(0)
+                    continue
+                samples, _sr = decode_audio_pcm(bytes(p))
+                fps.append(audio_fingerprint_pcm(samples, frames))
+                ns.append(len(samples))
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "fp": fps, "n_samples": ns}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "id long, fp long, n_samples long"
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

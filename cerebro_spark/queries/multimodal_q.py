@@ -1,0 +1,416 @@
+"""Multimodal gated queries: perceptual image-hash dedup, audio
+fingerprinting, real-container metadata sniffing, and the cross-modal
+composition join (image near-dup x text-disjoint).
+
+The documents table carries no binary column, so each query synthesizes
+its payloads deterministically from ``text`` — through REAL codecs where
+one exists in-container (stdlib WAV PCM16, 24-bit BMP), so the Spark side
+round-trips genuine containers while the DuckDB oracle recomputes the
+expected signature from the same source bytes.  Every comparison in the
+hash/fingerprint math is exact-integer (cross-multiplied means, squared
+sums), so no float canonicalization is needed anywhere in this module.
+
+Planted perceptual variants: each doc gets a twin with every byte shifted
++2 (``translate`` over the full observed byte range) — the text analogue
+of re-encoding an image with a brightness offset.  dHash is provably
+invariant under the shift (see ``dhash_from_gray``), while the twin
+shares ZERO vocabulary with its original, which is exactly the
+"same image, rewritten caption" shape the cross-modal query hunts.
+
+Reference parity: the reference engine has no multimodal surface; these
+operators are part of the driver-mandated LLM-pipeline extension
+(SURVEY.md "beyond the reference" families).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cerebro_spark.io import load_table
+from cerebro_spark.operators.multimodal import (
+    audio_fingerprint_df,
+    byte_dhash_df,
+    encode_bmp_gray,
+    encode_wav_pcm16,
+    hamming_hash_pairs,
+    media_sniff,
+)
+
+#: +2 byte-shift alphabet covering the full observed document byte range
+#: (32..121); built programmatically so Spark's ``translate`` and the
+#: oracle's ``ord(c) + 2`` model agree on EVERY char that can appear.
+_SHIFT_FROM = "".join(chr(i) for i in range(32, 122))
+_SHIFT_TO = "".join(chr(i + 2) for i in range(32, 122))
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (byte-dHash, the SQL-expressible twin)
+# ---------------------------------------------------------------------------
+
+def q_dhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit byte-dHash per document — the perceptual fingerprint pass a
+    corpus runs once and persists (image payloads would ride
+    ``image_dhash_df`` over the same machinery)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return byte_dhash_df(docs).select(F.col("id").alias("doc_id"), "dhash")
+
+
+#: shared CTE text: chars -> floor-bucketed segment sums -> gradient bits.
+#: ``{corpus}`` supplies (id, n, pos, b) rows; the fp CTE LEFT-joins back to
+#: ``{ids}`` so every id keeps a row even if no adjacent non-empty segment
+#: pair exists (mirrors byte_dhash_df, which always emits one row per id).
+def _dhash_fp_cte(corpus: str, ids: str) -> str:
+    return f"""
+chars AS ({corpus}),
+segs AS (
+  SELECT id, (pos * 66) // n AS seg, sum(b) AS s, count(*) AS c
+  FROM chars GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.id,
+         COALESCE(sum(CASE WHEN b.s * a.c > a.s * b.c
+                  THEN (CAST(1 AS BIGINT) << ((a.seg // 11) * 10 + (a.seg % 11)))
+                  ELSE CAST(0 AS BIGINT) END), 0) AS dhash
+  FROM segs a JOIN segs b ON a.id = b.id AND b.seg = a.seg + 1
+  WHERE a.seg % 11 <> 10
+  GROUP BY a.id
+),
+fp AS (
+  SELECT i.id, CAST(COALESCE(bits.dhash, 0) AS BIGINT) AS dhash
+  FROM ({ids}) i LEFT JOIN bits ON bits.id = i.id
+)"""
+
+
+_DHASH_DOCS_SQL = (
+    "WITH "
+    + _dhash_fp_cte(
+        corpus="""
+  SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+  FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+        FROM documents)
+""",
+        ids="SELECT doc_id AS id FROM documents",
+    )
+    + "\nSELECT id AS doc_id, dhash FROM fp"
+)
+
+
+#: variant corpus: id = 2*doc_id + v, bytes shifted +2 for v=1 — the oracle
+#: models Spark's ``translate`` as plain ord arithmetic (the translate maps
+#: exactly chr(i) -> chr(i+2) over the full observed byte range).
+#: the +2-shift cross join happens AFTER the unnest (a separate CTE scan):
+#: DuckDB 1.0's binder miscompiles unnest-in-select combined with a VALUES
+#: cross join in the same SELECT.
+_VARIANT_CHARS = """
+  SELECT 2 * base.id + v.v AS id, n, pos, b0 + 2 * v.v AS b
+  FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b0
+    FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents)
+  ) base, (VALUES (0), (1)) AS v(v)
+"""
+_VARIANT_IDS = (
+    "SELECT 2 * doc_id + v.v AS id FROM documents, (VALUES (0), (1)) AS v(v)"
+)
+
+_VARIANT_PAIRS_BODY = """
+seg4 AS (
+  SELECT id, dhash, bi, (dhash >> (bi * 15)) % 32768 AS segment
+  FROM fp, generate_series(0, 3) AS gg(bi)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+    bit_count(xor(a.dhash, b.dhash)) AS hamming
+  FROM seg4 a JOIN seg4 b
+    ON a.bi = b.bi AND a.segment = b.segment AND a.id < b.id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+)"""
+
+
+def _variant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    orig = docs.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    shifted = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.translate("text", _SHIFT_FROM, _SHIFT_TO).alias("text"),
+    )
+    return orig.unionAll(shifted)
+
+
+def q_dhash_variant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the planted brightness-shift corpus:
+    every (doc, +2-shifted twin) pair lands at Hamming 0 — dHash is
+    provably shift-invariant — plus any genuine byte-structure twins.
+    Pigeonhole-banded join (4 x 15-bit blocks), never all-pairs."""
+    h = byte_dhash_df(_variant_corpus(spark, sf_dir))
+    return hamming_hash_pairs(
+        h, "dhash", "id", max_hamming=3, bits=60, blocks=4
+    )
+
+
+_DHASH_VARIANT_PAIRS_SQL = (
+    "WITH "
+    + _dhash_fp_cte(_VARIANT_CHARS, _VARIANT_IDS)
+    + ","
+    + _VARIANT_PAIRS_BODY
+    + "\nSELECT id_a, id_b, hamming FROM pairs"
+)
+
+
+# ---------------------------------------------------------------------------
+# cross-modal composition: image near-dup x text-disjoint
+# ---------------------------------------------------------------------------
+
+def q_cross_modal_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs whose 'images' are perceptual near-dups but whose texts share
+    ZERO vocabulary — the "same picture, rewritten caption" shape a real
+    corpus dedup pipeline must separate from whole-record dups (keep one
+    image payload, keep both captions).  Composition: dHash banded pairs
+    anti-joined against any shared token."""
+    corpus = _variant_corpus(spark, sf_dir)
+    h = byte_dhash_df(corpus)
+    pairs = hamming_hash_pairs(h, "dhash", "id", max_hamming=3, bits=60, blocks=4)
+    toks = corpus.select(
+        F.col("doc_id").alias("tid"),
+        F.explode(
+            F.array_distinct(F.split(F.trim("text"), r"\s+"))
+        ).alias("tok"),
+    )
+    common = (
+        pairs.select("id_a", "id_b")
+        .join(toks.select(F.col("tid").alias("id_a"), "tok"), "id_a")
+        .join(toks.select(F.col("tid").alias("id_b"), "tok"), ["id_b", "tok"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs.join(common, ["id_a", "id_b"], "left_anti").select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+_CROSS_MODAL_SQL = (
+    "WITH "
+    + _dhash_fp_cte(_VARIANT_CHARS, _VARIANT_IDS)
+    + ","
+    + _VARIANT_PAIRS_BODY
+    + f""",
+toks AS (
+  SELECT DISTINCT 2 * doc_id + v.v AS id,
+    CASE WHEN v.v = 0 THEN w
+         ELSE translate(w, '{_sql_quote(_SHIFT_FROM)}', '{_sql_quote(_SHIFT_TO)}')
+    END AS tok
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ), (VALUES (0), (1)) AS v(v)
+)
+SELECT p.id_a, p.id_b, p.hamming FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM toks ta JOIN toks tb ON ta.tok = tb.tok
+  WHERE ta.id = p.id_a AND tb.id = p.id_b
+)"""
+)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting through a REAL WAV round-trip
+# ---------------------------------------------------------------------------
+
+def _synth_wav(df: DataFrame, gain: int) -> DataFrame:
+    """Arrow stage: text -> int16 PCM samples ((byte-96)*256*gain) -> REAL
+    RIFF/WAVE container via the stdlib codec.  The sample map keeps every
+    value in int16 range for gain in {1, 2} over the observed byte range
+    (32..121 -> -32768..12800)."""
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(str(text).encode(), dtype=np.uint8)
+                samples = (b.astype(np.int64) - 96) * 256 * gain
+                payloads.append(encode_wav_pcm16(samples, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-energy audio fingerprints computed through a REAL codec
+    round-trip: synthesize a genuine WAV PCM16 container per doc, decode
+    it with the stdlib codec, fingerprint the exact integer samples.  The
+    oracle recomputes the expected fingerprint from the source bytes — a
+    divergence anywhere in encode/decode/energy math fails the gate."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    wav = _synth_wav(docs, gain=1)
+    return audio_fingerprint_df(wav).select(
+        F.col("id").alias("doc_id"), "fp", "n_samples"
+    )
+
+
+def _audio_en_cte(gains: str) -> str:
+    """Per-(doc, gain) frame energies + fingerprints from the source bytes
+    (sample = (byte-96)*256*gain; energy = exact integer sum of squares)."""
+    return f"""
+chars AS (
+  SELECT doc_id, n, generate_subscripts(cs, 1) - 1 AS pos,
+         ord(unnest(cs)) - 96 AS a
+  FROM (SELECT doc_id, length(text) AS n, string_split(text, '') AS cs
+        FROM documents)
+),
+en AS (
+  SELECT doc_id, gv.g AS gain, (pos * 33) // n AS seg,
+         CAST(sum(a * a * 65536 * gv.g * gv.g) AS BIGINT) AS e
+  FROM chars, (VALUES {gains}) AS gv(g)
+  GROUP BY 1, 2, 3
+),
+fps AS (
+  SELECT a.doc_id, a.gain,
+         CAST(COALESCE(sum(CASE WHEN b.e > a.e
+                      THEN (CAST(1 AS BIGINT) << a.seg)
+                      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS fp
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND a.gain = b.gain
+                     AND b.seg = a.seg + 1
+  GROUP BY 1, 2
+)"""
+
+
+_AUDIO_FP_SQL = (
+    "WITH "
+    + _audio_en_cte("(1)")
+    + """
+SELECT d.doc_id, f.fp, CAST(length(d.text) AS BIGINT) AS n_samples
+FROM documents d JOIN fps f ON f.doc_id = d.doc_id"""
+)
+
+
+def q_audio_scale_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip matching across amplitude scaling: fingerprint every doc's clip
+    at gain 1 and gain 2 — both through the real codec round-trip — and
+    equi-join on the fingerprint.  The signature is provably gain-invariant
+    (energies scale by g^2 uniformly), so each clip finds its scaled self;
+    the join is the catalog-lookup shape audio dedup runs at scale."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    f1 = audio_fingerprint_df(_synth_wav(docs, gain=1)).select(
+        F.col("id").alias("id_a"), "fp"
+    )
+    f2 = audio_fingerprint_df(_synth_wav(docs, gain=2)).select(
+        F.col("id").alias("id_b"), "fp"
+    )
+    return f1.join(f2, "fp").select("id_a", "id_b", "fp")
+
+
+_AUDIO_SCALE_MATCH_SQL = (
+    "WITH "
+    + _audio_en_cte("(1), (2)")
+    + """
+SELECT f1.doc_id AS id_a, f2.doc_id AS id_b, f1.fp
+FROM fps f1 JOIN fps f2 ON f1.gain = 1 AND f2.gain = 2 AND f1.fp = f2.fp"""
+)
+
+
+# ---------------------------------------------------------------------------
+# real-container metadata sniffing
+# ---------------------------------------------------------------------------
+
+def _synth_media(df: DataFrame) -> DataFrame:
+    """Arrow stage: two REAL containers per doc — a 24-bit BMP (16-wide
+    grayscale image from the first 16*(n//16) bytes) and a WAV PCM16 clip
+    (one sample per byte) — built by the library encoders."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(str(text).encode(), dtype=np.uint8)
+                h = len(b) // 16
+                gray = b[: h * 16].reshape(h, 16)
+                ids.append(doc_id)
+                payloads.append(encode_bmp_gray(gray))
+                ids.append(doc_id)
+                payloads.append(
+                    encode_wav_pcm16((b.astype(np.int64) - 96) * 256, 8000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def q_media_sniff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata parsed from REAL container headers: synthesize a BMP
+    and a WAV per doc, sniff both with the stdlib header parser, unpivot
+    to long form (metric, value) — the oracle recomputes each metric from
+    the doc length, so header write + parse verify each other."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sniffed = media_sniff(_synth_media(docs))
+    img = sniffed.filter(F.col("media_type") == "image").select(
+        "doc_id",
+        "media_type",
+        "format",
+        F.explode(
+            F.create_map(
+                F.lit("width"), F.col("width").cast("long"),
+                F.lit("height"), F.col("height").cast("long"),
+            )
+        ).alias("metric", "value"),
+    )
+    aud = sniffed.filter(F.col("media_type") == "audio").select(
+        "doc_id",
+        "media_type",
+        "format",
+        F.explode(
+            F.create_map(
+                F.lit("duration_ms"), F.col("duration_ms"),
+                F.lit("sample_rate"), F.col("sample_rate").cast("long"),
+            )
+        ).alias("metric", "value"),
+    )
+    return img.unionAll(aud)
+
+
+_MEDIA_SNIFF_SQL = """
+SELECT doc_id, 'image' AS media_type, 'bmp' AS format, 'width' AS metric,
+       CAST(16 AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT doc_id, 'image', 'bmp', 'height', CAST(length(text) // 16 AS BIGINT)
+FROM documents
+UNION ALL
+SELECT doc_id, 'audio', 'wav', 'duration_ms',
+       CAST(length(text) * 1000 // 8000 AS BIGINT)
+FROM documents
+UNION ALL
+SELECT doc_id, 'audio', 'wav', 'sample_rate', CAST(8000 AS BIGINT)
+FROM documents
+"""
+
+
+QUERIES = {
+    "dhash_docs": q_dhash_docs,
+    "dhash_variant_pairs": q_dhash_variant_pairs,
+    "cross_modal_dups": q_cross_modal_dups,
+    "audio_fingerprints": q_audio_fingerprints,
+    "audio_scale_match": q_audio_scale_match,
+    "media_sniff_meta": q_media_sniff_meta,
+}
+
+ORACLES = {
+    "dhash_docs": _DHASH_DOCS_SQL,
+    "dhash_variant_pairs": _DHASH_VARIANT_PAIRS_SQL,
+    "cross_modal_dups": _CROSS_MODAL_SQL,
+    "audio_fingerprints": _AUDIO_FP_SQL,
+    "audio_scale_match": _AUDIO_SCALE_MATCH_SQL,
+    "media_sniff_meta": _MEDIA_SNIFF_SQL,
+}

@@ -1,0 +1,302 @@
+"""Round-9 multimodal operators: BMP codec, perceptual dHash/aHash, banded
+Hamming pairs over precomputed hashes, audio PCM fingerprinting, and real
+container-header sniffing.  The oracle-gated behavior lives in
+cerebro_spark/queries/multimodal_q.py; these tests pin the REAL decode
+paths (actual BMP/WAV bytes) that SQL cannot express."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cerebro_spark.operators.multimodal import (
+    ahash_from_gray,
+    audio_fingerprint,
+    audio_fingerprint_df,
+    audio_fingerprint_pcm,
+    byte_dhash_df,
+    decode_audio_pcm,
+    decode_image_gray,
+    dhash_from_gray,
+    encode_bmp_gray,
+    encode_wav_pcm16,
+    hamming_hash_pairs,
+    image_dhash,
+    image_dhash_df,
+    media_sniff,
+    sniff_media_meta,
+)
+
+
+def _gray(h, w, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 250, size=(h, w)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BMP codec
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_exact():
+    g = _gray(24, 31)  # width not a multiple of 4 -> exercises row padding
+    assert np.array_equal(decode_image_gray(encode_bmp_gray(g)), g)
+
+
+def test_bmp_roundtrip_tiny_and_wide():
+    for shape in [(1, 1), (2, 3), (5, 64)]:
+        g = _gray(*shape, seed=shape[1])
+        assert np.array_equal(decode_image_gray(encode_bmp_gray(g)), g)
+
+
+def test_bmp_top_down_rows_decode():
+    """A top-down DIB (negative biHeight) decodes to the same image."""
+    g = _gray(4, 4)
+    p = bytearray(encode_bmp_gray(g[::-1]))  # encoder writes bottom-up
+    # flip biHeight sign: rows are now stored top-down
+    struct.pack_into("<i", p, 22, -4)
+    assert np.array_equal(decode_image_gray(bytes(p)), g)
+
+
+def test_non_bmp_requires_pillow():
+    with pytest.raises(NotImplementedError):
+        decode_image_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashes
+# ---------------------------------------------------------------------------
+
+def test_dhash_brightness_invariance():
+    g = _gray(40, 60)
+    shifted = np.clip(g.astype(np.int64) + 5, 0, 255).astype(np.uint8)
+    assert dhash_from_gray(g) == dhash_from_gray(shifted)
+    # through the REAL codec too
+    assert image_dhash(encode_bmp_gray(g)) == image_dhash(
+        encode_bmp_gray(shifted)
+    )
+
+
+def test_dhash_noise_robust_but_discriminative():
+    g = _gray(40, 60)
+    noisy = g.copy()
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, g.size, 20)
+    noisy.ravel()[idx] = np.clip(
+        noisy.ravel()[idx].astype(np.int64) + rng.randint(-9, 10, 20), 0, 255
+    ).astype(np.uint8)
+    h0, hn = dhash_from_gray(g), dhash_from_gray(noisy)
+    assert bin(h0 ^ hn).count("1") <= 6  # near-dup stays near
+    other = _gray(40, 60, seed=99)
+    assert bin(h0 ^ dhash_from_gray(other)).count("1") > 10
+
+
+def test_dhash_signed_long_cap():
+    g = _gray(16, 16)
+    assert 0 <= dhash_from_gray(g) < 2**60
+    with pytest.raises(AssertionError):
+        dhash_from_gray(g, rows=8, cols=9)  # 64 bits must be refused
+
+
+def test_ahash_global_mean_split():
+    g = np.zeros((8, 14), dtype=np.uint8)
+    g[:4] = 200  # top half bright -> exactly those cells above global mean
+    h = ahash_from_gray(g)  # default 8x7 grid = 56 bits
+    assert bin(h).count("1") == 28
+    assert 0 <= h < 2**60
+    with pytest.raises(AssertionError):
+        ahash_from_gray(g, rows=8, cols=8)  # 64 bits must be refused
+
+
+def test_byte_dhash_df_matches_prototype(spark):
+    texts = ["hello world this is a longer document body", "abcd" * 30]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.id: r.dhash for r in byte_dhash_df(df).collect()}
+
+    def proto(text, rows=6, cols=11):
+        b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        n, S = len(b), rows * cols
+        seg = (np.arange(n) * S) // n
+        sums = np.bincount(seg, weights=b.astype(float), minlength=S).astype(np.int64)
+        cnts = np.bincount(seg, minlength=S)
+        gs, gc = sums.reshape(rows, cols), cnts.reshape(rows, cols)
+        h = 0
+        for r in range(rows):
+            for c in range(cols - 1):
+                if gs[r, c + 1] * gc[r, c] > gs[r, c] * gc[r, c + 1]:
+                    h |= 1 << (r * (cols - 1) + c)
+        return h
+
+    assert got == {i: proto(t) for i, t in enumerate(texts)}
+
+
+def test_hamming_hash_pairs_recall_and_cap(spark):
+    base = 0b1011_0110_1001 << 20
+    rows = [
+        (1, base),
+        (2, base ^ 0b101),        # distance 2 from id 1
+        (3, base ^ (1 << 59)),    # distance 1 from id 1
+        (4, 0),                   # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, dhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_hash_pairs(df, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 2 and got[(1, 3)] == 1 and got[(2, 3)] == 3
+    assert not any(4 in p for p in got)
+    # cap path: a bucket holding all four of one block's segments survives
+    capped = hamming_hash_pairs(df, max_hamming=3, max_bucket_size=1).collect()
+    assert capped == []  # every matching bucket has >= 2 members
+
+
+def test_image_dhash_df_over_bmp_payloads(spark):
+    g1, g2 = _gray(20, 30), _gray(20, 30, seed=11)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp_gray(g1))), (2, bytearray(encode_bmp_gray(g2)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.id: r.dhash for r in image_dhash_df(df).collect()}
+    assert got == {1: dhash_from_gray(g1), 2: dhash_from_gray(g2)}
+
+
+# ---------------------------------------------------------------------------
+# audio PCM fingerprints
+# ---------------------------------------------------------------------------
+
+def test_wav_pcm16_roundtrip_exact():
+    samples = np.array([-32768, -1, 0, 1, 12345, 32767], dtype=np.int64)
+    decoded, sr = decode_audio_pcm(encode_wav_pcm16(samples, 44100))
+    assert sr == 44100
+    assert np.array_equal(decoded, samples)
+
+
+def test_audio_fingerprint_gain_invariant():
+    rng = np.random.RandomState(5)
+    samples = rng.randint(-8000, 8000, 400)
+    fp1 = audio_fingerprint(encode_wav_pcm16(samples))
+    for gain in (2, 3):
+        fpg = audio_fingerprint(encode_wav_pcm16(samples * gain))
+        assert fpg == fp1
+    # time reordering must change the signature
+    assert audio_fingerprint(encode_wav_pcm16(samples[::-1])) != fp1
+
+
+def test_audio_fingerprint_pcm_shapes():
+    assert audio_fingerprint_pcm([]) == 0
+    # fewer samples than frames: empty spans compare 0 > 0 deterministically
+    assert isinstance(audio_fingerprint_pcm([5, -3, 7], frames=33), int)
+    with pytest.raises(AssertionError):
+        audio_fingerprint_pcm([1], frames=62)
+
+
+def test_decode_audio_pcm_8bit_and_stereo():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    x, _ = decode_audio_pcm(buf.getvalue())
+    assert x.tolist() == [-128, 0, 127]
+
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array([10, 20, -5, 7], dtype="<i2").tobytes())
+    x2, _ = decode_audio_pcm(buf2.getvalue())
+    assert x2.tolist() == [30, 2]  # channel sum keeps integers exact
+
+
+def test_audio_fingerprint_df_handles_null(spark):
+    wav = encode_wav_pcm16(np.arange(-100, 100) * 50)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, None)], "doc_id long, payload binary"
+    )
+    got = {r.id: (r.fp, r.n_samples) for r in audio_fingerprint_df(df).collect()}
+    assert got[1] == (audio_fingerprint(wav), 200)
+    assert got[2] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# container-header sniffing
+# ---------------------------------------------------------------------------
+
+def test_sniff_png_gif_jpeg_headers():
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x08"
+    m = sniff_media_meta(png)
+    assert (m["format"], m["width"], m["height"]) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    m = sniff_media_meta(gif)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 320, 200)
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"          # APP0
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 240, 360) + b"\x03\x00\x00\x00"
+    )
+    m = sniff_media_meta(jpeg)
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 360, 240)
+
+
+def test_sniff_bmp_and_wav_from_real_encoders():
+    m = sniff_media_meta(encode_bmp_gray(_gray(12, 34)))
+    assert (m["media_type"], m["format"], m["width"], m["height"]) == (
+        "image", "bmp", 34, 12,
+    )
+    wav = encode_wav_pcm16(np.zeros(16000, dtype=np.int64), 8000)
+    m = sniff_media_meta(wav)
+    assert (m["media_type"], m["format"], m["sample_rate"], m["duration_ms"]) == (
+        "audio", "wav", 8000, 2000,
+    )
+
+
+def test_sniff_avi_header():
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = chunk(b"avih", struct.pack("<IIIII", 40000, 0, 0, 0, 50))
+    strf = chunk(b"strf", struct.pack("<Iii", 40, 320, 240) + b"\x00" * 28)
+    body = lst(b"hdrl", avih + lst(b"strl", strf))
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    m = sniff_media_meta(avi)
+    assert (m["media_type"], m["format"], m["width"], m["height"]) == (
+        "video", "avi", 320, 240,
+    )
+    assert m["duration_ms"] == 50 * 40000 // 1000
+
+
+def test_sniff_garbage_is_soft():
+    for p in (b"", b"\x00" * 40, b"RIFF\x04\x00\x00\x00JUNK", None and b""):
+        m = sniff_media_meta(p)
+        assert m["format"] is None
+
+
+def test_media_sniff_df(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp_gray(_gray(8, 16)))),
+            (2, bytearray(encode_wav_pcm16(np.zeros(800, dtype=np.int64)))),
+            (3, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in media_sniff(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("bmp", 16, 8)
+    assert (got[2].format, got[2].sample_rate, got[2].duration_ms) == (
+        "wav", 8000, 100,
+    )
+    assert got[3].format is None

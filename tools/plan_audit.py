@@ -36,6 +36,12 @@ ARROW_ALLOWED = {
     "json_flatten",
     "multimodal_features",
     "frame_sample",
+    # real-codec media paths (r9): WAV PCM16 encode/decode round-trip and
+    # BMP/WAV container synthesis + header sniffing — genuine binary codec
+    # work that SQL cannot express; all Arrow-batched, no row-at-a-time UDFs
+    "audio_fingerprints",
+    "audio_scale_match",
+    "media_sniff_meta",
     "semantic_dedup",
     "ann_cosine_ivf",
     "pq_recall",
