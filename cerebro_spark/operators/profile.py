@@ -5088,9 +5088,11 @@ def concentration_at(
     rational ``cum·p_den ≥ p_num·total``, and inside the boundary cell
     (all units there share one value v*) the needed count is the exact
     ceiling ``⌈(target − sum_above)/v*⌉`` — integer arithmetic end to
-    end; share is one division, rounded 6 dp.  Values must be
-    NON-NEGATIVE; the output is EMPTY when the total is 0 (no positive
-    mass to concentrate).
+    end; share is one division, rounded 6 dp.  Per-unit totals must be
+    NON-NEGATIVE — ENFORCED: units with a negative total are excluded
+    from the grid and from ``n_units`` (they cannot carry concentration
+    mass and would break cumulative monotonicity).  The output is EMPTY
+    when the total is 0 (no positive mass to concentrate).
 
     Scale shape: one combinable per-unit aggregate, one grid aggregate,
     one quantization-bounded DESC grid cumulative, one 1-row reduce.
@@ -5110,6 +5112,12 @@ def concentration_at(
         .groupBy(F.col(unit_col).alias("__u"))
         .agg(F.sum(qv.cast(dec)).alias("__v"))
     )
+    # ENFORCE the documented non-negativity contract (r8 advice): a
+    # negative per-unit total would break the top-down cumulative's
+    # monotonicity and silently corrupt the boundary-cell selection, so
+    # such units are excluded from the grid (and from n_units) outright
+    # rather than poisoning the closed form.
+    units = units.filter(F.col("__v") >= 0)
     grid = units.groupBy("__v").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )

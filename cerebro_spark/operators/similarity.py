@@ -1348,7 +1348,12 @@ def mutual_nn_pairs(
             F.max("__cos").alias("cosine"),
         )
         .filter(F.col("__dirs") == 2)
-        .select("id_a", "id_b", "cosine")
+        # 6-dp output rounding (the semantic_dedup precedent): the raw
+        # double is summation-chain-sensitive at the last ulp, and this
+        # value is a similarity READOUT, not an input to further math —
+        # rounding both here and in any mirroring oracle keeps the gate
+        # comparison ulp-proof.
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 
@@ -1386,6 +1391,12 @@ def centroid_silhouette(
     extension next to label_centroids/semantic_dedup (driver brief).
     """
     dec = "decimal(38,0)"
+    # NOTE: __pid keys the per-row reduce below.  monotonically_
+    # increasing_id() is consistent WITHIN one lineage branch (every use
+    # here descends from this single select), but Spark does not
+    # guarantee stable ids across stage retries / speculative execution
+    # when the upstream source is non-deterministic — for such sources,
+    # pass data with a real row key and use it instead (r8 advice).
     pts = df.filter(
         F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(

@@ -1657,13 +1657,21 @@ def heaps_law_fit(
         (F.max(F.col(id_col).cast("long")) + 1).alias("__mx"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            F.col(id_col).cast("double")
-            * F.lit(float(n_buckets))
-            / F.col("__mx").cast("double")
-        ).cast("int"),
+    # clamp BOTH ends: the docstring's range-bucket contract assumes
+    # non-negative ids, but a negative id (or an all-negative corpus,
+    # where max(id)+1 <= 0) must degrade to bucket 0 / bucket n-1
+    # deterministically instead of emitting negative or NULL buckets
+    # silently (r8 advice).
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                F.col(id_col).cast("double")
+                * F.lit(float(n_buckets))
+                / F.greatest(F.col("__mx").cast("double"), F.lit(1.0))
+            ).cast("int"),
+        ),
     )
     docs = base.crossJoin(F.broadcast(mx)).select(
         bucket.alias("__b"),
@@ -1964,6 +1972,11 @@ def doc_novelty_profile(
     extension next to unigram_nll/zipf_slope (driver brief).
     """
     dec = "decimal(38,0)"
+    # NOTE: __doc keys the per-doc reduce.  monotonically_increasing_id()
+    # is consistent within this single lineage branch, but is NOT stable
+    # across stage retries / speculative execution over non-deterministic
+    # sources — callers with such inputs should supply a real doc key
+    # column instead (r8 advice; same caveat as centroid_silhouette).
     base = df.filter(
         F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(
@@ -2032,7 +2045,7 @@ def fightin_words(
     """Monroe–Colaresi–Quinn "fightin' words" (2008): per group, the
     ``top_k`` terms whose usage rate most EXCEEDS the rest of the
     corpus, scored by the log-odds-ratio z with an informative
-    Dirichlet prior — ``(group, term, count, z_logodds)``.  The
+    Dirichlet prior — ``(group, term, count, z_logodds, rank)``.  The
     which-words companion of burrows_delta's one-number distance: Delta
     says two sources diverge, this names the terms responsible, and the
     corpus-proportional prior (αₜ = α₀·cₜ/N) keeps rare terms from

@@ -2138,11 +2138,16 @@ def q_mutual_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_nn_pairs(emb, "vec_id", "embedding", "label")
 
 
+#: cosine via the explicit dot/sqrt/divide chain (NOT list_cosine_similarity,
+#: whose internal chain may differ at the last ulp from Spark's and flip a
+#: near-tie top-1 pick); output rounded to 6 dp on both sides (r8 advice).
 _MUTUAL_NN_SQL = """
 WITH scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
-    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[])) AS cos
+    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      AS cos
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id <> b.vec_id
 ),
@@ -2153,7 +2158,7 @@ nn AS (
     FROM scored
   ) WHERE rk = 1
 )
-SELECT x.qid AS id_a, x.top1 AS id_b, x.cos AS cosine
+SELECT x.qid AS id_a, x.top1 AS id_b, round(x.cos, 6) AS cosine
 FROM nn x JOIN nn y ON x.top1 = y.qid AND y.top1 = x.qid
 WHERE x.qid < y.qid
 """
