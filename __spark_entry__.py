@@ -567,6 +567,8 @@ _SNAPSHOT_PRIORITY = [
     # R09 BIRTHS (front-inserted, gate this round) — the multimodal
     # growth the r8 verdict ordered:
     "dhash_docs",             # 60-bit byte-dHash perceptual fingerprints
+    "image_dhash_bmp",        # REAL BMP decode -> pixel dHash, byte oracle
+    "video_frame_luma",       # REAL AVI round-trip -> frame luma sums
     "dhash_variant_pairs",    # brightness-shift near-dup banded pairs
     "cross_modal_dups",       # image near-dup x text-disjoint composition
     "audio_fingerprints",     # band-energy fp through real WAV round-trip

@@ -662,6 +662,50 @@ def encode_bmp_gray(gray) -> bytes:
     )
 
 
+def encode_avi_gray(frames, fps: int = 2) -> bytes:
+    """Encode a list of 2-D uint8 grayscale arrays (all the same shape) as
+    a REAL uncompressed RIFF/AVI (24-bit BI_RGB DIB frames, r=g=b,
+    bottom-up rows, 4-byte padding) — the encoder twin of
+    ``_decode_avi_frames``, completing the dependency-free codec family
+    (BMP, WAV, AVI all encode AND decode with stdlib struct + numpy).
+    BT.601 luma of (v, v, v) rounds back to exactly v, so an
+    encode→decode round-trip is pixel-exact."""
+    import struct
+
+    import numpy as np
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    arr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arr[0].shape
+    stride = (w * 3 + 3) // 4 * 4
+    usec = 1_000_000 // fps
+    avih = chunk(
+        b"avih",
+        struct.pack("<IIIIIIIIIIIIII", usec, 0, 0, 0, len(arr), 0, 1, 0, w, h, 0, 0, 0, 0),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(arr), 0, 0, 0, 0),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0),
+    )
+    movi = b""
+    for g in arr:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = np.repeat(g, 3, axis=1)
+        movi += chunk(b"00db", rows[::-1].tobytes())  # bottom-up DIB
+    body = lst(b"hdrl", avih + lst(b"strl", strh + strf)) + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
 def decode_image_gray(payload: bytes):
     """Decode an image payload to a 2-D uint8 grayscale array.  24-bit
     BI_RGB BMP decodes with NO dependency (stdlib ``struct`` + numpy —

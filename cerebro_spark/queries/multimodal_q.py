@@ -62,16 +62,19 @@ def q_dhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_dhash_df(docs).select(F.col("id").alias("doc_id"), "dhash")
 
 
-#: shared CTE text: chars -> floor-bucketed segment sums -> gradient bits.
-#: ``{corpus}`` supplies (id, n, pos, b) rows; the fp CTE LEFT-joins back to
-#: ``{ids}`` so every id keeps a row even if no adjacent non-empty segment
-#: pair exists (mirrors byte_dhash_df, which always emits one row per id).
+#: shared CTE text: (id, seg, b) cells -> per-segment sums -> gradient bits.
+#: ``{corpus}`` supplies (id, seg, b) rows — seg is the 6x11-grid cell index
+#: in ROW-MAJOR order, however the caller's geometry maps positions to cells
+#: (1-D byte spans for byte_dhash_df, 2-D pixel blocks for image_dhash).
+#: The fp CTE LEFT-joins back to ``{ids}`` so every id keeps a row even if
+#: no adjacent non-empty segment pair exists (mirrors byte_dhash_df /
+#: image_dhash_df, which always emit one row per id).
 def _dhash_fp_cte(corpus: str, ids: str) -> str:
     return f"""
-chars AS ({corpus}),
+cells AS ({corpus}),
 segs AS (
-  SELECT id, (pos * 66) // n AS seg, sum(b) AS s, count(*) AS c
-  FROM chars GROUP BY 1, 2
+  SELECT id, seg, sum(b) AS s, count(*) AS c
+  FROM cells GROUP BY 1, 2
 ),
 bits AS (
   SELECT a.id,
@@ -92,9 +95,11 @@ _DHASH_DOCS_SQL = (
     "WITH "
     + _dhash_fp_cte(
         corpus="""
-  SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
-  FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
-        FROM documents)
+  SELECT id, (pos * 66) // n AS seg, b FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+    FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents)
+  )
 """,
         ids="SELECT doc_id AS id FROM documents",
     )
@@ -109,7 +114,7 @@ _DHASH_DOCS_SQL = (
 #: DuckDB 1.0's binder miscompiles unnest-in-select combined with a VALUES
 #: cross join in the same SELECT.
 _VARIANT_CHARS = """
-  SELECT 2 * base.id + v.v AS id, n, pos, b0 + 2 * v.v AS b
+  SELECT 2 * base.id + v.v AS id, (pos * 66) // n AS seg, b0 + 2 * v.v AS b
   FROM (
     SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b0
     FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
@@ -397,8 +402,138 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL image decode gated: BMP -> pixels -> dHash, oracle from source bytes
+# ---------------------------------------------------------------------------
+
+def _synth_bmp(df: DataFrame) -> DataFrame:
+    """Arrow stage: one REAL 24-bit BMP per doc — a 16-wide grayscale image
+    whose pixel (i, j) is byte ``i*16 + j`` of the text (first 16*(n//16)
+    bytes), built by the library encoder."""
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(str(text).encode(), dtype=np.uint8)
+                h = len(b) // 16
+                payloads.append(encode_bmp_gray(b[: h * 16].reshape(h, 16)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def q_image_dhash_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash through the REAL image pipeline: synthesize a
+    genuine BMP per doc, decode it with the stdlib DIB parser, block-reduce
+    the ACTUAL pixels to the 6x11 grid, hash.  The oracle recomputes the
+    grid from the source bytes via the 2-D pixel-block bucketing rule — a
+    divergence anywhere in BMP encode, row-order/padding decode, BT.601
+    luma round-trip, or the grid math fails the gate."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from cerebro_spark.operators.multimodal import image_dhash_df
+
+    return image_dhash_df(_synth_bmp(docs)).select(
+        F.col("id").alias("doc_id"), "dhash"
+    )
+
+
+#: 2-D grid geometry: pixel (i, j) of the h x 16 image is byte i*16+j;
+#: grid cell = ((i*6)//h) * 11 + (j*11)//16 — the _grid_sums floor-bucket
+#: rule in SQL (h = n//16 varies per doc; the 11-way column split of 16
+#: pixels is the same for every doc).
+_IMAGE_DHASH_SQL = (
+    "WITH "
+    + _dhash_fp_cte(
+        corpus="""
+  SELECT id,
+         ((((pos // 16) * 6) // (n // 16)) * 11) + (((pos % 16) * 11) // 16) AS seg,
+         b
+  FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+    FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents)
+  )
+  WHERE pos < (n // 16) * 16
+""",
+        ids="SELECT doc_id AS id FROM documents",
+    )
+    + "\nSELECT id AS doc_id, dhash FROM fp"
+)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode gated: AVI round-trip -> per-frame luma sums
+# ---------------------------------------------------------------------------
+
+def q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame luminance totals through a REAL video round-trip: each doc
+    becomes an uncompressed RIFF/AVI (n//16 frames of 2x8 pixels, 16 bytes
+    per frame, 2 fps) via the library encoder, decoded back by the stdlib
+    DIB chunk walker, and reduced to exact integer luma sums.  The oracle
+    recomputes each frame's sum from the source bytes — gating the AVI
+    encode, chunk walk, frame cadence, and bottom-up row order end to end
+    (the video path's first driver gate; it was pytest-only before r9)."""
+    from cerebro_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_avi_gray,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, tss, lumas = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(str(text).encode(), dtype=np.uint8)
+                nf = len(b) // 16
+                frames = [
+                    b[k * 16 : (k + 1) * 16].reshape(2, 8) for k in range(nf)
+                ]
+                avi = encode_avi_gray(frames, fps=2)
+                for k, (ts_ms, gray) in enumerate(
+                    decode_video_frames(avi, every_ms=500)
+                ):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    tss.append(ts_ms)
+                    lumas.append(int(gray.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "luma_sum": lumas,
+                }
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, frame_idx long, ts_ms long, luma_sum long"
+    )
+
+
+_VIDEO_FRAME_LUMA_SQL = """
+SELECT id AS doc_id, pos // 16 AS frame_idx,
+       CAST((pos // 16) * 500 AS BIGINT) AS ts_ms,
+       CAST(sum(b) AS BIGINT) AS luma_sum
+FROM (
+  SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+  FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+        FROM documents)
+)
+WHERE pos < (n // 16) * 16
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "dhash_docs": q_dhash_docs,
+    "image_dhash_bmp": q_image_dhash_bmp,
+    "video_frame_luma": q_video_frame_luma,
     "dhash_variant_pairs": q_dhash_variant_pairs,
     "cross_modal_dups": q_cross_modal_dups,
     "audio_fingerprints": q_audio_fingerprints,
@@ -408,6 +543,8 @@ QUERIES = {
 
 ORACLES = {
     "dhash_docs": _DHASH_DOCS_SQL,
+    "image_dhash_bmp": _IMAGE_DHASH_SQL,
+    "video_frame_luma": _VIDEO_FRAME_LUMA_SQL,
     "dhash_variant_pairs": _DHASH_VARIANT_PAIRS_SQL,
     "cross_modal_dups": _CROSS_MODAL_SQL,
     "audio_fingerprints": _AUDIO_FP_SQL,

@@ -164,6 +164,36 @@ def test_image_dhash_df_over_bmp_payloads(spark):
 
 
 # ---------------------------------------------------------------------------
+# AVI encoder (completes the dependency-free codec family)
+# ---------------------------------------------------------------------------
+
+def test_avi_roundtrip_pixel_exact():
+    from cerebro_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_avi_gray,
+    )
+
+    frames = [_gray(4, 10, seed=i) for i in range(5)]
+    avi = encode_avi_gray(frames, fps=2)
+    dec = decode_video_frames(avi, every_ms=500)
+    assert [t for t, _ in dec] == [0, 500, 1000, 1500, 2000]
+    assert all(np.array_equal(g, frames[i]) for i, (_, g) in enumerate(dec))
+    # cadence: sampling at 1000 ms keeps every other frame
+    assert len(decode_video_frames(avi, every_ms=1000)) == 3
+
+
+def test_avi_encoder_sniffs_back():
+    from cerebro_spark.operators.multimodal import encode_avi_gray
+
+    avi = encode_avi_gray([_gray(6, 9)], fps=4)
+    m = sniff_media_meta(avi)
+    assert (m["media_type"], m["format"], m["width"], m["height"]) == (
+        "video", "avi", 9, 6,
+    )
+    assert m["duration_ms"] == 250  # 1 frame at 4 fps
+
+
+# ---------------------------------------------------------------------------
 # audio PCM fingerprints
 # ---------------------------------------------------------------------------
 

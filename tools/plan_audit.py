@@ -42,6 +42,8 @@ ARROW_ALLOWED = {
     "audio_fingerprints",
     "audio_scale_match",
     "media_sniff_meta",
+    "image_dhash_bmp",
+    "video_frame_luma",
     "semantic_dedup",
     "ann_cosine_ivf",
     "pq_recall",
