@@ -570,6 +570,7 @@ _SNAPSHOT_PRIORITY = [
     "image_dhash_bmp",        # REAL BMP decode -> pixel dHash, byte oracle
     "video_frame_luma",       # REAL AVI round-trip -> frame luma sums
     "dhash_variant_pairs",    # brightness-shift near-dup banded pairs
+    "dhash_dedup_clusters",   # perceptual dedup end-to-end (pairs -> CC)
     "cross_modal_dups",       # image near-dup x text-disjoint composition
     "audio_fingerprints",     # band-energy fp through real WAV round-trip
     "audio_scale_match",      # gain-invariant clip matching (fp equi-join)

@@ -258,6 +258,15 @@ HEADLINE = [
     "dedup_savings",          # exact-dup sizing
     "revenue_concentration",  # inverse-Lorenz top-k% readout
     "rmst_lifetime",          # restricted mean survival time
+    # r9 multimodal births
+    "dhash_docs",             # 60-bit byte-dHash fingerprints
+    "dhash_variant_pairs",    # banded Hamming near-dup pairs
+    "cross_modal_dups",       # image-dup x text-disjoint composition
+    "audio_fingerprints",     # real WAV round-trip fingerprints
+    "audio_scale_match",      # gain-invariant fp equi-join
+    "media_sniff_meta",       # real BMP/WAV header write+parse
+    "image_dhash_bmp",        # real BMP decode -> pixel dHash
+    "video_frame_luma",       # real AVI round-trip luma sums
 ]
 
 

@@ -168,6 +168,49 @@ _DHASH_VARIANT_PAIRS_SQL = (
     + "\nSELECT id_a, id_b, hamming FROM pairs"
 )
 
+_DHASH_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE dpairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_DHASH_VARIANT_PAIRS_SQL}) q
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM dpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM dpairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id AS n, id AS r FROM nodes
+  UNION
+  SELECT reach.n, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+),
+comp AS (SELECT n AS id, min(r) AS component FROM reach GROUP BY n)
+SELECT c.id, c.component AS canonical_id, s.cluster_size
+FROM comp c
+JOIN (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+) s USING (component)
+"""
+
+
+def q_dhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup END-TO-END: dHash fingerprints -> banded
+    Hamming pairs -> connected components -> (id, canonical_id,
+    cluster_size) — the image twin of `dedup_clusters` (MinHash-LSH +
+    CC), sharing the same star-contraction CC operator.  Over the
+    planted corpus every doc forms a 2-cluster with its brightness twin
+    (plus genuine byte-structure twin groups merging to 4)."""
+    from cerebro_spark.operators.cluster import connected_components
+
+    h = byte_dhash_df(_variant_corpus(spark, sf_dir))
+    pairs = hamming_hash_pairs(h, "dhash", "id", max_hamming=3, bits=60, blocks=4)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "id", F.col("component").alias("canonical_id"), "cluster_size"
+    )
+
 
 # ---------------------------------------------------------------------------
 # cross-modal composition: image near-dup x text-disjoint
@@ -535,6 +578,7 @@ QUERIES = {
     "image_dhash_bmp": q_image_dhash_bmp,
     "video_frame_luma": q_video_frame_luma,
     "dhash_variant_pairs": q_dhash_variant_pairs,
+    "dhash_dedup_clusters": q_dhash_dedup_clusters,
     "cross_modal_dups": q_cross_modal_dups,
     "audio_fingerprints": q_audio_fingerprints,
     "audio_scale_match": q_audio_scale_match,
@@ -546,6 +590,7 @@ ORACLES = {
     "image_dhash_bmp": _IMAGE_DHASH_SQL,
     "video_frame_luma": _VIDEO_FRAME_LUMA_SQL,
     "dhash_variant_pairs": _DHASH_VARIANT_PAIRS_SQL,
+    "dhash_dedup_clusters": _DHASH_DEDUP_CLUSTERS_SQL,
     "cross_modal_dups": _CROSS_MODAL_SQL,
     "audio_fingerprints": _AUDIO_FP_SQL,
     "audio_scale_match": _AUDIO_SCALE_MATCH_SQL,
