@@ -806,3 +806,72 @@ def test_canonicalize_url_idempotent_property(spark, urls):
         assert "#" not in r["c1"]
         assert not r["c1"].split("?", 1)[0].endswith("/")
         assert not r["c1"].endswith("?")
+
+
+# -- r9 multimodal: codec round-trips and hash invariances (pure Python — no
+#    Spark jobs, so these afford many examples) -------------------------------
+
+import numpy as np  # noqa: E402
+
+from cerebro_spark.operators.multimodal import (  # noqa: E402
+    audio_fingerprint_pcm,
+    decode_audio_pcm,
+    decode_image_gray,
+    decode_video_frames,
+    dhash_from_gray,
+    encode_avi_gray,
+    encode_bmp_gray,
+    encode_wav_pcm16,
+)
+
+PURE = dict(max_examples=30, deadline=None)
+
+
+@settings(**PURE)
+@given(
+    st.integers(1, 12), st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    g = np.random.RandomState(seed % 2**31).randint(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(decode_image_gray(encode_bmp_gray(g)), g)
+
+
+@settings(**PURE)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 50))
+def test_dhash_brightness_shift_never_flips_a_bit(seed, shift):
+    g = np.random.RandomState(seed).randint(0, 200, (17, 23)).astype(np.uint8)
+    shifted = np.minimum(g.astype(np.int64) + shift, 255).astype(np.uint8)
+    if shifted.max() - g.max() == shift and (shifted - g).min() == shift:
+        # uniform shift (no clipping hit) -> hash provably identical
+        assert dhash_from_gray(g) == dhash_from_gray(shifted)
+
+
+@settings(**PURE)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_pcm16_roundtrip_property(samples, sr):
+    dec, got_sr = decode_audio_pcm(encode_wav_pcm16(np.array(samples), sr))
+    assert got_sr == sr and dec.tolist() == samples
+
+
+@settings(**PURE)
+@given(
+    st.lists(st.integers(-10000, 10000), min_size=2, max_size=200),
+    st.integers(2, 3),
+)
+def test_audio_fingerprint_gain_invariance_property(samples, gain):
+    x = np.array(samples, dtype=np.int64)
+    assert audio_fingerprint_pcm(x) == audio_fingerprint_pcm(x * gain)
+
+
+@settings(**PURE)
+@given(st.integers(1, 6), st.integers(1, 5), st.integers(0, 2**31 - 1))
+def test_avi_roundtrip_property(h2, nframes, seed):
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (h2, 8)).astype(np.uint8) for _ in range(nframes)]
+    dec = decode_video_frames(encode_avi_gray(frames, fps=2), every_ms=500)
+    assert len(dec) == nframes
+    assert all(np.array_equal(g, frames[i]) for i, (_, g) in enumerate(dec))
