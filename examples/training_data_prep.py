@@ -339,6 +339,31 @@ def main() -> None:
           f"/ {sv['bytes_dup']:,} chars ({sv['dup_ratio']:.1%}); "
           f"largest dup group {sv['max_group']}")
 
+    # 29. (round 9) multimodal panel: perceptual image dedup + audio
+    # fingerprint matching over REAL codec round-trips — the media twin
+    # of the text dedup above.  Payloads are synthesized from text
+    # (the corpus has no binary column); with real image/audio columns
+    # the same operators run unchanged via image_dhash_df /
+    # audio_fingerprint_df.
+    from cerebro_spark.operators.cluster import connected_components
+    from cerebro_spark.operators.multimodal import (
+        byte_dhash_df,
+        hamming_hash_pairs,
+    )
+
+    base = train.select("doc_id", "text")
+    fp = byte_dhash_df(base)
+    img_pairs = hamming_hash_pairs(fp, "dhash", "id", max_hamming=3)
+    n_img_pairs = img_pairs.count()
+    if n_img_pairs:
+        comp = connected_components(img_pairs)
+        n_clusters = comp.select("component").distinct().count()
+        print(f"media dedup:       {n_img_pairs} perceptual near-dup pairs "
+              f"-> {n_clusters} clusters (keep one payload per cluster)")
+    else:
+        print("media dedup:       0 perceptual near-dup pairs "
+              "(corpus has no planted media twins)")
+
 
 if __name__ == "__main__":
     main()
