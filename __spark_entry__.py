@@ -571,6 +571,7 @@ _SNAPSHOT_PRIORITY = [
     "video_frame_luma",       # REAL AVI round-trip -> frame luma sums
     "dhash_variant_pairs",    # brightness-shift near-dup banded pairs
     "dhash_dedup_clusters",   # perceptual dedup end-to-end (pairs -> CC)
+    "streaming_dhash_check",  # streamed fingerprints == batch == oracle
     "cross_modal_dups",       # image near-dup x text-disjoint composition
     "audio_fingerprints",     # band-energy fp through real WAV round-trip
     "audio_scale_match",      # gain-invariant clip matching (fp equi-join)

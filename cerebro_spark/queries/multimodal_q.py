@@ -192,6 +192,27 @@ JOIN (
 """
 
 
+def q_streaming_dhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online perceptual fingerprinting: the documents table replayed
+    through ``byte_dhash_df`` as a STREAMING stage must emit exactly the
+    batch fingerprints (the `_DHASH_DOCS_SQL` oracle).  The r9
+    shuffle-free rewrite made the fingerprint a pure stateless per-row
+    projection, so the same operator runs unchanged at ingest time —
+    fingerprint each arriving doc, then probe a persisted Hamming index
+    (the `neardup_sink` pattern) for online media dedup."""
+    from cerebro_spark.queries.streaming_q import _run_available_now
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = _run_available_now(
+        docs,
+        lambda s: byte_dhash_df(s),
+        output_mode="append",
+        ordered_single_batch=True,
+        order_col="doc_id",
+    )
+    return out.select(F.col("id").alias("doc_id"), "dhash")
+
+
 def q_dhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup END-TO-END: dHash fingerprints -> banded
     Hamming pairs -> connected components -> (id, canonical_id,
@@ -579,6 +600,7 @@ QUERIES = {
     "video_frame_luma": q_video_frame_luma,
     "dhash_variant_pairs": q_dhash_variant_pairs,
     "dhash_dedup_clusters": q_dhash_dedup_clusters,
+    "streaming_dhash_check": q_streaming_dhash_check,
     "cross_modal_dups": q_cross_modal_dups,
     "audio_fingerprints": q_audio_fingerprints,
     "audio_scale_match": q_audio_scale_match,
@@ -591,6 +613,7 @@ ORACLES = {
     "video_frame_luma": _VIDEO_FRAME_LUMA_SQL,
     "dhash_variant_pairs": _DHASH_VARIANT_PAIRS_SQL,
     "dhash_dedup_clusters": _DHASH_DEDUP_CLUSTERS_SQL,
+    "streaming_dhash_check": _DHASH_DOCS_SQL,
     "cross_modal_dups": _CROSS_MODAL_SQL,
     "audio_fingerprints": _AUDIO_FP_SQL,
     "audio_scale_match": _AUDIO_SCALE_MATCH_SQL,
