@@ -568,6 +568,7 @@ _SNAPSHOT_PRIORITY = [
     # growth the r8 verdict ordered:
     "dhash_docs",             # 60-bit byte-dHash perceptual fingerprints
     "image_dhash_bmp",        # REAL BMP decode -> pixel dHash, byte oracle
+    "image_thumbnails",       # REAL decode -> exact area-mean resize
     "video_frame_luma",       # REAL AVI round-trip -> frame luma sums
     "dhash_variant_pairs",    # brightness-shift near-dup banded pairs
     "dhash_dedup_clusters",   # perceptual dedup end-to-end (pairs -> CC)

@@ -777,6 +777,85 @@ def _grid_sums(gray, rows: int, cols: int):
     return sums.reshape(rows, cols), cnts.reshape(rows, cols)
 
 
+def resize_gray(gray, out_h: int, out_w: int):
+    """Exact area-mean DOWNSCALE of a grayscale array to (out_h, out_w):
+    each output pixel is the floor mean of its source block under the
+    same floor-bucket partition ``_grid_sums`` uses — deterministic
+    integer arithmetic (no float resampling kernels), so thumbnails are
+    bit-identical across engines and an oracle can recompute them from
+    raw bytes.  Downscale only (``out_h <= h and out_w <= w``): every
+    output cell then has >= 1 source pixel; upscaling needs a sampling
+    kernel and is out of scope for the thumbnail path."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    assert out_h <= h and out_w <= w, "resize_gray is downscale-only"
+    sums, cnts = _grid_sums(g, out_h, out_w)
+    return (sums // cnts).astype(np.uint8)
+
+
+def image_thumbnail_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_h: int = 4,
+    out_w: int = 4,
+    as_payload: bool = False,
+) -> DataFrame:
+    """Arrow-batched decode -> exact area-mean resize over a binary image
+    column — the brief's "resize" multimodal verb.  Default output is the
+    join-friendly long form ``(id, py, px, pixel)`` (one row per thumbnail
+    pixel — arrays never reach the driver gate); ``as_payload=True``
+    re-encodes each thumbnail as a BMP payload ``(id, thumb, width,
+    height)`` for pipelines that store thumbnails."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    if as_payload:
+        def run_p(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, thumbs = [], []
+                for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                    g = resize_gray(
+                        decode_image_gray(bytes(p)), out_h, out_w
+                    )
+                    ids.append(doc_id)
+                    thumbs.append(encode_bmp_gray(g))
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "thumb": thumbs,
+                        "width": [out_w] * len(ids),
+                        "height": [out_h] * len(ids),
+                    }
+                )
+
+        return df.select(id_col, payload_col).mapInPandas(
+            run_p, "id long, thumb binary, width int, height int"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pys, pxs, vals = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                g = resize_gray(decode_image_gray(bytes(p)), out_h, out_w)
+                for py in range(out_h):
+                    for px in range(out_w):
+                        ids.append(doc_id)
+                        pys.append(py)
+                        pxs.append(px)
+                        vals.append(int(g[py, px]))
+            yield pd.DataFrame(
+                {"id": ids, "py": pys, "px": pxs, "pixel": vals}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "id long, py int, px int, pixel long"
+    )
+
+
 def dhash_from_gray(gray, rows: int = 6, cols: int = 11) -> int:
     """Difference hash (dHash) of a grayscale array: block-reduce to a
     (rows, cols) mean grid, then one bit per horizontal gradient —

@@ -530,6 +530,39 @@ _IMAGE_DHASH_SQL = (
 )
 
 
+def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's "resize" verb through the REAL image pipeline: decode
+    each synthesized BMP and area-mean it to an exact 2x4 thumbnail
+    (floor integer means — no float kernel; 2 rows because the shortest
+    docs yield 2-row images and resize_gray is downscale-only),
+    long-form (doc_id, py, px, pixel).  The oracle recomputes every
+    thumbnail pixel from the source bytes via the same floor-bucket
+    block partition."""
+    from cerebro_spark.operators.multimodal import image_thumbnail_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return image_thumbnail_df(_synth_bmp(docs), out_h=2, out_w=4).select(
+        F.col("id").alias("doc_id"), "py", "px", "pixel"
+    )
+
+
+#: thumbnail pixel (py, px) = floor mean of the source block: source pixel
+#: (i, j) = byte i*16+j maps to (i*2 // h, j*4 // 16) with h = n//16.
+_IMAGE_THUMBNAILS_SQL = """
+SELECT id AS doc_id,
+       CAST(((pos // 16) * 2) // (n // 16) AS INTEGER) AS py,
+       CAST((pos % 16) // 4 AS INTEGER) AS px,
+       CAST(sum(b) // count(*) AS BIGINT) AS pixel
+FROM (
+  SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+  FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+        FROM documents)
+)
+WHERE pos < (n // 16) * 16
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # REAL video decode gated: AVI round-trip -> per-frame luma sums
 # ---------------------------------------------------------------------------
@@ -597,6 +630,7 @@ GROUP BY 1, 2, 3
 QUERIES = {
     "dhash_docs": q_dhash_docs,
     "image_dhash_bmp": q_image_dhash_bmp,
+    "image_thumbnails": q_image_thumbnails,
     "video_frame_luma": q_video_frame_luma,
     "dhash_variant_pairs": q_dhash_variant_pairs,
     "dhash_dedup_clusters": q_dhash_dedup_clusters,
@@ -610,6 +644,7 @@ QUERIES = {
 ORACLES = {
     "dhash_docs": _DHASH_DOCS_SQL,
     "image_dhash_bmp": _IMAGE_DHASH_SQL,
+    "image_thumbnails": _IMAGE_THUMBNAILS_SQL,
     "video_frame_luma": _VIDEO_FRAME_LUMA_SQL,
     "dhash_variant_pairs": _DHASH_VARIANT_PAIRS_SQL,
     "dhash_dedup_clusters": _DHASH_DEDUP_CLUSTERS_SQL,

@@ -330,3 +330,44 @@ def test_media_sniff_df(spark):
         "wav", 8000, 100,
     )
     assert got[3].format is None
+
+
+# ---------------------------------------------------------------------------
+# exact area-mean resize (the "resize" multimodal verb)
+# ---------------------------------------------------------------------------
+
+def test_resize_gray_exact_means():
+    from cerebro_spark.operators.multimodal import resize_gray
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    t = resize_gray(g, 2, 2)
+    # each 4x4 block's floor mean
+    assert t.tolist() == [
+        [int(g[:4, :4].mean()), int(g[:4, 4:].mean())],
+        [int(g[4:, :4].mean()), int(g[4:, 4:].mean())],
+    ]
+    assert np.array_equal(resize_gray(g, 8, 8), g)  # identity at same size
+    with pytest.raises(AssertionError):
+        resize_gray(g, 16, 8)  # upscale refused
+
+
+def test_image_thumbnail_df_both_forms(spark):
+    from cerebro_spark.operators.multimodal import (
+        encode_bmp_gray,
+        image_thumbnail_df,
+        resize_gray,
+    )
+
+    g = _gray(12, 16)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_bmp_gray(g)))], "doc_id long, payload binary"
+    )
+    want = resize_gray(g, 2, 4)
+    long = image_thumbnail_df(df, out_h=2, out_w=4).collect()
+    got = {(r.py, r.px): r.pixel for r in long}
+    assert got == {
+        (py, px): int(want[py, px]) for py in range(2) for px in range(4)
+    }
+    wide = image_thumbnail_df(df, out_h=2, out_w=4, as_payload=True).first()
+    assert (wide.width, wide.height) == (4, 2)
+    assert np.array_equal(decode_image_gray(bytes(wide.thumb)), want)

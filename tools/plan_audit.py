@@ -43,6 +43,7 @@ ARROW_ALLOWED = {
     "audio_scale_match",
     "media_sniff_meta",
     "image_dhash_bmp",
+    "image_thumbnails",
     "video_frame_luma",
     "semantic_dedup",
     "ann_cosine_ivf",
