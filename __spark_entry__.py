@@ -570,6 +570,7 @@ _SNAPSHOT_PRIORITY = [
     "image_dhash_bmp",        # REAL BMP decode -> pixel dHash, byte oracle
     "image_thumbnails",       # REAL decode -> exact area-mean resize
     "video_frame_luma",       # REAL AVI round-trip -> frame luma sums
+    "video_shot_cuts",        # shot-boundary detection over decoded frames
     "dhash_variant_pairs",    # brightness-shift near-dup banded pairs
     "dhash_dedup_clusters",   # perceptual dedup end-to-end (pairs -> CC)
     "streaming_dhash_check",  # streamed fingerprints == batch == oracle

@@ -567,20 +567,15 @@ GROUP BY 1, 2, 3
 # REAL video decode gated: AVI round-trip -> per-frame luma sums
 # ---------------------------------------------------------------------------
 
-def q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-frame luminance totals through a REAL video round-trip: each doc
-    becomes an uncompressed RIFF/AVI (n//16 frames of 2x8 pixels, 16 bytes
-    per frame, 2 fps) via the library encoder, decoded back by the stdlib
-    DIB chunk walker, and reduced to exact integer luma sums.  The oracle
-    recomputes each frame's sum from the source bytes — gating the AVI
-    encode, chunk walk, frame cadence, and bottom-up row order end to end
-    (the video path's first driver gate; it was pytest-only before r9)."""
+def _video_luma_frames(docs: DataFrame) -> DataFrame:
+    """Arrow stage shared by the video queries: each doc becomes an
+    uncompressed RIFF/AVI (n//16 frames of 2x8 pixels, 16 bytes per
+    frame, 2 fps) via the library encoder, decoded back by the stdlib
+    DIB chunk walker, reduced to exact integer per-frame luma sums."""
     from cerebro_spark.operators.multimodal import (
         decode_video_frames,
         encode_avi_gray,
     )
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
     def run(batches):
         for pdf in batches:
@@ -613,6 +608,64 @@ def q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame luminance totals through a REAL video round-trip.  The
+    oracle recomputes each frame's sum from the source bytes — gating the
+    AVI encode, chunk walk, frame cadence, and bottom-up row order end to
+    end (the video path's first driver gate; pytest-only before r9)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return _video_luma_frames(docs)
+
+
+def q_video_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the decoded frames: per doc, how many
+    consecutive-frame luminance jumps exceed the cut threshold — the
+    scene-cut segmentation a video curation pipeline runs after frame
+    sampling.  One partitioned lag window over the bounded per-frame
+    frame (n//16 rows per doc), threshold |delta| > 300 on exact integer
+    sums (16 bytes/frame -> sums in [512, 1936])."""
+    from pyspark.sql import Window
+
+    frames = _video_luma_frames(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.withColumn(
+        "__d", F.abs(F.col("luma_sum") - F.lag("luma_sum").over(w))
+    )
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.when(F.col("__d") > 300, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+        F.coalesce(F.max("__d"), F.lit(0)).cast("long").alias("max_delta"),
+    )
+
+
+_VIDEO_SHOT_CUTS_SQL = """
+WITH fr AS (
+  SELECT id AS doc_id, pos // 16 AS frame_idx, CAST(sum(b) AS BIGINT) AS luma
+  FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+    FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents)
+  )
+  WHERE pos < (n // 16) * 16
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT a.doc_id, a.frame_idx,
+         abs(a.luma - b.luma) AS delta
+  FROM fr a LEFT JOIN fr b
+    ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx - 1
+)
+SELECT doc_id, count(*) AS n_frames,
+       CAST(sum(CASE WHEN delta > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(max(delta), 0) AS BIGINT) AS max_delta
+FROM d GROUP BY doc_id
+"""
+
+
 _VIDEO_FRAME_LUMA_SQL = """
 SELECT id AS doc_id, pos // 16 AS frame_idx,
        CAST((pos // 16) * 500 AS BIGINT) AS ts_ms,
@@ -632,6 +685,7 @@ QUERIES = {
     "image_dhash_bmp": q_image_dhash_bmp,
     "image_thumbnails": q_image_thumbnails,
     "video_frame_luma": q_video_frame_luma,
+    "video_shot_cuts": q_video_shot_cuts,
     "dhash_variant_pairs": q_dhash_variant_pairs,
     "dhash_dedup_clusters": q_dhash_dedup_clusters,
     "streaming_dhash_check": q_streaming_dhash_check,
@@ -646,6 +700,7 @@ ORACLES = {
     "image_dhash_bmp": _IMAGE_DHASH_SQL,
     "image_thumbnails": _IMAGE_THUMBNAILS_SQL,
     "video_frame_luma": _VIDEO_FRAME_LUMA_SQL,
+    "video_shot_cuts": _VIDEO_SHOT_CUTS_SQL,
     "dhash_variant_pairs": _DHASH_VARIANT_PAIRS_SQL,
     "dhash_dedup_clusters": _DHASH_DEDUP_CLUSTERS_SQL,
     "streaming_dhash_check": _DHASH_DOCS_SQL,

@@ -45,6 +45,7 @@ ARROW_ALLOWED = {
     "image_dhash_bmp",
     "image_thumbnails",
     "video_frame_luma",
+    "video_shot_cuts",
     "semantic_dedup",
     "ann_cosine_ivf",
     "pq_recall",
