@@ -577,6 +577,7 @@ _SNAPSHOT_PRIORITY = [
     "cross_modal_dups",       # image near-dup x text-disjoint composition
     "audio_fingerprints",     # band-energy fp through real WAV round-trip
     "audio_scale_match",      # gain-invariant clip matching (fp equi-join)
+    "audio_neardup_pairs",    # near-match retrieval (banded 32-bit fp)
     "media_sniff_meta",       # real BMP/WAV header write+parse metadata
     #
     # R08 LATE BIRTHS (promoted to head, gate this round):

@@ -292,11 +292,15 @@ WHERE NOT EXISTS (
 # audio fingerprinting through a REAL WAV round-trip
 # ---------------------------------------------------------------------------
 
-def _synth_wav(df: DataFrame, gain: int) -> DataFrame:
+def _synth_wav(
+    df: DataFrame, gain: int, boost_frame: int | None = None
+) -> DataFrame:
     """Arrow stage: text -> int16 PCM samples ((byte-96)*256*gain) -> REAL
     RIFF/WAVE container via the stdlib codec.  The sample map keeps every
     value in int16 range for gain in {1, 2} over the observed byte range
-    (32..121 -> -32768..12800)."""
+    (32..121 -> -32768..12800).  ``boost_frame`` adds +1024 to every sample
+    in that 33-frame span — the planted local perturbation the near-match
+    query uses (flips at most the two adjacent energy-delta bits)."""
 
     def run(batches):
         for pdf in batches:
@@ -304,6 +308,9 @@ def _synth_wav(df: DataFrame, gain: int) -> DataFrame:
             for text in pdf["text"]:
                 b = np.frombuffer(str(text).encode(), dtype=np.uint8)
                 samples = (b.astype(np.int64) - 96) * 256 * gain
+                if boost_frame is not None:
+                    seg = (np.arange(len(b)) * 33) // len(b)
+                    samples = samples + np.where(seg == boost_frame, 1024, 0)
                 payloads.append(encode_wav_pcm16(samples, 8000))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
@@ -386,6 +393,67 @@ _AUDIO_SCALE_MATCH_SQL = (
 SELECT f1.doc_id AS id_a, f2.doc_id AS id_b, f1.fp
 FROM fps f1 JOIN fps f2 ON f1.gain = 1 AND f2.gain = 2 AND f1.fp = f2.fp"""
 )
+
+
+def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-match audio retrieval (the Shazam shape): each clip gets a twin
+    with one frame locally perturbed (+1024 per sample in frame 16 — a
+    click/dropout), flipping at most the two adjacent energy-delta bits.
+    The pigeonhole-banded Hamming join (32-bit fp, 4 x 8-bit blocks) must
+    recover every (clip, perturbed twin) pair at hamming <= 3 — the same
+    generic join as image dedup, across a different modality, with both
+    sides fingerprinted through the REAL codec round-trip."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    f1 = audio_fingerprint_df(
+        _synth_wav(
+            docs.select((F.col("doc_id") * 2).alias("doc_id"), "text"), gain=1
+        )
+    ).select("id", "fp")
+    f2 = audio_fingerprint_df(
+        _synth_wav(
+            docs.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text"),
+            gain=1,
+            boost_frame=16,
+        )
+    ).select("id", "fp")
+    return hamming_hash_pairs(
+        f1.unionAll(f2), "fp", "id", max_hamming=3, bits=32, blocks=4
+    )
+
+
+_AUDIO_NEARDUP_SQL = """
+WITH sm AS (
+  SELECT 2 * doc_id + v.v AS id, n, (pos * 33) // n AS seg,
+         a * 256 + CASE WHEN v.v = 1 AND (pos * 33) // n = 16
+                        THEN 1024 ELSE 0 END AS s
+  FROM (
+    SELECT doc_id, n, generate_subscripts(cs, 1) - 1 AS pos,
+           ord(unnest(cs)) - 96 AS a
+    FROM (SELECT doc_id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents)
+  ), (VALUES (0), (1)) AS v(v)
+),
+en AS (
+  SELECT id, seg, CAST(sum(s * s) AS BIGINT) AS e FROM sm GROUP BY 1, 2
+),
+fps AS (
+  SELECT a.id,
+         CAST(COALESCE(sum(CASE WHEN b.e > a.e
+                      THEN (CAST(1 AS BIGINT) << a.seg)
+                      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS fp
+  FROM en a JOIN en b ON a.id = b.id AND b.seg = a.seg + 1
+  GROUP BY 1
+),
+seg4 AS (
+  SELECT id, fp, bi, (fp >> (bi * 8)) % 256 AS segment
+  FROM fps, generate_series(0, 3) AS g(bi)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.fp, b.fp)) AS hamming
+FROM seg4 a JOIN seg4 b
+  ON a.bi = b.bi AND a.segment = b.segment AND a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -692,6 +760,7 @@ QUERIES = {
     "cross_modal_dups": q_cross_modal_dups,
     "audio_fingerprints": q_audio_fingerprints,
     "audio_scale_match": q_audio_scale_match,
+    "audio_neardup_pairs": q_audio_neardup_pairs,
     "media_sniff_meta": q_media_sniff_meta,
 }
 
@@ -707,5 +776,6 @@ ORACLES = {
     "cross_modal_dups": _CROSS_MODAL_SQL,
     "audio_fingerprints": _AUDIO_FP_SQL,
     "audio_scale_match": _AUDIO_SCALE_MATCH_SQL,
+    "audio_neardup_pairs": _AUDIO_NEARDUP_SQL,
     "media_sniff_meta": _MEDIA_SNIFF_SQL,
 }

@@ -41,6 +41,7 @@ ARROW_ALLOWED = {
     # work that SQL cannot express; all Arrow-batched, no row-at-a-time UDFs
     "audio_fingerprints",
     "audio_scale_match",
+    "audio_neardup_pairs",
     "media_sniff_meta",
     "image_dhash_bmp",
     "image_thumbnails",
