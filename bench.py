@@ -267,6 +267,11 @@ HEADLINE = [
     "media_sniff_meta",       # real BMP/WAV header write+parse
     "image_dhash_bmp",        # real BMP decode -> pixel dHash
     "video_frame_luma",       # real AVI round-trip luma sums
+    "image_thumbnails",       # real decode -> exact area-mean resize
+    "video_shot_cuts",        # shot-boundary detection
+    "audio_neardup_pairs",    # banded near-match audio retrieval
+    "dhash_dedup_clusters",   # perceptual dedup end-to-end
+    "streaming_dhash_check",  # streamed fingerprints == batch
 ]
 
 
