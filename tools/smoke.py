@@ -56,6 +56,7 @@ PLAN_CANARIES = [
     "asof_join_forward",   # keyless two-level carry
     "seasonal_decompose",  # bucket-grid pre-agg (the 503 s trap lives here)
     "pack_tokens",         # greedy packing mapInPandas stage
+    "dhash_docs",          # shuffle-free JVM perceptual fingerprint (r9)
 ]
 
 
