@@ -911,23 +911,41 @@ def image_dhash_df(
     id_col: str = "doc_id",
     rows: int = 6,
     cols: int = 11,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched ``image_dhash`` over a binary column: (id, dhash).
     The decode is the slow stage by design — run it once, persist the
-    60-bit fingerprints, and run every dedup pass against those."""
+    60-bit fingerprints, and run every dedup pass against those.
+
+    ``on_error="null"`` makes the pass FAIL-SOFT: a payload the decoder
+    rejects (corrupt header, unsupported format without Pillow) yields a
+    NULL dhash instead of killing the task — at corpus scale one bad blob
+    must not fail a 100 TB sweep; filter ``dhash IS NOT NULL`` downstream
+    and count the NULLs as the corruption diagnostic.  The default
+    ``"raise"`` keeps gated/oracle runs loud."""
     from cerebro_spark.operators.util import ensure_parallelism
 
+    assert on_error in ("raise", "null")
     df = ensure_parallelism(df)
+
+    def one(p) -> "int | None":
+        if p is None:
+            return 0
+        if on_error == "raise":
+            return image_dhash(bytes(p), rows, cols)
+        try:
+            return image_dhash(bytes(p), rows, cols)
+        except (NotImplementedError, ValueError, AssertionError):
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].values,
-                    "dhash": [
-                        image_dhash(p, rows, cols) if p is not None else 0
-                        for p in pdf[payload_col]
-                    ],
+                    "dhash": pd.array(
+                        [one(p) for p in pdf[payload_col]], dtype="Int64"
+                    ),
                 }
             )
 
@@ -1174,26 +1192,40 @@ def audio_fingerprint_df(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     frames: int = 33,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched ``audio_fingerprint`` over WAV payloads:
-    (id, fp, n_samples).  Decode once, join fingerprints many times."""
+    (id, fp, n_samples).  Decode once, join fingerprints many times.
+    ``on_error="null"`` is the same fail-soft contract as
+    ``image_dhash_df``: undecodable payloads yield NULL fp / 0 samples
+    instead of killing the sweep."""
+    import wave
+
     from cerebro_spark.operators.util import ensure_parallelism
 
+    assert on_error in ("raise", "null")
     df = ensure_parallelism(df)
+
+    def one(p) -> "tuple[int | None, int]":
+        if p is None:
+            return 0, 0
+        try:
+            samples, _sr = decode_audio_pcm(bytes(p))
+        except (wave.Error, EOFError, NotImplementedError, ValueError):
+            if on_error == "raise":
+                raise
+            return None, 0
+        return audio_fingerprint_pcm(samples, frames), len(samples)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps, ns = [], []
-            for p in pdf[payload_col]:
-                if p is None:
-                    fps.append(0)
-                    ns.append(0)
-                    continue
-                samples, _sr = decode_audio_pcm(bytes(p))
-                fps.append(audio_fingerprint_pcm(samples, frames))
-                ns.append(len(samples))
+            pairs = [one(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
-                {"id": pdf[id_col].values, "fp": fps, "n_samples": ns}
+                {
+                    "id": pdf[id_col].values,
+                    "fp": pd.array([f for f, _ in pairs], dtype="Int64"),
+                    "n_samples": [n for _, n in pairs],
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(

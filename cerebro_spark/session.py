@@ -44,6 +44,12 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound every Arrow transfer batch: the media stages (decode /
+        # fingerprint / thumbnail over binary payloads) hold one batch of
+        # payloads in executor-Python memory at a time, so a partition of
+        # large blobs must arrive in bounded slices (10k rows of kB-scale
+        # docs ≈ tens of MB; deployments with MB-scale media lower this)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Python DataSource pushFilters (the Influx reader compiles pushed
         # time/field predicates into Flux) is gated off by default

@@ -371,3 +371,33 @@ def test_image_thumbnail_df_both_forms(spark):
     wide = image_thumbnail_df(df, out_h=2, out_w=4, as_payload=True).first()
     assert (wide.width, wide.height) == (4, 2)
     assert np.array_equal(decode_image_gray(bytes(wide.thumb)), want)
+
+
+def test_media_hash_ops_fail_soft(spark):
+    from cerebro_spark.operators.multimodal import encode_wav_pcm16
+
+    corrupt = b"BM" + b"\x00" * 10  # truncated BMP header
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp_gray(_gray(4, 8)))),
+            (2, bytearray(corrupt)),
+            (3, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    soft = {r.id: r.dhash for r in image_dhash_df(df, on_error="null").collect()}
+    assert soft[1] is not None and soft[2] is None and soft[3] == 0
+    with pytest.raises(Exception):
+        image_dhash_df(df).collect()  # default stays loud
+
+    adf = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(np.arange(50) * 100))),
+            (2, bytearray(b"RIFF\x04\x00\x00\x00JUNK")),
+        ],
+        "doc_id long, payload binary",
+    )
+    asoft = {r.id: r.fp for r in audio_fingerprint_df(adf, on_error="null").collect()}
+    assert asoft[1] is not None and asoft[2] is None
+    with pytest.raises(Exception):
+        audio_fingerprint_df(adf).collect()
