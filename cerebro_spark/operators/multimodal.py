@@ -1021,6 +1021,118 @@ def byte_dhash_df(
     return base.select("id", fingerprint.alias("dhash"))
 
 
+def _hash_bands(
+    df: DataFrame, hash_col: str, id_col: str, bits: int, blocks: int
+) -> DataFrame:
+    """(id, h, blk, seg) — each fingerprint exploded into its ``blocks``
+    pigeonhole segments; shared by the pair join and the persisted index."""
+    width = bits // blocks
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        (
+                            F.expr(f"shiftright({hash_col}, {bi * width})")
+                            % F.lit(2**width).cast("long")
+                        ).alias("seg"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "h", F.col("bs.blk").alias("blk"), F.col("bs.seg").alias("seg"))
+
+
+def build_hamming_index(
+    fps: DataFrame,
+    path: str,
+    hash_col: str = "dhash",
+    id_col: str = "id",
+    bits: int = 60,
+    blocks: int = 4,
+) -> None:
+    """Persist a pigeonhole-banded Hamming index over PRE-COMPUTED
+    fingerprints — the modality-agnostic twin of ``dedup.build_lsh_index``
+    (text/MinHash): feed it ``byte_dhash_df`` / ``image_dhash_df`` output
+    for images or ``audio_fingerprint_df`` output for audio, and probe
+    arriving media online with ``query_hamming_index`` (the ingest-time
+    perceptual-dedup filter).
+
+    Layout: ``{path}/bands`` = (id, h, seg) PARTITIONED BY blk,
+    ``{path}/params`` = the (bits, blocks) the index was built with —
+    probes validate against it, because a probe banded under a different
+    layout would silently match garbage (the build_lsh_index lesson).
+    One shuffle (the partitioned write); rebuild cadence = ingest cadence.
+    """
+    spark = fps.sparkSession
+    spark.createDataFrame(
+        [(bits, blocks)], "bits int, blocks int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    (
+        _hash_bands(fps, hash_col, id_col, bits, blocks)
+        .repartition(blocks, "blk")
+        .write.mode("overwrite")
+        .partitionBy("blk")
+        .parquet(f"{path}/bands")
+    )
+
+
+def query_hamming_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "id",
+    bits: int = 60,
+    blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Online near-dup lookup against a ``build_hamming_index`` store:
+    which indexed fingerprints sit within ``max_hamming`` of each
+    (broadcast-sized) probe — (probe_id, match_id, hamming).  One bucket
+    equi-join with the probe side broadcast; the index side is touched
+    only on colliding (blk, seg) buckets.  Probe params must equal the
+    persisted build params (validated)."""
+    p = spark.read.parquet(f"{path}/params").first()
+    if (p["bits"], p["blocks"]) != (bits, blocks):
+        raise ValueError(
+            f"index at {path} was built with bits={p['bits']}, "
+            f"blocks={p['blocks']}; probe asked for bits={bits}, "
+            f"blocks={blocks} — rebuild or match the layout"
+        )
+    bands = spark.read.parquet(f"{path}/bands")
+    pseg = _hash_bands(probes, hash_col, id_col, bits, blocks).select(
+        F.col("id").alias("probe_id"),
+        F.col("h").alias("ph"),
+        "blk",
+        "seg",
+    )
+    hamming = F.bit_count(F.expr("h ^ ph"))
+    width = bits // blocks
+    seg_eq = [
+        (
+            F.expr(f"shiftright(h, {bi * width})")
+            % F.lit(2**width).cast("long")
+            == F.expr(f"shiftright(ph, {bi * width})")
+            % F.lit(2**width).cast("long")
+        )
+        for bi in range(blocks)
+    ]
+    first_match = F.coalesce(
+        *[F.when(seg_eq[bi], F.lit(bi)) for bi in range(blocks)]
+    )
+    return (
+        bands.join(F.broadcast(pseg), ["blk", "seg"])
+        .filter(hamming <= max_hamming)
+        .filter(F.col("blk") == first_match)  # row-local dedup, no shuffle
+        .select("probe_id", F.col("id").alias("match_id"), hamming.alias("hamming"))
+    )
+
+
 def hamming_hash_pairs(
     df: DataFrame,
     hash_col: str = "dhash",
@@ -1046,24 +1158,7 @@ def hamming_hash_pairs(
     row-local first-matching-block trick (zero extra shuffles).
     """
     width = bits // blocks
-    seg = df.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("blk"),
-                        (
-                            F.expr(f"shiftright({hash_col}, {bi * width})")
-                            % F.lit(2**width).cast("long")
-                        ).alias("seg"),
-                    )
-                    for bi in range(blocks)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "h", F.col("bs.blk").alias("blk"), F.col("bs.seg").alias("seg"))
+    seg = _hash_bands(df, hash_col, id_col, bits, blocks)
     if max_bucket_size is not None:
         small = (
             seg.groupBy("blk", "seg")

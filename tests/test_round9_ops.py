@@ -401,3 +401,42 @@ def test_media_hash_ops_fail_soft(spark):
     assert asoft[1] is not None and asoft[2] is None
     with pytest.raises(Exception):
         audio_fingerprint_df(adf).collect()
+
+
+# ---------------------------------------------------------------------------
+# persisted Hamming index (online near-dup lookup, modality-agnostic)
+# ---------------------------------------------------------------------------
+
+def test_hamming_index_build_probe(spark, tmp_path):
+    from cerebro_spark.operators.multimodal import (
+        build_hamming_index,
+        query_hamming_index,
+    )
+
+    base = 0b1011_0110_1001 << 20
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base ^ 0b101), (3, 1 << 50)], "id long, dhash long"
+    )
+    path = str(tmp_path / "hidx")
+    build_hamming_index(corpus, path)
+    # probe: one twin of id 1 (distance 1), one far probe
+    probes = spark.createDataFrame(
+        [(100, base ^ 1), (200, 0)], "id long, dhash long"
+    )
+    got = {
+        (r.probe_id, r.match_id): r.hamming
+        for r in query_hamming_index(spark, path, probes).collect()
+    }
+    # probe 100 = base^1: distance 1 to id 1 and distance 1 to id 2
+    # (xor(base^1, base^0b101) = 0b100); probe 200 = 0: distance 1 to
+    # id 3 (the single bit 50)
+    assert got == {(100, 1): 1, (100, 2): 1, (200, 3): 1}
+    # layout mismatch must refuse, not silently match garbage
+    with pytest.raises(ValueError):
+        query_hamming_index(spark, path, probes, bits=32)
+    # partition pruning: the bands store is laid out by block
+    import os
+
+    assert sorted(
+        d for d in os.listdir(f"{path}/bands") if d.startswith("blk=")
+    ) == ["blk=0", "blk=1", "blk=2", "blk=3"]
