@@ -440,3 +440,31 @@ def test_hamming_index_build_probe(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(f"{path}/bands") if d.startswith("blk=")
     ) == ["blk=0", "blk=1", "blk=2", "blk=3"]
+
+
+def test_hamming_index_agrees_with_batch_pairs(spark, sf_dir, tmp_path):
+    """Online probe == batch pair join (the test_lsh_index equivalence
+    standard): indexing the corpus and probing it with ITSELF must find
+    exactly the pairs hamming_hash_pairs finds."""
+    from cerebro_spark.operators.multimodal import (
+        build_hamming_index,
+        query_hamming_index,
+    )
+    from cerebro_spark.io import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    fps = byte_dhash_df(docs)
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_hash_pairs(fps, max_hamming=10).collect()
+    }
+    path = str(tmp_path / "hidx")
+    build_hamming_index(fps, path)
+    online = {
+        (min(r.probe_id, r.match_id), max(r.probe_id, r.match_id), r.hamming)
+        for r in query_hamming_index(
+            spark, path, fps, max_hamming=10
+        ).collect()
+        if r.probe_id != r.match_id
+    }
+    assert online == batch
