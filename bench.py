@@ -370,7 +370,16 @@ def headline_line(timings: "dict[str, float]", sf: float) -> str:
     """The ONE driver-parsed stdout line.  Constant-size by construction:
     carries only the total, never per-query content — the driver's tail
     buffer is 2000 chars and per-query dicts outgrew it twice (r03, r06).
+
+    ``loadavg`` (1/5/15-min, captured AT EMIT TIME) rides inside the line so
+    host-load attribution is machine-checkable from the recorded artifact
+    itself: the r9 driver bench landed ~1.15x hot with loadavg 3.5-6.6
+    recorded only in side notes — now the evidence is in-band.
     """
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg — keep the line parseable
+        load = None
     return json.dumps(
         {
             "metric": "headline_queries_total",
@@ -378,6 +387,7 @@ def headline_line(timings: "dict[str, float]", sf: float) -> str:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "loadavg": load,
         },
         separators=(",", ":"),
     )

@@ -802,27 +802,47 @@ def image_thumbnail_df(
     out_h: int = 4,
     out_w: int = 4,
     as_payload: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched decode -> exact area-mean resize over a binary image
     column — the brief's "resize" multimodal verb.  Default output is the
     join-friendly long form ``(id, py, px, pixel)`` (one row per thumbnail
     pixel — arrays never reach the driver gate); ``as_payload=True``
     re-encodes each thumbnail as a BMP payload ``(id, thumb, width,
-    height)`` for pipelines that store thumbnails."""
+    height)`` for pipelines that store thumbnails.
+
+    ``on_error="null"`` is the same fail-soft contract as
+    ``image_dhash_df``: a NULL payload, an undecodable blob, or an image
+    SMALLER than (out_h, out_w) (resize_gray is downscale-only) yields one
+    all-NULL marker row (long form: NULL py/px/pixel; payload form: NULL
+    thumb) instead of killing a corpus sweep — the id survives so the
+    corruption is countable downstream.  The default ``"raise"`` keeps
+    gated/oracle runs loud."""
     from cerebro_spark.operators.util import ensure_parallelism
 
+    assert on_error in ("raise", "null")
     df = ensure_parallelism(df)
+
+    def thumb_or_none(p):
+        if p is None:
+            if on_error == "raise":
+                raise ValueError("NULL payload (no image bytes to decode)")
+            return None
+        if on_error == "raise":
+            return resize_gray(decode_image_gray(bytes(p)), out_h, out_w)
+        try:
+            return resize_gray(decode_image_gray(bytes(p)), out_h, out_w)
+        except (NotImplementedError, ValueError, AssertionError):
+            return None
 
     if as_payload:
         def run_p(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 ids, thumbs = [], []
                 for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                    g = resize_gray(
-                        decode_image_gray(bytes(p)), out_h, out_w
-                    )
+                    g = thumb_or_none(p)
                     ids.append(doc_id)
-                    thumbs.append(encode_bmp_gray(g))
+                    thumbs.append(None if g is None else encode_bmp_gray(g))
                 yield pd.DataFrame(
                     {
                         "id": ids,
@@ -840,7 +860,13 @@ def image_thumbnail_df(
         for pdf in batches:
             ids, pys, pxs, vals = [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                g = resize_gray(decode_image_gray(bytes(p)), out_h, out_w)
+                g = thumb_or_none(p)
+                if g is None:
+                    ids.append(doc_id)
+                    pys.append(None)
+                    pxs.append(None)
+                    vals.append(None)
+                    continue
                 for py in range(out_h):
                     for px in range(out_w):
                         ids.append(doc_id)
@@ -848,7 +874,12 @@ def image_thumbnail_df(
                         pxs.append(px)
                         vals.append(int(g[py, px]))
             yield pd.DataFrame(
-                {"id": ids, "py": pys, "px": pxs, "pixel": vals}
+                {
+                    "id": ids,
+                    "py": pd.array(pys, dtype="Int32"),
+                    "px": pd.array(pxs, dtype="Int32"),
+                    "pixel": pd.array(vals, dtype="Int64"),
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -929,8 +960,13 @@ def image_dhash_df(
     df = ensure_parallelism(df)
 
     def one(p) -> "int | None":
+        # a missing payload IS a decode failure (fail-soft contract): NULL
+        # under on_error='null' so absent media counts as corruption, never
+        # silently clustering with genuinely zero-hash media downstream
         if p is None:
-            return 0
+            if on_error == "raise":
+                raise ValueError("NULL payload (no image bytes to decode)")
+            return None
         if on_error == "raise":
             return image_dhash(bytes(p), rows, cols)
         try:
@@ -1090,13 +1126,19 @@ def query_hamming_index(
     bits: int = 60,
     blocks: int = 4,
     max_hamming: int = 3,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Online near-dup lookup against a ``build_hamming_index`` store:
     which indexed fingerprints sit within ``max_hamming`` of each
     (broadcast-sized) probe — (probe_id, match_id, hamming).  One bucket
     equi-join with the probe side broadcast; the index side is touched
     only on colliding (blk, seg) buckets.  Probe params must equal the
-    persisted build params (validated)."""
+    persisted build params (validated), and so must the pigeonhole recall
+    precondition ``max_hamming < blocks`` — without it a pair can differ
+    in every block and never collide, silently presenting partial recall
+    as complete results (opt in explicitly with ``allow_partial_recall``
+    when a best-effort candidate sweep is the intent)."""
+    _check_pigeonhole_recall(max_hamming, blocks, allow_partial_recall)
     p = spark.read.parquet(f"{path}/params").first()
     if (p["bits"], p["blocks"]) != (bits, blocks):
         raise ValueError(
@@ -1133,6 +1175,24 @@ def query_hamming_index(
     )
 
 
+def _check_pigeonhole_recall(
+    max_hamming: int, blocks: int, allow_partial_recall: bool
+) -> None:
+    """The banded join's recall guarantee is the pigeonhole argument: a
+    pair within Hamming ``k`` differs in at most ``k`` blocks, so with
+    ``k < blocks`` at least one block is IDENTICAL and the pair collides.
+    ``k >= blocks`` voids the guarantee — refuse unless the caller
+    explicitly owns the partial recall."""
+    if max_hamming >= blocks and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= blocks={blocks} voids the "
+            "pigeonhole recall guarantee (a qualifying pair can differ in "
+            "every block and never collide); raise blocks, lower "
+            "max_hamming, or pass allow_partial_recall=True to accept a "
+            "best-effort candidate sweep"
+        )
+
+
 def hamming_hash_pairs(
     df: DataFrame,
     hash_col: str = "dhash",
@@ -1141,6 +1201,7 @@ def hamming_hash_pairs(
     bits: int = 60,
     blocks: int = 4,
     max_bucket_size: int | None = None,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(hash) <= k over PRE-COMPUTED fingerprints
     via the pigeonhole block join — the generic twin of
@@ -1157,6 +1218,7 @@ def hamming_hash_pairs(
     before any dedup shuffle, and the uncapped path dedups with the
     row-local first-matching-block trick (zero extra shuffles).
     """
+    _check_pigeonhole_recall(max_hamming, blocks, allow_partial_recall)
     width = bits // blocks
     seg = _hash_bands(df, hash_col, id_col, bits, blocks)
     if max_bucket_size is not None:
@@ -1302,8 +1364,12 @@ def audio_fingerprint_df(
     df = ensure_parallelism(df)
 
     def one(p) -> "tuple[int | None, int]":
+        # NULL payload == decode failure (same fail-soft contract as
+        # image_dhash_df): NULL fp, never the 0 a silent clip also hashes to
         if p is None:
-            return 0, 0
+            if on_error == "raise":
+                raise ValueError("NULL payload (no audio bytes to decode)")
+            return None, 0
         try:
             samples, _sr = decode_audio_pcm(bytes(p))
         except (wave.Error, EOFError, NotImplementedError, ValueError):

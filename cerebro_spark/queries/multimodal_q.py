@@ -271,14 +271,18 @@ _CROSS_MODAL_SQL = (
     + _VARIANT_PAIRS_BODY
     + f""",
 toks AS (
-  SELECT DISTINCT 2 * doc_id + v.v AS id,
-    CASE WHEN v.v = 0 THEN w
-         ELSE translate(w, '{_sql_quote(_SHIFT_FROM)}', '{_sql_quote(_SHIFT_TO)}')
-    END AS tok
+  -- tokenize AFTER the shift (matching the Spark side, which splits the
+  -- already-translated twin text): the +2 shift maps space -> '"', so a
+  -- shifted twin tokenizes as ONE whole-line token, not per-word tokens
+  SELECT DISTINCT 2 * doc_id + v AS id,
+    unnest(string_split_regex(trim(t2), '\\s+')) AS tok
   FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-    FROM documents
-  ), (VALUES (0), (1)) AS v(v)
+    SELECT doc_id, v.v AS v,
+      CASE WHEN v.v = 0 THEN text
+           ELSE translate(text, '{_sql_quote(_SHIFT_FROM)}', '{_sql_quote(_SHIFT_TO)}')
+      END AS t2
+    FROM documents, (VALUES (0), (1)) AS v(v)
+  )
 )
 SELECT p.id_a, p.id_b, p.hamming FROM pairs p
 WHERE NOT EXISTS (
@@ -336,7 +340,11 @@ def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _audio_en_cte(gains: str) -> str:
     """Per-(doc, gain) frame energies + fingerprints from the source bytes
-    (sample = (byte-96)*256*gain; energy = exact integer sum of squares)."""
+    (sample = (byte-96)*256*gain; energy = exact integer sum of squares).
+    The energy grid is DENSIFIED to all 33 segments (empty span -> energy
+    0), mirroring audio_fingerprint_pcm's bincount(minlength=frames): for a
+    doc shorter than 33 chars an empty span followed by a positive-energy
+    span SETS the bit, which a sparse inner join would silently drop."""
     return f"""
 chars AS (
   SELECT doc_id, n, generate_subscripts(cs, 1) - 1 AS pos,
@@ -344,11 +352,20 @@ chars AS (
   FROM (SELECT doc_id, length(text) AS n, string_split(text, '') AS cs
         FROM documents)
 ),
-en AS (
+en_raw AS (
   SELECT doc_id, gv.g AS gain, (pos * 33) // n AS seg,
          CAST(sum(a * a * 65536 * gv.g * gv.g) AS BIGINT) AS e
   FROM chars, (VALUES {gains}) AS gv(g)
   GROUP BY 1, 2, 3
+),
+en AS (
+  SELECT d.doc_id, gv.g AS gain, s.seg,
+         CAST(COALESCE(r.e, 0) AS BIGINT) AS e
+  FROM (SELECT DISTINCT doc_id FROM chars) d
+  CROSS JOIN (VALUES {gains}) AS gv(g)
+  CROSS JOIN generate_series(0, 32) AS s(seg)
+  LEFT JOIN en_raw r
+    ON r.doc_id = d.doc_id AND r.gain = gv.g AND r.seg = s.seg
 ),
 fps AS (
   SELECT a.doc_id, a.gain,
@@ -433,8 +450,16 @@ WITH sm AS (
           FROM documents)
   ), (VALUES (0), (1)) AS v(v)
 ),
-en AS (
+en_raw AS (
   SELECT id, seg, CAST(sum(s * s) AS BIGINT) AS e FROM sm GROUP BY 1, 2
+),
+-- densified to all 33 segments (empty span -> 0), mirroring bincount's
+-- minlength=frames; see _audio_en_cte
+en AS (
+  SELECT i.id, s.seg, CAST(COALESCE(r.e, 0) AS BIGINT) AS e
+  FROM (SELECT DISTINCT id FROM sm) i
+  CROSS JOIN generate_series(0, 32) AS s(seg)
+  LEFT JOIN en_raw r ON r.id = i.id AND r.seg = s.seg
 ),
 fps AS (
   SELECT a.id,

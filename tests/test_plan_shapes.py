@@ -131,3 +131,6 @@ def test_bench_headline_line_is_constant_size_and_parseable():
     assert parsed["n_queries"] == 1500
     assert parsed["value"] == round(123.4567 * 1500, 4)
     assert "queries" not in parsed  # per-query detail lives on earlier lines
+    # host-load attribution rides in-band (r9 lesson: the driver artifact
+    # landed hot and the loadavg evidence lived only in side notes)
+    assert len(parsed["loadavg"]) == 3

@@ -251,9 +251,16 @@ def test_audio_fingerprint_df_handles_null(spark):
     df = spark.createDataFrame(
         [(1, bytearray(wav)), (2, None)], "doc_id long, payload binary"
     )
-    got = {r.id: (r.fp, r.n_samples) for r in audio_fingerprint_df(df).collect()}
+    # NULL payload is a decode failure: loud under the default, NULL fp
+    # (never 0 — a silent clip's hash) under on_error='null'
+    with pytest.raises(Exception):
+        audio_fingerprint_df(df).collect()
+    got = {
+        r.id: (r.fp, r.n_samples)
+        for r in audio_fingerprint_df(df, on_error="null").collect()
+    }
     assert got[1] == (audio_fingerprint(wav), 200)
-    assert got[2] == (0, 0)
+    assert got[2] == (None, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +393,9 @@ def test_media_hash_ops_fail_soft(spark):
         "doc_id long, payload binary",
     )
     soft = {r.id: r.dhash for r in image_dhash_df(df, on_error="null").collect()}
-    assert soft[1] is not None and soft[2] is None and soft[3] == 0
+    # NULL payload == decode failure (NULL fingerprint, NOT 0 — a missing
+    # blob must never cluster with genuinely zero-hash media)
+    assert soft[1] is not None and soft[2] is None and soft[3] is None
     with pytest.raises(Exception):
         image_dhash_df(df).collect()  # default stays loud
 
@@ -394,13 +403,48 @@ def test_media_hash_ops_fail_soft(spark):
         [
             (1, bytearray(encode_wav_pcm16(np.arange(50) * 100))),
             (2, bytearray(b"RIFF\x04\x00\x00\x00JUNK")),
+            (3, None),
         ],
         "doc_id long, payload binary",
     )
     asoft = {r.id: r.fp for r in audio_fingerprint_df(adf, on_error="null").collect()}
-    assert asoft[1] is not None and asoft[2] is None
+    assert asoft[1] is not None and asoft[2] is None and asoft[3] is None
     with pytest.raises(Exception):
         audio_fingerprint_df(adf).collect()
+
+
+def test_image_thumbnail_fail_soft(spark):
+    from cerebro_spark.operators.multimodal import image_thumbnail_df
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp_gray(_gray(4, 8)))),
+            (2, bytearray(b"BM" + b"\x00" * 10)),   # truncated header
+            (3, None),                               # missing payload
+            (4, bytearray(encode_bmp_gray(_gray(1, 2)))),  # smaller than 2x4
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = image_thumbnail_df(df, out_h=2, out_w=4, on_error="null").collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    # decodable doc keeps its full pixel grid
+    assert len(by_id[1]) == 8 and all(r.pixel is not None for r in by_id[1])
+    # corrupt / NULL / too-small each collapse to ONE all-NULL marker row
+    for bad in (2, 3, 4):
+        assert len(by_id[bad]) == 1
+        m = by_id[bad][0]
+        assert m.py is None and m.px is None and m.pixel is None
+    wide = {
+        r.id: r.thumb
+        for r in image_thumbnail_df(
+            df, out_h=2, out_w=4, as_payload=True, on_error="null"
+        ).collect()
+    }
+    assert wide[1] is not None and wide[2] is None and wide[3] is None
+    with pytest.raises(Exception):
+        image_thumbnail_df(df, out_h=2, out_w=4).collect()  # default loud
 
 
 # ---------------------------------------------------------------------------
@@ -454,17 +498,28 @@ def test_hamming_index_agrees_with_batch_pairs(spark, sf_dir, tmp_path):
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     fps = byte_dhash_df(docs)
+    # max_hamming=10 with blocks=4 is PARTIAL recall (pigeonhole guarantee
+    # needs max_hamming < blocks) — intentional here: both sides run the
+    # identical layout, so the equivalence claim (online == batch over the
+    # colliding candidate set) is exactly what this test pins.
     batch = {
         (r.id_a, r.id_b, r.hamming)
-        for r in hamming_hash_pairs(fps, max_hamming=10).collect()
+        for r in hamming_hash_pairs(
+            fps, max_hamming=10, allow_partial_recall=True
+        ).collect()
     }
     path = str(tmp_path / "hidx")
     build_hamming_index(fps, path)
     online = {
         (min(r.probe_id, r.match_id), max(r.probe_id, r.match_id), r.hamming)
         for r in query_hamming_index(
-            spark, path, fps, max_hamming=10
+            spark, path, fps, max_hamming=10, allow_partial_recall=True
         ).collect()
         if r.probe_id != r.match_id
     }
     assert online == batch
+    # the non-compliant layout without the opt-in must refuse loudly
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_hash_pairs(fps, max_hamming=10)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        query_hamming_index(spark, path, fps, max_hamming=10)
