@@ -560,6 +560,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # 320/320 driver-gated.  R09 births front-insert above them (29 free
 # slots at the cutover).
 _SNAPSHOT_PRIORITY = [
+    # R10 HEAD: r10 births front-insert here as they land (50 free slots
+    # at the cutover — every r09 entry below is driver-gated green in
+    # CORRECTNESS_r09, so the head carries zero debt).
+    "streaming_media_neardup_check",  # online media dedup sink end-to-end
+    "hamming_index_probe",    # persisted Hamming index online lookup
+    "image_dhash_nulls",      # fail-soft NULL/corrupt payload gate
+    # --- r10 cutoff: everything below is driver-gated green (r01-r09) ---
     # R09 HEAD: r09 births front-insert here as they land (29 free
     # slots), followed by the 21 staged r08 late births promoted per the
     # staged-debt policy — gating them closes the ledger at 320/320.

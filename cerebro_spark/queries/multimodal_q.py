@@ -773,6 +773,241 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# r10: online media dedup end-to-end (sink + index probe), fail-soft gate
+# ---------------------------------------------------------------------------
+
+def q_hamming_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted Hamming index's ONLINE lookup, driver-gated (pytest-only
+    in r9): build the index over the corpus fingerprints (ids 2*doc_id),
+    probe it with every doc's +2-shifted twin (ids 2*doc_id+1) — each probe
+    must find its original at hamming 0 (dHash shift-invariance) plus any
+    genuine byte-structure near-twins at <= 3.  The oracle recomputes BOTH
+    fingerprint sets from source bytes and replays the banded join —
+    exact-recall-equivalent to plain hamming <= 3 by the pigeonhole
+    guarantee (max_hamming 3 < blocks 4)."""
+    import tempfile
+
+    from cerebro_spark.operators.multimodal import (
+        build_hamming_index,
+        query_hamming_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    idx_fps = byte_dhash_df(
+        docs.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    )
+    probe_fps = byte_dhash_df(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.translate("text", _SHIFT_FROM, _SHIFT_TO).alias("text"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="hamming_idx_gate_")
+    try:
+        build_hamming_index(idx_fps, path)
+        out = query_hamming_index(spark, path, probe_fps).localCheckpoint(
+            eager=True
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+_HAMMING_INDEX_PROBE_SQL = (
+    "WITH "
+    + _dhash_fp_cte(_VARIANT_CHARS, _VARIANT_IDS)
+    + """,
+seg4 AS (
+  SELECT id, dhash, bi, (dhash >> (bi * 15)) % 32768 AS segment
+  FROM fp, generate_series(0, 3) AS gg(bi)
+)
+SELECT DISTINCT a.id AS probe_id, b.id AS match_id,
+  bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM seg4 a JOIN seg4 b
+  ON a.bi = b.bi AND a.segment = b.segment
+WHERE a.id % 2 = 1 AND b.id % 2 = 0
+  AND bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+)
+
+
+def q_streaming_media_neardup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The online media-dedup pipeline END-TO-END, streamed == oracle:
+    batch 0 = every original doc; batch 1 = a +2-shifted perceptual twin
+    for even doc_ids (must DROP — hamming 0 vs the indexed original) and a
+    byte-REVERSED doc for odd doc_ids (different byte structure — survives
+    unless a genuine near-collision exists, which the oracle computes
+    exactly).  The two micro-batches replay through
+    ``media_neardup_filter_sink`` (fingerprint -> probe persisted Hamming
+    index -> append survivors + index growth) over a real file-source
+    stream; the oracle recomputes the sequential fold (batch-1 survivor =
+    no batch-0 survivor within hamming <= 3) from source bytes."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from cerebro_spark.streaming.sinks import media_neardup_filter_sink
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b0 = docs.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    b1 = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.translate("text", _SHIFT_FROM, _SHIFT_TO),
+        )
+        .otherwise(F.reverse("text"))
+        .alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="media_neardup_gate_")
+    try:
+        b0.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+        _time.sleep(1.05)  # distinct mtime: the file source orders batch 1 second
+        b1.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        q = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(
+                media_neardup_filter_sink(f"{tmp}/idx", f"{tmp}/out")
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.parquet(f"{tmp}/out")
+            .select(
+                F.col("doc_id").alias("id"),
+                F.length("text").cast("long").alias("n_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+#: batch-1 corpus: even doc_ids -> +2 shift (perceptual twin), odd -> reverse
+_MEDIA_FOLD_CHARS = """
+  SELECT id, (pos * 66) // n AS seg, b FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+    FROM (
+      SELECT 2 * doc_id AS id, length(text) AS n,
+             string_split(text, '') AS cs
+      FROM documents
+      UNION ALL
+      SELECT 2 * doc_id + 1, length(text),
+             string_split(CASE WHEN doc_id % 2 = 0
+                                THEN translate(text, '{sf}', '{st}')
+                                ELSE reverse(text) END, '')
+      FROM documents
+    )
+  )
+"""
+_MEDIA_FOLD_IDS = (
+    "SELECT 2 * doc_id + v.v AS id FROM documents, (VALUES (0), (1)) AS v(v)"
+)
+
+_STREAMING_MEDIA_NEARDUP_SQL = (
+    "WITH "
+    + _dhash_fp_cte(
+        _MEDIA_FOLD_CHARS.format(
+            sf=_sql_quote(_SHIFT_FROM), st=_sql_quote(_SHIFT_TO)
+        ),
+        _MEDIA_FOLD_IDS,
+    )
+    + """,
+b0 AS (SELECT 2 * doc_id AS id, text FROM documents),
+b0kept AS (
+  SELECT id, text FROM (
+    SELECT id, text, row_number() OVER (PARTITION BY text ORDER BY id) AS rn
+    FROM b0
+  ) WHERE rn = 1
+),
+b1 AS (
+  SELECT 2 * doc_id + 1 AS id,
+         CASE WHEN doc_id % 2 = 0
+              THEN translate(text, '{sf}', '{st}')
+              ELSE reverse(text) END AS text
+  FROM documents
+),
+b1d AS (
+  SELECT id, text FROM (
+    SELECT id, text, row_number() OVER (PARTITION BY text ORDER BY id) AS rn
+    FROM b1
+  ) WHERE rn = 1
+),
+b1kept AS (
+  SELECT x.id, x.text FROM b1d x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fp pa, fp pb
+    WHERE pa.id = x.id AND pb.id IN (SELECT id FROM b0kept)
+      AND bit_count(xor(pa.dhash, pb.dhash)) <= 3
+  )
+)
+SELECT id, CAST(length(text) AS BIGINT) AS n_chars FROM b0kept
+UNION ALL
+SELECT id, CAST(length(text) AS BIGINT) AS n_chars FROM b1kept
+""".format(sf=_sql_quote(_SHIFT_FROM), st=_sql_quote(_SHIFT_TO))
+)
+
+
+def q_image_dhash_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fail-soft decode contract, driver-gated: the BMP corpus with
+    PLANTED corruption — doc_id % 7 == 0 gets a NULL payload (missing
+    blob), doc_id % 7 == 3 a truncated header — run under
+    ``on_error='null'``.  Bad payloads must yield NULL fingerprints (never
+    0, which a real all-flat image also hashes to) while every healthy doc
+    still hashes exactly; the oracle recomputes good fingerprints from
+    source bytes and pins the NULLs by the planting rule."""
+    from cerebro_spark.operators.multimodal import image_dhash_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bmps = _synth_bmp(docs)
+    bad = F.col("doc_id") % 7
+    planted = bmps.select(
+        "doc_id",
+        F.when(bad == 0, F.lit(None).cast("binary"))
+        .when(bad == 3, F.lit(b"BM\x00truncated").cast("binary"))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    return image_dhash_df(planted, on_error="null").select(
+        F.col("id").alias("doc_id"), "dhash"
+    )
+
+
+_IMAGE_DHASH_NULLS_SQL = (
+    "WITH "
+    + _dhash_fp_cte(
+        corpus="""
+  SELECT id,
+         ((((pos // 16) * 6) // (n // 16)) * 11) + (((pos % 16) * 11) // 16) AS seg,
+         b
+  FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+    FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents WHERE doc_id % 7 NOT IN (0, 3))
+  )
+  WHERE pos < (n // 16) * 16
+""",
+        ids="SELECT doc_id AS id FROM documents WHERE doc_id % 7 NOT IN (0, 3)",
+    )
+    + """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 7 IN (0, 3) THEN NULL ELSE fp.dhash END AS dhash
+FROM documents d LEFT JOIN fp ON fp.id = d.doc_id
+"""
+)
+
+
 QUERIES = {
     "dhash_docs": q_dhash_docs,
     "image_dhash_bmp": q_image_dhash_bmp,
@@ -787,6 +1022,9 @@ QUERIES = {
     "audio_scale_match": q_audio_scale_match,
     "audio_neardup_pairs": q_audio_neardup_pairs,
     "media_sniff_meta": q_media_sniff_meta,
+    "hamming_index_probe": q_hamming_index_probe,
+    "streaming_media_neardup_check": q_streaming_media_neardup_check,
+    "image_dhash_nulls": q_image_dhash_nulls,
 }
 
 ORACLES = {
@@ -803,4 +1041,7 @@ ORACLES = {
     "audio_scale_match": _AUDIO_SCALE_MATCH_SQL,
     "audio_neardup_pairs": _AUDIO_NEARDUP_SQL,
     "media_sniff_meta": _MEDIA_SNIFF_SQL,
+    "hamming_index_probe": _HAMMING_INDEX_PROBE_SQL,
+    "streaming_media_neardup_check": _STREAMING_MEDIA_NEARDUP_SQL,
+    "image_dhash_nulls": _IMAGE_DHASH_NULLS_SQL,
 }

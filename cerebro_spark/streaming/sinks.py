@@ -528,3 +528,151 @@ def compact_neardup_index(
         shutil.move(index_path, old)
         shutil.move(target, index_path)
         shutil.rmtree(old)
+
+
+def media_neardup_filter_sink(
+    index_path: str,
+    out_path: str,
+    fingerprint: "Callable[[DataFrame], DataFrame] | None" = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    blocks: int = 4,
+    max_hamming: int = 3,
+    grow_index: bool = True,
+):
+    """Online PERCEPTUAL near-duplicate filter for a media ingest stream —
+    the modality-agnostic twin of ``neardup_filter_sink`` (MinHash/text):
+    each micro-batch is (1) exact-deduped within itself (payload digest,
+    min-id survivor), (2) fingerprinted with the stateless ``fingerprint``
+    stage (default ``byte_dhash_df``; pass ``image_dhash_df`` /
+    ``audio_fingerprint_df``-shaped callables for binary payloads — the
+    callable must return ``(id, dhash)``), (3) probed against the persisted
+    pigeonhole Hamming index and stripped of docs within ``max_hamming`` of
+    ANY prior survivor, (4) appended to ``out_path``, and (5, ``grow_index``)
+    its survivors' fingerprints and band segments appended to the index —
+    so batch N+1 dedups against everything batches 1..N kept, with NO
+    re-fingerprinting of the corpus.
+
+    Scale shape per batch: the batch side is broadcast into the band probe
+    (the index fact side is read blk-partition-pruned and only colliding
+    (blk, seg) buckets are touched), and the index grows append-only
+    (band-partitioned parquet).  State lives in the index directory, not
+    executor memory — O(batch) memory, O(colliding buckets) index I/O.
+
+    Fail-soft composition: a row whose fingerprint is NULL (corrupt /
+    undecodable media under the fingerprint stage's ``on_error='null'``)
+    passes the filter UNINDEXED — it is kept (quarantine-and-count is the
+    downstream's call), but can never absorb future near-dups.
+
+    Replay contract (at-least-once foreachBatch): every write lands in a
+    per-batch ``__batch=N`` directory overwritten on replay, the params
+    marker is written LAST on the first batch, and — the part the layout
+    exists for — the probe reads ONLY ``__batch < N`` index partitions, so
+    a replayed batch probes the exact index state its first run saw (its
+    own just-appended fingerprints can never drop its own docs on retry).
+    The sink therefore OWNS its index layout (``bands/__batch=N/blk=M``);
+    pointing it at a ``build_hamming_index`` store (``bands/blk=M``, no
+    batch depth) fails loudly at read time, and vice versa.
+    ``query_hamming_index`` CAN read this sink's index (the extra
+    ``__batch`` partition column is ignored by the probe join), so batch
+    pipelines see streamed survivors immediately."""
+    from cerebro_spark.operators.multimodal import (
+        _check_pigeonhole_recall,
+        _hash_bands,
+        byte_dhash_df,
+    )
+
+    _check_pigeonhole_recall(max_hamming, blocks, False)
+    if fingerprint is None:
+        def fingerprint(d: DataFrame) -> DataFrame:
+            return byte_dhash_df(d, content_col=content_col, id_col=id_col)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        # (1) intra-batch exact dedup, deterministic min-id survivor
+        batch = (
+            batch_df.withColumn("__d", F.md5(F.col(content_col)))
+            .withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("__d").orderBy(id_col)),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__d", "__rn")
+        )
+        # (2) stateless fingerprints for the whole batch
+        fps = fingerprint(batch).select("id", "dhash").persist()
+        try:
+            have_index = True
+            try:
+                p = spark.read.parquet(f"{index_path}/params").first()
+                if (p["bits"], p["blocks"]) != (bits, blocks):
+                    raise ValueError(
+                        f"index at {index_path} was built with "
+                        f"bits={p['bits']}, blocks={p['blocks']}; sink "
+                        f"configured bits={bits}, blocks={blocks}"
+                    )
+            except ValueError:
+                raise
+            except Exception:  # AnalysisException: first batch, no index yet
+                have_index = False
+            if have_index:
+                # (3) probe ONLY prior batches' partitions: a replay of
+                # batch N must see the index state its first run saw
+                bands = spark.read.parquet(f"{index_path}/bands").filter(
+                    F.col("__batch") < batch_id
+                )
+                pseg = _hash_bands(
+                    fps.filter(F.col("dhash").isNotNull()),
+                    "dhash", "id", bits, blocks,
+                ).select(
+                    F.col("id").alias("probe_id"), F.col("h").alias("ph"),
+                    "blk", "seg",
+                )
+                matched = (
+                    bands.join(F.broadcast(pseg), ["blk", "seg"])
+                    .filter(F.bit_count(F.expr("h ^ ph")) <= max_hamming)
+                    .select(F.col("probe_id").alias(id_col))
+                    .distinct()
+                )
+                kept = batch.join(matched, id_col, "left_anti")
+            else:
+                kept = batch
+            kept = kept.persist()
+            try:
+                # (4) per-batch survivor directory: replay overwrites
+                kept.write.mode("overwrite").parquet(
+                    f"{out_path}/__batch={batch_id}"
+                )
+                if not grow_index:
+                    return
+                # (5) survivors' fingerprints + band segments, per-batch
+                kfps = fps.join(
+                    kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+                ).filter(F.col("dhash").isNotNull())
+                kfps.write.mode("overwrite").parquet(
+                    f"{index_path}/fps/__batch={batch_id}"
+                )
+                (
+                    _hash_bands(kfps, "dhash", "id", bits, blocks)
+                    .repartition(blocks, "blk")
+                    .write.mode("overwrite")
+                    .partitionBy("blk")
+                    .parquet(f"{index_path}/bands/__batch={batch_id}")
+                )
+                # params marker LAST: its presence implies bands exist, so
+                # a crash mid-first-batch replays as "no index yet"
+                if not have_index:
+                    spark.createDataFrame(
+                        [(bits, blocks)], "bits int, blocks int"
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        f"{index_path}/params"
+                    )
+            finally:
+                kept.unpersist()
+        finally:
+            fps.unpersist()
+
+    return write

@@ -44,6 +44,9 @@ ARROW_ALLOWED = {
     "audio_neardup_pairs",
     "media_sniff_meta",
     "image_dhash_bmp",
+    # same BMP decode path, run under on_error='null' over the planted
+    # NULL/corrupt corpus (the fail-soft gate, r10)
+    "image_dhash_nulls",
     "image_thumbnails",
     "video_frame_luma",
     "video_shot_cuts",
