@@ -566,6 +566,8 @@ _SNAPSHOT_PRIORITY = [
     "streaming_media_neardup_check",  # online media dedup sink end-to-end
     "hamming_index_probe",    # persisted Hamming index online lookup
     "image_dhash_nulls",      # fail-soft NULL/corrupt payload gate
+    "video_neardup_pairs",    # video dedup: frame hashes -> temporal majority
+                              # signature -> banded join -> overlap verify
     # --- r10 cutoff: everything below is driver-gated green (r01-r09) ---
     # R09 HEAD: r09 births front-insert here as they land (29 free
     # slots), followed by the 21 staged r08 late births promoted per the

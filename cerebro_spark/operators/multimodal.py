@@ -1412,3 +1412,210 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# video near-dup dedup: per-frame dHash sequence -> majority-fold signature
+# -> banded candidate join -> exact frame-overlap verify
+# ---------------------------------------------------------------------------
+
+def video_frame_hash_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    rows: int = 2,
+    cols: int = 9,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Per-frame perceptual hashes through the REAL video decode path:
+    decode each payload with ``decode_video_frames`` (dependency-free for
+    uncompressed RIFF/AVI), dHash every sampled frame — (id, frame_idx,
+    ts_ms, fhash).  The frame-hash SEQUENCE is the video's perceptual
+    identity; feed it to ``video_signature`` for a video-level fingerprint
+    and to ``frame_overlap_verify`` for the exact confirmation pass.
+
+    Default grid 2x9 -> 16 bits matches the gated corpus's tiny synthetic
+    frames; real footage wants the full 6x11 -> 60-bit grid (pass
+    ``rows=6, cols=11``) so the downstream banded join keeps standard
+    block widths.  ``on_error='null'`` is the family's fail-soft contract:
+    an undecodable payload yields ONE (id, NULL, NULL, NULL) marker row."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    assert on_error in ("raise", "null")
+    df = ensure_parallelism(df)
+
+    def frames_or_none(p):
+        if p is None:
+            if on_error == "raise":
+                raise ValueError("NULL payload (no video bytes to decode)")
+            return None
+        if on_error == "raise":
+            return decode_video_frames(bytes(p), every_ms)
+        try:
+            return decode_video_frames(bytes(p), every_ms)
+        except (NotImplementedError, ValueError, AssertionError):
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, hs = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                decoded = frames_or_none(p)
+                if decoded is None:
+                    ids.append(doc_id)
+                    idxs.append(None)
+                    tss.append(None)
+                    hs.append(None)
+                    continue
+                for k, (ts_ms, gray) in enumerate(decoded):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    tss.append(ts_ms)
+                    hs.append(dhash_from_gray(gray, rows, cols))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int64"),
+                    "ts_ms": pd.array(tss, dtype="Int64"),
+                    "fhash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "id long, frame_idx long, ts_ms long, fhash long"
+    )
+
+
+def video_signature(
+    frames: DataFrame,
+    hash_col: str = "fhash",
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+    bits: int = 16,
+    temporal_bands: int = 3,
+) -> DataFrame:
+    """Video-level fingerprint: the frame sequence is cut into
+    ``temporal_bands`` equal spans (shot-aligned sampling's floor-bucket
+    rule: span of frame f is ``f*T div n``), each span gets a per-bit
+    MAJORITY VOTE over its frame hashes (the SimHash fold applied to frame
+    dHashes), and the span folds concatenate into a ``bits*temporal_bands``
+    signature.  (id, vfp, n_frames), all-JVM, two groupBy shuffles (frame
+    count, then the fold).
+
+    Why majority-per-span, not one global fold: the fold inherits each
+    frame hash's brightness invariance (a uniform-gain re-encode lands at
+    Hamming 0), editing k of n frames moves only the bits those frames
+    were pivotal on WITHIN THEIR SPAN — so trims/edits/intro-cards land
+    NEAR the original — and the temporal axis keeps videos with similar
+    global frame statistics but different sequencing APART (a single
+    global fold collides heavily on short clips).  Strict majority
+    (ties -> 0) keeps both engines exact.
+
+    100 TB shape: frames never leave their partitions until the fold
+    aggregate; per-group state is ``bits`` counters per span.  Pair
+    candidates come from the pigeonhole join over vfp (48-bit default =
+    4x12-bit blocks); the O(frames) confirmation
+    (``frame_overlap_verify``) runs only on candidates."""
+    assert bits * temporal_bands <= 60, "signature must fit a signed long"
+    nf = frames.groupBy(F.col(id_col).alias("id")).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    spanned = frames.select(
+        F.col(id_col).alias("id"),
+        F.col(frame_col).alias("__f"),
+        F.col(hash_col).alias("__h"),
+    ).join(nf, "id").withColumn(
+        "__t", F.expr(f"(__f * {temporal_bands}) div n_frames")
+    )
+    cnts = [
+        F.sum(
+            (F.shiftright(F.col("__h"), b) % F.lit(2).cast("long"))
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    agg = spanned.groupBy("id", "__t").agg(
+        F.count(F.lit(1)).alias("__nt"), *cnts
+    )
+    span_fold = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"__b{b}") * 2 > F.col("__nt"),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        span_fold = term if span_fold is None else span_fold.bitwiseOR(term)
+    per_span = agg.select(
+        "id", "__t", span_fold.alias("__sf0")
+    ).select(
+        "id",
+        F.expr(f"shiftleft(__sf0, cast(__t * {bits} as int))").alias("__sf"),
+    )
+    folded = per_span.groupBy("id").agg(
+        F.sum("__sf").alias("vfp")  # spans occupy disjoint bit ranges
+    )
+    return folded.join(nf, "id").select("id", "vfp", "n_frames")
+
+
+def frame_overlap_verify(
+    pairs: DataFrame,
+    frames: DataFrame,
+    hash_col: str = "fhash",
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+    frame_tol: int = 0,
+) -> DataFrame:
+    """Exact confirmation pass for video near-dup CANDIDATES: align the two
+    frame-hash sequences by frame index and count frames whose hashes sit
+    within ``frame_tol`` Hamming — (id_a, id_b, hamming, n_frames_a,
+    n_frames_b, matching_frames, frac_matching).  ``frac_matching`` is
+    matches / max(n_a, n_b), so a trailing trim scores < 1.0 rather than
+    hiding behind the inner join.
+
+    Bounded by construction: only candidate pairs (the banded join's
+    output) are verified, and each pair costs O(min(n_a, n_b)) aligned
+    rows — never a frames x frames product."""
+    a = frames.select(
+        F.col(id_col).alias("id_a"),
+        F.col(frame_col).alias("__f"),
+        F.col(hash_col).alias("__ha"),
+    )
+    b = frames.select(
+        F.col(id_col).alias("id_b"),
+        F.col(frame_col).alias("__f"),
+        F.col(hash_col).alias("__hb"),
+    )
+    na = frames.groupBy(F.col(id_col).alias("id_a")).agg(
+        F.count(F.lit(1)).alias("n_frames_a")
+    )
+    nb = frames.groupBy(F.col(id_col).alias("id_b")).agg(
+        F.count(F.lit(1)).alias("n_frames_b")
+    )
+    aligned = (
+        pairs.select("id_a", "id_b", "hamming")
+        .join(a, "id_a")
+        .join(b, ["id_b", "__f"])
+        .withColumn(
+            "__m",
+            F.when(
+                F.bit_count(F.expr("__ha ^ __hb")) <= frame_tol, 1
+            ).otherwise(0),
+        )
+        .groupBy("id_a", "id_b", "hamming")
+        .agg(F.sum("__m").alias("matching_frames"))
+    )
+    return (
+        aligned.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            "n_frames_a",
+            "n_frames_b",
+            F.col("matching_frames").cast("long").alias("matching_frames"),
+            (
+                F.col("matching_frames")
+                / F.greatest("n_frames_a", "n_frames_b")
+            ).alias("frac_matching"),
+        )
+    )

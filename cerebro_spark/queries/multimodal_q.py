@@ -774,6 +774,144 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# video near-dup dedup (r10): frame-hash sequences -> majority signature ->
+# banded candidates -> exact frame-overlap verify, through the REAL AVI codec
+# ---------------------------------------------------------------------------
+
+def _synth_avi(df: DataFrame) -> DataFrame:
+    """Arrow stage: each doc becomes a REAL uncompressed RIFF/AVI (n//16
+    frames of 2x8 pixels, 16 bytes per frame, 2 fps) via the library
+    encoder — the payload `_video_luma_frames` decodes inline, exposed so
+    the frame-hash operator runs over genuine container bytes."""
+    from cerebro_spark.operators.multimodal import encode_avi_gray
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(str(text).encode(), dtype=np.uint8)
+                nf = len(b) // 16
+                frames = [
+                    b[k * 16 : (k + 1) * 16].reshape(2, 8) for k in range(nf)
+                ]
+                payloads.append(encode_avi_gray(frames, fps=2))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup dedup END-TO-END — the one modality without a dedup
+    story before r10 (text has MinHash/SimHash, images dHash, audio
+    band-energy): per-frame 16-bit dHashes through the REAL AVI
+    encode->decode round-trip, per-video shot-aligned majority-fold
+    signature (``video_signature``: 3 temporal spans x 16 bits = 48),
+    pigeonhole-banded candidate join (4x12-bit blocks), then the exact
+    frame-overlap confirmation
+    (``frame_overlap_verify``, frame_tol=0).  The planted +2
+    brightness-shift twin of every video lands at signature Hamming 0 with
+    frac_matching 1.0 (every frame dHash is shift-invariant); any genuine
+    byte-structure twins score whatever the oracle — which recomputes
+    frame hashes, fold, band join, and overlap from source bytes —
+    says they score."""
+    from cerebro_spark.operators.multimodal import (
+        frame_overlap_verify,
+        hamming_hash_pairs,
+        video_frame_hash_df,
+        video_signature,
+    )
+
+    corpus = _variant_corpus(spark, sf_dir)
+    # cache: the frame-hash pass (the expensive decode) feeds BOTH the
+    # signature fold and the overlap verify — decode once, reuse
+    fh = video_frame_hash_df(_synth_avi(corpus), every_ms=500).cache()
+    sigs = video_signature(fh, bits=16, temporal_bands=3)
+    pairs = hamming_hash_pairs(
+        sigs, "vfp", "id", max_hamming=3, bits=48, blocks=4
+    )
+    return frame_overlap_verify(pairs, fh, frame_tol=0)
+
+
+#: per-frame 2x9-grid dHash from source bytes: frame f pixel (i, j) is byte
+#: f*16 + i*8 + j; grid cell = i*9 + (j*9)//8 (col bucket 8 stays empty —
+#: its gradient bit compares 0 > 0 and contributes nothing, both engines).
+_VIDEO_NEARDUP_SQL = """
+WITH vchars AS (
+  SELECT 2 * base.id + v.v AS id, pos, b0 + 2 * v.v AS b, n
+  FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b0
+    FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents)
+  ) base, (VALUES (0), (1)) AS v(v)
+  WHERE pos < (n // 16) * 16
+),
+fcells AS (
+  SELECT id, pos // 16 AS f,
+         ((pos % 16) // 8) * 9 + (((pos % 8) * 9) // 8) AS seg, b
+  FROM vchars
+),
+fsegs AS (
+  SELECT id, f, seg, sum(b) AS s, count(*) AS c FROM fcells GROUP BY 1, 2, 3
+),
+fbits AS (
+  SELECT a.id, a.f,
+         COALESCE(sum(CASE WHEN b.s * a.c > a.s * b.c
+                  THEN (CAST(1 AS BIGINT) << ((a.seg // 9) * 8 + (a.seg % 9)))
+                  ELSE CAST(0 AS BIGINT) END), 0) AS fhash
+  FROM fsegs a LEFT JOIN fsegs b ON a.id = b.id AND a.f = b.f AND b.seg = a.seg + 1
+  WHERE a.seg % 9 <> 8
+  GROUP BY 1, 2
+),
+nf AS (SELECT id, count(*) AS n FROM fbits GROUP BY 1),
+vb AS (
+  SELECT fb.id, (fb.f * 3) // nf.n AS t, g.b AS bit,
+         sum((fb.fhash >> g.b) % 2) AS cnt, count(*) AS nt
+  FROM fbits fb JOIN nf ON nf.id = fb.id, generate_series(0, 15) AS g(b)
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vb.id,
+         CAST(COALESCE(sum(CASE WHEN cnt * 2 > nt
+                  THEN (CAST(1 AS BIGINT) << (t * 16 + bit))
+                  ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vfp,
+         max(nf.n) AS n
+  FROM vb JOIN nf ON nf.id = vb.id
+  GROUP BY 1
+),
+seg4 AS (
+  SELECT id, vfp, bi, (vfp >> (bi * 12)) % 4096 AS segment
+  FROM sigs, generate_series(0, 3) AS gg(bi)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+    bit_count(xor(a.vfp, b.vfp)) AS hamming
+  FROM seg4 a JOIN seg4 b
+    ON a.bi = b.bi AND a.segment = b.segment AND a.id < b.id
+  WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
+),
+ver AS (
+  SELECT p.id_a, p.id_b, p.hamming,
+         sum(CASE WHEN fa.fhash = fb.fhash THEN 1 ELSE 0 END) AS matching_frames
+  FROM pairs p
+  JOIN fbits fa ON fa.id = p.id_a
+  JOIN fbits fb ON fb.id = p.id_b AND fb.f = fa.f
+  GROUP BY 1, 2, 3
+)
+SELECT v.id_a, v.id_b, v.hamming,
+       na.n AS n_frames_a, nb.n AS n_frames_b,
+       CAST(v.matching_frames AS BIGINT) AS matching_frames,
+       CAST(v.matching_frames AS DOUBLE) / greatest(na.n, nb.n) AS frac_matching
+FROM ver v
+JOIN sigs na ON na.id = v.id_a
+JOIN sigs nb ON nb.id = v.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # r10: online media dedup end-to-end (sink + index probe), fail-soft gate
 # ---------------------------------------------------------------------------
 
@@ -1025,6 +1163,7 @@ QUERIES = {
     "hamming_index_probe": q_hamming_index_probe,
     "streaming_media_neardup_check": q_streaming_media_neardup_check,
     "image_dhash_nulls": q_image_dhash_nulls,
+    "video_neardup_pairs": q_video_neardup_pairs,
 }
 
 ORACLES = {
@@ -1044,4 +1183,5 @@ ORACLES = {
     "hamming_index_probe": _HAMMING_INDEX_PROBE_SQL,
     "streaming_media_neardup_check": _STREAMING_MEDIA_NEARDUP_SQL,
     "image_dhash_nulls": _IMAGE_DHASH_NULLS_SQL,
+    "video_neardup_pairs": _VIDEO_NEARDUP_SQL,
 }

@@ -523,3 +523,106 @@ def test_hamming_index_agrees_with_batch_pairs(spark, sf_dir, tmp_path):
         hamming_hash_pairs(fps, max_hamming=10)
     with pytest.raises(ValueError, match="pigeonhole"):
         query_hamming_index(spark, path, fps, max_hamming=10)
+
+
+# ---------------------------------------------------------------------------
+# video near-dup dedup (r10): frame hashes -> temporal majority signature ->
+# banded candidates -> frame-overlap verify
+# ---------------------------------------------------------------------------
+
+def _avi_from_bytes(b):
+    from cerebro_spark.operators.multimodal import encode_avi_gray
+
+    nf = len(b) // 16
+    return encode_avi_gray(
+        [np.asarray(b[k * 16 : (k + 1) * 16]).reshape(2, 8) for k in range(nf)],
+        fps=2,
+    )
+
+
+def _vid_bytes(seed: int, n: int = 320):
+    import hashlib
+
+    return [
+        hashlib.md5(f"{seed}:{j}".encode()).digest()[0] % 200
+        for j in range(n)
+    ]
+
+
+def test_video_signature_invariance_and_edit_proximity(spark):
+    from cerebro_spark.operators.multimodal import (
+        video_frame_hash_df,
+        video_signature,
+    )
+
+    base = _vid_bytes(1)
+    bright = [v + 30 for v in base]          # uniform brightness shift
+    edited = list(base)
+    edited[:16] = [7] * 16                    # replace ONE frame (intro card)
+    other = _vid_bytes(2)                     # unrelated video
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_avi_from_bytes(base))),
+            (2, bytearray(_avi_from_bytes(bright))),
+            (3, bytearray(_avi_from_bytes(edited))),
+            (4, bytearray(_avi_from_bytes(other))),
+        ],
+        "doc_id long, payload binary",
+    )
+    fh = video_frame_hash_df(df, every_ms=500)
+    sigs = {r.id: (r.vfp, r.n_frames) for r in video_signature(fh).collect()}
+    assert sigs[1][1] == 20  # 320 bytes -> 20 frames
+    # brightness twin: identical signature (per-frame dHash invariance)
+    assert sigs[2][0] == sigs[1][0]
+    # one-frame edit: near, not equal-or-far
+    d_edit = bin(sigs[3][0] ^ sigs[1][0]).count("1")
+    d_other = bin(sigs[4][0] ^ sigs[1][0]).count("1")
+    assert 0 <= d_edit <= 6
+    assert d_other > d_edit
+
+
+def test_video_frame_overlap_verify(spark):
+    from cerebro_spark.operators.multimodal import (
+        frame_overlap_verify,
+        video_frame_hash_df,
+    )
+
+    base = _vid_bytes(1)
+    edited = list(base)
+    edited[:16] = [7] * 16
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_avi_from_bytes(base))),
+            (3, bytearray(_avi_from_bytes(edited))),
+        ],
+        "doc_id long, payload binary",
+    )
+    fh = video_frame_hash_df(df, every_ms=500)
+    pairs = spark.createDataFrame([(1, 3, 1)], "id_a long, id_b long, hamming long")
+    got = frame_overlap_verify(pairs, fh, frame_tol=0).first()
+    assert (got.n_frames_a, got.n_frames_b) == (20, 20)
+    # 19 of 20 frames align exactly (frame 0 was replaced)
+    assert got.matching_frames == 19
+    assert abs(got.frac_matching - 19 / 20) < 1e-12
+
+
+def test_video_frame_hash_fail_soft(spark):
+    from cerebro_spark.operators.multimodal import video_frame_hash_df
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_avi_from_bytes(_vid_bytes(1)))),
+            (2, None),
+            (3, bytearray(b"RIFF\x00bogus")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = video_frame_hash_df(df, every_ms=500, on_error="null").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 20 and all(r.fhash is not None for r in by_id[1])
+    for bad in (2, 3):
+        assert len(by_id[bad]) == 1 and by_id[bad][0].fhash is None
+    with pytest.raises(Exception):
+        video_frame_hash_df(df, every_ms=500).collect()

@@ -50,6 +50,9 @@ ARROW_ALLOWED = {
     "image_thumbnails",
     "video_frame_luma",
     "video_shot_cuts",
+    # AVI synth + per-frame decode->dHash (r10 video near-dup) — the codec
+    # stage; signature fold, banded join, and overlap verify are all JVM
+    "video_neardup_pairs",
     "semantic_dedup",
     "ann_cosine_ivf",
     "pq_recall",
