@@ -2335,3 +2335,174 @@ def langid_prf1(
         "lang", "n_true", "n_pred", "tp",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge training (r10): learn the merge table at corpus
+# scale, then encode with it — the step beyond bpe_merge_candidates
+# ---------------------------------------------------------------------------
+
+#: symbol terminator for the BPE string representation — a char that never
+#: appears inside a whitespace-split word of the corpora this trains on
+#: (train_bpe drops the pathological word that does contain it, loudly in
+#: its docstring).  chr(31) = ASCII unit separator.
+BPE_SEP = "\x1f"
+
+
+def _bpe_symbol_string(w) -> Column:
+    """A word as a TERMINATED symbol string: 'abc' -> 'a<SEP>b<SEP>c<SEP>'.
+    Merging pair (x, y) is then ONE substring replace of 'x<SEP>y<SEP>'
+    with 'xy<SEP>' — and because every symbol carries its own terminator,
+    the replacement never consumes the NEXT pair's boundary, so the
+    non-overlapping left-to-right scan both engines implement is exactly
+    textbook BPE's within-round greedy merge ('a a a a' -> 'aa aa',
+    'a b a b' -> 'ab ab'), and a pattern can never prefix-match a longer
+    symbol ('a<SEP>b<SEP>' cannot fire inside 'a<SEP>bc<SEP>')."""
+    return F.concat(F.array_join(F.split(w, ""), BPE_SEP), F.lit(BPE_SEP))
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 6,
+    max_word_len: int = 64,
+) -> "list[tuple[int, str, str, int]]":
+    """Distributed BPE merge-table training (Sennrich et al. 2016) —
+    the LEARNING step ``bpe_merge_candidates`` only counts for: ``merges``
+    rounds of (count adjacent symbol pairs weighted by word frequency ->
+    merge the argmax pair everywhere), returning
+    ``[(round, left, right, pair_count), ...]``.
+
+    Deterministic: argmax tie-break is (count DESC, left ASC, right ASC) —
+    binary string order in both engines — so the merge table is
+    reproducible and oracle-checkable round for round.
+
+    Scale shape (the pagerank/kcore bounded-iteration discipline):
+    (1) ONE corpus-sized pass collapses to the distinct-word frequency
+    table (vocabulary-sized, sublinear by Heaps' law), cached; every
+    round after that touches ONLY the word table.  (2) Per round: explode
+    adjacent symbol pairs off distinct words (map-side-combinable sum),
+    TakeOrdered-style top-1 to the driver (ONE row — bounded metadata,
+    the same discipline as kcore's scalar k), then one codegen'd
+    ``replace`` rewrites every word's symbol string.  (3) ``merges`` is a
+    config constant, never data-sized.  Words are truncated to
+    ``max_word_len`` chars, bounding per-row fan-out against base64/
+    minified-JS "words" (the bpe_merge_candidates cap, moved to the word
+    level so the rewrite stays one replace); a word containing the
+    ``BPE_SEP`` terminator byte (impossible in the gated corpora) is
+    dropped rather than corrupting the representation."""
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").contains(BPE_SEP))
+        .select(F.substring("w", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    seq = words.select(_bpe_symbol_string(F.col("w")).alias("s"), "n")
+    learned: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, merges + 1):
+            # split on the terminator yields [sym1, ..., symk, '']: drop
+            # the trailing empty, zip adjacent symbols
+            allp = F.split(F.col("s"), BPE_SEP)
+            arr = F.slice(allp, 1, F.size(allp) - 1)
+            top = (
+                seq.select(
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                            F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:  # every word fully merged — corpus exhausted
+                break
+            l, rr, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            learned.append((r, l, rr, c))
+            seq = seq.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{l}{BPE_SEP}{rr}{BPE_SEP}"),
+                    F.lit(f"{l}{rr}{BPE_SEP}"),
+                ),
+            )
+    finally:
+        words.unpersist()
+    return learned
+
+
+def bpe_segment_count(
+    col: Column, learned: "list[tuple[int, str, str, int]]"
+) -> Column:
+    """Subword-token count of a WORD column under a ``train_bpe`` merge
+    table: symbol string -> the k merges replayed in training order (k
+    chained codegen ``replace``s, all JVM) -> surviving symbol count.
+    The fertility readout's per-word core."""
+    s = _bpe_symbol_string(col)
+    for _r, l, rr, _c in learned:
+        s = F.replace(
+            s, F.lit(f"{l}{BPE_SEP}{rr}{BPE_SEP}"), F.lit(f"{l}{rr}{BPE_SEP}")
+        )
+    return F.size(F.split(s, BPE_SEP)) - 1
+
+
+def bpe_fertility(
+    df: DataFrame,
+    learned: "list[tuple[int, str, str, int]]",
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_word_len: int = 64,
+) -> DataFrame:
+    """Fertility under a TRAINED merge table, per group — ``(group,
+    n_docs, ws_tokens, bpe_tokens, fertility)`` where fertility =
+    post-merge subword tokens per whitespace word.  The trained twin of
+    ``tokenizer_fertility`` (whose subword proxy is a fixed regex): run
+    ``train_bpe`` on the corpus, then THIS to read out what the learned
+    vocabulary actually costs per language before setting mix weights.
+
+    Scale shape: one corpus-sized explode into a map-side-combinable
+    per-(group, word)... no — per-row ``bpe_segment_count`` is a chain of
+    k codegen replaces, so the whole pass is explode -> project -> ONE
+    combinable groupBy.  No join, no window."""
+    words = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(_tokens(F.col(text_col))).alias("__w"),
+    ).filter(
+        (F.col("__w") != "") & ~F.col("__w").contains(BPE_SEP)
+    ).select(
+        "__g", F.substring("__w", 1, max_word_len).alias("__w")
+    )
+    per = words.select(
+        "__g",
+        bpe_segment_count(F.col("__w"), learned).cast("long").alias("__s"),
+    )
+    agg = per.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("ws_tokens"),
+        F.sum("__s").cast("long").alias("bpe_tokens"),
+    )
+    ndocs = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return agg.join(ndocs, "__g").select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(
+                F.col("bpe_tokens").cast("double")
+                / F.col("ws_tokens").cast("double"),
+                6,
+            ),
+        ).alias("fertility"),
+    )

@@ -2778,3 +2778,134 @@ FROM groups
 
 QUERIES["dedup_savings"] = q_dedup_savings
 ORACLES["dedup_savings"] = _DEDUP_SAVINGS_SQL
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge training (r10): the learning step, gated round for
+# round, plus the trained-vocabulary fertility readout
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def _bpe_train_ctes(merges: int) -> str:
+    """The unrolled k-round BPE training as DuckDB CTEs (the mmr_rerank
+    unroll pattern): words -> TERMINATED symbol strings ('abc' ->
+    'a<31>b<31>c<31>', chr(31) = BPE_SEP — the terminator keeps the
+    non-overlapping replace exactly textbook-greedy, see
+    text._bpe_symbol_string) -> per round (adjacent-pair count via
+    unnest+subscripts self-join, argmax with the Spark tie-break, one
+    replace rewrite)."""
+    parts = [
+        """
+words AS MATERIALIZED (
+  SELECT substr(w, 1, 64) AS w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+  ) WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY 1
+),
+seq0 AS MATERIALIZED (
+  SELECT w, array_to_string(string_split(w, ''), chr(31)) || chr(31) AS s, n
+  FROM words
+)"""
+    ]
+    for r in range(1, merges + 1):
+        parts.append(
+            f"""
+sy{r} AS (
+  SELECT w, n, generate_subscripts(arr, 1) AS i, unnest(arr) AS sym
+  FROM (SELECT w, n, string_split(s, chr(31)) AS arr FROM seq{r - 1})
+),
+m{r} AS MATERIALIZED (
+  SELECT {r} AS merge_round, a.sym AS lhs, b.sym AS rhs,
+         CAST(sum(a.n) AS BIGINT) AS pair_count
+  FROM sy{r} a JOIN sy{r} b ON a.w = b.w AND b.i = a.i + 1
+  WHERE a.sym <> '' AND b.sym <> ''
+  GROUP BY 1, 2, 3
+  ORDER BY pair_count DESC, lhs ASC, rhs ASC
+  LIMIT 1
+),
+seq{r} AS MATERIALIZED (
+  SELECT w,
+         replace(s, m.lhs || chr(31) || m.rhs || chr(31),
+                    m.lhs || m.rhs || chr(31)) AS s,
+         n
+  FROM seq{r - 1}, m{r} m
+)"""
+        )
+    return ",".join(parts)
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table TRAINING (text.train_bpe), gated round
+    for round: 6 rounds of weighted adjacent-pair counting + argmax merge
+    over the distinct-word table, deterministic (count DESC, lhs, rhs)
+    tie-break.  The oracle unrolls the 6 rounds as CTE chains and must
+    reproduce the exact merge table — pair, order, and count."""
+    from cerebro_spark.operators.text import train_bpe
+
+    learned = train_bpe(
+        load_table(spark, "documents", sf_dir), merges=_BPE_MERGES
+    )
+    return spark.createDataFrame(
+        learned, "merge_round int, lhs string, rhs string, pair_count long"
+    )
+
+
+_BPE_TRAIN_SQL = (
+    "WITH "
+    + _bpe_train_ctes(_BPE_MERGES)
+    + "\nSELECT merge_round, lhs, rhs, pair_count FROM ("
+    + " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, _BPE_MERGES + 1)
+    )
+    + ")"
+)
+
+
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility under the TRAINED merge table (text.bpe_fertility), per
+    language — the budgeting readout `lang_fertility` approximates with a
+    fixed regex, now computed from the vocabulary the corpus actually
+    learned: train 6 merges, replay them over every word, count surviving
+    subword tokens per whitespace word per language.  The oracle re-trains
+    AND re-applies the merges from scratch in SQL."""
+    from cerebro_spark.operators.text import bpe_fertility, train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    learned = train_bpe(docs, merges=_BPE_MERGES)
+    return bpe_fertility(docs, learned, group_col="lang")
+
+
+_BPE_FERTILITY_SQL = (
+    "WITH "
+    + _bpe_train_ctes(_BPE_MERGES)
+    + f""",
+lw AS (
+  SELECT lang, substr(w, 1, 64) AS w FROM (
+    SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' AND NOT contains(w, chr(31))
+),
+wtok AS (
+  SELECT w, len(string_split(s, chr(31))) - 1 AS t FROM seq{_BPE_MERGES}
+),
+nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+agg AS (
+  SELECT lw.lang, count(*) AS ws_tokens, sum(wtok.t) AS bpe_tokens
+  FROM lw JOIN wtok ON wtok.w = lw.w
+  GROUP BY 1
+)
+SELECT a.lang, CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       CASE WHEN ws_tokens > 0
+            THEN round(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6)
+       END AS fertility
+FROM agg a JOIN nd ON nd.lang = a.lang
+"""
+)
+
+QUERIES["bpe_train_merges"] = q_bpe_train_merges
+ORACLES["bpe_train_merges"] = _BPE_TRAIN_SQL
+QUERIES["bpe_fertility_by_lang"] = q_bpe_fertility_by_lang
+ORACLES["bpe_fertility_by_lang"] = _BPE_FERTILITY_SQL

@@ -216,3 +216,54 @@ def test_vocab_coverage_hand_computed(spark):
     o2 = vocab_coverage(solo).collect()[0]
     assert o2["n2"] == 0 and o2["chao1"] is None
     assert o2["p_unseen"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge training (r10)
+# ---------------------------------------------------------------------------
+
+def test_train_bpe_matches_hand_computed_merges(spark):
+    """The Sennrich toy corpus: merge order and counts hand-verified,
+    including the (l,o) vs (o,w) count-5 tie broken by left symbol."""
+    from cerebro_spark.operators.text import bpe_fertility, train_bpe
+
+    df = spark.createDataFrame(
+        [("low low lower", "en"), ("lowest low", "en")],
+        "text string, lang string",
+    )
+    m = train_bpe(df, merges=4)
+    assert [(r, l, rr) for r, l, rr, _ in m] == [
+        (1, "l", "o"), (2, "lo", "w"), (3, "low", "e"), (4, "lowe", "r"),
+    ]
+    assert [c for _, _, _, c in m] == [5, 5, 2, 1]
+    f = bpe_fertility(df, m).first()
+    # low x3 and lower -> 1 token each; lowest -> 'lowe s t' = 3 tokens
+    assert (f.n_docs, f.ws_tokens, f.bpe_tokens) == (2, 5, 7)
+    assert f.fertility == 1.4
+
+
+def test_train_bpe_greedy_within_round(spark):
+    """' a a a a ' merges left-to-right non-overlapping: ONE round of (a, a)
+    yields 'aa aa', never 'a aa a' — the replace-based rewrite's contract."""
+    from cerebro_spark.operators.text import bpe_segment_count, train_bpe
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    m = train_bpe(df, merges=1)
+    assert [(l, r) for _, l, r, _ in m] == [("a", "a")]
+    got = (
+        df.sparkSession.createDataFrame([("aaaa",), ("aaa",)], "w string")
+        .select(bpe_segment_count(F.col("w"), m).alias("t"))
+        .collect()
+    )
+    assert [r.t for r in got] == [2, 2]  # aa|aa and aa|a
+
+
+def test_train_bpe_exhausts_small_corpus(spark):
+    """Asking for more merges than the corpus supports stops at exhaustion
+    instead of looping or erroring."""
+    from cerebro_spark.operators.text import train_bpe
+
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    m = train_bpe(df, merges=10)
+    assert [(l, r) for _, l, r, _ in m] == [("a", "b")]
