@@ -570,6 +570,7 @@ _SNAPSHOT_PRIORITY = [
                               # signature -> banded join -> overlap verify
     "bpe_train_merges",       # distributed BPE merge-table learning (6 rounds)
     "bpe_fertility_by_lang",  # fertility under the TRAINED merge table
+    "dhash_ahash_vote_pairs", # two-vote precision gate (dhash ∧ ahash)
     # --- r10 cutoff: everything below is driver-gated green (r01-r09) ---
     # R09 HEAD: r09 births front-insert here as they land (29 free
     # slots), followed by the 21 staged r08 late births promoted per the

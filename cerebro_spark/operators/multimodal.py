@@ -1057,6 +1057,103 @@ def byte_dhash_df(
     return base.select("id", fingerprint.alias("dhash"))
 
 
+def image_ahash_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    rows: int = 8,
+    cols: int = 7,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Arrow-batched ``ahash_from_gray`` over a binary image column:
+    (id, ahash).  The SECOND vote of the two-vote near-dup precision gate
+    (``dhash`` pairs ∧ ``ahash`` agreement — real pipelines run exactly
+    this composition to cut dHash's false positives on flat/gradient
+    images); same fail-soft ``on_error`` contract as ``image_dhash_df``."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    assert on_error in ("raise", "null")
+    df = ensure_parallelism(df)
+
+    def one(p) -> "int | None":
+        if p is None:
+            if on_error == "raise":
+                raise ValueError("NULL payload (no image bytes to decode)")
+            return None
+        if on_error == "raise":
+            return ahash_from_gray(decode_image_gray(bytes(p)), rows, cols)
+        try:
+            return ahash_from_gray(decode_image_gray(bytes(p)), rows, cols)
+        except (NotImplementedError, ValueError, AssertionError):
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "ahash": pd.array(
+                        [one(p) for p in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, "id long, ahash long")
+
+
+def byte_ahash_df(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rows: int = 8,
+    cols: int = 7,
+    shift: int = 0,
+) -> DataFrame:
+    """aHash computed JVM-side over a document's BYTES as a 1-D signal —
+    the ``byte_dhash_df`` twin for the AVERAGE hash: segment the byte
+    sequence into ``rows*cols`` equal spans (same floor-bucket rule), one
+    bit per span, set iff the span mean exceeds the GLOBAL mean
+    (cross-multiplied exact integers: ``s_k * N > S * c_k``).  Like dHash,
+    provably invariant under a uniform +k byte shift (both sides gain
+    ``k * c_k * N``), so a brightness twin votes IDENTICALLY — which is
+    what makes (dhash ∧ ahash) a precision gate, not a recall loss.
+
+    Returns (id, ahash).  SHUFFLE-FREE: 56 ``aggregate`` folds over
+    ``slice``s plus one whole-array fold for the global sum — a narrow
+    map over the scan, zero exchanges, no Python."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    S = rows * cols
+    assert S <= 60, "fingerprint must fit a signed long"
+    df = ensure_parallelism(df)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(content_col), "").alias("__a"),
+        F.length(content_col).alias("n"),
+    )
+    total = F.aggregate(
+        F.col("__a"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.ascii(x) + F.lit(shift),
+    )
+    fingerprint = None
+    for k in range(S):
+        start = F.expr(f"(n * {k} + {S - 1}) div {S}")
+        end = F.expr(f"(n * {k + 1} + {S - 1}) div {S}")
+        ln = (end - start).cast("long")
+        segsum = F.aggregate(
+            F.slice(F.col("__a"), start + 1, ln),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.ascii(x) + F.lit(shift),
+        )
+        term = F.when(
+            segsum * F.col("n").cast("long") > total * ln,
+            F.lit(1 << k).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return base.select("id", fingerprint.alias("ahash"))
+
+
 def _hash_bands(
     df: DataFrame, hash_col: str, id_col: str, bits: int, blocks: int
 ) -> DataFrame:

@@ -912,6 +912,79 @@ JOIN sigs nb ON nb.id = v.id_b
 
 
 # ---------------------------------------------------------------------------
+# two-vote perceptual precision gate (r10): dhash candidates ∧ ahash verify
+# ---------------------------------------------------------------------------
+
+def q_dhash_ahash_vote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-VOTE near-dup pairs: dHash banded candidates (gradient hash —
+    high recall, false-positive-prone on flat/low-contrast byte runs)
+    CONFIRMED by aHash agreement (global-mean hash — a different failure
+    mode), the composition real image pipelines run to cut dHash's false
+    positives.  Both hashes are provably +k-shift-invariant, so every
+    planted brightness twin survives both votes at Hamming 0; a
+    coincidental dHash collision survives only if the independent aHash
+    also agrees.  The join adds NO new pair scan — the ahash columns
+    equi-join onto the banded candidate set."""
+    from cerebro_spark.operators.multimodal import byte_ahash_df
+
+    corpus = _variant_corpus(spark, sf_dir).cache()
+    d = byte_dhash_df(corpus)
+    a = byte_ahash_df(corpus)
+    pairs = hamming_hash_pairs(d, "dhash", "id", max_hamming=3, bits=60, blocks=4)
+    joined = pairs.join(
+        a.select(F.col("id").alias("id_a"), F.col("ahash").alias("__aa")),
+        "id_a",
+    ).join(
+        a.select(F.col("id").alias("id_b"), F.col("ahash").alias("__ab")),
+        "id_b",
+    )
+    ah = F.bit_count(F.expr("__aa ^ __ab"))
+    return joined.filter(ah <= 3).select(
+        "id_a", "id_b", "hamming", ah.alias("ahamming")
+    )
+
+
+#: ahash over the variant corpus: 56 byte spans, bit k iff span sum * N >
+#: total sum * span count (global-mean cross-product — exact integers)
+_VOTE_PAIRS_SQL = (
+    "WITH "
+    + _dhash_fp_cte(_VARIANT_CHARS, _VARIANT_IDS)
+    + ","
+    + _VARIANT_PAIRS_BODY
+    + """,
+acells AS (
+  SELECT 2 * base.id + v.v AS id, (pos * 56) // n AS seg, b0 + 2 * v.v AS b
+  FROM (
+    SELECT id, n, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b0
+    FROM (SELECT doc_id AS id, length(text) AS n, string_split(text, '') AS cs
+          FROM documents)
+  ) base, (VALUES (0), (1)) AS v(v)
+),
+asegs AS (
+  SELECT id, seg, sum(b) AS s, count(*) AS c FROM acells GROUP BY 1, 2
+),
+atot AS (
+  SELECT id, sum(s) AS ts, sum(c) AS tc FROM asegs GROUP BY 1
+),
+afp AS (
+  SELECT a.id,
+         CAST(COALESCE(sum(CASE WHEN a.s * t.tc > t.ts * a.c
+                  THEN (CAST(1 AS BIGINT) << a.seg)
+                  ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS ahash
+  FROM asegs a JOIN atot t ON t.id = a.id
+  GROUP BY 1
+)
+SELECT p.id_a, p.id_b, p.hamming,
+       bit_count(xor(aa.ahash, ab.ahash)) AS ahamming
+FROM pairs p
+JOIN afp aa ON aa.id = p.id_a
+JOIN afp ab ON ab.id = p.id_b
+WHERE bit_count(xor(aa.ahash, ab.ahash)) <= 3
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # r10: online media dedup end-to-end (sink + index probe), fail-soft gate
 # ---------------------------------------------------------------------------
 
@@ -1164,6 +1237,7 @@ QUERIES = {
     "streaming_media_neardup_check": q_streaming_media_neardup_check,
     "image_dhash_nulls": q_image_dhash_nulls,
     "video_neardup_pairs": q_video_neardup_pairs,
+    "dhash_ahash_vote_pairs": q_dhash_ahash_vote_pairs,
 }
 
 ORACLES = {
@@ -1184,4 +1258,5 @@ ORACLES = {
     "streaming_media_neardup_check": _STREAMING_MEDIA_NEARDUP_SQL,
     "image_dhash_nulls": _IMAGE_DHASH_NULLS_SQL,
     "video_neardup_pairs": _VIDEO_NEARDUP_SQL,
+    "dhash_ahash_vote_pairs": _VOTE_PAIRS_SQL,
 }

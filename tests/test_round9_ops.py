@@ -626,3 +626,67 @@ def test_video_frame_hash_fail_soft(spark):
         assert len(by_id[bad]) == 1 and by_id[bad][0].fhash is None
     with pytest.raises(Exception):
         video_frame_hash_df(df, every_ms=500).collect()
+
+
+# ---------------------------------------------------------------------------
+# two-vote precision gate (r10): ahash as the second, independent vote
+# ---------------------------------------------------------------------------
+
+def test_image_ahash_df_over_bmp_payloads(spark):
+    from cerebro_spark.operators.multimodal import image_ahash_df
+
+    g1, g2 = _gray(20, 30), _gray(20, 30, seed=11)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp_gray(g1))),
+            (2, bytearray(encode_bmp_gray(g2))),
+            (3, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.id: r.ahash for r in image_ahash_df(df, on_error="null").collect()}
+    assert got[1] == ahash_from_gray(g1)
+    assert got[2] == ahash_from_gray(g2)
+    assert got[3] is None
+    with pytest.raises(Exception):
+        image_ahash_df(df).collect()
+
+
+def test_byte_ahash_df_shift_invariant_and_matches_prototype(spark):
+    from cerebro_spark.operators.multimodal import byte_ahash_df
+
+    import hashlib
+
+    def doc(seed, n=150):
+        return "".join(
+            chr(32 + hashlib.md5(f"{seed}:{j}".encode()).digest()[0] % 88)
+            for j in range(n)
+        )
+
+    texts = [doc(1), doc(2)]
+    shifted = ["".join(chr(ord(c) + 2) for c in texts[0])]
+    df = spark.createDataFrame(
+        [(0, texts[0]), (1, texts[1]), (2, shifted[0])],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.ahash for r in byte_ahash_df(df).collect()}
+
+    def proto(text, rows=8, cols=7):
+        b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        n, S = len(b), rows * cols
+        seg = (np.arange(n) * S) // n
+        sums = np.bincount(seg, weights=b.astype(float), minlength=S).astype(np.int64)
+        cnts = np.bincount(seg, minlength=S)
+        ts, tc = int(sums.sum()), int(cnts.sum())
+        h = 0
+        for k in range(S):
+            if sums[k] * tc > ts * cnts[k]:
+                h |= 1 << k
+        return h
+
+    assert got[0] == proto(texts[0]) and got[1] == proto(texts[1])
+    # +2 uniform shift: identical ahash (the invariance that makes the
+    # second vote keep every true brightness twin)
+    assert got[2] == got[0]
+    # and the two genuinely distinct docs disagree
+    assert got[0] != got[1]
