@@ -272,6 +272,14 @@ HEADLINE = [
     "audio_neardup_pairs",    # banded near-match audio retrieval
     "dhash_dedup_clusters",   # perceptual dedup end-to-end
     "streaming_dhash_check",  # streamed fingerprints == batch
+    # r10 births
+    "streaming_media_neardup_check",  # online media dedup sink end-to-end
+    "hamming_index_probe",    # persisted Hamming index online lookup
+    "image_dhash_nulls",      # fail-soft NULL/corrupt payload pass
+    "video_neardup_pairs",    # video dedup: signature -> band -> verify
+    "bpe_train_merges",       # 6-round distributed BPE merge learning
+    "bpe_fertility_by_lang",  # trained-vocabulary fertility readout
+    "dhash_ahash_vote_pairs", # two-vote perceptual precision gate
 ]
 
 
