@@ -589,9 +589,34 @@ def media_neardup_filter_sink(
             return byte_dhash_df(d, content_col=content_col, id_col=id_col)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
+        # half-finished compaction swap: refuse loudly with the restore
+        # path rather than silently starting a fresh index (the
+        # neardup_filter_sink lesson)
+        if not os.path.exists(index_path) and os.path.exists(
+            f"{index_path}.old"
+        ):
+            raise RuntimeError(
+                f"{index_path} missing but {index_path}.old exists — a "
+                "compact_media_index swap crashed mid-rename; restore "
+                f"with: mv {index_path}.old {index_path}"
+            )
+        # a batch already folded into the compacted __batch=0 generation is
+        # fully committed — a replay must be a NO-OP: re-probing would see
+        # the batch's OWN folded fingerprints (0 < N) and wrongly drop its
+        # docs, and re-appending bands would duplicate index facts
+        try:
+            ct = spark.read.parquet(
+                f"{index_path}/compacted_through"
+            ).collect()[0]["through_batch"]
+            if batch_id <= ct:
+                return
+        except Exception:  # no compaction has run yet
+            pass
         # (1) intra-batch exact dedup, deterministic min-id survivor
         batch = (
             batch_df.withColumn("__d", F.md5(F.col(content_col)))
@@ -676,3 +701,77 @@ def media_neardup_filter_sink(
             fps.unpersist()
 
     return write
+
+
+def compact_media_index(
+    spark,
+    index_path: str,
+    out_path: str | None = None,
+    target_files: int = 8,
+):
+    """Compact a ``media_neardup_filter_sink``-owned Hamming index: many
+    per-batch ``__batch=N`` directories (one small file each) collapse into
+    one consolidated ``__batch=0`` generation — same probe results, bounded
+    file count.  The media twin of ``compact_neardup_index``; the same
+    swap/crash contract applies (run from the maintenance window after the
+    stream stops; ``<path>.old`` names the restore if the rename pair is
+    interrupted; POSIX-rename local paths only, pass ``out_path`` on an
+    object store).
+
+    One subtlety the text twin handles more loosely: the media sink's
+    replay guard probes ``__batch < N``, and folding collapses history
+    into batch id 0 — so a post-compaction replay of an already-folded
+    batch N would see its OWN fingerprints (0 < N) and wrongly drop its
+    docs.  The sink therefore honors the ``compacted_through`` marker
+    written here as a FULL no-op (skip probe, output, and growth): a
+    folded batch is by contract checkpoint-committed, so its output
+    directory already holds the correct survivors."""
+    import os as _os
+    import re
+    import shutil
+
+    fps = (
+        spark.read.parquet(f"{index_path}/fps")
+        .drop("__batch")
+        .dropDuplicates(["id"])
+    )
+    bands = (
+        spark.read.parquet(f"{index_path}/bands")
+        .drop("__batch")
+        .dropDuplicates(["id", "blk", "seg"])
+    )
+    params = spark.read.parquet(f"{index_path}/params")
+    n_blocks = int(params.collect()[0]["blocks"])
+    max_batch = max(
+        (
+            int(m.group(1))
+            for d in _os.listdir(f"{index_path}/bands")
+            for m in [re.match(r"__batch=(\d+)$", d)]
+            if m
+        ),
+        default=0,
+    )
+
+    target = out_path or f"{index_path}.compact-tmp"
+    shutil.rmtree(target, ignore_errors=True)
+    fps.repartition(target_files).write.mode("overwrite").parquet(
+        f"{target}/fps/__batch=0"
+    )
+    (
+        bands.repartition(n_blocks, "blk")
+        .write.mode("overwrite")
+        .partitionBy("blk")
+        .parquet(f"{target}/bands/__batch=0")
+    )
+    params.coalesce(1).write.mode("overwrite").parquet(f"{target}/params")
+    spark.createDataFrame(
+        [(max_batch,)], "through_batch long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{target}/compacted_through"
+    )
+    if out_path is None:
+        old = f"{index_path}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(index_path, old)
+        shutil.move(target, index_path)
+        shutil.rmtree(old)
