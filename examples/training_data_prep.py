@@ -364,6 +364,20 @@ def main() -> None:
         print("media dedup:       0 perceptual near-dup pairs "
               "(corpus has no planted media twins)")
 
+    # 30. (round 10) tokenizer panel: LEARN a BPE merge table from the
+    # training split, then read out what the learned vocabulary costs per
+    # language — the fertility number that sets multilingual mix weights.
+    from cerebro_spark.operators.text import bpe_fertility, train_bpe
+
+    merges = train_bpe(train, merges=6)
+    top = ", ".join(f"{l}+{r}" for _, l, r, _ in merges[:4])
+    fert = {
+        r["lang"]: r["fertility"]
+        for r in bpe_fertility(train, merges, group_col="lang").collect()
+    }
+    print(f"bpe trainer:       learned merges [{top}, ...]; "
+          f"fertility by lang {fert}")
+
 
 if __name__ == "__main__":
     main()
