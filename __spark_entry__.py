@@ -571,6 +571,8 @@ _SNAPSHOT_PRIORITY = [
     "bpe_train_merges",       # distributed BPE merge-table learning (6 rounds)
     "bpe_fertility_by_lang",  # fertility under the TRAINED merge table
     "dhash_ahash_vote_pairs", # two-vote precision gate (dhash ∧ ahash)
+    "video_dedup_clusters",   # video dedup end-to-end (verify -> CC)
+    "wordpiece_train_merges", # WordPiece likelihood-argmax merge training
     # --- r10 cutoff: everything below is driver-gated green (r01-r09) ---
     # R09 HEAD: r09 births front-insert here as they land (29 free
     # slots), followed by the 21 staged r08 late births promoted per the

@@ -280,6 +280,8 @@ HEADLINE = [
     "bpe_train_merges",       # 6-round distributed BPE merge learning
     "bpe_fertility_by_lang",  # trained-vocabulary fertility readout
     "dhash_ahash_vote_pairs", # two-vote perceptual precision gate
+    "video_dedup_clusters",   # video dedup end-to-end (verify -> CC)
+    "wordpiece_train_merges", # WordPiece likelihood-argmax training
 ]
 
 

@@ -2506,3 +2506,93 @@ def bpe_fertility(
             ),
         ).alias("fertility"),
     )
+
+
+def train_wordpiece(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 6,
+    max_word_len: int = 64,
+) -> "list[tuple[int, str, str, int, int, int]]":
+    """Distributed WordPiece merge training — ``train_bpe``'s machinery
+    with the LIKELIHOOD objective (Schuster & Nakajima 2012 / the BERT
+    trainer): each round merges the pair maximizing
+    ``count(pair) / (count(left) * count(right))`` instead of raw pair
+    count, preferring pairs that co-occur more than their parts predict
+    (so rare-but-exclusive morphemes merge before frequent-but-independent
+    letter pairs).  Returns ``[(round, left, right, pair_count,
+    left_count, right_count), ...]`` — all integers, so the merge table
+    is hash-exact across engines; the score itself is one IEEE division
+    of exactly-representable integers (identical in Spark and DuckDB),
+    tie-broken (left, right) ascending.
+
+    Same scale shape and caps as ``train_bpe`` (one corpus pass to the
+    cached word table, per round one combinable pair count + one unigram
+    count + a single-row argmax collect + one codegen replace)."""
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").contains(BPE_SEP))
+        .select(F.substring("w", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    seq = words.select(_bpe_symbol_string(F.col("w")).alias("s"), "n")
+    learned: list[tuple[int, str, str, int, int, int]] = []
+    try:
+        for r in range(1, merges + 1):
+            allp = F.split(F.col("s"), BPE_SEP)
+            arr = F.slice(allp, 1, F.size(allp) - 1)
+            uni = (
+                seq.select(F.explode(arr).alias("sym"), "n")
+                .groupBy("sym")
+                .agg(F.sum("n").alias("uc"))
+            )
+            pairs = (
+                seq.select(
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                            F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("c"))
+            )
+            top = (
+                pairs.join(
+                    uni.select(F.col("sym").alias("l"), F.col("uc").alias("lc")),
+                    "l",
+                )
+                .join(
+                    uni.select(F.col("sym").alias("r"), F.col("uc").alias("rc")),
+                    "r",
+                )
+                .withColumn(
+                    "__score",
+                    F.col("c").cast("double") / (F.col("lc") * F.col("rc")),
+                )
+                .orderBy(F.desc("__score"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            t = top[0]
+            l, rr = t["l"], t["r"]
+            learned.append(
+                (r, l, rr, int(t["c"]), int(t["lc"]), int(t["rc"]))
+            )
+            seq = seq.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{l}{BPE_SEP}{rr}{BPE_SEP}"),
+                    F.lit(f"{l}{rr}{BPE_SEP}"),
+                ),
+            )
+    finally:
+        words.unpersist()
+    return learned

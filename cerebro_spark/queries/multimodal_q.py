@@ -911,6 +911,66 @@ JOIN sigs nb ON nb.id = v.id_b
 """
 
 
+def q_video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup END-TO-END: candidate pairs (signature band join) ->
+    exact frame-overlap VERIFY (integer rule: matching_frames * 10 >=
+    9 * max(n_a, n_b), i.e. >= 90% aligned frames — exact arithmetic, no
+    float threshold) -> connected components -> (id, canonical_id,
+    cluster_size); the video twin of `dhash_dedup_clusters`, sharing the
+    same star-contraction CC operator.  Over the planted corpus every
+    video pairs with its brightness twin at frac 1.0."""
+    from cerebro_spark.operators.cluster import connected_components
+    from cerebro_spark.operators.multimodal import (
+        frame_overlap_verify,
+        hamming_hash_pairs,
+        video_frame_hash_df,
+        video_signature,
+    )
+
+    corpus = _variant_corpus(spark, sf_dir)
+    fh = video_frame_hash_df(_synth_avi(corpus), every_ms=500).cache()
+    sigs = video_signature(fh, bits=16, temporal_bands=3)
+    cands = hamming_hash_pairs(
+        sigs, "vfp", "id", max_hamming=3, bits=48, blocks=4
+    )
+    verified = frame_overlap_verify(cands, fh, frame_tol=0).filter(
+        F.col("matching_frames") * 10
+        >= F.greatest("n_frames_a", "n_frames_b") * 9
+    )
+    comp = connected_components(verified.select("id_a", "id_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "id", F.col("component").alias("canonical_id"), "cluster_size"
+    )
+
+
+_VIDEO_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE vpairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_VIDEO_NEARDUP_SQL}) q
+  WHERE matching_frames * 10 >= greatest(n_frames_a, n_frames_b) * 9
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM vpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM vpairs
+),
+vnodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id AS n, id AS r FROM vnodes
+  UNION
+  SELECT reach.n, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+),
+comp AS (SELECT n AS id, min(r) AS component FROM reach GROUP BY n)
+SELECT c.id, c.component AS canonical_id, s.cluster_size
+FROM comp c
+JOIN (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+) s USING (component)
+"""
+
+
 # ---------------------------------------------------------------------------
 # two-vote perceptual precision gate (r10): dhash candidates ∧ ahash verify
 # ---------------------------------------------------------------------------
@@ -1238,6 +1298,7 @@ QUERIES = {
     "image_dhash_nulls": q_image_dhash_nulls,
     "video_neardup_pairs": q_video_neardup_pairs,
     "dhash_ahash_vote_pairs": q_dhash_ahash_vote_pairs,
+    "video_dedup_clusters": q_video_dedup_clusters,
 }
 
 ORACLES = {
@@ -1259,4 +1320,5 @@ ORACLES = {
     "image_dhash_nulls": _IMAGE_DHASH_NULLS_SQL,
     "video_neardup_pairs": _VIDEO_NEARDUP_SQL,
     "dhash_ahash_vote_pairs": _VOTE_PAIRS_SQL,
+    "video_dedup_clusters": _VIDEO_DEDUP_CLUSTERS_SQL,
 }

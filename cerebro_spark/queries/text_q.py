@@ -2909,3 +2909,91 @@ QUERIES["bpe_train_merges"] = q_bpe_train_merges
 ORACLES["bpe_train_merges"] = _BPE_TRAIN_SQL
 QUERIES["bpe_fertility_by_lang"] = q_bpe_fertility_by_lang
 ORACLES["bpe_fertility_by_lang"] = _BPE_FERTILITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# WordPiece merge training (r10): the likelihood objective over the same
+# machinery — score = count(pair) / (count(left) * count(right))
+# ---------------------------------------------------------------------------
+
+def _wp_train_ctes(merges: int) -> str:
+    parts = [
+        """
+words AS MATERIALIZED (
+  SELECT substr(w, 1, 64) AS w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+  ) WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY 1
+),
+seq0 AS MATERIALIZED (
+  SELECT w, array_to_string(string_split(w, ''), chr(31)) || chr(31) AS s, n
+  FROM words
+)"""
+    ]
+    for r in range(1, merges + 1):
+        parts.append(
+            f"""
+sy{r} AS (
+  SELECT w, n, generate_subscripts(arr, 1) AS i, unnest(arr) AS sym
+  FROM (SELECT w, n, string_split(s, chr(31)) AS arr FROM seq{r - 1})
+),
+u{r} AS (
+  SELECT sym, sum(n) AS uc FROM sy{r} WHERE sym <> '' GROUP BY 1
+),
+m{r} AS MATERIALIZED (
+  SELECT {r} AS merge_round, p.lhs, p.rhs,
+         CAST(p.c AS BIGINT) AS pair_count,
+         CAST(ul.uc AS BIGINT) AS lhs_count,
+         CAST(ur.uc AS BIGINT) AS rhs_count
+  FROM (
+    SELECT a.sym AS lhs, b.sym AS rhs, sum(a.n) AS c
+    FROM sy{r} a JOIN sy{r} b ON a.w = b.w AND b.i = a.i + 1
+    WHERE a.sym <> '' AND b.sym <> ''
+    GROUP BY 1, 2
+  ) p
+  JOIN u{r} ul ON ul.sym = p.lhs
+  JOIN u{r} ur ON ur.sym = p.rhs
+  ORDER BY CAST(p.c AS DOUBLE) / (ul.uc * ur.uc) DESC, p.lhs ASC, p.rhs ASC
+  LIMIT 1
+),
+seq{r} AS MATERIALIZED (
+  SELECT w,
+         replace(s, m.lhs || chr(31) || m.rhs || chr(31),
+                    m.lhs || m.rhs || chr(31)) AS s,
+         n
+  FROM seq{r - 1}, m{r} m
+)"""
+        )
+    return ",".join(parts)
+
+
+def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge training (text.train_wordpiece), gated round for
+    round: the LIKELIHOOD argmax (pair count over the product of part
+    counts — one IEEE division of exactly-representable integers,
+    identical in both engines) instead of BPE's raw-count argmax.  The
+    output carries only integers (pair + all three counts), so the gate
+    hashes exactly; the oracle re-trains the 6 rounds in SQL."""
+    from cerebro_spark.operators.text import train_wordpiece
+
+    learned = train_wordpiece(
+        load_table(spark, "documents", sf_dir), merges=_BPE_MERGES
+    )
+    return spark.createDataFrame(
+        learned,
+        "merge_round int, lhs string, rhs string, pair_count long, "
+        "lhs_count long, rhs_count long",
+    )
+
+
+_WP_TRAIN_SQL = (
+    "WITH "
+    + _wp_train_ctes(_BPE_MERGES)
+    + "\nSELECT merge_round, lhs, rhs, pair_count, lhs_count, rhs_count FROM ("
+    + " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, _BPE_MERGES + 1)
+    )
+    + ")"
+)
+
+QUERIES["wordpiece_train_merges"] = q_wordpiece_train_merges
+ORACLES["wordpiece_train_merges"] = _WP_TRAIN_SQL

@@ -267,3 +267,19 @@ def test_train_bpe_exhausts_small_corpus(spark):
     df = spark.createDataFrame([("ab ab",)], "text string")
     m = train_bpe(df, merges=10)
     assert [(l, r) for _, l, r, _ in m] == [("a", "b")]
+
+
+def test_train_wordpiece_likelihood_beats_raw_count(spark):
+    """The likelihood argmax picks (a,b) — rare but exclusive (2/(2*2) =
+    0.5) — over (x,z), which raw-count BPE would pick first (count 3 but
+    score 3/(3*3) = 0.33)."""
+    from cerebro_spark.operators.text import train_bpe, train_wordpiece
+
+    df = spark.createDataFrame([("xz xz xz ab ab",)], "text string")
+    wp = train_wordpiece(df, merges=2)
+    assert [(r, l, rr, c, lc, rc) for r, l, rr, c, lc, rc in wp] == [
+        (1, "a", "b", 2, 2, 2),
+        (2, "x", "z", 3, 3, 3),
+    ]
+    bpe = train_bpe(df, merges=1)
+    assert [(l, r) for _, l, r, _ in bpe] == [("x", "z")]  # the contrast
