@@ -2350,15 +2350,59 @@ BPE_SEP = "\x1f"
 
 
 def _bpe_symbol_string(w) -> Column:
-    """A word as a TERMINATED symbol string: 'abc' -> 'a<SEP>b<SEP>c<SEP>'.
-    Merging pair (x, y) is then ONE substring replace of 'x<SEP>y<SEP>'
-    with 'xy<SEP>' — and because every symbol carries its own terminator,
-    the replacement never consumes the NEXT pair's boundary, so the
-    non-overlapping left-to-right scan both engines implement is exactly
-    textbook BPE's within-round greedy merge ('a a a a' -> 'aa aa',
-    'a b a b' -> 'ab ab'), and a pattern can never prefix-match a longer
-    symbol ('a<SEP>b<SEP>' cannot fire inside 'a<SEP>bc<SEP>')."""
-    return F.concat(F.array_join(F.split(w, ""), BPE_SEP), F.lit(BPE_SEP))
+    """A word as a WRAPPED symbol string — every symbol carries BOTH its
+    own boundaries: 'abc' -> '<SEP>a<SEP><SEP>b<SEP><SEP>c<SEP>'.  Merging
+    pair (x, y) is then ONE substring replace of '<SEP>x<SEP><SEP>y<SEP>'
+    with '<SEP>xy<SEP>'.
+
+    Why both boundaries (the r10 representation carried only the trailing
+    one): a trailing-only pattern 'a<SEP>b<SEP>' has no LEFT boundary, so
+    it can consume the SUFFIX of a longer preceding symbol — on symbols
+    ['xa','b'] ('xa<SEP>b<SEP>') the merge (a,b) wrongly fired, yielding
+    'xab'.  With the wrapped form, 'a' in '<SEP>xa<SEP><SEP>b<SEP>' is
+    preceded by 'x', never by <SEP>, so the pattern cannot match.
+
+    Exactness: a match of '<SEP>l<SEP><SEP>r<SEP>' can only start at a
+    symbol's left boundary (string start, or the 2nd <SEP> of a
+    double — both fine) and spans exactly the adjacent pair (l, r); the
+    replacement '<SEP>lr<SEP>' re-supplies the merged symbol's wrapper
+    while the pattern consumed only the FIRST <SEP> of r's trailing
+    double, so the NEXT symbol keeps its own left boundary and the
+    non-overlapping left-to-right scan both engines implement resumes
+    exactly at symbol i+2 — textbook greedy within-word merging:
+    'a a a a a' -> 'aa aa a', 'a b a b' -> 'ab ab' (verified against a
+    tuple-based reference trainer in tools/soak_r10.py, including a
+    suffix-trigger corpus xa/ab/xab)."""
+    return F.concat(
+        F.lit(BPE_SEP),
+        F.array_join(F.split(w, ""), BPE_SEP + BPE_SEP),
+        F.lit(BPE_SEP),
+    )
+
+
+def _bpe_symbols(s: Column) -> Column:
+    """The symbol array of a wrapped symbol string: split on <SEP> and
+    drop the empty fragments the boundary pairs produce (symbols are
+    never empty — they are concatenations of word characters)."""
+    return F.filter(F.split(s, BPE_SEP), lambda x: x != "")
+
+
+def _bpe_merge_pattern(l: str, r: str) -> "tuple[str, str]":
+    """(pattern, replacement) for merging adjacent symbols (l, r) in the
+    wrapped representation."""
+    return (
+        f"{BPE_SEP}{l}{BPE_SEP}{BPE_SEP}{r}{BPE_SEP}",
+        f"{BPE_SEP}{l}{r}{BPE_SEP}",
+    )
+
+
+#: merge rounds between lineage materializations in the BPE/WordPiece
+#: trainers and the batched merge-replay: round r otherwise recomputes an
+#: r-deep chained ``replace`` over the cached word table (O(k²) total
+#: string rewrites and a k-deep plan at k merges).  localCheckpoint every
+#: CHECKPOINT_EVERY rounds keeps per-round cost flat — the pagerank
+#: half-iteration-checkpoint discipline (cluster.py).
+BPE_CHECKPOINT_EVERY = 32
 
 
 def train_bpe(
@@ -2384,7 +2428,11 @@ def train_bpe(
     adjacent symbol pairs off distinct words (map-side-combinable sum),
     TakeOrdered-style top-1 to the driver (ONE row — bounded metadata,
     the same discipline as kcore's scalar k), then one codegen'd
-    ``replace`` rewrites every word's symbol string.  (3) ``merges`` is a
+    ``replace`` rewrites every word's symbol string; the rewrite lineage
+    is materialized every ``BPE_CHECKPOINT_EVERY`` rounds
+    (localCheckpoint), so per-round cost stays flat at realistic merge
+    depths (soaked at merges=256, tools/soak_r11.py) instead of round r
+    re-running an r-deep replace chain.  (3) ``merges`` is a
     config constant, never data-sized.  Words are truncated to
     ``max_word_len`` chars, bounding per-row fan-out against base64/
     minified-JS "words" (the bpe_merge_candidates cap, moved to the word
@@ -2403,10 +2451,7 @@ def train_bpe(
     learned: list[tuple[int, str, str, int]] = []
     try:
         for r in range(1, merges + 1):
-            # split on the terminator yields [sym1, ..., symk, '']: drop
-            # the trailing empty, zip adjacent symbols
-            allp = F.split(F.col("s"), BPE_SEP)
-            arr = F.slice(allp, 1, F.size(allp) - 1)
+            arr = _bpe_symbols(F.col("s"))
             top = (
                 seq.select(
                     F.explode(
@@ -2427,14 +2472,12 @@ def train_bpe(
                 break
             l, rr, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
             learned.append((r, l, rr, c))
+            pat, rep = _bpe_merge_pattern(l, rr)
             seq = seq.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f"{l}{BPE_SEP}{rr}{BPE_SEP}"),
-                    F.lit(f"{l}{rr}{BPE_SEP}"),
-                ),
+                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
             )
+            if r % BPE_CHECKPOINT_EVERY == 0:
+                seq = seq.localCheckpoint(eager=True)
     finally:
         words.unpersist()
     return learned
@@ -2446,13 +2489,15 @@ def bpe_segment_count(
     """Subword-token count of a WORD column under a ``train_bpe`` merge
     table: symbol string -> the k merges replayed in training order (k
     chained codegen ``replace``s, all JVM) -> surviving symbol count.
-    The fertility readout's per-word core."""
+    The fertility readout's per-word core.  A single Column expression —
+    fine at readout-sized merge tables (≤ ~64); for realistic merge
+    depths use ``apply_bpe_merges`` / ``bpe_encode``, which materialize
+    the replay every ``BPE_CHECKPOINT_EVERY`` rounds."""
     s = _bpe_symbol_string(col)
-    for _r, l, rr, _c in learned:
-        s = F.replace(
-            s, F.lit(f"{l}{BPE_SEP}{rr}{BPE_SEP}"), F.lit(f"{l}{rr}{BPE_SEP}")
-        )
-    return F.size(F.split(s, BPE_SEP)) - 1
+    for _r, l, rr, *_rest in learned:
+        pat, rep = _bpe_merge_pattern(l, rr)
+        s = F.replace(s, F.lit(pat), F.lit(rep))
+    return F.size(_bpe_symbols(s))
 
 
 def bpe_fertility(
@@ -2541,8 +2586,7 @@ def train_wordpiece(
     learned: list[tuple[int, str, str, int, int, int]] = []
     try:
         for r in range(1, merges + 1):
-            allp = F.split(F.col("s"), BPE_SEP)
-            arr = F.slice(allp, 1, F.size(allp) - 1)
+            arr = _bpe_symbols(F.col("s"))
             uni = (
                 seq.select(F.explode(arr).alias("sym"), "n")
                 .groupBy("sym")
@@ -2571,8 +2615,14 @@ def train_wordpiece(
                     "r",
                 )
                 .withColumn(
+                    # each factor cast to double BEFORE multiplying: a
+                    # 64-bit integer product lc*rc overflows at
+                    # multi-billion-token scale while the oracle's HUGEINT
+                    # stays exact; double*double is the same IEEE op in
+                    # both engines at any scale
                     "__score",
-                    F.col("c").cast("double") / (F.col("lc") * F.col("rc")),
+                    F.col("c").cast("double")
+                    / (F.col("lc").cast("double") * F.col("rc").cast("double")),
                 )
                 .orderBy(F.desc("__score"), F.asc("l"), F.asc("r"))
                 .limit(1)
@@ -2585,14 +2635,12 @@ def train_wordpiece(
             learned.append(
                 (r, l, rr, int(t["c"]), int(t["lc"]), int(t["rc"]))
             )
+            pat, rep = _bpe_merge_pattern(l, rr)
             seq = seq.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f"{l}{BPE_SEP}{rr}{BPE_SEP}"),
-                    F.lit(f"{l}{rr}{BPE_SEP}"),
-                ),
+                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
             )
+            if r % BPE_CHECKPOINT_EVERY == 0:
+                seq = seq.localCheckpoint(eager=True)
     finally:
         words.unpersist()
     return learned

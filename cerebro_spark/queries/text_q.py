@@ -2790,12 +2790,14 @@ _BPE_MERGES = 6
 
 def _bpe_train_ctes(merges: int) -> str:
     """The unrolled k-round BPE training as DuckDB CTEs (the mmr_rerank
-    unroll pattern): words -> TERMINATED symbol strings ('abc' ->
-    'a<31>b<31>c<31>', chr(31) = BPE_SEP — the terminator keeps the
-    non-overlapping replace exactly textbook-greedy, see
-    text._bpe_symbol_string) -> per round (adjacent-pair count via
-    unnest+subscripts self-join, argmax with the Spark tie-break, one
-    replace rewrite)."""
+    unroll pattern): words -> WRAPPED symbol strings ('abc' ->
+    '<31>a<31><31>b<31><31>c<31>', chr(31) = BPE_SEP — every symbol
+    carries BOTH boundaries, so the single non-overlapping replace of
+    '<31>l<31><31>r<31>' with '<31>lr<31>' is exactly textbook-greedy
+    and can never consume the suffix of a longer preceding symbol; see
+    text._bpe_symbol_string for the proof sketch) -> per round
+    (adjacent-pair count via unnest+subscripts self-join, argmax with
+    the Spark tie-break, one replace rewrite)."""
     parts = [
         """
 words AS MATERIALIZED (
@@ -2804,7 +2806,10 @@ words AS MATERIALIZED (
   ) WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY 1
 ),
 seq0 AS MATERIALIZED (
-  SELECT w, array_to_string(string_split(w, ''), chr(31)) || chr(31) AS s, n
+  SELECT w,
+         chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31))
+                 || chr(31) AS s,
+         n
   FROM words
 )"""
     ]
@@ -2813,21 +2818,22 @@ seq0 AS MATERIALIZED (
             f"""
 sy{r} AS (
   SELECT w, n, generate_subscripts(arr, 1) AS i, unnest(arr) AS sym
-  FROM (SELECT w, n, string_split(s, chr(31)) AS arr FROM seq{r - 1})
+  FROM (SELECT w, n,
+               list_filter(string_split(s, chr(31)), x -> x <> '') AS arr
+        FROM seq{r - 1})
 ),
 m{r} AS MATERIALIZED (
   SELECT {r} AS merge_round, a.sym AS lhs, b.sym AS rhs,
          CAST(sum(a.n) AS BIGINT) AS pair_count
   FROM sy{r} a JOIN sy{r} b ON a.w = b.w AND b.i = a.i + 1
-  WHERE a.sym <> '' AND b.sym <> ''
   GROUP BY 1, 2, 3
   ORDER BY pair_count DESC, lhs ASC, rhs ASC
   LIMIT 1
 ),
 seq{r} AS MATERIALIZED (
   SELECT w,
-         replace(s, m.lhs || chr(31) || m.rhs || chr(31),
-                    m.lhs || m.rhs || chr(31)) AS s,
+         replace(s, chr(31) || m.lhs || chr(31) || chr(31) || m.rhs || chr(31),
+                    chr(31) || m.lhs || m.rhs || chr(31)) AS s,
          n
   FROM seq{r - 1}, m{r} m
 )"""
@@ -2887,7 +2893,8 @@ lw AS (
   ) WHERE w <> '' AND NOT contains(w, chr(31))
 ),
 wtok AS (
-  SELECT w, len(string_split(s, chr(31))) - 1 AS t FROM seq{_BPE_MERGES}
+  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS t
+  FROM seq{_BPE_MERGES}
 ),
 nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
 agg AS (
@@ -2925,7 +2932,10 @@ words AS MATERIALIZED (
   ) WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY 1
 ),
 seq0 AS MATERIALIZED (
-  SELECT w, array_to_string(string_split(w, ''), chr(31)) || chr(31) AS s, n
+  SELECT w,
+         chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31))
+                 || chr(31) AS s,
+         n
   FROM words
 )"""
     ]
@@ -2934,10 +2944,12 @@ seq0 AS MATERIALIZED (
             f"""
 sy{r} AS (
   SELECT w, n, generate_subscripts(arr, 1) AS i, unnest(arr) AS sym
-  FROM (SELECT w, n, string_split(s, chr(31)) AS arr FROM seq{r - 1})
+  FROM (SELECT w, n,
+               list_filter(string_split(s, chr(31)), x -> x <> '') AS arr
+        FROM seq{r - 1})
 ),
 u{r} AS (
-  SELECT sym, sum(n) AS uc FROM sy{r} WHERE sym <> '' GROUP BY 1
+  SELECT sym, sum(n) AS uc FROM sy{r} GROUP BY 1
 ),
 m{r} AS MATERIALIZED (
   SELECT {r} AS merge_round, p.lhs, p.rhs,
@@ -2947,18 +2959,21 @@ m{r} AS MATERIALIZED (
   FROM (
     SELECT a.sym AS lhs, b.sym AS rhs, sum(a.n) AS c
     FROM sy{r} a JOIN sy{r} b ON a.w = b.w AND b.i = a.i + 1
-    WHERE a.sym <> '' AND b.sym <> ''
     GROUP BY 1, 2
   ) p
   JOIN u{r} ul ON ul.sym = p.lhs
   JOIN u{r} ur ON ur.sym = p.rhs
-  ORDER BY CAST(p.c AS DOUBLE) / (ul.uc * ur.uc) DESC, p.lhs ASC, p.rhs ASC
+  -- each factor cast to DOUBLE before multiplying, mirroring Spark: a
+  -- HUGEINT product here vs a wrapped 64-bit product there diverges the
+  -- argmax at multi-billion-token scale; double*double is IEEE-identical
+  ORDER BY CAST(p.c AS DOUBLE) / (CAST(ul.uc AS DOUBLE) * CAST(ur.uc AS DOUBLE))
+           DESC, p.lhs ASC, p.rhs ASC
   LIMIT 1
 ),
 seq{r} AS MATERIALIZED (
   SELECT w,
-         replace(s, m.lhs || chr(31) || m.rhs || chr(31),
-                    m.lhs || m.rhs || chr(31)) AS s,
+         replace(s, chr(31) || m.lhs || chr(31) || chr(31) || m.rhs || chr(31),
+                    chr(31) || m.lhs || m.rhs || chr(31)) AS s,
          n
   FROM seq{r - 1}, m{r} m
 )"""

@@ -132,5 +132,7 @@ def test_bench_headline_line_is_constant_size_and_parseable():
     assert parsed["value"] == round(123.4567 * 1500, 4)
     assert "queries" not in parsed  # per-query detail lives on earlier lines
     # host-load attribution rides in-band (r9 lesson: the driver artifact
-    # landed hot and the loadavg evidence lived only in side notes)
-    assert len(parsed["loadavg"]) == 3
+    # landed hot and the loadavg evidence lived only in side notes);
+    # headline_line deliberately emits loadavg=null where os.getloadavg
+    # is unavailable, so accept that documented fallback too
+    assert parsed["loadavg"] is None or len(parsed["loadavg"]) == 3

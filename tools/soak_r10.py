@@ -263,6 +263,28 @@ def _reference_bpe(word_counts: dict, merges: int):
     return learned, seqs
 
 
+def soak_bpe_suffix(spark) -> None:
+    """The r10 boundary bug's trigger corpus (ADVICE r10): word counts
+    {xa:10, ab:9, xab:1} make round 1 merge ('x','a') — so 'xab' becomes
+    symbols ['xa','b'] — and a merge pattern with no LEFT boundary then
+    wrongly fires ('a','b') INSIDE it, yielding 'xab' as one symbol and a
+    2-merge table where the textbook trainer learns 3.  The wrapped
+    representation must match the tuple-based reference exactly."""
+    t0 = time.time()
+    docs = [("xa",)] * 10 + [("ab",)] * 9 + [("xab",)]
+    df = spark.createDataFrame(docs, "text string")
+    got = train_bpe(df, merges=3)
+    wc = {"xa": 10, "ab": 9, "xab": 1}
+    want, _ = _reference_bpe(wc, 3)
+    assert got == want, f"suffix corpus diverged:\n got={got}\nwant={want}"
+    assert len(got) == 3, f"expected 3 learnable merges, got {len(got)}"
+    print(
+        f"3b. BPE suffix-trigger corpus (xa/ab/xab): "
+        f"{[f'{l}+{r}' for _, l, r, _ in got]} == reference "
+        f"[{time.time() - t0:.1f}s]"
+    )
+
+
 def soak_bpe(spark, n_docs: int = 400) -> None:
     t0 = time.time()
     rng = np.random.RandomState(3)
@@ -307,6 +329,7 @@ def main() -> None:
     soak_sink_fold(spark, n_docs)
     soak_video_recall(spark, n_videos)
     soak_bpe(spark)
+    soak_bpe_suffix(spark)
     print("SOAK R10 GREEN")
 
 
