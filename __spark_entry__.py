@@ -560,6 +560,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # 320/320 driver-gated.  R09 births front-insert above them (29 free
 # slots at the cutover).
 _SNAPSHOT_PRIORITY = [
+    # R11 HEAD: r11 births front-insert here as they land (41 free slots
+    # at the cutover — every r10 entry below is driver-gated green in
+    # CORRECTNESS_r10, so the head carries zero debt).
+    "bpe_encode_check",       # text -> subword-id sequences under the
+                              # trained merge table (train + vocab + encode)
+    "pack_sequences_check",   # boundary-preserving first-fit sequence
+                              # packing (oracle = recursive-CTE fold)
+    # --- r11 cutoff: everything below is driver-gated green (r01-r10) ---
     # R10 HEAD: r10 births front-insert here as they land (50 free slots
     # at the cutover — every r09 entry below is driver-gated green in
     # CORRECTNESS_r09, so the head carries zero debt).

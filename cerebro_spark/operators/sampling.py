@@ -215,6 +215,103 @@ def pack_tokens(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_groups: int = 8,
+) -> DataFrame:
+    """Boundary-preserving sequence packing — the LAST step of a training-
+    data pipeline: pack tokenized documents into fixed-length training
+    sequences by deterministic GREEDY FIRST-FIT over (length DESC, id ASC),
+    never splitting a document across sequences (the ``pack_tokens``
+    concat-and-split layout is the other discipline; THIS one is for
+    pipelines that pad rather than straddle).  Invariants: no token lost
+    (documents longer than ``seq_len`` are first split into deterministic
+    ceil(n/L) chunks — full-L chunks then the remainder — each chunk an
+    indivisible packable item), and no sequence exceeds ``seq_len``.
+
+    Returns one row per item: ``(id_col, chunk_id, grp, seq_id, offset,
+    n_tokens)`` — ``seq_id`` is 1-based within ``grp``, ``offset`` the
+    item's start inside its sequence; ``(grp, seq_id)`` identifies a
+    training sequence.
+
+    Scale shape: packing is a sequential fold, so it runs PER GROUP —
+    ``grp`` is a portable hash of the document id (uniform by
+    construction, never data-skewed), and ``n_groups`` bounds the fold
+    size at corpus_items / n_groups; raise it with the corpus and every
+    group packs in parallel.  The fold itself is ONE Arrow stage per
+    group (first-fit needs the open-bin state; SQL window functions
+    cannot reset an accumulator per bin) — everything before it (token
+    counts, chunk explode, grouping) is JVM.  Fill efficiency is
+    first-fit-decreasing's classic 11/9·OPT bound per group; cross-group
+    loss is at most one underfilled bin per group.
+    """
+    import pandas as pd
+
+    assert seq_len > 0 and n_groups > 0
+    n = F.col(n_tokens_col).cast("long")
+    items = (
+        df.filter(n > 0)
+        .withColumn("__nc", F.ceil(n / F.lit(float(seq_len))).cast("int"))
+        .select(
+            F.col(id_col),
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+                "chunk_id"
+            ),
+            "__nc",
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.when(
+                F.col("chunk_id") < F.col("__nc") - 1, F.lit(seq_len)
+            )
+            .otherwise(
+                F.col("__n") - (F.col("__nc") - 1) * F.lit(seq_len)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "grp", _portable_bucket(F.col(id_col), n_groups).cast("int")
+        )
+    )
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col, "chunk_id"],
+            ascending=[False, True, True],
+        ).reset_index(drop=True)
+        rem: list[int] = []  # remaining capacity per open bin
+        seq_ids, offsets = [], []
+        for ln in pdf["n_tokens"]:
+            ln = int(ln)
+            for j, r in enumerate(rem):
+                if r >= ln:
+                    seq_ids.append(j + 1)
+                    offsets.append(seq_len - r)
+                    rem[j] = r - ln
+                    break
+            else:
+                rem.append(seq_len - ln)
+                seq_ids.append(len(rem))
+                offsets.append(0)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int32")
+        pdf["offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    out_schema = (
+        f"{id_col} long, chunk_id int, n_tokens long, grp int, "
+        "seq_id int, offset long"
+    )
+    return items.groupBy("grp").applyInPandas(_ffd, out_schema).select(
+        id_col, "chunk_id", "grp", "seq_id", "offset", "n_tokens"
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -2483,6 +2483,160 @@ def train_bpe(
     return learned
 
 
+def apply_bpe_merges(
+    df: DataFrame,
+    learned: "list[tuple]",
+    word_col: str = "w",
+    out_col: str = "syms",
+) -> DataFrame:
+    """Replay a trained merge table (``train_bpe`` / ``train_wordpiece``
+    output) over a WORD column, returning the surviving symbol ARRAY in
+    ``out_col`` — the application step ``bpe_segment_count`` only counts
+    for.  Works for any merge depth: the replace lineage is materialized
+    every ``BPE_CHECKPOINT_EVERY`` merges (localCheckpoint), so a
+    realistic 30k-merge table costs O(k) flat rewrites instead of a
+    k-deep plan (the trainer's own discipline).
+
+    Call it on the DISTINCT-word table (vocabulary-sized — sublinear in
+    the corpus by Heaps' law) and join the result back to the corpus;
+    ``bpe_encode`` wires exactly that."""
+    out = df.withColumn("__s", _bpe_symbol_string(F.col(word_col)))
+    for i, rec in enumerate(learned, 1):
+        _r, l, rr = rec[0], rec[1], rec[2]
+        pat, rep = _bpe_merge_pattern(l, rr)
+        out = out.withColumn(
+            "__s", F.replace(F.col("__s"), F.lit(pat), F.lit(rep))
+        )
+        if i % BPE_CHECKPOINT_EVERY == 0:
+            out = out.localCheckpoint(eager=True)
+    return out.withColumn(out_col, _bpe_symbols(F.col("__s"))).drop("__s")
+
+
+def bpe_vocab(
+    df: DataFrame,
+    learned: "list[tuple]",
+    text_col: str = "text",
+    max_word_len: int = 64,
+) -> "list[tuple[str, int]]":
+    """The deterministic (token, token_id) vocabulary of a trained merge
+    table over a corpus: base tokens are the corpus' distinct CHARACTERS
+    in binary order (ids 0..C-1), then each merge's product string in
+    round order (ids C, C+1, ...; a product string already in the
+    vocabulary — e.g. rounds ('a','bc') and ('ab','c') both yielding
+    'abc' — keeps its FIRST id).  Every symbol surviving a merge replay
+    is covered: single-char symbols are base tokens, multi-char symbols
+    are some round's product.
+
+    Returned driver-side: the charset is BOUNDED metadata (≤ |corpus
+    alphabet| ≤ |Unicode|, never data-sized — the same discipline as the
+    trainer's top-1 collects), and the merge table already lives on the
+    driver."""
+    chars = sorted(
+        r["c"]
+        for r in (
+            df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+            .filter((F.col("w") != "") & ~F.col("w").contains(BPE_SEP))
+            .select(
+                F.explode(
+                    F.split(F.substring("w", 1, max_word_len), "")
+                ).alias("c")
+            )
+            .filter(F.col("c") != "")
+            .distinct()
+            .collect()
+        )
+    )
+    vocab: dict[str, int] = {c: i for i, c in enumerate(chars)}
+    nxt = len(vocab)
+    for rec in learned:
+        tok = rec[1] + rec[2]
+        if tok not in vocab:
+            vocab[tok] = nxt
+            nxt += 1
+    return sorted(vocab.items(), key=lambda kv: kv[1])
+
+
+def bpe_encode(
+    df: DataFrame,
+    learned: "list[tuple]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 64,
+) -> DataFrame:
+    """Encode documents to subword-id SEQUENCES under a trained merge
+    table — the step that turns ``train_bpe`` from a readout into a
+    tokenizer: ``(id_col, n_tokens, token_ids: array<long>)`` with ids
+    assigned by ``bpe_vocab`` and sequence order = word order × symbol
+    order within each word.  Words are filtered/truncated exactly as the
+    trainer filtered them (empty / ``BPE_SEP``-carrying words contribute
+    no tokens); a document with no surviving words yields no row.
+
+    Scale shape: the merge replay runs ONCE over the DISTINCT-word table
+    (vocabulary-sized, ``apply_bpe_merges`` — checkpointed, so any merge
+    depth keeps a flat plan), the vocabulary is a broadcast join (bounded:
+    charset + merge table), and the corpus-sized work is one posexplode +
+    one broadcast-joinable word lookup + one combinable per-doc
+    reassembly.  No corpus-sized window, no driver loop over data."""
+    words_pos = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(_tokens(F.col(text_col))).alias("__wpos", "__w"),
+        )
+        .filter((F.col("__w") != "") & ~F.col("__w").contains(BPE_SEP))
+        .select(
+            id_col,
+            "__wpos",
+            F.substring("__w", 1, max_word_len).alias("__w"),
+        )
+    )
+    wv = apply_bpe_merges(
+        words_pos.select(F.col("__w").alias("w")).distinct(),
+        learned,
+        word_col="w",
+        out_col="syms",
+    )
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        bpe_vocab(df, learned, text_col=text_col, max_word_len=max_word_len),
+        "tok string, tid long",
+    )
+    # per-word id arrays: explode symbols, broadcast-map to ids, reassemble
+    # in symbol order (array_sort on (pos, id) structs — collect_list order
+    # is not deterministic, the sort is)
+    word_ids = (
+        wv.select("w", F.posexplode("syms").alias("__spos", "__sym"))
+        .join(F.broadcast(vocab_df), F.col("__sym") == F.col("tok"))
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__spos", F.col("tid")))
+                ),
+                lambda s: s["tid"],
+            ).alias("__ids")
+        )
+    )
+    return (
+        words_pos.join(word_ids, words_pos["__w"] == word_ids["w"])
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__wpos", F.col("__ids")))
+                    ),
+                    lambda s: s["__ids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            id_col,
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "token_ids",
+        )
+    )
+
+
 def bpe_segment_count(
     col: Column, learned: "list[tuple[int, str, str, int]]"
 ) -> Column:

@@ -297,6 +297,90 @@ FROM c GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# boundary-preserving sequence packing (r11): deterministic greedy first-fit
+# by (length DESC, id) within portable hash groups — the oracle unrolls the
+# SAME fold as a recursive CTE carrying the open-bin capacity list, so bin
+# assignment, sequence ids, and offsets must match item for item.
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 64
+_PACK_GROUPS = 4
+
+
+def q_pack_sequences_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling.pack_sequences end-to-end: whitespace token counts ->
+    long-doc chunk split (ceil(n/L) indivisible items) -> per-group
+    first-fit-decreasing -> (doc, chunk, group, sequence, offset) rows.
+    Item-level output pins the exact assignment, not just fill stats."""
+    from cerebro_spark.operators.sampling import pack_sequences
+    from cerebro_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, n_groups=_PACK_GROUPS
+    )
+
+
+_PACK_SEQ_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+items AS (
+  SELECT doc_id, CAST(unnest(range(nc)) AS INT) AS chunk_id, n, nc, grp
+  FROM (
+    SELECT doc_id, n,
+           CAST(ceil(n / {_PACK_SEQ_LEN}.0) AS INT) AS nc,
+           CAST({_hex2long_sql("md5(CAST(doc_id AS VARCHAR))", 8)}
+                % {_PACK_GROUPS} AS INT) AS grp
+    FROM t WHERE n > 0
+  )
+),
+sized AS (
+  SELECT doc_id, chunk_id, grp,
+         CAST(CASE WHEN chunk_id < nc - 1 THEN {_PACK_SEQ_LEN}
+                   ELSE n - (nc - 1) * {_PACK_SEQ_LEN} END AS BIGINT)
+           AS n_tokens
+  FROM items
+),
+ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp ORDER BY n_tokens DESC, doc_id ASC, chunk_id ASC
+  ) AS rn
+  FROM sized
+),
+fold AS (
+  SELECT grp, 1 AS i, doc_id, chunk_id, n_tokens,
+         [CAST({_PACK_SEQ_LEN} - n_tokens AS BIGINT)] AS bins,
+         1 AS seq_id, CAST(0 AS BIGINT) AS off
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT it.grp, f.i + 1, it.doc_id, it.chunk_id, it.n_tokens,
+         CASE WHEN p.pos IS NULL OR p.pos = 0
+              THEN list_append(f.bins,
+                               CAST({_PACK_SEQ_LEN} - it.n_tokens AS BIGINT))
+              ELSE f.bins[1:p.pos-1] || [f.bins[p.pos] - it.n_tokens]
+                   || f.bins[p.pos+1:] END,
+         CASE WHEN p.pos IS NULL OR p.pos = 0 THEN len(f.bins) + 1
+              ELSE p.pos END,
+         CASE WHEN p.pos IS NULL OR p.pos = 0 THEN CAST(0 AS BIGINT)
+              ELSE {_PACK_SEQ_LEN} - f.bins[p.pos] END
+  FROM fold f
+  JOIN ordered it ON it.grp = f.grp AND it.rn = f.i + 1,
+  LATERAL (SELECT list_position(
+             list_transform(f.bins, b -> b >= it.n_tokens), true) AS pos) p
+)
+SELECT doc_id, chunk_id, grp, CAST(seq_id AS INT) AS seq_id,
+       off AS offset, n_tokens
+FROM fold
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-reweighted (alpha=0.7) domain mixture table."""
     from cerebro_spark.operators.sampling import temperature_mixture_weights
@@ -335,6 +419,7 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "packing_efficiency": q_packing_efficiency,
     "temperature_mix": q_temperature_mix,
+    "pack_sequences_check": q_pack_sequences_check,
 }
 
 ORACLES = {
@@ -348,4 +433,5 @@ ORACLES = {
     "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "packing_efficiency": _PACK_EFF_SQL,
     "temperature_mix": _TEMP_MIX_SQL,
+    "pack_sequences_check": _PACK_SEQ_SQL,
 }

@@ -3012,3 +3012,87 @@ _WP_TRAIN_SQL = (
 
 QUERIES["wordpiece_train_merges"] = q_wordpiece_train_merges
 ORACLES["wordpiece_train_merges"] = _WP_TRAIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODING (r11): text -> subword-id sequences under the trained merge
+# table — the application step that turns train_bpe from a readout into a
+# tokenizer.  The oracle re-trains the merges as CTEs (the bpe_train_merges
+# pattern), derives the same deterministic vocabulary (chars in binary
+# order, then merge products in round order, first occurrence keeps its
+# id), and unrolls every document's id sequence ordered by (word position,
+# symbol position).  Id sequences are comma-joined strings — the driver
+# canonicalizer rejects raw array cells.
+# ---------------------------------------------------------------------------
+
+def q_bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.bpe_encode end-to-end: train 6 merges, build the vocabulary,
+    encode every document to its subword-id sequence.  Exactness is the
+    point — the comma-joined id string pins token identity AND order, so
+    any divergence in merge replay, vocab assignment, or sequence
+    reassembly hash-fails."""
+    from cerebro_spark.operators.text import bpe_encode, train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    learned = train_bpe(docs, merges=_BPE_MERGES)
+    enc = bpe_encode(docs, learned)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).alias("ids"),
+    )
+
+
+_BPE_ENCODE_SQL = (
+    "WITH "
+    + _bpe_train_ctes(_BPE_MERGES)
+    + f""",
+chars AS MATERIALIZED (
+  SELECT c, row_number() OVER (ORDER BY c) - 1 AS tid FROM (
+    SELECT DISTINCT unnest(string_split(w, '')) AS c FROM words
+  ) WHERE c <> ''
+),
+mt AS (
+  SELECT lhs || rhs AS tok, merge_round AS r FROM (
+    {" UNION ALL ".join(f"SELECT lhs, rhs, merge_round FROM m{r}" for r in range(1, _BPE_MERGES + 1))}
+  )
+),
+-- first occurrence keeps its id: dedupe merge products on min round, then
+-- number them after the chars block (binary char order == Python sorted ==
+-- Spark orderBy: UTF-8 bytes preserve code-point order)
+mtd AS (SELECT tok, min(r) AS r FROM mt GROUP BY tok),
+mids AS (
+  SELECT tok,
+         (SELECT count(*) FROM chars) + row_number() OVER (ORDER BY r) - 1
+           AS tid
+  FROM mtd
+),
+vocab AS (SELECT c AS tok, tid FROM chars UNION ALL SELECT tok, tid FROM mids),
+wsyms AS (
+  SELECT w, generate_subscripts(arr, 1) AS spos, unnest(arr) AS sym
+  FROM (SELECT w, list_filter(string_split(s, chr(31)), x -> x <> '') AS arr
+        FROM seq{_BPE_MERGES})
+),
+wids AS MATERIALIZED (
+  SELECT ws.w, ws.spos, v.tid FROM wsyms ws JOIN vocab v ON v.tok = ws.sym
+),
+dw AS (
+  SELECT doc_id, wpos, substr(w, 1, 64) AS w FROM (
+    SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents)
+  ) WHERE w <> '' AND NOT contains(w, chr(31))
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(wi.tid AS VARCHAR), ','
+                  ORDER BY dw.wpos, wi.spos) AS ids
+FROM dw JOIN wids wi ON wi.w = dw.w
+GROUP BY dw.doc_id
+"""
+)
+
+QUERIES["bpe_encode_check"] = q_bpe_encode_check
+ORACLES["bpe_encode_check"] = _BPE_ENCODE_SQL

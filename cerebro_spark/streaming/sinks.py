@@ -14,6 +14,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _read_marker(spark, path: str, *, absent_on_empty: bool = False):
+    """Read a small marker parquet directory, returning ``None`` ONLY when
+    it genuinely does not exist (``PATH_NOT_FOUND``) — every other failure
+    (corrupt footer, permission, transient FS error) PROPAGATES so the
+    micro-batch fails and foreachBatch retries it.
+
+    The fail-soft alternative (bare ``except Exception`` → "first batch /
+    no compaction yet") fail-OPENS on a transient read error: the batch
+    would skip the near-dup probe entirely (dups stream into the survivor
+    set) or re-probe a compaction-folded batch against its own folded
+    fingerprints and drop its docs.  Retrying is always the safe move.
+
+    ``absent_on_empty`` additionally maps ``UNABLE_TO_INFER_SCHEMA`` (the
+    directory exists but holds no data files) to absent — correct ONLY for
+    markers written LAST in their batch (a crash mid-first-batch leaves a
+    torn params dir; the replay overwrites it), never for markers whose
+    presence gates a destructive skip (``compacted_through``)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cls = (get_cond() if get_cond else None) or ""
+        msg = str(e)
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in msg:
+            return None
+        if absent_on_empty and (
+            "UNABLE_TO_INFER_SCHEMA" in cls or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+
+
 def parquet_point_sink(batch_df: DataFrame, path: str) -> None:
     """Batch write of canonical points, partitioned by bucket/date — the
     queryable store behind `plans.client.CerebroClient`."""
@@ -324,6 +360,16 @@ def neardup_filter_sink(
     index with batch pipelines (``query_lsh_index`` online lookups see the
     streamed docs immediately).
 
+    Intra-batch semantics (CONTRACT, not an accident of the replay guard):
+    within one micro-batch only EXACT duplicates (content digest) are
+    collapsed; two near-duplicate docs arriving in the same batch BOTH
+    survive and both enter the index.  The probe deliberately sees only
+    prior batches — that is what makes at-least-once replay converge (a
+    replayed batch can never be dropped by its own fingerprints) — so
+    intra-batch near-dedup belongs to the batch pair operators
+    (``dedup.minhash_lsh_pairs``), not this sink.  Pinned by
+    ``test_neardup_filter_across_batches`` (doc 7).
+
     Replay contract: every write lands in a per-batch ``__batch=N``
     directory (output, signatures, band buckets) overwritten on replay, and
     the params marker is written LAST on the first batch — so at-least-once
@@ -372,12 +418,13 @@ def neardup_filter_sink(
             .filter(F.col("__rn") == 1)
             .drop("__d", "__rn")
         )
-        try:
-            have_index = bool(
-                spark.read.parquet(f"{index_path}/params").head(1)
-            )
-        except Exception:  # AnalysisException: first batch, no index yet
-            have_index = False
+        # fail-CLOSED marker read: only a genuinely absent params dir means
+        # "first batch"; a transient read error propagates and the batch
+        # retries instead of silently skipping the probe (fail-open)
+        params_df = _read_marker(
+            spark, f"{index_path}/params", absent_on_empty=True
+        )
+        have_index = params_df is not None and bool(params_df.head(1))
         if have_index:
             # (2) strip near-dups of already-kept docs
             matches = (
@@ -413,14 +460,11 @@ def neardup_filter_sink(
             # SKIPPED (replaying it would re-append signatures compaction
             # already absorbed into __batch=0).
             if have_index:
-                try:
-                    ct = (
-                        spark.read.parquet(
-                            f"{index_path}/compacted_through"
-                        ).collect()[0]["through_batch"]
-                    )
-                except Exception:  # no compaction has run yet
-                    ct = -1
+                # compacted_through gates a DESTRUCTIVE skip (the batch
+                # writes nothing) — only true absence may read as "no
+                # compaction yet"; a torn/corrupt marker propagates
+                ct_df = _read_marker(spark, f"{index_path}/compacted_through")
+                ct = -1 if ct_df is None else ct_df.collect()[0]["through_batch"]
                 if batch_id <= ct:
                     return
             sig = minhash_signatures(
@@ -565,6 +609,16 @@ def media_neardup_filter_sink(
     passes the filter UNINDEXED — it is kept (quarantine-and-count is the
     downstream's call), but can never absorb future near-dups.
 
+    Intra-batch semantics (CONTRACT, not an accident of the replay guard):
+    within one micro-batch only EXACT duplicates (payload digest) are
+    collapsed; two PERCEPTUAL near-dup payloads arriving in the same batch
+    BOTH survive and both enter the index.  The probe deliberately sees
+    only ``__batch < N`` — that is what makes at-least-once replay converge
+    (a replayed batch can never be dropped by its own fingerprints) — so
+    intra-batch perceptual dedup belongs to the batch pair operators
+    (``multimodal.hamming_hash_pairs``), not this sink.  Pinned by
+    ``test_media_sink_replay_idempotent_with_intra_batch_neardups``.
+
     Replay contract (at-least-once foreachBatch): every write lands in a
     per-batch ``__batch=N`` directory overwritten on replay, the params
     marker is written LAST on the first batch, and — the part the layout
@@ -608,15 +662,15 @@ def media_neardup_filter_sink(
         # a batch already folded into the compacted __batch=0 generation is
         # fully committed — a replay must be a NO-OP: re-probing would see
         # the batch's OWN folded fingerprints (0 < N) and wrongly drop its
-        # docs, and re-appending bands would duplicate index facts
-        try:
-            ct = spark.read.parquet(
-                f"{index_path}/compacted_through"
-            ).collect()[0]["through_batch"]
+        # docs, and re-appending bands would duplicate index facts.
+        # Fail-CLOSED: only true absence reads as "no compaction yet"; a
+        # transient read failure propagates so the batch retries rather
+        # than re-probing a folded batch against its own fingerprints
+        ct_df = _read_marker(spark, f"{index_path}/compacted_through")
+        if ct_df is not None:
+            ct = ct_df.collect()[0]["through_batch"]
             if batch_id <= ct:
                 return
-        except Exception:  # no compaction has run yet
-            pass
         # (1) intra-batch exact dedup, deterministic min-id survivor
         batch = (
             batch_df.withColumn("__d", F.md5(F.col(content_col)))
@@ -630,19 +684,22 @@ def media_neardup_filter_sink(
         # (2) stateless fingerprints for the whole batch
         fps = fingerprint(batch).select("id", "dhash").persist()
         try:
-            have_index = True
-            try:
-                p = spark.read.parquet(f"{index_path}/params").first()
+            # fail-CLOSED params read: only a genuinely absent marker
+            # means "first batch, no index yet" — a transient read error
+            # propagates (the bare-except alternative would skip the
+            # Hamming probe and stream near-dups into the survivor set)
+            params_df = _read_marker(
+                spark, f"{index_path}/params", absent_on_empty=True
+            )
+            have_index = params_df is not None
+            if have_index:
+                p = params_df.first()
                 if (p["bits"], p["blocks"]) != (bits, blocks):
                     raise ValueError(
                         f"index at {index_path} was built with "
                         f"bits={p['bits']}, blocks={p['blocks']}; sink "
                         f"configured bits={bits}, blocks={blocks}"
                     )
-            except ValueError:
-                raise
-            except Exception:  # AnalysisException: first batch, no index yet
-                have_index = False
             if have_index:
                 # (3) probe ONLY prior batches' partitions: a replay of
                 # batch N must see the index state its first run saw

@@ -193,3 +193,91 @@ def test_cap_per_key(spark):
     # keys with fewer than k rows keep everything
     small = spark.createDataFrame([Row(doc_id=1, source="only")])
     assert cap_per_key(small, "source", 4).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# boundary-preserving first-fit sequence packing (r11)
+# ---------------------------------------------------------------------------
+
+def _ffd_reference(items, L):
+    """Brute-force FFD over (len DESC, doc, chunk): independent reference."""
+    out = {}
+    bins = []
+    for doc, chunk, ln in sorted(items, key=lambda t: (-t[2], t[0], t[1])):
+        for j in range(len(bins)):
+            if L - bins[j] >= ln:
+                out[(doc, chunk)] = (j + 1, bins[j])
+                bins[j] += ln
+                break
+        else:
+            bins.append(ln)
+            out[(doc, chunk)] = (len(bins), 0)
+    return out
+
+
+def test_pack_sequences_invariants_and_reference_match(spark):
+    """Skewed synthetic lengths: every sequence <= L, token multiset
+    preserved through the chunk split, and the per-group assignment equals
+    an independent brute-force FFD."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.sampling import pack_sequences, _portable_bucket
+
+    rng = np.random.RandomState(7)
+    # heavy skew: many tiny docs, some > L (chunk split), one exactly L
+    lens = (
+        list(rng.randint(1, 20, 60))
+        + list(rng.randint(100, 400, 8))
+        + [128, 0]
+    )
+    df = spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+    L = 128
+    got = pack_sequences(df, seq_len=L, n_groups=3).collect()
+
+    # invariant: no token lost (zero-token doc contributes nothing)
+    assert sum(r["n_tokens"] for r in got) == sum(n for n in lens if n > 0)
+    # invariant: no sequence exceeds L; offsets are consistent
+    per_seq = {}
+    for r in got:
+        per_seq.setdefault((r["grp"], r["seq_id"]), []).append(r)
+    for members in per_seq.values():
+        assert sum(r["n_tokens"] for r in members) <= L
+        assert sorted(r["offset"] for r in members)[0] == 0
+    # exact match vs brute-force FFD per group
+    grp_of = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", _portable_bucket(F.col("doc_id"), 3).alias("g")
+        ).collect()
+    }
+    items_by_g = {}
+    for i, n in enumerate(lens):
+        if n <= 0:
+            continue
+        nc = -(-n // L)
+        for c in range(nc):
+            ln = L if c < nc - 1 else n - (nc - 1) * L
+            items_by_g.setdefault(grp_of[i], []).append((i, c, ln))
+    for g, items in items_by_g.items():
+        want = _ffd_reference(items, L)
+        mine = {
+            (r["doc_id"], r["chunk_id"]): (r["seq_id"], r["offset"])
+            for r in got
+            if r["grp"] == g
+        }
+        assert mine == want, f"group {g} diverges from reference FFD"
+
+
+def test_pack_sequences_deterministic_across_runs(spark):
+    from cerebro_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 1) for i in range(50)],
+        "doc_id long, n_tokens long",
+    ).repartition(8)
+    a = sorted(map(tuple, pack_sequences(df, seq_len=96).collect()))
+    b = sorted(map(tuple, pack_sequences(df, seq_len=96).collect()))
+    assert a == b

@@ -242,3 +242,50 @@ def test_compact_media_index_preserves_probes_and_replay(spark, tmp_path):
     )
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 77 not in kept and 78 in kept
+
+
+def test_media_sink_marker_read_failures_fail_closed(spark, tmp_path):
+    """A transient/corrupt read of the params or compacted_through marker
+    must FAIL the micro-batch (foreachBatch retries it) — never fail-open
+    into "first batch / no compaction yet", which would skip the Hamming
+    probe (near-dups stream through) or re-probe a folded batch against
+    its own fingerprints (docs wrongly dropped)."""
+    import glob
+    import os
+    import shutil
+
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    sink = media_neardup_filter_sink(index, out)
+    sink(spark.createDataFrame([(1, _doc(1))], "doc_id long, text string"), 0)
+
+    pfile = glob.glob(f"{index}/params/*.parquet")[0]
+    good = open(pfile, "rb").read()
+    with open(pfile, "wb") as f:
+        f.write(b"definitely not a parquet footer")
+    b2 = spark.createDataFrame(
+        [(2, _shift(_doc(1)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception):
+        sink(b2, 1)  # corrupt params: raise, don't skip the probe
+    # nothing was emitted for the failed batch
+    assert not os.path.exists(f"{out}/__batch=1")
+    with open(pfile, "wb") as f:
+        f.write(good)
+
+    # corrupt compacted_through gates a DESTRUCTIVE no-op skip: must raise
+    os.makedirs(f"{index}/compacted_through", exist_ok=True)
+    with open(f"{index}/compacted_through/part-0.parquet", "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(Exception):
+        sink(b2, 1)
+    # even an EMPTY compacted_through dir (torn write) must raise — only
+    # true absence may read as "no compaction yet"
+    os.remove(f"{index}/compacted_through/part-0.parquet")
+    with pytest.raises(Exception):
+        sink(b2, 1)
+    shutil.rmtree(f"{index}/compacted_through")
+
+    # healthy again: the retried batch converges to the correct state
+    sink(b2, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}

@@ -155,3 +155,42 @@ def test_compact_neardup_index_preserves_probes(spark, tmp_path):
     )
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 77 not in kept  # near-dup of indexed doc 11 still caught
+
+
+def test_text_sink_marker_read_failures_fail_closed(spark, tmp_path):
+    """Corrupt params / compacted_through markers must fail the batch (so
+    foreachBatch retries) instead of fail-opening into 'first batch' —
+    the media-sink twin of test_media_sink_marker_read_failures_fail_closed."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    sink = neardup_filter_sink(
+        index, out, n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    sink(
+        spark.createDataFrame([(1, _doc(1))], "doc_id long, text string"), 0
+    )
+    pfile = glob.glob(f"{index}/params/*.parquet")[0]
+    good = open(pfile, "rb").read()
+    with open(pfile, "wb") as f:
+        f.write(b"not parquet")
+    b2 = spark.createDataFrame([(2, _doc(1))], "doc_id long, text string")
+    with pytest.raises(Exception):
+        sink(b2, 1)  # corrupt params: raise, don't skip the LSH probe
+    assert not os.path.exists(f"{out}/__batch=1")
+    with open(pfile, "wb") as f:
+        f.write(good)
+
+    os.makedirs(f"{index}/compacted_through", exist_ok=True)
+    with open(f"{index}/compacted_through/part-0.parquet", "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(Exception):
+        sink(b2, 1)
+    shutil.rmtree(f"{index}/compacted_through")
+    sink(b2, 1)  # retried batch converges: 2 is an exact dup of 1
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}

@@ -283,3 +283,74 @@ def test_train_wordpiece_likelihood_beats_raw_count(spark):
     ]
     bpe = train_bpe(df, merges=1)
     assert [(l, r) for _, l, r, _ in bpe] == [("x", "z")]  # the contrast
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (r11): apply_bpe_merges / bpe_vocab / bpe_encode
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_hand_verified_with_suffix_trigger(spark):
+    """End-to-end encode on a corpus containing the r10 suffix-trigger shape
+    (xab must encode as [x, ab], never the phantom symbol 'xab')."""
+    from cerebro_spark.operators.text import bpe_encode, bpe_vocab, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "aaa ab aab"), (2, "ab ab ba"), (3, "xa ab xab")],
+        "doc_id long, text string",
+    )
+    m = train_bpe(df, merges=3)
+    assert [(l, r) for _, l, r, _ in m] == [("a", "b"), ("a", "a"), ("a", "ab")]
+    # chars a,b,x -> 0,1,2; merge products ab,aa,aab -> 3,4,5
+    assert bpe_vocab(df, m) == [
+        ("a", 0), ("b", 1), ("x", 2), ("ab", 3), ("aa", 4), ("aab", 5),
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+        for r in bpe_encode(df, m).collect()
+    }
+    # doc1: aaa->[aa,a]; ab->[ab]; aab->[aab]
+    # doc3: xa->[x,a]; ab->[ab]; xab->[x,ab]  (suffix trigger)
+    assert got == {
+        1: (4, [4, 0, 3, 5]),
+        2: (4, [3, 3, 1, 0]),
+        3: (5, [2, 0, 3, 2, 3]),
+    }
+
+
+def test_apply_bpe_merges_symbol_arrays(spark):
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.text import apply_bpe_merges, train_bpe
+
+    df = spark.createDataFrame([("low low lower lowest",)], "text string")
+    m = train_bpe(df, merges=2)  # (l,o), (lo,w)
+    words = spark.createDataFrame(
+        [("low",), ("lowest",), ("olo",)], "w string"
+    )
+    got = {
+        r["w"]: list(r["syms"])
+        for r in apply_bpe_merges(words, m).collect()
+    }
+    assert got == {
+        "low": ["low"],
+        "lowest": ["low", "e", "s", "t"],
+        "olo": ["o", "lo"],
+    }
+
+
+def test_bpe_encode_drops_tokenless_docs_and_orders_by_word(spark):
+    """A doc with no surviving words yields no row; sequence order is word
+    order, not value order."""
+    from cerebro_spark.operators.text import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "ba ab"), (2, "   "), (3, "ab ba")],
+        "doc_id long, text string",
+    )
+    m = train_bpe(df, merges=1)  # (a, b)
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode(df, m).collect()
+    }
+    # vocab: a->0, b->1, ab->2; ba = [b, a], ab = [ab]
+    assert got == {1: [1, 0, 2], 3: [2, 1, 0]}

@@ -60,6 +60,10 @@ ARROW_ALLOWED = {
     # justified dense-recurrence Python path (operator docstring) — ONE
     # Arrow group per series over the calendar-bounded bucket grid
     "holt_forecast_check",
+    # first-fit packing is a sequential fold with open-bin state (a window
+    # cannot reset an accumulator per bin) — ONE Arrow stage per hash
+    # group, group size bounded by corpus_items / n_groups (r11)
+    "pack_sequences_check",
 }
 
 #: queries where a broadcast nested-loop join is the intended plan; every
