@@ -567,6 +567,8 @@ _SNAPSHOT_PRIORITY = [
                               # trained merge table (train + vocab + encode)
     "pack_sequences_check",   # boundary-preserving first-fit sequence
                               # packing (oracle = recursive-CTE fold)
+    "streaming_video_neardup_check",  # video_signature wired into the
+                              # online media sink (last unwired modality)
     # --- r11 cutoff: everything below is driver-gated green (r01-r10) ---
     # R10 HEAD: r10 births front-insert here as they land (50 free slots
     # at the cutover — every r09 entry below is driver-gated green in

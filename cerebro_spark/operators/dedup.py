@@ -957,7 +957,51 @@ def query_lsh_index(
     (probe_id, match_id, est_jaccard) above ``threshold``.
 
     Probe params must equal the index's persisted build params (validated —
-    a mismatched hash layout would silently match garbage)."""
+    a mismatched hash layout would silently match garbage).
+
+    Generation-aware: a store compacted online
+    (``sinks.compact_neardup_index_online``) carries a ``GENERATION``
+    pointer naming the live ``g=N`` subtree; the pointer is resolved ONCE
+    per call, so a concurrent compaction flip lands between probes, never
+    inside one."""
+    from cerebro_spark.operators.util import resolve_index_root
+
+    return _query_lsh_root(
+        spark,
+        resolve_index_root(path),
+        probe_docs,
+        content_col=content_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def _query_lsh_root(
+    spark,
+    path: str,
+    probe_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    before_batch: "int | None" = None,
+) -> DataFrame:
+    """``query_lsh_index`` pinned to an EXPLICIT root directory (no
+    generation resolution) — the online sink probes every still-on-disk
+    root during a compaction transition window and needs to address each
+    tree directly.
+
+    ``before_batch``: restrict the fact side to index partitions with
+    ``__batch < before_batch`` (the sink-owned per-batch layout).  This is
+    the sink's replay guard — a replayed batch must probe the exact index
+    state its first run saw, so its own batch's entries (including an
+    intra-batch near-dup partner, which the intra-batch contract keeps)
+    can never drop its docs on retry."""
     stored = spark.read.parquet(f"{path}/params").collect()[0]
     built = (stored["n"], stored["num_hashes"], stored["bands"])
     if built != (n, num_hashes, bands):
@@ -974,6 +1018,8 @@ def query_lsh_index(
     ).persist()
     pbuckets = band_buckets(psig, bands, rows, id_alias="probe_id")
     idx = spark.read.parquet(f"{path}/buckets")
+    if before_batch is not None:
+        idx = idx.filter(F.col("__batch") < before_batch)
     cand = (
         idx.join(F.broadcast(pbuckets), ["band", "bucket"])
         .filter(F.col("id") != F.col("probe_id"))
@@ -981,6 +1027,8 @@ def query_lsh_index(
         .distinct()
     )
     isig = spark.read.parquet(f"{path}/signatures")
+    if before_batch is not None:
+        isig = isig.filter(F.col("__batch") < before_batch)
     est = sum(
         (F.col(f"h{i}") == F.col(f"p{i}")).cast("int") for i in range(num_hashes)
     ) / float(num_hashes)

@@ -1234,8 +1234,15 @@ def query_hamming_index(
     precondition ``max_hamming < blocks`` — without it a pair can differ
     in every block and never collide, silently presenting partial recall
     as complete results (opt in explicitly with ``allow_partial_recall``
-    when a best-effort candidate sweep is the intent)."""
+    when a best-effort candidate sweep is the intent).
+
+    Generation-aware: a store compacted online
+    (``sinks.compact_media_index_online``) carries a ``GENERATION``
+    pointer naming the live ``g=N`` subtree; resolved ONCE per call."""
+    from cerebro_spark.operators.util import resolve_index_root
+
     _check_pigeonhole_recall(max_hamming, blocks, allow_partial_recall)
+    path = resolve_index_root(path)
     p = spark.read.parquet(f"{path}/params").first()
     if (p["bits"], p["blocks"]) != (bits, blocks):
         raise ValueError(
@@ -1651,6 +1658,46 @@ def video_signature(
         F.sum("__sf").alias("vfp")  # spans occupy disjoint bit ranges
     )
     return folded.join(nf, "id").select("id", "vfp", "n_frames")
+
+
+def video_signature_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    rows: int = 2,
+    cols: int = 9,
+    bits: int = 16,
+    temporal_bands: int = 3,
+    on_error: str = "raise",
+) -> DataFrame:
+    """The VIDEO fingerprint stage for ``media_neardup_filter_sink`` —
+    ``video_signature`` reshaped to the sink's ``(id, dhash)`` contract:
+    per-frame dHashes through the real decode path
+    (``video_frame_hash_df``) folded into the temporal-majority signature,
+    with the signature column renamed ``dhash`` so the sink's pigeonhole
+    probe/growth machinery applies unchanged (configure the sink with
+    ``bits = bits * temporal_bands``).
+
+    Fail-soft composition (``on_error='null'``): an undecodable payload
+    yields ``(id, NULL)`` — the sink keeps it UNINDEXED, the family
+    contract.  A payload that decodes to zero frames also yields
+    ``(id, NULL)`` (no frames -> no perceptual identity to probe or
+    index)."""
+    fh = video_frame_hash_df(
+        df, payload_col, id_col, every_ms, rows, cols, on_error
+    )
+    good = video_signature(
+        fh.filter(F.col("fhash").isNotNull()),
+        bits=bits,
+        temporal_bands=temporal_bands,
+    )
+    return (
+        fh.select("id")
+        .distinct()
+        .join(good, "id", "left")
+        .select("id", F.col("vfp").alias("dhash"))
+    )
 
 
 def frame_overlap_verify(

@@ -155,3 +155,81 @@ def salted_join(
     )
     out = salted_l.join(salted_r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# generation-pointer index layout (r11): online-safe compaction for the
+# persisted LSH / Hamming index stores
+# ---------------------------------------------------------------------------
+
+GENERATION_POINTER = "GENERATION"
+
+
+def read_index_generation(index_path: str) -> "int | None":
+    """The current generation number of an index store, or ``None`` for the
+    legacy flat layout (no pointer file)."""
+    import os
+
+    p = os.path.join(index_path, GENERATION_POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def resolve_index_root(index_path: str) -> str:
+    """Resolve where an index's live tree actually is: a store compacted
+    online carries a ``GENERATION`` pointer file naming the current
+    ``g=N`` subtree; a legacy store IS its own root.  Every reader (sink
+    probe, ``query_lsh_index``, ``query_hamming_index``) resolves ONCE per
+    operation, so a concurrent pointer flip lands between operations,
+    never inside one."""
+    import os
+
+    gen = read_index_generation(index_path)
+    if gen is None:
+        return index_path
+    return os.path.join(index_path, f"g={gen}")
+
+
+def flip_index_generation(index_path: str, gen: int) -> None:
+    """Atomically point the store at generation ``gen``: write a temp file,
+    ``os.replace`` it over the pointer (atomic on POSIX — a reader sees
+    either the old or the new generation, never a torn read)."""
+    import os
+
+    tmp = os.path.join(index_path, f".{GENERATION_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{gen}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(index_path, GENERATION_POINTER))
+
+
+def write_batch_dir(df: DataFrame, dest: str, partition_by: "str | None" = None):
+    """Publish a per-batch index directory ATOMICALLY: write to a hidden
+    sibling temp dir (Spark ignores dot-prefixed paths, so a crashed write
+    is invisible to readers), then ``os.rename`` into place — if the
+    destination already exists the temp is discarded, because per-batch
+    index facts are DETERMINISTIC (same batch data + same transforms), so
+    whoever published first published the same content.
+
+    This is what makes concurrent writers safe without coordination: an
+    at-least-once replay, the sink's post-flip self-migration, and the
+    online compactor's reconciliation copy can all target the same batch
+    dir; exactly one rename wins, the rest discard, and no reader ever
+    observes a partially written destination."""
+    import os
+    import shutil
+    import uuid
+
+    parent, name = os.path.split(dest.rstrip("/"))
+    tmp = os.path.join(parent, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:  # dest exists: someone already published this batch
+        shutil.rmtree(tmp, ignore_errors=True)

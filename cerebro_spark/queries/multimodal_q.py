@@ -1279,6 +1279,167 @@ FROM documents d LEFT JOIN fp ON fp.id = d.doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# streaming VIDEO near-dup sink (r11): video_signature wired into
+# media_neardup_filter_sink — the last unwired modality.  Batch 0 = every
+# doc's AVI; batch 1 = a +2 brightness-shift re-encode for even doc_ids
+# (signature Hamming 0 -> DROP) and a temporal frame-order REVERSAL for odd
+# doc_ids (same frames, different sequencing — the temporal bands keep it
+# apart unless the oracle's exact fold says otherwise).
+# ---------------------------------------------------------------------------
+
+def q_streaming_video_neardup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The online VIDEO dedup pipeline END-TO-END, streamed == oracle:
+    two micro-batches of real AVI payloads replay through
+    ``media_neardup_filter_sink`` with ``video_signature_df`` as the
+    fingerprint stage (decode -> per-frame dHash -> temporal-majority
+    48-bit signature), probing the persisted Hamming index at
+    ``bits=48, blocks=4, max_hamming=3`` (pigeonhole-exact).  The oracle
+    recomputes frame hashes, fold, and the sequential batch fold from
+    source bytes."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from cerebro_spark.operators.multimodal import video_signature_df
+    from cerebro_spark.streaming.sinks import media_neardup_filter_sink
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    trunc = F.expr("substring(text, 1, (length(text) div 16) * 16)")
+    base = docs.select("doc_id", trunc.alias("text"))
+    b0 = base.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    # even doc_ids: +2 byte shift per frame (perceptual twin, must drop);
+    # odd: reverse the frame ORDER (same frames, different sequencing)
+    frame_rev = F.expr(
+        "array_join(transform(sequence(cast(length(text) div 16 as int) - 1,"
+        " 0, -1), k -> substring(text, k * 16 + 1, 16)), '')"
+    )
+    b1 = base.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.translate("text", _SHIFT_FROM, _SHIFT_TO),
+        )
+        .otherwise(frame_rev)
+        .alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="video_neardup_gate_")
+    try:
+        _synth_avi(b0).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/in"
+        )
+        _time.sleep(1.05)  # distinct mtime: file source orders batch 1 second
+        _synth_avi(b1).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        sink = media_neardup_filter_sink(
+            f"{tmp}/idx",
+            f"{tmp}/out",
+            fingerprint=lambda d: video_signature_df(
+                d, every_ms=500, on_error="null"
+            ),
+            content_col="payload",
+            bits=48,
+            blocks=4,
+            max_hamming=3,
+        )
+        q = (
+            spark.readStream.schema("doc_id long, payload binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.parquet(f"{tmp}/out")
+            .select(F.col("doc_id").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_STREAMING_VIDEO_NEARDUP_SQL = """
+WITH docs16 AS (
+  SELECT doc_id, (length(text) // 16) AS nf,
+         substr(text, 1, CAST((length(text) // 16) * 16 AS INT)) AS trunc
+  FROM documents
+),
+ptxt AS (
+  SELECT 2 * doc_id AS id, 0 AS batch, trunc AS pt FROM docs16
+  UNION ALL
+  SELECT 2 * doc_id + 1, 1,
+         CASE WHEN doc_id % 2 = 0 THEN translate(trunc, '{sf}', '{st}')
+              ELSE array_to_string(
+                     list_transform(list_reverse(range(nf)),
+                       k -> substr(trunc, CAST(k * 16 + 1 AS INT), 16)), '')
+         END
+  FROM docs16
+),
+vchars AS (
+  SELECT id, generate_subscripts(cs, 1) - 1 AS pos, ord(unnest(cs)) AS b
+  FROM (SELECT id, string_split(pt, '') AS cs FROM ptxt)
+),
+fcells AS (
+  SELECT id, pos // 16 AS f,
+         ((pos % 16) // 8) * 9 + (((pos % 8) * 9) // 8) AS seg, b
+  FROM vchars
+),
+fsegs AS (
+  SELECT id, f, seg, sum(b) AS s, count(*) AS c FROM fcells GROUP BY 1, 2, 3
+),
+fbits AS (
+  SELECT a.id, a.f,
+         COALESCE(sum(CASE WHEN b.s * a.c > a.s * b.c
+                  THEN (CAST(1 AS BIGINT) << ((a.seg // 9) * 8 + (a.seg % 9)))
+                  ELSE CAST(0 AS BIGINT) END), 0) AS fhash
+  FROM fsegs a LEFT JOIN fsegs b
+    ON a.id = b.id AND a.f = b.f AND b.seg = a.seg + 1
+  WHERE a.seg % 9 <> 8
+  GROUP BY 1, 2
+),
+nfr AS (SELECT id, count(*) AS n FROM fbits GROUP BY 1),
+vb AS (
+  SELECT fb.id, (fb.f * 3) // nfr.n AS t, g.b AS bit,
+         sum((fb.fhash >> g.b) % 2) AS cnt, count(*) AS nt
+  FROM fbits fb JOIN nfr ON nfr.id = fb.id, generate_series(0, 15) AS g(b)
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vb.id,
+         CAST(COALESCE(sum(CASE WHEN cnt * 2 > nt
+                  THEN (CAST(1 AS BIGINT) << (t * 16 + bit))
+                  ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vfp
+  FROM vb GROUP BY 1
+),
+b0kept AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (PARTITION BY pt ORDER BY id) AS rn
+    FROM ptxt WHERE batch = 0
+  ) WHERE rn = 1
+),
+b1d AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (PARTITION BY pt ORDER BY id) AS rn
+    FROM ptxt WHERE batch = 1
+  ) WHERE rn = 1
+),
+b1kept AS (
+  SELECT x.id FROM b1d x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sigs pa, sigs pb
+    WHERE pa.id = x.id AND pb.id IN (SELECT id FROM b0kept)
+      AND bit_count(xor(pa.vfp, pb.vfp)) <= 3
+  )
+)
+SELECT id FROM b0kept UNION ALL SELECT id FROM b1kept
+""".format(sf=_sql_quote(_SHIFT_FROM), st=_sql_quote(_SHIFT_TO))
+
+
 QUERIES = {
     "dhash_docs": q_dhash_docs,
     "image_dhash_bmp": q_image_dhash_bmp,
@@ -1295,6 +1456,7 @@ QUERIES = {
     "media_sniff_meta": q_media_sniff_meta,
     "hamming_index_probe": q_hamming_index_probe,
     "streaming_media_neardup_check": q_streaming_media_neardup_check,
+    "streaming_video_neardup_check": q_streaming_video_neardup_check,
     "image_dhash_nulls": q_image_dhash_nulls,
     "video_neardup_pairs": q_video_neardup_pairs,
     "dhash_ahash_vote_pairs": q_dhash_ahash_vote_pairs,
@@ -1317,6 +1479,7 @@ ORACLES = {
     "media_sniff_meta": _MEDIA_SNIFF_SQL,
     "hamming_index_probe": _HAMMING_INDEX_PROBE_SQL,
     "streaming_media_neardup_check": _STREAMING_MEDIA_NEARDUP_SQL,
+    "streaming_video_neardup_check": _STREAMING_VIDEO_NEARDUP_SQL,
     "image_dhash_nulls": _IMAGE_DHASH_NULLS_SQL,
     "video_neardup_pairs": _VIDEO_NEARDUP_SQL,
     "dhash_ahash_vote_pairs": _VOTE_PAIRS_SQL,

@@ -50,6 +50,60 @@ def _read_marker(spark, path: str, *, absent_on_empty: bool = False):
         raise
 
 
+def _probe_roots(index_path: str, root: str, fact_dir: str) -> "list[str]":
+    """Every index root the sink's probe must consult: the CURRENT
+    generation plus any older generation / legacy flat tree still on disk.
+
+    Why: between an online compaction's pointer flip and its
+    reconciliation pass, a batch published to the OLD root may not yet be
+    visible in the new one — probing only the new root would let that
+    batch's near-dups slip through (the control-run divergence the
+    concurrent pytest pins).  Old roots are read-only history, so probing
+    them too makes the sink's dedup EXACTLY sequential at all times;
+    duplicate matches across roots collapse in the probe's DISTINCT.
+    ``prune_index_generations`` deletes the history (reconciliation made
+    the current generation self-contained) and restores single-root
+    probes."""
+    import os
+    import re
+
+    if root == index_path:  # legacy flat layout, no history possible
+        return [root]
+    roots = [root]
+    cur = int(re.match(r".*g=(\d+)$", root).group(1))
+    for d in sorted(os.listdir(index_path)):
+        m = re.match(r"g=(\d+)$", d)
+        if (
+            m
+            and int(m.group(1)) < cur
+            and os.path.isdir(os.path.join(index_path, d, "params"))
+        ):
+            roots.append(os.path.join(index_path, d))
+    if os.path.isdir(os.path.join(index_path, fact_dir)):
+        roots.append(index_path)  # pre-generation flat tree, not yet pruned
+    return roots
+
+
+def _mark_inflight(index_path: str, batch_id: int) -> None:
+    """Drop a `.inflight/{batch}` marker so the online compactor can wait
+    for every batch that resolved the PREVIOUS generation to finish before
+    reconciling (the marker spans resolve -> post-append migration)."""
+    import os
+
+    d = os.path.join(index_path, ".inflight")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(batch_id)), "w") as f:
+        f.write("1")
+
+
+def _clear_inflight(index_path: str, batch_id: int) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(index_path, ".inflight", str(batch_id)))
+
+
 def parquet_point_sink(batch_df: DataFrame, path: str) -> None:
     """Batch write of canonical points, partitioned by bucket/date — the
     queryable store behind `plans.client.CerebroClient`."""
@@ -378,6 +432,12 @@ def neardup_filter_sink(
     at a fresh directory, not at a ``build_lsh_index`` index (whose
     ``buckets/band=M`` layout has a different partition depth — mixing the
     two fails loudly at read time with conflicting directory structures).
+
+    ONLINE compaction (``compact_neardup_index_online``) may run while the
+    stream is live — generation pointer resolved once per batch, mid-batch
+    flips self-migrate, and the probe consults every still-on-disk root
+    during the transition window (the ``media_neardup_filter_sink``
+    contract, shared machinery).
     """
     from cerebro_spark.operators.dedup import (
         band_buckets,
@@ -392,6 +452,11 @@ def neardup_filter_sink(
 
         from pyspark.sql import Window
 
+        from cerebro_spark.operators.util import (
+            resolve_index_root,
+            write_batch_dir,
+        )
+
         spark = batch_df.sparkSession
         # LOUD failure for a half-finished compaction swap: if the index
         # directory is gone but the pre-swap copy survives, starting fresh
@@ -405,95 +470,137 @@ def neardup_filter_sink(
                 "compact_neardup_index swap crashed mid-rename; restore "
                 f"with: mv {index_path}.old {index_path}"
             )
-        # (1) intra-batch exact dedup, deterministic min-id survivor
-        w_digest = F.md5(F.col(content_col))
-        batch = (
-            batch_df.withColumn("__d", w_digest)
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("__d").orderBy(id_col)
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .drop("__d", "__rn")
-        )
-        # fail-CLOSED marker read: only a genuinely absent params dir means
-        # "first batch"; a transient read error propagates and the batch
-        # retries instead of silently skipping the probe (fail-open)
-        params_df = _read_marker(
-            spark, f"{index_path}/params", absent_on_empty=True
-        )
-        have_index = params_df is not None and bool(params_df.head(1))
-        if have_index:
-            # (2) strip near-dups of already-kept docs
-            matches = (
-                query_lsh_index(
-                    spark, index_path, batch,
-                    content_col=content_col, id_col=id_col,
-                    n=n, num_hashes=num_hashes, bands=bands,
-                    threshold=threshold,
-                )
-                .select(F.col("probe_id").alias(id_col))
-                .distinct()
-            )
-            kept = batch.join(matches, id_col, "left_anti")
-        else:
-            kept = batch
-        kept = kept.persist()
+        # resolve the generation ONCE: probe, ct check, and appends all use
+        # one consistent root even if the online compactor flips mid-batch
+        # (the post-append migration loop below handles the flip)
+        root = resolve_index_root(index_path)
+        _mark_inflight(index_path, batch_id)
         try:
-            # (3) emit survivors into a per-batch directory: an
-            # at-least-once foreachBatch REPLAY overwrites the same
-            # directory instead of appending duplicates (the replayed docs
-            # would NOT be caught by the probe — a doc is never a near-dup
-            # of itself, query_lsh_index excludes id == probe_id).  Same
-            # replay-idempotent layout as idempotent_parquet_sink / the
-            # rollup store's trailing __batch partition.
-            kept.write.mode("overwrite").parquet(
-                f"{out_path}/__batch={batch_id}"
-            )
-            if not grow_index:
-                return
-            # (4) extend the index with the survivors — also per-batch
-            # directories (replay = overwrite, never duplicate signatures).
-            # A batch already folded into the compacted generation is
-            # SKIPPED (replaying it would re-append signatures compaction
-            # already absorbed into __batch=0).
-            if have_index:
-                # compacted_through gates a DESTRUCTIVE skip (the batch
-                # writes nothing) — only true absence may read as "no
-                # compaction yet"; a torn/corrupt marker propagates
-                ct_df = _read_marker(spark, f"{index_path}/compacted_through")
-                ct = -1 if ct_df is None else ct_df.collect()[0]["through_batch"]
-                if batch_id <= ct:
+            # a batch already folded into a compacted __batch=0 generation
+            # is fully committed — a replay must be a FULL no-op: the fold
+            # collapsed its own entries into __batch=0 < N, so re-probing
+            # would see them (the before_batch guard can no longer exclude
+            # them) and wrongly drop its docs.  Fail-CLOSED marker read.
+            ct_df = _read_marker(spark, f"{root}/compacted_through")
+            if ct_df is not None:
+                if batch_id <= ct_df.collect()[0]["through_batch"]:
                     return
-            sig = minhash_signatures(
-                kept, content_col, id_col, n, num_hashes
-            ).persist()
-            sig.write.mode("overwrite").parquet(
-                f"{index_path}/signatures/__batch={batch_id}"
-            )
-            (
-                band_buckets(sig, bands, rows)
-                .repartition(bands, "band")
-                .write.mode("overwrite")
-                .partitionBy("band")
-                .parquet(f"{index_path}/buckets/__batch={batch_id}")
-            )
-            # params marker LAST: its presence implies signatures + buckets
-            # exist, so a crash mid-first-batch leaves have_index=False and
-            # the replay rebuilds the same directories instead of wedging
-            # query_lsh_index on a half-written index
-            if not have_index:
-                spark.createDataFrame(
-                    [(n, num_hashes, bands)],
-                    "n int, num_hashes int, bands int",
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    f"{index_path}/params"
+            # (1) intra-batch exact dedup, deterministic min-id survivor
+            w_digest = F.md5(F.col(content_col))
+            batch = (
+                batch_df.withColumn("__d", w_digest)
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("__d").orderBy(id_col)
+                    ),
                 )
-            sig.unpersist()
+                .filter(F.col("__rn") == 1)
+                .drop("__d", "__rn")
+            )
+            # fail-CLOSED marker read: only a genuinely absent params dir
+            # means "first batch"; a transient read error propagates and the
+            # batch retries instead of silently skipping the probe
+            params_df = _read_marker(
+                spark, f"{root}/params", absent_on_empty=True
+            )
+            have_index = params_df is not None and bool(params_df.head(1))
+            if have_index:
+                # (2) strip near-dups of already-kept docs — probing EVERY
+                # still-on-disk root (current generation + unpruned
+                # history) so a compaction transition window never hides a
+                # recent batch from the probe (see _probe_roots)
+                from cerebro_spark.operators.dedup import _query_lsh_root
+
+                matches = None
+                for pr in _probe_roots(index_path, root, "buckets"):
+                    m_ = _query_lsh_root(
+                        spark, pr, batch,
+                        content_col=content_col, id_col=id_col,
+                        n=n, num_hashes=num_hashes, bands=bands,
+                        threshold=threshold,
+                        # replay guard: probe the exact index state the
+                        # first run saw — this batch's own entries (incl.
+                        # an intra-batch near-dup partner) never drop its
+                        # docs on retry (the media twin's __batch < N rule)
+                        before_batch=batch_id,
+                    ).select(F.col("probe_id").alias(id_col))
+                    matches = (
+                        m_ if matches is None else matches.unionByName(m_)
+                    )
+                matches = matches.distinct()
+                kept = batch.join(matches, id_col, "left_anti")
+            else:
+                kept = batch
+            kept = kept.persist()
+            try:
+                # (3) emit survivors into a per-batch directory: an
+                # at-least-once foreachBatch REPLAY overwrites the same
+                # directory instead of appending duplicates (the replayed
+                # docs would NOT be caught by the probe — a doc is never a
+                # near-dup of itself, query_lsh_index excludes
+                # id == probe_id).  Same replay-idempotent layout as
+                # idempotent_parquet_sink.
+                kept.write.mode("overwrite").parquet(
+                    f"{out_path}/__batch={batch_id}"
+                )
+                if not grow_index:
+                    return
+                # (4) extend the index with the survivors — per-batch dirs
+                # published ATOMICALLY (write_batch_dir: hidden temp +
+                # rename; presence implies completeness, so a replay or a
+                # concurrent compactor reconciliation simply skips a batch
+                # someone already published — facts are deterministic).
+                # Folded batches already full-no-op'd at batch start.
+                sig = minhash_signatures(
+                    kept, content_col, id_col, n, num_hashes
+                ).persist()
+
+                def publish(to_root: str) -> None:
+                    write_batch_dir(
+                        sig, f"{to_root}/signatures/__batch={batch_id}"
+                    )
+                    write_batch_dir(
+                        band_buckets(sig, bands, rows).repartition(
+                            bands, "band"
+                        ),
+                        f"{to_root}/buckets/__batch={batch_id}",
+                        partition_by="band",
+                    )
+
+                publish(root)
+                # params marker LAST: its presence implies signatures +
+                # buckets exist, so a crash mid-first-batch leaves
+                # have_index=False and the replay rebuilds the same dirs
+                if not have_index:
+                    spark.createDataFrame(
+                        [(n, num_hashes, bands)],
+                        "n int, num_hashes int, bands int",
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        f"{root}/params"
+                    )
+                # post-append migration: if the online compactor flipped
+                # the generation while this batch ran, republish into the
+                # new generation (skip-if-exists makes repeats cheap) so
+                # the flip can never lose this batch's facts — unless the
+                # fold already absorbed it (batch_id <= new ct)
+                new_root = resolve_index_root(index_path)
+                while new_root != root:
+                    root = new_root
+                    ct_df = _read_marker(spark, f"{root}/compacted_through")
+                    ct = (
+                        -1 if ct_df is None
+                        else ct_df.collect()[0]["through_batch"]
+                    )
+                    if batch_id <= ct:
+                        break
+                    publish(root)
+                    new_root = resolve_index_root(index_path)
+                sig.unpersist()
+            finally:
+                kept.unpersist()
         finally:
-            kept.unpersist()
+            _clear_inflight(index_path, batch_id)
 
     return write
 
@@ -527,6 +634,14 @@ def compact_neardup_index(
     import re
     import shutil
 
+    from cerebro_spark.operators.util import read_index_generation
+
+    if read_index_generation(index_path) is not None:
+        raise ValueError(
+            f"{index_path} uses the generation-pointer layout — use "
+            "compact_neardup_index_online (this legacy swap assumes the "
+            "flat layout and a stopped stream)"
+        )
     sig = (
         spark.read.parquet(f"{index_path}/signatures")
         .drop("__batch")
@@ -630,7 +745,14 @@ def media_neardup_filter_sink(
     batch depth) fails loudly at read time, and vice versa.
     ``query_hamming_index`` CAN read this sink's index (the extra
     ``__batch`` partition column is ignored by the probe join), so batch
-    pipelines see streamed survivors immediately."""
+    pipelines see streamed survivors immediately.
+
+    ONLINE compaction (``compact_media_index_online``) may run while the
+    stream is live: the index root then carries a ``GENERATION`` pointer,
+    the sink resolves it once per batch, republishes into the new
+    generation if a flip lands mid-batch, and probes every still-on-disk
+    root during the transition window (``_probe_roots``) so dedup stays
+    exactly sequential throughout."""
     from cerebro_spark.operators.multimodal import (
         _check_pigeonhole_recall,
         _hash_bands,
@@ -648,6 +770,11 @@ def media_neardup_filter_sink(
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
+        from cerebro_spark.operators.util import (
+            resolve_index_root,
+            write_batch_dir,
+        )
+
         # half-finished compaction swap: refuse loudly with the restore
         # path rather than silently starting a fresh index (the
         # neardup_filter_sink lesson)
@@ -659,103 +786,151 @@ def media_neardup_filter_sink(
                 "compact_media_index swap crashed mid-rename; restore "
                 f"with: mv {index_path}.old {index_path}"
             )
-        # a batch already folded into the compacted __batch=0 generation is
-        # fully committed — a replay must be a NO-OP: re-probing would see
-        # the batch's OWN folded fingerprints (0 < N) and wrongly drop its
-        # docs, and re-appending bands would duplicate index facts.
-        # Fail-CLOSED: only true absence reads as "no compaction yet"; a
-        # transient read failure propagates so the batch retries rather
-        # than re-probing a folded batch against its own fingerprints
-        ct_df = _read_marker(spark, f"{index_path}/compacted_through")
-        if ct_df is not None:
-            ct = ct_df.collect()[0]["through_batch"]
-            if batch_id <= ct:
-                return
-        # (1) intra-batch exact dedup, deterministic min-id survivor
-        batch = (
-            batch_df.withColumn("__d", F.md5(F.col(content_col)))
-            .withColumn(
-                "__rn",
-                F.row_number().over(Window.partitionBy("__d").orderBy(id_col)),
-            )
-            .filter(F.col("__rn") == 1)
-            .drop("__d", "__rn")
-        )
-        # (2) stateless fingerprints for the whole batch
-        fps = fingerprint(batch).select("id", "dhash").persist()
+        # resolve the generation ONCE per batch: ct check, probe, and
+        # appends use one consistent root; the post-append migration loop
+        # handles an online compactor flipping mid-batch
+        root = resolve_index_root(index_path)
+        _mark_inflight(index_path, batch_id)
         try:
-            # fail-CLOSED params read: only a genuinely absent marker
-            # means "first batch, no index yet" — a transient read error
-            # propagates (the bare-except alternative would skip the
-            # Hamming probe and stream near-dups into the survivor set)
-            params_df = _read_marker(
-                spark, f"{index_path}/params", absent_on_empty=True
-            )
-            have_index = params_df is not None
-            if have_index:
-                p = params_df.first()
-                if (p["bits"], p["blocks"]) != (bits, blocks):
-                    raise ValueError(
-                        f"index at {index_path} was built with "
-                        f"bits={p['bits']}, blocks={p['blocks']}; sink "
-                        f"configured bits={bits}, blocks={blocks}"
-                    )
-            if have_index:
-                # (3) probe ONLY prior batches' partitions: a replay of
-                # batch N must see the index state its first run saw
-                bands = spark.read.parquet(f"{index_path}/bands").filter(
-                    F.col("__batch") < batch_id
-                )
-                pseg = _hash_bands(
-                    fps.filter(F.col("dhash").isNotNull()),
-                    "dhash", "id", bits, blocks,
-                ).select(
-                    F.col("id").alias("probe_id"), F.col("h").alias("ph"),
-                    "blk", "seg",
-                )
-                matched = (
-                    bands.join(F.broadcast(pseg), ["blk", "seg"])
-                    .filter(F.bit_count(F.expr("h ^ ph")) <= max_hamming)
-                    .select(F.col("probe_id").alias(id_col))
-                    .distinct()
-                )
-                kept = batch.join(matched, id_col, "left_anti")
-            else:
-                kept = batch
-            kept = kept.persist()
-            try:
-                # (4) per-batch survivor directory: replay overwrites
-                kept.write.mode("overwrite").parquet(
-                    f"{out_path}/__batch={batch_id}"
-                )
-                if not grow_index:
+            # a batch already folded into the compacted __batch=0
+            # generation is fully committed — a replay must be a NO-OP:
+            # re-probing would see the batch's OWN folded fingerprints
+            # (0 < N) and wrongly drop its docs, and re-appending bands
+            # would duplicate index facts.  Fail-CLOSED: only true absence
+            # reads as "no compaction yet"
+            ct_df = _read_marker(spark, f"{root}/compacted_through")
+            if ct_df is not None:
+                ct = ct_df.collect()[0]["through_batch"]
+                if batch_id <= ct:
                     return
-                # (5) survivors' fingerprints + band segments, per-batch
-                kfps = fps.join(
-                    kept.select(F.col(id_col).alias("id")), "id", "left_semi"
-                ).filter(F.col("dhash").isNotNull())
-                kfps.write.mode("overwrite").parquet(
-                    f"{index_path}/fps/__batch={batch_id}"
+            # (1) intra-batch exact dedup, deterministic min-id survivor
+            batch = (
+                batch_df.withColumn("__d", F.md5(F.col(content_col)))
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("__d").orderBy(id_col)
+                    ),
                 )
-                (
-                    _hash_bands(kfps, "dhash", "id", bits, blocks)
-                    .repartition(blocks, "blk")
-                    .write.mode("overwrite")
-                    .partitionBy("blk")
-                    .parquet(f"{index_path}/bands/__batch={batch_id}")
+                .filter(F.col("__rn") == 1)
+                .drop("__d", "__rn")
+            )
+            # (2) stateless fingerprints for the whole batch
+            fps = fingerprint(batch).select("id", "dhash").persist()
+            try:
+                # fail-CLOSED params read: only a genuinely absent marker
+                # means "first batch, no index yet" — a transient read
+                # error propagates (fail-open would skip the Hamming probe
+                # and stream near-dups into the survivor set)
+                params_df = _read_marker(
+                    spark, f"{root}/params", absent_on_empty=True
                 )
-                # params marker LAST: its presence implies bands exist, so
-                # a crash mid-first-batch replays as "no index yet"
-                if not have_index:
-                    spark.createDataFrame(
-                        [(bits, blocks)], "bits int, blocks int"
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        f"{index_path}/params"
+                have_index = params_df is not None
+                if have_index:
+                    p = params_df.first()
+                    if (p["bits"], p["blocks"]) != (bits, blocks):
+                        raise ValueError(
+                            f"index at {index_path} was built with "
+                            f"bits={p['bits']}, blocks={p['blocks']}; sink "
+                            f"configured bits={bits}, blocks={blocks}"
+                        )
+                if have_index:
+                    # (3) probe ONLY prior batches' partitions (a replay of
+                    # batch N must see the index state its first run saw),
+                    # across EVERY still-on-disk root — a compaction
+                    # transition window never hides a recent batch from
+                    # the probe (see _probe_roots)
+                    pseg = _hash_bands(
+                        fps.filter(F.col("dhash").isNotNull()),
+                        "dhash", "id", bits, blocks,
+                    ).select(
+                        F.col("id").alias("probe_id"), F.col("h").alias("ph"),
+                        "blk", "seg",
                     )
+                    matched = None
+                    for pr in _probe_roots(index_path, root, "bands"):
+                        bands = spark.read.parquet(f"{pr}/bands").filter(
+                            F.col("__batch") < batch_id
+                        )
+                        m_ = (
+                            bands.join(F.broadcast(pseg), ["blk", "seg"])
+                            .filter(
+                                F.bit_count(F.expr("h ^ ph")) <= max_hamming
+                            )
+                            .select(F.col("probe_id").alias(id_col))
+                        )
+                        matched = (
+                            m_ if matched is None
+                            else matched.unionByName(m_)
+                        )
+                    matched = matched.distinct()
+                    kept = batch.join(matched, id_col, "left_anti")
+                else:
+                    kept = batch
+                kept = kept.persist()
+                try:
+                    # (4) per-batch survivor directory: replay overwrites
+                    kept.write.mode("overwrite").parquet(
+                        f"{out_path}/__batch={batch_id}"
+                    )
+                    if not grow_index:
+                        return
+                    # (5) survivors' fingerprints + band segments —
+                    # published ATOMICALLY per batch (write_batch_dir:
+                    # hidden temp + rename; presence implies completeness,
+                    # so replays and the compactor's reconciliation skip a
+                    # batch someone already published)
+                    kfps = fps.join(
+                        kept.select(F.col(id_col).alias("id")),
+                        "id",
+                        "left_semi",
+                    ).filter(F.col("dhash").isNotNull()).persist()
+
+                    def publish(to_root: str) -> None:
+                        write_batch_dir(
+                            kfps, f"{to_root}/fps/__batch={batch_id}"
+                        )
+                        write_batch_dir(
+                            _hash_bands(
+                                kfps, "dhash", "id", bits, blocks
+                            ).repartition(blocks, "blk"),
+                            f"{to_root}/bands/__batch={batch_id}",
+                            partition_by="blk",
+                        )
+
+                    publish(root)
+                    # params marker LAST: its presence implies bands exist,
+                    # so a crash mid-first-batch replays as "no index yet"
+                    if not have_index:
+                        spark.createDataFrame(
+                            [(bits, blocks)], "bits int, blocks int"
+                        ).coalesce(1).write.mode("overwrite").parquet(
+                            f"{root}/params"
+                        )
+                    # post-append migration: a generation flip mid-batch
+                    # can never lose this batch — republish into the new
+                    # root unless the fold already absorbed it
+                    new_root = resolve_index_root(index_path)
+                    while new_root != root:
+                        root = new_root
+                        ct_df = _read_marker(
+                            spark, f"{root}/compacted_through"
+                        )
+                        ct = (
+                            -1 if ct_df is None
+                            else ct_df.collect()[0]["through_batch"]
+                        )
+                        if batch_id <= ct:
+                            break
+                        publish(root)
+                        new_root = resolve_index_root(index_path)
+                    kfps.unpersist()
+                finally:
+                    kept.unpersist()
             finally:
-                kept.unpersist()
+                fps.unpersist()
         finally:
-            fps.unpersist()
+            _clear_inflight(index_path, batch_id)
 
     return write
 
@@ -787,6 +962,14 @@ def compact_media_index(
     import re
     import shutil
 
+    from cerebro_spark.operators.util import read_index_generation
+
+    if read_index_generation(index_path) is not None:
+        raise ValueError(
+            f"{index_path} uses the generation-pointer layout — use "
+            "compact_media_index_online (this legacy swap assumes the "
+            "flat layout and a stopped stream)"
+        )
     fps = (
         spark.read.parquet(f"{index_path}/fps")
         .drop("__batch")
@@ -832,3 +1015,274 @@ def compact_media_index(
         shutil.move(index_path, old)
         shutil.move(target, index_path)
         shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# ONLINE index compaction (r11): generation-pointer layout — compact WHILE
+# the ingest stream keeps running, no maintenance window
+# ---------------------------------------------------------------------------
+
+def _list_batches(fact_dir: str) -> "set[int]":
+    import os
+    import re
+
+    if not os.path.isdir(fact_dir):
+        return set()
+    return {
+        int(m.group(1))
+        for d in os.listdir(fact_dir)
+        for m in [re.match(r"__batch=(\d+)$", d)]
+        if m
+    }
+
+
+def _wait_inflight(index_path: str, timeout: float) -> "list[str]":
+    """Block until every sink batch that resolved the PREVIOUS generation
+    has finished its post-append migration check (the `.inflight` markers
+    drain).  Returns the markers still present at timeout — stale markers
+    from a crashed sink process; reconciliation proceeds anyway (the
+    crashed batch replays from its checkpoint and self-migrates)."""
+    import os
+    import time
+
+    d = os.path.join(index_path, ".inflight")
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if not os.path.isdir(d) or not os.listdir(d):
+            return []
+        time.sleep(0.1)
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def _publish_copy(src: str, dest: str) -> None:
+    """Reconciliation copy with the same atomic-publish contract as
+    ``util.write_batch_dir``: copy to a hidden temp sibling, rename into
+    place, discard if someone (a replaying/migrating sink) won the race —
+    contents are deterministic, so the winner's copy is equivalent."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(dest):
+        return
+    parent, name = os.path.split(dest.rstrip("/"))
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
+    shutil.copytree(src, tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _compact_index_online(
+    spark,
+    index_path: str,
+    fact_dirs: "dict[str, tuple[list[str], str | None, int]]",
+    inflight_timeout: float,
+    prune_old: bool,
+) -> int:
+    """Shared generation-fold machinery: fold the CURRENT generation's
+    per-batch fact dirs into ``g=N+1/__batch=0``, flip the pointer
+    atomically, wait for in-flight batches to drain, then reconcile any
+    batch dirs that landed in the old generation after the fold listing.
+
+    ``fact_dirs`` maps fact-dir name -> (dedup key columns, partition
+    column or None, target partition/file count).  Returns the new
+    generation number.
+
+    Why no batch can be lost (the correctness argument, each case by the
+    order of events around the pointer flip at time T):
+    - batch folded (listed before the fold read): in ``__batch=0``, and
+      its replay is a no-op via ``compacted_through``;
+    - batch whose post-append migration check ran AFTER T: it sees the new
+      generation and republishes itself (atomic skip-if-exists);
+    - batch whose check ran BEFORE T: its appends completed before the
+      check, hence before T, hence before the post-drain reconciliation
+      listing — which copies it over.
+    Concurrent publishers of the same batch dir are safe by construction:
+    every publish is hidden-temp + atomic rename, facts are deterministic,
+    exactly one rename wins."""
+    import os
+    import shutil
+
+    from cerebro_spark.operators.util import (
+        flip_index_generation,
+        read_index_generation,
+        resolve_index_root,
+    )
+
+    root = resolve_index_root(index_path)
+    gen = read_index_generation(index_path) or 0
+    new_root = os.path.join(index_path, f"g={gen + 1}")
+    shutil.rmtree(new_root, ignore_errors=True)  # stale failed attempt
+
+    # snapshot the fold set FIRST, then read exactly those dirs — a batch
+    # publishing between listing and read must NOT silently enter the fold
+    # (its replay guard depends on compacted_through covering it).
+    # Fold ONLY batches complete in EVERY fact dir and below the first
+    # PARTIAL batch (published in some dirs, crashed before the rest):
+    # folding a partial batch one-sided while compacted_through covers it
+    # would no-op its replay and lose the missing facts forever — leaving
+    # it above the fold point lets the checkpoint replay republish it and
+    # the reconciliation pass carry what did land.
+    per_dir = {
+        name: _list_batches(f"{root}/{name}") for name in fact_dirs
+    }
+    complete = set.intersection(*per_dir.values())
+    partial = set.union(*per_dir.values()) - complete
+    if partial:
+        cutoff = min(partial)
+        folded = {b for b in complete if b < cutoff}
+    else:
+        folded = complete
+    if not folded:
+        raise ValueError(
+            f"nothing safely foldable under {root} "
+            f"(complete={sorted(complete)}, partial={sorted(partial)})"
+        )
+    max_batch = max(folded)
+    for name, (keys, part_col, n_out) in fact_dirs.items():
+        batches = sorted(_list_batches(f"{root}/{name}") & folded)
+        # explicit batch paths (NOT the parent dir): a batch publishing
+        # between the fold listing and this read must not silently enter
+        # the fold — compacted_through has to cover everything folded.
+        # basePath keeps partition discovery consistent across the paths.
+        df = (
+            spark.read.option("basePath", f"{root}/{name}")
+            .parquet(*[f"{root}/{name}/__batch={b}" for b in batches])
+            .drop("__batch")
+            .dropDuplicates(keys)
+        )
+        w = (
+            df.repartition(n_out, part_col)
+            if part_col
+            else df.repartition(n_out)
+        ).write.mode("overwrite")
+        if part_col:
+            w = w.partitionBy(part_col)
+        w.parquet(f"{new_root}/{name}/__batch=0")
+    spark.read.parquet(f"{root}/params").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{new_root}/params")
+    spark.createDataFrame(
+        [(max_batch,)], "through_batch long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{new_root}/compacted_through"
+    )
+
+    flip_index_generation(index_path, gen + 1)
+    _wait_inflight(index_path, inflight_timeout)
+    # reconcile: batches that landed in the OLD root after the fold
+    # listing and whose sink saw the old pointer (completed before the
+    # flip) — anything later self-migrates
+    for name in fact_dirs:
+        for b in sorted(_list_batches(f"{root}/{name}") - folded):
+            _publish_copy(
+                f"{root}/{name}/__batch={b}",
+                f"{new_root}/{name}/__batch={b}",
+            )
+    if prune_old:
+        prune_index_generations(index_path)
+    return gen + 1
+
+
+def compact_neardup_index_online(
+    spark,
+    index_path: str,
+    target_files: int = 8,
+    inflight_timeout: float = 120.0,
+    prune_old: bool = False,
+):
+    """ONLINE compaction for a ``neardup_filter_sink`` index: fold every
+    per-batch directory into one consolidated generation and flip the
+    ``GENERATION`` pointer — the stream KEEPS RUNNING (the stop-the-world
+    rename swap of ``compact_neardup_index`` is the legacy path).  Probe
+    results are unchanged: readers resolve the pointer per operation, the
+    fold preserves the fact set (deduplicated), and the three-case
+    argument in ``_compact_index_online`` shows no concurrent batch can be
+    lost.  Old generations are kept unless ``prune_old`` (prune from a
+    quiet moment: a probe that resolved the old root mid-prune fails and
+    retries).  LOCAL filesystem paths (POSIX rename); on an object store,
+    generations are plain prefixes and the pointer file is the swap."""
+    n_bands = int(
+        spark.read.parquet(
+            f"{_resolve(index_path)}/params"
+        ).collect()[0]["bands"]
+    )
+    return _compact_index_online(
+        spark,
+        index_path,
+        {
+            "signatures": (["id"], None, target_files),
+            "buckets": (["id", "band", "bucket"], "band", n_bands),
+        },
+        inflight_timeout,
+        prune_old,
+    )
+
+
+def compact_media_index_online(
+    spark,
+    index_path: str,
+    target_files: int = 8,
+    inflight_timeout: float = 120.0,
+    prune_old: bool = False,
+):
+    """ONLINE compaction for a ``media_neardup_filter_sink`` index — the
+    media twin of ``compact_neardup_index_online`` (same generation-pointer
+    protocol, same no-lost-batch argument)."""
+    n_blocks = int(
+        spark.read.parquet(
+            f"{_resolve(index_path)}/params"
+        ).collect()[0]["blocks"]
+    )
+    return _compact_index_online(
+        spark,
+        index_path,
+        {
+            "fps": (["id"], None, target_files),
+            "bands": (["id", "blk", "seg"], "blk", n_blocks),
+        },
+        inflight_timeout,
+        prune_old,
+    )
+
+
+def _resolve(index_path: str) -> str:
+    from cerebro_spark.operators.util import resolve_index_root
+
+    return resolve_index_root(index_path)
+
+
+def prune_index_generations(index_path: str) -> "list[str]":
+    """Remove every generation tree older than the current pointer (and the
+    legacy flat fact dirs if the store has been folded into generations).
+    Run from a quiet moment: a reader that resolved an old root before the
+    prune fails loudly mid-read and retries against the current pointer —
+    nothing is silently wrong, but the retry is avoidable by pruning when
+    no probes are in flight.  Returns the removed paths."""
+    import os
+    import re
+    import shutil
+
+    from cerebro_spark.operators.util import read_index_generation
+
+    gen = read_index_generation(index_path)
+    if gen is None:
+        return []
+    removed = []
+    for d in os.listdir(index_path):
+        m = re.match(r"g=(\d+)$", d)
+        if m and int(m.group(1)) < gen:
+            shutil.rmtree(os.path.join(index_path, d))
+            removed.append(os.path.join(index_path, d))
+    for legacy in (
+        "signatures", "buckets", "fps", "bands", "params",
+        "compacted_through",
+    ):
+        p = os.path.join(index_path, legacy)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            removed.append(p)
+    return removed

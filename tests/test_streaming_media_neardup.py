@@ -289,3 +289,64 @@ def test_media_sink_marker_read_failures_fail_closed(spark, tmp_path):
     # healthy again: the retried batch converges to the correct state
     sink(b2, 1)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_media_sink_video_fingerprint_wiring(spark, tmp_path):
+    """video_signature_df as the sink's fingerprint stage (r11): cross-batch
+    brightness-shift re-encodes drop at signature Hamming 0, temporal
+    frame-order reversals and genuinely new videos survive."""
+    import numpy as np
+
+    from cerebro_spark.operators.multimodal import (
+        encode_avi_gray,
+        video_signature_df,
+    )
+
+    def frames(seed: int, nf: int = 9):
+        rng = np.random.RandomState(seed)
+        return [rng.randint(0, 200, (2, 8)).astype(np.uint8) for _ in range(nf)]
+
+    def avi(fr):
+        return bytearray(encode_avi_gray(fr, fps=2))
+
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    sink = media_neardup_filter_sink(
+        index,
+        out,
+        fingerprint=lambda d: video_signature_df(
+            d, every_ms=500, on_error="null"
+        ),
+        content_col="payload",
+        bits=48,
+        blocks=4,
+        max_hamming=3,
+    )
+    f1, f2, f3 = frames(1), frames(2), frames(3)
+    b0 = spark.createDataFrame(
+        [(1, avi(f1)), (2, avi(f2)), (3, avi(f3))],
+        "doc_id long, payload binary",
+    )
+    sink(b0, 0)
+    # batch 1: 11 = +2 brightness re-encode of video 1 (every frame dHash
+    # shift-invariant -> signature Hamming 0 -> DROP); 12 = video 2 with
+    # frame ORDER reversed (same frames, different sequencing -> the
+    # temporal bands keep it apart -> KEEP); 13 = new video (KEEP)
+    shift1 = [np.clip(g.astype(np.int16) + 2, 0, 255).astype(np.uint8) for g in f1]
+    b1 = spark.createDataFrame(
+        [(11, avi(shift1)), (12, avi(list(reversed(f2)))), (13, avi(frames(4)))],
+        "doc_id long, payload binary",
+    )
+    sink(b1, 1)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 11 not in kept, "brightness re-encode must drop"
+    assert kept == {1, 2, 3, 12, 13}
+    # an undecodable payload is kept UNINDEXED (fail-soft contract)
+    b2 = spark.createDataFrame(
+        [(21, bytearray(b"RIFF\x00broken"))], "doc_id long, payload binary"
+    )
+    sink(b2, 2)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 21 in kept
+    fps = spark.read.parquet(f"{index}/fps")
+    assert fps.filter("id = 21").count() == 0

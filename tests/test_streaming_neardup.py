@@ -194,3 +194,30 @@ def test_text_sink_marker_read_failures_fail_closed(spark, tmp_path):
     shutil.rmtree(f"{index}/compacted_through")
     sink(b2, 1)  # retried batch converges: 2 is an exact dup of 1
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_text_sink_replay_idempotent_with_intra_batch_neardups(spark, tmp_path):
+    """The media twin's HARD replay case, now pinned for the text sink: a
+    batch containing an intra-batch near-dup pair (both legitimately kept —
+    the intra-batch contract) must replay byte-identically.  Without the
+    __batch < N probe guard the replayed pair would find each other in the
+    index and one would wrongly drop."""
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    sink = neardup_filter_sink(
+        index, out, n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    near2 = _doc(2).split()
+    near2[5] = "CHANGED"
+    b1 = spark.createDataFrame(
+        [(1, _doc(1)), (2, _doc(2)), (3, " ".join(near2))],
+        "doc_id long, text string",
+    )
+    sink(b1, 0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 3]  # intra-batch near-dups BOTH survive
+    sink(b1, 0)  # replay: must converge, not drop doc 3 against doc 2
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == first
+    assert spark.read.parquet(f"{index}/signatures").count() == 3

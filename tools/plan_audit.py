@@ -53,6 +53,9 @@ ARROW_ALLOWED = {
     # AVI synth + per-frame decode->dHash (r10 video near-dup) — the codec
     # stage; signature fold, banded join, and overlap verify are all JVM
     "video_neardup_pairs",
+    # same AVI synth + decode stage feeding the online media sink's video
+    # fingerprint callable (r11); probe/growth stay JVM
+    "streaming_video_neardup_check",
     "semantic_dedup",
     "ann_cosine_ivf",
     "pq_recall",
