@@ -378,6 +378,32 @@ def main() -> None:
     print(f"bpe trainer:       learned merges [{top}, ...]; "
           f"fertility by lang {fert}")
 
+    # 31. (round 11) the last mile: ENCODE the training split to subword-id
+    # sequences under the trained table, then PACK them into fixed-length
+    # training sequences (boundary-preserving first-fit — no doc split
+    # across sequences, no token lost, no sequence > L).
+    from pyspark.sql import functions as F
+
+    from cerebro_spark.operators.sampling import pack_sequences
+    from cerebro_spark.operators.text import bpe_encode
+
+    enc = bpe_encode(train, merges).cache()
+    n_docs, n_toks = enc.select(
+        F.count("*"), F.sum("n_tokens")
+    ).first()
+    packed = pack_sequences(
+        enc.select("doc_id", "n_tokens"), seq_len=256, n_groups=8
+    )
+    seqs = packed.groupBy("grp", "seq_id").agg(
+        F.sum("n_tokens").alias("t")
+    )
+    n_seqs, fill = seqs.select(
+        F.count("*"), F.sum("t") / (F.count("*") * 256.0)
+    ).first()
+    enc.unpersist()
+    print(f"encode+pack:       {n_docs} docs / {n_toks} subword tokens -> "
+          f"{n_seqs} sequences of 256 (fill {fill:.3f})")
+
 
 if __name__ == "__main__":
     main()
