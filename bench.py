@@ -282,6 +282,10 @@ HEADLINE = [
     "dhash_ahash_vote_pairs", # two-vote perceptual precision gate
     "video_dedup_clusters",   # video dedup end-to-end (verify -> CC)
     "wordpiece_train_merges", # WordPiece likelihood-argmax training
+    # r11 births
+    "bpe_encode_check",       # train + vocab + encode to subword ids
+    "pack_sequences_check",   # first-fit sequence packing (Arrow fold)
+    "streaming_video_neardup_check",  # video fp wired into the media sink
 ]
 
 
