@@ -1299,6 +1299,14 @@ def mutual_nn_pairs(
     extension next to cosine_topk_bruteforce/semantic_dedup (driver
     brief).
     """
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # the scoring stage runs on the PROBE side's partitions: a sub-split
+    # input (one parquet file -> one scan partition) would compute every
+    # |block|² cosine in ONE task after the broadcast join — spread it
+    # first (measured 6.7 s -> 1.6 s at sf0.1, identical rows; a real
+    # corpus arrives with thousands of splits and passes through untouched)
+    df = ensure_parallelism(df)
     a = df.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("__qid"),

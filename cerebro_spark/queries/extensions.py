@@ -1152,8 +1152,15 @@ def _trade_edges(spark: SparkSession, sf_dir: str, symmetric: bool = False) -> D
     prefix-disjoint distinct halves make the symmetric union distinct by
     construction, so callers pass ``assume_distinct=True`` to the graph
     operators and skip their dedup shuffle."""
+    from cerebro_spark.operators.util import ensure_parallelism
+
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    # the join + concat + partial-distinct all run on the probe (lineitem)
+    # side's scan partitions — a single-file scan would serialize them into
+    # one task after the broadcast; spread it first (no-op at real scale)
+    li = ensure_parallelism(
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    )
     e0 = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -1252,7 +1259,13 @@ def q_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.cluster import triangle_participation
     from cerebro_spark.operators.util import top_k_ranked
 
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread the single-file scan before the self-join: the pair explosion
+    # runs on the probe side's partitions (no-op on a multi-split scan)
+    li = ensure_parallelism(
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     e = (
@@ -1475,7 +1488,13 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.cluster import label_propagation
     from cerebro_spark.operators.util import top_k_ranked
 
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread the single-file scan before the self-join: the pair explosion
+    # runs on the probe side's partitions (no-op on a multi-split scan)
+    li = ensure_parallelism(
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     e = (
@@ -1940,7 +1959,13 @@ def q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerebro_spark.operators.cluster import local_clustering_coefficient
     from cerebro_spark.operators.util import top_k_ranked
 
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread the single-file scan before the self-join: the pair explosion
+    # runs on the probe side's partitions (no-op on a multi-split scan)
+    li = ensure_parallelism(
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     e = (
@@ -2004,12 +2029,16 @@ def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     does trade actually cluster along nations?  One exact-integer
     identity (4mΣin − Σdeg_c²)/(4m²), one division."""
     from cerebro_spark.operators.cluster import modularity
+    from cerebro_spark.operators.util import ensure_parallelism
 
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey"
     )
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_suppkey"
+    # spread the single-file scan before the join chain (no-op at scale)
+    li = ensure_parallelism(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_suppkey"
+        )
     )
     pe = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
@@ -2078,7 +2107,13 @@ def q_parts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (the symmetric case needs no sqrt)."""
     from cerebro_spark.operators.cluster import degree_assortativity
 
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread the single-file scan before the self-join: the pair explosion
+    # runs on the probe side's partitions (no-op on a multi-split scan)
+    li = ensure_parallelism(
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     e = (

@@ -50,6 +50,23 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+def _backdate_files(path: str, seconds: int = 60) -> None:
+    """Set every file under ``path`` to mtime = now − ``seconds``.
+
+    The file-source streaming gates need batch-0 files to sort strictly
+    BEFORE batch-1 files (FileStreamSource orders by modification time).
+    Backdating batch 0 explicitly replaces the 1.05 s sleep the gates used
+    to pay for mtime separation — same ordering guarantee, zero wall time.
+    """
+    import os
+    import time as _time
+
+    t = _time.time() - seconds
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (t, t))
+
+
 # ---------------------------------------------------------------------------
 # perceptual image hashing (byte-dHash, the SQL-expressible twin)
 # ---------------------------------------------------------------------------
@@ -1120,7 +1137,6 @@ def q_streaming_media_neardup_check(
     no batch-0 survivor within hamming <= 3) from source bytes."""
     import shutil
     import tempfile
-    import time as _time
 
     from cerebro_spark.streaming.sinks import media_neardup_filter_sink
 
@@ -1138,7 +1154,7 @@ def q_streaming_media_neardup_check(
     tmp = tempfile.mkdtemp(prefix="media_neardup_gate_")
     try:
         b0.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
-        _time.sleep(1.05)  # distinct mtime: the file source orders batch 1 second
+        _backdate_files(f"{tmp}/in")  # batch 0 sorts first — no sleep needed
         b1.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
         q = (
             spark.readStream.schema(b0.schema)
@@ -1301,7 +1317,6 @@ def q_streaming_video_neardup_check(
     source bytes."""
     import shutil
     import tempfile
-    import time as _time
 
     from cerebro_spark.operators.multimodal import video_signature_df
     from cerebro_spark.streaming.sinks import media_neardup_filter_sink
@@ -1330,7 +1345,7 @@ def q_streaming_video_neardup_check(
         _synth_avi(b0).coalesce(1).write.mode("overwrite").parquet(
             f"{tmp}/in"
         )
-        _time.sleep(1.05)  # distinct mtime: file source orders batch 1 second
+        _backdate_files(f"{tmp}/in")  # batch 0 sorts first — no sleep needed
         _synth_avi(b1).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
         sink = media_neardup_filter_sink(
             f"{tmp}/idx",

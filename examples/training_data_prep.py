@@ -382,8 +382,6 @@ def main() -> None:
     # sequences under the trained table, then PACK them into fixed-length
     # training sequences (boundary-preserving first-fit — no doc split
     # across sequences, no token lost, no sequence > L).
-    from pyspark.sql import functions as F
-
     from cerebro_spark.operators.sampling import pack_sequences
     from cerebro_spark.operators.text import bpe_encode
 
