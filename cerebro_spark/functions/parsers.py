@@ -400,8 +400,11 @@ def process_keywords(
         actor, kw = akw.split(".", 1)
         tag_rows.append((actor, kw, int(spec["index"]), spec["name"]))
     if tag_rows:
-        kt = df.sparkSession.createDataFrame(
-            tag_rows, ["__kt_actor", "__kt_kw", "__kt_idx", "__kt_name"]
+        from cerebro_spark.operators.util import small_df
+
+        kt = small_df(
+            df.sparkSession,
+            tag_rows, ["__kt_actor", "__kt_kw", "__kt_idx", "__kt_name"],
         )
         ex = ex.join(
             F.broadcast(kt),

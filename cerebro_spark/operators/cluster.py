@@ -765,8 +765,10 @@ def bounded_reach(
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
+    from cerebro_spark.operators.util import small_df
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
-    seed_df = spark.createDataFrame([(s,) for s in seeds], ["node"]).distinct()
+    seed_df = small_df(spark, [(s,) for s in seeds], ["node"]).distinct()
     visited = seed_df.withColumn("dist", F.lit(0).cast("int"))
     frontier = seed_df
     for hop in range(1, max_hops + 1):

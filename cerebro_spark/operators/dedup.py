@@ -926,9 +926,12 @@ def build_lsh_index(
     # index params travel WITH the index: a probe under different (n,
     # num_hashes, bands) would join a different hash layout and silently
     # match garbage — query_lsh_index validates against this row.
-    docs.sparkSession.createDataFrame(
-        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    from cerebro_spark.operators.util import small_df
+
+    small_df(
+        docs.sparkSession,
+        [(n, num_hashes, bands)], "n int, num_hashes int, bands int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
     sig = docs.sparkSession.read.parquet(f"{path}/signatures")
     bucket_rows = band_buckets(sig, bands, rows)
     (
@@ -1141,6 +1144,14 @@ def prefix_jaccard_pairs(
         posting.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .distinct()
+        # pair-keyed spread before the verification re-join (see
+        # cross_jaccard_pairs: the token fan-out is a compute blowup that
+        # AQE's byte-based coalescing folds into one task on small inputs;
+        # REPARTITION_BY_NUM is AQE-proof and cluster-width-adaptive)
+        .repartition(
+            tok.sparkSession.sparkContext.defaultParallelism,
+            F.col("id_a"), F.col("id_b"),
+        )
     )
     ta = tok.select(F.col("id").alias("id_a"), "w")
     tb = tok.select(F.col("id").alias("id_b"), "w")
@@ -1196,8 +1207,13 @@ def cross_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    from cerebro_spark.operators.util import ensure_parallelism
+
     def toks(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
+        # tokenize + explode + the distinct's partial aggregate run on the
+        # scan's partitions — spread a sub-split input first (measured: a
+        # 10.5 s single-task stage at sf0.1; no-op on a multi-split scan)
+        return ensure_parallelism(df).select(
             F.col(id_col).alias(name),
             F.explode(
                 F.split(F.trim(F.col(content_col)), r"\s+")
@@ -1249,6 +1265,16 @@ def cross_jaccard_pairs(
         )
         .select("id_l", "id_r", "n_l", "n_r")
         .distinct()
+        # explicit pair-keyed spread: the verification re-join fans each
+        # candidate out to all its tokens — a compute blowup AQE's
+        # byte-based coalescing cannot see (it folded the whole verify
+        # chain into ONE task at sf0.1: 10.5 s of the query's 11.5).
+        # REPARTITION_BY_NUM is AQE-proof; defaultParallelism tracks the
+        # cluster, so this is the CPU-bound-stage width at any scale.
+        .repartition(
+            left.sparkSession.sparkContext.defaultParallelism,
+            F.col("id_l"), F.col("id_r"),
+        )
     )
     return (
         cand.join(tl, "id_l")

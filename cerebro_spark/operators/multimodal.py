@@ -258,29 +258,40 @@ def _decode_avi_frames(payload: bytes, every_ms: int) -> "list | None":
     top_down = h < 0
     h = abs(h)
     stride = (w * 3 + 3) // 4 * 4
-    frames, next_ts = [], 0
+    # cadence selection stays a cheap index loop (a malformed chunk skips
+    # WITHOUT advancing the cadence, exactly as before); the pixel work —
+    # previously one numpy round-trip per frame — runs ONCE over the
+    # stacked selected frames (r11 optimization, pixel-identical)
+    sel: "list[tuple[int, int]]" = []
+    next_ts = 0
     for i, raw in enumerate(raw_frames):
         ts_ms = i * state["usec"] // 1000
         if ts_ms < next_ts:
             continue
         if len(raw) < stride * h:
             continue  # malformed frame chunk — skip, keep the cadence
-        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8)
-        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        if not top_down:
-            bgr = bgr[::-1]  # DIBs are bottom-up by default
-        gray = np.clip(
-            np.round(
-                0.299 * bgr[:, :, 2].astype(np.float64)
-                + 0.587 * bgr[:, :, 1]
-                + 0.114 * bgr[:, :, 0]
-            ),
-            0,
-            255,
-        ).astype(np.uint8)
-        frames.append((ts_ms, gray))
+        sel.append((i, ts_ms))
         next_ts += every_ms
-    return frames
+    if not sel:
+        return []
+    buf = np.frombuffer(
+        b"".join(raw_frames[i][: stride * h] for i, _ in sel), dtype=np.uint8
+    )
+    bgr = buf.reshape(len(sel), h, stride)[:, :, : w * 3].reshape(
+        len(sel), h, w, 3
+    )
+    if not top_down:
+        bgr = bgr[:, ::-1]  # DIBs are bottom-up by default
+    gray = np.clip(
+        np.round(
+            0.299 * bgr[..., 2].astype(np.float64)
+            + 0.587 * bgr[..., 1]
+            + 0.114 * bgr[..., 0]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    return [(ts, gray[j]) for j, (_, ts) in enumerate(sel)]
 
 
 def _video_module():
@@ -697,11 +708,29 @@ def encode_avi_gray(frames, fps: int = 2) -> bytes:
         b"strf",
         struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0),
     )
-    movi = b""
-    for g in arr:
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = np.repeat(g, 3, axis=1)
-        movi += chunk(b"00db", rows[::-1].tobytes())  # bottom-up DIB
+    frame_bytes = stride * h
+    if frame_bytes % 2 == 0 and arr and all(a.shape == (h, w) for a in arr):
+        # vectorized movi assembly (byte-identical to the per-frame loop,
+        # r11 optimization): every chunk is the same 8-byte header + an
+        # even-sized DIB body (stride is 4-aligned, so no odd padding) —
+        # build ONE (n_frames, 8 + frame_bytes) byte matrix and serialize
+        # it in a single tobytes() instead of n_frames numpy round-trips
+        stack = np.stack(arr)  # (n, h, w)
+        rows = np.zeros((len(arr), h, stride), dtype=np.uint8)
+        rows[:, :, : w * 3] = np.repeat(stack, 3, axis=2)
+        hdr = np.frombuffer(
+            b"00db" + struct.pack("<I", frame_bytes), dtype=np.uint8
+        )
+        big = np.empty((len(arr), 8 + frame_bytes), dtype=np.uint8)
+        big[:, :8] = hdr
+        big[:, 8:] = rows[:, ::-1, :].reshape(len(arr), -1)  # bottom-up DIB
+        movi = big.tobytes()
+    else:
+        movi = b""
+        for g in arr:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = np.repeat(g, 3, axis=1)
+            movi += chunk(b"00db", rows[::-1].tobytes())  # bottom-up DIB
     body = lst(b"hdrl", avih + lst(b"strl", strh + strf)) + lst(b"movi", movi)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
 
@@ -908,6 +937,33 @@ def dhash_from_gray(gray, rows: int = 6, cols: int = 11) -> int:
             if sums[r, c + 1] * cnts[r, c] > sums[r, c] * cnts[r, c + 1]:
                 h |= 1 << (r * (cols - 1) + c)
     return h
+
+
+def _dhash_stack(G, rows: int, cols: int):
+    """Vectorized :func:`dhash_from_gray` over a STACK of same-shape
+    grayscale frames — (n, h, w) int array in, length-n int64 hash vector
+    out.  Bit-identical: the same floor-bucket cell map, exact-integer
+    grid sums (one matmul for the whole stack instead of one bincount per
+    frame), and the same cross-product gradient comparison.  The per-frame
+    video hash pass was numpy-call-bound at ~300k tiny frames per batch;
+    this collapses it to a handful of array ops (r11 optimization)."""
+    import numpy as np
+
+    n, h, w = G.shape
+    S = rows * cols
+    ri = (np.arange(h) * rows) // h
+    ci = (np.arange(w) * cols) // w
+    cell = (ri[:, None] * cols + ci[None, :]).ravel()
+    onehot = np.zeros((h * w, S), dtype=np.int64)
+    onehot[np.arange(h * w), cell] = 1
+    sums = G.reshape(n, -1).astype(np.int64) @ onehot
+    cnts = onehot.sum(axis=0)
+    nbits = rows * (cols - 1)
+    idx_a = np.array([r * cols + c for r in range(rows) for c in range(cols - 1)])
+    idx_b = idx_a + 1
+    kbits = np.int64(1) << np.arange(nbits, dtype=np.int64)
+    bits = sums[:, idx_b] * cnts[idx_a] > sums[:, idx_a] * cnts[idx_b]
+    return bits.astype(np.int64) @ kbits
 
 
 def ahash_from_gray(gray, rows: int = 8, cols: int = 7) -> int:
@@ -1389,10 +1445,12 @@ def build_hamming_index(
     layout would silently match garbage (the build_lsh_index lesson).
     One shuffle (the partitioned write); rebuild cadence = ingest cadence.
     """
+    from cerebro_spark.operators.util import small_df
+
     spark = fps.sparkSession
-    spark.createDataFrame(
-        [(bits, blocks)], "bits int, blocks int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    small_df(
+        spark, [(bits, blocks)], "bits int, blocks int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
     (
         _hash_bands(fps, hash_col, id_col, bits, blocks)
         .repartition(blocks, "blk")
@@ -1750,8 +1808,11 @@ def video_frame_hash_df(
             return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        assert rows * (cols - 1) <= 60, "fingerprint must fit a signed long"
         for pdf in batches:
-            ids, idxs, tss, hs = [], [], [], []
+            ids, idxs, tss, hs, grays = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 decoded = frames_or_none(p)
                 if decoded is None:
@@ -1759,12 +1820,25 @@ def video_frame_hash_df(
                     idxs.append(None)
                     tss.append(None)
                     hs.append(None)
+                    grays.append(None)
                     continue
                 for k, (ts_ms, gray) in enumerate(decoded):
                     ids.append(doc_id)
                     idxs.append(k)
                     tss.append(ts_ms)
-                    hs.append(dhash_from_gray(gray, rows, cols))
+                    hs.append(0)
+                    grays.append(gray)
+            # hash all frames of one shape in ONE vectorized pass
+            # (bit-identical to per-frame dhash_from_gray — see
+            # _dhash_stack; frames of mixed shapes group per shape)
+            byshape: dict = {}
+            for j, g in enumerate(grays):
+                if g is not None:
+                    byshape.setdefault(g.shape, []).append(j)
+            for shape, js in byshape.items():
+                stack = np.stack([grays[j] for j in js])
+                for j, hv in zip(js, _dhash_stack(stack, rows, cols)):
+                    hs[j] = int(hv)
             yield pd.DataFrame(
                 {
                     "id": ids,

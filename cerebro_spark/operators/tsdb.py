@@ -1564,10 +1564,25 @@ def esd_outliers(
         ],
     )
     st = aggs.join(pivot, keys) if keys else aggs.crossJoin(pivot)
-    n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
-    i_lo, i_hi = F.lit(1), F.lit(1)
-    emitted = []
+    # Each round's closed-form state is MATERIALIZED as projected columns
+    # (one select per round) instead of one giant nested expression: the
+    # single-expression unroll embedded round r−1's whole tree many times
+    # over (n/s/ss each appear in dev, var, r_stat, ok AND the next
+    # round's updates), so plan size — and Catalyst analysis time — grew
+    # exponentially in k (measured ~3.8 s of the 4.3 s query at k=3 was
+    # driver planning).  Column refs between selects keep the tree linear
+    # in k; CollapseProject leaves multi-use aliases alone, so the
+    # optimizer cannot re-inline the blowup.  Identical arithmetic.
+    lo_cols = [f"__lo{i}" for i in range(1, k + 1)]
+    hi_cols = [f"__hi{i}" for i in range(1, k + 1)]
+    st = st.select(
+        *keys, "__n", "__s", "__ss", *lo_cols, *hi_cols,
+        F.lit(1).alias("__ilo"), F.lit(1).alias("__ihi"),
+    )
+    ecols: "list[str]" = []
     for r in range(1, k + 1):
+        n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
+        i_lo, i_hi = F.col("__ilo"), F.col("__ihi")
         lo_q = F.lit(None).cast("long")
         hi_q = F.lit(None).cast("long")
         for i in range(k, 0, -1):
@@ -1583,7 +1598,8 @@ def esd_outliers(
         r_stat = F.round(
             (dev.cast("double") / n) / F.sqrt(var_num / (n - F.lit(1))), 6
         )
-        emitted.append(
+        st = st.select(
+            *keys, *lo_cols, *hi_cols, *ecols,
             F.when(
                 ok,
                 F.struct(
@@ -1592,20 +1608,23 @@ def esd_outliers(
                     r_stat.alias("r_stat"),
                     n.cast("long").alias("n_before"),
                 ),
-            )
+            ).alias(f"__e{r}"),
+            # closed-form removal update (guarded so later rounds see
+            # frozen state once emission stopped — matches the oracle)
+            F.when(ok, n - 1).otherwise(n).alias("__n"),
+            F.when(ok, s - rem_q).otherwise(s).alias("__s"),
+            F.when(ok, ss - (rem_q * rem_q).cast("decimal(38,0)"))
+            .otherwise(ss).alias("__ss"),
+            F.when(ok & ~take_hi, i_lo + 1).otherwise(i_lo).alias("__ilo"),
+            F.when(ok & take_hi, i_hi + 1).otherwise(i_hi).alias("__ihi"),
         )
-        # closed-form removal update (guarded so later rounds see frozen
-        # state once emission stopped — matches the oracle's unroll)
-        n = F.when(ok, n - 1).otherwise(n)
-        s = F.when(ok, s - rem_q).otherwise(s)
-        ss = F.when(ok, ss - (rem_q * rem_q).cast("decimal(38,0)")).otherwise(ss)
-        new_i_lo = F.when(ok & ~take_hi, i_lo + 1).otherwise(i_lo)
-        new_i_hi = F.when(ok & take_hi, i_hi + 1).otherwise(i_hi)
-        i_lo, i_hi = new_i_lo, new_i_hi
+        ecols.append(f"__e{r}")
     out = st.select(
         *keys,
         F.explode(
-            F.filter(F.array(*emitted), lambda x: x.isNotNull())
+            F.filter(
+                F.array(*[F.col(c) for c in ecols]), lambda x: x.isNotNull()
+            )
         ).alias("__e"),
     )
     return out.select(

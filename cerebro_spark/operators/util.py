@@ -48,6 +48,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def small_df(spark, rows, schema) -> DataFrame:
+    """Single-partition DataFrame from a tiny driver-side row list — the
+    marker/params-table constructor.
+
+    ``spark.createDataFrame(list)`` parallelizes over defaultParallelism
+    slices, and the usual ``.coalesce(1).write`` then evaluates every
+    (mostly empty) Python slice SEQUENTIALLY inside one task — measured
+    6-9 s per 1-row marker write on local[32] (~0.2 s of Python-worker
+    round-trip per slice).  One explicit slice keeps the identical
+    type-inference path and write layout at ~0.4 s.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def _parse_size_bytes(conf: str) -> int:
     """Parse a Spark byte-size conf value: plain bytes (``134217728``),
     byte-suffixed (``134217728b``), or human-readable (``128m``, ``1g``).

@@ -2852,8 +2852,11 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned = train_bpe(
         load_table(spark, "documents", sf_dir), merges=_BPE_MERGES
     )
-    return spark.createDataFrame(
-        learned, "merge_round int, lhs string, rhs string, pair_count long"
+    from cerebro_spark.operators.util import small_df
+
+    return small_df(
+        spark, learned,
+        "merge_round int, lhs string, rhs string, pair_count long",
     )
 
 
@@ -2993,7 +2996,10 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned = train_wordpiece(
         load_table(spark, "documents", sf_dir), merges=_BPE_MERGES
     )
-    return spark.createDataFrame(
+    from cerebro_spark.operators.util import small_df
+
+    return small_df(
+        spark,
         learned,
         "merge_round int, lhs string, rhs string, pair_count long, "
         "lhs_count long, rhs_count long",

@@ -13,6 +13,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cerebro_spark.operators.util import small_df
+
 
 def _read_marker(spark, path: str, *, absent_on_empty: bool = False):
     """Read a small marker parquet directory, returning ``None`` ONLY when
@@ -573,12 +575,11 @@ def neardup_filter_sink(
                 # buckets exist, so a crash mid-first-batch leaves
                 # have_index=False and the replay rebuilds the same dirs
                 if not have_index:
-                    spark.createDataFrame(
+                    small_df(
+                        spark,
                         [(n, num_hashes, bands)],
                         "n int, num_hashes int, bands int",
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        f"{root}/params"
-                    )
+                    ).write.mode("overwrite").parquet(f"{root}/params")
                 # post-append migration: if the online compactor flipped
                 # the generation while this batch ran, republish into the
                 # new generation (skip-if-exists makes repeats cheap) so
@@ -676,11 +677,9 @@ def compact_neardup_index(
         .parquet(f"{target}/buckets/__batch=0")
     )
     params.coalesce(1).write.mode("overwrite").parquet(f"{target}/params")
-    spark.createDataFrame(
-        [(max_batch,)], "through_batch long"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{target}/compacted_through"
-    )
+    small_df(
+        spark, [(max_batch,)], "through_batch long"
+    ).write.mode("overwrite").parquet(f"{target}/compacted_through")
     if out_path is None:
         old = f"{index_path}.old"
         shutil.rmtree(old, ignore_errors=True)
@@ -902,11 +901,9 @@ def media_neardup_filter_sink(
                     # params marker LAST: its presence implies bands exist,
                     # so a crash mid-first-batch replays as "no index yet"
                     if not have_index:
-                        spark.createDataFrame(
-                            [(bits, blocks)], "bits int, blocks int"
-                        ).coalesce(1).write.mode("overwrite").parquet(
-                            f"{root}/params"
-                        )
+                        small_df(
+                            spark, [(bits, blocks)], "bits int, blocks int"
+                        ).write.mode("overwrite").parquet(f"{root}/params")
                     # post-append migration: a generation flip mid-batch
                     # can never lose this batch — republish into the new
                     # root unless the fold already absorbed it
@@ -1004,11 +1001,9 @@ def compact_media_index(
         .parquet(f"{target}/bands/__batch=0")
     )
     params.coalesce(1).write.mode("overwrite").parquet(f"{target}/params")
-    spark.createDataFrame(
-        [(max_batch,)], "through_batch long"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{target}/compacted_through"
-    )
+    small_df(
+        spark, [(max_batch,)], "through_batch long"
+    ).write.mode("overwrite").parquet(f"{target}/compacted_through")
     if out_path is None:
         old = f"{index_path}.old"
         shutil.rmtree(old, ignore_errors=True)
@@ -1165,11 +1160,9 @@ def _compact_index_online(
     spark.read.parquet(f"{root}/params").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{new_root}/params")
-    spark.createDataFrame(
-        [(max_batch,)], "through_batch long"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{new_root}/compacted_through"
-    )
+    small_df(
+        spark, [(max_batch,)], "through_batch long"
+    ).write.mode("overwrite").parquet(f"{new_root}/compacted_through")
 
     flip_index_generation(index_path, gen + 1)
     _wait_inflight(index_path, inflight_timeout)
