@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from cerebro_spark.operators.util import ensure_parallelism
+
 
 def _star_round(edges: DataFrame) -> DataFrame:
     """One large-star + one small-star pass over canonical (u, v) edges."""
@@ -445,8 +447,11 @@ def neighbor_jaccard(
     # the (possibly capped) adjacency feeds THREE consumers — the degree
     # aggregate and both wedge sides — and upstream may be an expensive
     # join+distinct; cache the ids-only frame (16 bytes/row, MEMORY_AND_DISK,
-    # LRU-evictable) instead of recomputing it per branch
-    e = e.cache()
+    # LRU-evictable) instead of recomputing it per branch.  Spread it first:
+    # the cache freezes AQE's coalesced layout (a handful of partitions on
+    # small inputs), and the wedge probe inherits that width — the blowup
+    # is compute, which the byte heuristic cannot see (no-op at scale)
+    e = ensure_parallelism(e).cache()
     deg = e.groupBy("ent").agg(F.count(F.lit(1)).alias("deg"))
     a = e.select(F.col("nb"), F.col("ent").alias("id_a"))
     b = e.select(F.col("nb"), F.col("ent").alias("id_b"))
@@ -520,9 +525,10 @@ def cooccurrence_lift(
             .select("bk", "it")
         )
     # four consumers (basket count, marginals, both pair sides) — cache the
-    # ids-only frame rather than recompute upstream per branch (same
+    # ids-only frame rather than recompute upstream per branch, spread so
+    # the wedge probe does not inherit AQE's coalesced layout (same
     # rationale as neighbor_jaccard)
-    e = e.cache()
+    e = ensure_parallelism(e).cache()
     n_baskets = e.select("bk").distinct().agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -872,8 +878,16 @@ def adamic_adar(
     we9 = F.floor(
         F.lit(1.0e9) / F.log(F.col("__d").cast("double")) + F.lit(0.5)
     ).cast("long")
+    # explicit spread before the posting-list aggregate: the pair explode
+    # and its partial sum run on the groupBy's output partitions, which
+    # AQE's byte-based coalescing shrinks to a handful on small inputs
+    # while the wedge fan-out is a compute blowup it cannot see
+    # (REPARTITION_BY_NUM is AQE-proof; no-op cost at real scale where the
+    # exchange is needed anyway)
+    par = edges.sparkSession.sparkContext.defaultParallelism
     lists = (
         e.join(deg, "__w")
+        .repartition(par, F.col("__w"))
         .groupBy("__w", we9.alias("__we9"))
         .agg(F.array_sort(F.collect_set("__n")).alias("__arr"))
     )

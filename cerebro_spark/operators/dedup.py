@@ -1115,7 +1115,13 @@ def prefix_jaccard_pairs(
         + 1
     )
     members = F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("n"))))
-    posting = prefix.groupBy("w").agg(members.alias("m"))
+    # explicit spread before the posting-list aggregate: the in-array pair
+    # explode downstream is a compute blowup AQE's byte-based coalescing
+    # folds into one task on small inputs (REPARTITION_BY_NUM is
+    # AQE-proof; at scale this exchange is required anyway)
+    posting = prefix.repartition(
+        tok.sparkSession.sparkContext.defaultParallelism, F.col("w")
+    ).groupBy("w").agg(members.alias("m"))
     pair_arr = F.flatten(
         F.transform(
             F.col("m"),

@@ -185,14 +185,18 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     + codegen'd levenshtein filter; candidate mass is sum of block sizes
     squared (diagnosable the same way as lsh_bucket_stats)."""
     from cerebro_spark.operators.joins import fuzzy_join_blocked
+    from cerebro_spark.operators.util import ensure_parallelism
 
     part = load_table(spark, "part", sf_dir)
-    base = part.select(
+    # spread the single-file scan: the blocked join's levenshtein pass runs
+    # on the probe side's partitions (measured a 2.2 s one-task stage;
+    # no-op on a multi-split scan)
+    base = ensure_parallelism(part.select(
         F.col("p_partkey"),
         F.col("p_name"),
         F.col("p_brand"),
         F.split(F.col("p_name"), " ")[0].alias("first_word"),
-    )
+    ))
     a = base.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name"), "p_brand", "first_word"
     )
