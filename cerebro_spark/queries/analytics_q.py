@@ -3902,9 +3902,14 @@ def q_mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division — the classifier companion of ranker_sign_test."""
     from cerebro_spark.operators.profile import mcnemar_test
     from cerebro_spark.operators.text import lang_id_heuristic
+    from cerebro_spark.operators.util import ensure_parallelism
 
-    docs = load_table(spark, "documents", sf_dir).filter(
-        F.col("lang").isNotNull()
+    # spread the single-file scan: the lang-id regex battery runs per row
+    # on the scan's partitions (no-op on a multi-split scan)
+    docs = ensure_parallelism(
+        load_table(spark, "documents", sf_dir).filter(
+            F.col("lang").isNotNull()
+        )
     )
     return mcnemar_test(
         docs,

@@ -337,7 +337,11 @@ def _synth_wav(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread a sub-split input first: the per-row Python codec is the
+    # CPU-heavy stage (no-op on a multi-split scan)
+    return ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, payload binary"
     )
 
@@ -522,7 +526,11 @@ def _synth_media(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select("doc_id", "text").mapInPandas(
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread a sub-split input first: the per-row Python codec is the
+    # CPU-heavy stage (no-op on a multi-split scan)
+    return ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, payload binary"
     )
 
@@ -596,7 +604,11 @@ def _synth_bmp(df: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread a sub-split input first: the per-row Python codec is the
+    # CPU-heavy stage (no-op on a multi-split scan)
+    return ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, payload binary"
     )
 
@@ -816,7 +828,11 @@ def _synth_avi(df: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    # spread a sub-split input first: the per-row Python codec is the
+    # CPU-heavy stage (no-op on a multi-split scan)
+    return ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, payload binary"
     )
 
@@ -1342,11 +1358,15 @@ def q_streaming_video_neardup_check(
     )
     tmp = tempfile.mkdtemp(prefix="video_neardup_gate_")
     try:
-        _synth_avi(b0).coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), not coalesce(1): coalesce's narrow dependency
+        # would pull the Python AVI-encode stage into the single write
+        # task; the shuffle keeps the encode on the parallel map side and
+        # still lands exactly ONE file per micro-batch
+        _synth_avi(b0).repartition(1).write.mode("overwrite").parquet(
             f"{tmp}/in"
         )
         _backdate_files(f"{tmp}/in")  # batch 0 sorts first — no sleep needed
-        _synth_avi(b1).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        _synth_avi(b1).repartition(1).write.mode("append").parquet(f"{tmp}/in")
         sink = media_neardup_filter_sink(
             f"{tmp}/idx",
             f"{tmp}/out",

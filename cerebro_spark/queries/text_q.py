@@ -2131,8 +2131,11 @@ def q_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate an integer MIN, so cms_n >= exact_n holds bit-for-bit on
     both engines (the one-sided CMS guarantee, measured)."""
     from cerebro_spark.operators.profile import cms_heavy_hitters
+    from cerebro_spark.operators.util import ensure_parallelism
 
-    tok = load_table(spark, "documents", sf_dir).select(
+    # spread the single-file scan: tokenization + 4 md5 buckets per token
+    # run on the scan's partitions (no-op on a multi-split scan)
+    tok = ensure_parallelism(load_table(spark, "documents", sf_dir)).select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     return cms_heavy_hitters(tok, "w", depth=4, width=256, k=20)
@@ -2698,8 +2701,13 @@ def q_langid_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class P/R/F1 (text.langid_prf1) of the lang_id_heuristic vs
     recorded labels - names the language the classifier fails on."""
     from cerebro_spark.operators.text import langid_prf1
+    from cerebro_spark.operators.util import ensure_parallelism
 
-    return langid_prf1(load_table(spark, "documents", sf_dir), "text", "lang")
+    # spread the single-file scan before the per-row regex battery
+    return langid_prf1(
+        ensure_parallelism(load_table(spark, "documents", sf_dir)),
+        "text", "lang",
+    )
 
 
 def _langid_prf1_sql() -> str:
@@ -2879,8 +2887,11 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     subword tokens per whitespace word per language.  The oracle re-trains
     AND re-applies the merges from scratch in SQL."""
     from cerebro_spark.operators.text import bpe_fertility, train_bpe
+    from cerebro_spark.operators.util import ensure_parallelism
 
-    docs = load_table(spark, "documents", sf_dir)
+    # spread the single-file scan: the k-deep merge replay runs per word
+    # on the scan's partitions (no-op on a multi-split scan)
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     learned = train_bpe(docs, merges=_BPE_MERGES)
     return bpe_fertility(docs, learned, group_col="lang")
 
