@@ -1932,33 +1932,98 @@ def video_signature_df(
     bits: int = 16,
     temporal_bands: int = 3,
     on_error: str = "raise",
+    impl: str = "arrow",
 ) -> DataFrame:
     """The VIDEO fingerprint stage for ``media_neardup_filter_sink`` —
     ``video_signature`` reshaped to the sink's ``(id, dhash)`` contract:
-    per-frame dHashes through the real decode path
-    (``video_frame_hash_df``) folded into the temporal-majority signature,
-    with the signature column renamed ``dhash`` so the sink's pigeonhole
-    probe/growth machinery applies unchanged (configure the sink with
-    ``bits = bits * temporal_bands``).
+    per-frame dHashes through the real decode path folded into the
+    temporal-majority signature, with the signature column renamed
+    ``dhash`` so the sink's pigeonhole probe/growth machinery applies
+    unchanged (configure the sink with ``bits = bits * temporal_bands``).
 
     Fail-soft composition (``on_error='null'``): an undecodable payload
     yields ``(id, NULL)`` — the sink keeps it UNINDEXED, the family
     contract.  A payload that decodes to zero frames also yields
     ``(id, NULL)`` (no frames -> no perceptual identity to probe or
-    index)."""
-    fh = video_frame_hash_df(
-        df, payload_col, id_col, every_ms, rows, cols, on_error
-    )
-    good = video_signature(
-        fh.filter(F.col("fhash").isNotNull()),
-        bits=bits,
-        temporal_bands=temporal_bands,
-    )
-    return (
-        fh.select("id")
-        .distinct()
-        .join(good, "id", "left")
-        .select("id", F.col("vfp").alias("dhash"))
+    index).
+
+    Default ``impl='arrow'`` (r11 optimization): every payload's frames
+    are LOCAL to its row, so the decode -> per-frame dHash -> per-span
+    majority fold all happen in ONE Arrow pass with ZERO shuffles — the
+    exploded-frame composition (``impl='dataframe'``: frame-hash frame +
+    count join + two fold groupBys, three exchanges) moved every frame
+    hash across the wire just to group them back by the id they started
+    with.  Bit-identical (exact-integer majority votes; pinned by
+    tests/test_round11_opt.py), and the better 100 TB shape outright.
+    """
+    if impl == "dataframe":
+        fh = video_frame_hash_df(
+            df, payload_col, id_col, every_ms, rows, cols, on_error
+        )
+        good = video_signature(
+            fh.filter(F.col("fhash").isNotNull()),
+            bits=bits,
+            temporal_bands=temporal_bands,
+        )
+        return (
+            fh.select("id")
+            .distinct()
+            .join(good, "id", "left")
+            .select("id", F.col("vfp").alias("dhash"))
+        )
+
+    from cerebro_spark.operators.util import ensure_parallelism
+
+    assert on_error in ("raise", "null")
+    assert bits * temporal_bands <= 60, "signature must fit a signed long"
+    df = ensure_parallelism(df)
+
+    def frames_or_none(p):
+        if p is None:
+            if on_error == "raise":
+                raise ValueError("NULL payload (no video bytes to decode)")
+            return None
+        if on_error == "raise":
+            return decode_video_frames(bytes(p), every_ms)
+        try:
+            return decode_video_frames(bytes(p), every_ms)
+        except (NotImplementedError, ValueError, AssertionError):
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc_id)
+                decoded = frames_or_none(p)
+                if not decoded:  # decode failure OR zero frames -> NULL
+                    sigs.append(None)
+                    continue
+                stack = np.stack([g for _, g in decoded])
+                fhash = _dhash_stack(stack, rows, cols)
+                n = len(fhash)
+                # span of frame f is (f*T) div n — identical to
+                # video_signature's floor-bucket rule over frame_idx
+                spans = (np.arange(n) * temporal_bands) // n
+                vfp = 0
+                for t in range(temporal_bands):
+                    h = fhash[spans == t]
+                    if len(h) == 0:
+                        continue
+                    fold = 0
+                    for b in range(bits):
+                        if int(((h >> b) & 1).sum()) * 2 > len(h):
+                            fold |= 1 << b
+                    vfp += fold << (t * bits)
+                sigs.append(vfp)
+            yield pd.DataFrame(
+                {"id": ids, "dhash": pd.array(sigs, dtype="Int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "id long, dhash long"
     )
 
 

@@ -90,6 +90,32 @@ def test_avi_vectorized_encode_decode_roundtrip_bytes():
         assert np.array_equal(g, ref)  # (v,v,v) luma round-trips exactly
 
 
+def test_video_signature_arrow_matches_dataframe_composition(spark):
+    """The one-pass Arrow video signature must be bit-identical to the
+    exploded-frame DataFrame composition (3 shuffles) it replaces —
+    including NULL payloads, corrupt payloads, and zero-frame payloads."""
+    from cerebro_spark.io import load_table
+    from cerebro_spark.operators.multimodal import video_signature_df
+    from cerebro_spark.queries.multimodal_q import _synth_avi
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", F.expr("substring(text, 1, (length(text) div 16) * 16)").alias("text")
+    )
+    avi = _synth_avi(docs)
+    planted = avi.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("binary"))
+        .when(F.col("doc_id") % 11 == 5, F.lit(b"RIFFxxxxAVI corrupt").cast("binary"))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    fast = {r.id: r.dhash for r in video_signature_df(
+        planted, every_ms=500, on_error="null").collect()}
+    slow = {r.id: r.dhash for r in video_signature_df(
+        planted, every_ms=500, on_error="null", impl="dataframe").collect()}
+    assert fast == slow and len(fast) == 500
+
+
 def test_mmr_driver_greedy_matches_distributed_loop(spark):
     """The bounded driver-side MMR greedy must be bit-identical to the
     distributed anti-join/argmax loop it replaces on small shortlists."""
