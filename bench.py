@@ -377,7 +377,50 @@ def main() -> None:
         },
         separators=(",", ":"),
     ))
+    for line in timings_part_lines(timings):
+        print(line)
     print(headline_line(timings, float(sf)))
+
+
+def timings_part_lines(
+    timings: "dict[str, float]", max_chars: int = 512
+) -> "list[str]":
+    """The per-query map again, in BOUNDED chunks (VERDICT r11 #3).
+
+    The driver tail-captures only the last 2000 stdout chars; the single
+    "timings" detail line outgrew that at ~140 queries, so the captured
+    window cuts it MID-LINE and the driver's round-over-round comparator
+    recovers nothing ("n_common: 0" in PERF_r11 despite two good runs).
+    Re-emitting the same map as ``{"detail":"timings_part",...}`` lines of
+    ≤ ``max_chars`` chars each means every line that falls fully inside
+    the captured window parses cleanly — the window then yields ~60-70
+    whole queries instead of regex-scraped fragments.  Additions-only:
+    the headline line and both existing detail lines are byte-identical
+    to round 11's format.  Query order matches the headline list so the
+    window keeps showing the SAME tail queries round-over-round.
+    """
+    lines: list[str] = []
+    part: dict[str, float] = {}
+
+    def flush() -> None:
+        if part:
+            lines.append(json.dumps(
+                {"detail": "timings_part", "q": dict(part)},
+                separators=(",", ":"),
+            ))
+            part.clear()
+
+    base = len('{"detail":"timings_part","q":{}}')
+    used = base
+    for n, t in timings.items():
+        entry = len(json.dumps({n: round(t, 3)}, separators=(",", ":"))) - 1
+        if part and used + entry > max_chars:
+            flush()
+            used = base
+        part[n] = round(t, 3)
+        used += entry
+    flush()
+    return lines
 
 
 def headline_line(timings: "dict[str, float]", sf: float) -> str:

@@ -8,6 +8,7 @@ Parquet/Delta roots; the API is identical.
 from __future__ import annotations
 
 import os
+import weakref
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,9 +48,27 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+# Per-session relation reuse (VERDICT r11 #9, the long-tail lever): every
+# query calls load_table for its base tables, and each spark.read.parquet
+# re-resolves the datasource (footer/schema read, file listing) — a fixed
+# ~50-150 ms driver-side tax per call that at 235 bench queries × several
+# tables adds up to a two-digit share of the headline total.  The testdata
+# tables are immutable within a session, so the RESOLVED DataFrame (a plan,
+# never data — every action still scans the parquet files) is reused per
+# (session, path).  WeakKeyDictionary: the cache dies with the session, so
+# a stopped/recreated session can never serve stale relations.
+_RELATION_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]"
+) = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    per_session = _RELATION_CACHE.setdefault(spark, {})
+    cached = per_session.get(path)
+    if cached is not None:
+        return cached
+    _ensure_session_confs(spark)
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         # integer DIV keeps ns-epoch exact (ns > 2^53 would lose precision as
@@ -61,6 +80,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = df.withColumnRenamed(c, f"{c}__ns").withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}__ns` div 1000"))
         )
+    per_session[path] = df
     return df
 
 

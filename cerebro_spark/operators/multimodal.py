@@ -954,10 +954,31 @@ def _dhash_stack(G, rows: int, cols: int):
     ri = (np.arange(h) * rows) // h
     ci = (np.arange(w) * cols) // w
     cell = (ri[:, None] * cols + ci[None, :]).ravel()
-    onehot = np.zeros((h * w, S), dtype=np.int64)
-    onehot[np.arange(h * w), cell] = 1
-    sums = G.reshape(n, -1).astype(np.int64) @ onehot
-    cnts = onehot.sum(axis=0)
+    flat = G.reshape(n, -1).astype(np.int64)
+    if h * w <= 65536:
+        # small frames (the gated corpus: 2x16 synthetic, thumbnails): the
+        # dense one-hot matmul is the fastest exact form and its (h*w, S)
+        # temporary is tiny
+        onehot = np.zeros((h * w, S), dtype=np.int64)
+        onehot[np.arange(h * w), cell] = 1
+        sums = flat @ onehot
+        cnts = onehot.sum(axis=0)
+    else:
+        # real-resolution frames (ADVICE r11: a 1080p one-hot allocates
+        # ~1 GB and does S× more FLOPs than needed): group pixels by cell
+        # once (the cell map is frame-independent) and take exact int64
+        # group sums with add.reduceat — no dense temporary, O(h*w) work
+        order = np.argsort(cell, kind="stable")
+        sorted_cells = cell[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_cells[1:] != sorted_cells[:-1]]
+        )
+        present = sorted_cells[starts]
+        gsums = np.add.reduceat(flat[:, order], starts, axis=1)
+        sums = np.zeros((n, S), dtype=np.int64)
+        sums[:, present] = gsums
+        cnts = np.zeros(S, dtype=np.int64)
+        cnts[present] = np.diff(np.r_[starts, cell.size])
     nbits = rows * (cols - 1)
     idx_a = np.array([r * cols + c for r in range(rows) for c in range(cols - 1)])
     idx_b = idx_a + 1
@@ -1965,8 +1986,13 @@ def video_signature_df(
             bits=bits,
             temporal_bands=temporal_bands,
         )
+        # ids come from the INPUT, not the frame table: a payload that
+        # decodes to ZERO frames emits no frame rows at all, so deriving
+        # ids from fh silently dropped it while the arrow impl emits
+        # (id, NULL) — ADVICE r11.  Ids with >=1 frame or a decode-failure
+        # marker are unchanged (fh ids ⊆ input ids always).
         return (
-            fh.select("id")
+            df.select(F.col(id_col).alias("id"))
             .distinct()
             .join(good, "id", "left")
             .select("id", F.col("vfp").alias("dhash"))

