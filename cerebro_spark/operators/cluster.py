@@ -1085,9 +1085,16 @@ def modularity(
     extension next to label_propagation (driver brief).
     """
     dec = "decimal(38,0)"
-    # NOT cached, deliberately: e feeds two branches, but caching blocks
-    # AQE re-planning downstream (see local_clustering_coefficient's
-    # measured 2.6× regression) — recompute is fully pipelined codegen
+    # ONE derivation of the (possibly expensive) canonical edge list
+    # (r12): the previous two-branch shape (1-row intra aggregate + the
+    # degree branch) recomputed the whole upstream join+distinct chain
+    # per branch — caching was measured 2.6× WORSE (it blocks AQE
+    # re-planning, see local_clustering_coefficient), so instead the
+    # intra/m counters now ride the degree pass: each edge explodes into
+    # its two part-tagged endpoints, with the edge-level counters (m,
+    # intra) carried on the u-endpoint row only, and everything reduces
+    # through one cascade of combinable aggregates (endpoint → node →
+    # part → 1 row).  Identical arithmetic, half the edge derivations.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -1102,46 +1109,53 @@ def modularity(
     pu = part.select(F.col("__n").alias("u"), F.col("__p").alias("__pu"))
     pv = part.select(F.col("__n").alias("v"), F.col("__p").alias("__pv"))
     tagged = e.join(pu, "u", "left").join(pv, "v", "left")
-    # ONE combinable aggregate carries both m and the intra count — no
-    # driver-side count() that would force a second edge derivation
-    intra = tagged.agg(
-        F.count(F.lit(1)).cast(dec).alias("__m"),
-        F.sum(
-            (
-                F.col("__pu").isNotNull()
-                & (F.col("__pu") == F.col("__pv"))
-            ).cast("long")
-        ).cast(dec).alias("__intra"),
+    intra_flag = (
+        F.col("__pu").isNotNull() & (F.col("__pu") == F.col("__pv"))
+    ).cast("long")
+    endpoints = tagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("node"),
+                    F.col("__pu").alias("__p"),
+                    F.lit(1).cast("long").alias("__mc"),
+                    intra_flag.alias("__ic"),
+                ),
+                F.struct(
+                    F.col("v").alias("node"),
+                    F.col("__pv").alias("__p"),
+                    F.lit(0).cast("long").alias("__mc"),
+                    F.lit(0).cast("long").alias("__ic"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
+    per_node = endpoints.groupBy("node", "__p").agg(
+        F.count(F.lit(1)).alias("__d"),
+        F.sum("__mc").alias("__mc"),
+        F.sum("__ic").alias("__ic"),
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("__d"))
-        .join(
-            part.select(F.col("__n").alias("node"), "__p"), "node", "left"
-        )
-        .select(
-            # unassigned nodes: each its own singleton community — keyed
-            # by a per-node label so their degree mass still penalizes
-            F.coalesce(
-                F.col("__p").cast("string"),
-                F.concat(F.lit("__solo_"), F.col("node").cast("string")),
-            ).alias("__pc"),
-            "__d",
-        )
+    per_part = per_node.select(
+        # unassigned nodes: each its own singleton community — keyed
+        # by a per-node label so their degree mass still penalizes
+        F.coalesce(
+            F.col("__p").cast("string"),
+            F.concat(F.lit("__solo_"), F.col("node").cast("string")),
+        ).alias("__pc"),
+        "__d", "__mc", "__ic",
+    ).groupBy("__pc").agg(
+        F.sum(F.col("__d").cast(dec)).alias("__dc"),
+        F.sum("__mc").alias("__mc"),
+        F.sum("__ic").alias("__ic"),
+        F.count(F.lit(1)).alias("__nn"),
     )
-    per_part = deg.groupBy("__pc").agg(
-        F.sum(F.col("__d").cast(dec)).alias("__dc")
-    )
-    sums = per_part.agg(
+    j = per_part.agg(
+        F.coalesce(F.sum("__nn"), F.lit(0)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum("__mc"), F.lit(0)).cast(dec).alias("__m"),
+        F.coalesce(F.sum("__ic"), F.lit(0)).cast(dec).alias("__intra"),
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum(F.col("__dc") * F.col("__dc")).alias("__sumdc2"),
     )
-    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    j = (
-        intra.crossJoin(F.broadcast(sums)).crossJoin(F.broadcast(nodes))
-    )  # 1-row x 1-row scalar joins
     mm = F.col("__m")
     num = F.lit(4).cast(dec) * mm * F.col("__intra") - F.col("__sumdc2")
     den = F.lit(4).cast(dec) * mm * mm

@@ -559,16 +559,30 @@ def neardup_filter_sink(
                 ).persist()
 
                 def publish(to_root: str) -> None:
-                    write_batch_dir(
-                        sig, f"{to_root}/signatures/__batch={batch_id}"
-                    )
-                    write_batch_dir(
-                        band_buckets(sig, bands, rows).repartition(
-                            bands, "band"
-                        ),
-                        f"{to_root}/buckets/__batch={batch_id}",
-                        partition_by="band",
-                    )
+                    # the two per-batch dirs are independent (both derive
+                    # from the persisted sig frame, land in distinct paths,
+                    # and each publishes atomically) — run them as two
+                    # concurrent driver-thread jobs so the second write's
+                    # tasks back-fill the first's tail (guide §2.6) instead
+                    # of paying two sequential job round-trips per batch
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        fa = pool.submit(
+                            write_batch_dir,
+                            sig,
+                            f"{to_root}/signatures/__batch={batch_id}",
+                        )
+                        fb = pool.submit(
+                            write_batch_dir,
+                            band_buckets(sig, bands, rows).repartition(
+                                bands, "band"
+                            ),
+                            f"{to_root}/buckets/__batch={batch_id}",
+                            partition_by="band",
+                        )
+                        fa.result()
+                        fb.result()
 
                 publish(root)
                 # params marker LAST: its presence implies signatures +
@@ -886,16 +900,27 @@ def media_neardup_filter_sink(
                     ).filter(F.col("dhash").isNotNull()).persist()
 
                     def publish(to_root: str) -> None:
-                        write_batch_dir(
-                            kfps, f"{to_root}/fps/__batch={batch_id}"
-                        )
-                        write_batch_dir(
-                            _hash_bands(
-                                kfps, "dhash", "id", bits, blocks
-                            ).repartition(blocks, "blk"),
-                            f"{to_root}/bands/__batch={batch_id}",
-                            partition_by="blk",
-                        )
+                        # independent per-batch dirs from the persisted
+                        # kfps frame — two concurrent driver-thread jobs
+                        # (guide §2.6), same as the text sink's publish
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(max_workers=2) as pool:
+                            fa = pool.submit(
+                                write_batch_dir,
+                                kfps,
+                                f"{to_root}/fps/__batch={batch_id}",
+                            )
+                            fb = pool.submit(
+                                write_batch_dir,
+                                _hash_bands(
+                                    kfps, "dhash", "id", bits, blocks
+                                ).repartition(blocks, "blk"),
+                                f"{to_root}/bands/__batch={batch_id}",
+                                partition_by="blk",
+                            )
+                            fa.result()
+                            fb.result()
 
                     publish(root)
                     # params marker LAST: its presence implies bands exist,

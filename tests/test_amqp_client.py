@@ -3,6 +3,7 @@ socket (tests/amqp_fake_broker.py), no mocks: handshake, queue declare,
 Basic.Get polling, ack-after-spool-write, crash redelivery, and the full
 pump → spool → bus_messages_to_points pipeline."""
 
+import pytest
 import json
 
 from pyspark.sql import functions as F
@@ -49,6 +50,7 @@ def test_client_handshake_get_ack_empty():
         broker.stop()
 
 
+@pytest.mark.slow
 def test_pump_spools_then_acks_and_is_idempotent(tmp_path):
     msgs = [
         (

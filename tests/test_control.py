@@ -1,5 +1,6 @@
 """Control-surface socket server (C3 parity — reference status socket)."""
 
+import pytest
 import json
 
 from cerebro_spark.control import ControlServer, query
@@ -85,6 +86,7 @@ def test_live_runner_end_to_end(tmp_path, spark):
         runner.stop()
 
 
+@pytest.mark.slow
 def test_sql_cli_command(tmp_path):
     """`python -m cerebro_spark sql` runs a query over the registered views
     from any cwd (subprocess — the exact user invocation)."""
@@ -107,6 +109,7 @@ def test_sql_cli_command(tmp_path):
     assert "|5" in out.stdout.replace(" ", "") or "| 5" in out.stdout
 
 
+@pytest.mark.slow
 def test_explain_cli_command(tmp_path):
     """`python -m cerebro_spark explain --name <query>` prints the formatted
     plan and the plan-audit verdict (subprocess, any cwd)."""
@@ -141,6 +144,7 @@ def test_explain_cli_command(tmp_path):
     assert "weather_chain" in bad.stderr
 
 
+@pytest.mark.slow
 def test_maintain_cli_command(spark, tmp_path):
     """`python -m cerebro_spark maintain` runs retention + compaction over a
     (bucket, date)-partitioned store and prints the health report."""
@@ -177,6 +181,7 @@ def test_maintain_cli_command(spark, tmp_path):
     assert left.count() == 1  # only today's row survives
 
 
+@pytest.mark.slow
 def test_maintain_zorder_cli(spark, tmp_path):
     import subprocess
     import sys

@@ -56,6 +56,7 @@ def _run_stream(spark, src_dir, schema, sink_fn, ckpt):
     )
 
 
+@pytest.mark.slow
 def test_idempotent_parquet_sink_crash_between_write_and_commit(
     spark, tmp_path
 ):
@@ -98,6 +99,7 @@ def test_idempotent_parquet_sink_crash_between_write_and_commit(
     assert got == list(range(30))  # no dupes, no loss
 
 
+@pytest.mark.slow
 def test_keyed_upsert_sink_crash_between_write_and_commit(spark, tmp_path):
     src, store, ckpt = (
         str(tmp_path / "src"),
@@ -138,6 +140,7 @@ def test_keyed_upsert_sink_crash_between_write_and_commit(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_neardup_sink_crash_before_params_marker(spark, tmp_path):
     """First-batch torn state for the LSH index: signatures and buckets
     written, the params marker NOT yet (it is written last for exactly

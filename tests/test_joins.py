@@ -1,5 +1,6 @@
 """As-of / range join unit tests (tie semantics, tolerance, bucket edges)."""
 
+import pytest
 import datetime as dt
 
 from cerebro_spark.operators.joins import asof_join, range_join
@@ -133,6 +134,7 @@ def test_asof_user_suffix_not_sentinel(spark):
     assert nrow["v__b"] == 99.0 and nrow["v_right"] == 1.0
 
 
+@pytest.mark.slow
 def test_asof_keyless_two_level_matches_keyed(spark):
     """Keyless as-of (by=[]) must produce the same matches as running the
     keyed path with a constant key (the semantics oracle), in all three

@@ -35,6 +35,7 @@ def _tdoc(seed: int, n: int = 30) -> str:
     return " ".join(f"tok{(seed * 31 + j * 7) % 997}x{j}" for j in range(n))
 
 
+@pytest.mark.slow
 def test_media_online_compaction_between_batches(spark, tmp_path):
     """Fold + flip between micro-batches: probe results unchanged, folded
     replay is a no-op, the next new batch still dedups, and the legacy
@@ -110,6 +111,7 @@ def test_media_online_compaction_between_batches(spark, tmp_path):
     assert hits() == before
 
 
+@pytest.mark.slow
 def test_media_online_compaction_concurrent_with_stream(spark, tmp_path):
     """Compaction runs in a thread WHILE the sink keeps writing batches:
     the survivor set equals a control run with no compaction, and every
@@ -165,6 +167,7 @@ def test_media_online_compaction_concurrent_with_stream(spark, tmp_path):
     assert found == set(got)
 
 
+@pytest.mark.slow
 def test_text_online_compaction_and_prune(spark, tmp_path):
     """The text sink twin: fold + flip with the stream running across the
     flip, probe equality, and prune removes the old generation."""
@@ -252,6 +255,7 @@ def test_atomic_batch_publish_skips_existing(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_online_compaction_leaves_partial_batches_above_fold(spark, tmp_path):
     """A batch that crashed between publishing its two fact dirs must NOT
     be absorbed one-sided: the fold stops below the first partial batch so

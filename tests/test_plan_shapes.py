@@ -53,6 +53,7 @@ def test_anti_semi_join_strategies(spark, sf_dir):
     assert "LeftSemi" in _plan(q_orders_with_returns(spark, sf_dir))
 
 
+@pytest.mark.slow
 def test_all_registered_queries_pass_plan_audit(spark, sf_dir):
     """Every registry query must pass the 100 TB anti-pattern audit
     (single-partition windows, nested-loop joins outside the documented

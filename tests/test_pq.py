@@ -8,6 +8,7 @@ recall@5 at sf0.001: 0.16 (m=8,k=16) → 0.36 (k=64) → 0.44 (k=128); the
 floors below leave ~2× headroom.  On real embedding corpora (which cluster)
 PQ recall is far higher at the same code budget."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from cerebro_spark.io import load_table
@@ -80,6 +81,7 @@ def test_pq_search_recall(spark, sf_dir):
     assert pq.columns == ["query_id", "neighbor_id", "cosine", "rank"]
 
 
+@pytest.mark.slow
 def test_ivf_pq_rerank_beats_plain_pq(spark, sf_dir):
     """The exact re-rank must recover recall lost to quantization: IVF-PQ
     with rerank ≥ plain-PQ recall at the same code budget, and every

@@ -5,6 +5,7 @@ Each Hypothesis example set is batched into one DataFrame so the number of
 Spark jobs stays small.
 """
 
+import pytest
 import datetime as dt
 import json
 
@@ -342,6 +343,7 @@ def test_top_k_ranked_matches_orderby_prefix(spark, vals):
         unique=True,
     )
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_zorder_is_permutation(spark, pairs, tmp_path_factory):
     from cerebro_spark.io import write_zordered
@@ -362,6 +364,7 @@ def test_zorder_is_permutation(spark, pairs, tmp_path_factory):
     rts=st.lists(st.integers(0, 300), min_size=1, max_size=15),
     seed=st.integers(0, 3),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, seed):
     import datetime as dt
@@ -419,6 +422,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, seed):
         max_size=120,
     )
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_keyless_cusum_matches_textbook_recurrence(spark, rows):
     from cerebro_spark.operators.tsdb import cusum
@@ -454,6 +458,7 @@ def test_keyless_cusum_matches_textbook_recurrence(spark, rows):
     lts=st.lists(st.integers(0, 400), min_size=1, max_size=15),
     rts=st.lists(st.integers(0, 400), min_size=1, max_size=15),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_keyless_asof_join_matches_pandas_merge_asof(spark, lts, rts):
     """The KEYLESS as-of path (`joins._keyless_carry`, a per-day-bucket

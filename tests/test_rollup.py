@@ -1,6 +1,7 @@
 """Incremental rollup maintenance: per-batch partition-pruned refresh
 equals a full recompute; replays converge; untouched partitions stay put."""
 
+import pytest
 import datetime as dt
 
 from cerebro_spark.operators.rollup import (
@@ -104,6 +105,7 @@ def test_rollup_sink_under_streaming_engine(spark, tmp_path):
     assert got[("b1", "hum", "value", "2024-01-02")] == (1, 5.0, 5.0, 5.0)
 
 
+@pytest.mark.slow
 def test_client_rollup_rewrite_matches_raw(spark, tmp_path):
     """Day-aligned aggregateWindow served from the rollup equals the raw
     scan; non-aligned windows fall back to raw."""

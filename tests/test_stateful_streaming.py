@@ -1,6 +1,7 @@
 """Stateful streaming: watermarked windowed rollup + applyInPandasWithState
 sessionization, driven through real micro-batches (file stream, availableNow)."""
 
+import pytest
 import datetime as dt
 from pyspark.sql import functions as F
 
@@ -51,6 +52,7 @@ def test_streaming_downsample(spark, tmp_path):
     assert got_measurements <= {"temperature", "humidity"}
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_batchwise(spark, tmp_path):
     """Sessions close mid-stream when the gap rule fires within arriving data."""
     base = dt.datetime(2024, 1, 1)
@@ -92,6 +94,7 @@ def test_streaming_sessionize_batchwise(spark, tmp_path):
     assert str(s["session_end"]) == "2024-01-01 00:20:00"
 
 
+@pytest.mark.slow
 def test_sessionize_key_spanning_multiple_arrow_chunks(spark, tmp_path):
     """One key's rows arriving in several Arrow batches must aggregate
     correctly: with maxRecordsPerBatch forced low, the per-key pandas input

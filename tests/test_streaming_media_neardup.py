@@ -44,6 +44,7 @@ def _run_once(spark, src_dir, index_dir, out_dir, ckpt):
     q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_media_neardup_filter_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     index = str(tmp_path / "index")
@@ -92,6 +93,7 @@ def test_media_neardup_filter_across_batches(spark, tmp_path):
     assert {(r["probe_id"], r["match_id"]) for r in hits} == {(99, 13)}
 
 
+@pytest.mark.slow
 def test_media_sink_replay_idempotent_with_intra_batch_neardups(spark, tmp_path):
     """At-least-once replay of the HARD case: a batch containing an
     intra-batch near-dup pair (both legitimately kept — the filter only
@@ -171,6 +173,7 @@ def test_media_sink_param_mismatch_refuses(spark, tmp_path):
         media_neardup_filter_sink(index, out, max_hamming=4, blocks=4)
 
 
+@pytest.mark.slow
 def test_compact_media_index_preserves_probes_and_replay(spark, tmp_path):
     """Compaction collapses per-batch directories into one generation with
     identical probe results; a replay of an already-folded batch is a full

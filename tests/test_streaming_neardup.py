@@ -1,6 +1,7 @@
 """Online near-dup filter: micro-batches probed against the growing LSH
 index — later batches drop near/exact dups of earlier survivors."""
 
+import pytest
 import time
 
 from pyspark.sql import functions as F
@@ -31,6 +32,7 @@ def _run_once(spark, src_dir, index_dir, out_dir, ckpt):
     q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_neardup_filter_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     index = str(tmp_path / "index")
@@ -79,6 +81,7 @@ def test_neardup_filter_across_batches(spark, tmp_path):
     assert {(r["probe_id"], r["match_id"]) for r in hits} == {(99, 13)}
 
 
+@pytest.mark.slow
 def test_neardup_sink_replay_idempotent(spark, tmp_path):
     """At-least-once replay: re-running the same (batch_df, batch_id) must
     not duplicate output rows or index signatures, and a second batch still
@@ -105,6 +108,7 @@ def test_neardup_sink_replay_idempotent(spark, tmp_path):
     assert kept == [1, 2, 3, 12]  # 11 dropped as exact dup of doc 2
 
 
+@pytest.mark.slow
 def test_compact_neardup_index_preserves_probes(spark, tmp_path):
     """Compaction collapses the per-batch directories into one generation
     with identical probe results and fewer files."""
@@ -157,6 +161,7 @@ def test_compact_neardup_index_preserves_probes(spark, tmp_path):
     assert 77 not in kept  # near-dup of indexed doc 11 still caught
 
 
+@pytest.mark.slow
 def test_text_sink_marker_read_failures_fail_closed(spark, tmp_path):
     """Corrupt params / compacted_through markers must fail the batch (so
     foreachBatch retries) instead of fail-opening into 'first batch' —
@@ -196,6 +201,7 @@ def test_text_sink_marker_read_failures_fail_closed(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
 
 
+@pytest.mark.slow
 def test_text_sink_replay_idempotent_with_intra_batch_neardups(spark, tmp_path):
     """The media twin's HARD replay case, now pinned for the text sink: a
     batch containing an intra-batch near-dup pair (both legitimately kept —
